@@ -1,0 +1,60 @@
+"""Typed-parameter binding: mustache param tags → Spark named markers.
+
+The reference rewrites typed ``{{params.x}}`` sites into DuckDB
+prepared-statement placeholders before mustache rendering (reference:
+src/prepared_template_rewriter.cpp, sql_parameter_classifier.cpp), so
+typed values never enter the SQL text. Spark's analogue is
+parameterized SQL: ``spark.sql(sql, args={...})`` with ``:name``
+markers — the literal is attached server-side by the analyzer, never
+spliced into the query string, so injection is structurally impossible
+for those sites. String-typed sites remain template-interpolated
+(escaped, plus the optional keyword screen), mirroring the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any
+
+from flapi_spark.validation import RequestField
+
+_TYPED = ("int", "integer", "double", "float", "boolean", "bool",
+          "date", "time", "uuid", "email", "enum")
+
+
+def rewrite_typed_params(
+    template: str, fields: list[RequestField]
+) -> tuple[str, list[str]]:
+    """Replace ``{{params.x}}`` / ``{{{params.x}}}`` for typed fields
+    with ``:x`` named markers. Section tags (``{{#params.x}}``) are left
+    alone — they control rendering, not values. Returns (rewritten
+    template, names of rewritten fields)."""
+    bound: list[str] = []
+    out = template
+    for f in fields:
+        if f.bound_type not in _TYPED:
+            continue
+        name = f.field_name
+        pat = re.compile(r"\{\{\{?\s*params\." + re.escape(name) + r"\s*\}?\}\}")
+        # Distinguish section tags by the sigil: the regex above cannot
+        # match {{#...}} / {{/...}} / {{^...}} because of the leading
+        # sigil character right after the braces.
+        new, n = pat.subn(f":{name}", out)
+        if n:
+            bound.append(name)
+            out = new
+    return out, bound
+
+
+def spark_args(params: dict[str, Any], bound: list[str]) -> dict[str, Any]:
+    """Build the args dict for spark.sql() from validated typed params."""
+    args: dict[str, Any] = {}
+    for name in bound:
+        if name not in params:
+            continue
+        v = params[name]
+        if isinstance(v, _dt.time):
+            v = v.isoformat()  # Spark has no TIME type; bind as string
+        args[name] = v
+    return args

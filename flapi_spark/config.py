@@ -1,0 +1,184 @@
+"""Endpoint & connection configuration model.
+
+Parity with the reference's YAML config layer (reference:
+src/endpoint_config_parser.cpp, config_manager.cpp,
+extended_yaml_parser.cpp): endpoint YAMLs with ``url-path``,
+``request:`` field definitions, ``template-source``, ``connection:``,
+``cache:``, ``with-pagination``, auth / rate-limit / heartbeat blocks,
+``{{include:section from other.yaml}}`` composition and ``{{env.X}}``
+expansion inside scalar values.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+from flapi_spark.validation import RequestField
+
+_INCLUDE_RE = re.compile(
+    r"^\s*\{\{\s*include:\s*(?P<section>[\w\-]+)\s+from\s+(?P<file>[^\s}]+)\s*\}\}\s*$"
+)
+_ENV_RE = re.compile(r"\{\{\s*env\.(?P<name>\w+)\s*\}\}")
+
+
+def _expand_env(value: Any, env: dict | None = None) -> Any:
+    environ = env if env is not None else os.environ
+    if isinstance(value, str):
+        return _ENV_RE.sub(lambda m: str(environ.get(m.group("name"), "")), value)
+    if isinstance(value, list):
+        return [_expand_env(v, env) for v in value]
+    if isinstance(value, dict):
+        return {k: _expand_env(v, env) for k, v in value.items()}
+    return value
+
+
+def _resolve_includes(text: str, base_dir: Path) -> str:
+    """Expand ``{{include:section from file.yaml}}`` lines by splicing
+    the named top-level section of the referenced YAML (reference:
+    extended_yaml_parser.cpp)."""
+    out_lines = []
+    for line in text.splitlines():
+        m = _INCLUDE_RE.match(line)
+        if not m:
+            out_lines.append(line)
+            continue
+        section, fname = m.group("section"), m.group("file")
+        inc_path = base_dir / fname
+        with open(inc_path) as fh:
+            inc_doc = yaml.safe_load(_resolve_includes(fh.read(), inc_path.parent))
+        if not isinstance(inc_doc, dict) or section not in inc_doc:
+            raise KeyError(f"include section '{section}' not found in {inc_path}")
+        snippet = yaml.safe_dump({section: inc_doc[section]}, sort_keys=False)
+        out_lines.append(snippet.rstrip("\n"))
+    return "\n".join(out_lines)
+
+
+@dataclass
+class CacheConfig:
+    enabled: bool = False
+    table: str = ""
+    schema: str = "main"
+    schedule: str | None = None
+    primary_key: list[str] = field(default_factory=list)
+    cursor_column: str | None = None
+    cursor_type: str | None = None
+    template_file: str | None = None
+    keep_last_snapshots: int | None = None
+    max_snapshot_age: str | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "CacheConfig":
+        if not d:
+            return cls()
+        cursor = d.get("cursor") or {}
+        retention = d.get("retention") or {}
+        return cls(
+            enabled=bool(d.get("enabled", False)),
+            table=d.get("table", ""),
+            schema=d.get("schema", "main"),
+            schedule=d.get("schedule"),
+            primary_key=list(d.get("primary-key", d.get("primary_key", []) or [])),
+            cursor_column=cursor.get("column"),
+            cursor_type=cursor.get("type"),
+            template_file=d.get("template-file", d.get("template_file")),
+            keep_last_snapshots=retention.get("keep-last-snapshots"),
+            max_snapshot_age=retention.get("max-snapshot-age"),
+        )
+
+
+@dataclass
+class ShapeConfig:
+    """Response shaping (reference: mcp_response_shaper.cpp)."""
+
+    max_rows: int | None = None
+    redact_columns: list[str] = field(default_factory=list)
+    sample: int | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "ShapeConfig":
+        if not d:
+            return cls()
+        return cls(
+            max_rows=d.get("max-rows", d.get("max_rows")),
+            redact_columns=list(d.get("redact-columns", d.get("redact_columns", []) or [])),
+            sample=d.get("sample"),
+        )
+
+
+@dataclass
+class EndpointConfig:
+    url_path: str = ""
+    request_fields: list[RequestField] = field(default_factory=list)
+    template_source: str = ""
+    template_text: str | None = None
+    connections: list[str] = field(default_factory=list)
+    with_pagination: bool = True
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    shape: ShapeConfig = field(default_factory=ShapeConfig)
+    auth: dict = field(default_factory=dict)
+    rate_limit: dict = field(default_factory=dict)
+    heartbeat: dict = field(default_factory=dict)
+    allowed_roles: list[str] = field(default_factory=list)
+    description: str = ""
+    base_dir: Path | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict, base_dir: Path | None = None) -> "EndpointConfig":
+        conns = d.get("connection", []) or []
+        if isinstance(conns, str):
+            conns = [conns]
+        return cls(
+            url_path=d.get("url-path", d.get("url_path", "")),
+            request_fields=[RequestField.from_dict(f) for f in d.get("request", []) or []],
+            template_source=d.get("template-source", d.get("template_source", "")),
+            template_text=d.get("template-text", d.get("template_text")),
+            connections=list(conns),
+            with_pagination=bool(d.get("with-pagination", d.get("with_pagination", True))),
+            cache=CacheConfig.from_dict(d.get("cache")),
+            shape=ShapeConfig.from_dict(d.get("shape") or d.get("response-shape")),
+            auth=d.get("auth") or {},
+            rate_limit=d.get("rate-limit") or {},
+            heartbeat=d.get("heartbeat") or {},
+            allowed_roles=list(d.get("allowed-roles", []) or []),
+            description=d.get("description", ""),
+            base_dir=base_dir,
+        )
+
+    def load_template(self) -> str:
+        if self.template_text is not None:
+            return self.template_text
+        if not self.template_source:
+            raise ValueError(f"endpoint {self.url_path}: no template")
+        path = Path(self.template_source)
+        if not path.is_absolute() and self.base_dir is not None:
+            path = self.base_dir / path
+        return path.read_text()
+
+
+def load_endpoint_yaml(path: str | Path, env: dict | None = None) -> EndpointConfig:
+    path = Path(path)
+    text = _resolve_includes(path.read_text(), path.parent)
+    doc = yaml.safe_load(text) or {}
+    doc = _expand_env(doc, env)
+    return EndpointConfig.from_dict(doc, base_dir=path.parent)
+
+
+def load_endpoints_dir(dir_path: str | Path, env: dict | None = None) -> list[EndpointConfig]:
+    """Load every endpoint YAML under a directory tree (a YAML counts as
+    an endpoint if it has url-path), mirroring the reference's template
+    directory scan."""
+    out = []
+    for p in sorted(Path(dir_path).rglob("*.yaml")):
+        try:
+            doc = yaml.safe_load(_resolve_includes(p.read_text(), p.parent)) or {}
+        except Exception:
+            continue
+        if isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc):
+            out.append(EndpointConfig.from_dict(_expand_env(doc, env), base_dir=p.parent))
+    return out

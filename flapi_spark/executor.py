@@ -1,0 +1,141 @@
+"""Query execution: render → validate → bind → spark.sql, plus
+pagination and response shaping.
+
+Parity with the reference's request path (reference:
+src/request_handler.cpp:200-340, database_manager.cpp:420-525,
+query_executor.cpp): validate request params, process the SQL
+template, execute with typed params bound as prepared parameters,
+optionally wrap with COUNT(*) + LIMIT/OFFSET pagination, then shape
+the response (redact-columns / max-rows / sample —
+mcp_response_shaper.cpp).
+
+Spark-first: the rendered SQL runs through ``spark.sql(sql, args=…)``
+so Catalyst sees one declarative plan — template filters land in the
+parquet scan as pushed predicates, and pagination's LIMIT is a
+CollectLimit, not a full materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flapi_spark.binding import rewrite_typed_params, spark_args
+from flapi_spark.config import EndpointConfig, ShapeConfig
+from flapi_spark.sources.registry import ConnectionRegistry
+from flapi_spark.templates import build_context, render_template
+from flapi_spark.validation import validate_params
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame
+    total_count: int | None = None
+    offset: int | None = None
+    limit: int | None = None
+    shaped: dict = field(default_factory=dict)
+
+
+def paginate_sql(inner_sql: str, order_by: str | None, limit: int, offset: int) -> str:
+    """Wrap a query with deterministic ORDER BY + LIMIT/OFFSET.
+
+    The reference appends LIMIT/OFFSET to the subquery
+    (database_manager.cpp:444-448); on a distributed engine an
+    unordered page is nondeterministic, so an order key is required
+    for stable pages."""
+    order = f" ORDER BY {order_by}" if order_by else ""
+    return f"SELECT * FROM ({inner_sql}) AS page_subquery{order} LIMIT {int(limit)} OFFSET {int(offset)}"
+
+
+def shape_df(df: DataFrame, shape: ShapeConfig) -> tuple[DataFrame, dict]:
+    """Apply response shaping (redact-columns, max-rows, sample)."""
+    info: dict[str, Any] = {}
+    if shape.redact_columns:
+        redact = {c.lower() for c in shape.redact_columns}
+        keep = [c for c in df.columns if c.lower() not in redact]
+        dropped = [c for c in df.columns if c.lower() in redact]
+        if dropped:
+            df = df.select(*keep)
+            info["redacted"] = dropped
+    if shape.sample is not None:
+        df = df.limit(int(shape.sample))
+        info["sampled"] = True
+    elif shape.max_rows is not None:
+        df = df.limit(int(shape.max_rows))
+        info["max_rows"] = int(shape.max_rows)
+    return df, info
+
+
+class QueryExecutor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ConnectionRegistry | None = None,
+        env: dict | None = None,
+    ):
+        self.spark = spark
+        self.registry = registry or ConnectionRegistry()
+        self.env = env
+
+    def render(
+        self,
+        endpoint: EndpointConfig,
+        params: dict[str, Any],
+        cache_ctx: dict | None = None,
+    ) -> tuple[str, dict[str, Any]]:
+        """Validate params and produce (sql, spark_args)."""
+        typed = validate_params(endpoint.request_fields, params)
+        template = endpoint.load_template()
+        rewritten, bound = rewrite_typed_params(template, endpoint.request_fields)
+        conn_ctx: dict = {}
+        for name in endpoint.connections:
+            if name in self.registry:
+                conn = self.registry.get(name)
+                conn_ctx = conn.template_context()
+                conn.register_view(self.spark)
+                break
+        ctx = build_context(params=typed, conn=conn_ctx, env=self.env, cache=cache_ctx)
+        sql = render_template(rewritten, ctx)
+        return sql, spark_args(typed, bound)
+
+    def execute(
+        self,
+        endpoint: EndpointConfig,
+        params: dict[str, Any] | None = None,
+        order_by: str | None = None,
+    ) -> QueryResult:
+        params = dict(params or {})
+        offset = int(params.pop("offset", 0) or 0)
+        limit = int(params.pop("limit", 100) or 100)
+        if offset < 0 or limit < 0:
+            raise ValueError("Invalid pagination parameters")
+
+        sql, args = self.render(endpoint, params)
+        df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+
+        result = QueryResult(df=df)
+        if endpoint.with_pagination:
+            result.total_count = df.count()
+            result.offset, result.limit = offset, limit
+            page_sql = paginate_sql(sql, order_by, limit, offset)
+            df = (
+                self.spark.sql(page_sql, args=args)
+                if args
+                else self.spark.sql(page_sql)
+            )
+            result.df = df
+        shaped_df, info = shape_df(result.df, endpoint.shape)
+        result.df, result.shaped = shaped_df, info
+        return result
+
+    def explain(self, endpoint: EndpointConfig, params: dict[str, Any] | None = None) -> str:
+        """Dry-run: return the formatted physical plan without executing
+        (the Spark analogue of the reference's MCP _dryRun —
+        mcp_dry_run.cpp returns the would-run SQL)."""
+        sql, args = self.render(endpoint, dict(params or {}))
+        df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )

@@ -1,0 +1,119 @@
+import os
+
+import pytest
+
+from flapi_spark.config import EndpointConfig, ShapeConfig
+from flapi_spark.executor import QueryExecutor, shape_df
+from flapi_spark.sources.registry import Connection, ConnectionRegistry
+from flapi_spark.validation import RequestField, ValidationError, Validator
+
+SF = os.environ.get("FLAPI_SPARK_TEST_SF", "/root/testdata/sf0.001")
+
+
+def customers_endpoint(**kw):
+    """The reference's customers endpoint re-expressed
+    (reference: examples/sqls/customers/customers.sql + customers-rest.yaml)."""
+    return EndpointConfig(
+        url_path="/customers/",
+        template_text=(
+            "SELECT c_custkey AS key, c_name AS name, c_acctbal AS balance,"
+            " c_mktsegment AS segment"
+            " FROM parquet.`{{{conn.path}}}`"
+            " WHERE 1=1"
+            "{{#params.id}} AND c_custkey = {{params.id}}{{/params.id}}"
+            "{{#params.segment}} AND c_mktsegment = {{params.segment}}{{/params.segment}}"
+        ),
+        connections=["customers-parquet"],
+        request_fields=[
+            RequestField(field_name="id", validators=[Validator(type="int", min=1)]),
+            RequestField(
+                field_name="segment",
+                validators=[
+                    Validator(
+                        type="enum",
+                        allowed_values=["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                        "HOUSEHOLD", "MACHINERY"],
+                    )
+                ],
+            ),
+        ],
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def executor(spark):
+    reg = ConnectionRegistry()
+    reg.add(
+        Connection(
+            name="customers-parquet",
+            format="parquet",
+            properties={"path": os.path.join(SF, "customer.parquet")},
+        )
+    )
+    return QueryExecutor(spark, reg)
+
+
+def test_render_binds_typed_params(executor):
+    sql, args = executor.render(customers_endpoint(), {"id": "7"})
+    assert ":id" in sql and args == {"id": 7}
+    assert "segment" not in args
+
+
+def test_execute_filters_by_id(executor):
+    res = executor.execute(customers_endpoint(with_pagination=False), {"id": "7"})
+    rows = res.df.collect()
+    assert len(rows) == 1 and rows[0]["key"] == 7
+
+
+def test_execute_enum_param(executor):
+    res = executor.execute(
+        customers_endpoint(with_pagination=False), {"segment": "BUILDING"}
+    )
+    segs = {r["segment"] for r in res.df.collect()}
+    assert segs == {"BUILDING"}
+
+
+def test_invalid_enum_rejected(executor):
+    with pytest.raises(ValidationError):
+        executor.execute(customers_endpoint(), {"segment": "PLASTICS"})
+
+
+def test_injection_attempt_is_inert(executor):
+    # typed int site: non-numeric injection payload fails validation
+    with pytest.raises(ValidationError):
+        executor.execute(customers_endpoint(), {"id": "1 OR 1=1"})
+
+
+def test_pagination(executor):
+    ep = customers_endpoint(with_pagination=True)
+    res = executor.execute(ep, {"limit": "10", "offset": "5"}, order_by="key")
+    rows = res.df.collect()
+    assert len(rows) == 10
+    assert res.total_count and res.total_count > 10
+    assert [r["key"] for r in rows] == sorted(r["key"] for r in rows)
+    # next page starts where this one ended
+    res2 = executor.execute(ep, {"limit": "10", "offset": "15"}, order_by="key")
+    assert res2.df.collect()[0]["key"] > rows[-1]["key"]
+
+
+def test_shape_redact_and_max_rows(spark, executor):
+    ep = customers_endpoint(
+        with_pagination=False,
+        shape=ShapeConfig(max_rows=5, redact_columns=["Balance"]),
+    )
+    res = executor.execute(ep, {})
+    assert "balance" not in [c.lower() for c in res.df.columns]
+    assert res.df.count() == 5
+    assert res.shaped["redacted"] == ["balance"]
+
+
+def test_shape_sample(spark):
+    df = spark.range(100)
+    shaped, info = shape_df(df, ShapeConfig(sample=7))
+    assert shaped.count() == 7 and info["sampled"] is True
+
+
+def test_explain_dry_run(executor):
+    plan = executor.explain(customers_endpoint(), {"id": "3"})
+    assert "Scan parquet" in plan or "BatchScan" in plan
