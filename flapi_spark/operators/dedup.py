@@ -1,0 +1,266 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data pipeline dedup suite, all expressed as shuffled
+DataFrame plans (no Python UDFs, no driver loops):
+
+- exact:      md5(normalized) hash-groupBy — one shuffle on the hash.
+- n-gram Jaccard: inverted-index self-join (explode tokens, join on
+  token, count shared) — the classic linear-shuffle candidate
+  generator; exact DuckDB oracle.
+- MinHash+LSH: shingle → xxhash64 → k universal-hash permutations →
+  per-doc min-signature → banded bucket join → Jaccard-verify.
+  Candidate generation is groupBy(band)-shaped: linear in corpus
+  size, never O(n²). Verified against brute force in tests.
+- SimHash:    per-bit token-hash voting → 64-bit fingerprint split in
+  two 32-bit halves → 16-bit band blocking → Hamming verify.
+- embedding cosine: exact pair similarity above a threshold (scale
+  path = LSH bucketing in operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import random
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.operators.text import norm_text
+from flapi_spark.session import load_table
+
+MERSENNE_P = 2147483647  # 2^31 - 1, universal-hash modulus
+
+_rng = random.Random(42)
+NUM_PERM = 64
+PERMS = [(_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P))
+         for _ in range(NUM_PERM)]
+BANDS = 16  # 16 bands x 4 rows
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(norm_text(), " ")).alias("toks")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(normalized text); canonical = min id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one doc per fingerprint (min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "fingerprint")
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Word-set Jaccard near-dup pairs via inverted-index self-join.
+
+    Scale: explode+join on token is linear in total postings; hot
+    (ubiquitous) tokens are the skew risk — AQE skew-join splits them,
+    and the MinHash variant below removes them from the plan entirely."""
+    toks = _doc_tokens(spark, sf_dir)
+    sizes = toks.select("doc_id", F.size("toks").alias("n"))
+    inv = toks.select("doc_id", F.explode("toks").alias("tok"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc (ordered tokens, then n-grams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t"))
+    grams = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(t) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n}))))"
+    )
+    return toks.select("doc_id", grams.alias("shingles"))
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: k universal-hash minima, all JVM-side.
+
+    xxhash64 folds each shingle to 32 bits; (a*h + b) mod p per
+    permutation; one groupBy(doc_id) computes all k minima."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    h32 = F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_P))
+    hashed = ex.select("doc_id", h32.alias("h"))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: hash each r-row band, bucket-join docs per band."""
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(*[F.col(f"m{band * r + j}") for j in range(r)]).alias("bh"),
+        )
+        for band in range(BANDS)
+    ])
+    exploded = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, Jaccard-verified on true shingle sets.
+
+    Pipeline: shingle → signature (1 shuffle) → band buckets
+    (1 shuffle) → candidate pairs → verify by joining shingle arrays
+    back (broadcast-friendly at pair counts ≪ corpus)."""
+    shingled = _shingles(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(shingled))
+    wa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    wb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_union("sha", "shb"))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as two unsigned 32-bit halves (hi, lo).
+
+    Each token votes ±1 per bit of its xxhash64; fingerprint bit =
+    sign of the tally. 64 conditional sums in one groupBy — wide but
+    fully codegen'd, one shuffle."""
+    toks = _doc_tokens(spark, sf_dir)
+    ex = toks.select("doc_id", F.explode("toks").alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{bit}")
+        for bit in range(64)
+    ]
+    tallied = ex.groupBy("doc_id").agg(*votes)
+
+    def half(lo_bit: int) -> F.Column:
+        terms = [
+            F.when(F.col(f"s{lo_bit + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(32)
+        ]
+        return reduce(lambda x, y: x + y, terms).cast("long")
+
+    return tallied.select(
+        "doc_id", half(32).alias("hi"), half(0).alias("lo")
+    )
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: block on any equal 16-bit band (4 bands),
+    verify Hamming distance over the full 64 bits."""
+    fps = simhash_fingerprints(spark, sf_dir)
+    banded = fps.select(
+        "doc_id", "hi", "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"),
+                         F.col("lo").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(1).alias("band_id"),
+                         F.shiftright("lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(2).alias("band_id"),
+                         F.col("hi").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+                F.struct(F.lit(3).alias("band_id"),
+                         F.shiftright("hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "hi", "lo", "b.band_id", "b.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    ) + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.bv") == F.col("b.bv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+COSINE_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def cosine_col(a: str, b: str) -> F.Column:
+    """Cosine similarity between two array<float> columns, computed in
+    double, fully JVM-side (zip_with + aggregate — no UDF)."""
+    dot = F.expr(COSINE_SQL.format(a=a, b=b))
+    na = F.sqrt(F.expr(COSINE_SQL.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(COSINE_SQL.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding near-dup pairs: exact pairwise cosine ≥ threshold.
+
+    This is the exact (quadratic) baseline — correct at any selectivity
+    but O(n²) compares; the 100 TB path buckets by random-hyperplane
+    LSH first (operators/similarity.py) so only bucket-cohabitant
+    pairs are scored."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_col("ea", "eb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

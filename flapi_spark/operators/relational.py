@@ -164,7 +164,7 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        cust.withColumn("rnk", F.rank().over(w))
+        cust.withColumn("rnk", F.rank().over(w).cast("long"))
         .where(F.col("rnk") <= 5)
         .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rnk")
     )
@@ -194,7 +194,7 @@ def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy("value", "event_id")
     return (
-        ev.withColumn("band", F.ntile(4).over(w))
+        ev.withColumn("band", F.ntile(4).over(w).cast("long"))
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -295,6 +295,35 @@ def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders"
     )
     return spark.sql(paginate_sql(inner, "o_orderkey", limit=50, offset=100))
+
+
+def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part type: big fact ⋈ broadcast part dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance stats per nation (dim ⋈ dim)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec("s_acctbal")).cast(MONEY).alias("total_balance"),
+            avg_of(F.sum(dec("s_acctbal")), F.count(F.lit(1))).alias("avg_balance"),
+        )
+    )
 
 
 def cache_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

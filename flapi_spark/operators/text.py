@@ -1,0 +1,122 @@
+"""Text-analysis operators over the `documents` table.
+
+Large-scale training-data pipeline primitives: token counting
+(whitespace + BPE-ish regex), quality scoring (length / stopword /
+punctuation heuristics), n-gram-heuristic language ID, and document
+fingerprinting. All pure `pyspark.sql.functions` — JVM-side, inside
+whole-stage codegen, no Python in the hot path; each has an exact
+DuckDB oracle in flapi_spark/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.session import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "to"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "y", "una"),
+    "fr": ("le", "les", "et", "une"),
+}
+
+
+def norm_text(col: str = "text") -> F.Column:
+    """Whitespace-collapsed, lowercased, trimmed normalization shared by
+    dedup and fingerprint operators."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), "\\s+", " ")))
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(norm_text(col), " ")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    # counts cast to long: DuckDB len()/length() yield BIGINT and the
+    # correctness driver compares schemas
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.regexp_count(norm_text(), F.lit(BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: token stats, stopword density, and a
+    composite score. At 100 TB this is the per-document filter pass
+    before dedup — a single narrow projection, fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha_chars = F.length(F.regexp_replace(norm_text(), "[^a-z]", ""))
+    stopword_ratio = n_stop.cast("double") / n_tokens
+    avg_token_len = (
+        F.length(F.regexp_replace(norm_text(), " ", "")).cast("double") / n_tokens
+    )
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stopword_ratio * F.lit(4.0), F.lit(1.0)) * F.lit(0.25)
+        + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.25)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        stopword_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        n_alpha_chars.cast("long").alias("n_alpha_chars"),
+        score.alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic with fixed-priority argmax
+    (deterministic tie-breaking: en > de > es > fr > unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _hits(words: tuple[str, ...]) -> F.Column:
+        # single-arg lambda: a 2-arg lambda would be read as the
+        # (element, index) form of F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hits = {lang: _hits(words) for lang, words in LANG_MARKERS.items()}
+    en, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    best = F.greatest(en, de, es, fr)
+    predicted = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        es.cast("long").alias("es_hits"),
+        fr.cast("long").alias("fr_hits"),
+        predicted.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the normalized text (exact-dup key)
+    plus a cheap rolling-style prefix hash for sharded processing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(norm_text()).alias("fp_md5"),
+        F.md5(F.substring(norm_text(), 1, 64)).alias("fp_prefix64"),
+    )

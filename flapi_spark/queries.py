@@ -21,7 +21,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flapi_spark.operators import dedup as D
 from flapi_spark.operators import relational as R
+from flapi_spark.operators import similarity as S
+from flapi_spark.operators import text as T
 from flapi_spark.operators.asof import asof_join_events_orders
 
 _DEC = "CAST({c} AS DECIMAL(18,2))"
@@ -299,4 +302,135 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " FROM errors e ASOF LEFT JOIN purchases p"
         "  ON e.user_id = p.user_id AND e.ts >= p.ts",
     ),
+    "part_type_share": (
+        R.part_type_share,
+        "SELECT p_type,"
+        f" CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS revenue,"
+        " count(*) AS n_lineitems"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type",
+    ),
+    "supplier_balance_by_nation": (
+        R.supplier_balance_by_nation,
+        "SELECT n_name, count(*) AS n_suppliers,"
+        " CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_balance,"
+        " CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)"
+        "  AS avg_balance"
+        " FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+    ),
 }
+
+# normalized text, shared by the text/dedup oracles (DuckDB needs the
+# 'g' flag; Spark's regexp_replace is global by default)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+_COS = (
+    "(list_dot_product({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}.embedding::DOUBLE[], {a}.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]))))"
+)
+
+
+def _lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
+
+
+QUERIES.update(
+    {
+        # -- text analysis
+        "text_token_count": (
+            T.text_token_count,
+            f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,"
+            f" CAST(len(regexp_extract_all({_NORM},"
+            f" '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,"
+            " CAST(length(text) AS BIGINT) AS n_chars"
+            " FROM documents",
+        ),
+        "text_quality_score": (
+            T.text_quality_score,
+            f"WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS toks FROM documents)"
+            " SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,"
+            f" CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)"
+            "  AS n_stopwords,"
+            f" CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)"
+            "  / len(toks) AS stopword_ratio,"
+            " CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,"
+            " CAST(length(regexp_replace(nt, '[^a-z]', '', 'g')) AS BIGINT)"
+            "  AS n_alpha_chars,"
+            " least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.5"
+            f" + least(CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE)"
+            "    / len(toks) * 4.0, 1.0) * 0.25"
+            " + least(CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(toks)"
+            "    / 8.0, 1.0) * 0.25 AS quality_score"
+            " FROM t",
+        ),
+        "text_langid": (
+            T.text_langid,
+            f"WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),"
+            " h AS (SELECT doc_id, lang,"
+            f"  {_lang_hits('en')} AS en_hits, {_lang_hits('de')} AS de_hits,"
+            f"  {_lang_hits('es')} AS es_hits, {_lang_hits('fr')} AS fr_hits"
+            " FROM t)"
+            " SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,"
+            " CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'unknown'"
+            "  WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'"
+            "  WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'"
+            "  WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'"
+            "  ELSE 'fr' END AS predicted_lang,"
+            " lang AS actual_lang FROM h",
+        ),
+        "text_fingerprint": (
+            T.text_fingerprint,
+            f"SELECT doc_id, md5({_NORM}) AS fp_md5,"
+            f" md5(substring({_NORM}, 1, 64)) AS fp_prefix64"
+            " FROM documents",
+        ),
+        # -- dedup
+        "dedup_exact": (
+            D.dedup_exact,
+            f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS canonical_id,"
+            " count(*) AS n_copies FROM documents GROUP BY 1",
+        ),
+        "dedup_exact_survivors": (
+            D.dedup_exact_survivors,
+            f"SELECT min(doc_id) AS doc_id, md5({_NORM}) AS fingerprint"
+            " FROM documents GROUP BY 2",
+        ),
+        "dedup_ngram_jaccard": (
+            D.dedup_ngram_jaccard,
+            f"WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),"
+            " sizes AS (SELECT doc_id, len(t) AS n FROM toks),"
+            " inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),"
+            " shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s"
+            "  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2)"
+            " SELECT doc_a, doc_b,"
+            "  CAST(s AS DOUBLE) / (sa.n + sb.n - s) AS jaccard"
+            " FROM shared JOIN sizes sa ON sa.doc_id = doc_a"
+            " JOIN sizes sb ON sb.doc_id = doc_b"
+            " WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95",
+        ),
+        "dedup_minhash_lsh": (D.dedup_minhash_lsh, None),  # rows-only; recall-tested
+        "dedup_simhash": (D.dedup_simhash, None),  # rows-only; property-tested
+        "dedup_embedding_cosine": (
+            D.dedup_embedding_cosine,
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+            f" {_COS.format(a='a', b='b')} AS cosine"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            f" WHERE {_COS.format(a='a', b='b')} >= 0.4",
+        ),
+        # -- similarity search
+        "ann_bruteforce_topk": (
+            S.ann_bruteforce_topk,
+            "SELECT qid, cid, cosine, rnk FROM ("
+            " SELECT a.vec_id AS qid, b.vec_id AS cid,"
+            f"  {_COS.format(a='a', b='b')} AS cosine,"
+            "  row_number() OVER (PARTITION BY a.vec_id"
+            f"   ORDER BY {_COS.format(a='a', b='b')} DESC, b.vec_id ASC) AS rnk"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id <= 5 AND b.vec_id > 5"
+            ") t WHERE rnk <= 10",
+        ),
+        "ann_lsh_topk": (S.ann_lsh_topk, None),  # rows-only; recall-tested
+    }
+)

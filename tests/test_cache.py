@@ -1,0 +1,123 @@
+import datetime
+import time
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flapi_spark.cache import CacheManager, parse_duration
+from flapi_spark.config import CacheConfig
+
+
+def cfg(**kw):
+    base = dict(
+        enabled=True,
+        table="orders_cache",
+        schema="analytics",
+        primary_key=["id"],
+        cursor_column="updated_at",
+    )
+    base.update(kw)
+    return CacheConfig(**base)
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, val=v, updated_at=datetime.date.fromisoformat(d)) for i, v, d in rows]
+    )
+
+
+@pytest.fixture
+def mgr(spark, tmp_path):
+    return CacheManager(spark, tmp_path)
+
+
+def test_full_refresh_and_read(spark, mgr):
+    df = rows_df(spark, [(1, "a", "2026-01-01"), (2, "b", "2026-01-02")])
+    info = mgr.full_refresh(cfg(), df)
+    assert info.current_snapshot_id
+    got = {(r.id, r.val) for r in mgr.read(cfg()).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_incremental_sync_merges_latest_wins(spark, mgr):
+    c = cfg()
+    mgr.incremental_sync(c, rows_df(spark, [(1, "a", "2026-01-01"), (2, "b", "2026-01-02")]))
+    # id=2 updated later, id=3 new, id=1 older-than-watermark (ignored)
+    src = rows_df(
+        spark,
+        [(1, "a", "2026-01-01"), (2, "b2", "2026-01-05"), (3, "c", "2026-01-04")],
+    )
+    info = mgr.incremental_sync(c, src)
+    got = {(r.id, r.val) for r in mgr.read(c).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    assert info.previous_snapshot_id is not None
+    assert info.cursor_watermark == "2026-01-05"
+
+
+def test_incremental_sync_tie_prefers_incoming(spark, mgr):
+    c = cfg()
+    mgr.incremental_sync(c, rows_df(spark, [(1, "old", "2026-01-01")]))
+    # same cursor value as watermark is NOT pulled (strict >) — bump it
+    mgr.incremental_sync(c, rows_df(spark, [(1, "new", "2026-01-02")]))
+    got = {(r.id, r.val) for r in mgr.read(c).collect()}
+    assert got == {(1, "new")}
+
+
+def test_snapshot_context_for_templates(spark, mgr):
+    c = cfg()
+    mgr.full_refresh(c, rows_df(spark, [(1, "a", "2026-01-01")]))
+    mgr.full_refresh(c, rows_df(spark, [(1, "a", "2026-01-02")]))
+    ctx = mgr.snapshot_info(c).template_context()
+    assert "cacheSnapshotId" in ctx and "previousSnapshotId" in ctx
+    assert ctx["cacheSnapshotId"] != ctx["previousSnapshotId"]
+
+
+def test_read_previous_snapshot(spark, mgr):
+    c = cfg()
+    mgr.full_refresh(c, rows_df(spark, [(1, "v1", "2026-01-01")]))
+    mgr.full_refresh(c, rows_df(spark, [(1, "v2", "2026-01-02")]))
+    info = mgr.snapshot_info(c)
+    old = mgr.read(c, snapshot_id=info.previous_snapshot_id)
+    assert old.collect()[0].val == "v1"
+
+
+def test_expire_keep_last(spark, mgr):
+    c = cfg(keep_last_snapshots=2)
+    for d in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        mgr.full_refresh(c, rows_df(spark, [(1, "x", d)]))
+    expired = mgr.expire_snapshots(c)
+    assert len(expired) == 1
+    assert len(mgr._load_manifest(c)) == 2
+    mgr.read(c)  # current still readable
+
+
+def test_expire_by_age_never_drops_current(spark, mgr):
+    c = cfg(max_snapshot_age="1s")
+    mgr.full_refresh(c, rows_df(spark, [(1, "x", "2026-01-01")]))
+    mgr.full_refresh(c, rows_df(spark, [(1, "y", "2026-01-02")]))
+    expired = mgr.expire_snapshots(c, now=time.time() + 10)
+    assert len(expired) == 1
+    assert mgr.read(c).collect()[0].val == "y"
+
+
+def test_audit_log(spark, mgr):
+    c = cfg()
+    mgr.full_refresh(c, rows_df(spark, [(1, "a", "2026-01-01")]))
+    events = mgr.sync_events()
+    assert events and events[-1]["event"] == "full_refresh"
+    assert events[-1]["status"] == "success"
+
+
+def test_parse_duration():
+    assert parse_duration("5m") == 300
+    assert parse_duration("7d") == 7 * 86400
+    with pytest.raises(ValueError):
+        parse_duration("soon")
+
+
+def test_incremental_without_cursor_is_full_refresh(spark, mgr):
+    c = cfg(cursor_column=None)
+    mgr.incremental_sync(c, rows_df(spark, [(1, "a", "2026-01-01")]))
+    mgr.incremental_sync(c, rows_df(spark, [(2, "b", "2026-01-02")]))
+    got = {r.id for r in mgr.read(c).collect()}
+    assert got == {2}  # full refresh replaced the table

@@ -1,0 +1,114 @@
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from flapi_spark.operators import dedup as D
+
+
+def write_docs(tmp_path, texts):
+    """Write a synthetic documents.parquet so operators can run on a
+    controlled corpus via their (spark, sf_dir) interface."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["synthetic"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while a cat naps "
+    "near the warm stove and a bird sings in the tall green tree"
+)
+
+
+def test_exact_dedup_groups_copies(spark, tmp_path):
+    sf = write_docs(
+        tmp_path,
+        [BASE, BASE, "  " + BASE.upper() + "  ", "something else entirely", BASE + " extra"],
+    )
+    out = {r.canonical_id: r.n_copies for r in D.dedup_exact(spark, sf).collect()}
+    # doc 1,2,3 normalize identically (case/whitespace fold)
+    assert out[1] == 3
+    assert out[4] == 1 and out[5] == 1
+    survivors = {r.doc_id for r in D.dedup_exact_survivors(spark, sf).collect()}
+    assert survivors == {1, 4, 5}
+
+
+def test_ngram_jaccard_flags_near_dups(spark, tmp_path):
+    near = BASE.replace("lazy", "sleepy")
+    sf = write_docs(tmp_path, [BASE, near, "totally different words here only"])
+    pairs = D.dedup_ngram_jaccard(spark, sf, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got)
+
+
+def brute_force_pairs(spark, sf, threshold):
+    sh = D._shingles(spark, sf)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return {
+        (r.doc_a, r.doc_b): r.j
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .where(F.col("j") >= threshold)
+        .collect()
+    }
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir, tmp_path):
+    # controlled corpus: strong near-dups + noise docs
+    texts = [BASE]
+    texts.append(BASE.replace("lazy", "sleepy"))  # j ~ high
+    texts.append(BASE.replace("quick brown", "slow red"))
+    texts.append(BASE + " and then some more words appear at the end here")
+    texts += [
+        f"unrelated document number {i} with its own distinct vocabulary set {i * 7}"
+        for i in range(20)
+    ]
+    sf = write_docs(tmp_path, texts)
+
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh(spark, sf, threshold=0.5).collect()
+    }
+    strong_truth = brute_force_pairs(spark, sf, threshold=0.8)
+    # recall: every strong near-dup pair must be caught (16 bands x 4
+    # rows ⇒ P[miss | j>=0.8] < 1e-3)
+    assert set(strong_truth) <= set(found)
+    # precision: everything reported really has verified jaccard >= 0.5
+    truth_all = brute_force_pairs(spark, sf, threshold=0.5)
+    assert set(found) <= set(truth_all)
+    for pair, j in found.items():
+        assert abs(truth_all[pair] - j) < 1e-12
+
+
+def test_simhash_identical_and_near(spark, tmp_path):
+    near = BASE.replace("lazy", "sleepy")
+    sf = write_docs(tmp_path, [BASE, BASE, near, "completely different text corpus"])
+    fps = {r.doc_id: (r.hi, r.lo) for r in D.simhash_fingerprints(spark, sf).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    assert 0 <= fps[1][0] < 2**32 and 0 <= fps[1][1] < 2**32
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash(spark, sf, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word change stays within hamming 10
+
+
+def test_embedding_cosine_pairs_ordered_and_thresholded(spark, sf_dir):
+    out = D.dedup_embedding_cosine(spark, sf_dir, threshold=0.4)
+    rows = out.collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(r.cosine >= 0.4 for r in rows)

@@ -1,0 +1,74 @@
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from flapi_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(sf_dir):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def numpy_topk(ids, vecs, n_queries=5, k=10):
+    out = {}
+    qmask = ids <= n_queries
+    cmask = ~qmask
+    cids, cvecs = ids[cmask], vecs[cmask]
+    cn = cvecs / np.linalg.norm(cvecs, axis=1, keepdims=True)
+    for qid, qv in zip(ids[qmask], vecs[qmask]):
+        cos = cn @ (qv / np.linalg.norm(qv))
+        order = np.lexsort((cids, -cos))[:k]
+        out[int(qid)] = [int(cids[i]) for i in order]
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_dir, vectors):
+    ids, vecs = vectors
+    expected = numpy_topk(ids, vecs)
+    got: dict[int, list[int]] = {}
+    for r in S.ann_bruteforce_topk(spark, sf_dir).orderBy("qid", "rnk").collect():
+        got.setdefault(r.qid, []).append(r.cid)
+    assert got == expected
+
+
+def test_lsh_topk_matches_numpy_replay(spark, sf_dir, vectors):
+    """The LSH path is exact *given its candidate set*: replay the same
+    planes in numpy, derive the same buckets/candidates, and the top-k
+    must match exactly — tests the implementation, not LSH luck."""
+    ids, vecs = vectors
+    planes = np.array(S.PLANES)  # (12, 64)
+    bits = (vecs @ planes.T) > 0
+    buckets = (bits.astype(np.int64) << np.arange(S.N_PLANES)).sum(axis=1)
+
+    n_queries, k = 5, 10
+    qmask = ids <= n_queries
+    expected: dict[int, list[int]] = {}
+    for qid, qb, qv in zip(ids[qmask], buckets[qmask], vecs[qmask]):
+        ham = np.array([bin(int(b) ^ int(qb)).count("1") for b in buckets])
+        cand = (~qmask) & (ham <= 1)
+        cids, cvecs = ids[cand], vecs[cand]
+        # same arithmetic shape as the engine: dot / (|a|·|b|)
+        cos = (cvecs @ qv) / (np.linalg.norm(cvecs, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((cids, -cos))[:k]
+        if len(order):  # queries with no bucket-cohabitants yield no rows
+            expected[int(qid)] = [int(cids[i]) for i in order]
+
+    got: dict[int, list[int]] = {}
+    for r in S.ann_lsh_topk(spark, sf_dir).orderBy("qid", "rnk").collect():
+        got.setdefault(r.qid, []).append(r.cid)
+    assert got == expected
+
+
+def test_lsh_buckets_are_stable(spark, sf_dir):
+    from flapi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = {r.vec_id: r.bucket for r in S.lsh_buckets(spark, emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in S.lsh_buckets(spark, emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 2**S.N_PLANES for v in b1.values())
