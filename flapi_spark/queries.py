@@ -331,6 +331,18 @@ _COS = (
 )
 
 
+def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_binary_meta
+
+    return mm_binary_meta(spark, sf_dir)
+
+
+def _mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_decoded_features
+
+    return mm_decoded_features(spark, sf_dir)
+
+
 def _lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
@@ -432,5 +444,17 @@ QUERIES.update(
             ") t WHERE rnk <= 10",
         ),
         "ann_lsh_topk": (S.ann_lsh_topk, None),  # rows-only; recall-tested
+        # -- multimodal binary columns
+        "mm_binary_meta": (
+            _mm_binary_meta,
+            "SELECT doc_id,"
+            " CASE WHEN doc_id % 3 = 0 THEN 'image/png'"
+            "      WHEN doc_id % 3 = 1 THEN 'audio/wav'"
+            "      ELSE 'video/mp4' END AS media_type,"
+            " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+            " md5(text) AS payload_md5"  # md5 over the same UTF-8 bytes
+            " FROM documents",
+        ),
+        "mm_decoded_features": (_mm_decoded_features, None),  # rows-only: stub decode
     }
 )

@@ -1,0 +1,160 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference serves continuously-refreshed caches over changing
+sources (schedule-driven sync); the Spark-native generalization is
+Structured Streaming: file-source ingest → watermark → windowed /
+stateful aggregation → sink. Tested with availableNow micro-batches
+whose results must equal the batch twin (events_tumbling_agg).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    New files appearing in the directory become micro-batches — the
+    standard continuous-ingest pattern at scale (object-store landing
+    zone)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Hourly tumbling-window aggregate with late-data watermark — the
+    streaming twin of operators/relational.py:events_tumbling_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful gap-based sessionization for one user (the custom
+    stateful operator the reference has no analogue for — Spark's
+    applyInPandasWithState keeps per-key state across micro-batches)."""
+    (user_id,) = key
+    if state.exists:
+        last_ts_us, session_id, n_events = state.get
+    else:
+        last_ts_us, session_id, n_events = None, 0, 0
+
+    rows = []
+    starts: dict[int, int] = {}
+    ends: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            ts_us = int(ts.value // 1000)  # pandas Timestamp ns → us
+            if last_ts_us is None or ts_us - last_ts_us > GAP_US:
+                session_id += 1
+                n_events = 0
+            n_events += 1
+            last_ts_us = ts_us
+            starts.setdefault(session_id, ts_us)
+            ends[session_id] = ts_us
+            counts[session_id] = counts.get(session_id, 0) + 1
+
+    state.update((last_ts_us, session_id, n_events))
+    for sid in sorted(starts):
+        rows.append(
+            {
+                "user_id": user_id,
+                "session_id": sid,
+                "n_events": counts[sid],
+                "session_start": pd.Timestamp(starts[sid], unit="us"),
+                "session_end": pd.Timestamp(ends[sid], unit="us"),
+            }
+        )
+    yield pd.DataFrame(rows, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Per-user stateful sessionization over the stream."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream with availableNow into an in-memory table (test
+    and verification harness; production sinks are parquet/Kafka)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
