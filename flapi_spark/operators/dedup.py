@@ -43,6 +43,22 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exploded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok) stream of distinct tokens per doc.
+
+    PERF: explode the token expression directly — exploding a
+    previously projected array column makes Spark re-evaluate the
+    array-building expression per exploded output row (measured ~8×
+    slower at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(norm_text(), " "))).alias("tok"),
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by md5(normalized text); canonical = min id."""
     docs = load_table(spark, sf_dir, "documents")
@@ -74,7 +90,7 @@ def dedup_ngram_jaccard(
     and the MinHash variant below removes them from the plan entirely."""
     toks = _doc_tokens(spark, sf_dir)
     sizes = toks.select("doc_id", F.size("toks").alias("n"))
-    inv = toks.select("doc_id", F.explode("toks").alias("tok"))
+    inv = _exploded_tokens(spark, sf_dir)
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
@@ -96,9 +112,26 @@ def dedup_ngram_jaccard(
 
 
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Word n-gram shingles per doc (ordered tokens, then n-grams)."""
+    """Word n-gram shingles per doc (ordered tokens, then n-grams).
+
+    The documents table often lands as one row-group (one input split),
+    which would serialize the whole shingle→signature pipeline onto a
+    single core — spread docs across the cluster first. The shuffle is
+    tiny (raw text) compared to the exploded shingle stream it unlocks
+    parallelism for."""
+    # Tokenize BEFORE the exchange, build n-grams AFTER it. The
+    # exchange is deliberate and load-bearing twice over:
+    # 1. parallelism — an explicit partition count that AQE won't
+    #    coalesce spreads the compute-dense gram/hash stages across the
+    #    cluster even when the corpus is small in bytes;
+    # 2. a CollapseProject barrier — in a single projection the token
+    #    array would be inlined into the per-gram lambda, re-running
+    #    regexp+split once per shingle (O(tokens²) per doc). Across the
+    #    exchange the token array is materialized once per doc.
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t"))
+    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = F.expr(
         f"array_distinct(transform(sequence(0, greatest(size(t) - {n}, 0)),"
         f" i -> concat_ws(' ', slice(t, i + 1, {n}))))"
@@ -106,19 +139,44 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return toks.select("doc_id", grams.alias("shingles"))
 
 
-def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: k universal-hash minima, all JVM-side.
+def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, h32) stream of hashed word n-gram shingles.
 
-    xxhash64 folds each shingle to 32 bits; (a*h + b) mod p per
-    permutation; one groupBy(doc_id) computes all k minima."""
-    ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    h32 = F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_P))
-    hashed = ex.select("doc_id", h32.alias("h"))
+    Built by exploding the gram expression directly (see
+    _exploded_tokens PERF note) and folding each shingle to 32 bits
+    with xxhash64 — all codegen'd, no strings leave the stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(t) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n}))))"
+    )
+    ex = toks.select("doc_id", F.explode(grams).alias("sh"))
+    return ex.select(
+        "doc_id", F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_P)).alias("h")
+    )
+
+
+def minhash_signatures_from_hashed(hashed: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: k universal-hash minima in ONE
+    codegen'd groupBy — (a*h + b) mod p per permutation."""
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
     return hashed.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """Signatures from a (doc_id, shingles array) DF (test/compat path;
+    the production pipeline uses hashed_shingles directly)."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    hashed = ex.select(
+        "doc_id", F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_P)).alias("h")
+    )
+    return minhash_signatures_from_hashed(hashed)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -149,15 +207,30 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified on true shingle sets.
 
-    Pipeline: shingle → signature (1 shuffle) → band buckets
-    (1 shuffle) → candidate pairs → verify by joining shingle arrays
-    back (broadcast-friendly at pair counts ≪ corpus)."""
-    shingled = _shingles(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(shingled))
-    wa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
-    wb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
-    union = F.size(F.array_union("sha", "shb"))
+    Pipeline: shingle-hash stream (persisted once, narrow ints) →
+    signature groupBy (codegen'd k-min agg, 1 shuffle) → band buckets
+    (1 shuffle) → candidate pairs → Jaccard-verify on hashed shingle
+    sets built ONLY for candidate docs (semi-join first — at corpus
+    scale candidates are ≪ corpus, so set materialization is
+    pair-bounded, not corpus-bounded). Hashed-shingle Jaccard equals
+    raw-shingle Jaccard up to 2^-31 hash collisions."""
+    hashed = hashed_shingles(spark, sf_dir).persist()
+    sigs = minhash_signatures_from_hashed(hashed)
+    cands = lsh_candidate_pairs(sigs).persist()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        hashed.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    union = F.size(F.array_union("ha", "hb"))
     return (
         cands.join(wa, "doc_a")
         .join(wb, "doc_b")
@@ -172,8 +245,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each token votes ±1 per bit of its xxhash64; fingerprint bit =
     sign of the tally. 64 conditional sums in one groupBy — wide but
     fully codegen'd, one shuffle."""
-    toks = _doc_tokens(spark, sf_dir)
-    ex = toks.select("doc_id", F.explode("toks").alias("tok"))
+    ex = _exploded_tokens(spark, sf_dir)
     h = F.xxhash64(F.col("tok"))
     votes = [
         F.sum(

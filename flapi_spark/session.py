@@ -30,6 +30,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: keep parallelismFirst at its default (true). Setting it
+        # false coalesces by bytes (64m advisory) which collapses
+        # compute-dense-but-small shuffles (e.g. MinHash signatures:
+        # tiny bytes, millions of hash evaluations) onto one core.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
