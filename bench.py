@@ -21,6 +21,9 @@ HEADLINE = [
     "events_sessionize",
     "events_tumbling_agg",
     "asof_join_events_orders",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "range_join_error_purchase",
     "cache_upsert_latest",
     "tpl_customers_by_segment",
     # pipeline operators (added as they land in flapi_spark.queries)

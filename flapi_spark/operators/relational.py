@@ -339,3 +339,299 @@ def cache_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year (supplier nation ↔ customer nation, both directions).
+
+    Scale: the nation-pair predicate is applied on broadcast dims, so
+    the only wide shuffle is lineitem⋈orders; the year extraction and
+    revenue math stay in whole-stage codegen."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+        | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year
+    for one part type (conditional-sum ratio).
+
+    Scale: dims broadcast; the share is two conditional sums in a
+    single agg — no second pass over the joined fact."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    )
+    cust_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = revenue_expr()
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    target = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                   .otherwise(F.lit(0).cast(MONEY)))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            target.cast("decimal(30,4)").alias("nation_volume"),
+            F.sum(vol).cast("decimal(30,4)").alias("total_volume"),
+            (target.cast("double") / F.sum(vol).cast("double"))
+            .cast("double")
+            .alias("mkt_share"),
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year. The schema
+    has no partsupp/ps_supplycost, so cost is proxied as
+    0.6 * p_retailprice * l_quantity (same join/agg shape).
+
+    Scale: part+supplier+nation broadcast; one shuffle on the group key."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("bolt"))
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (F.lit(0.60).cast(MONEY) * dec("p_retailprice") * dec("l_quantity"))
+    profit = revenue_expr() - cost
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(30,6)").alias("sum_profit"))
+    )
+
+
+def q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left outer join, two-level aggregate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of monthly revenue from PROMO-type parts
+    (conditional sum / total sum in one agg)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = revenue_expr()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                  .otherwise(F.lit(0).cast(MONEY)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            promo.cast("decimal(30,4)").alias("promo_revenue"),
+            F.sum(vol).cast("decimal(30,4)").alias("total_revenue"),
+            (F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double"))
+            .cast("double")
+            .alias("promo_share_pct"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    (scalar-subquery max re-expressed as a rank-1 window over the
+    aggregated revenue view — one pass, no re-aggregation).
+
+    Scale: the window ranks the per-supplier aggregate (supplier-count
+    rows), not the fact table; ties all surface, matching the spec."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_expr()).cast("decimal(30,4)").alias("total_revenue")
+    )
+    w = Window.orderBy(F.desc("total_revenue"))
+    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    return (
+        top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: avg yearly revenue that would be lost by not
+    filling small-quantity orders for one brand (correlated avg
+    subquery re-expressed as a per-part aggregate join)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_q")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded.l_partkey == avg_qty.ap)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_q"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(2.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders above a total-quantity
+    threshold (HAVING on a fact aggregate, then enrich + top-N).
+
+    Scale: the qualifying-order set is tiny after the HAVING filter, so
+    the enrich joins broadcast it against orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast(MONEY).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            dec("o_totalprice").alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    brackets — a disjunctive pushdown test."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue")
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by nation (anti-join + scalar-subquery average).
+
+    Scale: the global average is a one-row broadcast cross join; the
+    anti-join shuffles on custkey with AQE free to pick broadcast-anti
+    when the order side is small after the date pruning."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal").cast(MONEY).cast("double") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("decimal(30,2)").alias("totacctbal"),
+        )
+    )
+
+
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event aggregate (1-hour windows, 30-min hop) —
+    batch twin of a sliding streaming window. Each event lands in two
+    windows via F.window(slide); the oracle reproduces the assignment
+    by unnesting the two candidate window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )

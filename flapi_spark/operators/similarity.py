@@ -111,3 +111,82 @@ def ann_lsh_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------
+
+N_CELLS_MOD = 25  # vec_id % 25 == 0 → deterministic ~1/25 centroid sample
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic centroid sample: every 25th corpus vector.
+
+    The 100 TB path: centroids are a broadcast table (corpus/25 rows at
+    most — cap or re-sample for a real deployment). A k-means
+    refinement would slot in here without changing the probe side."""
+    return emb.where(F.col("vec_id") % N_CELLS_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its top-`nprobe` nearest centroids by
+    cosine: one streamed pass (broadcast-scored + per-vector top-nprobe),
+    shuffling only (vec_id, cell_id) pairs."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell_id", cosine_col("embedding", "centroid").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= nprobe)
+        .select("vec_id", "cell_id")
+    )
+
+
+def ivf_assignments(
+    spark: SparkSession, emb: DataFrame, nprobe: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) over one vector set — see ivf_centroids
+    / ivf_assign for the two halves."""
+    centroids = ivf_centroids(emb)
+    return centroids, ivf_assign(emb, centroids, nprobe)
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in 1 cell; queries probe their
+    `nprobe` nearest cells; exact cosine only among cell-cohabitants
+    (rows-only check; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    corpus_cells = ivf_assign(emb, centroids, nprobe=1)
+    query_cells = ivf_assign(
+        emb.where(F.col("vec_id") <= n_queries), centroids, nprobe=nprobe
+    )
+    c = (
+        emb.where(F.col("vec_id") > n_queries)
+        .join(corpus_cells, "vec_id")
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"),
+                "cell_id")
+    )
+    q = (
+        emb.where(F.col("vec_id") <= n_queries)
+        .join(query_cells, "vec_id")
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("eq"),
+                "cell_id")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell_id")
+        .select("qid", "cid", cosine_col("eq", "ec").alias("cosine"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flapi_spark.operators import dedup as D
+from flapi_spark.operators import range_join as RJ
 from flapi_spark.operators import relational as R
 from flapi_spark.operators import similarity as S
 from flapi_spark.operators import text as T
@@ -283,6 +284,38 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY 1, 2",
     ),
+    "events_hopping_agg": (
+        R.events_hopping_agg,
+        "WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,"
+        "  time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS b"
+        " FROM events),"
+        " x AS (SELECT event_type, value,"
+        "  unnest([b, b - INTERVAL '30 minutes']) AS window_start FROM e)"
+        " SELECT window_start, event_type, count(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_value"
+        " FROM x GROUP BY 1, 2",
+    ),
+    "range_join_error_purchase": (
+        RJ.range_join_error_purchase,
+        "SELECT e.event_id AS error_id, e.user_id AS user_id,"
+        " CAST(e.ts AS TIMESTAMP) AS error_ts,"
+        " p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,"
+        " p.value AS purchase_value"
+        " FROM events e JOIN events p ON e.user_id = p.user_id"
+        " AND e.event_type = 'error' AND p.event_type = 'purchase'"
+        " AND CAST(p.ts AS TIMESTAMP) > CAST(e.ts AS TIMESTAMP)"
+        " AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL '1 hour'",
+    ),
+    "range_join_value_bands": (
+        RJ.range_join_value_bands,
+        "WITH bands AS (SELECT band_id, band_id * 10.0 AS lo,"
+        "  CASE WHEN band_id = 10 THEN 1e18 ELSE (band_id + 1) * 10.0 END AS hi"
+        " FROM (SELECT unnest(range(0, 11)) AS band_id))"
+        " SELECT band_id, lo, count(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_value"
+        " FROM events JOIN bands ON value >= lo AND value < hi"
+        " GROUP BY band_id, lo",
+    ),
     "distinct_users": (
         R.distinct_users,
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
@@ -301,6 +334,142 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " SELECT e.event_id, e.user_id, e.ts, p.purchase_value"
         " FROM errors e ASOF LEFT JOIN purchases p"
         "  ON e.user_id = p.user_id AND e.ts >= p.ts",
+    ),
+    "q7_nation_volume": (
+        R.q7_nation_volume,
+        "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation"
+        "  FROM supplier JOIN nation ON s_nationkey = n_nationkey),"
+        " cn AS (SELECT c_custkey, n_name AS cust_nation"
+        "  FROM customer JOIN nation ON c_nationkey = n_nationkey)"
+        " SELECT supp_nation, cust_nation,"
+        " CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+        f" CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS revenue"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN sn ON l_suppkey = s_suppkey"
+        " JOIN cn ON o_custkey = c_custkey"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1998-01-01'"
+        " AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+        "   OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))"
+        " GROUP BY 1, 2, 3",
+    ),
+    "q8_market_share": (
+        R.q8_market_share,
+        "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation"
+        "  FROM supplier JOIN nation ON s_nationkey = n_nationkey),"
+        " cr AS (SELECT c_custkey FROM customer"
+        "  JOIN nation ON c_nationkey = n_nationkey"
+        "  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')"
+        " SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        f" CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {_REVENUE}"
+        "   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS nation_volume,"
+        f" CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS total_volume,"
+        f" CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {_REVENUE}"
+        "   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+        f"  / CAST(SUM({_REVENUE}) AS DOUBLE) AS DOUBLE) AS mkt_share"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN cr ON o_custkey = c_custkey"
+        " JOIN sn ON l_suppkey = s_suppkey"
+        " WHERE p_type = 'PROMO'"
+        " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01'"
+        " GROUP BY 1",
+    ),
+    "q9_profit_by_nation_year": (
+        R.q9_profit_by_nation_year,
+        "SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,"
+        f" CAST(SUM({_REVENUE}"
+        "  - CAST(0.60 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2))"
+        "    * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,6)) AS sum_profit"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE p_name LIKE '%bolt%'"
+        " GROUP BY 1, 2",
+    ),
+    "q13_customer_order_counts": (
+        R.q13_customer_order_counts,
+        "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        "  AND o_orderpriority <> '1-URGENT'"
+        " GROUP BY c_custkey)"
+        " SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count",
+    ),
+    "q14_promo_revenue_share": (
+        R.q14_promo_revenue_share,
+        f"SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE}"
+        "   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS promo_revenue,"
+        f" CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS total_revenue,"
+        f" CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE}"
+        "   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+        f"  / CAST(SUM({_REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_share_pct"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE l_shipdate >= TIMESTAMP '1997-03-01'"
+        " AND l_shipdate < TIMESTAMP '1997-04-01'",
+    ),
+    "q15_top_supplier": (
+        R.q15_top_supplier,
+        "WITH rev AS (SELECT l_suppkey AS supplier_no,"
+        f" CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS total_revenue"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-04-01'"
+        " GROUP BY l_suppkey)"
+        " SELECT s_suppkey, s_name, total_revenue"
+        " FROM rev JOIN supplier ON supplier_no = s_suppkey"
+        " WHERE total_revenue = (SELECT max(total_revenue) FROM rev)",
+    ),
+    "q17_small_qty_revenue": (
+        R.q17_small_qty_revenue,
+        "WITH branded AS (SELECT l_partkey, l_quantity, l_extendedprice"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE p_brand = 'Brand#11'),"
+        " avgs AS (SELECT l_partkey AS ap,"
+        "  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        "   / COUNT(*) AS DOUBLE) AS avg_q"
+        " FROM branded GROUP BY l_partkey)"
+        " SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        "  / 2.0 AS DOUBLE) AS avg_yearly"
+        " FROM branded JOIN avgs ON l_partkey = ap"
+        " WHERE l_quantity < 0.5 * avg_q",
+    ),
+    "q18_large_orders": (
+        R.q18_large_orders,
+        "WITH big AS (SELECT l_orderkey,"
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+        "   AS total_qty"
+        " FROM lineitem GROUP BY l_orderkey"
+        " HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 150)"
+        " SELECT c_name, c_custkey, o_orderkey, o_orderdate,"
+        " CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, total_qty"
+        " FROM orders JOIN big ON o_orderkey = l_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100",
+    ),
+    "q19_bracket_revenue": (
+        R.q19_bracket_revenue,
+        f"SELECT CAST(SUM({_REVENUE}) AS DECIMAL(30,4)) AS revenue"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15"
+        "   AND l_quantity >= 1 AND l_quantity <= 21)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25"
+        "   AND l_quantity >= 10 AND l_quantity <= 30)"
+        " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35"
+        "   AND l_quantity >= 20 AND l_quantity <= 40)",
+    ),
+    "q22_idle_customers": (
+        R.q22_idle_customers,
+        "SELECT n_name, count(*) AS numcust,"
+        " CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS totacctbal"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > ("
+        "  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+        "   / COUNT(*) AS DOUBLE)"
+        "  FROM customer WHERE c_acctbal > 0)"
+        " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "  AND o_orderdate >= TIMESTAMP '2000-01-01')"
+        " GROUP BY n_name",
     ),
     "part_type_share": (
         R.part_type_share,
@@ -444,6 +613,7 @@ QUERIES.update(
             ") t WHERE rnk <= 10",
         ),
         "ann_lsh_topk": (S.ann_lsh_topk, None),  # rows-only; recall-tested
+        "ann_ivf_topk": (S.ann_ivf_topk, None),  # rows-only; recall-tested
         # -- multimodal binary columns
         "mm_binary_meta": (
             _mm_binary_meta,

@@ -72,3 +72,49 @@ def test_lsh_buckets_are_stable(spark, sf_dir):
     b2 = {r.vec_id: r.bucket for r in S.lsh_buckets(spark, emb).collect()}
     assert b1 == b2
     assert all(0 <= v < 2**S.N_PLANES for v in b1.values())
+
+
+def test_ivf_topk_matches_numpy_replay(spark, sf_dir, vectors):
+    """IVF is exact *given its cell assignments*: replay the every-25th
+    centroid sample + nearest-cell assignment in numpy and the probe
+    results must match exactly."""
+    ids, vecs = vectors
+    n_queries, k, nprobe = 5, 10, 3
+    cmask_cent = ids % S.N_CELLS_MOD == 0
+    cent_ids, cent_vecs = ids[cmask_cent], vecs[cmask_cent]
+    cn = cent_vecs / np.linalg.norm(cent_vecs, axis=1, keepdims=True)
+
+    def cells_for(v, n):
+        cos = cn @ (v / np.linalg.norm(v))
+        order = np.lexsort((cent_ids, -cos))[:n]
+        return {int(cent_ids[i]) for i in order}
+
+    corpus_cell = {
+        int(i): next(iter(cells_for(v, 1)))
+        for i, v in zip(ids, vecs) if i > n_queries
+    }
+    expected: dict[int, list[int]] = {}
+    qmask = ids <= n_queries
+    for qid, qv in zip(ids[qmask], vecs[qmask]):
+        probe = cells_for(qv, nprobe)
+        cand = [cid for cid, cell in corpus_cell.items() if cell in probe]
+        cvecs = np.array([vecs[ids == c][0] for c in cand])
+        cos = (cvecs @ qv) / (np.linalg.norm(cvecs, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((np.array(cand), -cos))[:k]
+        expected[int(qid)] = [int(np.array(cand)[i]) for i in order]
+
+    got: dict[int, list[int]] = {}
+    for r in S.ann_ivf_topk(spark, sf_dir).orderBy("qid", "rnk").collect():
+        got.setdefault(r.qid, []).append(r.cid)
+    assert got == expected
+
+
+def test_ivf_recall_scales_with_nprobe(spark, sf_dir):
+    """Structural guarantee: probing more cells can only add candidates,
+    so recall vs brute force is monotone in nprobe."""
+    bf = {(r.qid, r.cid) for r in S.ann_bruteforce_topk(spark, sf_dir).collect()}
+    r3 = {(r.qid, r.cid) for r in S.ann_ivf_topk(spark, sf_dir, nprobe=3).collect()}
+    r8 = {(r.qid, r.cid) for r in S.ann_ivf_topk(spark, sf_dir, nprobe=8).collect()}
+    rec3, rec8 = len(r3 & bf) / len(bf), len(r8 & bf) / len(bf)
+    assert rec3 >= 0.10  # ≥ the 3/20 scan fraction on unclustered data
+    assert rec8 >= rec3
