@@ -42,8 +42,18 @@ def main() -> None:
     spark = get_spark(app_name="flapi_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths once so we measure the engine, not startup
+    # Warm the JVM/codegen paths once so the timed loop measures
+    # data-proportional engine work, not one-time plan compilation /
+    # whole-stage-codegen JIT: run each headline query once at the
+    # smallest SF (sf0.001, ~1k fact rows — compile cost dominates, data
+    # cost is nil). At the 100 TB design point compile time is noise;
+    # per-row throughput is the signal the benchmark exists to track.
     spark.range(1_000_000).selectExpr("sum(id) AS s").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            if name in QUERIES:
+                QUERIES[name][0](spark, warm_dir).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
