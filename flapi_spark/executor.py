@@ -49,6 +49,24 @@ def paginate_sql(inner_sql: str, order_by: str | None, limit: int, offset: int) 
     return f"SELECT * FROM ({inner_sql}) AS page_subquery{order} LIMIT {int(limit)} OFFSET {int(offset)}"
 
 
+def paginate_keyset_sql(
+    inner_sql: str, key_col: str, after: Any | None, limit: int
+) -> str:
+    """Keyset (cursor) pagination: WHERE key > :cursor ORDER BY key.
+
+    The 100 TB path. OFFSET pagination does O(offset + limit) work per
+    page — page 10,000 of a 100 TB result re-sorts and skips 10,000
+    pages of rows. Keyset pagination is O(limit) per page and the key
+    predicate pushes into the scan. The cursor is the last key of the
+    previous page (None for the first page); callers pass the typed
+    value through spark.sql args as :__after."""
+    where = f" WHERE {key_col} > :__after" if after is not None else ""
+    return (
+        f"SELECT * FROM ({inner_sql}) AS page_subquery{where}"
+        f" ORDER BY {key_col} LIMIT {int(limit)}"
+    )
+
+
 def shape_df(df: DataFrame, shape: ShapeConfig) -> tuple[DataFrame, dict]:
     """Apply response shaping (redact-columns, max-rows, sample)."""
     info: dict[str, Any] = {}

@@ -635,3 +635,46 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
+
+
+def paginate_orders_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-cursor page: orders after cursor key 150, page size 50 —
+    the O(limit)-per-page pagination the reference's OFFSET contract
+    cannot give at scale (flapi_spark/executor.py:paginate_keyset_sql).
+    The key predicate pushes into the parquet scan."""
+    from flapi_spark.executor import paginate_keyset_sql
+    from flapi_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    inner = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate "
+        "FROM orders"
+    )
+    sql = paginate_keyset_sql(inner, "o_orderkey", after=150, limit=50)
+    return spark.sql(sql, args={"__after": 150})
+
+
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority
+    (median / p90 / p99). Exact percentile is a full sort per group —
+    fine here because groups are few; the approx twin below is the
+    100 TB default."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def approx_percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (Greenwald-Khanna in Spark) — the
+    scale path: one pass, no per-group sort, bounded memory (rows-only
+    check: sketch estimates are engine-specific)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )

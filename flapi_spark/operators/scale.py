@@ -1,0 +1,88 @@
+"""Scale-path join strategies: skew salting and bucketed co-location.
+
+These are the knobs a 100 TB deployment turns when AQE alone isn't
+enough. The reference runs single-node DuckDB and never needs them;
+they are part of this engine's Spark-first scale design (SURVEY §4).
+
+- **Salted join**: a shuffle join on a skewed key puts one hot key's
+  entire row set into one task. Salting splits each hot key into
+  `n_salts` sub-keys: the big (skewed) side gets a deterministic salt
+  from its row content, the small side is replicated once per salt.
+  Result identical to the plain join; the hot key now spreads over
+  `n_salts` tasks. Use when AQE skew-join can't help (e.g. skewed
+  aggregation feeding a join, or a non-sort-merge plan).
+
+- **Bucketed co-located join**: pre-bucket both tables on the join key
+  into the warehouse (`DataFrameWriter.bucketBy`); Spark then plans a
+  sort-merge join with NO shuffle exchange on either side — the join
+  cost at read time is a local sort per bucket. This is the "reuse a
+  partitioning across stages" move: pay the shuffle once at write
+  time, amortize it over every subsequent join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join `big` (skewed) with `small` on `key`, spreading each key
+    over `n_salts` shuffle partitions.
+
+    The salt on the big side is derived from the whole row (xxhash64 of
+    all columns) so it is deterministic — replayable plans, no RNG in
+    the lineage. The small side crossJoins a `sequence()` literal (no
+    driver-side loop) to produce one replica per salt.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.crossJoin(F.broadcast(_salt_range(small.sparkSession, n_salts)))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def _salt_range(spark: SparkSession, n_salts: int) -> DataFrame:
+    return spark.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed+sorted warehouse table on `key`.
+
+    One shuffle now; every later equi-join or aggregation on `key`
+    between same-bucketed tables runs with zero exchanges."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed warehouse tables on their bucket key.
+
+    With matching bucket specs Catalyst plans SortMergeJoin with no
+    ShuffleExchange on either side (asserted in tests via the physical
+    plan). The MERGE hint keeps the planner from choosing a broadcast
+    join on small inputs, which would skip the bucketed path this
+    helper exists to exercise — at warehouse scale SMJ is what the
+    planner picks anyway."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table).hint("merge"), key
+    )

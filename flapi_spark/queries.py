@@ -139,6 +139,21 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"
         " FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
     ),
+    "paginate_orders_keyset": (
+        R.paginate_orders_keyset,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"
+        " FROM orders WHERE o_orderkey > 150 ORDER BY o_orderkey LIMIT 50",
+    ),
+    "percentile_order_values": (
+        R.percentile_order_values,
+        "SELECT o_orderpriority,"
+        " quantile_cont(o_totalprice, 0.5) AS p50,"
+        " quantile_cont(o_totalprice, 0.9) AS p90,"
+        " quantile_cont(o_totalprice, 0.99) AS p99,"
+        " count(*) AS n_orders"
+        " FROM orders GROUP BY o_orderpriority",
+    ),
+    "approx_percentile_order_values": (R.approx_percentile_order_values, None),
     "cache_upsert_latest": (
         R.cache_upsert_latest,
         "SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM ("

@@ -158,3 +158,74 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark): state for an id is dropped once
+    the watermark passes it, so state size is bounded by the horizon —
+    the streaming form of dedup_exact for at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour windows hopping every 30 minutes — streaming twin of
+    operators/relational.py:events_hopping_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("decimal(38,10)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+def error_purchase_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 hour after an
+    error by the same user — streaming twin of
+    operators/range_join.py:range_join_error_purchase.
+
+    Both sides carry watermarks and the join range is bounded, so state
+    for each side is dropped once the other side's watermark clears the
+    interval — bounded state, the requirement for a correct
+    stream-stream join at scale."""
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("error_ts"))
+        & (F.col("purchase_ts") <= F.col("error_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "error_id", "user_id", "error_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )

@@ -1,0 +1,62 @@
+"""Scale-path join strategies: salting correctness (identical result to
+the plain join) and bucketed co-location (no shuffle exchange in the
+physical plan)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from flapi_spark.operators import scale
+from flapi_spark.session import load_table
+
+
+def _rowset(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = scale.salted_join(li, orders, "l_orderkey", n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert _rowset(salted.select(*plain.columns)) == _rowset(plain)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one hot key (99% of rows) — every salt bucket must receive rows
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(20).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    salt = F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+    n_buckets = big.where(F.col("k") == 7).select(salt.alias("s")).distinct().count()
+    assert n_buckets == 8  # the hot key's rows hash across all salts
+    joined = scale.salted_join(big, small, "k", n_salts=8)
+    assert joined.count() == big.where(F.col("k").isin([i for i in range(20)])).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    scale.write_bucketed(cust, "t_cust_bucketed", "c_custkey", n_buckets=4)
+    scale.write_bucketed(orders, "t_orders_bucketed", "c_custkey", n_buckets=4)
+    try:
+        joined = scale.colocated_join(
+            spark, "t_cust_bucketed", "t_orders_bucketed", "c_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it's still correct
+        expected = cust.join(orders, "c_custkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
