@@ -54,3 +54,102 @@ def describe_endpoint(
             "response_fields": ["total_count"],
         }
     return doc
+
+
+_OPENAPI_TYPES = {
+    "int": ("integer", "int64"), "integer": ("integer", "int64"),
+    "double": ("number", "double"), "float": ("number", "double"),
+    "boolean": ("boolean", None), "bool": ("boolean", None),
+    "date": ("string", "date"), "time": ("string", "time"),
+    "uuid": ("string", "uuid"), "email": ("string", "email"),
+    "enum": ("string", None), "string": ("string", None),
+}
+
+
+def openapi_doc(
+    executor: QueryExecutor,
+    endpoints: list[EndpointConfig],
+    title: str = "flapi_spark API",
+    version: str = "1.0.0",
+) -> dict[str, Any]:
+    """OpenAPI 3 document over an endpoint list (reference:
+    src/open_api_doc_generator.cpp builds the same shape from the
+    endpoint registry). Result schemas come from Catalyst analysis of
+    the rendered template — no query execution."""
+    paths: dict[str, Any] = {}
+    for ep in endpoints:
+        desc = describe_endpoint(executor, ep)
+        parameters = []
+        for p in desc["parameters"]:
+            typ, fmt = _OPENAPI_TYPES.get(p["type"], ("string", None))
+            schema: dict[str, Any] = {"type": typ}
+            if fmt:
+                schema["format"] = fmt
+            for v in p["validators"]:
+                if "allowed_values" in v:
+                    schema["enum"] = list(v["allowed_values"])
+                if v.get("min") is not None:
+                    schema["minimum"] = v["min"]
+                if v.get("max") is not None:
+                    schema["maximum"] = v["max"]
+                if v.get("regex"):
+                    schema["pattern"] = v["regex"]
+            parameters.append(
+                {
+                    "name": p["name"],
+                    "in": "query" if p["in"] in ("", "query") else p["in"],
+                    "required": bool(p["required"]),
+                    "description": p["description"] or "",
+                    "schema": schema,
+                }
+            )
+        if desc["with_pagination"]:
+            for name, dflt in (("offset", 0), ("limit", 100)):
+                parameters.append(
+                    {
+                        "name": name, "in": "query", "required": False,
+                        "schema": {"type": "integer", "default": dflt},
+                    }
+                )
+        item_props = {
+            f["name"]: {"type": _spark_to_openapi(f["type"])}
+            for f in desc["result_schema"]
+        }
+        paths[ep.url_path] = {
+            "get": {
+                "description": ep.description or "",
+                "parameters": parameters,
+                "responses": {
+                    "200": {
+                        "description": "query result",
+                        "content": {
+                            "application/json": {
+                                "schema": {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "object",
+                                        "properties": item_props,
+                                    },
+                                }
+                            }
+                        },
+                    },
+                    "400": {"description": "validation error"},
+                },
+            }
+        }
+    return {
+        "openapi": "3.0.3",
+        "info": {"title": title, "version": version},
+        "paths": paths,
+    }
+
+
+def _spark_to_openapi(spark_type: str) -> str:
+    if spark_type in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "integer"
+    if spark_type in ("float", "double") or spark_type.startswith("decimal"):
+        return "number"
+    if spark_type == "boolean":
+        return "boolean"
+    return "string"

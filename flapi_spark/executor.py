@@ -92,10 +92,12 @@ class QueryExecutor:
         spark: SparkSession,
         registry: ConnectionRegistry | None = None,
         env: dict | None = None,
+        audit: "AuditLogger | None" = None,
     ):
         self.spark = spark
         self.registry = registry or ConnectionRegistry()
         self.env = env
+        self.audit = audit
 
     def render(
         self,
@@ -119,6 +121,39 @@ class QueryExecutor:
         return sql, spark_args(typed, bound)
 
     def execute(
+        self,
+        endpoint: EndpointConfig,
+        params: dict[str, Any] | None = None,
+        order_by: str | None = None,
+        user: str | None = None,
+    ) -> QueryResult:
+        if self.audit is None:
+            return self._execute(endpoint, params, order_by)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            result = self._execute(endpoint, params, order_by)
+        except Exception as exc:
+            from flapi_spark.validation import ValidationError
+
+            status = (
+                "validation_error" if isinstance(exc, ValidationError) else "error"
+            )
+            self.audit.log(
+                endpoint.url_path, params or {}, status=status, user=user,
+                duration_ms=(_time.perf_counter() - t0) * 1000,
+                detail=type(exc).__name__,
+            )
+            raise
+        self.audit.log(
+            endpoint.url_path, params or {}, status="ok", user=user,
+            rows=result.total_count,
+            duration_ms=(_time.perf_counter() - t0) * 1000,
+        )
+        return result
+
+    def _execute(
         self,
         endpoint: EndpointConfig,
         params: dict[str, Any] | None = None,

@@ -1,0 +1,91 @@
+"""Result serialization / content negotiation.
+
+The reference negotiates response formats (JSON, CSV, Arrow IPC) per
+request (reference: test/cpp/test_content_negotiation.cpp,
+test_arrow_serialization.cpp, test_arrow_compression.cpp). A Spark
+engine's analogue: serialize a bounded result DataFrame into the
+requested wire format. Arrow is the natural fast path — Spark 4
+collects to Arrow directly (`df.toArrow()`), so the IPC stream is a
+zero-copy re-frame of what the JVM already shipped.
+
+All serializers here require a BOUNDED result (apply shaping /
+pagination first): they collect to the driver, which is the correct
+place for an API response and the wrong place for anything else.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+JSON = "application/json"
+CSV = "text/csv"
+ARROW = "application/vnd.apache.arrow.stream"
+
+_ACCEPTS = {
+    JSON: "json",
+    "application/*": "json",
+    "*/*": "json",
+    CSV: "csv",
+    "text/*": "csv",
+    ARROW: "arrow",
+    "application/vnd.apache.arrow.file": "arrow",
+}
+
+
+def to_json_rows(df: DataFrame) -> list[dict[str, Any]]:
+    """Row dicts with JSON-safe values (JVM-side serialization via
+    Dataset.toJSON — no Python per-row conversion)."""
+    return [json.loads(s) for s in df.toJSON().collect()]
+
+
+def to_json_bytes(df: DataFrame) -> bytes:
+    return json.dumps(to_json_rows(df)).encode()
+
+
+def to_csv_bytes(df: DataFrame) -> bytes:
+    """CSV with header. Arrow-accelerated collect, pandas writer."""
+    buf = io.StringIO()
+    df.toPandas().to_csv(buf, index=False)
+    return buf.getvalue().encode()
+
+
+def to_arrow_ipc(df: DataFrame, compression: str | None = None) -> bytes:
+    """Arrow IPC stream bytes. `compression` may be 'zstd' or 'lz4'
+    (reference: test_arrow_compression.cpp negotiates codecs)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = df.toArrow()
+    sink = pa.BufferOutputStream()
+    options = ipc.IpcWriteOptions(compression=compression)
+    with ipc.new_stream(sink, table.schema, options=options) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def from_arrow_ipc(data: bytes):
+    """Read an IPC stream back to a pyarrow.Table (round-trip tests)."""
+    import pyarrow.ipc as ipc
+
+    with ipc.open_stream(data) as r:
+        return r.read_all()
+
+
+def negotiate(df: DataFrame, accept: str | None) -> tuple[bytes, str]:
+    """Serialize `df` per an Accept-style header value. Unknown types
+    fall back to JSON (the reference's default)."""
+    kind = "json"
+    for part in (accept or JSON).split(","):
+        media = part.split(";")[0].strip().lower()
+        if media in _ACCEPTS:
+            kind = _ACCEPTS[media]
+            break
+    if kind == "csv":
+        return to_csv_bytes(df), CSV
+    if kind == "arrow":
+        return to_arrow_ipc(df), ARROW
+    return to_json_bytes(df), JSON

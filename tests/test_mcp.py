@@ -150,3 +150,23 @@ def test_describe_endpoint(spark, registry):
     assert doc["parameters"][0]["name"] == "segment"
     assert {c["name"] for c in doc["result_schema"]} == {"key", "name"}
     assert doc["with_pagination"] is False
+
+
+def test_openapi_doc(spark, registry):
+    from flapi_spark.describe import openapi_doc
+
+    tool = registry._tools["customer_lookup"]
+    doc = openapi_doc(registry.executor, [tool.endpoint], title="t", version="9")
+    assert doc["openapi"].startswith("3.")
+    assert doc["info"] == {"title": "t", "version": "9"}
+    get = doc["paths"]["/customers/"]["get"]
+    pnames = [p["name"] for p in get["parameters"]]
+    assert "segment" in pnames
+    seg = next(p for p in get["parameters"] if p["name"] == "segment")
+    assert seg["schema"]["type"] == "string"
+    assert "enum" in seg["schema"]
+    props = get["responses"]["200"]["content"]["application/json"]["schema"][
+        "items"]["properties"]
+    assert props["key"]["type"] == "integer"
+    assert props["name"]["type"] == "string"
+    assert "400" in get["responses"]

@@ -1,0 +1,65 @@
+"""Content negotiation / result serialization (reference:
+test_content_negotiation.cpp, test_arrow_serialization.cpp)."""
+
+import json
+
+import pytest
+
+from flapi_spark import results as RZ
+from flapi_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def small_df(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(20)
+    )
+
+
+def test_json_rows(small_df):
+    rows = RZ.to_json_rows(small_df)
+    assert len(rows) == 20
+    assert set(rows[0]) == {"c_custkey", "c_name", "c_acctbal"}
+    assert rows[0]["c_custkey"] == 0
+
+
+def test_csv_bytes(small_df):
+    text = RZ.to_csv_bytes(small_df).decode()
+    lines = text.strip().splitlines()
+    assert lines[0] == "c_custkey,c_name,c_acctbal"
+    assert len(lines) == 21
+
+
+def test_arrow_ipc_roundtrip(small_df):
+    data = RZ.to_arrow_ipc(small_df)
+    table = RZ.from_arrow_ipc(data)
+    assert table.num_rows == 20
+    assert table.column_names == ["c_custkey", "c_name", "c_acctbal"]
+    assert table.column("c_custkey").to_pylist()[0] == 0
+
+
+def test_arrow_ipc_zstd_compression(small_df):
+    plain = RZ.to_arrow_ipc(small_df)
+    zstd = RZ.to_arrow_ipc(small_df, compression="zstd")
+    assert RZ.from_arrow_ipc(zstd).equals(RZ.from_arrow_ipc(plain))
+
+
+@pytest.mark.parametrize(
+    "accept,expected_ct",
+    [
+        ("application/json", RZ.JSON),
+        ("text/csv", RZ.CSV),
+        ("application/vnd.apache.arrow.stream", RZ.ARROW),
+        ("text/csv;q=0.9, application/json", RZ.CSV),  # first match wins
+        ("application/xml", RZ.JSON),  # unknown → JSON fallback
+        (None, RZ.JSON),
+    ],
+)
+def test_negotiate(small_df, accept, expected_ct):
+    body, ct = RZ.negotiate(small_df, accept)
+    assert ct == expected_ct
+    if ct == RZ.JSON:
+        assert len(json.loads(body)) == 20
