@@ -1,0 +1,82 @@
+"""Physical-plan audits: the scale claims in SURVEY §4, checked against
+what Catalyst actually planned — filters reach the parquet scan, scans
+prune columns, dimension joins broadcast, nothing degenerates into a
+cartesian product."""
+
+import pytest
+
+from flapi_spark.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir):
+    fn, _ = QUERIES[name]
+    df = fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q6_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 4 needed columns out of 11 — the scan must not read the rest
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_returnflag" not in read
+    assert "l_orderkey" not in read
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+     "rollup_revenue", "part_type_share"],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # broadcasting must not silently degrade into a loop join
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "asof_join_events_orders",
+     "events_sessionize", "ann_bruteforce_topk"],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    fn, _ = QUERIES["q1_pricing_summary"]
+    df = fn(spark, sf_dir)
+    df.collect()  # finalize the AQE plan so codegen spans materialize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # partial agg (map-side combine) -> ONE exchange on the group key
+    # -> final agg, all inside whole-stage-codegen spans (the *(n)
+    # markers)
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in final
+    assert "*(1)" in final and "*(2)" in final
+
+
+def test_template_filter_reaches_scan(spark, sf_dir):
+    """Filters written in mustache SQL templates (not the DataFrame
+    API) must equally land in the parquet scan."""
+    plan = _plan(spark, "tpl_customers_by_segment", sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "c_mktsegment" in pushed
+
+
+def test_top_n_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "q3_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # not a full global sort
