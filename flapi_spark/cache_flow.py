@@ -1,0 +1,62 @@
+"""Cached-endpoint orchestration: the reference's full cache loop.
+
+Reference flow (request_handler.cpp + cache_manager.cpp): an endpoint
+with a `cache:` block serves reads from the cache table; a refresh
+(scheduled via heartbeat, or on demand) renders the endpoint's cache
+template with the `{{cache.*}}` context (previous snapshot timestamp,
+cursor watermark) so the template itself decides what slice of the
+source to pull, then commits it as a new snapshot — full rebuild or
+cursor-merge.
+
+This module ties those pieces together over the Spark-native parts:
+QueryExecutor (render + bind), CacheManager (snapshots, merge, GC),
+and the endpoint config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from flapi_spark.cache import CacheManager, SnapshotInfo
+from flapi_spark.config import EndpointConfig
+from flapi_spark.executor import QueryExecutor, shape_df
+
+
+def refresh_endpoint_cache(
+    executor: QueryExecutor,
+    cache_mgr: CacheManager,
+    endpoint: EndpointConfig,
+    params: dict | None = None,
+) -> SnapshotInfo:
+    """Render the endpoint template with the {{cache.*}} context and
+    commit the result as a new snapshot.
+
+    First refresh (no snapshot yet) is a full rebuild; with a cursor
+    configured and a previous snapshot present, the template sees
+    `previousSnapshotTimestamp` / `cursorWatermark` and is expected to
+    emit only the new slice, which is merged on the primary key
+    (latest-cursor-wins)."""
+    cfg = endpoint.cache
+    if not cfg.enabled or not cfg.table:
+        raise ValueError(f"endpoint {endpoint.url_path}: cache not configured")
+    info = cache_mgr.snapshot_info(cfg)
+    sql, args = executor.render(
+        endpoint, dict(params or {}), cache_ctx=info.template_context()
+    )
+    df = executor.spark.sql(sql, args=args) if args else executor.spark.sql(sql)
+    if cfg.cursor_column and info.current_snapshot_id:
+        return cache_mgr.incremental_sync(cfg, df)
+    return cache_mgr.full_refresh(cfg, df)
+
+
+def read_cached_endpoint(
+    executor: QueryExecutor,
+    cache_mgr: CacheManager,
+    endpoint: EndpointConfig,
+) -> DataFrame:
+    """Serve the endpoint from its committed cache snapshot (shaped),
+    never touching the source — the reference's read path for cached
+    endpoints."""
+    df = cache_mgr.read(endpoint.cache)
+    shaped, _info = shape_df(df, endpoint.shape)
+    return shaped

@@ -167,3 +167,55 @@ def mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-decoded feature table (rows-only: decode is a deterministic
     fake, not SQL-expressible)."""
     return decode_batch(attach_payload(spark, sf_dir))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("resized_checksum", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: real decode/resample needs media libs
+    (decode_real raises NotImplementedError); the stub keeps the
+    Spark-side contract — bytes in, smaller bytes out, content a pure
+    function of (payload, target dims) — so batch shape, schema, and
+    partitioning are exercised for real."""
+    budget = max(64, (target_w * target_h) // 64)
+    digest = hashlib.sha256(payload + f"{target_w}x{target_h}".encode()).digest()
+    reps = budget // len(digest) + 1
+    return (digest * reps)[:budget]
+
+
+def resize_batch(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Arrow-batched image resize over image payloads (mapInPandas).
+
+    Only image rows are resized (video goes through frame_sample
+    first); output carries the resized payload so a training pipeline
+    can write it straight back to parquet."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["media_type"].str.startswith("image")
+            pdf = pdf[mask]
+            resized = [resize_stub(p, target_w, target_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized_payload": resized,
+                    "resized_checksum": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)

