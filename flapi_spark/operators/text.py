@@ -120,3 +120,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm_text()).alias("fp_md5"),
         F.md5(F.substring(norm_text(), 1, 64)).alias("fp_prefix64"),
     )
+
+
+def text_winnow_fingerprint(
+    spark: SparkSession, sf_dir: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): hash
+    every k-char gram of the normalized text, then keep the minimum
+    hash of each w-gram sliding window — a content-defined sample of
+    local fingerprints that survives insertions/deletions elsewhere in
+    the document (the rolling-hash dedup/attribution primitive).
+
+    All codegen'd: substring-gram md5s and window minima are array
+    lambda expressions; one explode + distinct per doc. md5 is used as
+    the gram hash because it is bit-identical in DuckDB, keeping the
+    oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = docs.select("doc_id", norm_text().alias("nt"))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(nt) - {k} + 1, 1)),"
+        f" i -> md5(substring(nt, i, {k})))"
+    )
+    with_grams = nt.select("doc_id", grams.alias("g"))
+    winnowed = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(g) - {w} + 1, 1)),"
+        f" j -> array_min(slice(g, j, {w}))))"
+    )
+    return (
+        with_grams.select("doc_id", F.explode(winnowed).alias("fp"))
+        .distinct()
+    )

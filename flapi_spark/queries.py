@@ -515,6 +515,43 @@ _COS = (
 )
 
 
+def _src_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write the customer dim out through a non-parquet source format
+    and read it back through the connection registry — exercises the
+    csv/json reader paths end-to-end (reference reads these through
+    DuckDB's read_csv/read_json; here they are first-class
+    spark.read formats)."""
+    import os
+    import tempfile
+
+    from flapi_spark.session import load_table
+    from flapi_spark.sources.registry import Connection
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"flapi_spark_src_{fmt}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    writer = src.coalesce(1).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(out)
+    else:
+        writer.json(out)
+    conn = Connection(name=f"src-{fmt}", format=fmt, properties={"path": out})
+    df = conn.read(spark).select("c_custkey", "c_name", "c_mktsegment")
+    return df.withColumn("c_custkey", df.c_custkey.cast("long"))
+
+
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _src_roundtrip(spark, sf_dir, "csv")
+
+
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _src_roundtrip(spark, sf_dir, "json")
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.multimodal import mm_binary_meta
 
@@ -575,6 +612,17 @@ QUERIES.update(
             "  WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'"
             "  ELSE 'fr' END AS predicted_lang,"
             " lang AS actual_lang FROM h",
+        ),
+        "text_winnow_fingerprint": (
+            T.text_winnow_fingerprint,
+            f"WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),"
+            " g AS (SELECT doc_id, list_transform("
+            "   range(1, greatest(length(nt) - 8 + 1, 1) + 1),"
+            "   i -> md5(nt[i:i+7])) AS g FROM t),"
+            " w AS (SELECT doc_id, list_distinct(list_transform("
+            "   range(1, greatest(len(g) - 4 + 1, 1) + 1),"
+            "   j -> list_min(g[j:j+3]))) AS fps FROM g)"
+            " SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w",
         ),
         "text_fingerprint": (
             T.text_fingerprint,
@@ -641,5 +689,14 @@ QUERIES.update(
             " FROM documents",
         ),
         "mm_decoded_features": (_mm_decoded_features, None),  # rows-only: stub decode
+        # -- non-parquet source formats
+        "src_csv_roundtrip": (
+            src_csv_roundtrip,
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        ),
+        "src_json_roundtrip": (
+            src_json_roundtrip,
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        ),
     }
 )
