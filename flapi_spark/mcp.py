@@ -193,3 +193,125 @@ class McpToolRegistry:
         if result.shaped:
             out["shaped"] = result.shaped
         return out
+
+
+@dataclass
+class Resource:
+    """MCP resource: a named, mime-typed view over an endpoint query
+    (reference: customers-mcp-resource.yaml + mcp_route_handlers.cpp
+    resource listing/reading)."""
+
+    name: str
+    endpoint: EndpointConfig
+    description: str = ""
+    mime_type: str = "application/json"
+    rate_limit: TokenBucket | None = None
+
+
+@dataclass
+class Prompt:
+    """MCP prompt: a mustache text template with declared arguments
+    (reference: customers-mcp-prompt.yaml + mcp_prompt_handler.cpp).
+    Unlike endpoint SQL templates, prompt variables are bare names."""
+
+    name: str
+    template: str
+    description: str = ""
+    arguments: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Prompt":
+        p = d.get("mcp-prompt", d)
+        return cls(
+            name=p.get("name", ""),
+            template=p.get("template", ""),
+            description=p.get("description", ""),
+            arguments=list(p.get("arguments", []) or []),
+        )
+
+    def render(self, args: dict | None = None) -> str:
+        from flapi_spark.templates import render_template
+
+        args = {k: v for k, v in (args or {}).items() if k in self.arguments}
+        return render_template(self.template, args)
+
+
+class McpRegistry(McpToolRegistry):
+    """Tools + resources + prompts — the full MCP surface."""
+
+    def __init__(self, executor: QueryExecutor):
+        super().__init__(executor)
+        self._resources: dict[str, Resource] = {}
+        self._prompts: dict[str, Prompt] = {}
+
+    # --- resources ---------------------------------------------------------
+
+    def register_resource(
+        self,
+        name: str,
+        endpoint: EndpointConfig,
+        description: str = "",
+        mime_type: str = "application/json",
+        rate_limit: tuple[int, float] | None = None,
+    ) -> Resource:
+        res = Resource(
+            name=name,
+            endpoint=endpoint,
+            description=description or endpoint.description,
+            mime_type=mime_type,
+            rate_limit=TokenBucket(*rate_limit) if rate_limit else None,
+        )
+        self._resources[name] = res
+        return res
+
+    def list_resources(self) -> list[dict]:
+        return [
+            {
+                "name": r.name,
+                "description": r.description,
+                "mimeType": r.mime_type,
+            }
+            for r in self._resources.values()
+        ]
+
+    def read_resource(self, name: str, params: dict | None = None) -> dict:
+        if name not in self._resources:
+            raise McpError(f"unknown resource '{name}'")
+        res = self._resources[name]
+        if res.rate_limit is not None and not res.rate_limit.acquire():
+            raise RateLimitError(f"resource '{name}' rate limit exceeded")
+        from flapi_spark import results as _rz
+
+        out = self.executor.execute(res.endpoint, dict(params or {}))
+        body, ct = _rz.negotiate(out.df, res.mime_type)
+        return {"name": name, "mimeType": ct, "content": body}
+
+    # --- prompts -----------------------------------------------------------
+
+    def register_prompt(self, prompt: Prompt) -> Prompt:
+        self._prompts[prompt.name] = prompt
+        return prompt
+
+    def list_prompts(self) -> list[dict]:
+        return [
+            {
+                "name": p.name,
+                "description": p.description,
+                "arguments": [
+                    {"name": a, "required": False} for a in p.arguments
+                ],
+            }
+            for p in self._prompts.values()
+        ]
+
+    def get_prompt(self, name: str, args: dict | None = None) -> dict:
+        if name not in self._prompts:
+            raise McpError(f"unknown prompt '{name}'")
+        p = self._prompts[name]
+        return {
+            "name": name,
+            "description": p.description,
+            "messages": [
+                {"role": "user", "content": {"type": "text", "text": p.render(args)}}
+            ],
+        }
