@@ -60,3 +60,29 @@ def read_cached_endpoint(
     df = cache_mgr.read(endpoint.cache)
     shaped, _info = shape_df(df, endpoint.shape)
     return shaped
+
+
+def schedule_cache_refreshes(
+    worker,
+    executor: QueryExecutor,
+    cache_mgr: CacheManager,
+    endpoints: list[EndpointConfig],
+) -> list[str]:
+    """Register every cache-enabled endpoint with a `schedule:` on the
+    heartbeat worker (reference: heartbeat_worker.cpp drives
+    schedule-based cache syncs). Each tick refreshes the snapshot and
+    applies retention GC. Returns the scheduled job names."""
+    names = []
+    for ep in endpoints:
+        cfg = ep.cache
+        if not (cfg.enabled and cfg.table and cfg.schedule):
+            continue
+        name = f"cache:{cfg.schema}.{cfg.table}"
+
+        def _job(ep=ep):
+            refresh_endpoint_cache(executor, cache_mgr, ep)
+            cache_mgr.expire_snapshots(ep.cache)
+
+        worker.add_job(name, cfg.schedule, _job)
+        names.append(name)
+    return names

@@ -82,3 +82,34 @@ def test_first_refresh_has_no_cursor_filter(setup):
     full.write.mode("overwrite").parquet(src_path)
     sql, _ = ex.render(ep, {}, cache_ctx=mgr.snapshot_info(ep.cache).template_context())
     assert "WHERE" not in sql  # inverted: no watermark on first run
+
+
+def test_scheduled_cache_refresh(setup):
+    import time
+
+    from flapi_spark.cache_flow import schedule_cache_refreshes
+    from flapi_spark.heartbeat import HeartbeatWorker
+
+    spark, full, src_path, ep, ex, mgr = setup
+    full.write.mode("overwrite").parquet(src_path)
+    ep.cache.schedule = "1s"  # parse_duration handles s/m/h/d/w
+    hb = HeartbeatWorker(tick_s=0.05)
+    names = schedule_cache_refreshes(hb, ex, mgr, [ep])
+    assert names == ["cache:analytics.orders_cache"]
+    hb.start()
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            try:
+                if read_cached_endpoint(ex, mgr, ep).count() == full.count():
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.3)
+        else:
+            raise AssertionError("scheduled refresh never populated the cache")
+    finally:
+        hb.stop()
+    stats = hb.stats()
+    assert stats["cache:analytics.orders_cache"]["runs"] >= 1
+    assert stats["cache:analytics.orders_cache"]["errors"] == 0
