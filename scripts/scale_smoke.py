@@ -1,0 +1,76 @@
+"""Scale-scaling smoke: replicate the sf0.1 corpus 2x/4x/8x and check
+that the heavy pipeline operators scale ~linearly in input size (the
+local proxy for 'would survive a 100x scale-up': a super-linear curve
+here means a quadratic join or a collapsed partition upstream).
+
+Usage: python scripts/scale_smoke.py [op ...]
+Writes replicated tables to /tmp, prints one timing line per (op,
+factor) and a verdict per op.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flapi_spark.queries import QUERIES
+from flapi_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
+       "ann_bruteforce_topk", "dedup_simhash"]
+FACTORS = [1, 2, 4, 8]
+
+
+def replicate(spark, table: str, factor: int, id_col: str, out_root: str) -> None:
+    src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+    n = src.count()
+    parts = [
+        src.withColumn(id_col, F.col(id_col) + F.lit(i * n))
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(out_root, f"{table}.parquet"))
+
+
+def main() -> None:
+    ops = sys.argv[1:] or OPS
+    spark = get_spark(app_name="scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {}
+    for f in FACTORS:
+        d = f"/tmp/flapi_spark_scale_{f}x"
+        if f == 1:
+            dirs[f] = BASE
+            continue
+        os.makedirs(d, exist_ok=True)
+        replicate(spark, "documents", f, "doc_id", d)
+        replicate(spark, "embeddings", f, "vec_id", d)
+        dirs[f] = d
+
+    for op in ops:
+        fn, _ = QUERIES[op]
+        fn(spark, dirs[1]).count()  # warm compile
+        times = []
+        for f in FACTORS:
+            t0 = time.perf_counter()
+            fn(spark, dirs[f]).count()
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            print(f"{op} x{f}: {dt:.2f}s")
+        # growth from 1x to 8x vs the 8x linear budget (2x slack for
+        # fixed per-query overhead measured at the 1x point)
+        ratio = times[-1] / max(times[0], 1e-9)
+        verdict = "LINEAR-OK" if ratio <= 8 * 2 else "SUPER-LINEAR"
+        print(f"{op}: 8x-input time ratio {ratio:.1f} -> {verdict}")
+
+
+if __name__ == "__main__":
+    main()

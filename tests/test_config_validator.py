@@ -1,0 +1,84 @@
+"""Config validation errors (reference:
+config_manager_yaml_validation_test.cpp shapes)."""
+
+from flapi_spark.config import CacheConfig, EndpointConfig
+from flapi_spark.config_validator import validate_endpoint, validate_endpoints
+from flapi_spark.validation import RequestField, Validator
+
+
+def _ep(**kw):
+    base = dict(url_path="/x/", template_text="SELECT 1")
+    base.update(kw)
+    return EndpointConfig(**base)
+
+
+def test_valid_endpoint_passes():
+    r = validate_endpoint(_ep(request_fields=[
+        RequestField(field_name="id", validators=[Validator(type="int", min=1, max=9)]),
+    ]))
+    assert r.valid and r.errors == []
+
+
+def test_missing_required_fields():
+    r = validate_endpoint(EndpointConfig())
+    assert not r.valid
+    assert any("url-path" in e for e in r.errors)
+    assert any("template" in e for e in r.errors)
+
+
+def test_bad_url_path_and_unknown_connection():
+    r = validate_endpoint(
+        _ep(url_path="customers", connections=["ghost"]),
+        known_connections={"real"},
+    )
+    assert any("must start with '/'" in e for e in r.errors)
+    assert any("unknown connection 'ghost'" in e for e in r.errors)
+
+
+def test_field_errors():
+    r = validate_endpoint(_ep(request_fields=[
+        RequestField(field_name="a", field_in="cookie"),
+        RequestField(field_name="a"),
+        RequestField(field_name="b", validators=[Validator(type="fancy")]),
+        RequestField(field_name="c", validators=[Validator(type="enum")]),
+        RequestField(field_name="d", validators=[Validator(type="int", min=9, max=1)]),
+    ]))
+    msgs = "\n".join(r.errors)
+    assert "bad 'field-in'" in msgs
+    assert "duplicate request field 'a'" in msgs
+    assert "unknown validator type 'fancy'" in msgs
+    assert "needs 'allowedValues'" in msgs
+    assert "min 9 > max 1" in msgs
+
+
+def test_cache_validation():
+    r = validate_endpoint(_ep(cache=CacheConfig(
+        enabled=True, table="", schedule="every5min", max_snapshot_age="7days",
+        keep_last_snapshots=0,
+    )))
+    msgs = "\n".join(r.errors)
+    assert "requires cache.table" in msgs
+    assert "'every5min' is not a duration" in msgs
+    assert "'7days' is not a duration" in msgs
+    assert "keep-last-snapshots" in msgs
+
+
+def test_cursor_without_pk_warns():
+    r = validate_endpoint(_ep(cache=CacheConfig(
+        enabled=True, table="t", cursor_column="ts",
+    )))
+    assert r.valid
+    assert any("appends instead of merging" in w for w in r.warnings)
+
+
+def test_rate_limit_validation():
+    r = validate_endpoint(_ep(rate_limit={"enabled": True, "max": 0, "interval": 0}))
+    msgs = "\n".join(r.errors)
+    assert "rate-limit.max" in msgs
+    assert "rate-limit.interval" in msgs
+
+
+def test_duplicate_url_paths():
+    r = validate_endpoints([_ep(), _ep()])
+    assert not r.valid
+    assert any("duplicate url-path" in e for e in r.errors)
