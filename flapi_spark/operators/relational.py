@@ -678,3 +678,74 @@ def approx_percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFram
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `k` out of the JSON props
+    column and aggregate — the read_json/raw-JSON capability the
+    reference reaches through DuckDB's JSON extension, Spark-side via
+    get_json_object (no schema declaration needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from ROLLUP): totals by
+    (priority), by (status), and overall, in one pass over orders."""
+    from flapi_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS revenue,"
+        " count(*) AS n_orders"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-part relationships come from
+    lineitem, no partsupp table): distinct suppliers per brand/type/size
+    bucket, excluding one brand."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#45")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers shipping more than 30% of a
+    part's 1997 volume — per-part total via a window, then filter and
+    enrich with the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).cast(MONEY).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    shared = per.withColumn(
+        "part_qty", F.sum("supp_qty").over(w).cast(MONEY)
+    ).where(
+        F.col("supp_qty").cast("double") > 0.3 * F.col("part_qty").cast("double")
+    )
+    return (
+        shared.join(F.broadcast(supp), shared.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", "supp_qty", "part_qty")
+    )

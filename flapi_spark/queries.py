@@ -299,6 +299,46 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY 1, 2",
     ),
+    "events_props_json": (
+        R.events_props_json,
+        "SELECT event_type,"
+        " count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,"
+        " sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,"
+        " min(CAST(props->>'$.k' AS BIGINT)) AS min_k,"
+        " max(CAST(props->>'$.k' AS BIGINT)) AS max_k"
+        " FROM events GROUP BY event_type",
+    ),
+    "grouping_sets_revenue": (
+        R.grouping_sets_revenue,
+        "SELECT o_orderpriority, o_orderstatus,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS revenue,"
+        " count(*) AS n_orders"
+        " FROM orders"
+        " GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())",
+    ),
+    "q16_part_supplier_counts": (
+        R.q16_part_supplier_counts,
+        "SELECT p_brand, p_type, p_size,"
+        " count(DISTINCT l_suppkey) AS supplier_cnt"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " WHERE p_brand <> 'Brand#45'"
+        " GROUP BY p_brand, p_type, p_size",
+    ),
+    "q20_volume_share_suppliers": (
+        R.q20_volume_share_suppliers,
+        "WITH per AS (SELECT l_partkey, l_suppkey,"
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS supp_qty"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        " AND l_shipdate < TIMESTAMP '1998-01-01'"
+        " GROUP BY l_partkey, l_suppkey),"
+        " shared AS (SELECT l_partkey, l_suppkey, supp_qty,"
+        "  CAST(SUM(supp_qty) OVER (PARTITION BY l_partkey) AS DECIMAL(18,2))"
+        "   AS part_qty FROM per)"
+        " SELECT l_partkey, s_suppkey, s_name, supp_qty, part_qty"
+        " FROM shared JOIN supplier ON l_suppkey = s_suppkey"
+        " WHERE CAST(supp_qty AS DOUBLE) > 0.3 * CAST(part_qty AS DOUBLE)",
+    ),
     "events_hopping_agg": (
         R.events_hopping_agg,
         "WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,"
