@@ -749,3 +749,58 @@ def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(F.broadcast(supp), shared.l_suppkey == supp.s_suppkey)
         .select("l_partkey", "s_suppkey", "s_name", "supp_qty", "part_qty")
     )
+
+
+def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so the correlated minimum
+    runs on p_retailprice within each part type): parts priced at their
+    type's minimum, enriched with the suppliers that actually ship them
+    in a region."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 20)
+    w = Window.partitionBy("p_type")
+    cheapest = (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .drop("min_price")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    shippers = (
+        li.join(F.broadcast(cheapest), li.l_partkey == cheapest.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        shippers.join(F.broadcast(cheapest), shippers.l_partkey == cheapest.p_partkey)
+        .join(F.broadcast(supp), shippers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_name", "n_name", "p_partkey", "p_type",
+            dec("p_retailprice").alias("p_retailprice"),
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: stock value from lineitem volumes):
+    parts whose shipped value exceeds 0.07% of the total — a scalar
+    subquery over the whole fact table feeding a HAVING filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value = (dec("l_extendedprice") * dec("l_quantity"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(value).cast("decimal(30,4)").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(38,4)").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value").cast("double")
+            > 0.0007 * F.col("total_value").cast("double")
+        )
+        .select("l_partkey", "part_value")
+    )

@@ -390,6 +390,31 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " FROM errors e ASOF LEFT JOIN purchases p"
         "  ON e.user_id = p.user_id AND e.ts >= p.ts",
     ),
+    "q2_min_price_parts": (
+        R.q2_min_price_parts,
+        "WITH cheapest AS (SELECT p_partkey, p_type,"
+        "  CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice"
+        " FROM (SELECT *, min(p_retailprice) OVER (PARTITION BY p_type) AS mp"
+        "  FROM part WHERE p_size < 20) t WHERE p_retailprice = mp),"
+        " shippers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+        "  WHERE l_partkey IN (SELECT p_partkey FROM cheapest))"
+        " SELECT s_name, n_name, p_partkey, p_type, p_retailprice"
+        " FROM shippers JOIN cheapest ON l_partkey = p_partkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'EUROPE'",
+    ),
+    "q11_important_parts": (
+        R.q11_important_parts,
+        "WITH per AS (SELECT l_partkey,"
+        "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+        "   * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS part_value"
+        " FROM lineitem GROUP BY l_partkey)"
+        " SELECT l_partkey, part_value FROM per"
+        " WHERE CAST(part_value AS DOUBLE) > 0.0007 *"
+        "  (SELECT CAST(CAST(SUM(part_value) AS DECIMAL(38,4)) AS DOUBLE) FROM per)",
+    ),
     "q7_nation_volume": (
         R.q7_nation_volume,
         "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation"
