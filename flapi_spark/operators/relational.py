@@ -804,3 +804,39 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "part_value")
     )
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates, so 'kept the
+    order waiting' = shipped strictly last on a multi-supplier order):
+    per supplier, count orders where the supplier shipped the single
+    latest lineitem AND at least one other supplier was on the order —
+    the EXISTS + NOT EXISTS double-correlation, expressed with per-order
+    window aggregates instead of two correlated scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        # count(DISTINCT) over a window is unsupported in Spark;
+        # size(collect_set) is the standard equivalent
+        F.size(F.collect_set("l_suppkey").over(w)).cast("long").alias("n_supp"),
+        F.sum(
+            F.when(F.col("l_shipdate") == F.max("l_shipdate").over(w), 1).otherwise(0)
+        ).over(w).alias("n_at_max"),
+    )
+    waiting = (
+        flagged.where(
+            (F.col("n_supp") >= 2)
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_at_max") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -538,6 +538,23 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35"
         "   AND l_quantity >= 20 AND l_quantity <= 40)",
     ),
+    "q21_sole_late_supplier": (
+        R.q21_sole_late_supplier,
+        "WITH m AS (SELECT l_orderkey, l_suppkey, l_shipdate,"
+        "  max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship"
+        " FROM lineitem),"
+        " flagged AS (SELECT l_orderkey, l_suppkey, l_shipdate, max_ship,"
+        "  CAST(len(list_distinct(list(l_suppkey)"
+        "   OVER (PARTITION BY l_orderkey))) AS BIGINT) AS n_supp,"
+        "  SUM(CASE WHEN l_shipdate = max_ship THEN 1 ELSE 0 END)"
+        "   OVER (PARTITION BY l_orderkey) AS n_at_max"
+        " FROM m),"
+        " waiting AS (SELECT DISTINCT l_orderkey, l_suppkey FROM flagged"
+        "  WHERE n_supp >= 2 AND l_shipdate = max_ship AND n_at_max = 1)"
+        " SELECT s_name, count(*) AS numwait"
+        " FROM waiting JOIN supplier ON l_suppkey = s_suppkey"
+        " GROUP BY s_name",
+    ),
     "q22_idle_customers": (
         R.q22_idle_customers,
         "SELECT n_name, count(*) AS numcust,"
@@ -721,6 +738,7 @@ QUERIES.update(
             " WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95",
         ),
         "dedup_minhash_lsh": (D.dedup_minhash_lsh, None),  # rows-only; recall-tested
+        "dedup_embedding_lsh": (D.dedup_embedding_lsh, None),  # rows-only; recall-tested
         "dedup_simhash": (D.dedup_simhash, None),  # rows-only; property-tested
         "dedup_embedding_cosine": (
             D.dedup_embedding_cosine,

@@ -112,3 +112,24 @@ def test_embedding_cosine_pairs_ordered_and_thresholded(spark, sf_dir):
     rows = out.collect()
     assert all(r.vec_a < r.vec_b for r in rows)
     assert all(r.cosine >= 0.4 for r in rows)
+
+
+def test_embedding_lsh_is_subset_with_decent_recall(spark, sf_dir):
+    """LSH-blocked embedding dedup must report only true pairs
+    (cosine >= threshold, verified exactly) and — given Hamming-<=1
+    probing over 12 planes — recover a meaningful fraction of the
+    exact operator's pairs."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.dedup_embedding_cosine(spark, sf_dir, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.dedup_embedding_lsh(spark, sf_dir, threshold=0.4).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0: every pair is real
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9  # same exact cosine values
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.3, f"recall {recall}"
