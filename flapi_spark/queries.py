@@ -468,6 +468,31 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " WHERE p_name LIKE '%bolt%'"
         " GROUP BY 1, 2",
     ),
+    "q12_priority_by_status": (
+        R.q12_priority_by_status,
+        "SELECT l_linestatus,"
+        " SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "  THEN 1 ELSE 0 END) AS high_line_count,"
+        " SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+        "  THEN 1 ELSE 0 END) AS low_line_count"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+        " AND l_shipdate < TIMESTAMP '1998-01-01'"
+        " GROUP BY l_linestatus",
+    ),
+    "customer_order_gaps": (
+        R.customer_order_gaps,
+        "SELECT o_custkey, o_orderkey, o_orderdate,"
+        " CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)"
+        "  AS gap_days,"
+        " first_value(o_orderdate) OVER wall AS first_order,"
+        " last_value(o_orderdate) OVER wall AS last_order,"
+        " lead(o_orderdate) OVER w AS next_order"
+        " FROM orders"
+        " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),"
+        " wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    ),
     "q13_customer_order_counts": (
         R.q13_customer_order_counts,
         "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count"
