@@ -29,6 +29,7 @@ HEADLINE = [
     # pipeline operators (added as they land in flapi_spark.queries)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
 ]

@@ -341,6 +341,43 @@ def cosine_col(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+N_DIMS = 64
+
+
+def _unpacked_embeddings(emb: DataFrame, suffix: str) -> DataFrame:
+    """(vec_<suffix>, norm_<suffix>, 64 double columns).
+
+    PERF: Spark's higher-order array functions (aggregate/zip_with in
+    cosine_col) are INTERPRETED per element — fine for thousands of
+    pair scores, catastrophic for pairwise dedup (measured ~80 s for
+    4M pairs at sf0.1). Unpacking the fixed 64 dims into scalar
+    columns turns the per-pair dot product into a whole-stage-codegen
+    multiply-add chain (~40× faster). The sum is chained in index
+    order from 0.0, so results stay bit-identical to the sequential
+    aggregate() fold and the DuckDB list_dot_product oracle."""
+    cols = [
+        F.element_at("embedding", i + 1).cast("double").alias(f"e{i}{suffix}")
+        for i in range(N_DIMS)
+    ]
+    # embeddings.parquet is a single row-group → one input split; the
+    # pairwise join streams this side, so spread it or the whole O(n²)
+    # compare runs on one core
+    df = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).select(F.col("vec_id").alias(f"vec_{suffix}"), *cols)
+    sq = F.lit(0.0)
+    for i in range(N_DIMS):
+        sq = sq + F.col(f"e{i}{suffix}") * F.col(f"e{i}{suffix}")
+    return df.withColumn(f"norm_{suffix}", F.sqrt(sq))
+
+
+def _pair_cosine() -> F.Column:
+    dot = F.lit(0.0)
+    for i in range(N_DIMS):
+        dot = dot + F.col(f"e{i}a") * F.col(f"e{i}b")
+    return dot / (F.col("norm_a") * F.col("norm_b"))
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
@@ -348,14 +385,18 @@ def dedup_embedding_cosine(
 
     This is the exact (quadratic) baseline — correct at any selectivity
     but O(n²) compares; the 100 TB path buckets by random-hyperplane
-    LSH first (operators/similarity.py) so only bucket-cohabitant
-    pairs are scored."""
+    LSH first (dedup_embedding_lsh) so only bucket-cohabitant pairs
+    are scored. Dot products run as codegen'd scalar chains (see
+    _unpacked_embeddings)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = _unpacked_embeddings(emb, "a")
+    b = _unpacked_embeddings(emb, "b")
+    # non-equi pair join → nested-loop; broadcasting the build side
+    # keeps it one streamed task per stream partition instead of a
+    # partition-pair cartesian schedule (32×32 tiny tasks)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine_col("ea", "eb").alias("cosine"))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -379,19 +420,24 @@ def dedup_embedding_lsh(
     from flapi_spark.operators.similarity import lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tagged = emb.join(lsh_buckets(spark, emb), "vec_id")
-    a = tagged.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("bucket").alias("ba"),
+    buckets = lsh_buckets(spark, emb)
+    a = _unpacked_embeddings(emb, "a").join(
+        buckets.select(F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba")),
+        "vec_a",
     )
-    b = tagged.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bb"),
+    b = _unpacked_embeddings(emb, "b").join(
+        buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb")),
+        "vec_b",
     )
     ham = F.bit_count(F.col("ba").bitwiseXOR(F.col("bb")))
-    pairs = a.join(b, (F.col("vec_a") < F.col("vec_b")) & (ham <= max_hamming))
-    cos = cosine_col("ea", "eb")
+    # theta join (ham ≤ r) → nested-loop; broadcast the build side (see
+    # dedup_embedding_cosine). At corpus scale, swap the Hamming theta
+    # join for a banded equi-join (split the signature into bands and
+    # groupBy band, as dedup_minhash_lsh does) so no side broadcasts.
+    pairs = a.join(
+        F.broadcast(b), (F.col("vec_a") < F.col("vec_b")) & (ham <= max_hamming)
+    )
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        pairs.select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -64,9 +64,14 @@ def _planes_df(spark: SparkSession) -> DataFrame:
 def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Sign-bit bucket id per vector: posexplode the embedding, join the
     broadcast planes table, tally per-plane dot products, fold sign
-    bits into one integer bucket. All shuffles are on vec_id."""
+    bits into one integer bucket. All shuffles are on vec_id.
+
+    The input is spread first — a single-row-group parquet scan would
+    otherwise run the whole explode+tally on one core."""
     planes = _planes_df(spark)
-    ex = emb.select(
+    ex = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     )
     dots = (
@@ -133,7 +138,9 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> Dat
     """Assign each vector to its top-`nprobe` nearest centroids by
     cosine: one streamed pass (broadcast-scored + per-vector top-nprobe),
     shuffling only (vec_id, cell_id) pairs."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    scored = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).crossJoin(F.broadcast(centroids)).select(
         "vec_id", "cell_id", cosine_col("embedding", "centroid").alias("sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
