@@ -152,8 +152,14 @@ def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     tokens) fold their partial gram with OOB positions as 0, matching
     the old slice() semantics of one gram per doc."""
     docs = load_table(spark, sf_dir, "documents")
+    return hashed_shingles_from(docs, n)
+
+
+def hashed_shingles_from(docs: DataFrame, n: int = 3) -> DataFrame:
+    """hashed_shingles over an arbitrary documents DataFrame (lets the
+    verify stage hash only candidate docs instead of the corpus)."""
     toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t")).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     tok_hashes = toks.select(
         "doc_id",
@@ -244,8 +250,13 @@ def dedup_minhash_lsh(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # semi-join the RAW docs before hashing: the verify branch then
+    # tokenizes+hashes only candidate docs, not the corpus again
+    cand_texts = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(cand_docs), "doc_id", "left_semi"
+    )
     sets = (
-        hashed.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        hashed_shingles_from(cand_texts)
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
     )
