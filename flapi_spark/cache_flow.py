@@ -18,8 +18,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from flapi_spark.cache import CacheManager, SnapshotInfo
-from flapi_spark.config import EndpointConfig
+from flapi_spark.config import CacheConfig, EndpointConfig
 from flapi_spark.executor import QueryExecutor, shape_df
+
+
+def cache_template_vars(cfg: CacheConfig, info: SnapshotInfo) -> dict:
+    """The full {{cache.*}} namespace: config-derived names
+    (catalog/schema/table/mode/cursor/primaryKeys — reference:
+    examples/sqls/customers/customers_cache.sql documents the set)
+    merged with the snapshot-lineage vars from SnapshotInfo."""
+    mode = (
+        "merge" if cfg.primary_key and cfg.cursor_column
+        else "append" if cfg.cursor_column
+        else "full"
+    )
+    ctx = {
+        "catalog": "cache",
+        "schema": cfg.schema,
+        "table": cfg.table,
+        "mode": mode,
+    }
+    if cfg.cursor_column:
+        ctx["cursorColumn"] = cfg.cursor_column
+    if cfg.cursor_type:
+        ctx["cursorType"] = cfg.cursor_type
+    if cfg.primary_key:
+        ctx["primaryKeys"] = ", ".join(cfg.primary_key)
+    ctx.update(info.template_context())
+    return ctx
 
 
 def refresh_endpoint_cache(
@@ -41,7 +67,7 @@ def refresh_endpoint_cache(
         raise ValueError(f"endpoint {endpoint.url_path}: cache not configured")
     info = cache_mgr.snapshot_info(cfg)
     sql, args = executor.render(
-        endpoint, dict(params or {}), cache_ctx=info.template_context()
+        endpoint, dict(params or {}), cache_ctx=cache_template_vars(cfg, info)
     )
     df = executor.spark.sql(sql, args=args) if args else executor.spark.sql(sql)
     if cfg.cursor_column and info.current_snapshot_id:

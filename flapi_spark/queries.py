@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flapi_spark.operators import dedup as D
 from flapi_spark.operators import range_join as RJ
@@ -651,6 +652,33 @@ def _src_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     return df.withColumn("c_custkey", df.c_custkey.cast("long"))
 
 
+def src_multifile_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob read over a multi-file dataset with per-file provenance —
+    the reference's read_parquet('dir/*.parquet', filename=true) shape
+    (reference: examples/sqls/taxi/taxi.sql), Spark-side via the
+    _metadata.file_path hidden column. Counts per (file, segment)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"flapi_spark_multifile_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(out, exist_ok=True)
+    for name in ("part_a.parquet", "part_b.parquet"):
+        if not os.path.exists(os.path.join(out, name)):
+            shutil.copy(src, os.path.join(out, name))
+    df = spark.read.parquet(out + "/*.parquet")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.select(fname.alias("filename"), "c_mktsegment")
+        .groupBy("filename", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _src_roundtrip(spark, sf_dir, "csv")
 
@@ -797,7 +825,17 @@ QUERIES.update(
             " FROM documents",
         ),
         "mm_decoded_features": (_mm_decoded_features, None),  # rows-only: stub decode
-        # -- non-parquet source formats
+        # -- non-parquet source formats / provenance
+        "src_multifile_provenance": (
+            src_multifile_provenance,
+            # oracle derived purely from the registered view: the glob
+            # dir is two copies of customer, so every (segment, count)
+            # appears once per filename
+            "SELECT fn AS filename, c_mktsegment, count(*) AS n"
+            " FROM customer CROSS JOIN (SELECT unnest("
+            "  ['part_a.parquet', 'part_b.parquet']) AS fn)"
+            " GROUP BY fn, c_mktsegment",
+        ),
         "src_csv_roundtrip": (
             src_csv_roundtrip,
             "SELECT c_custkey, c_name, c_mktsegment FROM customer",

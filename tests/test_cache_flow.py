@@ -113,3 +113,20 @@ def test_scheduled_cache_refresh(setup):
     stats = hb.stats()
     assert stats["cache:analytics.orders_cache"]["runs"] >= 1
     assert stats["cache:analytics.orders_cache"]["errors"] == 0
+
+
+def test_cache_template_vars_full_namespace(setup):
+    from flapi_spark.cache_flow import cache_template_vars
+
+    spark, full, src_path, ep, ex, mgr = setup
+    full.write.mode("overwrite").parquet(src_path)
+    refresh_endpoint_cache(ex, mgr, ep)
+    ctx = cache_template_vars(ep.cache, mgr.snapshot_info(ep.cache))
+    # the documented {{cache.*}} set (reference: customers_cache.sql)
+    assert ctx["catalog"] == "cache"
+    assert ctx["schema"] == "analytics"
+    assert ctx["table"] == "orders_cache"
+    assert ctx["mode"] == "merge"  # pk + cursor configured
+    assert ctx["cursorColumn"] == "o_orderdate"
+    assert ctx["primaryKeys"] == "o_orderkey"
+    assert "cacheSnapshotId" in ctx and "cacheSnapshotTimestamp" in ctx
