@@ -880,3 +880,40 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderdate").over(wall).alias("last_order"),
         F.lead("o_orderdate").over(w).alias("next_order"),
     )
+
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: order counts per priority, pivoted to one column per
+    market segment. The explicit value list keeps the output schema
+    static (and skips the extra distinct-values job Spark runs for an
+    unlisted pivot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in SEGMENTS],
+        )
+    )
+
+
+def lapsed_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation shape: customers who ordered in 1997 EXCEPT those
+    who ordered in 1998 onward (subtract = EXCEPT DISTINCT, planned as
+    an aggregate + anti-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_97 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    after = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return in_97.subtract(after)

@@ -300,6 +300,26 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY 1, 2",
     ),
+    "pivot_priority_by_segment": (
+        R.pivot_priority_by_segment,
+        "SELECT o_orderpriority,"
+        " SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,"
+        " SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS building,"
+        " SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS furniture,"
+        " SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS household,"
+        " SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS machinery"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY o_orderpriority",
+    ),
+    "lapsed_customer_keys": (
+        R.lapsed_customer_keys,
+        "SELECT o_custkey FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01'"
+        " EXCEPT"
+        " SELECT o_custkey FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
+    ),
     "events_props_json": (
         R.events_props_json,
         "SELECT event_type,"
