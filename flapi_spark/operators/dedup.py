@@ -414,41 +414,55 @@ def dedup_embedding_cosine(
 
 def dedup_embedding_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
-    max_hamming: int = 4,
+    n_bands: int = 3,
 ) -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH blocking —
-    the scale path for dedup_embedding_cosine: bucket every vector once
-    (linear), generate candidate pairs only within Hamming-≤r sign
-    signatures, then verify exact cosine ≥ threshold.
+    """Embedding near-dup pairs via banded random-hyperplane LSH — the
+    scale path for dedup_embedding_cosine. The 12-bit sign signature is
+    split into `n_bands` bands; a candidate pair shares at least one
+    whole band (the classic OR-construction). Candidate generation is
+    an EQUI-join on (band_id, band_bits) — linear shuffles, no corpus
+    broadcast, no theta/nested-loop join — then exact cosine verifies
+    each candidate via the codegen'd unpacked columns.
 
-    The probe radius trades recall for candidate volume: for cosine t,
-    each of the 12 planes disagrees with probability arccos(t)/π
-    (≈0.37 at t=0.4 → mean Hamming ≈4.4), while unrelated pairs center
-    at Hamming 6; r=4 admits ~19% of random pairs but the majority of
-    true ones. At corpus scale this replaces the O(n²) pair scan with
-    signature-blocked joins (rows-only check; subset-of-exact precision
-    and recall vs the exact operator are asserted in tests)."""
-    from flapi_spark.operators.similarity import lsh_buckets
+    Selectivity at threshold 0.4: each plane agrees with probability
+    1 - arccos(t)/π ≈ 0.63, so a 4-bit band matches with p≈0.157 and
+    3 bands give ≈40-47%% recall of true pairs while admitting ~18%% of
+    random pairs (measured). Precision is 1.0 — every reported pair is
+    exactly verified. Rows-only check; subset-of-exact precision and
+    recall vs the exact operator are asserted in tests."""
+    from flapi_spark.operators.similarity import N_PLANES, lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(spark, emb)
-    a = _unpacked_embeddings(emb, "a").join(
-        buckets.select(F.col("vec_id").alias("vec_a"), F.col("bucket").alias("ba")),
-        "vec_a",
+    band_width = N_PLANES // n_bands
+    mask = (1 << band_width) - 1
+    bands = buckets.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftright("bucket", band_width * i)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bits"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("vec_id", "b.band_id", "b.bits")
+    ca = bands.select(F.col("vec_id").alias("vec_a"), "band_id", "bits")
+    cb = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "bits")
+    cands = (
+        ca.join(cb, ["band_id", "bits"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    b = _unpacked_embeddings(emb, "b").join(
-        buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("bb")),
-        "vec_b",
-    )
-    ham = F.bit_count(F.col("ba").bitwiseXOR(F.col("bb")))
-    # theta join (ham ≤ r) → nested-loop; broadcast the build side (see
-    # dedup_embedding_cosine). At corpus scale, swap the Hamming theta
-    # join for a banded equi-join (split the signature into bands and
-    # groupBy band, as dedup_minhash_lsh does) so no side broadcasts.
-    pairs = a.join(
-        F.broadcast(b), (F.col("vec_a") < F.col("vec_b")) & (ham <= max_hamming)
-    )
+    a = _unpacked_embeddings(emb, "a")
+    b = _unpacked_embeddings(emb, "b")
     return (
-        pairs.select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
