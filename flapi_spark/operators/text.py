@@ -150,3 +150,40 @@ def text_winnow_fingerprint(
         with_grams.select("doc_id", F.explode(winnowed).alias("fp"))
         .distinct()
     )
+
+
+def split_train_holdout(
+    spark: SparkSession, sf_dir: str, holdout_pct: int = 10
+) -> DataFrame:
+    """Deterministic corpus split: bucket = first 8 hex chars of
+    md5(doc_id) mod 100 — a pure function of the row, so the split is
+    reproducible across runs, engines, partitionings, and cluster
+    sizes (the property a training pipeline needs; rng-based sampling
+    has none of them). md5 keeps the DuckDB oracle bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def sample_stratified_by_lang(
+    spark: SparkSession, sf_dir: str, fractions: dict | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Stratified subsample: per-language sampling fractions (e.g.
+    downsample dominant languages when rebalancing a corpus). Seeded
+    Bernoulli per stratum via sampleBy — proportions are statistical,
+    so correctness is property-tested (subset of corpus, per-stratum
+    rates within tolerance), not oracle-matched."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = fractions or {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    return docs.sampleBy("lang", fractions, seed=seed).select(
+        "doc_id", "lang", "source"
+    )

@@ -779,6 +779,16 @@ QUERIES.update(
             "   j -> list_min(g[j:j+3]))) AS fps FROM g)"
             " SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w",
         ),
+        "split_train_holdout": (
+            T.split_train_holdout,
+            "SELECT doc_id,"
+            " CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "  AS BIGINT) % 100 AS BIGINT) AS bucket,"
+            " CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "  AS BIGINT) % 100 < 10 THEN 'holdout' ELSE 'train' END AS split"
+            " FROM documents",
+        ),
+        "sample_stratified_by_lang": (T.sample_stratified_by_lang, None),
         "text_fingerprint": (
             T.text_fingerprint,
             f"SELECT doc_id, md5({_NORM}) AS fp_md5,"
