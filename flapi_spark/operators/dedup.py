@@ -429,7 +429,15 @@ def dedup_embedding_lsh(
     3 bands give ≈40-47%% recall of true pairs while admitting ~18%% of
     random pairs (measured). Precision is 1.0 — every reported pair is
     exactly verified. Rows-only check; subset-of-exact precision and
-    recall vs the exact operator are asserted in tests."""
+    recall vs the exact operator are asserted in tests.
+
+    Candidate volume is DATA-DEPENDENT: on isotropic random vectors
+    (the synthetic test corpus — the adversarial case) the admitted
+    fraction is a constant of all O(n²) pairs, so verify cost grows
+    quadratically; real near-dup corpora cluster, making bucket
+    co-membership sparse. For uniform-like data at scale, raise
+    selectivity with more/narrower bands (recall trades down) or use
+    more planes."""
     from flapi_spark.operators.similarity import N_PLANES, lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
