@@ -187,3 +187,24 @@ def sample_stratified_by_lang(
     return docs.sampleBy("lang", fractions, seed=seed).select(
         "doc_id", "lang", "source"
     )
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency and total
+    count — the vocab-building pass of a tokenizer pipeline. One
+    explode + one groupBy (map-side combined); the top-k is a
+    TakeOrdered over the (vocab-sized, not corpus-sized) aggregate.
+    Deterministic tiebreak on the token string keeps the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(k)
+    )

@@ -779,6 +779,14 @@ QUERIES.update(
             "   j -> list_min(g[j:j+3]))) AS fps FROM g)"
             " SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w",
         ),
+        "vocab_top_tokens": (
+            T.vocab_top_tokens,
+            f"WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)"
+            " SELECT tok, count(*) AS n_total,"
+            " count(DISTINCT doc_id) AS n_docs"
+            " FROM toks GROUP BY tok"
+            " ORDER BY n_total DESC, tok ASC LIMIT 100",
+        ),
         "split_train_holdout": (
             T.split_train_holdout,
             "SELECT doc_id,"
