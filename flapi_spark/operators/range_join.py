@@ -91,6 +91,6 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band_id", "lo").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,10)"))
-        .cast("decimal(38,10)")
+        .cast("double")
         .alias("sum_value"),
     )

@@ -34,10 +34,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            qty_sum.cast(MONEY).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast(MONEY).alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(30,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(30,6)").alias("sum_charge"),
+            qty_sum.cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             avg_of(F.sum(dec("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
             avg_of(F.sum(dec("l_extendedprice")), F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -61,7 +61,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -111,7 +111,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
     )
 
 
@@ -131,7 +131,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("decimal(30,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -151,7 +151,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -184,8 +184,8 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_orderdate").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "o_orderdate",
-        "daily_revenue",
-        F.sum("daily_revenue").over(w).cast("decimal(30,2)").alias("cum_revenue"),
+        F.col("daily_revenue").cast("double").alias("daily_revenue"),
+        F.sum("daily_revenue").over(w).cast("double").alias("cum_revenue"),
     )
 
 
@@ -216,7 +216,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(dec("o_totalprice")).cast("decimal(30,2)").alias("revenue"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("order_count"),
     )
 
@@ -257,7 +257,7 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
@@ -305,7 +305,7 @@ def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
-            F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"),
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -320,7 +320,7 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.sum(dec("s_acctbal")).cast(MONEY).alias("total_balance"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_balance"),
             avg_of(F.sum(dec("s_acctbal")), F.count(F.lit(1))).alias("avg_balance"),
         )
     )
@@ -379,7 +379,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
     )
 
 
@@ -420,8 +420,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            target.cast("decimal(30,4)").alias("nation_volume"),
-            F.sum(vol).cast("decimal(30,4)").alias("total_volume"),
+            target.cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
             (target.cast("double") / F.sum(vol).cast("double"))
             .cast("double")
             .alias("mkt_share"),
@@ -449,7 +449,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("decimal(30,6)").alias("sum_profit"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
 
 
@@ -482,8 +482,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            promo.cast("decimal(30,4)").alias("promo_revenue"),
-            F.sum(vol).cast("decimal(30,4)").alias("total_revenue"),
+            promo.cast("double").alias("promo_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
             (F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double"))
             .cast("double")
             .alias("promo_share_pct"),
@@ -504,7 +504,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(revenue_expr()).cast("decimal(30,4)").alias("total_revenue")
+        F.sum(revenue_expr()).cast("double").alias("total_revenue")
     )
     w = Window.orderBy(F.desc("total_revenue"))
     top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
@@ -555,7 +555,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            dec("o_totalprice").alias("o_totalprice"), "total_qty",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
@@ -581,7 +582,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
     )
     return j.where(b1 | b2 | b3).agg(
-        F.sum(revenue_expr()).cast("decimal(30,4)").alias("revenue")
+        F.sum(revenue_expr()).cast("double").alias("revenue")
     )
 
 
@@ -610,7 +611,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("decimal(30,2)").alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
 
@@ -627,7 +628,7 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -707,7 +708,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         "SELECT o_orderpriority, o_orderstatus,"
-        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS revenue,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,"
         " count(*) AS n_orders"
         " FROM orders"
         " GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
@@ -747,7 +748,11 @@ def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shared.join(F.broadcast(supp), shared.l_suppkey == supp.s_suppkey)
-        .select("l_partkey", "s_suppkey", "s_name", "supp_qty", "part_qty")
+        .select(
+            "l_partkey", "s_suppkey", "s_name",
+            F.col("supp_qty").cast("double").alias("supp_qty"),
+            F.col("part_qty").cast("double").alias("part_qty"),
+        )
     )
 
 
@@ -779,7 +784,7 @@ def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
             "s_name", "n_name", "p_partkey", "p_type",
-            dec("p_retailprice").alias("p_retailprice"),
+            dec("p_retailprice").cast("double").alias("p_retailprice"),
         )
     )
 
@@ -802,7 +807,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_value").cast("double")
             > 0.0007 * F.col("total_value").cast("double")
         )
-        .select("l_partkey", "part_value")
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 

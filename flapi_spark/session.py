@@ -72,6 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if name == "events":
+        # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # reader rejects unless nanosAsLong is on. get_spark sets it at
+        # build time, but callers may hand us a vanilla SparkSession —
+        # the conf is runtime-settable, so set it here before the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # parquet TIMESTAMP(NANOS) read as long (nanosAsLong): truncate

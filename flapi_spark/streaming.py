@@ -54,7 +54,7 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -179,7 +179,7 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
