@@ -29,17 +29,29 @@ def rewrite_typed_params(
     """Replace ``{{params.x}}`` / ``{{{params.x}}}`` for typed fields
     with ``:x`` named markers. Section tags (``{{#params.x}}``) are left
     alone — they control rendering, not values. Returns (rewritten
-    template, names of rewritten fields)."""
+    template, names of rewritten fields).
+
+    Quoted sites — ``'{{params.since}}'``, the way the reference's own
+    templates write date/uuid/enum params — consume the surrounding
+    quotes too: leaving them would make Spark parse ``':since'`` as the
+    string literal ":since" instead of a parameter marker (the
+    reference's rewriter skips such sites for the same reason,
+    prepared_template_rewriter.cpp)."""
     bound: list[str] = []
     out = template
     for f in fields:
         if f.bound_type not in _TYPED:
             continue
         name = f.field_name
-        pat = re.compile(r"\{\{\{?\s*params\." + re.escape(name) + r"\s*\}?\}\}")
+        pat = re.compile(
+            r"(?P<q>')?\{\{(?P<t>\{)?\s*params\."
+            + re.escape(name)
+            + r"\s*(?(t)\})\}\}(?(q)')"
+        )
         # Distinguish section tags by the sigil: the regex above cannot
         # match {{#...}} / {{/...}} / {{^...}} because of the leading
-        # sigil character right after the braces.
+        # sigil character right after the braces. The optional quote
+        # groups are paired: a lone quote on one side is left in place.
         new, n = pat.subn(f":{name}", out)
         if n:
             bound.append(name)

@@ -113,10 +113,44 @@ class Tool:
         return {"type": "object", "properties": props, "required": required}
 
 
+# Explicit opt-out sentinel for row caps: max_rows=UNLIMITED disables
+# the default driver-side materialization bound.
+UNLIMITED = -1
+
+# Default row cap applied before any driver-side collect. At cluster
+# scale an uncapped endpoint result OOMs the driver; callers that
+# genuinely need everything must opt out with max_rows=UNLIMITED
+# (reference: mcp_response_shaper.cpp max-rows semantics).
+DEFAULT_MAX_ROWS = 10_000
+
+
 class McpToolRegistry:
-    def __init__(self, executor: QueryExecutor):
+    def __init__(self, executor: QueryExecutor, auth_enabled: bool = False):
         self.executor = executor
+        self.auth_enabled = auth_enabled
         self._tools: dict[str, Tool] = {}
+
+    def _authorize(
+        self, kind: str, name: str, allowed_roles: list[str], roles: list[str] | None
+    ) -> None:
+        """Fail-closed when MCP auth is enabled (reference:
+        mcp_authorization_policy.cpp): an auth-enabled registry denies
+        any tool/resource that has no allowed-roles configured — a
+        forgotten allowed-roles block must not expose the endpoint."""
+        if self.auth_enabled:
+            if not allowed_roles:
+                raise AuthorizationError(
+                    f"{kind} '{name}' has no allowed-roles configured and MCP"
+                    " auth is enabled (fail-closed)"
+                )
+            if not (set(allowed_roles) & set(roles or [])):
+                raise AuthorizationError(
+                    f"{kind} '{name}' requires one of roles {allowed_roles}"
+                )
+        elif allowed_roles and not (set(allowed_roles) & set(roles or [])):
+            raise AuthorizationError(
+                f"{kind} '{name}' requires one of roles {allowed_roles}"
+            )
 
     def register(
         self,
@@ -142,6 +176,8 @@ class McpToolRegistry:
     def list_tools(self, roles: list[str] | None = None) -> list[dict]:
         out = []
         for tool in self._tools.values():
+            if self.auth_enabled and not tool.allowed_roles:
+                continue  # fail-closed: unconfigured tools are not listed
             if tool.allowed_roles and roles is not None and not (
                 set(tool.allowed_roles) & set(roles)
             ):
@@ -166,10 +202,7 @@ class McpToolRegistry:
         if name not in self._tools:
             raise McpError(f"unknown tool '{name}'")
         tool = self._tools[name]
-        if tool.allowed_roles and not (set(tool.allowed_roles) & set(roles or [])):
-            raise AuthorizationError(
-                f"tool '{name}' requires one of roles {tool.allowed_roles}"
-            )
+        self._authorize("tool", name, tool.allowed_roles, roles)
         if tool.rate_limit is not None and not tool.rate_limit.acquire():
             raise RateLimitError(f"tool '{name}' rate limit exceeded")
 
@@ -184,8 +217,11 @@ class McpToolRegistry:
 
         result = self.executor.execute(tool.endpoint, arguments, order_by=order_by)
         df = result.df
-        if tool.max_rows is not None:
-            df = df.limit(tool.max_rows)
+        cap = DEFAULT_MAX_ROWS if tool.max_rows is None else tool.max_rows
+        if cap != UNLIMITED:
+            # bound driver-side materialization: the limit is planned
+            # (CollectLimit), never a full collect of an unshaped result
+            df = df.limit(cap)
         rows = [r.asDict() for r in df.collect()]
         out: dict[str, Any] = {"rows": rows, "row_count": len(rows)}
         if result.total_count is not None:
@@ -206,6 +242,7 @@ class Resource:
     description: str = ""
     mime_type: str = "application/json"
     rate_limit: TokenBucket | None = None
+    allowed_roles: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -239,8 +276,8 @@ class Prompt:
 class McpRegistry(McpToolRegistry):
     """Tools + resources + prompts — the full MCP surface."""
 
-    def __init__(self, executor: QueryExecutor):
-        super().__init__(executor)
+    def __init__(self, executor: QueryExecutor, auth_enabled: bool = False):
+        super().__init__(executor, auth_enabled=auth_enabled)
         self._resources: dict[str, Resource] = {}
         self._prompts: dict[str, Prompt] = {}
 
@@ -253,6 +290,7 @@ class McpRegistry(McpToolRegistry):
         description: str = "",
         mime_type: str = "application/json",
         rate_limit: tuple[int, float] | None = None,
+        allowed_roles: list[str] | None = None,
     ) -> Resource:
         res = Resource(
             name=name,
@@ -260,6 +298,7 @@ class McpRegistry(McpToolRegistry):
             description=description or endpoint.description,
             mime_type=mime_type,
             rate_limit=TokenBucket(*rate_limit) if rate_limit else None,
+            allowed_roles=list(allowed_roles or endpoint.allowed_roles),
         )
         self._resources[name] = res
         return res
@@ -274,10 +313,16 @@ class McpRegistry(McpToolRegistry):
             for r in self._resources.values()
         ]
 
-    def read_resource(self, name: str, params: dict | None = None) -> dict:
+    def read_resource(
+        self,
+        name: str,
+        params: dict | None = None,
+        roles: list[str] | None = None,
+    ) -> dict:
         if name not in self._resources:
             raise McpError(f"unknown resource '{name}'")
         res = self._resources[name]
+        self._authorize("resource", name, res.allowed_roles, roles)
         if res.rate_limit is not None and not res.rate_limit.acquire():
             raise RateLimitError(f"resource '{name}' rate limit exceeded")
         from flapi_spark import results as _rz

@@ -40,7 +40,18 @@ def salted_join(
     all columns) so it is deterministic — replayable plans, no RNG in
     the lineage. The small side crossJoins a `sequence()` literal (no
     driver-side loop) to produce one replica per salt.
+
+    Only ``inner`` and ``left`` joins are supported: the small side is
+    replicated once per salt, so a right/full outer join would emit
+    every unmatched small-side row `n_salts` times (duplicate
+    null-padded rows) instead of once.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}:"
+            " the replicated small side would duplicate unmatched rows"
+            " under right/full outer semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt.cast("int"))
     small_s = small.crossJoin(F.broadcast(_salt_range(small.sparkSession, n_salts)))

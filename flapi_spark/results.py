@@ -8,9 +8,13 @@ requested wire format. Arrow is the natural fast path — Spark 4
 collects to Arrow directly (`df.toArrow()`), so the IPC stream is a
 zero-copy re-frame of what the JVM already shipped.
 
-All serializers here require a BOUNDED result (apply shaping /
-pagination first): they collect to the driver, which is the correct
-place for an API response and the wrong place for anything else.
+All serializers here collect to the driver, which is the correct
+place for an API response and the wrong place for anything else — so
+every entry point enforces a planned row cap (``df.limit`` →
+CollectLimit, never a full materialization) before collecting.
+``max_rows=UNLIMITED`` is the explicit opt-out for callers that have
+already bounded the result (reference: mcp_response_shaper.cpp
+max-rows semantics).
 """
 
 from __future__ import annotations
@@ -20,6 +24,10 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+# explicit opt-out sentinel; None means "apply the default cap"
+UNLIMITED = -1
+DEFAULT_MAX_ROWS = 10_000
 
 JSON = "application/json"
 CSV = "text/csv"
@@ -36,30 +44,40 @@ _ACCEPTS = {
 }
 
 
-def to_json_rows(df: DataFrame) -> list[dict[str, Any]]:
+def _bounded(df: DataFrame, max_rows: int | None) -> DataFrame:
+    """Apply the driver-materialization row cap as a planned limit."""
+    cap = DEFAULT_MAX_ROWS if max_rows is None else max_rows
+    return df if cap == UNLIMITED else df.limit(cap)
+
+
+def to_json_rows(df: DataFrame, max_rows: int | None = None) -> list[dict[str, Any]]:
     """Row dicts with JSON-safe values (JVM-side serialization via
     Dataset.toJSON — no Python per-row conversion)."""
-    return [json.loads(s) for s in df.toJSON().collect()]
+    return [json.loads(s) for s in _bounded(df, max_rows).toJSON().collect()]
 
 
-def to_json_bytes(df: DataFrame) -> bytes:
-    return json.dumps(to_json_rows(df)).encode()
+def to_json_bytes(df: DataFrame, max_rows: int | None = None) -> bytes:
+    return json.dumps(to_json_rows(df, max_rows)).encode()
 
 
-def to_csv_bytes(df: DataFrame) -> bytes:
+def to_csv_bytes(df: DataFrame, max_rows: int | None = None) -> bytes:
     """CSV with header. Arrow-accelerated collect, pandas writer."""
     buf = io.StringIO()
-    df.toPandas().to_csv(buf, index=False)
+    _bounded(df, max_rows).toPandas().to_csv(buf, index=False)
     return buf.getvalue().encode()
 
 
-def to_arrow_ipc(df: DataFrame, compression: str | None = None) -> bytes:
+def to_arrow_ipc(
+    df: DataFrame,
+    compression: str | None = None,
+    max_rows: int | None = None,
+) -> bytes:
     """Arrow IPC stream bytes. `compression` may be 'zstd' or 'lz4'
     (reference: test_arrow_compression.cpp negotiates codecs)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    table = df.toArrow()
+    table = _bounded(df, max_rows).toArrow()
     sink = pa.BufferOutputStream()
     options = ipc.IpcWriteOptions(compression=compression)
     with ipc.new_stream(sink, table.schema, options=options) as w:
@@ -75,7 +93,9 @@ def from_arrow_ipc(data: bytes):
         return r.read_all()
 
 
-def negotiate(df: DataFrame, accept: str | None) -> tuple[bytes, str]:
+def negotiate(
+    df: DataFrame, accept: str | None, max_rows: int | None = None
+) -> tuple[bytes, str]:
     """Serialize `df` per an Accept-style header value. Unknown types
     fall back to JSON (the reference's default)."""
     kind = "json"
@@ -85,7 +105,7 @@ def negotiate(df: DataFrame, accept: str | None) -> tuple[bytes, str]:
             kind = _ACCEPTS[media]
             break
     if kind == "csv":
-        return to_csv_bytes(df), CSV
+        return to_csv_bytes(df, max_rows), CSV
     if kind == "arrow":
-        return to_arrow_ipc(df), ARROW
-    return to_json_bytes(df), JSON
+        return to_arrow_ipc(df, max_rows=max_rows), ARROW
+    return to_json_bytes(df, max_rows), JSON

@@ -32,14 +32,16 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     New files appearing in the directory become micro-batches — the
     standard continuous-ingest pattern at scale (object-store landing
     zone)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -69,6 +71,7 @@ SESSION_STATE_SCHEMA = StructType(
         StructField("last_ts_us", LongType()),
         StructField("session_id", LongType()),
         StructField("n_events", LongType()),
+        StructField("session_start_us", LongType()),
     ]
 )
 
@@ -92,17 +95,24 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     """Stateful gap-based sessionization for one user (the custom
     stateful operator the reference has no analogue for — Spark's
-    applyInPandasWithState keeps per-key state across micro-batches)."""
+    applyInPandasWithState keeps per-key state across micro-batches).
+
+    State carries the OPEN session's start timestamp and running event
+    count, so a session spanning micro-batches keeps its true start and
+    cumulative total. Each batch emits one row per session active in
+    that batch with CUMULATIVE values; a session that spans batches is
+    re-emitted with corrected totals, so consumers keep the last row
+    per (user_id, session_id) — last-write-wins merge, the same
+    convention as the cache manager's upsert."""
     (user_id,) = key
     if state.exists:
-        last_ts_us, session_id, n_events = state.get
+        last_ts_us, session_id, n_events, session_start_us = state.get
     else:
-        last_ts_us, session_id, n_events = None, 0, 0
+        last_ts_us, session_id, n_events, session_start_us = None, 0, 0, None
 
-    rows = []
-    starts: dict[int, int] = {}
-    ends: dict[int, int] = {}
-    counts: dict[int, int] = {}
+    # cumulative (start, end, count) per session touched in this batch,
+    # seeded with the open session carried in state
+    touched: dict[int, list] = {}
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts in pdf["ts"]:
@@ -110,21 +120,22 @@ def _sessionize_group(
             if last_ts_us is None or ts_us - last_ts_us > GAP_US:
                 session_id += 1
                 n_events = 0
+                session_start_us = ts_us
             n_events += 1
             last_ts_us = ts_us
-            starts.setdefault(session_id, ts_us)
-            ends[session_id] = ts_us
-            counts[session_id] = counts.get(session_id, 0) + 1
+            touched[session_id] = [session_start_us, ts_us, n_events]
 
-    state.update((last_ts_us, session_id, n_events))
-    for sid in sorted(starts):
+    state.update((last_ts_us, session_id, n_events, session_start_us))
+    rows = []
+    for sid in sorted(touched):
+        start_us, end_us, count = touched[sid]
         rows.append(
             {
                 "user_id": user_id,
                 "session_id": sid,
-                "n_events": counts[sid],
-                "session_start": pd.Timestamp(starts[sid], unit="us"),
-                "session_end": pd.Timestamp(ends[sid], unit="us"),
+                "n_events": count,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(end_us, unit="us"),
             }
         )
     yield pd.DataFrame(rows, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])

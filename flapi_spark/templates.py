@@ -58,7 +58,16 @@ def _truthy(value: Any) -> bool:
 
 
 def sql_escape(value: Any) -> str:
-    return str(value).replace("'", "''")
+    """Escape a value for splicing into a Spark SQL string literal.
+
+    Quote-doubling alone (the reference's DuckDB-sufficient escaping)
+    is NOT enough for Spark: with the default
+    ``spark.sql.parser.escapedStringLiterals=false`` backslash is an
+    escape character inside string literals, so a value ending in a
+    backslash would turn the doubled quote into an escaped quote and
+    let attacker text out of the literal. Double backslashes first,
+    then quotes — correct under Spark's default parser mode."""
+    return str(value).replace("\\", "\\\\").replace("'", "''")
 
 
 def _parse(template: str, pos: int, stop_section: str | None, out: list, context: dict) -> int:

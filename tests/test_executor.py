@@ -117,3 +117,30 @@ def test_shape_sample(spark):
 def test_explain_dry_run(executor):
     plan = executor.explain(customers_endpoint(), {"id": "3"})
     assert "Scan parquet" in plan or "BatchScan" in plan
+
+
+def test_quoted_typed_param_binds_as_value(spark, executor):
+    """'{{params.x}}' (quoted typed site, the reference's own template
+    idiom) must bind the VALUE, not the literal ':x' marker text."""
+    from flapi_spark.binding import rewrite_typed_params
+    from flapi_spark.validation import RequestField, Validator
+
+    fields = [RequestField(field_name="d", validators=[Validator(type="date")])]
+    tpl = "SELECT * FROM t WHERE dt >= '{{params.d}}'"
+    out, bound = rewrite_typed_params(tpl, fields)
+    assert out == "SELECT * FROM t WHERE dt >= :d"
+    assert bound == ["d"]
+    # triple-brace quoted form too
+    out2, _ = rewrite_typed_params(
+        "SELECT * FROM t WHERE dt >= '{{{ params.d }}}'", fields
+    )
+    assert out2 == "SELECT * FROM t WHERE dt >= :d"
+    # unquoted form unchanged behavior
+    out3, _ = rewrite_typed_params("WHERE dt >= {{params.d}}", fields)
+    assert out3 == "WHERE dt >= :d"
+    # end-to-end through spark.sql named args: value comparison works
+    df = spark.sql(
+        "SELECT CASE WHEN DATE '2024-06-01' >= :d THEN 1 ELSE 0 END AS ok",
+        args={"d": "2024-01-01"},
+    )
+    assert df.collect()[0].ok == 1

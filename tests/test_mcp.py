@@ -170,3 +170,80 @@ def test_openapi_doc(spark, registry):
     assert props["key"]["type"] == "integer"
     assert props["name"]["type"] == "string"
     assert "400" in get["responses"]
+
+
+@pytest.fixture(scope="module")
+def _open_endpoint():
+    return EndpointConfig(
+        url_path="/open/",
+        description="endpoint with no allowed-roles block",
+        template_text=(
+            "SELECT c_custkey AS key FROM parquet.`{{{conn.path}}}`"
+        ),
+        connections=["customers-parquet"],
+        with_pagination=False,
+    )
+
+
+def test_auth_disabled_unrestricted_tool_is_open(spark, _open_endpoint):
+    reg = ConnectionRegistry()
+    reg.add(Connection(name="customers-parquet",
+                       properties={"path": os.path.join(SF, "customer.parquet")}))
+    mcp = McpToolRegistry(QueryExecutor(spark, reg))  # auth off (default)
+    mcp.register("open_tool", _open_endpoint)
+    out = mcp.call_tool("open_tool", {})
+    assert out["row_count"] > 0
+
+
+def test_auth_enabled_is_fail_closed(spark, _open_endpoint):
+    """reference: mcp_authorization_policy.cpp — with MCP auth enabled,
+    a tool without allowed-roles is denied (configuration error), and
+    unlisted; resources get the same treatment."""
+    from flapi_spark.mcp import McpRegistry
+
+    reg = ConnectionRegistry()
+    reg.add(Connection(name="customers-parquet",
+                       properties={"path": os.path.join(SF, "customer.parquet")}))
+    mcp = McpRegistry(QueryExecutor(spark, reg), auth_enabled=True)
+    mcp.register("open_tool", _open_endpoint)
+    mcp.register("admin_tool", _open_endpoint, allowed_roles=["admin"])
+    mcp.register_resource("open_res", _open_endpoint)
+    mcp.register_resource("admin_res", _open_endpoint, allowed_roles=["admin"])
+
+    # unconfigured tool: denied for everyone, hidden from listings
+    with pytest.raises(AuthorizationError):
+        mcp.call_tool("open_tool", {}, roles=["admin"])
+    assert "open_tool" not in {t["name"] for t in mcp.list_tools(roles=["admin"])}
+    # configured tool: role-gated
+    assert mcp.call_tool("admin_tool", {}, roles=["admin"])["row_count"] > 0
+    with pytest.raises(AuthorizationError):
+        mcp.call_tool("admin_tool", {}, roles=["read"])
+    # resources are role-checked too (previously unchecked entirely)
+    with pytest.raises(AuthorizationError):
+        mcp.read_resource("open_res", roles=["admin"])
+    assert mcp.read_resource("admin_res", roles=["admin"])["content"]
+    with pytest.raises(AuthorizationError):
+        mcp.read_resource("admin_res", roles=["read"])
+
+
+def test_call_tool_default_row_cap(spark, _open_endpoint):
+    """An unshaped tool result is bounded by DEFAULT_MAX_ROWS before
+    any driver-side collect; max_rows=UNLIMITED is the explicit
+    opt-out."""
+    from flapi_spark import mcp as M
+
+    reg = ConnectionRegistry()
+    reg.add(Connection(name="customers-parquet",
+                       properties={"path": os.path.join(SF, "customer.parquet")}))
+    ex = QueryExecutor(spark, reg)
+    mcp = M.McpToolRegistry(ex)
+    mcp.register("capped", _open_endpoint)
+    mcp.register("uncapped", _open_endpoint, max_rows=M.UNLIMITED)
+    total = mcp.call_tool("uncapped", {})["row_count"]
+    old = M.DEFAULT_MAX_ROWS
+    M.DEFAULT_MAX_ROWS = 7
+    try:
+        assert mcp.call_tool("capped", {})["row_count"] == 7
+    finally:
+        M.DEFAULT_MAX_ROWS = old
+    assert total > 7  # opt-out really returns everything

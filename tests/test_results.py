@@ -63,3 +63,27 @@ def test_negotiate(small_df, accept, expected_ct):
     assert ct == expected_ct
     if ct == RZ.JSON:
         assert len(json.loads(body)) == 20
+
+
+def test_serializers_enforce_default_cap(spark):
+    """Every serializer plans a limit before collecting: an unshaped
+    DataFrame cannot materialize unbounded rows on the driver."""
+    from flapi_spark import results as R
+
+    df = spark.range(50).withColumnRenamed("id", "v")
+    old = R.DEFAULT_MAX_ROWS
+    R.DEFAULT_MAX_ROWS = 10
+    try:
+        assert len(R.to_json_rows(df)) == 10
+        csv_lines = R.to_csv_bytes(df).decode().strip().splitlines()
+        assert len(csv_lines) == 11  # header + 10
+        tbl = R.from_arrow_ipc(R.to_arrow_ipc(df))
+        assert tbl.num_rows == 10
+        body, _ = R.negotiate(df, "application/json")
+        import json as _json
+
+        assert len(_json.loads(body)) == 10
+        # explicit opt-out returns everything
+        assert len(R.to_json_rows(df, max_rows=R.UNLIMITED)) == 50
+    finally:
+        R.DEFAULT_MAX_ROWS = old

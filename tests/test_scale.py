@@ -60,3 +60,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    import pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            scale.salted_join(big, small, "k", how=how)
+    # left join still works and matches the plain join
+    got = sorted(
+        r.k for r in scale.salted_join(big, small, "k", how="left").collect()
+    )
+    assert got == list(range(10))

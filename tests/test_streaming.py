@@ -115,3 +115,67 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_stream_d
         for r in range_join_error_purchase(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_sessionize_cross_batch_session(spark, tmp_path):
+    """A session spanning micro-batches must keep its true start and
+    cumulative count: the last emission per (user, session_id) carries
+    corrected totals (state holds session_start + running count)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    t0 = 1_700_000_000_000_000_000  # ns
+    minute = 60 * 1_000_000_000
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: two events 10 min apart (one open session)
+    write("a.parquet", [(1, t0, 7), (2, t0 + 10 * minute, 7)], now - 60)
+    # batch 2: continues the session (+20 min), then a 3-hour gap opens
+    # a second session
+    write(
+        "b.parquet",
+        [(3, t0 + 20 * minute, 7), (4, t0 + 200 * minute, 7)],
+        now,
+    )
+
+    name = _qname()
+    events = ST.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    ST.run_stream_to_memory(
+        ST.sessionize_stream(events), name, output_mode="append"
+    )
+    rows = spark.table(name).collect()
+    # last-write-wins per (user, session_id)
+    final = {}
+    for r in sorted(rows, key=lambda r: r.n_events):
+        final[(r.user_id, r.session_id)] = (
+            r.n_events, r.session_start, r.session_end,
+        )
+    assert set(final) == {(7, 1), (7, 2)}
+    n1, start1, end1 = final[(7, 1)]
+    assert n1 == 3  # cumulative across both batches, not batch-local
+    assert start1 == pd.Timestamp(t0 // 1000, unit="us")  # true start
+    assert end1 == pd.Timestamp((t0 + 20 * minute) // 1000, unit="us")
+    n2, start2, end2 = final[(7, 2)]
+    assert n2 == 1
+    assert start2 == end2 == pd.Timestamp((t0 + 200 * minute) // 1000, unit="us")

@@ -68,3 +68,21 @@ def test_reference_customers_template_shape():
 
 def test_sql_escape():
     assert sql_escape("O'Brien") == "O''Brien"
+
+
+def test_sql_escape_backslash():
+    # Spark's default parser treats backslash as an escape inside
+    # string literals: a payload ending in \' must not escape the
+    # doubled quote. Escaped output must keep attacker text inside the
+    # literal.
+    assert sql_escape("\\") == "\\\\"
+    assert sql_escape("\\' OR 1=1 --") == "\\\\'' OR 1=1 --"
+    assert sql_escape("O'Brien") == "O''Brien"
+
+
+def test_backslash_payload_stays_inside_literal(spark):
+    # end-to-end: under default escapedStringLiterals=false the
+    # rendered literal must round-trip the payload as data
+    payload = "x\\' OR '1'='1"
+    sql = f"SELECT '{sql_escape(payload)}' AS v"
+    assert spark.sql(sql).collect()[0].v == payload
