@@ -414,7 +414,7 @@ def dedup_embedding_cosine(
 
 def dedup_embedding_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
-    n_bands: int = 3,
+    n_bands: int = 3, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded random-hyperplane LSH — the
     scale path for dedup_embedding_cosine. The 12-bit sign signature is
@@ -437,7 +437,16 @@ def dedup_embedding_lsh(
     quadratically; real near-dup corpora cluster, making bucket
     co-membership sparse. For uniform-like data at scale, raise
     selectivity with more/narrower bands (recall trades down) or use
-    more planes."""
+    more planes.
+
+    `max_bucket_size` is the candidate-volume GUARD for such corpora:
+    bands whose bucket exceeds it are dropped before the self-join, so
+    verify work is bounded by n_buckets * cap² instead of O(n²) —
+    overfull buckets on adversarial data carry almost no signal per
+    pair. The trade: a genuine near-dup cluster larger than the cap
+    loses its intra-cluster pairs from THIS band (another band may
+    still catch them); size the cap above the expected max cluster.
+    Default None preserves exhaustive banded behavior."""
     from flapi_spark.operators.similarity import N_PLANES, lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -458,6 +467,17 @@ def dedup_embedding_lsh(
             ])
         ).alias("b"),
     ).select("vec_id", "b.band_id", "b.bits")
+    if max_bucket_size is not None:
+        # window count shares the (band_id, bits) partitioning with the
+        # candidate self-join below — one logical shuffle, reused
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "bits")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     ca = bands.select(F.col("vec_id").alias("vec_a"), "band_id", "bits")
     cb = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "bits")
     cands = (

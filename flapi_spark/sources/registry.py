@@ -50,14 +50,25 @@ class Connection:
 
     def read(self, spark: SparkSession) -> DataFrame:
         fmt = self.format.lower()
-        if fmt == "parquet":
-            return spark.read.parquet(self.properties["path"])
-        if fmt == "csv":
-            opts = {"header": "true", "inferSchema": "true"}
-            opts.update({k: str(v) for k, v in self.properties.get("options", {}).items()})
-            return spark.read.options(**opts).csv(self.properties["path"])
-        if fmt == "json":
-            return spark.read.json(self.properties["path"])
+        if fmt in ("parquet", "csv", "json"):
+            # object-store paths (s3://, gs://, abfss://) get their
+            # credentials wired into the Hadoop conf per bucket and the
+            # scheme normalized (s3 -> s3a) before the read — reference:
+            # credential_manager.cpp / examples/flapi-s3.yaml
+            from flapi_spark.sources.objectstore import configure_connection_path
+
+            path = configure_connection_path(
+                spark, self.properties["path"], self.properties
+            )
+            if fmt == "parquet":
+                return spark.read.parquet(path)
+            if fmt == "csv":
+                opts = {"header": "true", "inferSchema": "true"}
+                opts.update(
+                    {k: str(v) for k, v in self.properties.get("options", {}).items()}
+                )
+                return spark.read.options(**opts).csv(path)
+            return spark.read.json(path)
         if fmt == "jdbc":
             # Real code path; requires a JDBC driver jar on the Spark
             # classpath (not present in this container).

@@ -23,8 +23,21 @@ from flapi_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
-       "ann_bruteforce_topk", "dedup_simhash"]
+       "ann_bruteforce_topk", "dedup_simhash",
+       "dedup_embedding_lsh_capped"]
 FACTORS = [1, 2, 4, 8]
+
+
+def _embedding_lsh_capped(spark, sf_dir):
+    """Embedding LSH with the candidate-volume guard engaged: on the
+    isotropic (adversarial) corpus the uncapped operator's verify join
+    grows quadratically; the bucket cap bounds it."""
+    from flapi_spark.operators.dedup import dedup_embedding_lsh
+
+    return dedup_embedding_lsh(spark, sf_dir, max_bucket_size=256)
+
+
+EXTRA_OPS = {"dedup_embedding_lsh_capped": _embedding_lsh_capped}
 
 
 def replicate(spark, table: str, factor: int, id_col: str, out_root: str) -> None:
@@ -56,7 +69,7 @@ def main() -> None:
         dirs[f] = d
 
     for op in ops:
-        fn, _ = QUERIES[op]
+        fn = EXTRA_OPS[op] if op in EXTRA_OPS else QUERIES[op][0]
         fn(spark, dirs[1]).count()  # warm compile
         times = []
         for f in FACTORS:

@@ -133,3 +133,28 @@ def test_embedding_lsh_is_subset_with_decent_recall(spark, sf_dir):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.3, f"recall {recall}"
+
+
+def test_embedding_lsh_bucket_cap_bounds_candidates(spark, sf_dir):
+    """The max_bucket_size guard: capped output is a subset of the
+    uncapped one (precision stays 1.0), and a tiny cap prunes overfull
+    buckets so candidate volume shrinks on the isotropic corpus."""
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in D.dedup_embedding_lsh(spark, sf_dir, threshold=0.4).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b)
+        for r in D.dedup_embedding_lsh(
+            spark, sf_dir, threshold=0.4, max_bucket_size=8
+        ).collect()
+    }
+    assert capped <= full
+    # a permissive cap (bigger than any bucket) changes nothing
+    loose = {
+        (r.vec_a, r.vec_b)
+        for r in D.dedup_embedding_lsh(
+            spark, sf_dir, threshold=0.4, max_bucket_size=10**6
+        ).collect()
+    }
+    assert loose == full
