@@ -74,19 +74,41 @@ class SnapshotInfo:
 
 
 class CacheManager:
-    def __init__(self, spark: SparkSession, root: str | Path):
+    """`root` holds the catalog metadata (manifests, audit log);
+    `data_root` holds the parquet snapshot data — separable exactly
+    like DuckLake's ATTACH metadata_path vs DATA_PATH (reference:
+    database_manager.cpp:145-163). They default to the same location.
+
+    `inline_row_limit` is the DATA_INLINING_ROW_LIMIT analogue: a
+    snapshot at or under the limit is stored as JSON rows inside the
+    manifest itself — no parquet files, no file-listing on read — the
+    right call for small dimension caches."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        data_root: str | Path | None = None,
+        inline_row_limit: int | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.data_root = Path(data_root) if data_root is not None else self.root
+        self.data_root.mkdir(parents=True, exist_ok=True)
+        self.inline_row_limit = inline_row_limit
         self._clock = 0  # monotonic snapshot counter tiebreaker
 
     # --- paths & manifest -------------------------------------------------
 
     def _table_dir(self, cfg: CacheConfig) -> Path:
+        return self.data_root / cfg.schema / cfg.table
+
+    def _meta_dir(self, cfg: CacheConfig) -> Path:
         return self.root / cfg.schema / cfg.table
 
     def _manifest_path(self, cfg: CacheConfig) -> Path:
-        return self._table_dir(cfg) / "_manifest.json"
+        return self._meta_dir(cfg) / "_manifest.json"
 
     def _load_manifest(self, cfg: CacheConfig) -> list[dict]:
         p = self._manifest_path(cfg)
@@ -117,31 +139,58 @@ class CacheManager:
 
     # --- snapshot IO --------------------------------------------------------
 
+    def _df_from_inline(self, snap: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema_json"]))
+        rdd = self.spark.sparkContext.parallelize(snap["inline_rows"] or [""])
+        if not snap["inline_rows"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).json(rdd)
+
     def _commit_snapshot(
         self, cfg: CacheConfig, df: DataFrame, mode: str
     ) -> SnapshotInfo:
         self._clock += 1
         snap_id = f"{int(time.time() * 1000)}_{self._clock}"
-        out_dir = self._table_dir(cfg) / f"snapshot={snap_id}"
-        df.write.mode("overwrite").parquet(str(out_dir))
 
-        committed = self.spark.read.parquet(str(out_dir))
-        row_count = committed.count()
+        inline_rows = None
+        if self.inline_row_limit is not None:
+            # DuckLake-style data inlining: probe one row past the
+            # limit; small results live in the manifest, large ones go
+            # to parquet (single pass for small inputs, bounded probe
+            # for large ones)
+            probe = df.toJSON().take(self.inline_row_limit + 1)
+            if len(probe) <= self.inline_row_limit:
+                inline_rows = probe
+
+        if inline_rows is not None:
+            committed = self._df_from_inline(
+                {"inline_rows": inline_rows, "schema_json": df.schema.json()}
+            )
+            row_count = len(inline_rows)
+        else:
+            out_dir = self._table_dir(cfg) / f"snapshot={snap_id}"
+            df.write.mode("overwrite").parquet(str(out_dir))
+            committed = self.spark.read.parquet(str(out_dir))
+            row_count = committed.count()
         watermark = None
         if cfg.cursor_column:
             wm = committed.agg(F.max(cfg.cursor_column).alias("wm")).collect()[0]["wm"]
             watermark = str(wm) if wm is not None else None
 
         snaps = self._load_manifest(cfg)
-        snaps.append(
-            {
-                "id": snap_id,
-                "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
-                "mode": mode,
-                "row_count": row_count,
-                "cursor_watermark": watermark,
-            }
-        )
+        entry = {
+            "id": snap_id,
+            "committed_at": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+            "mode": mode,
+            "row_count": row_count,
+            "cursor_watermark": watermark,
+        }
+        if inline_rows is not None:
+            entry["inline_rows"] = inline_rows
+            entry["schema_json"] = df.schema.json()
+        snaps.append(entry)
         self._write_manifest(cfg, snaps)
         self._audit(cfg, mode, "success", f"rows={row_count}", snap_id)
         return self.snapshot_info(cfg)
@@ -153,6 +202,8 @@ class CacheManager:
         snap = snaps[-1] if snapshot_id is None else next(
             s for s in snaps if s["id"] == snapshot_id
         )
+        if "inline_rows" in snap:
+            return self._df_from_inline(snap)
         return self.spark.read.parquet(
             str(self._table_dir(cfg) / f"snapshot={snap['id']}")
         )

@@ -36,6 +36,9 @@ class QueryResult:
     offset: int | None = None
     limit: int | None = None
     shaped: dict = field(default_factory=dict)
+    # the reference's X-RateLimit-* triple when the endpoint has a
+    # rate-limit block (flapi_spark/ratelimit.py), else None
+    rate_status: "RateLimitStatus | None" = None
 
 
 def paginate_sql(inner_sql: str, order_by: str | None, limit: int, offset: int) -> str:
@@ -93,11 +96,15 @@ class QueryExecutor:
         registry: ConnectionRegistry | None = None,
         env: dict | None = None,
         audit: "AuditLogger | None" = None,
+        rate_limiter: "FixedWindowLimiter | None" = None,
     ):
+        from flapi_spark.ratelimit import FixedWindowLimiter
+
         self.spark = spark
         self.registry = registry or ConnectionRegistry()
         self.env = env
         self.audit = audit
+        self.rate_limiter = rate_limiter or FixedWindowLimiter()
 
     def render(
         self,
@@ -126,9 +133,19 @@ class QueryExecutor:
         params: dict[str, Any] | None = None,
         order_by: str | None = None,
         user: str | None = None,
+        client_ip: str | None = None,
+        auth_header: str | None = None,
     ) -> QueryResult:
+        from flapi_spark.ratelimit import check_endpoint
+
+        rate_status = check_endpoint(
+            self.rate_limiter, endpoint.rate_limit, endpoint.url_path,
+            client_ip=client_ip, auth_header=auth_header,
+        )
         if self.audit is None:
-            return self._execute(endpoint, params, order_by)
+            result = self._execute(endpoint, params, order_by)
+            result.rate_status = rate_status
+            return result
         import time as _time
 
         t0 = _time.perf_counter()
@@ -151,6 +168,7 @@ class QueryExecutor:
             rows=result.total_count,
             duration_ms=(_time.perf_counter() - t0) * 1000,
         )
+        result.rate_status = rate_status
         return result
 
     def _execute(

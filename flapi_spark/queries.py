@@ -722,6 +722,12 @@ def _mm_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_decoded_features(spark, sf_dir)
 
 
+def _mm_real_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_real_decoded
+
+    return mm_real_decoded(spark, sf_dir)
+
+
 def _lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
@@ -866,6 +872,8 @@ QUERIES.update(
             " FROM documents",
         ),
         "mm_decoded_features": (_mm_decoded_features, None),  # rows-only: stub decode
+        # real PNG/WAV parse over genuine synthesized payloads
+        "mm_real_decoded": (_mm_real_decoded, None),  # rows-only: binary synthesis
         # -- non-parquet source formats / provenance
         "src_multifile_provenance": (
             src_multifile_provenance,
@@ -905,6 +913,7 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "dedup_simhash", "dedup_embedding_cosine", "ann_bruteforce_topk",
     "ann_lsh_topk", "ann_ivf_topk", "mm_binary_meta", "mm_decoded_features",
+    "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
     # errored in round 1 (TIMESTAMP(NANOS) under a vanilla session)
     "ntile_value_bands", "events_sessionize", "events_tumbling_agg",
