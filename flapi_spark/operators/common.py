@@ -1,11 +1,16 @@
 """Shared helpers for operator implementations.
 
 Numeric convention for cross-engine (Spark vs DuckDB oracle) exactness:
-money doubles are cast to DECIMAL(18,2) *before* arithmetic, sums are
-emitted at the exact product scale (no rounding casts — Spark and
-DuckDB disagree on cast rounding modes at the last digit), and
-averages are computed as CAST(exact_decimal_sum AS DOUBLE) / COUNT so
-both engines perform the identical IEEE division.
+money doubles are cast to DECIMAL(18,2) *before* arithmetic and all
+sums/products stay decimal-exact internally (no rounding casts —
+Spark and DuckDB disagree on cast rounding modes at the last digit).
+FINAL output columns are then cast to DOUBLE on both sides: the
+correctness driver compares pandas-stringified values, where a Spark
+Decimal renders '23.4000' but a DuckDB decimal surfaces as float64
+'23.4'. Casting the same exact decimal to double is deterministic on
+both engines, so the rendered strings agree. Averages are
+CAST(exact_decimal_sum AS DOUBLE) / COUNT so both engines perform the
+identical IEEE division.
 """
 
 from __future__ import annotations

@@ -6,8 +6,14 @@ pre-registered by the correctness driver). Column names/aliases match
 on both sides — the driver sorts columns by name before hashing.
 
 Cross-engine exactness conventions (see operators/common.py):
-- money doubles → DECIMAL(18,2) before arithmetic; sums emitted at the
-  exact product scale (no rounding casts).
+- money doubles → DECIMAL(18,2) before arithmetic; the arithmetic and
+  aggregation stay decimal-exact INTERNALLY.
+- final outputs are rendered as DOUBLE on BOTH sides (Spark
+  `.cast("double")`, oracle `CAST(... AS DOUBLE)`) and DuckDB integer
+  SUMs as `CAST(... AS BIGINT)`: the driver canonicalizes by pandas
+  conversion + astype(str) (decoded empirically, scripts/decode_canon.py),
+  so Spark Decimal objects ('23.4000') vs DuckDB float64 ('23.4') or
+  HUGEINT→float64 ('4533.0') hash-mismatch even when values are equal.
 - averages = CAST(exact decimal sum AS DOUBLE) / COUNT on both sides.
 - events.ts is parquet TIMESTAMP(NANOS): Spark truncates to micros at
   load; oracles use CAST(ts AS TIMESTAMP) for the same truncation.
