@@ -1,0 +1,255 @@
+"""Config service: token-gated CRUD + hot-reload over endpoint configs.
+
+Parity with the reference's config service semantics (reference:
+src/config_service.cpp routes /api/v1/_config/*, src/path_utils.cpp
+slug algorithm, test/cpp/config_service_*.cpp): list/create/get/
+update/delete endpoint configurations addressed by SLUG, validate a
+config without applying it, reload one endpoint from disk, project
+config get/update, and environment-variable listing. HTTP transport is
+out of scope (SURVEY §1) — the operations and their authorization
+gate are the library surface.
+
+Hot-reload goes beyond the reference's explicit reload route:
+``reload_if_changed`` rescans the config directory and picks up
+edited / added / deleted YAMLs by mtime — the "config hot-reload"
+capability a long-running Spark service needs, since unlike the
+reference binary it cannot cheaply restart to re-read configs.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import yaml
+
+from flapi_spark.auth import AuthError
+from flapi_spark.config import EndpointConfig, load_endpoint_yaml
+from flapi_spark.config_validator import ValidationResult, validate_endpoint
+
+EMPTY_SLUG = "empty"
+
+
+def path_to_slug(path: str) -> str:
+    """URL path → filesystem/route-safe slug (reference:
+    path_utils.cpp:pathToSlug — '/customers/' → 'customers-slash')."""
+    if not path:
+        return EMPTY_SLUG
+    slug = path[1:] if path.startswith("/") else path
+    trailing = slug.endswith("/")
+    if trailing:
+        slug = slug[:-1]
+    slug = slug.replace("/", "-")
+    slug = re.sub(r"[^a-zA-Z0-9\-_]", "-", slug)
+    slug = re.sub(r"-+", "-", slug).strip("-")
+    if trailing:
+        slug += "-slash"
+    return slug or EMPTY_SLUG
+
+
+def slug_to_path(slug: str) -> str:
+    """Slug → URL path (reference: path_utils.cpp:slugToPath)."""
+    if slug == EMPTY_SLUG:
+        return ""
+    path = slug
+    trailing = path.endswith("-slash")
+    if trailing:
+        path = path[: -len("-slash")]
+    path = path.replace("-", "/")
+    if path:
+        path = "/" + path
+    if trailing:
+        path += "/"
+    return path
+
+
+class ConfigServiceError(RuntimeError):
+    pass
+
+
+class EndpointNotFound(ConfigServiceError):
+    pass
+
+
+class ConfigService:
+    """CRUD + reload over a directory of endpoint YAMLs.
+
+    `token`: when set, every operation requires it (the reference's
+    validateToken gate — 401 on mismatch, fail-closed)."""
+
+    def __init__(
+        self,
+        config_dir: str | Path,
+        env: dict | None = None,
+        token: str | None = None,
+    ):
+        self.config_dir = Path(config_dir)
+        self.config_dir.mkdir(parents=True, exist_ok=True)
+        self.env = env
+        self.token = token
+        # url_path -> (EndpointConfig, source file, mtime at load)
+        self._endpoints: dict[str, tuple[EndpointConfig, Path, float]] = {}
+        self._scan()
+
+    # --- auth gate ----------------------------------------------------------
+
+    def _check(self, token: str | None) -> None:
+        if self.token is not None and token != self.token:
+            raise AuthError("config service: invalid or missing token")
+
+    # --- disk scan ----------------------------------------------------------
+
+    def _is_endpoint_doc(self, doc) -> bool:
+        return isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc)
+
+    def _scan(self) -> None:
+        self._endpoints.clear()
+        for p in sorted(self.config_dir.rglob("*.yaml")):
+            try:
+                doc = yaml.safe_load(p.read_text()) or {}
+            except Exception:
+                continue
+            if self._is_endpoint_doc(doc):
+                ep = load_endpoint_yaml(p, env=self.env)
+                self._endpoints[ep.url_path] = (ep, p, p.stat().st_mtime)
+
+    # --- lookup -------------------------------------------------------------
+
+    def _by_slug(self, slug: str) -> tuple[EndpointConfig, Path, float]:
+        for url_path, entry in self._endpoints.items():
+            if path_to_slug(url_path) == slug:
+                return entry
+        raise EndpointNotFound(f"no endpoint with slug {slug!r}")
+
+    def list_endpoints(self, token: str | None = None) -> list[dict]:
+        self._check(token)
+        return [
+            {
+                "slug": path_to_slug(url_path),
+                "url-path": url_path,
+                "description": ep.description,
+                "source": str(src),
+            }
+            for url_path, (ep, src, _) in sorted(self._endpoints.items())
+        ]
+
+    def get_endpoint(self, slug: str, token: str | None = None) -> EndpointConfig:
+        self._check(token)
+        return self._by_slug(slug)[0]
+
+    # --- mutation -----------------------------------------------------------
+
+    def validate(self, doc: dict, token: str | None = None) -> ValidationResult:
+        """Validate a config document without applying it (the
+        reference's /validate route)."""
+        self._check(token)
+        return validate_endpoint(EndpointConfig.from_dict(doc))
+
+    def create_endpoint(self, doc: dict, token: str | None = None) -> str:
+        self._check(token)
+        ep = EndpointConfig.from_dict(doc)
+        res = validate_endpoint(ep)
+        if not res.valid:
+            raise ConfigServiceError(f"invalid endpoint config: {res.errors}")
+        if ep.url_path in self._endpoints:
+            raise ConfigServiceError(f"endpoint {ep.url_path!r} already exists")
+        slug = path_to_slug(ep.url_path)
+        out = self.config_dir / f"{slug}.yaml"
+        out.write_text(yaml.safe_dump(doc, sort_keys=False))
+        ep = load_endpoint_yaml(out, env=self.env)
+        self._endpoints[ep.url_path] = (ep, out, out.stat().st_mtime)
+        return slug
+
+    def update_endpoint(self, slug: str, doc: dict, token: str | None = None) -> None:
+        self._check(token)
+        _, src, _ = self._by_slug(slug)
+        ep = EndpointConfig.from_dict(doc)
+        res = validate_endpoint(ep)
+        if not res.valid:
+            raise ConfigServiceError(f"invalid endpoint config: {res.errors}")
+        old_path = next(
+            up for up, (e, s, m) in self._endpoints.items() if s == src
+        )
+        src.write_text(yaml.safe_dump(doc, sort_keys=False))
+        del self._endpoints[old_path]
+        ep = load_endpoint_yaml(src, env=self.env)
+        self._endpoints[ep.url_path] = (ep, src, src.stat().st_mtime)
+
+    def delete_endpoint(self, slug: str, token: str | None = None) -> None:
+        self._check(token)
+        _, src, _ = self._by_slug(slug)
+        url_path = next(
+            up for up, (e, s, m) in self._endpoints.items() if s == src
+        )
+        src.unlink(missing_ok=True)
+        del self._endpoints[url_path]
+
+    # --- reload -------------------------------------------------------------
+
+    def reload_endpoint(self, slug: str, token: str | None = None) -> EndpointConfig:
+        """Re-read one endpoint's YAML from disk (the reference's
+        /reload route)."""
+        self._check(token)
+        _, src, _ = self._by_slug(slug)
+        url_path = next(
+            up for up, (e, s, m) in self._endpoints.items() if s == src
+        )
+        ep = load_endpoint_yaml(src, env=self.env)
+        del self._endpoints[url_path]
+        self._endpoints[ep.url_path] = (ep, src, src.stat().st_mtime)
+        return ep
+
+    def reload_if_changed(self, token: str | None = None) -> list[str]:
+        """Hot-reload: rescan the directory; reload endpoints whose file
+        mtime moved, pick up new files, drop deleted ones. Returns the
+        affected url-paths."""
+        self._check(token)
+        changed: list[str] = []
+        seen_files: dict[Path, float] = {}
+        for p in sorted(self.config_dir.rglob("*.yaml")):
+            try:
+                doc = yaml.safe_load(p.read_text()) or {}
+            except Exception:
+                continue
+            if self._is_endpoint_doc(doc):
+                seen_files[p] = p.stat().st_mtime
+        known = {src: (up, mtime) for up, (ep, src, mtime) in self._endpoints.items()}
+        for p, mtime in seen_files.items():
+            if p not in known:
+                ep = load_endpoint_yaml(p, env=self.env)
+                self._endpoints[ep.url_path] = (ep, p, mtime)
+                changed.append(ep.url_path)
+            elif mtime > known[p][1]:
+                old_path = known[p][0]
+                ep = load_endpoint_yaml(p, env=self.env)
+                del self._endpoints[old_path]
+                self._endpoints[ep.url_path] = (ep, p, mtime)
+                changed.append(ep.url_path)
+        for p, (old_path, _) in known.items():
+            if p not in seen_files:
+                del self._endpoints[old_path]
+                changed.append(old_path)
+        return changed
+
+    # --- project config + environment ---------------------------------------
+
+    def project_config(self, token: str | None = None) -> dict:
+        self._check(token)
+        p = self.config_dir / "flapi.yaml"
+        if not p.exists():
+            return {}
+        return yaml.safe_load(p.read_text()) or {}
+
+    def update_project_config(self, doc: dict, token: str | None = None) -> None:
+        self._check(token)
+        (self.config_dir / "flapi.yaml").write_text(
+            yaml.safe_dump(doc, sort_keys=False)
+        )
+
+    def environment_variables(self, token: str | None = None) -> dict[str, str]:
+        """The env the template engine resolves {{env.*}} against
+        (reference: /environment-variables route)."""
+        self._check(token)
+        import os
+
+        return dict(self.env if self.env is not None else os.environ)

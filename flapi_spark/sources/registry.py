@@ -94,6 +94,20 @@ class Connection:
                 raise SourceUnavailableError(
                     f"iceberg connection '{self.name}' unavailable: {exc}"
                 ) from exc
+        from flapi_spark.sources.presets import has_preset, reader_spec
+
+        if has_preset(fmt):
+            # postgres / mysql / bigquery: friendly properties translate
+            # to a reader spec (flapi_spark/sources/presets.py); the
+            # live read needs the connector on the classpath, same
+            # availability gate as generic jdbc
+            spark_fmt, opts = reader_spec(fmt, self.properties)
+            try:
+                return spark.read.format(spark_fmt).options(**opts).load()
+            except Exception as exc:  # pragma: no cover - env dependent
+                raise SourceUnavailableError(
+                    f"{fmt} connection '{self.name}' unavailable: {exc}"
+                ) from exc
         raise ValueError(f"unknown connection format: {self.format}")
 
     def register_view(self, spark: SparkSession, view_name: str | None = None) -> str:

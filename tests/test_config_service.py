@@ -1,0 +1,131 @@
+"""Config service CRUD/reload semantics (reference: config_service.cpp,
+path_utils.cpp slugs, test/cpp/config_service_*.cpp)."""
+import time
+
+import pytest
+import yaml
+
+from flapi_spark.auth import AuthError
+from flapi_spark.config_service import (
+    ConfigService, ConfigServiceError, EndpointNotFound, path_to_slug,
+    slug_to_path,
+)
+
+
+def _doc(url_path="/customers/", **over):
+    base = {
+        "url-path": url_path,
+        "template-text": "SELECT 1 AS one",
+        "connection": ["c1"],
+        "description": "d",
+    }
+    base.update(over)
+    return base
+
+
+def test_slug_round_trip_matches_reference():
+    # reference path_utils test vectors
+    assert path_to_slug("/customers/") == "customers-slash"
+    assert path_to_slug("/publicis") == "publicis"
+    assert path_to_slug("/sap/functions") == "sap-functions"
+    assert path_to_slug("") == "empty"
+    assert slug_to_path("customers-slash") == "/customers/"
+    assert slug_to_path("publicis") == "/publicis"
+    assert slug_to_path("sap-functions") == "/sap/functions"
+    assert slug_to_path("empty") == ""
+    for p in ("/a/b/c", "/x/", "/top"):
+        assert slug_to_path(path_to_slug(p)) == p
+
+
+def test_crud_lifecycle(tmp_path):
+    svc = ConfigService(tmp_path)
+    slug = svc.create_endpoint(_doc())
+    assert slug == "customers-slash"
+    assert (tmp_path / "customers-slash.yaml").exists()
+    assert [e["slug"] for e in svc.list_endpoints()] == ["customers-slash"]
+    ep = svc.get_endpoint(slug)
+    assert ep.url_path == "/customers/" and ep.description == "d"
+    # update
+    svc.update_endpoint(slug, _doc(description="new desc"))
+    assert svc.get_endpoint(slug).description == "new desc"
+    # duplicate create rejected
+    with pytest.raises(ConfigServiceError):
+        svc.create_endpoint(_doc())
+    # delete
+    svc.delete_endpoint(slug)
+    assert svc.list_endpoints() == []
+    assert not (tmp_path / "customers-slash.yaml").exists()
+    with pytest.raises(EndpointNotFound):
+        svc.get_endpoint(slug)
+
+
+def test_invalid_config_rejected(tmp_path):
+    svc = ConfigService(tmp_path)
+    bad = _doc(url_path="no-leading-slash")
+    assert not svc.validate(bad).valid
+    with pytest.raises(ConfigServiceError):
+        svc.create_endpoint(bad)
+
+
+def test_token_gate_fail_closed(tmp_path):
+    svc = ConfigService(tmp_path, token="s3cret")
+    for call in (
+        lambda: svc.list_endpoints(),
+        lambda: svc.create_endpoint(_doc()),
+        lambda: svc.list_endpoints(token="wrong"),
+        lambda: svc.environment_variables(),
+    ):
+        with pytest.raises(AuthError):
+            call()
+    assert svc.list_endpoints(token="s3cret") == []
+    svc.create_endpoint(_doc(), token="s3cret")
+    assert len(svc.list_endpoints(token="s3cret")) == 1
+
+
+def test_hot_reload_picks_up_edit_add_delete(tmp_path):
+    svc = ConfigService(tmp_path)
+    svc.create_endpoint(_doc())
+    assert svc.reload_if_changed() == []  # nothing moved
+
+    # out-of-band edit (another process / operator editing YAML)
+    f = tmp_path / "customers-slash.yaml"
+    doc = yaml.safe_load(f.read_text())
+    doc["description"] = "edited on disk"
+    f.write_text(yaml.safe_dump(doc))
+    import os
+    os.utime(f, (time.time() + 2, time.time() + 2))
+    assert svc.reload_if_changed() == ["/customers/"]
+    assert svc.get_endpoint("customers-slash").description == "edited on disk"
+
+    # out-of-band add
+    (tmp_path / "orders.yaml").write_text(yaml.safe_dump(_doc("/orders")))
+    assert svc.reload_if_changed() == ["/orders"]
+    assert {e["slug"] for e in svc.list_endpoints()} == {
+        "customers-slash", "orders"}
+
+    # out-of-band delete
+    f.unlink()
+    assert svc.reload_if_changed() == ["/customers/"]
+    assert [e["slug"] for e in svc.list_endpoints()] == ["orders"]
+
+
+def test_reload_single_endpoint(tmp_path):
+    svc = ConfigService(tmp_path)
+    svc.create_endpoint(_doc())
+    f = tmp_path / "customers-slash.yaml"
+    doc = yaml.safe_load(f.read_text())
+    doc["description"] = "reloaded"
+    f.write_text(yaml.safe_dump(doc))
+    ep = svc.reload_endpoint("customers-slash")
+    assert ep.description == "reloaded"
+
+
+def test_project_config_and_env(tmp_path):
+    svc = ConfigService(tmp_path, env={"K": "V"})
+    assert svc.project_config() == {}
+    svc.update_project_config({"project-name": "p", "version": "1.0"})
+    assert svc.project_config()["project-name"] == "p"
+    assert svc.environment_variables() == {"K": "V"}
+    # project file is not mistaken for an endpoint
+    assert svc.reload_if_changed() == []
+    assert svc.list_endpoints() == []
