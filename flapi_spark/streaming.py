@@ -103,12 +103,38 @@ def _sessionize_group(
     that batch with CUMULATIVE values; a session that spans batches is
     re-emitted with corrected totals, so consumers keep the last row
     per (user_id, session_id) — last-write-wins merge, the same
-    convention as the cache manager's upsert."""
+    convention as the cache manager's upsert.
+
+    With a processing-time timeout configured (sessionize_stream
+    use_timeout=True), an idle user's OPEN session is flushed once no
+    events arrive for the gap duration and its state is dropped —
+    otherwise the final session of a quiet key would sit in state
+    forever (state size stays bounded by ACTIVE keys, the requirement
+    at scale)."""
     (user_id,) = key
     if state.exists:
         last_ts_us, session_id, n_events, session_start_us = state.get
     else:
         last_ts_us, session_id, n_events, session_start_us = None, 0, 0, None
+
+    if getattr(state, "hasTimedOut", False):
+        # idle flush: emit the open session one final time, drop state
+        rows = []
+        if n_events and session_start_us is not None:
+            rows.append(
+                {
+                    "user_id": user_id,
+                    "session_id": session_id,
+                    "n_events": n_events,
+                    "session_start": pd.Timestamp(session_start_us, unit="us"),
+                    "session_end": pd.Timestamp(last_ts_us, unit="us"),
+                }
+            )
+        state.remove()
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+        )
+        return
 
     # cumulative (start, end, count) per session touched in this batch,
     # seeded with the open session carried in state
@@ -126,6 +152,12 @@ def _sessionize_group(
             touched[session_id] = [session_start_us, ts_us, n_events]
 
     state.update((last_ts_us, session_id, n_events, session_start_us))
+    try:
+        # arm the idle flush when a timeout mode is configured; a
+        # NoTimeout stream raises here and we keep legacy behavior
+        state.setTimeoutDuration(GAP_US // 1000)
+    except Exception:
+        pass
     rows = []
     for sid in sorted(touched):
         start_us, end_us, count = touched[sid]
@@ -141,8 +173,13 @@ def _sessionize_group(
     yield pd.DataFrame(rows, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields])
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """Per-user stateful sessionization over the stream."""
+def sessionize_stream(events: DataFrame, use_timeout: bool = False) -> DataFrame:
+    """Per-user stateful sessionization over the stream.
+
+    `use_timeout=True` arms a processing-time timeout of one gap: idle
+    users' open sessions flush and their state is dropped (bounded
+    state). Default off for deterministic availableNow tests — a
+    processing-time timeout is wall-clock-dependent."""
     return (
         events.select("user_id", "event_id", "ts")
         .groupBy("user_id")
@@ -151,7 +188,11 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
