@@ -494,3 +494,66 @@ def dedup_embedding_lsh(
         .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph, labeling every member with its component's minimum doc_id
+    (the canonical survivor). Pairwise dedup output (doc_a, doc_b) is
+    not directly actionable — keep/drop decisions need the transitive
+    closure: if A~B and B~C, all three are one group even when A~C
+    scored below threshold.
+
+    Algorithm: min-label propagation — every node starts as its own
+    label; each round every node takes the min of its own and its
+    neighbors' labels; converged when no label changes. Each round is
+    one shuffle (edges ⋈ labels, groupBy node); rounds needed = graph
+    diameter, and near-dup clusters are shallow (stars/cliques around
+    a template), so 2-4 rounds in practice. Lineage is truncated per
+    round with localCheckpoint — mandatory for iterative DataFrame
+    algorithms, else the plan doubles every round. For adversarially
+    deep graphs the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce") converges in
+    O(log n) rounds with the same per-round shape.
+
+    Output: (doc_id, component_id) for every doc in some dup pair;
+    singletons are not emitted (they need no dedup decision).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v").localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+    )

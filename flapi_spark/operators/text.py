@@ -208,3 +208,119 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFram
         .orderBy(F.desc("n_total"), F.asc("tok"))
         .limit(k)
     )
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1): per-document metrics plus the
+    boolean gate each implies, and the combined keep decision. At
+    100 TB this is the first pass of a training-data pipeline — a
+    narrow projection, one scan, no shuffle; thresholds adapted to the
+    short synthetic corpus (token window 20..100000 instead of
+    Gopher's 50..100000) so both outcomes occur in testdata.
+
+    Array lambdas here are per-token linear work (interpreted, not
+    codegen — acceptable: the alternative regex contortions obscure
+    the semantics for no measured win at this arity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    nt = norm_text()
+    mean_tok_len = (
+        F.length(F.regexp_replace(nt, " ", "")).cast("double") / n_tokens
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = alpha_words.cast("double") / n_tokens
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    tok_ok = (n_tokens >= 20) & (n_tokens <= 100000)
+    len_ok = (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0)
+    alpha_ok = alpha_ratio >= 0.8
+    stop_ok = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("n_stopword_hits"),
+        tok_ok.alias("pass_n_tokens"),
+        len_ok.alias("pass_token_len"),
+        alpha_ok.alias("pass_alpha_ratio"),
+        stop_ok.alias("pass_stopwords"),
+        (tok_ok & len_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+CONTAMINATION_NGRAM = 4
+
+
+def contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str, n: int = CONTAMINATION_NGRAM
+) -> DataFrame:
+    """Train/eval contamination check: word n-gram overlap between the
+    training split and a held-out eval set (doc_id % 50 == 0 here; in
+    production the benchmark corpus). The standard decontamination
+    step before training (e.g. GPT-3 appendix C: 13-gram overlap) —
+    n=4 gives the short synthetic 10-99-token docs enough colliding
+    grams to exercise the check; production corpora use 8-13.
+
+    Scale shape: distinct n-gram hashes per side, equi-join on the
+    hash — linear shuffle in total grams, never doc×doc; the eval side
+    is tiny and broadcasts. Output: (train_doc, eval_doc,
+    n_shared_grams) for every contaminated pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(t) - {n - 1}, 0)),"
+        f" i -> md5(concat_ws(' ', slice(t, i, {n})))))"
+    )
+    grams = toks.select("doc_id", F.explode(grams_expr).alias("gram"))
+    is_eval = F.col("doc_id") % 50 == 0
+    train = grams.where(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    ev = grams.where(is_eval).select(F.col("doc_id").alias("eval_doc"), "gram")
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str,
+    budget: int = PACK_BUDGET, shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Deterministic sequence packing for training batches: assign each
+    document to a pack so every pack holds ~`budget` tokens —
+    sequential fill in doc_id order via a running token sum
+    (pack = floor((cumsum - own)/budget)).
+
+    Scale: a single global ordering would serialize the window; docs
+    are sharded first (pmod(doc_id, shards)) and packed per shard —
+    each shard's window is an independent partition, so the plan is
+    one shuffle on the shard key and parallel scans within. Pack
+    identity is (shard, pack_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(_tokens()).cast("long")
+    with_shard = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w)
+    return with_shard.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
+        cum.alias("cum_tokens"),
+    )

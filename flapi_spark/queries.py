@@ -902,6 +902,93 @@ QUERIES.update(
     }
 )
 
+_JACCARD_PAIRS = (
+    f"WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),"
+    " sizes AS (SELECT doc_id, len(t) AS n FROM toks),"
+    " inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),"
+    " shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s"
+    "  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2)"
+    " SELECT doc_a, doc_b FROM shared"
+    " JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
+    " WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95"
+)
+
+
+def _dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_connected_components(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        # -- pipeline extensions (round 2): clustering, quality gates,
+        #    contamination, packing
+        "dedup_connected_components": (
+            _dedup_connected_components,
+            # transitive closure via recursive CTE; component id = min
+            # reachable doc_id (matches min-label propagation fixpoint)
+            "WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS + "),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(u, v) AS ("
+            "  SELECT u, v FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+            " SELECT u AS doc_id,"
+            "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
+            " FROM reach GROUP BY u",
+        ),
+        "text_gopher_filters": (
+            T.text_gopher_filters,
+            f"WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS toks FROM documents),"
+            " m AS (SELECT doc_id,"
+            "  CAST(len(toks) AS BIGINT) AS n_tokens,"
+            "  CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(toks)"
+            "   AS mean_token_len,"
+            "  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))"
+            "   AS DOUBLE) / len(toks) AS alpha_word_ratio,"
+            f"  CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS BIGINT)"
+            "   AS n_stopword_hits"
+            " FROM t)"
+            " SELECT doc_id, n_tokens, mean_token_len, alpha_word_ratio,"
+            "  n_stopword_hits,"
+            "  n_tokens >= 20 AND n_tokens <= 100000 AS pass_n_tokens,"
+            "  mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS pass_token_len,"
+            "  alpha_word_ratio >= 0.8 AS pass_alpha_ratio,"
+            "  n_stopword_hits >= 2 AS pass_stopwords,"
+            "  (n_tokens >= 20 AND n_tokens <= 100000)"
+            "   AND (mean_token_len >= 3.0 AND mean_token_len <= 10.0)"
+            "   AND alpha_word_ratio >= 0.8 AND n_stopword_hits >= 2 AS keep"
+            " FROM m",
+        ),
+        "contamination_ngram_overlap": (
+            T.contamination_ngram_overlap,
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+            " g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            f"  range(1, greatest(len(t) - {T.CONTAMINATION_NGRAM - 1}, 0) + 1),"
+            f"  i -> md5(array_to_string(t[i:i+{T.CONTAMINATION_NGRAM - 1}], ' ')))))"
+            "  AS gram FROM t)"
+            " SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,"
+            "  count(*) AS n_shared_grams"
+            " FROM g a JOIN g b ON a.gram = b.gram"
+            " WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0"
+            " GROUP BY 1, 2",
+        ),
+        "pack_sequences": (
+            T.pack_sequences,
+            f"WITH t AS (SELECT doc_id, doc_id % {T.PACK_SHARDS} AS shard,"
+            f"  CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents)"
+            " SELECT doc_id, shard, n_tokens,"
+            f" CAST(floor(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE)"
+            f"  / {T.PACK_BUDGET}) AS BIGINT) AS pack_id,"
+            " CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens"
+            " FROM t WINDOW w AS (PARTITION BY shard ORDER BY doc_id"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ),
+    }
+)
+
+
 
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order

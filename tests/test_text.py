@@ -31,3 +31,85 @@ def test_stratified_sample_subset_and_rates(spark, sf_dir):
     # seeded: same seed, same sample
     again = {r.doc_id for r in sample_stratified_by_lang(spark, sf_dir).collect()}
     assert set(sids) == again
+
+
+def test_gopher_filters_gates_consistent(spark, sf_dir):
+    from flapi_spark.operators.text import text_gopher_filters
+
+    rows = text_gopher_filters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pass_n_tokens == (20 <= r.n_tokens <= 100000)
+        assert r.pass_alpha_ratio == (r.alpha_word_ratio >= 0.8)
+        assert r.keep == (r.pass_n_tokens and r.pass_token_len
+                          and r.pass_alpha_ratio and r.pass_stopwords)
+    # thresholds chosen so the gate actually separates the corpus
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_contamination_only_cross_split_pairs(spark, sf_dir):
+    from flapi_spark.operators.text import contamination_ngram_overlap
+
+    rows = contamination_ngram_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.train_doc % 50 != 0 and r.eval_doc % 50 == 0
+        assert r.n_shared_grams >= 1
+
+
+def test_pack_sequences_budget_and_determinism(spark, sf_dir):
+    from flapi_spark.operators.text import PACK_BUDGET, pack_sequences
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+    for (shard, pack), members in by_pack.items():
+        tokens = sum(m.n_tokens for m in members)
+        # sequential fill: a pack exceeds the budget only by its last
+        # member's tokens, and only the shard's final pack may be tiny
+        assert tokens < PACK_BUDGET + max(m.n_tokens for m in members)
+    # deterministic across runs
+    again = {(r.doc_id, r.pack_id) for r in pack_sequences(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.pack_id) for r in rows}
+
+
+def test_connected_components_closure(spark, sf_dir):
+    """Every pair is intra-component, component ids are the member
+    minimum, and components agree with a python union-find replay."""
+    from flapi_spark.operators.dedup import (
+        dedup_connected_components, dedup_ngram_jaccard,
+    )
+
+    pairs = [(r.doc_a, r.doc_b)
+             for r in dedup_ngram_jaccard(spark, sf_dir).collect()]
+    comp = {r.doc_id: r.component_id
+            for r in dedup_connected_components(spark, sf_dir).collect()}
+    assert pairs and comp
+    # union-find replay
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for node in parent:
+        expect[node] = find(node)
+    assert comp == expect
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    # id is the min member of its component
+    members = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, ms in members.items():
+        assert c == min(ms)
