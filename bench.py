@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "text_quality_score",
+    "contamination_ngram_overlap",
 ]
 
 

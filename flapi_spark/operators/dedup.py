@@ -521,8 +521,24 @@ def dedup_connected_components(
 
     Output: (doc_id, component_id) for every doc in some dup pair;
     singletons are not emitted (they need no dedup decision).
+
+    The pair GENERATION dominates the cost, not the propagation: the
+    default Jaccard inverted-index source is quadratic on tiny-vocab
+    corpora (every token is hot — this synthetic corpus has ~31
+    distinct tokens). At scale, feed `label_components` from the
+    MinHash-LSH pair stream instead; the propagation itself is
+    diameter-many linear shuffles either way. The Jaccard source stays
+    the registry default because it is SQL-expressible (recursive-CTE
+    oracle).
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return label_components(pairs, max_iterations)
+
+
+def label_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Min-label propagation over an arbitrary (doc_a, doc_b) pair
+    stream — compose with any candidate generator (Jaccard, MinHash,
+    SimHash, embedding LSH)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v").localCheckpoint()
