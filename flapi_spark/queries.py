@@ -919,6 +919,15 @@ def _dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_connected_components(spark, sf_dir)
 
 
+def _dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering path: components over the MinHash-LSH pair
+    stream (linear candidate generation) instead of the quadratic
+    inverted-index Jaccard source. Rows-only: xxhash64 signatures are
+    Spark-specific."""
+    pairs = D.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return D.label_components(pairs)
+
+
 QUERIES.update(
     {
         # -- pipeline extensions (round 2): clustering, quality gates,
@@ -938,6 +947,7 @@ QUERIES.update(
             "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
             " FROM reach GROUP BY u",
         ),
+        "dedup_minhash_components": (_dedup_minhash_components, None),
         "text_gopher_filters": (
             T.text_gopher_filters,
             f"WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS toks FROM documents),"

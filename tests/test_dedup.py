@@ -158,3 +158,17 @@ def test_embedding_lsh_bucket_cap_bounds_candidates(spark, sf_dir):
         ).collect()
     }
     assert loose == full
+
+
+def test_minhash_components_cover_their_pairs(spark, sf_dir):
+    """Scale-path clustering: components over the MinHash pair stream
+    place both endpoints of every candidate pair in one component."""
+    from flapi_spark.operators.dedup import label_components
+
+    pairs = D.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = {r.doc_id: r.component_id
+            for r in label_components(pairs).collect()}
+    collected = pairs.collect()
+    assert collected
+    for r in collected:
+        assert comp[r.doc_a] == comp[r.doc_b]

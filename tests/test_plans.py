@@ -80,3 +80,23 @@ def test_template_filter_reaches_scan(spark, sf_dir):
 def test_top_n_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, "q3_shipping_priority", sf_dir)
     assert "TakeOrderedAndProject" in plan  # not a full global sort
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval split is small; its gram stream must broadcast so the
+    overlap join never shuffles the full train gram stream twice."""
+    plan = _plan(spark, "contamination_ngram_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Sharded packing: one exchange on the shard key feeds both the
+    window and the output — no global-ordering exchange."""
+    fn, _ = QUERIES["pack_sequences"]
+    df = fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in final  # no global sort
