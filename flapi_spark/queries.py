@@ -1018,6 +1018,9 @@ _CHECK_FIRST = [
     "ann_lsh_topk", "ann_ivf_topk", "mm_binary_meta", "mm_decoded_features",
     "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
+    # new in round 2 (never had a driver verdict)
+    "dedup_connected_components", "dedup_minhash_components",
+    "text_gopher_filters", "contamination_ngram_overlap", "pack_sequences",
     # errored in round 1 (TIMESTAMP(NANOS) under a vanilla session)
     "ntile_value_bands", "events_sessionize", "events_tumbling_agg",
     "events_props_json", "events_hopping_agg", "range_join_error_purchase",
