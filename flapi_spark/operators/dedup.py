@@ -478,21 +478,33 @@ def dedup_embedding_lsh(
             .where(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    ca = bands.select(F.col("vec_id").alias("vec_a"), "band_id", "bits")
+    # Spread the probe side: the bucket table is narrow (a few longs
+    # per vector) and a small-file scan arrives as one partition, so
+    # without this the pair explosion runs in a single task.
+    # Partitioning on vec_id (not the join key) keeps the spread even
+    # when a band bucket is hot.
+    par = spark.sparkContext.defaultParallelism
+    ca = bands.repartition(par, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "band_id", "bits"
+    )
     cb = bands.select(F.col("vec_id").alias("vec_b"), "band_id", "bits")
     cands = (
         ca.join(cb, ["band_id", "bits"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
     a = _unpacked_embeddings(emb, "a")
     b = _unpacked_embeddings(emb, "b")
+    # A pair found by several bands is verified once per band and
+    # deduped AFTER the cosine filter: distinct on the few survivors
+    # (not the full candidate stream) trades ≤n_bands cheap re-verifies
+    # (64 FMA each) for skipping a full-candidate-volume shuffle.
     return (
         cands.join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,39 +54,47 @@ def ann_bruteforce_topk(
     )
 
 
-def _planes_df(spark: SparkSession) -> DataFrame:
-    rows = [
-        (p, d, float(PLANES[p][d]))
-        for p in range(N_PLANES)
-        for d in range(64)
-    ]
-    return spark.createDataFrame(rows, "plane_id INT, pos INT, w DOUBLE")
+_BUCKET_UDF = None
+
+
+def _bucket_udf():
+    """Sign-bit bucket per Arrow batch: one (batch×64)@(64×N_PLANES)
+    float64 matmul, sign-test, bit-fold. Vectorized numpy — C speed,
+    no per-row Python. Built lazily: pandas_udf registration needs an
+    active SparkSession, which module import must not require."""
+    global _BUCKET_UDF
+    if _BUCKET_UDF is None:
+
+        def _bucket(emb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if len(emb) == 0:
+                return pd.Series([], dtype="int64")
+            W = np.asarray(PLANES, dtype=np.float64)          # (N_PLANES, 64)
+            X = np.stack(emb.to_numpy()).astype(np.float64)   # (batch, 64)
+            bits = (X @ W.T) > 0.0                            # (batch, N_PLANES)
+            vals = bits @ (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
+            return pd.Series(vals.astype(np.int64))
+
+        _BUCKET_UDF = F.pandas_udf(_bucket, "long")
+    return _BUCKET_UDF
 
 
 def lsh_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Sign-bit bucket id per vector: posexplode the embedding, join the
-    broadcast planes table, tally per-plane dot products, fold sign
-    bits into one integer bucket. All shuffles are on vec_id.
+    """Sign-bit bucket id per vector: a single narrow projection whose
+    plane dot products run as one vectorized numpy matmul per Arrow
+    batch (`_bucket_udf`). ZERO shuffles, embarrassingly parallel —
+    at 100 TB this is one linear pass over the corpus.
 
-    The input is spread first — a single-row-group parquet scan would
-    otherwise run the whole explode+tally on one core."""
-    planes = _planes_df(spark)
-    ex = emb.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    ).select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    )
-    dots = (
-        ex.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "plane_id")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
-    )
-    bucket_bit = F.when(
-        F.col("dot") > 0, F.expr("CAST(shiftleft(CAST(1 AS BIGINT), plane_id) AS BIGINT)")
-    ).otherwise(F.lit(0).cast("long"))
-    return dots.groupBy("vec_id").agg(
-        F.sum(bucket_bit).cast("long").alias("bucket")
-    )
+    Why a Pandas UDF and not built-ins: the unrolled 12-plane ×
+    64-dim literal chain (768 terms in one expression) exceeds the
+    JVM's 64 KB codegen method limit and Spark falls back to
+    interpreted projection (~2× slower than the old
+    explode→broadcast-join→groupBy plan, which itself paid 3 shuffles
+    of the 64×-exploded corpus); `F.aggregate`/`zip_with` lambdas are
+    interpreted per element. Arrow-batched matmul beats all three and
+    is the idiomatic Spark shape for dense vector math."""
+    return emb.select("vec_id", _bucket_udf()("embedding").alias("bucket"))
 
 
 def ann_lsh_topk(
