@@ -652,6 +652,24 @@ _COS = (
 )
 
 
+def _bucket_sql(tbl: str) -> str:
+    """DuckDB expression for the random-hyperplane sign-bit bucket of
+    {tbl}.embedding — the plane weights are the SAME deterministic
+    PLANES constant the Spark operators use, rendered as full-precision
+    literals, so both engines see identical doubles. The fold order
+    differs (numpy BLAS matmul vs sequential list_dot_product) but only
+    the SIGN of each dot product matters; verified bit-identical
+    bucket-for-bucket at sf0.01 and sf0.1."""
+    terms = []
+    for p in range(S.N_PLANES):
+        lst = "[" + ",".join(repr(w) for w in S.PLANES[p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({tbl}.embedding::DOUBLE[], {lst}) > 0"
+            f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _src_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Write the customer dim out through a non-parquet source format
     and read it back through the connection registry — exercises the
@@ -844,7 +862,25 @@ QUERIES.update(
             " WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95",
         ),
         "dedup_minhash_lsh": (D.dedup_minhash_lsh, None),  # rows-only; recall-tested
-        "dedup_embedding_lsh": (D.dedup_embedding_lsh, None),  # rows-only; recall-tested
+        "dedup_embedding_lsh": (
+            D.dedup_embedding_lsh,
+            # full LSH replication: same deterministic planes, same
+            # 3-band × 4-bit OR-construction, same exact-cosine verify
+            "WITH b AS (SELECT vec_id,"
+            f" {_bucket_sql('embeddings')} AS bucket FROM embeddings),"
+            " bands AS (SELECT vec_id, i AS band_id,"
+            "  (bucket >> (4 * i)) & 15 AS bits"
+            "  FROM b CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),"
+            " cands AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb"
+            "  FROM bands x JOIN bands y"
+            "  ON x.band_id = y.band_id AND x.bits = y.bits"
+            "   AND x.vec_id < y.vec_id)"
+            " SELECT va AS vec_a, vb AS vec_b,"
+            f" {_COS.format(a='ea', b='eb')} AS cosine"
+            " FROM cands JOIN embeddings ea ON ea.vec_id = va"
+            " JOIN embeddings eb ON eb.vec_id = vb"
+            f" WHERE {_COS.format(a='ea', b='eb')} >= 0.4",
+        ),
         "dedup_simhash": (D.dedup_simhash, None),  # rows-only; property-tested
         "dedup_embedding_cosine": (
             D.dedup_embedding_cosine,
@@ -864,8 +900,52 @@ QUERIES.update(
             " FROM embeddings a JOIN embeddings b ON a.vec_id <= 5 AND b.vec_id > 5"
             ") t WHERE rnk <= 10",
         ),
-        "ann_lsh_topk": (S.ann_lsh_topk, None),  # rows-only; recall-tested
-        "ann_ivf_topk": (S.ann_ivf_topk, None),  # rows-only; recall-tested
+        "ann_lsh_topk": (
+            S.ann_lsh_topk,
+            # same planes, same Hamming≤1 probe, same (cosine, cid) rank
+            "WITH b AS (SELECT vec_id, embedding,"
+            f" {_bucket_sql('embeddings')} AS bucket FROM embeddings),"
+            " scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,"
+            f"  {_COS.format(a='q', b='c')} AS cosine"
+            "  FROM b q JOIN b c ON q.vec_id <= 5 AND c.vec_id > 5"
+            "   AND bit_count(xor(q.bucket, c.bucket)) <= 1)"
+            " SELECT qid, cid, cosine, rnk FROM ("
+            "  SELECT qid, cid, cosine, row_number() OVER ("
+            "   PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk"
+            "  FROM scored) t WHERE rnk <= 10",
+        ),
+        "ann_ivf_topk": (
+            S.ann_ivf_topk,
+            # deterministic IVF: centroids = every 25th vector; corpus
+            # assigns to 1 nearest cell, queries probe 3; exact cosine
+            # among cell-cohabitants only
+            "WITH cent AS (SELECT vec_id AS cell_id, embedding"
+            "  FROM embeddings WHERE vec_id % 25 = 0),"
+            " assign AS (SELECT vec_id, cell_id FROM ("
+            "  SELECT v.vec_id, cent.cell_id, row_number() OVER ("
+            "   PARTITION BY v.vec_id"
+            f"   ORDER BY {_COS.format(a='v', b='cent')} DESC,"
+            "    cent.cell_id ASC) AS r"
+            "  FROM embeddings v CROSS JOIN cent) t WHERE r <= 1),"
+            " qassign AS (SELECT vec_id, cell_id FROM ("
+            "  SELECT v.vec_id, cent.cell_id, row_number() OVER ("
+            "   PARTITION BY v.vec_id"
+            f"   ORDER BY {_COS.format(a='v', b='cent')} DESC,"
+            "    cent.cell_id ASC) AS r"
+            "  FROM embeddings v CROSS JOIN cent"
+            "  WHERE v.vec_id <= 5) t WHERE r <= 3),"
+            " scored AS (SELECT DISTINCT qa.vec_id AS qid,"
+            "   ca.vec_id AS cid,"
+            f"  {_COS.format(a='qe', b='ce')} AS cosine"
+            "  FROM qassign qa JOIN assign ca ON qa.cell_id = ca.cell_id"
+            "   AND ca.vec_id > 5"
+            "  JOIN embeddings qe ON qe.vec_id = qa.vec_id"
+            "  JOIN embeddings ce ON ce.vec_id = ca.vec_id)"
+            " SELECT qid, cid, cosine, rnk FROM ("
+            "  SELECT qid, cid, cosine, row_number() OVER ("
+            "   PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk"
+            "  FROM scored) t WHERE rnk <= 10",
+        ),
         # -- multimodal binary columns
         "mm_binary_meta": (
             _mm_binary_meta,
