@@ -585,3 +585,42 @@ def label_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
     )
+
+
+def dedup_chunk_boilerplate(
+    spark: SparkSession, sf_dir: str, chunk: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Paragraph-level (fixed-size token-chunk) duplicate detection —
+    the boilerplate-removal primitive of C4-style corpus cleaning:
+    hash every `chunk`-token span (non-overlapping) and report spans
+    occurring in >= `min_docs` distinct documents.
+
+    100 TB shape: one narrow projection + explode (linear, no joins),
+    then a single groupBy on the chunk text — map-side partial
+    aggregation collapses repeats before the shuffle, so shuffle
+    volume is bounded by DISTINCT chunk count, not corpus size.
+    Exact DuckDB oracle in flapi_spark/queries.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(norm_text(), " ").alias("t")
+    ).where(F.size("t") >= chunk)
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occur"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -97,3 +97,38 @@ def colocated_join(
     return spark.table(left_table).hint("merge").join(
         spark.table(right_table).hint("merge"), key
     )
+
+
+def skew_profile(
+    df: DataFrame, key: str, top_n: int = 20
+) -> DataFrame:
+    """Join-key skew profiler: per-key row counts, corpus share, and
+    rank for the `top_n` heaviest keys — the diagnostic an engineer
+    runs BEFORE shuffling 100 TB on a key, to size salting / AQE skew
+    thresholds. One groupBy (map-side combined) plus a windowed rank
+    over the key-cardinality-sized count table; the raw table is
+    touched once."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("n"), F.asc(key))
+    return (
+        counts.withColumn("tot", F.sum("n").over(w_all))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rnk") <= top_n)
+        .select(
+            key,
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") / F.col("tot")).alias("share"),
+            "rnk",
+        )
+    )
+
+
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_profile over orders.o_custkey (the key a customer-enrich
+    join would shuffle on). Exact DuckDB oracle in queries.py."""
+    from flapi_spark.session import load_table
+
+    return skew_profile(load_table(spark, sf_dir, "orders"), "o_custkey")

@@ -207,3 +207,58 @@ def ann_ivf_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings with per-vector
+    reconstruction error — the storage/bandwidth primitive of a
+    100 TB ANN index (4× smaller vectors, cosine on codes during
+    probe, exact re-rank on survivors).
+
+    Per vector: affine-map [min, max] onto 0..255, round to the code
+    grid, reconstruct, and report the summed squared error plus an md5
+    over the code string. All JVM-side higher-order-function
+    expressions; the DuckDB oracle replays the identical arithmetic
+    (same fold order — list_dot_product matches the sequential
+    aggregate, see _COS in queries.py) so mn/mx/sq_err hash-match
+    bit-for-bit. Linear, shuffle-free, embarrassingly parallel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xs"),
+    ).select(
+        "vec_id",
+        "xs",
+        F.array_min("xs").alias("mn"),
+        F.array_max("xs").alias("mx"),
+    ).withColumn("s", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    codes = F.expr(
+        "transform(xs, x -> CASE WHEN s = 0 THEN 0.0"
+        " ELSE round((x - mn) / s) END)"
+    )
+    err = F.expr(
+        "transform(xs, x -> x - (mn + (CASE WHEN s = 0 THEN 0.0"
+        " ELSE round((x - mn) / s) END) * s))"
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(err, err, (p, q) -> p * q),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        base.withColumn("err", err)
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            "mn",
+            "mx",
+            sq_err.alias("sq_err"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(codes, c -> CAST(CAST(c AS INT) AS STRING))"
+                    ),
+                    ",",
+                )
+            ).alias("codes_md5"),
+        )
+    )

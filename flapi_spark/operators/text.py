@@ -324,3 +324,48 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_id"),
         cum.alias("cum_tokens"),
     )
+
+
+# PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask emails / IPv4s / phone-shaped
+    numbers per document. The synthetic corpus carries no PII, so each
+    query row gets a deterministic doc_id-derived PII suffix appended
+    first — the operator then has real matches to find, and the DuckDB
+    oracle (same injection, same regexes) verifies counts and the md5
+    of the redacted text exactly.
+
+    100 TB shape: pure regexp_count/regexp_replace projections —
+    JVM-side, whole-stage codegen, embarrassingly parallel, no
+    shuffle. The redaction order (emails, then IPs, then phones) is
+    part of the contract: earlier masks cannot create later matches
+    because mask tokens contain no digits or '@'."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact user%d@example.com from 10.%d.0.1 call 555-%04d",
+            F.col("doc_id"),
+            F.col("doc_id") % 256,
+            F.col("doc_id") % 10000,
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(pii, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(pii, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from flapi_spark.operators import dedup as D
 from flapi_spark.operators import range_join as RJ
 from flapi_spark.operators import relational as R
+from flapi_spark.operators import scale as SC
 from flapi_spark.operators import similarity as S
 from flapi_spark.operators import text as T
 from flapi_spark.operators.asof import asof_join_events_orders
@@ -1075,6 +1076,67 @@ QUERIES.update(
             " FROM t WINDOW w AS (PARTITION BY shard ORDER BY doc_id"
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
         ),
+        "dedup_chunk_boilerplate": (
+            D.dedup_chunk_boilerplate,
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+            " ch AS (SELECT doc_id,"
+            "   array_to_string(t[(i * 5 + 1):(i * 5 + 5)], ' ') AS chunk"
+            "  FROM toks CROSS JOIN (SELECT unnest(range(0, 10000)) AS i)"
+            "  WHERE (i + 1) * 5 <= len(t))"
+            " SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,"
+            "  CAST(count(*) AS BIGINT) AS n_occur"
+            " FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2",
+        ),
+        "text_pii_redact": (
+            T.text_pii_redact,
+            "WITH p AS (SELECT doc_id, text ||"
+            "  ' contact user' || doc_id || '@example.com from 10.' ||"
+            "  (doc_id % 256) || '.0.1 call 555-' ||"
+            "  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t"
+            " FROM documents)"
+            " SELECT doc_id,"
+            f" CAST(len(regexp_extract_all(t, '{T.PII_EMAIL}')) AS BIGINT)"
+            "  AS n_emails,"
+            f" CAST(len(regexp_extract_all(t, '{T.PII_IP}')) AS BIGINT)"
+            "  AS n_ips,"
+            f" CAST(len(regexp_extract_all(t, '{T.PII_PHONE}')) AS BIGINT)"
+            "  AS n_phones,"
+            " md5(regexp_replace(regexp_replace(regexp_replace(t,"
+            f"  '{T.PII_EMAIL}', '<EMAIL>', 'g'),"
+            f"  '{T.PII_IP}', '<IP>', 'g'),"
+            f"  '{T.PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5"
+            " FROM p",
+        ),
+        "embedding_quantize_error": (
+            S.embedding_quantize_error,
+            "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS xs,"
+            "  list_min(embedding::DOUBLE[]) AS mn,"
+            "  list_max(embedding::DOUBLE[]) AS mx"
+            " FROM embeddings),"
+            " w AS (SELECT vec_id, xs, mn, mx, (mx - mn) / 255.0 AS s"
+            "  FROM b),"
+            " e AS (SELECT vec_id, mn, mx,"
+            "  list_transform(xs, x -> x - (mn + (CASE WHEN s = 0"
+            "   THEN 0.0 ELSE round((x - mn) / s) END) * s)) AS err,"
+            "  list_transform(xs, x -> CASE WHEN s = 0 THEN 0.0"
+            "   ELSE round((x - mn) / s) END) AS codes"
+            "  FROM w)"
+            " SELECT vec_id, mn, mx,"
+            "  list_dot_product(err, err) AS sq_err,"
+            "  md5(array_to_string(list_transform(codes,"
+            "   c -> CAST(CAST(c AS INT) AS VARCHAR)), ',')) AS codes_md5"
+            " FROM e",
+        ),
+        "skew_profile_orders": (
+            SC.skew_profile_orders,
+            "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n"
+            "  FROM orders GROUP BY 1),"
+            " t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)"
+            " SELECT o_custkey, n, CAST(n AS DOUBLE) / tot AS share, rnk"
+            " FROM (SELECT o_custkey, n, row_number() OVER ("
+            "  ORDER BY n DESC, o_custkey ASC) AS rnk FROM c) x"
+            " CROSS JOIN t WHERE rnk <= 20",
+        ),
     }
 )
 
@@ -1099,6 +1161,8 @@ _CHECK_FIRST = [
     "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
     # new in round 2 (never had a driver verdict)
+    "dedup_chunk_boilerplate", "text_pii_redact",
+    "embedding_quantize_error", "skew_profile_orders",
     "dedup_connected_components", "dedup_minhash_components",
     "text_gopher_filters", "contamination_ngram_overlap", "pack_sequences",
     # errored in round 1 (TIMESTAMP(NANOS) under a vanilla session)

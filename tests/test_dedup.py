@@ -172,3 +172,24 @@ def test_minhash_components_cover_their_pairs(spark, sf_dir):
     assert collected
     for r in collected:
         assert comp[r.doc_a] == comp[r.doc_b]
+
+
+def test_chunk_boilerplate_chunks_are_real_spans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.dedup import dedup_chunk_boilerplate
+    from flapi_spark.operators.text import norm_text
+    from flapi_spark.session import load_table
+
+    out = dedup_chunk_boilerplate(spark, sf_dir).collect()
+    assert out  # the synthetic corpus contains injected near-dups
+    docs = load_table(spark, sf_dir, "documents").select(
+        norm_text().alias("nt")
+    ).collect()
+    texts = [r.nt for r in docs]
+    for row in out[:5]:
+        assert row.n_docs >= 2
+        assert row.n_occur >= row.n_docs
+        assert len(row.chunk.split(" ")) == 5
+        # chunk text genuinely occurs in at least n_docs documents
+        assert sum(1 for t in texts if row.chunk in t) >= row.n_docs

@@ -75,3 +75,24 @@ def test_salted_join_rejects_outer_hows(spark):
         r.k for r in scale.salted_join(big, small, "k", how="left").collect()
     )
     assert got == list(range(10))
+
+
+def test_skew_profile_matches_plain_counts(spark, sf_dir):
+    from flapi_spark.operators.scale import skew_profile_orders
+    from flapi_spark.session import load_table
+
+    prof = sorted(skew_profile_orders(spark, sf_dir).collect(),
+                  key=lambda r: r.rnk)
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    counts = {
+        r.o_custkey: r.n
+        for r in orders.groupBy("o_custkey").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert len(prof) == 20
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.o_custkey, r.n) for r in prof] == top
+    for r in prof:
+        assert abs(r.share - r.n / total) < 1e-12
+    assert [r.rnk for r in prof] == list(range(1, 21))

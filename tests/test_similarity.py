@@ -118,3 +118,21 @@ def test_ivf_recall_scales_with_nprobe(spark, sf_dir):
     rec3, rec8 = len(r3 & bf) / len(bf), len(r8 & bf) / len(bf)
     assert rec3 >= 0.10  # ≥ the 3/20 scan fraction on unclustered data
     assert rec8 >= rec3
+
+
+def test_quantize_error_bounds_and_roundtrip(spark, sf_dir):
+    import math
+
+    from flapi_spark.operators.similarity import embedding_quantize_error
+    from flapi_spark.session import load_table
+
+    rows = embedding_quantize_error(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r.mx >= r.mn
+        # per-element error is at most half a quantization step
+        step = (r.mx - r.mn) / 255.0
+        assert r.sq_err <= 64 * (step / 2) ** 2 + 1e-12
+        assert r.sq_err >= 0.0
+        assert not math.isnan(r.sq_err)

@@ -113,3 +113,47 @@ def test_connected_components_closure(spark, sf_dir):
         members.setdefault(c, []).append(node)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_pii_redact_counts_and_masking(spark, sf_dir):
+    from flapi_spark.operators.text import text_pii_redact
+    from flapi_spark.session import load_table
+
+    rows = {r.doc_id: r for r in text_pii_redact(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    # every doc gets exactly one injected email/ip/phone; the base
+    # corpus is PII-free word salad
+    assert all(r.n_emails == 1 for r in rows.values())
+    assert all(r.n_ips == 1 for r in rows.values())
+    assert all(r.n_phones == 1 for r in rows.values())
+    # redaction is deterministic
+    again = {r.doc_id: r.redacted_md5
+             for r in text_pii_redact(spark, sf_dir).collect()}
+    assert again == {k: v.redacted_md5 for k, v in rows.items()}
+
+
+def test_pii_redact_masks_leave_no_matches(spark):
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.text import PII_EMAIL, PII_IP, PII_PHONE
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_9@ex-1.org then 192.168.0.255 and 555-0199 done")],
+        "id INT, t STRING",
+    )
+    red = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+            ),
+            PII_PHONE, "<PHONE>",
+        ).alias("r")
+    ).first().r
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    post = df.sparkSession.createDataFrame([(red,)], "t STRING").select(
+        F.regexp_count("t", F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count("t", F.lit(PII_IP)).alias("i"),
+        F.regexp_count("t", F.lit(PII_PHONE)).alias("p"),
+    ).first()
+    assert (post.e, post.i, post.p) == (0, 0, 0)
