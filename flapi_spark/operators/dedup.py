@@ -155,15 +155,27 @@ def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return hashed_shingles_from(docs, n)
 
 
-def hashed_shingles_from(docs: DataFrame, n: int = 3) -> DataFrame:
+# portable token hash: md5-prefix — bit-identical in any engine with
+# md5 (15 hex chars = 60 bits, fits BIGINT); ~3× slower than xxhash64
+MD5_TOK_HASH = (
+    f"pmod(cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint), {MERSENNE_P})"
+)
+
+
+def hashed_shingles_from(
+    docs: DataFrame, n: int = 3, tok_hash_sql: str | None = None
+) -> DataFrame:
     """hashed_shingles over an arbitrary documents DataFrame (lets the
-    verify stage hash only candidate docs instead of the corpus)."""
+    verify stage hash only candidate docs instead of the corpus).
+    `tok_hash_sql` swaps the per-token hash expression (default
+    xxhash64; MD5_TOK_HASH for the engine-portable variant)."""
+    tok_hash = tok_hash_sql or f"pmod(xxhash64(x), {MERSENNE_P})"
     toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t")).repartition(
         docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     tok_hashes = toks.select(
         "doc_id",
-        F.expr(f"transform(t, x -> pmod(xxhash64(x), {MERSENNE_P}))").alias("ht"),
+        F.expr(f"transform(t, x -> {tok_hash})").alias("ht"),
     )
     # nested modular fold keeps every intermediate < 2^62 + 2^31
     gram = "0"
@@ -623,4 +635,64 @@ def dedup_chunk_boilerplate(
             F.count(F.lit(1)).alias("n_occur"),
         )
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing: the
+    exact pipeline of dedup_minhash_lsh, but (1) tokens hash via an
+    md5-prefix universal hash instead of xxhash64 and (2) band buckets
+    join on the raw r-row signature tuple instead of an xxhash64 band
+    digest. Every stage is then reproducible in any engine with md5 —
+    corpus fingerprints can be recomputed outside Spark, and the full
+    MinHash algorithm (shingle fold, k-min signatures, banded
+    OR-construction, Jaccard verify) is checked against an exact
+    DuckDB oracle. ~md5-cost slower than the xxhash64 default; same
+    scale shape (linear shuffles, candidate-bounded verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+    sigs = minhash_signatures_from_hashed(hashed)
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            *[F.col(f"m{band * r + j}").alias(f"b{j}") for j in range(r)],
+        )
+        for band in range(BANDS)
+    ])
+    ex = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id",
+        *[F.col(f"b.b{j}").alias(f"b{j}") for j in range(r)],
+    )
+    keys = ["band_id"] + [f"b{j}" for j in range(r)]
+    ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
+    cb = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    cands = (
+        ca.join(cb, keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_texts = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sets = (
+        hashed_shingles_from(cand_texts, tok_hash_sql=MD5_TOK_HASH)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    union = F.size(F.array_union("ha", "hb"))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )

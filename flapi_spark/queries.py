@@ -653,6 +653,56 @@ _COS = (
 )
 
 
+def _minhash_portable_sql() -> str:
+    """DuckDB replication of dedup_minhash_portable: identical md5-prefix
+    token hash, identical PERMS fold/signature arithmetic (all operands
+    non-negative so DuckDB's % equals Spark's pmod; every intermediate
+    < 2^62, no overflow in either engine), band join on raw signature
+    tuples, Jaccard verify over distinct hashed shingles."""
+    P = D.MERSENNE_P
+    n, r = 3, D.NUM_PERM // D.BANDS
+    tok = f"((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) % {P})"
+    gram = "0"
+    for j in range(n - 1, -1, -1):
+        a = D.PERMS[j][0]
+        gram = f"(({a} * coalesce(ht[i + {j + 1}], 0) + {gram}) % {P})"
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(D.PERMS)
+    )
+    band_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        + ", ".join(f"m{band * r + j} AS b{j}" for j in range(r))
+        + " FROM sigs"
+        for band in range(D.BANDS)
+    )
+    eq = " AND ".join(f"a.b{j} = c.b{j}" for j in range(r))
+    jac = "(CAST(s AS DOUBLE) / (sa.n + sb.n - s))"
+    return (
+        f"WITH toks AS (SELECT doc_id, list_transform({_TOKS},"
+        f"  x -> {tok}) AS ht FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        f"  range(0, greatest(len(ht) - {n}, 0) + 1), i -> {gram})) AS g"
+        "  FROM toks),"
+        " hs AS (SELECT doc_id, unnest(g) AS h FROM grams),"
+        f" sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),"
+        f" bands AS ({band_arms}),"
+        " cands AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b"
+        f"  FROM bands a JOIN bands c ON a.band_id = c.band_id AND {eq}"
+        "   AND a.doc_id < c.doc_id),"
+        " sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n FROM grams),"
+        " shared AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,"
+        "   count(*) AS s FROM hs a JOIN hs c ON a.h = c.h"
+        "   AND a.doc_id < c.doc_id GROUP BY 1, 2)"
+        f" SELECT cands.doc_a, cands.doc_b, {jac} AS jaccard"
+        " FROM cands JOIN shared ON shared.doc_a = cands.doc_a"
+        "  AND shared.doc_b = cands.doc_b"
+        " JOIN sizes sa ON sa.doc_id = cands.doc_a"
+        " JOIN sizes sb ON sb.doc_id = cands.doc_b"
+        f" WHERE {jac} >= 0.5"
+    )
+
+
 def _bucket_sql(tbl: str) -> str:
     """DuckDB expression for the random-hyperplane sign-bit bucket of
     {tbl}.embedding — the plane weights are the SAME deterministic
@@ -863,6 +913,10 @@ QUERIES.update(
             " WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95",
         ),
         "dedup_minhash_lsh": (D.dedup_minhash_lsh, None),  # rows-only; recall-tested
+        "dedup_minhash_portable": (
+            D.dedup_minhash_portable,
+            _minhash_portable_sql(),
+        ),
         "dedup_embedding_lsh": (
             D.dedup_embedding_lsh,
             # full LSH replication: same deterministic planes, same
@@ -1161,7 +1215,7 @@ _CHECK_FIRST = [
     "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
     # new in round 2 (never had a driver verdict)
-    "dedup_chunk_boilerplate", "text_pii_redact",
+    "dedup_minhash_portable", "dedup_chunk_boilerplate", "text_pii_redact",
     "embedding_quantize_error", "skew_profile_orders",
     "dedup_connected_components", "dedup_minhash_components",
     "text_gopher_filters", "contamination_ngram_overlap", "pack_sequences",

@@ -193,3 +193,26 @@ def test_chunk_boilerplate_chunks_are_real_spans(spark, sf_dir):
         assert len(row.chunk.split(" ")) == 5
         # chunk text genuinely occurs in at least n_docs documents
         assert sum(1 for t in texts if row.chunk in t) >= row.n_docs
+
+
+def test_minhash_portable_matches_pipeline_semantics(spark, sf_dir):
+    from flapi_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_minhash_portable,
+    )
+
+    rows = dedup_minhash_portable(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+    # deterministic across runs
+    again = {(r.doc_a, r.doc_b) for r in
+             dedup_minhash_portable(spark, sf_dir).collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} == again
+    # the two hash families find substantially the same verified pairs
+    # (identical banding params; only the token-hash differs)
+    xx = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    pt = {(r.doc_a, r.doc_b) for r in rows}
+    inter = len(xx & pt)
+    assert inter >= 0.7 * max(len(xx), 1)
