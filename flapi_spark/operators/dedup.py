@@ -284,19 +284,20 @@ def dedup_minhash_lsh(
     )
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc as two unsigned 32-bit halves (hi, lo).
-
-    Each token votes ±1 per bit of its xxhash64; fingerprint bit =
-    sign of the tally. 64 conditional sums in one groupBy — wide but
-    fully codegen'd, one shuffle."""
-    ex = _exploded_tokens(spark, sf_dir)
-    h = F.xxhash64(F.col("tok"))
+def _simhash_from_bits(ex: DataFrame, hi_bits: F.Column, lo_bits: F.Column) -> DataFrame:
+    """(doc_id, hi, lo) SimHash fingerprints from a (doc_id, tok)
+    stream: each token votes ±1 per bit of its hash (bits 0-31 from
+    `lo_bits`, 32-63 from `hi_bits`, both unsigned 32-bit values);
+    fingerprint bit = sign of the tally. 64 conditional sums in one
+    groupBy — wide but fully codegen'd, one shuffle."""
     votes = [
         F.sum(
-            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{bit}")
-        for bit in range(64)
+            F.when(
+                F.shiftright(src, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{off + bit}")
+        for off, src in ((0, lo_bits), (32, hi_bits))
+        for bit in range(32)
     ]
     tallied = ex.groupBy("doc_id").agg(*votes)
 
@@ -312,12 +313,34 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_simhash(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 6
-) -> DataFrame:
-    """SimHash near-dup pairs: block on any equal 16-bit band (4 bands),
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as two unsigned 32-bit halves (hi, lo),
+    token-hashed with xxhash64 (the fast in-Spark default)."""
+    ex = _exploded_tokens(spark, sf_dir)
+    h = F.xxhash64(F.col("tok"))
+    return _simhash_from_bits(
+        ex,
+        hi_bits=F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF)),
+        lo_bits=h.bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+
+
+def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with ENGINE-PORTABLE md5-derived hash bits
+    (hi/lo = first/second 8 hex chars of md5(token)) — reproducible in
+    any engine with md5; exact DuckDB oracle via dedup_simhash_portable."""
+    ex = _exploded_tokens(spark, sf_dir)
+    return _simhash_from_bits(
+        ex,
+        hi_bits=F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"),
+        lo_bits=F.expr("cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)"),
+    )
+
+
+def _simhash_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded SimHash pair generation + Hamming verify over (doc_id,
+    hi, lo) fingerprints: block on any equal 16-bit band (4 bands),
     verify Hamming distance over the full 64 bits."""
-    fps = simhash_fingerprints(spark, sf_dir)
     banded = fps.select(
         "doc_id", "hi", "lo",
         F.explode(
@@ -343,9 +366,31 @@ def dedup_simhash(
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
-                hamming.alias("hamming"))
+                # long: the oracle's bit_count arithmetic is BIGINT
+                hamming.cast("long").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 token bits — fast default)."""
+    return _simhash_pairs(simhash_fingerprints(spark, sf_dir), max_hamming)
+
+
+def dedup_simhash_portable(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE md5-derived token
+    bits: same ±1-vote fingerprints, same 16-bit band blocking, same
+    full-64-bit Hamming verify, but every stage reproducible in any
+    engine with md5 — checked by an exact DuckDB oracle. Fingerprints
+    computed elsewhere (another engine, a previous corpus snapshot)
+    stay comparable."""
+    return _simhash_pairs(
+        simhash_fingerprints_portable(spark, sf_dir), max_hamming
     )
 
 

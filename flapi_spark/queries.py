@@ -703,6 +703,51 @@ def _minhash_portable_sql() -> str:
     )
 
 
+def _simhash_portable_sql() -> str:
+    """DuckDB replication of dedup_simhash_portable: md5-derived 32-bit
+    hash halves, ±1 votes per bit, sign-of-tally fingerprints, 16-bit
+    band blocking, full-64-bit Hamming verify."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ({src} >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{off + bit}"
+        for off, src in ((0, "hlo"), (32, "hhi"))
+        for bit in range(32)
+    )
+    half_hi = " + ".join(
+        f"(CASE WHEN s{32 + i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    half_lo = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+    return (
+        "WITH tk AS (SELECT DISTINCT doc_id, unnest("
+        f"  list_distinct({_TOKS})) AS tok FROM documents),"
+        " h AS (SELECT doc_id,"
+        "  CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,"
+        "  CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hlo"
+        "  FROM tk),"
+        f" tal AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),"
+        f" fp AS (SELECT doc_id, ({half_hi}) AS hi, ({half_lo}) AS lo"
+        "  FROM tal),"
+        " bands AS ("
+        "  SELECT doc_id, hi, lo, 0 AS band_id, lo & 65535 AS bv FROM fp"
+        "  UNION ALL SELECT doc_id, hi, lo, 1, (lo >> 16) & 65535 FROM fp"
+        "  UNION ALL SELECT doc_id, hi, lo, 2, hi & 65535 FROM fp"
+        "  UNION ALL SELECT doc_id, hi, lo, 3, (hi >> 16) & 65535 FROM fp)"
+        " SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,"
+        "  CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))"
+        "   AS BIGINT) AS hamming"
+        " FROM bands a JOIN bands c ON a.band_id = c.band_id"
+        "  AND a.bv = c.bv AND a.doc_id < c.doc_id"
+        " WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))"
+        "  <= 6"
+    )
+
+
 def _bucket_sql(tbl: str) -> str:
     """DuckDB expression for the random-hyperplane sign-bit bucket of
     {tbl}.embedding — the plane weights are the SAME deterministic
@@ -937,6 +982,10 @@ QUERIES.update(
             f" WHERE {_COS.format(a='ea', b='eb')} >= 0.4",
         ),
         "dedup_simhash": (D.dedup_simhash, None),  # rows-only; property-tested
+        "dedup_simhash_portable": (
+            D.dedup_simhash_portable,
+            _simhash_portable_sql(),
+        ),
         "dedup_embedding_cosine": (
             D.dedup_embedding_cosine,
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
@@ -1057,9 +1106,11 @@ def _dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB clustering path: components over the MinHash-LSH pair
     stream (linear candidate generation) instead of the quadratic
-    inverted-index Jaccard source. Rows-only: xxhash64 signatures are
-    Spark-specific."""
-    pairs = D.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    inverted-index Jaccard source. Round 2: sourced from the PORTABLE
+    MinHash variant so the whole chain — hashing, banding, verify,
+    min-label propagation — is replayable in DuckDB (recursive-CTE
+    transitive closure oracle)."""
+    pairs = D.dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
     return D.label_components(pairs)
 
 
@@ -1082,7 +1133,21 @@ QUERIES.update(
             "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
             " FROM reach GROUP BY u",
         ),
-        "dedup_minhash_components": (_dedup_minhash_components, None),
+        "dedup_minhash_components": (
+            _dedup_minhash_components,
+            # transitive closure over the portable-MinHash pair stream
+            "WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_portable_sql() + ") z),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
+            "  UNION SELECT doc_b, doc_a FROM mp),"
+            " reach(u, v) AS ("
+            "  SELECT u, v FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+            " SELECT u AS doc_id,"
+            "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
+            " FROM reach GROUP BY u",
+        ),
         "text_gopher_filters": (
             T.text_gopher_filters,
             f"WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS toks FROM documents),"
@@ -1215,7 +1280,8 @@ _CHECK_FIRST = [
     "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
     # new in round 2 (never had a driver verdict)
-    "dedup_minhash_portable", "dedup_chunk_boilerplate", "text_pii_redact",
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "dedup_chunk_boilerplate", "text_pii_redact",
     "embedding_quantize_error", "skew_profile_orders",
     "dedup_connected_components", "dedup_minhash_components",
     "text_gopher_filters", "contamination_ngram_overlap", "pack_sequences",

@@ -216,3 +216,40 @@ def test_minhash_portable_matches_pipeline_semantics(spark, sf_dir):
     pt = {(r.doc_a, r.doc_b) for r in rows}
     inter = len(xx & pt)
     assert inter >= 0.7 * max(len(xx), 1)
+
+
+def test_simhash_portable_same_shape_as_default(spark, sf_dir):
+    from flapi_spark.operators.dedup import (
+        dedup_simhash,
+        dedup_simhash_portable,
+        simhash_fingerprints_portable,
+    )
+
+    fps = {r.doc_id: (r.hi, r.lo) for r in
+           simhash_fingerprints_portable(spark, sf_dir).collect()}
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32
+               for hi, lo in fps.values())
+    pairs = dedup_simhash_portable(spark, sf_dir).collect()
+    for r in pairs[:20]:
+        ha, la = fps[r.doc_a]
+        hb, lb = fps[r.doc_b]
+        d = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+        assert d == r.hamming <= 6
+    # identical distinct-token sets => hamming 0 under BOTH families
+    # (hamming-0 pairs that are mere fingerprint collisions may differ)
+    from flapi_spark.operators.dedup import _doc_tokens
+
+    tok_sets = {r.doc_id: frozenset(r.toks)
+                for r in _doc_tokens(spark, sf_dir).collect()}
+    same_set = {
+        (a, b)
+        for a in tok_sets for b in tok_sets
+        if a < b and tok_sets[a] == tok_sets[b]
+    }
+    assert same_set  # the corpus contains exact dups
+    exact_default = {(r.doc_a, r.doc_b)
+                     for r in dedup_simhash(spark, sf_dir).collect()
+                     if r.hamming == 0}
+    exact_portable = {(r.doc_a, r.doc_b) for r in pairs if r.hamming == 0}
+    assert same_set <= exact_default
+    assert same_set <= exact_portable
