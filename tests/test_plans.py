@@ -100,3 +100,39 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in final  # no global sort
+
+
+def test_pii_redact_is_shuffle_free_projection(spark, sf_dir):
+    plan = _plan(spark, "text_pii_redact", sf_dir)
+    assert "Exchange" not in plan  # pure per-row projection
+    assert "*(1)" in plan  # whole-stage codegen'd single stage
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read  # column pruning
+
+
+def test_chunk_boilerplate_single_agg_no_join(spark, sf_dir):
+    plan = _plan(spark, "dedup_chunk_boilerplate", sf_dir)
+    # one hash-aggregate pair (partial + final) on the chunk, no joins
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial present
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_single_pass_over_orders(spark, sf_dir):
+    plan = _plan(spark, "skew_profile_orders", sf_dir)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the key column leaves the scan
+    assert "o_custkey" in read and "o_totalprice" not in read
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_error_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "embedding_quantize_error", sf_dir)
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_portable_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "dedup_minhash_portable", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
