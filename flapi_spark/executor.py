@@ -121,10 +121,24 @@ class QueryExecutor:
             if name in self.registry:
                 conn = self.registry.get(name)
                 conn_ctx = conn.template_context()
-                conn.register_view(self.spark)
+                # sap_rfc has no standalone table to expose as a view;
+                # its tables materialize per sap_read_table() call site
+                if conn.format.lower() not in ("sap_rfc", "sap"):
+                    conn.register_view(self.spark)
                 break
         ctx = build_context(params=typed, conn=conn_ctx, env=self.env, cache=cache_ctx)
         sql = render_template(rewritten, ctx)
+        if "sap_read_table" in sql.lower():
+            # ERPL table-function syntax → per-table temp views backed
+            # by the endpoint's sap_rfc connection (sources/sap.py)
+            from flapi_spark.sources.sap import rewrite_sap_read_table
+
+            for name in endpoint.connections:
+                if name in self.registry:
+                    c = self.registry.get(name)
+                    if c.format.lower() in ("sap_rfc", "sap"):
+                        sql = rewrite_sap_read_table(self.spark, sql, c)
+                        break
         return sql, spark_args(typed, bound)
 
     def execute(

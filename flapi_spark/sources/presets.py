@@ -92,8 +92,23 @@ def reader_spec(fmt: str, props: dict) -> tuple[str, dict[str, str]]:
         if props.get("views_enabled"):
             opts["viewsEnabled"] = "true"
         return "bigquery", opts
+    if fmt in ("sap_rfc", "sap"):
+        # RFC credential block, mirroring the reference's sap_rfc
+        # secret fields (examples/flapi.yaml:42-49 ASHOST/SYSNR/CLIENT/
+        # USER/PASSWD/LANG); table comes from the sap_read_table()
+        # rewrite (flapi_spark/sources/sap.py)
+        opts = {
+            key.upper(): str(props[key])
+            for key in ("ashost", "sysnr", "client", "user", "passwd", "lang")
+            if key in props
+        }
+        if props.get("table"):
+            opts["TABLE"] = str(props["table"])
+        return "sap_rfc", opts
     raise KeyError(f"no preset for format {fmt!r}")
 
 
 def has_preset(fmt: str) -> bool:
-    return fmt.lower() in _JDBC_PRESETS or fmt.lower() == "bigquery"
+    return fmt.lower() in _JDBC_PRESETS or fmt.lower() in (
+        "bigquery", "sap_rfc", "sap",
+    )

@@ -4,6 +4,7 @@ translation is config -> reader format + options)."""
 import pytest
 
 from flapi_spark.sources.presets import has_preset, reader_spec
+from flapi_spark.sources.registry import Connection, SourceUnavailableError
 
 
 def test_postgres_preset():
@@ -70,3 +71,78 @@ def test_registry_surfaces_unavailable_connector(spark):
                       properties={"database": "d", "table": "t"})
     with pytest.raises(SourceUnavailableError):
         conn.read(spark)
+
+
+def test_sap_rfc_preset_translates_rfc_credentials():
+    fmt, opts = reader_spec("sap_rfc", {
+        "ashost": "localhost", "sysnr": "00", "client": "001",
+        "user": "DEVELOPER", "passwd": "secret", "lang": "EN",
+        "table": "SFLIGHT",
+    })
+    assert fmt == "sap_rfc"
+    assert opts == {
+        "ASHOST": "localhost", "SYSNR": "00", "CLIENT": "001",
+        "USER": "DEVELOPER", "PASSWD": "secret", "LANG": "EN",
+        "TABLE": "SFLIGHT",
+    }
+    assert has_preset("sap") and has_preset("sap_rfc")
+
+
+def test_sap_read_table_rewrite_end_to_end(spark):
+    from flapi_spark.sources.sap import rewrite_sap_read_table
+
+    conn = Connection(name="sap-abap-trial", format="sap_rfc",
+                      properties={"ashost": "h", "sysnr": "00"})
+    served = []
+
+    def fake_reader(spark_, conn_, table):
+        served.append((conn_.name, table))
+        return spark_.createDataFrame(
+            [(1, "LH"), (2, "AA")], "connid INT, carrid STRING"
+        )
+
+    sql = ("SELECT carrid, count(*) AS n FROM sap_read_table('SFLIGHT')"
+           " AS f GROUP BY carrid")
+    out = rewrite_sap_read_table(spark, sql, conn, reader=fake_reader)
+    assert "sap_read_table" not in out
+    assert "sap_sflight" in out
+    assert served == [("sap-abap-trial", "SFLIGHT")]
+    rows = {r.carrid: r.n for r in spark.sql(out).collect()}
+    assert rows == {"LH": 1, "AA": 1}
+
+
+def test_sap_read_unavailable_without_connector(spark):
+    conn = Connection(name="sap", format="sap_rfc",
+                      properties={"ashost": "h", "table": "SFLIGHT"})
+    with pytest.raises(SourceUnavailableError):
+        conn.read(spark)
+
+
+def test_sap_rewrite_through_executor(spark):
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.sources.registry import ConnectionRegistry
+
+    conn = Connection(name="sap-abap-trial", format="sap_rfc",
+                      properties={"ashost": "h"})
+    # pre-register the view the rewrite will target, with a local
+    # stand-in (the executor's default reader is availability-gated)
+    spark.createDataFrame(
+        [(17, "LH")], "connid INT, carrid STRING"
+    ).createOrReplaceTempView("sap_sflight")
+    import flapi_spark.sources.sap as sap_mod
+
+    orig = sap_mod._default_reader
+    sap_mod._default_reader = lambda s, c, t: s.table("sap_" + t.lower())
+    try:
+        ex = QueryExecutor(spark, registry=ConnectionRegistry({conn.name: conn}))
+        ep = EndpointConfig(
+            url_path="/sap/flights",
+            template_text="SELECT carrid FROM sap_read_table('SFLIGHT') AS f",
+            connections=["sap-abap-trial"],
+            with_pagination=False,
+        )
+        res = ex.execute(ep)
+        assert [r.carrid for r in res.df.collect()] == ["LH"]
+    finally:
+        sap_mod._default_reader = orig
