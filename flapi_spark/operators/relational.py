@@ -922,3 +922,52 @@ def lapsed_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
     ).select("o_custkey")
     return in_97.subtract(after)
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket gap-fill with LOCF — the hypertable
+    `time_bucket_gapfill` + `locf()` pattern: a dense (event_type ×
+    hour) spine over the observed range, left-joined with the hourly
+    rollup; missing buckets carry the last observed sum forward
+    (leading gaps fill 0.0) and are flagged.
+
+    Scale shape: the spine is tiny (types × hours — KBs at any corpus
+    size) and BROADCASTS against the rollup; the only full-data pass
+    is the rollup groupBy itself. LOCF is a per-type window over
+    spine-sized data, not event-sized. Exact DuckDB oracle (sums
+    routed through DECIMAL so fill values are order-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    j = grid.join(F.broadcast(obs), ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.last("sv", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )

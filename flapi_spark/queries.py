@@ -307,6 +307,32 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         " count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY 1, 2",
     ),
+    "events_gapfill": (
+        R.events_gapfill,
+        "WITH obs AS (SELECT event_type,"
+        "  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,"
+        "  CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv"
+        "  FROM events GROUP BY 1, 2),"
+        " rng AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP)))"
+        "   AS lo, date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi"
+        "  FROM events),"
+        " spine AS (SELECT unnest(generate_series(lo, hi,"
+        "  INTERVAL 1 HOUR)) AS bucket FROM rng),"
+        " grid AS (SELECT t.event_type, s.bucket FROM"
+        "  (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s),"
+        " j AS (SELECT g.event_type, g.bucket, o.n, o.sv FROM grid g"
+        "  LEFT JOIN obs o ON o.event_type = g.event_type"
+        "   AND o.bucket = g.bucket)"
+        " SELECT event_type, bucket,"
+        "  CAST(coalesce(n, 0) AS BIGINT) AS n_events,"
+        "  coalesce(last_value(sv IGNORE NULLS) OVER ("
+        "   PARTITION BY event_type ORDER BY bucket"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)"
+        "   AS filled_value,"
+        "  n IS NULL AS is_gap"
+        " FROM j",
+    ),
     "pivot_priority_by_segment": (
         R.pivot_priority_by_segment,
         "SELECT o_orderpriority,"
@@ -1280,7 +1306,7 @@ _CHECK_FIRST = [
     "mm_real_decoded",
     "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
     # new in round 2 (never had a driver verdict)
-    "dedup_minhash_portable", "dedup_simhash_portable",
+    "events_gapfill", "dedup_minhash_portable", "dedup_simhash_portable",
     "dedup_chunk_boilerplate", "text_pii_redact",
     "embedding_quantize_error", "skew_profile_orders",
     "dedup_connected_components", "dedup_minhash_components",

@@ -23,3 +23,27 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_gapfill_dense_spine_and_locf(spark, sf_dir):
+    from flapi_spark.operators.relational import events_gapfill
+    from flapi_spark.session import load_table
+
+    rows = events_gapfill(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    buckets = {r.bucket for r in rows}
+    # dense: every type has every bucket of the global range
+    assert len(rows) == n_types * len(buckets)
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bucket)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        last = 0.0
+        for r in series:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.filled_value == last  # LOCF carries forward
+            else:
+                assert r.n_events > 0
+                last = r.filled_value
