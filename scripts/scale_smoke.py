@@ -24,7 +24,10 @@ from flapi_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "ann_bruteforce_topk", "dedup_simhash",
-       "dedup_embedding_lsh_capped"]
+       "dedup_embedding_lsh_capped",
+       # round-2 pipeline operators
+       "dedup_chunk_boilerplate", "dedup_minhash_portable",
+       "text_pii_redact", "embedding_quantize_error"]
 FACTORS = [1, 2, 4, 8]
 
 
