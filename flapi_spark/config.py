@@ -49,7 +49,9 @@ def _resolve_includes(text: str, base_dir: Path) -> str:
             out_lines.append(line)
             continue
         section, fname = m.group("section"), m.group("file")
-        inc_path = base_dir / fname
+        from flapi_spark.paths import PathValidator
+
+        inc_path = Path(PathValidator().validate(fname, base_dir))
         with open(inc_path) as fh:
             inc_doc = yaml.safe_load(_resolve_includes(fh.read(), inc_path.parent))
         if not isinstance(inc_doc, dict) or section not in inc_doc:
@@ -157,7 +159,14 @@ class EndpointConfig:
             raise ValueError(f"endpoint {self.url_path}: no template")
         path = Path(self.template_source)
         if not path.is_absolute() and self.base_dir is not None:
-            path = self.base_dir / path
+            # config-supplied relative template paths must stay inside
+            # the config tree (reference: path_validator.cpp traversal
+            # + allowed-prefix checks; symlinks resolved)
+            from flapi_spark.paths import PathValidator
+
+            path = Path(
+                PathValidator().validate(self.template_source, self.base_dir)
+            )
         return path.read_text()
 
 
