@@ -229,7 +229,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     ev = load_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order_w))
+    # timestamp_diff works for TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # testdata's TIMESTAMP(NANOS) arrives as NTZ on Spark >= 4.1.2,
+    # as LTZ via the nanosAsLong long-to-micros conversion before).
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag("ts").over(order_w), F.col("ts")
+    )
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))

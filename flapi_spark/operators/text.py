@@ -326,6 +326,156 @@ def pack_sequences(
     )
 
 
+def _gram_expr(n: int, col: str = "t") -> F.Column:
+    """Word n-grams (space-joined) as an array column; empty array when
+    the doc has fewer than n tokens."""
+    return F.expr(
+        f"CASE WHEN size({col}) >= {n} THEN"
+        f" transform(sequence(1, size({col}) - {n} + 1),"
+        f" i -> concat_ws(' ', slice({col}, i, {n})))"
+        " ELSE array() END"
+    )
+
+
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): the
+    fraction of characters covered by the most frequent word 2-gram,
+    the fraction covered by duplicated 2-grams, and the duplicate-token
+    fraction, each with its pass flag and a combined keep. (The
+    reference signals use line/paragraph fractions and n up to 10; the
+    synthetic corpus is single-line with a ~31-word vocabulary, so
+    2-grams are where repetition actually shows — thresholds picked so
+    both outcomes occur in testdata.)
+
+    Scale shape: explode + one map-side-combined groupBy(doc_id, gram)
+    — shuffle bounded by distinct (doc, gram) pairs, never corpus
+    n-gram volume; the top-gram pick is a per-doc window over the
+    already-aggregated counts. Overlapping occurrences double-count
+    characters by construction (count × gram length); the metric is a
+    repetition *signal*, not a span-cover measure, and the oracle
+    applies the identical definition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        norm_text().alias("nt"),
+        _tokens().alias("t"),
+    ).select(
+        "doc_id",
+        F.length("nt").alias("n_chars"),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        _gram_expr(2).alias("g2"),
+    )
+    c2 = (
+        base.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_2gram"),
+            (F.col("c") * F.length("gram")).alias("top_chars"),
+        )
+    )
+    dup2 = (
+        c2.where(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("dup_chars"))
+    )
+    joined = (
+        base.drop("g2")
+        .join(top2, "doc_id", "left")
+        .join(dup2, "doc_id", "left")
+    )
+    top_share = (
+        F.coalesce(F.col("top_chars"), F.lit(0)).cast("double") / F.col("n_chars")
+    )
+    dup_frac = (
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / F.col("n_chars")
+    )
+    dup_tok = (
+        (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
+    )
+    pass_top = top_share < 0.10
+    pass_dup = dup_frac < 0.20
+    pass_tok = dup_tok < 0.60
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("top_2gram"), F.lit("")).alias("top_2gram"),
+        top_share.alias("top_2gram_share"),
+        dup_frac.alias("dup_2gram_frac"),
+        dup_tok.alias("dup_token_frac"),
+        pass_top.alias("pass_top_2gram"),
+        pass_dup.alias("pass_dup_2gram"),
+        pass_tok.alias("pass_dup_tokens"),
+        (pass_top & pass_dup & pass_tok).alias("keep"),
+    )
+
+
+# Default target mixture for domain_mixture_sample: rebalance five of
+# the corpus sources; docs from unlisted sources are dropped.
+MIXTURE_WEIGHTS = {
+    "src0": 0.30, "src1": 0.25, "src2": 0.20, "src3": 0.15, "src4": 0.10,
+}
+
+
+def domain_mixture_sample(
+    spark: SparkSession, sf_dir: str, weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic domain-mixture rebalancing: given target mixture
+    weights per `source`, keep the largest corpus subset whose source
+    proportions match the weights exactly — scale = min_s(n_s / w_s),
+    k_s = floor(scale * w_s), then the k_s docs of each source that
+    rank first by (md5(doc_id), doc_id). The hash rank is a pure
+    function of the row, so the sample is reproducible across engines,
+    partitionings and cluster sizes (the data-mixture step of corpus
+    assembly, cf. The Pile / Gopher mixture tables).
+
+    Scale shape: per-source counts are a tiny aggregate broadcast back;
+    selection is one window sort per source partition. For corpora
+    where single sources outgrow a partition's sort budget, the
+    hash-threshold variant (keep bucket < k_s/n_s · 2^32 on the same
+    md5) trades exact counts for a shuffle-free scan; the exact-rank
+    form is kept here because counts are part of the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    from itertools import chain
+
+    from pyspark.sql import Window
+
+    weights = weights or MIXTURE_WEIGHTS
+    wmap = F.create_map(*[F.lit(x) for x in chain.from_iterable(weights.items())])
+    counts = (
+        docs.where(F.col("source").isin(*weights))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wt", wmap[F.col("source")])
+    )
+    scale = counts.agg(
+        F.min(F.col("n").cast("double") / F.col("wt")).alias("scale")
+    )
+    k = counts.crossJoin(F.broadcast(scale)).select(
+        "source",
+        F.floor(F.col("scale") * F.col("wt")).cast("long").alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.where(F.col("source").isin(*weights)).select(
+        "doc_id", "source", F.row_number().over(w).alias("pick_rank")
+    )
+    return (
+        ranked.join(F.broadcast(k), "source")
+        .where(F.col("pick_rank") <= F.col("k"))
+        .select("doc_id", "source", F.col("pick_rank").cast("long").alias("pick_rank"))
+    )
+
+
 # PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB)
 PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

@@ -1221,6 +1221,63 @@ QUERIES.update(
             " FROM t WINDOW w AS (PARTITION BY shard ORDER BY doc_id"
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
         ),
+        "text_repetition_filters": (
+            T.text_repetition_filters,
+            f"WITH t AS (SELECT doc_id, {_NORM} AS nt, {_TOKS} AS tk FROM documents),"
+            " base AS (SELECT doc_id, length(nt) AS n_chars, len(tk) AS n_tokens,"
+            "   len(list_distinct(tk)) AS n_distinct,"
+            "   CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),"
+            "    i -> array_to_string(tk[i:i+1], ' ')) ELSE [] END AS g2"
+            "  FROM t),"
+            " g AS (SELECT doc_id, unnest(g2) AS gram FROM base),"
+            " c2 AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),"
+            " top2 AS (SELECT doc_id, gram, c * length(gram) AS top_chars,"
+            "   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC)"
+            "    AS rn FROM c2),"
+            " d2 AS (SELECT doc_id, sum(c * length(gram)) AS dup_chars"
+            "  FROM c2 WHERE c >= 2 GROUP BY 1)"
+            " SELECT b.doc_id,"
+            "  coalesce(t2.gram, '') AS top_2gram,"
+            "  CAST(coalesce(t2.top_chars, 0) AS DOUBLE) / b.n_chars"
+            "   AS top_2gram_share,"
+            "  CAST(coalesce(d2.dup_chars, 0) AS DOUBLE) / b.n_chars"
+            "   AS dup_2gram_frac,"
+            "  CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens"
+            "   AS dup_token_frac,"
+            "  CAST(coalesce(t2.top_chars, 0) AS DOUBLE) / b.n_chars < 0.10"
+            "   AS pass_top_2gram,"
+            "  CAST(coalesce(d2.dup_chars, 0) AS DOUBLE) / b.n_chars < 0.20"
+            "   AS pass_dup_2gram,"
+            "  CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens < 0.60"
+            "   AS pass_dup_tokens,"
+            "  (CAST(coalesce(t2.top_chars, 0) AS DOUBLE) / b.n_chars < 0.10"
+            "   AND CAST(coalesce(d2.dup_chars, 0) AS DOUBLE) / b.n_chars < 0.20"
+            "   AND CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens < 0.60)"
+            "   AS keep"
+            " FROM base b"
+            " LEFT JOIN (SELECT doc_id, gram, top_chars FROM top2 WHERE rn = 1) t2"
+            "  USING (doc_id)"
+            " LEFT JOIN d2 USING (doc_id)",
+        ),
+        "domain_mixture_sample": (
+            T.domain_mixture_sample,
+            "WITH w AS (SELECT source, CAST(wt AS DOUBLE) AS wt FROM (VALUES "
+            + ", ".join(
+                f"('{s}', {wt})" for s, wt in T.MIXTURE_WEIGHTS.items()
+            )
+            + ") v(source, wt)),"
+            " c AS (SELECT d.source, count(*) AS n, any_value(w.wt) AS wt"
+            "  FROM documents d JOIN w ON d.source = w.source GROUP BY 1),"
+            " s AS (SELECT min(CAST(n AS DOUBLE) / wt) AS scale FROM c),"
+            " k AS (SELECT source, CAST(floor(s.scale * c.wt) AS BIGINT) AS k"
+            "  FROM c, s),"
+            " r AS (SELECT d.doc_id, d.source, row_number() OVER ("
+            "   PARTITION BY d.source"
+            "   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pick_rank"
+            "  FROM documents d JOIN w ON d.source = w.source)"
+            " SELECT r.doc_id, r.source, CAST(r.pick_rank AS BIGINT) AS pick_rank"
+            " FROM r JOIN k USING (source) WHERE r.pick_rank <= k.k",
+        ),
         "dedup_chunk_boilerplate": (
             D.dedup_chunk_boilerplate,
             f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"

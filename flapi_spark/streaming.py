@@ -17,13 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        # TIMESTAMP(NANOS) parquet arrives as TIMESTAMP_NTZ (micro
+        # truncation) on Spark >= 4.1.2 — match the batch reader.
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -44,15 +47,20 @@ def read_events_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def tumbling_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Hourly tumbling-window aggregate with late-data watermark — the
     streaming twin of operators/relational.py:events_tumbling_agg."""
+    # ts is TIMESTAMP_NTZ (matching the batch reader) but Spark
+    # watermarks require TIMESTAMP — derive an LTZ event-time column
+    # (exact under the fixed-offset UTC session) and convert window
+    # bounds back to NTZ so outputs equal the batch twin's.
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        events.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_evt", watermark)
+        .groupBy(F.window("ts_evt", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
@@ -60,8 +68,8 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
             .alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"), "event_type",
-            "n_events", "sum_value",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "sum_value",
         )
     )
 
@@ -80,8 +88,8 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("session_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
     ]
 )
 
@@ -217,8 +225,11 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     (dropDuplicatesWithinWatermark): state for an id is dropped once
     the watermark passes it, so state size is bounded by the horizon —
     the streaming form of dedup_exact for at-least-once sources."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    return (
+        events.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_evt", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("ts_evt")
     )
 
 
@@ -226,8 +237,9 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
     """1-hour windows hopping every 30 minutes — streaming twin of
     operators/relational.py:events_hopping_agg."""
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        events.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_evt", watermark)
+        .groupBy(F.window("ts_evt", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,10)"))
@@ -235,8 +247,8 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFra
             .alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"), "event_type",
-            "n_events", "sum_value",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "sum_value",
         )
     )
 
@@ -257,7 +269,7 @@ def error_purchase_join_stream(
         .select(
             F.col("event_id").alias("error_id"),
             F.col("user_id").alias("user_id"),
-            F.col("ts").alias("error_ts"),
+            F.col("ts").cast("timestamp").alias("error_ts"),
         )
         .withWatermark("error_ts", watermark)
     )
@@ -266,7 +278,7 @@ def error_purchase_join_stream(
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
         .withWatermark("purchase_ts", watermark)
@@ -278,6 +290,9 @@ def error_purchase_join_stream(
         & (F.col("purchase_ts") <= F.col("error_ts") + F.expr("INTERVAL 1 HOUR")),
     )
     return joined.select(
-        "error_id", "user_id", "error_ts", "purchase_id", "purchase_ts",
+        "error_id", "user_id",
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )

@@ -137,7 +137,9 @@ def test_sessionize_cross_batch_session(spark, tmp_path):
         tbl = pa.table(
             {
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                # naive micros -> parquet TIMESTAMP(MICROS, notUTC) ->
+                # Spark TIMESTAMP_NTZ, same as the testdata nanos files
+                "ts": pa.array([r[1] // 1000 for r in rows], pa.timestamp("us")),
                 "user_id": pa.array([r[2] for r in rows], pa.int64()),
                 "event_type": pa.array(["view"] * len(rows)),
                 "value": pa.array([1.0] * len(rows)),
