@@ -976,3 +976,310 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: users are
+    cohorted by the week of their first event; each cell counts the
+    cohort's users active in week N after signup (classic retention
+    triangle, the product-analytics shape the reference serves via
+    SQL templates over event tables).
+
+    Scale shape: one groupBy(user) for first-activity, one distinct
+    over (user, week) — both shuffle on user_id so AQE reuses the
+    exchange; the final (cohort × offset) aggregate is tiny. Week
+    arithmetic stays integral (date_diff days / 7 on week-truncated
+    stamps is exact), so the output is engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            F.floor(
+                F.date_diff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over events: first view, first click strictly
+    after that view, first purchase strictly after that click — per
+    user, then stage-level user counts with conversion from the top
+    of the funnel.
+
+    Scale shape: three min-aggregates keyed on user_id; every join is
+    user-keyed so the plan is a chain of co-partitioned hash joins
+    (no broadcast of event-scale data, no cartesian). The stack() at
+    the end unpivots a single 1-row product of three scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    row = (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    un = row.selectExpr(
+        "stack(3, '1_view', n_view, '2_click_after_view', n_click,"
+        " '3_purchase_after_click', n_purchase) as (stage, n_users)",
+        "n_view",
+    )
+    return un.select(
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.col("n_users").cast("double") / F.col("n_view").cast("double")
+        ).alias("conv_from_start"),
+    )
+
+
+def windowfns_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth: per market segment, customers ranked
+    by exact total order value with dense_rank / percent_rank /
+    cume_dist / quartile ntile in one window pass; top 10 per segment.
+
+    The window ordering carries a unique (value desc, custkey)
+    tiebreak so rank-derived ratios are deterministic across engines.
+    Scale shape: customer-keyed aggregate, broadcast customer dim,
+    one window shuffle on the 5-value segment key; top-10 filter
+    prunes before the driver sees anything."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("total")
+    )
+    j = totals.join(
+        F.broadcast(cust), totals.o_custkey == cust.c_custkey
+    ).select("o_custkey", "c_mktsegment", "total")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total"), F.asc("o_custkey")
+    )
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_custkey",
+            F.col("total").cast("double").alias("total_value"),
+            F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("drank"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rn") <= 10)
+        .select(
+            "c_mktsegment", "o_custkey", "total_value",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("drank").cast("long").alias("drank"),
+            "prank", "cdist",
+            F.col("quartile").cast("long").alias("quartile"),
+        )
+    )
+
+
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: 20 bins of 30,000 with
+    the last bin absorbing the tail. Bin assignment runs in INTEGER
+    cents (value*100 DIV 3,000,000), so bucket edges are exact on any
+    engine — no float boundary drift.
+
+    Scale shape: a single map-side-combined groupBy over ≤20 keys;
+    the scan reads one column."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    b = orders.select(
+        F.least(F.floor(cents / F.lit(3_000_000)), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+        dec("o_totalprice").alias("v"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 30_000).cast("long").alias("bin_lo"),
+            "n_orders",
+            "sum_value",
+        )
+    )
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem measures (quantity,
+    extendedprice, discount) computed from EXACT decimal moment sums:
+    Σx, Σx², Σxy are all decimal (order-independent), and only the
+    final corr formula runs in double with an expression shape
+    mirrored verbatim in the oracle — so both engines execute the
+    identical IEEE sequence and agree bit-for-bit.
+
+    Scale shape: one pass, one map-side-combined global aggregate;
+    at 1000 executors this is a treeAggregate-style reduction with
+    constant output. (Built-in corr() is one pass too but its running
+    float accumulation is partition-order-dependent — useless for
+    cross-engine verification.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = dec("l_quantity"), dec("l_extendedprice"), dec("l_discount")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"), F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"), F.sum(p * d).alias("spd"),
+    )
+
+    def corr(nc, sxy, sx, sy, sxx, syy):
+        n_ = F.col(nc).cast("double")
+        return (
+            (n_ * F.col(sxy).cast("double")
+             - F.col(sx).cast("double") * F.col(sy).cast("double"))
+            / (
+                F.sqrt(n_ * F.col(sxx).cast("double")
+                       - F.col(sx).cast("double") * F.col(sx).cast("double"))
+                * F.sqrt(n_ * F.col(syy).cast("double")
+                         - F.col(sy).cast("double") * F.col(sy).cast("double"))
+            )
+        )
+
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        corr("n", "sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("n", "sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("n", "spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )
+
+
+def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: collapse each customer's order stream
+    into priority "versions" with valid_from / valid_to intervals and
+    an is_current flag — the dimension-history maintenance pattern the
+    reference's cache merge (primary-key + cursor upsert) feeds.
+
+    Scale shape: change detection (lag), run numbering (running sum),
+    run collapse (groupBy) and interval close (lead) all share the
+    customer-key partitioning, so Catalyst plans ONE exchange on
+    o_custkey for the whole pipeline."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = o.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("o_custkey", "version", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("version")
+    return collapsed.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version"),
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+def events_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with LINEAR interpolation (the hypertable
+    `interpolate()` twin of events_gapfill's locf): missing buckets
+    take prev + (next - prev) * elapsed_fraction between the
+    neighboring observed buckets; leading gaps backfill, trailing
+    gaps carry forward. Fractions come from integral hour differences
+    and the arithmetic shape is mirrored in the oracle, so the double
+    math is engine-identical.
+
+    Scale shape: identical to events_gapfill — the only event-scale
+    pass is the hourly rollup; interpolation is windows over the tiny
+    (type × hour) spine."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sv")
+    )
+    rng = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "bucket"
+        )
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    j = grid.join(F.broadcast(obs), ["event_type", "bucket"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("sv", ignorenulls=True).over(back)
+    next_v = F.first("sv", ignorenulls=True).over(fwd)
+    prev_b = F.last(
+        F.when(F.col("sv").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(back)
+    next_b = F.first(
+        F.when(F.col("sv").isNotNull(), F.col("bucket")), ignorenulls=True
+    ).over(fwd)
+    frac = (
+        F.timestamp_diff("HOUR", prev_b, F.col("bucket")).cast("double")
+        / F.timestamp_diff("HOUR", prev_b, next_b).cast("double")
+    )
+    interp = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        interp.alias("value_interp"),
+        F.col("sv").isNull().alias("is_gap"),
+    )

@@ -1390,3 +1390,176 @@ QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
     **{n: q for n, q in QUERIES.items() if n not in _CHECK_FIRST},
 }
+
+
+# --- round 3: OLAP depth (cohort/funnel/window-breadth/histogram/
+# exact-corr/SCD2/linear-interp) ------------------------------------------
+
+QUERIES.update(
+    {
+        "cohort_retention": (
+            R.cohort_retention,
+            "WITH f AS (SELECT user_id,"
+            "  CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))"
+            "   AS TIMESTAMP) AS cohort_week"
+            "  FROM events GROUP BY 1),"
+            " a AS (SELECT DISTINCT user_id,"
+            "  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)"
+            "   AS act_week"
+            "  FROM events)"
+            " SELECT f.cohort_week,"
+            "  CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7)"
+            "   AS BIGINT) AS week_offset,"
+            "  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users"
+            " FROM a JOIN f USING (user_id) GROUP BY 1, 2",
+        ),
+        "funnel_conversion": (
+            R.funnel_conversion,
+            "WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts"
+            "  FROM events WHERE event_type = 'view' GROUP BY 1),"
+            " c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts"
+            "  FROM events e JOIN v ON e.user_id = v.user_id"
+            "  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.view_ts"
+            "  GROUP BY 1),"
+            " p AS (SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id"
+            "  WHERE e.event_type = 'purchase'"
+            "   AND CAST(e.ts AS TIMESTAMP) > c.click_ts GROUP BY 1),"
+            " n AS (SELECT (SELECT count(*) FROM v) AS n_view,"
+            "  (SELECT count(*) FROM c) AS n_click,"
+            "  (SELECT count(*) FROM p) AS n_purchase)"
+            " SELECT '1_view' AS stage, CAST(n_view AS BIGINT) AS n_users,"
+            "  CAST(n_view AS DOUBLE) / CAST(n_view AS DOUBLE) AS conv_from_start"
+            "  FROM n"
+            " UNION ALL SELECT '2_click_after_view', CAST(n_click AS BIGINT),"
+            "  CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) FROM n"
+            " UNION ALL SELECT '3_purchase_after_click',"
+            "  CAST(n_purchase AS BIGINT),"
+            "  CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE) FROM n",
+        ),
+        "windowfns_order_ranks": (
+            R.windowfns_order_ranks,
+            "WITH t AS (SELECT o_custkey,"
+            "  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total"
+            "  FROM orders GROUP BY 1),"
+            " j AS (SELECT t.o_custkey, c.c_mktsegment, t.total FROM t"
+            "  JOIN customer c ON t.o_custkey = c.c_custkey),"
+            " r AS (SELECT c_mktsegment, o_custkey,"
+            "  CAST(total AS DOUBLE) AS total_value,"
+            "  row_number() OVER w AS rn, dense_rank() OVER w AS drank,"
+            "  percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist,"
+            "  ntile(4) OVER w AS quartile FROM j"
+            "  WINDOW w AS (PARTITION BY c_mktsegment"
+            "   ORDER BY total DESC, o_custkey ASC))"
+            " SELECT c_mktsegment, o_custkey, total_value,"
+            "  CAST(rn AS BIGINT) AS rn, CAST(drank AS BIGINT) AS drank,"
+            "  prank, cdist, CAST(quartile AS BIGINT) AS quartile"
+            " FROM r WHERE rn <= 10",
+        ),
+        "histogram_order_values": (
+            R.histogram_order_values,
+            "WITH b AS (SELECT"
+            "  least(CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            "   AS BIGINT) / 3000000) AS BIGINT), 19) AS bin,"
+            "  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)"
+            " SELECT CAST(bin AS BIGINT) AS bin,"
+            "  CAST(bin * 30000 AS BIGINT) AS bin_lo,"
+            "  CAST(count(*) AS BIGINT) AS n_orders,"
+            "  CAST(SUM(v) AS DOUBLE) AS sum_value"
+            " FROM b GROUP BY 1, 2",
+        ),
+        "corr_matrix_lineitem": (
+            R.corr_matrix_lineitem,
+            "WITH m AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,"
+            "  CAST(l_extendedprice AS DECIMAL(18,2)) AS p,"
+            "  CAST(l_discount AS DECIMAL(18,2)) AS d FROM lineitem),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            "  SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,"
+            "  SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,"
+            "  SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd FROM m)"
+            " SELECT n,"
+            "  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)"
+            "   - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))"
+            "  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+            "     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+            "   * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)"
+            "     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))"
+            "   AS corr_qty_price,"
+            "  (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)"
+            "   - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))"
+            "  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+            "     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))"
+            "   * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)"
+            "     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))"
+            "   AS corr_qty_discount,"
+            "  (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)"
+            "   - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))"
+            "  / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)"
+            "     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))"
+            "   * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)"
+            "     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))"
+            "   AS corr_price_discount"
+            " FROM s",
+        ),
+        "scd2_order_priority_history": (
+            R.scd2_order_priority_history,
+            "WITH c AS (SELECT o_custkey, o_orderdate, o_orderpriority,"
+            "  o_orderkey,"
+            "  CASE WHEN lag(o_orderpriority) OVER w IS NULL"
+            "   OR lag(o_orderpriority) OVER w <> o_orderpriority"
+            "   THEN 1 ELSE 0 END AS chg FROM orders"
+            "  WINDOW w AS (PARTITION BY o_custkey"
+            "   ORDER BY o_orderdate, o_orderkey)),"
+            " r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_orderdate, o_orderkey"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   AS version FROM c),"
+            " g AS (SELECT o_custkey, version, o_orderpriority,"
+            "  min(o_orderdate) AS valid_from,"
+            "  CAST(count(*) AS BIGINT) AS n_orders"
+            "  FROM r GROUP BY 1, 2, 3)"
+            " SELECT o_custkey, CAST(version AS BIGINT) AS version,"
+            "  o_orderpriority, valid_from,"
+            "  lead(valid_from) OVER w2 AS valid_to,"
+            "  lead(valid_from) OVER w2 IS NULL AS is_current, n_orders"
+            " FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)",
+        ),
+        "events_linear_interp": (
+            R.events_linear_interp,
+            "WITH obs AS (SELECT event_type,"
+            "  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,"
+            "  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv"
+            "  FROM events GROUP BY 1, 2),"
+            " rng AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP)))"
+            "   AS lo, date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi"
+            "  FROM events),"
+            " spine AS (SELECT unnest(generate_series(lo, hi,"
+            "  INTERVAL 1 HOUR)) AS bucket FROM rng),"
+            " grid AS (SELECT t.event_type, s.bucket FROM"
+            "  (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s),"
+            " j AS (SELECT g.event_type, g.bucket, o.sv FROM grid g"
+            "  LEFT JOIN obs o ON o.event_type = g.event_type"
+            "   AND o.bucket = g.bucket),"
+            " k AS (SELECT event_type, bucket, sv,"
+            "  last_value(sv IGNORE NULLS) OVER back AS prev_v,"
+            "  first_value(sv IGNORE NULLS) OVER fwd AS next_v,"
+            "  last_value(CASE WHEN sv IS NOT NULL THEN bucket END"
+            "   IGNORE NULLS) OVER back AS prev_b,"
+            "  first_value(CASE WHEN sv IS NOT NULL THEN bucket END"
+            "   IGNORE NULLS) OVER fwd AS next_b"
+            "  FROM j WINDOW back AS (PARTITION BY event_type ORDER BY bucket"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+            "  fwd AS (PARTITION BY event_type ORDER BY bucket"
+            "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))"
+            " SELECT event_type, bucket,"
+            "  CASE WHEN sv IS NOT NULL THEN sv"
+            "   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN"
+            "    prev_v + (next_v - prev_v)"
+            "     * (CAST(date_diff('hour', prev_b, bucket) AS DOUBLE)"
+            "        / CAST(date_diff('hour', prev_b, next_b) AS DOUBLE))"
+            "   WHEN prev_v IS NOT NULL THEN prev_v"
+            "   ELSE next_v END AS value_interp,"
+            "  sv IS NULL AS is_gap"
+            " FROM k",
+        ),
+    }
+)
