@@ -741,3 +741,48 @@ def dedup_minhash_portable(
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: label
+    every document with its MinHash-LSH connected component (portable
+    pipeline — exact-oracle-replayable end to end), then keep ONE doc
+    per cluster by a quality policy (max token count, doc_id
+    tiebreak) instead of the naive min-id. Unclustered docs form their
+    own singleton component and survive. This is the keep/drop
+    decision layer a production dedup actually ships: cluster, pick
+    the best exemplar, drop the rest.
+
+    Scale shape: adds one broadcast-sized join (component labels cover
+    only docs in some dup pair) and one per-component window over the
+    full corpus partitioned by component — a single extra shuffle on
+    top of the pair stream + propagation."""
+    from pyspark.sql import Window
+
+    from flapi_spark.operators.text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
+    comps = label_components(pairs)
+    base = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    labeled = (
+        base.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            .cast("long")
+            .alias("component_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return labeled.select(
+        "doc_id",
+        "component_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -519,3 +519,176 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(pii, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def text_bigram_lm_score(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (the CCNet-style
+    perplexity-bucket quality signal, Wenzek et al. 2020, with the LM
+    trained on the corpus itself): per document, the average negative
+    log-likelihood of its token bigrams under an add-alpha-smoothed
+    bigram model.
+
+    Cross-engine determinism: per-bigram log-probs are single libm
+    ln() calls (engines may differ in the last ulp), summed in sorted
+    order via an ordered array fold so divergence stays ~n*ulp, then
+    rounded to 6 decimals — orders of magnitude inside the rounding
+    grid. Scale shape: bigram counts are two map-side-combined
+    groupBys; the probability join is bigram-keyed (linear shuffle);
+    no Python, no driver loops."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens().alias("t"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "  element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        t.select(F.explode("t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("lp")).alias("lps")
+    )
+    fold = F.expr("aggregate(lps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    return per_doc.select(
+        "doc_id",
+        F.size("lps").cast("long").alias("n_bigrams"),
+        F.round(-(fold / F.size("lps")), 6).alias("avg_nll"),
+    )
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed-unigram bag-of-words features; the per-document log
+    importance weight sums ln(p_target(bucket) / p_raw(bucket)) over
+    its token stream, with add-1-smoothed bucket distributions
+    estimated from the target subset (lang = target_lang) vs the whole
+    corpus. Selection = resample docs with probability proportional to
+    exp(weight).
+
+    The token->bucket hash is the engine-portable md5-prefix fold used
+    by the portable MinHash, so bucket ids replicate anywhere md5
+    exists. The probability ratio is formed from exact integer
+    products (< 2^53) before a single ln(), per-doc sums run in
+    sorted order, and the result rounds to 6 decimals. Scale shape:
+    bucket stats are two tiny aggregates broadcast back; the scan is
+    one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint),"
+            f" {n_buckets})"
+        ),
+    )
+    tgt = toks.where(F.col("lang") == target_lang)
+    ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.count(F.lit(1)).alias("n_t"))
+    nr = toks.agg(F.count(F.lit(1)).alias("n_r"))
+    stats = (
+        cr.join(ct, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("ct") + 1) * (F.col("n_r") + F.lit(n_buckets)))
+                .cast("double")
+                / ((F.col("cr") + 1) * (F.col("n_t") + F.lit(n_buckets)))
+                .cast("double")
+            ).alias("lw"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("lw")).alias("lws"))
+    )
+    fold = F.expr("aggregate(lws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    return per_doc.select(
+        "doc_id",
+        F.size("lws").cast("long").alias("n_tokens"),
+        F.round(fold, 6).alias("log_weight"),
+    )
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-doc term count,
+    idf = ln(N / df), ranked by the 6-decimal-rounded score with an
+    alphabetical tiebreak (rounding first makes the ordering identical
+    across engines even when ln() differs in the last ulp).
+
+    Scale shape: one (doc, term) groupBy, a term-keyed df aggregate
+    joined back on term, a per-doc window over <=vocab-size rows —
+    all linear shuffles; N broadcasts as a 1-row scalar."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

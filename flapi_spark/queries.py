@@ -1344,52 +1344,6 @@ QUERIES.update(
 
 
 
-# --- driver-check ordering -------------------------------------------------
-# The correctness driver verifies registry entries in insertion order
-# and reached only the first 50 in round 1, leaving the back of the
-# registry unjudged. Reorder so the least-verified entries are checked
-# first: round-1-unreached (dedup/ANN/text/multimodal/sources), then
-# the formerly-erroring events queries, then the formerly
-# hash-mismatched ones, then queries whose output dtypes changed this
-# round, then the long-stable passes.
-_CHECK_FIRST = [
-    # never reached in round 1
-    "text_quality_score", "text_langid", "text_winnow_fingerprint",
-    "vocab_top_tokens", "split_train_holdout", "sample_stratified_by_lang",
-    "text_fingerprint", "dedup_exact", "dedup_exact_survivors",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_lsh",
-    "dedup_simhash", "dedup_embedding_cosine", "ann_bruteforce_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "mm_binary_meta", "mm_decoded_features",
-    "mm_real_decoded",
-    "src_multifile_provenance", "src_csv_roundtrip", "src_json_roundtrip",
-    # new in round 2 (never had a driver verdict)
-    "events_gapfill", "dedup_minhash_portable", "dedup_simhash_portable",
-    "dedup_chunk_boilerplate", "text_pii_redact",
-    "embedding_quantize_error", "skew_profile_orders",
-    "dedup_connected_components", "dedup_minhash_components",
-    "text_gopher_filters", "contamination_ngram_overlap", "pack_sequences",
-    # errored in round 1 (TIMESTAMP(NANOS) under a vanilla session)
-    "ntile_value_bands", "events_sessionize", "events_tumbling_agg",
-    "events_props_json", "events_hopping_agg", "range_join_error_purchase",
-    "range_join_value_bands", "distinct_users", "approx_distinct_users",
-    "asof_join_events_orders",
-    # hash-mismatched in round 1 (decimal/hugeint rendering, fixed)
-    "q1_pricing_summary", "q5_local_supplier_volume", "q10_returned_items",
-    "running_revenue_window", "rollup_revenue", "pivot_priority_by_segment",
-    "grouping_sets_revenue", "q20_volume_share_suppliers",
-    "q2_min_price_parts", "q11_important_parts", "q9_profit_by_nation_year",
-    "q12_priority_by_status", "q18_large_orders", "q22_idle_customers",
-    "supplier_balance_by_nation",
-    # passed round 1 but output dtypes changed to the DOUBLE convention
-    "q3_shipping_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q14_promo_revenue_share", "q15_top_supplier",
-    "q19_bracket_revenue", "part_type_share",
-]
-assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
-QUERIES = {
-    **{n: QUERIES[n] for n in _CHECK_FIRST},
-    **{n: q for n, q in QUERIES.items() if n not in _CHECK_FIRST},
-}
 
 
 # --- round 3: OLAP depth (cohort/funnel/window-breadth/histogram/
@@ -1563,3 +1517,145 @@ QUERIES.update(
         ),
     }
 )
+
+
+# --- round 3: training-data depth (LM scoring, DSIR, TF-IDF,
+# survivor policy) ---------------------------------------------------------
+
+QUERIES.update(
+    {
+        "text_bigram_lm_score": (
+            T.text_bigram_lm_score,
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),"
+            " p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
+            "  i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b FROM t),"
+            " pr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM p),"
+            " c2 AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY 1),"
+            " v AS (SELECT count(DISTINCT w) AS v FROM"
+            "  (SELECT unnest(tk) AS w FROM t)),"
+            " s AS (SELECT pr.doc_id,"
+            "  ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp"
+            "  FROM pr JOIN c2 USING (w1, w2) JOIN c1 USING (w1)"
+            "  CROSS JOIN v),"
+            " d AS (SELECT doc_id, list(lp ORDER BY lp) AS lps"
+            "  FROM s GROUP BY 1)"
+            " SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,"
+            "  round(-(list_reduce(lps, (a, b) -> a + b) / len(lps)), 6)"
+            "   AS avg_nll"
+            " FROM d",
+        ),
+        "dsir_importance_weights": (
+            T.dsir_importance_weights,
+            f"WITH tk AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok"
+            "  FROM documents),"
+            " tb AS (SELECT doc_id, lang,"
+            "  ((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT))"
+            f"   % {T.DSIR_BUCKETS}) AS bucket FROM tk),"
+            " ct AS (SELECT bucket, count(*) AS ct FROM tb"
+            "  WHERE lang = 'en' GROUP BY 1),"
+            " cr AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY 1),"
+            " nt AS (SELECT count(*) AS n_t FROM tb WHERE lang = 'en'),"
+            " nr AS (SELECT count(*) AS n_r FROM tb),"
+            " st AS (SELECT cr.bucket,"
+            "  ln(CAST((coalesce(ct.ct, 0) + 1)"
+            f"     * (nr.n_r + {T.DSIR_BUCKETS}) AS DOUBLE)"
+            "   / CAST((cr.cr + 1)"
+            f"     * (nt.n_t + {T.DSIR_BUCKETS}) AS DOUBLE)) AS lw"
+            "  FROM cr LEFT JOIN ct USING (bucket)"
+            "  CROSS JOIN nt CROSS JOIN nr),"
+            " d AS (SELECT tb.doc_id, list(st.lw ORDER BY st.lw) AS lws"
+            "  FROM tb JOIN st USING (bucket) GROUP BY 1)"
+            " SELECT doc_id, CAST(len(lws) AS BIGINT) AS n_tokens,"
+            "  round(list_reduce(lws, (a, b) -> a + b), 6) AS log_weight"
+            " FROM d",
+        ),
+        "tfidf_top_terms": (
+            T.tfidf_top_terms,
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term"
+            "  FROM documents),"
+            " tfc AS (SELECT doc_id, term, count(*) AS tf"
+            "  FROM tok GROUP BY 1, 2),"
+            " dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),"
+            " n AS (SELECT count(*) AS n_docs FROM documents),"
+            " sc AS (SELECT tfc.doc_id, tfc.term,"
+            "  CAST(tfc.tf AS BIGINT) AS tf,"
+            "  round(tfc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6)"
+            "   AS score"
+            "  FROM tfc JOIN dfc USING (term) CROSS JOIN n),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            "   ORDER BY score DESC, term ASC) AS rn FROM sc)"
+            " SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rn"
+            " FROM r WHERE rn <= 3",
+        ),
+        "dedup_keep_best_survivors": (
+            D.dedup_keep_best_survivors,
+            "WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_portable_sql() + ") z),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
+            "  UNION SELECT doc_b, doc_a FROM mp),"
+            " reach(u, v) AS ("
+            "  SELECT u, v FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),"
+            " comp AS (SELECT u AS doc_id,"
+            "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
+            "  FROM reach GROUP BY u),"
+            f" t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT)"
+            "   AS n_tokens FROM documents),"
+            " j AS (SELECT t.doc_id,"
+            "  CAST(coalesce(c.component_id, t.doc_id) AS BIGINT)"
+            "   AS component_id, t.n_tokens"
+            "  FROM t LEFT JOIN comp c ON t.doc_id = c.doc_id)"
+            " SELECT doc_id, component_id, n_tokens,"
+            "  (row_number() OVER (PARTITION BY component_id"
+            "   ORDER BY n_tokens DESC, doc_id ASC)) = 1 AS keep"
+            " FROM j",
+        ),
+    }
+)
+
+
+# --- driver-check ordering -------------------------------------------------
+# The correctness driver verifies registry entries in insertion order
+# and stops after the first 50, so each round rotates the least-verified
+# entries to the front. Round-3 priority: (1) round-1 hash-fails whose
+# dtype fix was never rechecked (round 2's window ended before them),
+# (2) round-1 passes whose output dtypes changed to the DOUBLE
+# convention afterward, (3) queries new this round, (4) round-1 passes
+# never rechecked since, (5) the events/asof queries re-verified under
+# the new native NANOS->NTZ reader, then the long-stable round-2 greens.
+_CHECK_FIRST = [
+    # (1) dtype fix never driver-verified
+    "pivot_priority_by_segment", "grouping_sets_revenue",
+    "q20_volume_share_suppliers", "q2_min_price_parts",
+    "q11_important_parts", "q9_profit_by_nation_year",
+    "q12_priority_by_status", "q18_large_orders", "q22_idle_customers",
+    "supplier_balance_by_nation",
+    # (2) round-1 green, dtypes changed since
+    "q3_shipping_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q14_promo_revenue_share", "q15_top_supplier",
+    "q19_bracket_revenue", "part_type_share",
+    # (3) new in round 3 (no driver verdict yet)
+    "text_repetition_filters", "domain_mixture_sample",
+    "cohort_retention", "funnel_conversion", "windowfns_order_ranks",
+    "histogram_order_values", "corr_matrix_lineitem",
+    "scd2_order_priority_history", "events_linear_interp",
+    "text_bigram_lm_score", "dsir_importance_weights", "tfidf_top_terms",
+    "dedup_keep_best_survivors",
+    # (4) round-1 green, never rechecked
+    "tpl_customers_by_segment", "tpl_customers_all",
+    "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",
+    "percentile_order_values", "approx_percentile_order_values",
+    "cache_upsert_latest", "top_customers_window", "q4_order_priority",
+    "q13_customer_order_counts", "q17_small_qty_revenue",
+    "q21_sole_late_supplier", "customer_order_gaps", "text_token_count",
+    # (5) timestamp semantics changed under Spark 4.1.2 (NANOS -> NTZ)
+    "events_sessionize", "events_tumbling_agg", "asof_join_events_orders",
+    "range_join_error_purchase",
+]
+assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
+QUERIES = {
+    **{n: QUERIES[n] for n in _CHECK_FIRST},
+    **{n: q for n, q in QUERIES.items() if n not in _CHECK_FIRST},
+}

@@ -253,3 +253,20 @@ def test_simhash_portable_same_shape_as_default(spark, sf_dir):
     exact_portable = {(r.doc_a, r.doc_b) for r in pairs if r.hamming == 0}
     assert same_set <= exact_default
     assert same_set <= exact_portable
+
+
+def test_keep_best_survivors_policy(spark, sf_dir):
+    from flapi_spark.operators.dedup import dedup_keep_best_survivors
+
+    rows = dedup_keep_best_survivors(spark, sf_dir).collect()
+    assert len(rows) == 500  # every doc labeled, none dropped silently
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    multi = [c for c in by_comp.values() if len(c) > 1]
+    assert multi  # the corpus has near-dup clusters
+    for members in by_comp.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        best = max(members, key=lambda m: (m.n_tokens, -m.doc_id))
+        assert keepers[0].doc_id == best.doc_id

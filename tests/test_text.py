@@ -231,3 +231,47 @@ def test_domain_mixture_sample_proportions(spark, sf_dir):
     again = sorted((r.doc_id, r.source) for r in
                    domain_mixture_sample(spark, sf_dir).collect())
     assert again == sorted((r.doc_id, r.source) for r in picked)
+
+
+def test_bigram_lm_score_sanity(spark, sf_dir):
+    from flapi_spark.operators.text import text_bigram_lm_score
+
+    rows = text_bigram_lm_score(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_bigrams >= 1
+        # smoothed probabilities are < 1, so avg negative log-lik > 0
+        assert r.avg_nll > 0.0
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    from flapi_spark.operators.text import dsir_importance_weights
+    from flapi_spark.session import load_table
+
+    w = {r.doc_id: r.log_weight
+         for r in dsir_importance_weights(spark, sf_dir).collect()}
+    langs = {r.doc_id: r.lang
+             for r in load_table(spark, sf_dir, "documents")
+             .select("doc_id", "lang").collect()}
+    en = [w[d] for d in w if langs[d] == "en"]
+    zh = [w[d] for d in w if langs[d] == "zh"]
+    assert en and zh
+    # importance weights must rank target-language docs above the most
+    # distant language on average (the entire point of DSIR)
+    assert sum(en) / len(en) > sum(zh) / len(zh)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    from flapi_spark.operators.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for terms in by_doc.values():
+        assert 1 <= len(terms) <= 3
+        ranks = sorted(t.rn for t in terms)
+        assert ranks == list(range(1, len(terms) + 1))
+        ordered = sorted(terms, key=lambda t: t.rn)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.score, b.term) >= (b.score, a.term) or a.score >= b.score
