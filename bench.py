@@ -33,6 +33,9 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_score",
     "contamination_ngram_overlap",
+    # round 3
+    "cohort_retention",
+    "text_bigram_lm_score",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Result sinks: partitioned / sized parquet, csv, json writers.
+
+The reference is read-only over its sources but its cache layer
+writes DuckLake/parquet snapshots (cache_manager.cpp); at Spark scale
+the write path is as important as the read path — a 100 TB pipeline
+ends in a partitioned columnar dataset that downstream scans can
+prune. These writers wrap the idiomatic DataFrameWriter with the
+knobs that matter at scale:
+
+- `partition_by`: hive-style directory partitioning so downstream
+  filters on the partition columns become directory pruning (zero
+  I/O for excluded partitions) rather than row filtering.
+- `max_records_per_file`: bounds individual file size without an
+  extra repartition shuffle (the writer rolls files).
+- `target_files`: optional repartition before write — at 1000
+  executors an unrepartitioned write emits one file per task, and
+  thousands of KB-sized files poison the downstream scan (the
+  small-files problem); conversely a single giant file kills read
+  parallelism.
+
+Bucketed table writes live in operators/scale.py:write_bucketed
+(they need the session catalog); this module is pure path-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    target_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Partitioned parquet dataset write.
+
+    When `partition_by` is set, rows are laid out as
+    `path/col=value/...` so a later `read.parquet(path).where(col=v)`
+    plans PartitionFilters (directory pruning), not a data filter."""
+    if target_files:
+        df = (
+            df.repartition(target_files, *partition_by)
+            if partition_by
+            else df.repartition(target_files)
+        )
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+    target_files: int | None = None,
+) -> None:
+    """CSV dataset write (the executor's serializers cover single
+    API responses; this is the bulk-export path)."""
+    if target_files:
+        df = df.repartition(target_files)
+    w = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    target_files: int | None = None,
+) -> None:
+    """JSON-lines dataset write."""
+    if target_files:
+        df = df.repartition(target_files)
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -136,3 +136,50 @@ def test_minhash_portable_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "dedup_minhash_portable", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_matrix_single_pass(spark, sf_dir):
+    plan = _plan(spark, "corr_matrix_lineitem", sf_dir)
+    # one global aggregate: partial + final, a single (tiny) exchange,
+    # and the scan reads exactly the three measure columns
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read and "l_discount" in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+
+
+def test_histogram_tiny_groupby(spark, sf_dir):
+    plan = _plan(spark, "histogram_order_values", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_totalprice" in read and "o_custkey" not in read
+
+
+def test_scd2_single_customer_exchange(spark, sf_dir):
+    plan = _plan(spark, "scd2_order_priority_history", sf_dir)
+    # lag, run-sum, collapse and lead all share the o_custkey
+    # partitioning: exactly one hash exchange end to end
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_no_event_scale_broadcast(spark, sf_dir):
+    plan = _plan(spark, "funnel_conversion", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only cross joins are the three 1-row scalar aggregates
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bigram_lm_no_cartesian_and_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, "text_bigram_lm_score", sf_dir)
+    assert "CartesianProduct" not in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read and "source" not in read
+
+
+def test_cohort_retention_user_keyed(spark, sf_dir):
+    plan = _plan(spark, "cohort_retention", sf_dir)
+    assert "CartesianProduct" not in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "user_id" in read and "props" not in read and "value" not in read

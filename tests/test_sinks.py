@@ -1,0 +1,77 @@
+"""Partitioned/sized sink writers: round-trips, partition pruning on
+read-back, file sizing."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from flapi_spark.session import load_table
+from flapi_spark.sinks import write_csv, write_json, write_parquet
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_part")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    # hive layout on disk
+    langs = {os.path.basename(p).split("=")[1]
+             for p in glob.glob(f"{out}/lang=*")}
+    assert "en" in langs and len(langs) >= 2
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    # a filter on the partition column must prune directories, not
+    # filter rows: PartitionFilters in the scan, nothing in Filter
+    plan = (
+        back.where(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_parquet_max_records_per_file(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").coalesce(1)
+    out = str(tmp_path / "docs_sized")
+    write_parquet(docs, out, max_records_per_file=100)
+    files = glob.glob(f"{out}/*.parquet")
+    n = docs.count()
+    assert len(files) >= n // 100  # writer rolled files at the cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
+
+
+def test_parquet_target_files(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_nfiles")
+    write_parquet(docs, out, target_files=3)
+    assert len(glob.glob(f"{out}/*.parquet")) == 3
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    csv_out = str(tmp_path / "docs_csv")
+    json_out = str(tmp_path / "docs_json")
+    write_csv(docs, csv_out, target_files=1)
+    write_json(docs, json_out, compression="gzip", target_files=1)
+
+    csv_back = spark.read.option("header", "true").csv(csv_out)
+    assert csv_back.count() == docs.count()
+    assert set(csv_back.columns) == set(docs.columns)
+
+    json_back = spark.read.json(json_out)
+    assert json_back.count() == docs.count()
+    assert glob.glob(f"{json_out}/*.gz")  # compressed parts
+
+
+def test_append_mode_accumulates(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = str(tmp_path / "docs_append")
+    write_parquet(docs, out, mode="overwrite")
+    write_parquet(docs, out, mode="append")
+    assert spark.read.parquet(out).count() == 20
