@@ -1283,3 +1283,79 @@ def events_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.col("sv").isNull().alias("is_gap"),
     )
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue over daily order totals: a RANGE-frame
+    time window (each day sees the calendar week ending on it, not the
+    last 7 rows — days can be missing). Ordering runs on an integral
+    day number so the frame bounds are exact on any engine; sums stay
+    decimal inside the frame and surface as DOUBLE.
+
+    Scale shape: the event-scale work is the per-day groupBy; the
+    rolling window runs over one row per day (a few thousand rows for
+    years of data) — fine unpartitioned, and at a 100 TB ingest rate
+    you'd partition the window by month and stitch the 6-day seam."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    daynum = F.date_diff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy(daynum.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.sum("rev").over(w).cast("double").alias("revenue_7d"),
+        F.sum("n_orders").over(w).cast("long").alias("n_orders_7d"),
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.sum("n_orders").over(w)
+        ).alias("avg_order_value_7d"),
+    )
+
+
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation: customers active in both the first and
+    the last order year (set-op breadth beside EXCEPT's
+    lapsed_customer_keys). Catalyst plans a semi-join over the two
+    distinct key sets — one shuffle each side."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_year = orders.where(
+        F.year("o_orderdate") == 1995
+    ).select("o_custkey")
+    last_year = orders.where(
+        F.year("o_orderdate") >= 2000
+    ).select("o_custkey")
+    return first_year.intersect(last_year)
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) breadth: lineitem's four measures aggregated
+    exactly, then stacked into (measure, total, avg) rows — the
+    inverse of pivot_priority_by_segment's cross-tab. One global
+    aggregate; the stack is a 1-row projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(dec("l_discount")).cast("double").alias("sd"),
+        F.sum(dec("l_tax")).cast("double").alias("st"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    un = sums.selectExpr(
+        "stack(4, 'quantity', sq, 'extendedprice', sp,"
+        " 'discount', sd, 'tax', st) as (measure, total)",
+        "n",
+    )
+    return un.select(
+        "measure",
+        "total",
+        (F.col("total") / F.col("n")).alias("avg_value"),
+    )

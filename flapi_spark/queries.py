@@ -34,6 +34,7 @@ from flapi_spark.operators import relational as R
 from flapi_spark.operators import scale as SC
 from flapi_spark.operators import similarity as S
 from flapi_spark.operators import text as T
+from flapi_spark.operators import asof as A
 from flapi_spark.operators.asof import asof_join_events_orders
 
 _DEC = "CAST({c} AS DECIMAL(18,2))"
@@ -1616,6 +1617,100 @@ QUERIES.update(
 )
 
 
+# --- round 3b: as-of variants, rolling time windows, set-op and
+# unpivot breadth -----------------------------------------------------------
+
+QUERIES.update(
+    {
+        "asof_join_events_orders_forward": (
+            A.asof_join_events_orders_forward,
+            "WITH errors AS (SELECT event_id, user_id,"
+            "  CAST(ts AS TIMESTAMP) AS ts"
+            "  FROM events WHERE event_type = 'error'),"
+            " purchases AS (SELECT user_id, ts, value AS purchase_value FROM ("
+            "  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,"
+            "   row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)"
+            "    ORDER BY event_id DESC) AS rn"
+            "  FROM events WHERE event_type = 'purchase') t WHERE rn = 1)"
+            " SELECT e.event_id, e.user_id, e.ts, p.ts AS matched_ts,"
+            "  p.purchase_value"
+            " FROM errors e ASOF LEFT JOIN purchases p"
+            "  ON e.user_id = p.user_id AND e.ts <= p.ts",
+        ),
+        "asof_join_events_orders_nearest": (
+            A.asof_join_events_orders_nearest,
+            "WITH errors AS (SELECT event_id, user_id,"
+            "  CAST(ts AS TIMESTAMP) AS ts"
+            "  FROM events WHERE event_type = 'error'),"
+            " purchases AS (SELECT user_id, ts, value AS purchase_value FROM ("
+            "  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,"
+            "   row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)"
+            "    ORDER BY event_id DESC) AS rn"
+            "  FROM events WHERE event_type = 'purchase') t WHERE rn = 1),"
+            " b AS (SELECT e.event_id, e.user_id, e.ts, p.ts AS b_ts,"
+            "  p.purchase_value AS b_val"
+            "  FROM errors e ASOF LEFT JOIN purchases p"
+            "   ON e.user_id = p.user_id AND e.ts >= p.ts),"
+            " f AS (SELECT e.event_id, p.ts AS f_ts,"
+            "  p.purchase_value AS f_val"
+            "  FROM errors e ASOF LEFT JOIN purchases p"
+            "   ON e.user_id = p.user_id AND e.ts <= p.ts)"
+            " SELECT b.event_id, b.user_id, b.ts,"
+            "  CASE WHEN f.f_ts IS NULL THEN b.b_ts"
+            "   WHEN b.b_ts IS NULL THEN f.f_ts"
+            "   WHEN date_diff('microseconds', b.b_ts, b.ts)"
+            "    <= date_diff('microseconds', b.ts, f.f_ts) THEN b.b_ts"
+            "   ELSE f.f_ts END AS matched_ts,"
+            "  CASE WHEN f.f_ts IS NULL THEN b.b_val"
+            "   WHEN b.b_ts IS NULL THEN f.f_val"
+            "   WHEN date_diff('microseconds', b.b_ts, b.ts)"
+            "    <= date_diff('microseconds', b.ts, f.f_ts) THEN b.b_val"
+            "   ELSE f.f_val END AS purchase_value"
+            " FROM b JOIN f USING (event_id)",
+        ),
+        "rolling_revenue_7d": (
+            R.rolling_revenue_7d,
+            "WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,"
+            "  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,"
+            "  count(*) AS n_orders FROM orders GROUP BY 1),"
+            " d AS (SELECT day, rev, n_orders,"
+            "  date_diff('day', DATE '1995-01-01', day) AS dn FROM daily)"
+            " SELECT CAST(day AS TIMESTAMP) AS day,"
+            "  CAST(rev AS DOUBLE) AS revenue,"
+            "  CAST(n_orders AS BIGINT) AS n_orders,"
+            "  CAST(SUM(rev) OVER w AS DOUBLE) AS revenue_7d,"
+            "  CAST(SUM(n_orders) OVER w AS BIGINT) AS n_orders_7d,"
+            "  CAST(SUM(rev) OVER w AS DOUBLE) / SUM(n_orders) OVER w"
+            "   AS avg_order_value_7d"
+            " FROM d WINDOW w AS (ORDER BY dn"
+            "  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)",
+        ),
+        "repeat_customers_intersect": (
+            R.repeat_customers_intersect,
+            "SELECT o_custkey FROM orders"
+            " WHERE year(o_orderdate) = 1995"
+            " INTERSECT"
+            " SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 2000",
+        ),
+        "lineitem_measures_unpivot": (
+            R.lineitem_measures_unpivot,
+            "WITH s AS (SELECT"
+            "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,"
+            "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "   AS sp,"
+            "  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,"
+            "  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS st,"
+            "  count(*) AS n FROM lineitem)"
+            " SELECT u.measure, u.total, u.total / s.n AS avg_value"
+            " FROM s, (SELECT 'quantity' AS measure, sq AS total FROM s"
+            "  UNION ALL SELECT 'extendedprice', sp FROM s"
+            "  UNION ALL SELECT 'discount', sd FROM s"
+            "  UNION ALL SELECT 'tax', st FROM s) u",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -1643,6 +1738,9 @@ _CHECK_FIRST = [
     "scd2_order_priority_history", "events_linear_interp",
     "text_bigram_lm_score", "dsir_importance_weights", "tfidf_top_terms",
     "dedup_keep_best_survivors",
+    "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
+    "rolling_revenue_7d", "repeat_customers_intersect",
+    "lineitem_measures_unpivot",
     # (4) round-1 green, never rechecked
     "tpl_customers_by_segment", "tpl_customers_all",
     "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",

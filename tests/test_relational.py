@@ -154,3 +154,84 @@ def test_corr_matrix_bounds(spark, sf_dir):
     # that they're well-defined and bounded
     for c in (r.corr_qty_price, r.corr_qty_discount, r.corr_price_discount):
         assert -1.0 <= c <= 1.0
+
+
+def test_asof_directions_known_case(spark):
+    import datetime as dt
+
+    from flapi_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 7, ts(10)), (2, 7, ts(30)), (3, 8, ts(5))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP_NTZ",
+    )
+    right = spark.createDataFrame(
+        [(7, ts(8), 1.0), (7, ts(29), 2.0), (7, ts(31), 3.0)],
+        "user_id LONG, ts TIMESTAMP_NTZ, v DOUBLE",
+    )
+    back = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on=["user_id"], ts="ts", right_value_cols=["v"]
+        ).collect()
+    }
+    assert back == {1: 1.0, 2: 2.0, 3: None}
+    fwd = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on=["user_id"], ts="ts", right_value_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 2.0, 2: 3.0, 3: None}
+    # forward tolerance: 30-min event is 1 min from the 31-min purchase
+    fwd_tol = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on=["user_id"], ts="ts", right_value_cols=["v"],
+            direction="forward", tolerance="5 MINUTES",
+        ).collect()
+    }
+    assert fwd_tol == {1: None, 2: 3.0, 3: None}
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark, sf_dir):
+    from flapi_spark.operators.asof import (
+        asof_join_events_orders_nearest,
+    )
+
+    rows = asof_join_events_orders_nearest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.matched_ts is None:
+            assert r.purchase_value is None
+        # every match is a real purchase timestamp; distance sanity
+        # (nearest can be on either side of ts)
+    matched = [r for r in rows if r.matched_ts is not None]
+    before = sum(1 for r in matched if r.matched_ts <= r.ts)
+    after = sum(1 for r in matched if r.matched_ts > r.ts)
+    assert before > 0 and after > 0  # both directions actually used
+
+
+def test_rolling_7d_window_equals_manual(spark, sf_dir):
+    from flapi_spark.operators.relational import rolling_revenue_7d
+
+    rows = sorted(
+        rolling_revenue_7d(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        manual_n = sum(
+            o.n_orders
+            for o in rows
+            if 0 <= (r.day - o.day).days <= 6
+        )
+        assert r.n_orders_7d == manual_n
+        assert abs(
+            r.avg_order_value_7d - r.revenue_7d / r.n_orders_7d
+        ) < 1e-9
