@@ -34,6 +34,7 @@ from flapi_spark.operators import relational as R
 from flapi_spark.operators import scale as SC
 from flapi_spark.operators import similarity as S
 from flapi_spark.operators import text as T
+from flapi_spark import quality as Q
 from flapi_spark.operators import asof as A
 from flapi_spark.operators.asof import asof_join_events_orders
 
@@ -1711,6 +1712,43 @@ QUERIES.update(
 )
 
 
+QUERIES.update(
+    {
+        "dq_orders_expectations": (
+            Q.dq_orders_expectations,
+            "WITH rowlevel AS (SELECT"
+            "  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS v0,"
+            "  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS v1,"
+            "  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')"
+            "   OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,"
+            "  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0"
+            "   OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS v3"
+            " FROM orders),"
+            " uq AS (SELECT CAST(coalesce(SUM(n - 1), 0) AS BIGINT) AS v"
+            "  FROM (SELECT o_orderkey, count(*) AS n FROM orders"
+            "   GROUP BY 1 HAVING count(*) > 1)),"
+            " fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders o"
+            "  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS"
+            "   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),"
+            " rep AS ("
+            "  SELECT 'not_null' AS rule, 'o_orderkey' AS \"column\","
+            "   v0 AS violations FROM rowlevel"
+            "  UNION ALL SELECT 'not_null', 'o_custkey', v1 FROM rowlevel"
+            "  UNION ALL SELECT 'accepted_values', 'o_orderstatus', v2"
+            "   FROM rowlevel"
+            "  UNION ALL SELECT 'in_range', 'o_totalprice', v3 FROM rowlevel"
+            "  UNION ALL SELECT 'unique', 'o_orderkey', v FROM uq"
+            "  UNION ALL SELECT 'references', 'o_custkey', v FROM fk)"
+            " SELECT rule, \"column\", violations, violations = 0 AS passed"
+            " FROM rep",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -1740,7 +1778,7 @@ _CHECK_FIRST = [
     "dedup_keep_best_survivors",
     "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
     "rolling_revenue_7d", "repeat_customers_intersect",
-    "lineitem_measures_unpivot",
+    "lineitem_measures_unpivot", "dq_orders_expectations",
     # (4) round-1 green, never rechecked
     "tpl_customers_by_segment", "tpl_customers_all",
     "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",

@@ -87,3 +87,40 @@ def write_json(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_files: int,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    `target_files` files (per partition directory when `partition_by`
+    is given) — the maintenance pass every long-lived landing zone
+    needs. A streaming ingest that commits a file per micro-batch per
+    task accumulates thousands of KB-files; scans then pay per-file
+    open/footer costs and lose column-chunk locality. Compaction is
+    one read + one shuffle-free coalesce-style write (repartition by
+    the partition columns when present so files stay partition-pure).
+
+    Returns {"files_before", "files_after", "rows"} so schedulers can
+    log the effect. Writes to `dst` (not in place): at scale the swap
+    is a metastore/manifest pointer flip, never a destructive
+    overwrite of a dataset readers may be scanning.
+    """
+    import glob as _glob
+
+    df = spark.read.parquet(src)
+    rows = df.count()
+    files_before = len(_glob.glob(f"{src}/**/*.parquet", recursive=True))
+    write_parquet(
+        df, dst, partition_by=partition_by, target_files=target_files
+    )
+    files_after = len(_glob.glob(f"{dst}/**/*.parquet", recursive=True))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

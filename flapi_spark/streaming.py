@@ -16,6 +16,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+try:  # the state-v2 protocol serializes via protobuf; gate on it
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    HAS_STATE_V2 = True
+except ImportError:  # pragma: no cover - environment-dependent
+    StatefulProcessor = object
+    HAS_STATE_V2 = False
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
     TimestampNTZType,
@@ -296,3 +305,162 @@ def error_purchase_join_stream(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+        StructField("view_ts_us", LongType()),
+        StructField("click_ts_us", LongType()),
+        StructField("purchase_ts_us", LongType()),
+    ]
+)
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Stateful funnel tracker on the Spark 4 state-v2 API
+    (`transformWithStateInPandas` + StatefulProcessor): per user,
+    advance through view -> click-after-view -> purchase-after-click
+    across micro-batches, persisting the stage timestamps in a
+    ValueState. Emits the user's cumulative funnel row each batch the
+    user appears in (update semantics — consumers keep the last row
+    per user), so the stream's final answer equals the batch
+    funnel_conversion stages.
+
+    State is one fixed-width tuple per user — bounded by active users,
+    the scale requirement; stage timestamps are micros since epoch so
+    the state schema stays primitive longs.
+
+    NOTE: the state-v2 python protocol needs google.protobuf, which
+    this container lacks — `funnel_stream(api="v2")` is therefore
+    availability-gated (HAS_STATE_V2) exactly like the jdbc/iceberg
+    sources, and the default funnel_stream runs the identical logic on
+    the v1 applyInPandasWithState API, which is fully tested here."""
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState(
+            "funnel", "view_ts LONG, click_ts LONG, purchase_ts LONG"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        cur = self.state.get() if self.state.exists() else None
+        view_ts, click_ts, purchase_ts = _advance_funnel(
+            cur if cur else (None, None, None), rows
+        )
+        self.state.update((view_ts, click_ts, purchase_ts))
+        stage = (
+            3 if purchase_ts is not None
+            else 2 if click_ts is not None
+            else 1 if view_ts is not None
+            else 0
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "stage": stage,
+                    "view_ts_us": view_ts,
+                    "click_ts_us": click_ts,
+                    "purchase_ts_us": purchase_ts,
+                }
+            ]
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("view_ts_us", LongType()),
+        StructField("click_ts_us", LongType()),
+        StructField("purchase_ts_us", LongType()),
+    ]
+)
+
+
+def _advance_funnel(state_tuple, pdfs):
+    """Shared funnel-advance logic for both state APIs: fold this
+    batch's (ts, event_type) stream into the (view, click, purchase)
+    first-hit timestamps."""
+    view_ts, click_ts, purchase_ts = state_tuple
+    events = []
+    for pdf in pdfs:
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            events.append((int(ts.value // 1000), etype))
+    events.sort()
+    for ts_us, etype in events:
+        if etype == "view" and view_ts is None:
+            view_ts = ts_us
+        elif (
+            etype == "click" and click_ts is None
+            and view_ts is not None and ts_us > view_ts
+        ):
+            click_ts = ts_us
+        elif (
+            etype == "purchase" and purchase_ts is None
+            and click_ts is not None and ts_us > click_ts
+        ):
+            purchase_ts = ts_us
+    return view_ts, click_ts, purchase_ts
+
+
+def _funnel_group_v1(key, pdfs, state: GroupState):
+    (user_id,) = key
+    cur = state.get if state.exists else (None, None, None)
+    view_ts, click_ts, purchase_ts = _advance_funnel(cur, pdfs)
+    state.update((view_ts, click_ts, purchase_ts))
+    stage = (
+        3 if purchase_ts is not None
+        else 2 if click_ts is not None
+        else 1 if view_ts is not None
+        else 0
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "stage": stage,
+                "view_ts_us": view_ts,
+                "click_ts_us": click_ts,
+                "purchase_ts_us": purchase_ts,
+            }
+        ]
+    )
+
+
+def funnel_stream(events: DataFrame, api: str = "v1") -> DataFrame:
+    """Streaming funnel tracking — the streaming twin of
+    operators/relational.py:funnel_conversion (its per-user stage
+    assignment; the batch op then counts stages). `api="v1"` runs on
+    applyInPandasWithState; `api="v2"` runs the same logic as a
+    state-v2 StatefulProcessor (requires protobuf, see HAS_STATE_V2)."""
+    grouped = events.select("user_id", "ts", "event_type").groupBy("user_id")
+    if api == "v1":
+        return grouped.applyInPandasWithState(
+            _funnel_group_v1,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if api == "v2":
+        if not HAS_STATE_V2:
+            raise ImportError(
+                "transformWithStateInPandas needs google.protobuf"
+            )
+        return grouped.transformWithStateInPandas(
+            statefulProcessor=FunnelProcessor(),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    raise ValueError(f"unknown state api: {api!r}")

@@ -27,7 +27,11 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "dedup_embedding_lsh_capped",
        # round-2 pipeline operators
        "dedup_chunk_boilerplate", "dedup_minhash_portable",
-       "text_pii_redact", "embedding_quantize_error"]
+       "text_pii_redact", "embedding_quantize_error",
+       # round-3 pipeline operators
+       "text_bigram_lm_score", "dsir_importance_weights",
+       "tfidf_top_terms", "dedup_keep_best_survivors",
+       "text_repetition_filters", "domain_mixture_sample"]
 FACTORS = [1, 2, 4, 8]
 
 

@@ -1,0 +1,60 @@
+"""Data-quality expectations: fused row-level pass, unique, FK; clean
+data passes, injected violations are counted exactly."""
+
+from pyspark.sql import functions as F
+
+from flapi_spark.quality import (
+    accepted_values, dq_orders_expectations, in_range, not_null,
+    references, run_expectations, unique,
+)
+
+
+def test_orders_expectations_all_pass(spark, sf_dir):
+    rows = {(r.rule, r.column): r for r in
+            dq_orders_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.passed and r.violations == 0
+
+
+def test_injected_violations_counted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, 100),
+            (1, "A", 20.0, 100),   # dup id
+            (None, "B", -5.0, 200),  # null id, bad status, below range
+            (3, "A", 999.0, 999),  # orphan fk
+        ],
+        "id LONG, status STRING, amount DOUBLE, fk LONG",
+    )
+    ref = spark.createDataFrame([(100,), (200,)], "k LONG")
+    rep = {(r.rule, r.column): r.violations for r in run_expectations(
+        df,
+        [
+            not_null("id"),
+            unique("id"),
+            accepted_values("status", ["A"]),
+            in_range("amount", 0.0, 100.0),
+            references("fk", ref, "k"),
+        ],
+    ).collect()}
+    assert rep[("not_null", "id")] == 1
+    assert rep[("unique", "id")] == 1       # one extra copy of id=1
+    assert rep[("accepted_values", "status")] == 1
+    assert rep[("in_range", "amount")] == 2  # -5 below, 999 above
+    assert rep[("references", "fk")] == 1    # fk=999 orphan
+
+
+def test_row_level_rules_fuse_into_one_scan(spark, sf_dir):
+    from flapi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rep = run_expectations(
+        orders,
+        [not_null("o_orderkey"), in_range("o_totalprice", 0.0, 1e6),
+         accepted_values("o_orderstatus", ["F", "O", "P"])],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one scan of orders, one aggregate — no join, no extra exchange
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan

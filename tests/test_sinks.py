@@ -75,3 +75,18 @@ def test_append_mode_accumulates(spark, sf_dir, tmp_path):
     write_parquet(docs, out, mode="overwrite")
     write_parquet(docs, out, mode="append")
     assert spark.read.parquet(out).count() == 20
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from flapi_spark.sinks import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    # simulate a micro-batch landing zone: 50 tiny files
+    docs.repartition(50).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, frag, out, target_files=2)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] == 2
+    assert stats["rows"] == docs.count()
+    assert spark.read.parquet(out).count() == docs.count()

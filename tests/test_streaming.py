@@ -233,3 +233,67 @@ def test_sessionize_stream_timeout_mode_builds(spark, events_stream_dir):
     assert set(df.columns) == {
         "user_id", "session_id", "n_events", "session_start", "session_end",
     }
+
+
+def test_funnel_stream_equals_batch_stages(spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    name = _qname()
+    events = ST.read_events_stream(spark, events_stream_dir)
+    ST.run_stream_to_memory(
+        ST.funnel_stream(events), name, output_mode="update"
+    )
+    # update-mode memory sink appends each batch's emissions: keep the
+    # final (highest-stage) row per user
+    got = {}
+    for r in spark.table(name).collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.stage > prev:
+            got[r.user_id] = r.stage
+
+    # batch truth: per-user funnel stages from the same min-ts chain
+    # the batch funnel_conversion counts
+    from flapi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("purchase_ts"))
+    )
+    want = {r.user_id: 0 for r in ev.select("user_id").distinct().collect()}
+    for r in views.collect():
+        want[r.user_id] = 1
+    for r in clicks.collect():
+        want[r.user_id] = 2
+    for r in purchases.collect():
+        want[r.user_id] = 3
+    assert got == want
+
+
+def test_funnel_stream_v2_gated(spark, sf_dir, events_stream_dir):
+    """The state-v2 path requires protobuf; assert the gate behaves:
+    run it when available, raise a clean ImportError when not."""
+    events = ST.read_events_stream(spark, events_stream_dir)
+    if not ST.HAS_STATE_V2:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            ST.funnel_stream(events, api="v2")
+        return
+    name = _qname()
+    ST.run_stream_to_memory(
+        ST.funnel_stream(events, api="v2"), name, output_mode="update"
+    )
+    assert spark.table(name).count() > 0
