@@ -786,3 +786,56 @@ def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def semdedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding corpus, then deduplicate ONLY within clusters — pairs in
+    the same cluster with cosine ≥ threshold drop the higher vec_id,
+    lowest id survives. Clustering makes semantic dedup linear: the
+    pairwise comparison never crosses cluster boundaries, so the
+    quadratic term is bounded by the largest cluster, not the corpus.
+
+    Cluster assignment reuses the IVF machinery (deterministic sampled
+    centroids — a k-means refinement slots in without changing this
+    plan): centroids broadcast, each vector scored once, shuffle
+    carries only (vec_id, cell_id). The within-cluster self-join is
+    equi-keyed on cell_id. Output: one row per vector with its cluster
+    and keep/drop verdict (exact DuckDB oracle replays assignment,
+    pairing, and verdict bit-for-bit)."""
+    from flapi_spark.operators.similarity import (
+        cosine_col, ivf_assign, ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_centroids(emb)
+    assign = ivf_assign(emb, centroids, nprobe=1)
+    tagged = emb.join(assign, "vec_id")
+    a = tagged.select(
+        F.col("cell_id").alias("ca"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = tagged.select(
+        F.col("cell_id").alias("cb"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, (a.ca == b.cb) & (a.va < b.vb))
+        .where(cosine_col("ea", "eb") >= threshold)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1359,3 +1359,268 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         (F.col("total") / F.col("n")).alias("avg_value"),
     )
+
+
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order contents: for every pair of
+    part brands co-occurring in an order, the co-occurrence count,
+    support (share of all orders) and lift — the association-rule
+    primitives (Agrawal & Srikant 1994) behind "frequently bought
+    together" endpoints the reference serves via SQL templates.
+
+    Scale shape: brand tagging is a broadcast join against the part
+    dim; the pair generation is a SELF-JOIN ON l_orderkey — both sides
+    shuffle-partitioned on the same key, so pairs are built within
+    co-located partitions and the blow-up is bounded by (brands per
+    order choose 2), never |orders|². Brand-level rollup keeps the
+    output at ≤ |brands|² rows. Lift is formed from exact BIGINT
+    counts with the identical double expression on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (a.brand_a < b.brand_b))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    tot = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    na = bc.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    nb = bc.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                (F.col("n_both").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the daily revenue
+    series (alpha = 0.25): y_t = 0.25*x_t + 0.75*y_{t-1}, y_0 = x_0 —
+    the classic smoothing signal for dashboard/alerting endpoints.
+
+    EWMA is inherently sequential, but only over the DAILY grain: the
+    event-scale work is one map-side-combined groupBy(day); the fold
+    then runs over a few-thousand-element array (years of days) in a
+    single task. The closed-form window trick (powers of (1-a)^-t)
+    overflows for long series, so the fold is the scale-correct shape.
+    Both engines execute the identical IEEE sequence — Spark as an
+    ordered aggregate() left fold, DuckDB as the equivalent recursive
+    CTE — so results hash-match bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("x"))
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    folded = arr.select(
+        F.expr(
+            "aggregate(s,"
+            " CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, x: DOUBLE,"
+            "  y: DOUBLE>>),"
+            " (acc, e) -> array_append(acc, named_struct("
+            "  'day', e.day, 'x', e.x,"
+            "  'y', CASE WHEN size(acc) = 0 THEN e.x"
+            "   ELSE CAST(0.25 AS DOUBLE) * e.x"
+            "    + CAST(0.75 AS DOUBLE) * element_at(acc, -1).y END)))"
+        ).alias("r")
+    )
+    return folded.select(F.explode("r").alias("e")).select(
+        F.col("e.day").alias("day"),
+        F.col("e.x").alias("revenue"),
+        F.col("e.y").alias("ewma"),
+    )
+
+
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's revenue scored
+    against the mean/stddev of the PRECEDING 30 calendar days (RANGE
+    frame on an integral day number — the current day is excluded, so
+    an anomalous day cannot mask itself). |z| > 2 flags the anomaly.
+
+    Cross-engine exactness: frame sums of revenue and revenue² stay
+    decimal (order-independent); mean/sd/z are formed with the
+    identical double expression shape on both engines (sqrt is
+    IEEE-exact, so no rounding is needed). Scale shape: one event-scale
+    groupBy(day); the window runs over one row per day."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast(MONEY).alias("rev"))
+    d2 = daily.select(
+        "day",
+        "rev",
+        (F.col("rev") * F.col("rev")).alias("rev2"),
+        F.date_diff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("dn"),
+    )
+    w = Window.orderBy("dn").rangeBetween(-30, -1)
+    stats = d2.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n30"),
+        F.sum("rev").over(w).alias("s30"),
+        F.sum("rev2").over(w).alias("ss30"),
+    ).where(F.col("n30") >= 10)
+    mean30 = F.col("s30").cast("double") / F.col("n30").cast("double")
+    sd30 = (
+        F.sqrt(
+            F.col("n30").cast("double") * F.col("ss30").cast("double")
+            - F.col("s30").cast("double") * F.col("s30").cast("double")
+        )
+        / F.col("n30").cast("double")
+    )
+    out = stats.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        mean30.alias("mean30"),
+        sd30.alias("sd30"),
+        ((F.col("rev").cast("double") - mean30) / sd30).alias("z"),
+    ).where(F.col("sd30") > 0)
+    return out.select(
+        "day", "revenue", "mean30", "sd30", "z",
+        (F.abs(F.col("z")) > 2).alias("is_anomaly"),
+    )
+
+
+def mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: the most frequent order priority within
+    each market segment, with a deterministic (count desc, priority
+    asc) tiebreak, plus the mode's share of the segment. Built-in
+    mode() is tie-unstable across engines; the count + rank shape is
+    portable and equally one-pass.
+
+    Scale shape: broadcast customer dim onto orders, one
+    (segment, priority) groupBy — ≤ |segments|×|priorities| groups —
+    then a window over that tiny aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderpriority")
+    counts = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    wrank = wseg.orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("tot", F.sum("n").over(wseg))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n_orders"),
+            (
+                F.col("n").cast("double") / F.col("tot").cast("double")
+            ).alias("seg_share"),
+        )
+    )
+
+
+def _z_interleave_terms(ca: str, cb: str, n_bits: int = 8) -> str:
+    """Bit-interleave two n-bit values into a Z-value as a sum of
+    constant-multiplied bit extractions — pure integer arithmetic that
+    renders identically in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(n_bits):
+        terms.append(f"((({ca} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({cb} >> {i}) & 1) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout statistics for orders clustered on
+    (o_custkey, order day): rank-normalize each dimension onto an 8-bit
+    grid (Delta's OPTIMIZE ZORDER does exactly this with
+    range_partition_id — equal-weight quantile cells, immune to
+    cardinality/skew differences between columns), interleave the bits
+    into a Z-value, cut the Z-ordered sequence into 16 equal buckets
+    (stand-ins for files), and report each bucket's min/max/span on
+    BOTH dimensions. Tight per-bucket spans on both columns are what
+    make file-level min/max statistics prune scans for predicates on
+    EITHER dimension; a single-column sort leaves the other dimension's
+    span at full width in every file.
+
+    At 100 TB the normalization is a SAMPLED range-partition id and the
+    bucketing is `repartitionByRange(z)` + `sortWithinPartitions(z)` at
+    write time — fully distributed; exact ntile() here (a diagnostic
+    over one table, like skew_profile) keeps the cut deterministic so
+    the DuckDB oracle replays it bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "date_diff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dn",
+    )
+    wc = Window.orderBy(F.asc("o_custkey"), F.asc("o_orderkey"))
+    wd = Window.orderBy(F.asc("dn"), F.asc("o_orderkey"))
+    norm = base.select(
+        "o_orderkey",
+        "o_custkey",
+        "dn",
+        (F.ntile(256).over(wc) - 1).alias("c8"),
+        (F.ntile(256).over(wd) - 1).alias("d8"),
+    )
+    z = norm.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "dn",
+        f"{_z_interleave_terms('c8', 'd8')} AS z",
+    )
+    wb = Window.orderBy(F.asc("z"), F.asc("o_orderkey"))
+    return (
+        z.withColumn("bucket", F.ntile(16).over(wb))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("ck_min"),
+            F.max("o_custkey").alias("ck_max"),
+            F.min("dn").alias("dn_min"),
+            F.max("dn").alias("dn_max"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("ck_min").cast("long").alias("ck_min"),
+            F.col("ck_max").cast("long").alias("ck_max"),
+            (F.col("ck_max") - F.col("ck_min")).cast("long").alias("ck_span"),
+            F.col("dn_min").cast("long").alias("dn_min"),
+            F.col("dn_max").cast("long").alias("dn_max"),
+            (F.col("dn_max") - F.col("dn_min")).cast("long").alias("dn_span"),
+        )
+    )

@@ -692,3 +692,95 @@ def tfidf_top_terms(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# Unicode script ranges as literal char-class regexes — literal BMP
+# ranges parse identically in Java regex (Spark) and RE2 (DuckDB).
+SCRIPT_LATIN = "[A-Za-z]"
+SCRIPT_CYRILLIC = "[Ѐ-ӿ]"
+SCRIPT_CJK = "[一-鿿]"
+SCRIPT_ARABIC = "[؀-ۿ]"
+
+# deterministic doc_id-derived multiscript snippets (the synthetic
+# corpus is pure ASCII, so like text_pii_redact the operator injects
+# its own ground truth and the oracle replays the same injection)
+_CYR_SNIPPET = " привет мир"
+_CJK_SNIPPET = " 你好世界数据"
+_ARA_SNIPPET = " مرحبا بالعالم"
+
+
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script detection: per-document character counts for
+    Latin / Cyrillic / CJK / Arabic ranges, script fractions, and the
+    dominant script — the writing-system complement to the stopword
+    language ID (multilingual corpora route tokenizers and LID models
+    by script first; cf. CCNet's fasttext LID preprocessing).
+
+    The ASCII corpus gets a deterministic doc_id-derived multiscript
+    suffix (docs ≡ 1, 2, 3 mod 4 gain Cyrillic / CJK / Arabic text) so
+    every branch has real matches; the oracle replays the identical
+    injection. 100 TB shape: pure regexp_count projections — codegen,
+    shuffle-free, embarrassingly parallel. Dominant-script pick is a
+    fixed comparison chain (latin ≥ cyrillic ≥ cjk ≥ arabic on ties),
+    deterministic on any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(_CYR_SNIPPET))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_CJK_SNIPPET))
+        .when(F.col("doc_id") % 4 == 3, F.lit(_ARA_SNIPPET))
+        .otherwise(F.lit("")),
+    )
+    n_latin = F.regexp_count(injected, F.lit(SCRIPT_LATIN))
+    n_cyr = F.regexp_count(injected, F.lit(SCRIPT_CYRILLIC))
+    n_cjk = F.regexp_count(injected, F.lit(SCRIPT_CJK))
+    n_ara = F.regexp_count(injected, F.lit(SCRIPT_ARABIC))
+    n_all = F.length(injected)
+    dominant = (
+        F.when((n_latin >= n_cyr) & (n_latin >= n_cjk) & (n_latin >= n_ara),
+               F.lit("latin"))
+        .when((n_cyr >= n_cjk) & (n_cyr >= n_ara), F.lit("cyrillic"))
+        .when(n_cjk >= n_ara, F.lit("cjk"))
+        .otherwise(F.lit("arabic"))
+    )
+    return docs.select(
+        "doc_id",
+        n_latin.cast("long").alias("n_latin"),
+        n_cyr.cast("long").alias("n_cyrillic"),
+        n_cjk.cast("long").alias("n_cjk"),
+        n_ara.cast("long").alias("n_arabic"),
+        n_all.cast("long").alias("n_chars_total"),
+        (n_latin.cast("double") / n_all.cast("double")).alias("frac_latin"),
+        dominant.alias("dominant_script"),
+    )
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each language, documents are cut into head / middle / tail terciles
+    by their bigram-LM average NLL (lower = more fluent). CCNet keeps
+    `head` and drops or down-weights `tail`; the bucket label is the
+    routing key for that mixture decision.
+
+    Built on text_bigram_lm_score's engine-portable scores; the
+    tercile cut is ntile(3) over the deterministic (avg_nll, doc_id)
+    order, which the DuckDB oracle replays exactly. Scale shape: adds
+    one per-language window over doc-grain rows (one row per doc) on
+    top of the LM's linear passes."""
+    from pyspark.sql import Window
+
+    lm = text_bigram_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    b = j.withColumn("tercile", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.col("tercile").cast("long").alias("tercile"),
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

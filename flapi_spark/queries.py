@@ -858,6 +858,50 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _src_roundtrip(spark, sf_dir, "json")
 
 
+def cache_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckLake/Iceberg-style snapshot time travel through the cache
+    manager (reference: cache_manager.cpp snapshot lineage +
+    database_manager.cpp DuckLake ATTACH): commit a pre-1998 snapshot,
+    then a full-corpus snapshot, and read AS OF the PREVIOUS snapshot
+    id — the yearly totals must reflect the old state, which the
+    oracle replays as a plain filtered aggregate. Snapshot reads are
+    metadata-routed (manifest lookup → one parquet dir), so time
+    travel costs nothing beyond the scan of that snapshot."""
+    import os
+    import shutil
+    import tempfile
+
+    from flapi_spark.cache import CacheManager
+    from flapi_spark.config import CacheConfig
+    from flapi_spark.session import load_table
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"flapi_spark_tt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    mgr = CacheManager(spark, root)
+    cfg = CacheConfig(enabled=True, table="orders_tt", schema="analytics")
+    orders = load_table(spark, sf_dir, "orders")
+    mgr.full_refresh(
+        cfg,
+        orders.where(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        ),
+    )
+    mgr.full_refresh(cfg, orders)
+    info = mgr.snapshot_info(cfg)
+    prev = mgr.read(cfg, info.previous_snapshot_id)
+    return prev.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(18,2)")
+        ).cast("double").alias("total_value"),
+    )
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.multimodal import mm_binary_meta
 
@@ -1524,11 +1568,11 @@ QUERIES.update(
 # --- round 3: training-data depth (LM scoring, DSIR, TF-IDF,
 # survivor policy) ---------------------------------------------------------
 
-QUERIES.update(
-    {
-        "text_bigram_lm_score": (
-            T.text_bigram_lm_score,
-            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),"
+def _bigram_lm_sql() -> str:
+    """DuckDB replication of text_bigram_lm_score (shared with the
+    CCNet perplexity-bucket oracle, which wraps it in a CTE)."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),"
             " p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),"
             "  i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b FROM t),"
             " pr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM p),"
@@ -1545,8 +1589,13 @@ QUERIES.update(
             " SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,"
             "  round(-(list_reduce(lps, (a, b) -> a + b) / len(lps)), 6)"
             "   AS avg_nll"
-            " FROM d",
-        ),
+            " FROM d"
+    )
+
+
+QUERIES.update(
+    {
+        "text_bigram_lm_score": (T.text_bigram_lm_score, _bigram_lm_sql()),
         "dsir_importance_weights": (
             T.dsir_importance_weights,
             f"WITH tk AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok"
@@ -1749,6 +1798,197 @@ QUERIES.update(
 )
 
 
+# --- round 3c: basket mining, sequential smoothing, anomaly scoring,
+# Z-order layout, script detection, perplexity buckets, SemDeDup,
+# cache time travel ---------------------------------------------------------
+
+_Z_DN_DUCK = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+
+QUERIES.update(
+    {
+        "market_basket_brand_pairs": (
+            R.market_basket_brand_pairs,
+            "WITH ob AS (SELECT DISTINCT l_orderkey, p_brand"
+            "  FROM lineitem JOIN part ON l_partkey = p_partkey),"
+            " pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,"
+            "   count(*) AS n_both"
+            "  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey"
+            "   AND a.p_brand < b.p_brand GROUP BY 1, 2),"
+            " bc AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY 1),"
+            " t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)"
+            " SELECT brand_a, brand_b, CAST(n_both AS BIGINT) AS n_both,"
+            "  CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,"
+            "  (CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE))"
+            "   / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE))"
+            "   AS lift"
+            " FROM pr JOIN bc na ON pr.brand_a = na.p_brand"
+            " JOIN bc nb ON pr.brand_b = nb.p_brand CROSS JOIN t",
+        ),
+        "ewma_daily_revenue": (
+            R.ewma_daily_revenue,
+            "WITH RECURSIVE daily AS ("
+            "  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)"
+            "    AS day,"
+            "   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "    AS x"
+            "  FROM orders GROUP BY 1),"
+            " o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn"
+            "  FROM daily),"
+            " rec(rn, day, x, y) AS ("
+            "  SELECT rn, day, x, x FROM o WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.rn, o.day, o.x,"
+            "   CAST(0.25 AS DOUBLE) * o.x + CAST(0.75 AS DOUBLE) * r.y"
+            "  FROM o JOIN rec r ON o.rn = r.rn + 1)"
+            " SELECT day, x AS revenue, y AS ewma FROM rec",
+        ),
+        "anomaly_zscore_daily": (
+            R.anomaly_zscore_daily,
+            "WITH daily AS ("
+            "  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)"
+            "    AS day,"
+            "   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            "    AS DECIMAL(18,2)) AS rev"
+            "  FROM orders GROUP BY 1),"
+            # (19,2)*(19,2) → DECIMAL(38,4) in int128: no overflow at
+            # larger SF (DuckDB's (18,2)*(18,2) stays width-18)
+            " d2 AS (SELECT day, rev,"
+            "  CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))"
+            "   AS rev2,"
+            "  date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS dn"
+            "  FROM daily),"
+            " st AS (SELECT day, rev, count(*) OVER w AS n30,"
+            "  SUM(rev) OVER w AS s30, SUM(rev2) OVER w AS ss30"
+            "  FROM d2 WINDOW w AS (ORDER BY dn"
+            "   RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)),"
+            " f AS (SELECT day, CAST(rev AS DOUBLE) AS revenue,"
+            "  CAST(s30 AS DOUBLE) / CAST(n30 AS DOUBLE) AS mean30,"
+            # ss30's scaled int exceeds 2^53: DuckDB's direct
+            # decimal→double cast double-rounds (scaled→double, then
+            # /10^scale); the VARCHAR route correctly rounds ONCE,
+            # matching Spark's BigDecimal.doubleValue
+            "  sqrt(CAST(n30 AS DOUBLE)"
+            "    * CAST(CAST(ss30 AS VARCHAR) AS DOUBLE)"
+            "    - CAST(s30 AS DOUBLE) * CAST(s30 AS DOUBLE))"
+            "   / CAST(n30 AS DOUBLE) AS sd30"
+            "  FROM st WHERE n30 >= 10)"
+            " SELECT day, revenue, mean30, sd30,"
+            "  (revenue - mean30) / sd30 AS z,"
+            "  abs((revenue - mean30) / sd30) > 2 AS is_anomaly"
+            " FROM f WHERE sd30 > 0",
+        ),
+        "mode_priority_by_segment": (
+            R.mode_priority_by_segment,
+            "WITH j AS (SELECT c_mktsegment, o_orderpriority FROM orders"
+            "  JOIN customer ON o_custkey = c_custkey),"
+            " c AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n"
+            "  FROM j GROUP BY 1, 2),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment"
+            "   ORDER BY n DESC, o_orderpriority ASC) AS rn,"
+            "  SUM(n) OVER (PARTITION BY c_mktsegment) AS tot FROM c)"
+            " SELECT c_mktsegment, o_orderpriority AS mode_priority,"
+            "  CAST(n AS BIGINT) AS n_orders,"
+            "  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS seg_share"
+            " FROM r WHERE rn = 1",
+        ),
+        "zorder_locality_stats": (
+            R.zorder_locality_stats,
+            "WITH b0 AS (SELECT o_orderkey, o_custkey,"
+            f"  {_Z_DN_DUCK} AS dn FROM orders),"
+            " nrm AS (SELECT o_orderkey, o_custkey, dn,"
+            "  ntile(256) OVER (ORDER BY o_custkey ASC, o_orderkey ASC) - 1"
+            "   AS c8,"
+            "  ntile(256) OVER (ORDER BY dn ASC, o_orderkey ASC) - 1"
+            "   AS d8 FROM b0),"
+            " b AS (SELECT o_orderkey, o_custkey, dn,"
+            f"  {R._z_interleave_terms('c8', 'd8')} AS z FROM nrm),"
+            " t AS (SELECT *, ntile(16) OVER (ORDER BY z, o_orderkey)"
+            "   AS bucket FROM b)"
+            " SELECT CAST(bucket AS BIGINT) AS bucket,"
+            "  CAST(count(*) AS BIGINT) AS n_rows,"
+            "  CAST(min(o_custkey) AS BIGINT) AS ck_min,"
+            "  CAST(max(o_custkey) AS BIGINT) AS ck_max,"
+            "  CAST(max(o_custkey) - min(o_custkey) AS BIGINT) AS ck_span,"
+            "  CAST(min(dn) AS BIGINT) AS dn_min,"
+            "  CAST(max(dn) AS BIGINT) AS dn_max,"
+            "  CAST(max(dn) - min(dn) AS BIGINT) AS dn_span"
+            " FROM t GROUP BY bucket",
+        ),
+        "text_script_detect": (
+            T.text_script_detect,
+            "WITH p AS (SELECT doc_id, text ||"
+            "  CASE WHEN doc_id % 4 = 1 THEN ' привет мир'"
+            "   WHEN doc_id % 4 = 2 THEN ' 你好世界数据'"
+            "   WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم'"
+            "   ELSE '' END AS t FROM documents),"
+            " c AS (SELECT doc_id, t,"
+            f"  CAST(len(regexp_extract_all(t, '{T.SCRIPT_LATIN}'))"
+            "    AS BIGINT) AS n_latin,"
+            f"  CAST(len(regexp_extract_all(t, '{T.SCRIPT_CYRILLIC}'))"
+            "    AS BIGINT) AS n_cyrillic,"
+            f"  CAST(len(regexp_extract_all(t, '{T.SCRIPT_CJK}'))"
+            "    AS BIGINT) AS n_cjk,"
+            f"  CAST(len(regexp_extract_all(t, '{T.SCRIPT_ARABIC}'))"
+            "    AS BIGINT) AS n_arabic"
+            "  FROM p)"
+            " SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,"
+            "  CAST(length(t) AS BIGINT) AS n_chars_total,"
+            "  CAST(n_latin AS DOUBLE) / CAST(length(t) AS DOUBLE)"
+            "   AS frac_latin,"
+            "  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk"
+            "    AND n_latin >= n_arabic THEN 'latin'"
+            "   WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic"
+            "    THEN 'cyrillic'"
+            "   WHEN n_cjk >= n_arabic THEN 'cjk'"
+            "   ELSE 'arabic' END AS dominant_script"
+            " FROM c",
+        ),
+        "ccnet_perplexity_buckets": (
+            T.ccnet_perplexity_buckets,
+            "WITH lm AS (" + _bigram_lm_sql() + "),"
+            " jd AS (SELECT lm.doc_id, documents.lang, lm.avg_nll"
+            "  FROM lm JOIN documents ON lm.doc_id = documents.doc_id),"
+            " b AS (SELECT doc_id, lang, avg_nll,"
+            "  ntile(3) OVER (PARTITION BY lang"
+            "   ORDER BY avg_nll ASC, doc_id ASC) AS tercile FROM jd)"
+            " SELECT doc_id, lang, avg_nll,"
+            "  CAST(tercile AS BIGINT) AS tercile,"
+            "  CASE WHEN tercile = 1 THEN 'head'"
+            "   WHEN tercile = 2 THEN 'middle' ELSE 'tail' END AS bucket"
+            " FROM b",
+        ),
+        "semdedup_clusters": (
+            D.semdedup_clusters,
+            "WITH cent AS (SELECT vec_id AS cell_id, embedding"
+            "  FROM embeddings WHERE vec_id % 25 = 0),"
+            " assign AS (SELECT vec_id, cell_id FROM ("
+            "  SELECT v.vec_id, cent.cell_id, row_number() OVER ("
+            "   PARTITION BY v.vec_id"
+            f"   ORDER BY {_COS.format(a='v', b='cent')} DESC,"
+            "    cent.cell_id ASC) AS r"
+            "  FROM embeddings v CROSS JOIN cent) t WHERE r <= 1),"
+            " tg AS (SELECT a.vec_id, a.cell_id, e.embedding"
+            "  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),"
+            " dr AS (SELECT DISTINCT b.vec_id FROM tg a JOIN tg b"
+            "  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id"
+            f"  WHERE {_COS.format(a='a', b='b')} >= 0.4)"
+            " SELECT s.vec_id, CAST(s.cell_id AS BIGINT) AS cell_id,"
+            "  dr.vec_id IS NULL AS keep"
+            " FROM assign s LEFT JOIN dr ON s.vec_id = dr.vec_id",
+        ),
+        "cache_time_travel": (
+            cache_time_travel,
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            " CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "  AS total_value"
+            " FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY 1",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -1779,6 +2019,11 @@ _CHECK_FIRST = [
     "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
     "rolling_revenue_7d", "repeat_customers_intersect",
     "lineitem_measures_unpivot", "dq_orders_expectations",
+    # (3b) new in round 3, second batch (no driver verdict yet)
+    "market_basket_brand_pairs", "ewma_daily_revenue",
+    "anomaly_zscore_daily", "mode_priority_by_segment",
+    "zorder_locality_stats", "text_script_detect",
+    "ccnet_perplexity_buckets", "semdedup_clusters", "cache_time_travel",
     # (4) round-1 green, never rechecked
     "tpl_customers_by_segment", "tpl_customers_all",
     "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",
