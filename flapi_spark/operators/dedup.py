@@ -789,7 +789,8 @@ def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    cells_mod: int = 25,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -811,7 +812,7 @@ def semdedup_clusters(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb)
+    centroids = ivf_centroids(emb, mod=cells_mod)
     assign = ivf_assign(emb, centroids, nprobe=1)
     tagged = emb.join(assign, "vec_id")
     a = tagged.select(

@@ -1624,3 +1624,132 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dn_max") - F.col("dn_min")).cast("long").alias("dn_span"),
         )
     )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each user's time-ordered events, count (from_type → to_type)
+    transitions and the per-source transition probability — the
+    behavioral-analytics shape behind next-action prediction and
+    anomaly path detection.
+
+    Scale shape: ONE window pass partitioned by user_id (the same
+    user-keyed exchange every other events query shuffles on; AQE
+    reuses it), then a groupBy over ≤ |types|² keys. The (ts,
+    event_id) ordering carries a unique tiebreak so simultaneous
+    events transition deterministically on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wsrc = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wsrc).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer days-since-last-order against a fixed as-of date,
+    order count, and exact decimal spend, each cut into quintiles
+    (1 = best) with deterministic tiebreaks, concatenated into the
+    classic 3-digit RFM segment code.
+
+    Scale shape: the order-scale work is one groupBy(custkey); the
+    quintile windows run over customer-grain rows. Exact ntile keeps
+    the DuckDB oracle bit-for-bit (at petabyte customer counts the
+    cut becomes approx percentile boundaries — same output schema)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.date_diff(
+            F.lit("2002-01-01").cast("date"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(5).over(wr).alias("r_q"),
+        F.ntile(5).over(wf).alias("f_q"),
+        F.ntile(5).over(wm).alias("m_q"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4 /
+    open-variant binary encoding — the successor to string-JSON
+    pipelines): parse once with try_parse_json, extract typed paths
+    with variant_get, and survive malformed input without failing the
+    query. Every ~97th event's props is deterministically truncated so
+    the malformed-row branch has real data; the oracle replays the
+    identical truncation with json_valid gating.
+
+    Scale shape: a zero-shuffle projection + a ≤|types| groupBy.
+    Variant's binary encoding parses each document once (vs
+    get_json_object re-parsing per path) — at 100 TB the difference
+    is a full scan's worth of CPU when several paths are extracted."""
+    ev = load_table(spark, sf_dir, "events")
+    truncated = F.when(
+        F.col("event_id") % 97 == 0,
+        F.expr("substr(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(truncated)
+    k = F.expr(
+        "variant_get(try_parse_json(CASE WHEN event_id % 97 = 0"
+        " THEN substr(props, 1, length(props) - 2)"
+        " ELSE props END), '$.k', 'bigint')"
+    )
+    return (
+        ev.select(
+            "event_type",
+            v.isNull().cast("long").alias("malformed"),
+            k.alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("malformed").cast("long").alias("n_malformed"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            (
+                F.sum("k").cast("double") / F.count("k").cast("double")
+            ).alias("avg_k"),
+        )
+    )

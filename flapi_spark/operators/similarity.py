@@ -133,13 +133,14 @@ def ann_lsh_topk(
 N_CELLS_MOD = 25  # vec_id % 25 == 0 → deterministic ~1/25 centroid sample
 
 
-def ivf_centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic centroid sample: every 25th corpus vector.
+def ivf_centroids(emb: DataFrame, mod: int = N_CELLS_MOD) -> DataFrame:
+    """Deterministic centroid sample: every `mod`-th corpus vector.
 
-    The 100 TB path: centroids are a broadcast table (corpus/25 rows at
-    most — cap or re-sample for a real deployment). A k-means
-    refinement would slot in here without changing the probe side."""
-    return emb.where(F.col("vec_id") % N_CELLS_MOD == 0).select(
+    The 100 TB path: centroids are a broadcast table — raise `mod` with
+    corpus size to hold the centroid COUNT fixed (else per-vector
+    scoring cost grows with n·n/mod); a k-means refinement would slot
+    in here without changing the probe side."""
+    return emb.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
 

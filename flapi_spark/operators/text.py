@@ -784,3 +784,98 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def _merge_pair_expr(col: str, left: str, right: str) -> str:
+    """SQL expression merging every non-overlapping adjacent
+    (left, right) symbol pair in array column `col`, left to right —
+    one fold, no UDF. Callers pass ^[a-z]+$ symbols only (no quoting
+    hazards)."""
+    merged = left + right
+    return (
+        f"aggregate(sequence(1, size({col})),"
+        " CAST(named_struct('arr', CAST(array() AS ARRAY<STRING>),"
+        "  'skip', false) AS STRUCT<arr: ARRAY<STRING>, skip: BOOLEAN>),"
+        " (acc, i) -> CASE"
+        "  WHEN acc.skip THEN named_struct('arr', acc.arr, 'skip', false)"
+        f"  WHEN i < size({col}) AND element_at({col}, i) = '{left}'"
+        f"   AND element_at({col}, i + 1) = '{right}'"
+        f"   THEN named_struct('arr', array_append(acc.arr, '{merged}'),"
+        "    'skip', true)"
+        f"  ELSE named_struct('arr', array_append(acc.arr,"
+        f"   element_at({col}, i)), 'skip', false) END,"
+        " acc -> acc.arr)"
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn the first `n_merges` merges over the corpus vocabulary —
+    each round merges the most frequent adjacent symbol pair
+    (frequency-weighted by word counts, deterministic (count desc,
+    pair asc) tiebreak).
+
+    Spark-first scale shape: the CORPUS-scale work is one
+    groupBy(word) count — BPE then trains on the aggregated
+    vocabulary, which grows sublinearly (Heaps' law) and stays tiny
+    relative to a 100 TB corpus. Each round is a map-side-combined
+    pair-count aggregate over that vocab plus a single-row argmax
+    collect (driver coordination like k-means, not a data loop);
+    the merge rewrite is a codegen'd array fold, no Python UDF.
+    Restricted to ^[a-z]+$ words (standard pre-tokenization).
+    Rows-only registry check — the merge literals are data-dependent
+    so no static SQL oracle exists; tests/test_round3c.py verifies
+    the merge sequence against a pure-Python golden BPE."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = vocab.selectExpr(
+        "freq",
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        " AS s",
+    ).persist()
+    syms.count()
+    out = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            # single-symbol words contribute no pairs (and sequence(1, 0)
+            # would descend, indexing out of bounds)
+            syms.where(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(element_at(s, i) AS a,"
+                        "  element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        out.append((rank, a, b, a + b, int(n)))
+        nxt = syms.selectExpr(
+            "freq", _merge_pair_expr("s", a, b) + " AS s"
+        ).persist()
+        nxt.count()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return spark.createDataFrame(
+        out, "rank BIGINT, left STRING, right STRING, merged STRING,"
+        " pair_count BIGINT",
+    )

@@ -1976,6 +1976,67 @@ QUERIES.update(
             "  dr.vec_id IS NULL AS keep"
             " FROM assign s LEFT JOIN dr ON s.vec_id = dr.vec_id",
         ),
+        "event_transition_matrix": (
+            R.event_transition_matrix,
+            "WITH p AS (SELECT user_id, event_type AS from_type,"
+            "  lead(event_type) OVER (PARTITION BY user_id"
+            "   ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)"
+            "   AS to_type"
+            "  FROM events),"
+            " c AS (SELECT from_type, to_type, count(*) AS n FROM p"
+            "  WHERE to_type IS NOT NULL GROUP BY 1, 2)"
+            " SELECT from_type, to_type, CAST(n AS BIGINT)"
+            "   AS n_transitions,"
+            "  CAST(n AS DOUBLE)"
+            "   / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)"
+            "   AS p_transition"
+            " FROM c",
+        ),
+        "rfm_segmentation": (
+            R.rfm_segmentation,
+            "WITH pc AS (SELECT o_custkey,"
+            "  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),"
+            "   DATE '2002-01-01') AS BIGINT) AS recency_days,"
+            "  CAST(count(*) AS BIGINT) AS n_orders,"
+            "  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary"
+            "  FROM orders GROUP BY 1),"
+            " s AS (SELECT o_custkey, recency_days, n_orders,"
+            "  CAST(monetary AS DOUBLE) AS monetary_d,"
+            "  ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)"
+            "   AS r_q,"
+            "  ntile(5) OVER (ORDER BY n_orders DESC, o_custkey ASC)"
+            "   AS f_q,"
+            "  ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)"
+            "   AS m_q FROM pc)"
+            " SELECT o_custkey, recency_days, n_orders,"
+            "  monetary_d AS monetary,"
+            "  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,"
+            "  CAST(m_q AS BIGINT) AS m_q,"
+            "  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)"
+            "   || CAST(m_q AS VARCHAR) AS rfm_segment"
+            " FROM s",
+        ),
+        # merge literals are data-dependent → no static SQL oracle;
+        # golden-BPE pytest in tests/test_round3c.py
+        "bpe_train_merges": (T.bpe_train_merges, None),
+        "events_props_variant": (
+            R.events_props_variant,
+            "WITH p AS (SELECT event_type,"
+            "  CASE WHEN event_id % 97 = 0"
+            "   THEN substr(props, 1, length(props) - 2)"
+            "   ELSE props END AS t FROM events),"
+            " x AS (SELECT event_type,"
+            "  CASE WHEN json_valid(t) THEN 0 ELSE 1 END AS malformed,"
+            "  CASE WHEN json_valid(t)"
+            "   THEN CAST(t ->> 'k' AS BIGINT) END AS k FROM p)"
+            " SELECT event_type,"
+            "  CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(sum(malformed) AS BIGINT) AS n_malformed,"
+            "  CAST(count(k) AS BIGINT) AS n_with_k,"
+            "  CAST(sum(k) AS BIGINT) AS sum_k,"
+            "  CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k"
+            " FROM x GROUP BY 1",
+        ),
         "cache_time_travel": (
             cache_time_travel,
             "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
@@ -2024,6 +2085,8 @@ _CHECK_FIRST = [
     "anomaly_zscore_daily", "mode_priority_by_segment",
     "zorder_locality_stats", "text_script_detect",
     "ccnet_perplexity_buckets", "semdedup_clusters", "cache_time_travel",
+    "event_transition_matrix", "rfm_segmentation", "bpe_train_merges",
+    "events_props_variant",
     # (4) round-1 green, never rechecked
     "tpl_customers_by_segment", "tpl_customers_all",
     "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",

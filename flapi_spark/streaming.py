@@ -464,3 +464,79 @@ def funnel_stream(events: DataFrame, api: str = "v1") -> DataFrame:
             timeMode="None",
         )
     raise ValueError(f"unknown state api: {api!r}")
+
+
+# --- streaming EWMA (round 3c) --------------------------------------------
+
+EWMA_ALPHA = 0.25
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_us", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ewma", DoubleType()),
+        StructField("n_buckets", LongType()),
+    ]
+)
+
+
+def _ewma_group(key, pdf_iter, state: GroupState):
+    """Per-event-type EWMA over hourly bucket means, state carrying the
+    running smoothed value across micro-batches."""
+    if state.exists:
+        last_ewma, n_buckets = state.get
+    else:
+        last_ewma, n_buckets = None, 0
+    frames = [p for p in pdf_iter if len(p)]
+    out = []
+    if frames:
+        pdf = pd.concat(frames)
+        pdf = pdf.assign(bucket=pdf["ts"].dt.floor("h"))
+        means = (
+            pdf.groupby("bucket")["value"].mean().sort_index()
+        )
+        for bucket, mv in means.items():
+            mv = float(mv)
+            last_ewma = (
+                mv if last_ewma is None
+                else EWMA_ALPHA * mv + (1.0 - EWMA_ALPHA) * last_ewma
+            )
+            n_buckets += 1
+            out.append(
+                {
+                    "event_type": key[0],
+                    "bucket_us": int(bucket.value // 1_000),
+                    "mean_value": mv,
+                    "ewma": last_ewma,
+                }
+            )
+    state.update((last_ewma, n_buckets))
+    yield pd.DataFrame(out, columns=[f.name for f in EWMA_OUTPUT_SCHEMA])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming EWMA — the streaming twin of
+    operators/relational.py:ewma_daily_revenue's fold, applied per
+    event_type over HOURLY bucket means: y_t = 0.25·x_t + 0.75·y_{t-1}
+    with y persisting across micro-batches in keyed state (one
+    fixed-width tuple per type — bounded state, no timeline buffer).
+
+    Ordering contract (documented, test-enforced): buckets must arrive
+    in non-decreasing time order across batches — true for a
+    time-ordered landing zone (file streams of append-only logs);
+    out-of-order ingest needs the watermarked tumbling agg upstream."""
+    grouped = events.select("event_type", "ts", "value").groupBy("event_type")
+    return grouped.applyInPandasWithState(
+        _ewma_group,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

