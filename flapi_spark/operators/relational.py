@@ -1753,3 +1753,276 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_k"),
         )
     )
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status) — all four grouping combinations
+    (by-both, by-priority, by-status, grand total) in ONE pass,
+    completing the multi-dim aggregate family beside ROLLUP and
+    explicit GROUPING SETS. grouping_id disambiguates a real NULL
+    member from a subtotal row (the standard cube-consumer contract).
+
+    Scale shape: Catalyst expands the cube into a single Expand +
+    hash aggregate — map-side combined, one shuffle over the (tiny)
+    expanded key space."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def fuzzy_part_name_pairs(
+    spark: SparkSession, sf_dir: str, max_dist: int = 3
+) -> DataFrame:
+    """Entity-resolution fuzzy join over the part-name space: distinct
+    names, blocked on their final token (the noun), verified with
+    levenshtein ≤ max_dist — the blocking+verify shape every
+    dedup/record-linkage pipeline uses to avoid the all-pairs
+    cartesian (Fellegi-Sunter style blocking; same skeleton as the
+    MinHash band join).
+
+    Scale shape: DISTINCT collapses the name space first (names
+    repeat across parts); the self-join is EQUI-keyed on the block
+    token, so pair volume is bounded per block, never |names|²;
+    levenshtein runs only on block-cohabitants. Exact oracle —
+    levenshtein is the same classic edit distance in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(
+        F.col("block"), F.col("name").alias("name_a")
+    )
+    b = names.select(
+        F.col("block").alias("block_b"), F.col("name").alias("name_b")
+    )
+    return (
+        a.join(b, (a.block == b.block_b) & (a.name_a < b.name_b))
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+        )
+        .where(F.col("distance") <= max_dist)
+    )
+
+
+def rolling_distinct_customers_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day DISTINCT customer count per day — the windowed
+    count-distinct Spark's window functions cannot express directly
+    (COUNT(DISTINCT) OVER is unsupported): per-day customer SETS are
+    built once in the event-scale groupBy, and the calendar RANGE
+    frame unions the ≤7 daily sets per output row.
+
+    Scale shape: the heavy work (set building) is one shuffle on day;
+    the frame union touches day-grain rows only. Set sizes are bounded
+    by active-customers-per-day — at much larger cardinalities the
+    exact sets swap for HLL sketch merge (hll_sketch_agg /
+    hll_union_agg, the continuous-aggregate module's path) with the
+    same plan shape. Counts are integral → exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.collect_set("o_custkey").alias("cs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    daynum = F.date_diff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy(daynum.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("cs").over(w)))
+        )
+        .cast("long")
+        .alias("distinct_customers_7d"),
+    )
+
+
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window (the
+    merging-window operator that also runs under Structured Streaming
+    with state eviction) — the idiomatic twin of the manual
+    lag+cumsum events_sessionize. Same 30-minute-gap semantics: an
+    event merges into the session while its gap from the previous
+    event is ≤ the timeout (verified empirically; the oracle encodes
+    the identical > comparison for session breaks).
+
+    Output start = first event ts; end = last event ts + timeout
+    (session_window's close boundary). Scale shape: one shuffle on
+    (user_id); merging happens inside the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-routed: double sums are partition-order-dependent
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )
+
+
+def rolling_median_order_value_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact moving MEDIAN of daily revenue over the trailing 7
+    calendar days — the order statistic Spark's windows can't express
+    natively (percentile over a moving RANGE frame). Daily totals stay
+    decimal; each frame's ≤7 values are collected, sorted, and
+    interpolated with quantile_cont semantics (linear between the two
+    middle values on even counts) — identical IEEE arithmetic on both
+    engines, so the oracle matches exactly.
+
+    Scale shape: event-scale work is one groupBy(day); frames carry at
+    most 7 day-grain values each, so the collect is bounded by the
+    frame width, never by data volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    daynum = F.date_diff(F.col("day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy(daynum.cast("long"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    framed = daily.select(
+        "day",
+        F.col("rev").alias("revenue"),
+        F.sort_array(F.collect_list("rev").over(w)).alias("vals"),
+    )
+    # quantile_cont(0.5): pos = (n-1)/2; lerp between floor/ceil.
+    # Indexing uses explicit integer division (DIV / //) — a float
+    # CAST-to-INT rounds in DuckDB but truncates in Spark.
+    median = F.expr(
+        "CASE WHEN size(vals) % 2 = 1"
+        " THEN element_at(vals, CAST(size(vals) DIV 2 AS INT) + 1)"
+        " ELSE element_at(vals, CAST(size(vals) DIV 2 AS INT))"
+        "  + (element_at(vals, CAST(size(vals) DIV 2 AS INT) + 1)"
+        "     - element_at(vals, CAST(size(vals) DIV 2 AS INT)))"
+        "    * CAST(0.5 AS DOUBLE) END"
+    )
+    return framed.select(
+        "day",
+        "revenue",
+        F.size("vals").cast("long").alias("n_days_in_frame"),
+        median.alias("median_7d"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "scan", "merge")
+
+
+def bm25_search(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """BM25 ranking (Robertson & Spärck Jones probabilistic IR; the
+    scoring function behind Lucene/Elasticsearch): score every
+    document against a fixed query token set and return the top-k —
+    the retrieval primitive beside the embedding-space ANN operators.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  [Lucene's +1 form]
+    tf-norm = tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))
+
+    Exactness: tf/df/N/len are integral; avglen enters as an exact
+    integer pair (len·N vs total) — the score expression is mirrored
+    IEEE arithmetic, rounded to 6 decimals, rank tiebreak on doc_id.
+    Scale shape: one token-explode groupBy for per-doc tf of the ≤3
+    query terms (everything else pre-filters on the tiny query set),
+    df/avglen are scalar broadcasts, top-k is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    # canonical normalization (matches operators/text.py _tokens and
+    # the oracle's _TOKS): collapse whitespace, trim, lower, split
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
+            )
+        ).alias("tok"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    q = toks.where(F.col("tok").isin(*BM25_QUERY))
+    tf = q.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    # avglen division deferred: k1·(1-b) + k1·b·dl·N/total, all from
+    # exact integers — one expression shape on both engines
+    tfn = (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
+            + F.lit(BM25_K1)
+            * F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_len").cast("double")
+            )
+        )
+    )
+    per_doc = (
+        scored.select("doc_id", (idf * tfn).alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(part)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id", "score",
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+            "rnk",
+        )
+    )
