@@ -22,7 +22,13 @@ import yaml
 from flapi_spark.validation import RequestField
 
 _INCLUDE_RE = re.compile(
-    r"^\s*\{\{\s*include:\s*(?P<section>[\w\-]+)\s+from\s+(?P<file>[^\s}]+)\s*\}\}\s*$"
+    r"^\s*\{\{\s*include:\s*(?P<section>[\w\-]+)\s+from\s+(?P<file>[^\s}]+)"
+    r"(?:\s+if\s+env\.(?P<cond>\w+))?\s*\}\}\s*$"
+)
+# whole-file form: {{include from file.yaml}} [if env.X]
+_INCLUDE_FILE_RE = re.compile(
+    r"^\s*\{\{\s*include\s+from\s+(?P<file>[^\s}]+)"
+    r"(?:\s+if\s+env\.(?P<cond>\w+))?\s*\}\}\s*$"
 )
 _ENV_RE = re.compile(r"\{\{\s*env\.(?P<name>\w+)\s*\}\}")
 
@@ -38,25 +44,66 @@ def _expand_env(value: Any, env: dict | None = None) -> Any:
     return value
 
 
-def _resolve_includes(text: str, base_dir: Path) -> str:
-    """Expand ``{{include:section from file.yaml}}`` lines by splicing
-    the named top-level section of the referenced YAML (reference:
-    extended_yaml_parser.cpp)."""
+def _cond_enabled(name: str | None, env: dict | None) -> bool:
+    """``if env.X`` include condition: truthy when X is set non-empty
+    (the reference treats an empty string as false)."""
+    if name is None:
+        return True
+    environ = env if env is not None else os.environ
+    return bool(environ.get(name))
+
+
+def _resolve_includes(
+    text: str,
+    base_dir: Path,
+    env: dict | None = None,
+    _stack: tuple[str, ...] = (),
+) -> str:
+    """Expand include directives by splicing referenced YAML
+    (reference: extended_yaml_parser.cpp + its test suite):
+
+    - ``{{include:section from file.yaml}}`` — the named top-level
+      section only;
+    - ``{{include from file.yaml}}`` — the whole document;
+    - either form with `` if env.X`` — conditional include, skipped
+      when X is unset/empty;
+    - circular include chains raise (a.yaml → b.yaml → a.yaml),
+      matching the reference's circular-dependency detection."""
     out_lines = []
     for line in text.splitlines():
         m = _INCLUDE_RE.match(line)
-        if not m:
+        mf = None if m else _INCLUDE_FILE_RE.match(line)
+        if not m and not mf:
             out_lines.append(line)
             continue
-        section, fname = m.group("section"), m.group("file")
+        matched = m or mf
+        if not _cond_enabled(matched.group("cond"), env):
+            continue
+        fname = matched.group("file")
         from flapi_spark.paths import PathValidator
 
         inc_path = Path(PathValidator().validate(fname, base_dir))
+        key = str(inc_path.resolve())
+        if key in _stack:
+            chain = " -> ".join([*_stack, key])
+            raise ValueError(f"Circular dependency in includes: {chain}")
         with open(inc_path) as fh:
-            inc_doc = yaml.safe_load(_resolve_includes(fh.read(), inc_path.parent))
-        if not isinstance(inc_doc, dict) or section not in inc_doc:
-            raise KeyError(f"include section '{section}' not found in {inc_path}")
-        snippet = yaml.safe_dump({section: inc_doc[section]}, sort_keys=False)
+            inc_doc = yaml.safe_load(
+                _resolve_includes(
+                    fh.read(), inc_path.parent, env, (*_stack, key)
+                )
+            )
+        if m:
+            section = m.group("section")
+            if not isinstance(inc_doc, dict) or section not in inc_doc:
+                raise KeyError(
+                    f"include section '{section}' not found in {inc_path}"
+                )
+            snippet = yaml.safe_dump({section: inc_doc[section]}, sort_keys=False)
+        else:
+            if not isinstance(inc_doc, dict):
+                raise ValueError(f"whole-file include is not a mapping: {inc_path}")
+            snippet = yaml.safe_dump(inc_doc, sort_keys=False)
         out_lines.append(snippet.rstrip("\n"))
     return "\n".join(out_lines)
 

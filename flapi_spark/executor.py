@@ -198,6 +198,21 @@ class QueryExecutor:
             raise ValueError("Invalid pagination parameters")
 
         sql, args = self.render(endpoint, params)
+        # Templates may render to several ;-separated statements (temp
+        # views / session settings, then the result query): run setup
+        # statements in order, the LAST one is the endpoint's result
+        # (reference: sql_utils.cpp splitSqlStatements + the request
+        # handler's statement loop). The quote-aware splitter never
+        # splits inside '…'/"…"/$tag$…$tag$.
+        from flapi_spark.sql_utils import split_sql_statements
+
+        stmts = split_sql_statements(sql)
+        for setup in stmts[:-1]:
+            if args:
+                self.spark.sql(setup, args=args)
+            else:
+                self.spark.sql(setup)
+        sql = stmts[-1] if stmts else sql
         df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
 
         result = QueryResult(df=df)

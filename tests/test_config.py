@@ -1,5 +1,7 @@
 import textwrap
 
+import pytest
+
 from flapi_spark.config import load_endpoint_yaml, load_endpoints_dir
 
 
@@ -98,3 +100,77 @@ def test_load_endpoints_dir(tmp_path):
     write(tmp_path / "notes.yaml", "just: notes\n")
     eps = load_endpoints_dir(tmp_path)
     assert [e.url_path for e in eps] == ["/a/"]
+
+
+# --- extended include features (round 3c; reference:
+# extended_yaml_parser_test.cpp) ------------------------------------------
+
+
+def test_whole_file_include(tmp_path):
+    from flapi_spark.config import _resolve_includes
+    import yaml as _yaml
+
+    (tmp_path / "common.yaml").write_text("auth:\n  enabled: true\nrate: 5\n")
+    doc = _yaml.safe_load(
+        _resolve_includes(
+            "{{include from common.yaml}}\nvalue: always_present\n", tmp_path
+        )
+    )
+    assert doc["auth"] == {"enabled": True}
+    assert doc["rate"] == 5
+    assert doc["value"] == "always_present"
+
+
+def test_conditional_include_true_and_false(tmp_path):
+    from flapi_spark.config import _resolve_includes
+    import yaml as _yaml
+
+    (tmp_path / "auth.yaml").write_text("auth:\n  enabled: true\n")
+    tpl = "{{include from auth.yaml if env.ENABLE_AUTH}}\nvalue: v\n"
+    on = _yaml.safe_load(
+        _resolve_includes(tpl, tmp_path, env={"ENABLE_AUTH": "1"})
+    )
+    assert on["auth"] == {"enabled": True} and on["value"] == "v"
+    # empty string evaluates false (reference semantics)
+    off = _yaml.safe_load(
+        _resolve_includes(tpl, tmp_path, env={"ENABLE_AUTH": ""})
+    )
+    assert "auth" not in off and off["value"] == "v"
+
+
+def test_conditional_section_include(tmp_path):
+    from flapi_spark.config import _resolve_includes
+    import yaml as _yaml
+
+    (tmp_path / "shared.yaml").write_text("cache:\n  enabled: true\nother: 1\n")
+    tpl = "{{include:cache from shared.yaml if env.WITH_CACHE}}\nurl-path: /x\n"
+    on = _yaml.safe_load(
+        _resolve_includes(tpl, tmp_path, env={"WITH_CACHE": "yes"})
+    )
+    assert on["cache"] == {"enabled": True}
+    assert "other" not in on
+    off = _yaml.safe_load(_resolve_includes(tpl, tmp_path, env={}))
+    assert "cache" not in off
+
+
+def test_circular_include_detected(tmp_path):
+    from flapi_spark.config import _resolve_includes
+
+    (tmp_path / "a.yaml").write_text("{{include from b.yaml}}\nvalue: a\n")
+    (tmp_path / "b.yaml").write_text("{{include from a.yaml}}\nvalue: b\n")
+    with pytest.raises(ValueError, match="Circular dependency"):
+        _resolve_includes("{{include from a.yaml}}\n", tmp_path)
+
+
+def test_nested_includes_resolve(tmp_path):
+    from flapi_spark.config import _resolve_includes
+    import yaml as _yaml
+
+    (tmp_path / "inner.yaml").write_text("deep: 42\n")
+    (tmp_path / "outer.yaml").write_text(
+        "{{include from inner.yaml}}\nmiddle: 1\n"
+    )
+    doc = _yaml.safe_load(
+        _resolve_includes("{{include from outer.yaml}}\ntop: 0\n", tmp_path)
+    )
+    assert doc == {"deep": 42, "middle": 1, "top": 0}

@@ -144,3 +144,26 @@ def test_quoted_typed_param_binds_as_value(spark, executor):
         args={"d": "2024-01-01"},
     )
     assert df.collect()[0].ok == 1
+
+
+def test_multi_statement_template_runs_setup_then_result(executor):
+    """A ;-separated template: temp-view setup statement, then the
+    result query (reference: sql_utils.cpp splitSqlStatements + the
+    request handler statement loop). Semicolons inside string
+    literals must survive unsplit."""
+    ep = customers_endpoint()
+    ep.template_text = (
+        "CREATE OR REPLACE TEMP VIEW _exec_ms AS"
+        " SELECT c_custkey, c_mktsegment, ';not a split;' AS marker"
+        " FROM parquet.`{{{conn.path}}}`;"
+        " SELECT c_mktsegment, count(*) AS n, max(marker) AS marker"
+        " FROM _exec_ms"
+        "{{#params.segment}} WHERE c_mktsegment = {{params.segment}}{{/params.segment}}"
+        " GROUP BY c_mktsegment"
+    )
+    res = executor.execute(ep, {"segment": "BUILDING"})
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0].c_mktsegment == "BUILDING"
+    assert rows[0].n > 0
+    assert rows[0].marker == ";not a split;"
