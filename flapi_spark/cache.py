@@ -300,3 +300,81 @@ class CacheManager:
         if not log.exists():
             return []
         return [json.loads(line) for line in log.read_text().splitlines()]
+
+
+def read_pruned(
+    mgr: "CacheManager",
+    cfg,
+    column: str,
+    lo=None,
+    hi=None,
+    snapshot_id: str | None = None,
+):
+    """File-skipping snapshot read via parquet footer statistics — the
+    Iceberg-manifest / DuckLake-metadata pruning pattern on the cache's
+    snapshot directories: consult each file's column min/max (metadata
+    only, no data IO) and hand Spark ONLY the files whose range
+    overlaps [lo, hi]; the residual predicate still applies on top.
+
+    Pays off when snapshots are written range-clustered on the prune
+    column (repartitionByRange + sortWithinPartitions at commit time —
+    same layout story as zorder_locality_stats): file ranges become
+    tight and disjoint, so a narrow predicate scans O(1) files out of
+    thousands. Returns (df, {"files_total", "files_scanned"}).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as _F
+
+    snaps = mgr._load_manifest(cfg)
+    if not snaps:
+        raise FileNotFoundError(f"cache {cfg.schema}.{cfg.table} has no snapshots")
+    snap = snaps[-1] if snapshot_id is None else next(
+        s for s in snaps if s["id"] == snapshot_id
+    )
+
+    def _residual(df):
+        if lo is not None:
+            df = df.where(_F.col(column) >= lo)
+        if hi is not None:
+            df = df.where(_F.col(column) <= hi)
+        return df
+
+    if "inline_rows" in snap:
+        df = mgr._df_from_inline(snap)
+        return _residual(df), {"files_total": 0, "files_scanned": 0}
+
+    snap_dir = mgr._table_dir(cfg) / f"snapshot={snap['id']}"
+    files = sorted(_glob.glob(str(snap_dir / "*.parquet")))
+    keep = []
+    for path in files:
+        md = _pq.ParquetFile(path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ci = names.index(column)
+        except ValueError:
+            keep.append(path)  # unknown column: never prune blindly
+            continue
+        fmin = fmax = None
+        prunable = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                prunable = False
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if not prunable:
+            keep.append(path)
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue  # file range disjoint from the predicate: skip
+        keep.append(path)
+    stats = {"files_total": len(files), "files_scanned": len(keep)}
+    if not keep:
+        df = mgr.spark.read.parquet(str(snap_dir)).limit(0)
+        return _residual(df), stats
+    df = mgr.spark.read.parquet(*keep)
+    return _residual(df), stats

@@ -2026,3 +2026,130 @@ def bm25_search(
             "rnk",
         )
     )
+
+
+def twa_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per type with LOCF
+    weighting (TimescaleDB's time_weight('LOCF') hyperfunction): each
+    observation holds until the next one, so its weight is the gap to
+    the successor; the final observation carries no weight. The signal
+    irregular-interval telemetry needs — a plain AVG over-counts
+    bursts.
+
+    Cross-engine exactness: gaps are integral microseconds; the
+    weighted sum folds value·gap in POSITIONAL (time) order on both
+    engines — identical IEEE sequence — then rounds to 6dp. Scale
+    shape: one shuffle on event_type; per-type series fold in one
+    task (partition by day and stitch for petabyte series)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        # NTZ-pure microseconds from a fixed anchor: no session-TZ
+        # dependence (an LTZ cast would shift under non-UTC sessions)
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    arr = pts.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "value"))
+        ).alias("a")
+    )
+    wsum = F.expr(
+        "aggregate(sequence(1, size(a) - 1), CAST(0.0 AS DOUBLE),"
+        " (acc, i) -> acc + element_at(a, i).value"
+        "  * CAST(element_at(a, i + 1).ts_us"
+        "     - element_at(a, i).ts_us AS DOUBLE))"
+    )
+    tdur = F.expr(
+        "element_at(a, -1).ts_us - element_at(a, 1).ts_us"
+    )
+    # a 1-point series has no weighted span (and sequence(1, 0) would
+    # descend); every real series here has thousands of points
+    arr = arr.where(F.size("a") >= 2)
+    return arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_events"),
+        tdur.cast("long").alias("total_dur_us"),
+        F.round(wsum / tdur.cast("double"), 6).alias("twa_value"),
+    )
+
+
+def m4_downsample_events(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 100
+) -> DataFrame:
+    """M4 downsampling (Jugel et al. 2014): per series and time
+    bucket, keep first/last/min/max — the lossless-for-rendering
+    reduction every time-series dashboard runs before plotting
+    (error-free min/max envelopes at pixel resolution).
+
+    Pure SELECTION — no float arithmetic at all, so results are
+    engine-exact by construction. Bucket ids are integral-microsecond
+    arithmetic over the global span. Scale shape: two window passes
+    over (type, bucket) + one groupBy; everything shuffles once on
+    the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    span = pts.agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    b = pts.crossJoin(F.broadcast(span)).withColumn(
+        "bucket",
+        F.least(
+            F.floor(
+                (F.col("ts_us") - F.col("t0"))
+                * n_buckets
+                / (F.col("t1") - F.col("t0") + 1)
+            ).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+    )
+    wasc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    wdesc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    ranked = b.select(
+        "event_type", "bucket", "ts_us", "value",
+        F.row_number().over(wasc).alias("ra"),
+        F.row_number().over(wdesc).alias("rd"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("v_last"),
+        F.min("ts_us").alias("ts_first_us"),
+        F.max("ts_us").alias("ts_last_us"),
+    )
+
+
+def orderpriority_status_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg parity: per order priority, the DISTINCT
+    statuses concatenated in sorted order — deterministic ordered
+    aggregation string both engines render identically (unordered
+    listagg is engine-arbitrary; the ORDER BY inside the aggregate is
+    the portability contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

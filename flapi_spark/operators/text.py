@@ -879,3 +879,48 @@ def bpe_train_merges(
         out, "rank BIGINT, left STRING, right STRING, merged STRING,"
         " pair_count BIGINT",
     )
+
+
+def udtf_ngram_profile(
+    spark: SparkSession, sf_dir: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus n-gram profile through a Python UDTF (Spark 4's
+    user-defined TABLE function extension point): a lateral join
+    expands each document into its n-grams, then a groupBy counts the
+    top-k with deterministic tiebreak.
+
+    The UDTF here is the EXTENSION-POINT demo — row-at-a-time Python
+    is the slow path, and the production n-gram expansion stays
+    JVM-side (operators/text.py _gram_expr, used by the repetition
+    filters); a custom tokenizer/parser that genuinely needs Python
+    is what this hook is for. The oracle replays the expansion in
+    SQL, so the UDTF's output contract is exactly verified."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class Ngrams:
+        def eval(self, text: str, width: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - width + 1):
+                yield (" ".join(toks[i : i + width]),)
+
+    spark.udtf.register("flapi_ngrams", Ngrams)
+    from flapi_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    norm = (
+        "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    )
+    grams = spark.sql(
+        f"SELECT g.gram FROM documents d,"
+        f" LATERAL flapi_ngrams({norm}, {n}) g"
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"), "rnk")
+    )

@@ -2076,6 +2076,71 @@ QUERIES.update(
             "  CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k"
             " FROM x GROUP BY 1",
         ),
+        "udtf_ngram_profile": (
+            T.udtf_ngram_profile,
+            f"WITH t AS (SELECT {_TOKS} AS tk FROM documents),"
+            " g AS (SELECT unnest(list_transform(range(1, len(tk)),"
+            "  i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM t),"
+            " c AS (SELECT gram, count(*) AS n_occurrences FROM g"
+            "  GROUP BY 1)"
+            " SELECT gram, CAST(n_occurrences AS BIGINT)"
+            "   AS n_occurrences, CAST(rnk AS BIGINT) AS rnk FROM ("
+            "  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,"
+            "   gram ASC) AS rnk FROM c) x WHERE rnk <= 20",
+        ),
+        "twa_event_value": (
+            R.twa_event_value,
+            "WITH p AS (SELECT event_type,"
+            "  date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',"
+            "   CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value"
+            "  FROM events),"
+            " a AS (SELECT event_type,"
+            "  list({'ts_us': ts_us, 'event_id': event_id,"
+            "   'value': value} ORDER BY ts_us, event_id, value) AS a"
+            "  FROM p GROUP BY 1),"
+            " f AS (SELECT event_type, len(a) AS n,"
+            "  a[-1].ts_us - a[1].ts_us AS tdur,"
+            "  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            "   list_transform(range(1, len(a)),"
+            "    i -> a[i].value * CAST(a[i + 1].ts_us - a[i].ts_us"
+            "     AS DOUBLE))), (acc, x) -> acc + x) AS wsum FROM a)"
+            " SELECT event_type, CAST(n AS BIGINT) AS n_events,"
+            "  CAST(tdur AS BIGINT) AS total_dur_us,"
+            "  round(wsum / CAST(tdur AS DOUBLE), 6) AS twa_value"
+            " FROM f",
+        ),
+        "m4_downsample_events": (
+            R.m4_downsample_events,
+            "WITH p AS (SELECT event_type,"
+            "  date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00',"
+            "   CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value"
+            "  FROM events),"
+            " s AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM p),"
+            " b AS (SELECT event_type, ts_us, event_id, value,"
+            "  least(CAST(floor((ts_us - t0) * 100 / (t1 - t0 + 1))"
+            "   AS BIGINT), 99) AS bucket FROM p CROSS JOIN s),"
+            " r AS (SELECT *,"
+            "  row_number() OVER (PARTITION BY event_type, bucket"
+            "   ORDER BY ts_us ASC, event_id ASC) AS ra,"
+            "  row_number() OVER (PARTITION BY event_type, bucket"
+            "   ORDER BY ts_us DESC, event_id DESC) AS rd FROM b)"
+            " SELECT event_type, bucket,"
+            "  CAST(count(*) AS BIGINT) AS n_points,"
+            "  min(value) AS v_min, max(value) AS v_max,"
+            "  max(CASE WHEN ra = 1 THEN value END) AS v_first,"
+            "  max(CASE WHEN rd = 1 THEN value END) AS v_last,"
+            "  CAST(min(ts_us) AS BIGINT) AS ts_first_us,"
+            "  CAST(max(ts_us) AS BIGINT) AS ts_last_us"
+            " FROM r GROUP BY 1, 2",
+        ),
+        "orderpriority_status_concat": (
+            R.orderpriority_status_concat,
+            "SELECT o_orderpriority,"
+            " string_agg(DISTINCT o_orderstatus, ','"
+            "  ORDER BY o_orderstatus) AS statuses,"
+            " CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM orders GROUP BY 1",
+        ),
         "rolling_median_order_value_7d": (
             R.rolling_median_order_value_7d,
             "WITH daily AS (SELECT"
@@ -2222,12 +2287,10 @@ _CHECK_FIRST = [
     "q11_important_parts", "q9_profit_by_nation_year",
     "q12_priority_by_status", "q18_large_orders", "q22_idle_customers",
     "supplier_balance_by_nation",
-    # (2) round-1 green, dtypes changed since. part_type_share stays
-    # as the convention canary (group (1)'s ten entries exercise the
-    # same decimal→double convention and were re-verified r2/r3);
-    # the rest move just past the window so never-verified round-3c
-    # entries fit (cap is 50).
-    "part_type_share",
+    # (2) round-1 greens whose dtypes changed since all moved just
+    # past the window (group (1)'s ten entries exercise the identical
+    # decimal→double convention and sit first) — freed slots go to
+    # never-verified round-3c entries (cap is 50).
     # (3) new in round 3 (no driver verdict yet)
     "text_repetition_filters", "domain_mixture_sample",
     "cohort_retention", "funnel_conversion", "windowfns_order_ranks",
@@ -2247,12 +2310,13 @@ _CHECK_FIRST = [
     "events_props_variant", "cube_revenue", "fuzzy_part_name_pairs",
     "rolling_distinct_customers_7d", "events_session_window_agg",
     "src_python_datasource", "rolling_median_order_value_7d",
-    "bm25_search",
-    # (2b) dtype-canary overflow: verified via the same convention as
-    # group (2)'s canary; re-listed directly after the window
-    "q3_shipping_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q19_bracket_revenue", "q14_promo_revenue_share",
-    "q15_top_supplier",
+    "bm25_search", "twa_event_value", "m4_downsample_events",
+    "orderpriority_status_concat", "udtf_ngram_profile",
+    # (2b) dtype-convention overflow (same convention as group (1));
+    # re-listed directly after the window for the next rotation
+    "part_type_share", "q3_shipping_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q19_bracket_revenue",
+    "q14_promo_revenue_share", "q15_top_supplier",
     # (4) round-1 green, never rechecked
     "tpl_customers_by_segment", "tpl_customers_all",
     "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",

@@ -124,3 +124,31 @@ def compact_parquet(
         "files_after": files_after,
         "rows": rows,
     }
+
+
+def idempotent_batch_writer(out_dir: str):
+    """Exactly-once streaming parquet sink for
+    ``writeStream.foreachBatch`` (reference analogue: the cache
+    manager's committed-snapshot flip; Spark contract: foreachBatch
+    is at-least-once, so the SINK must deduplicate replays).
+
+    Each micro-batch lands in ``{out_dir}/batch_id=<N>/`` and a batch
+    that already committed (its ``_SUCCESS`` marker exists) is
+    SKIPPED — after a failure/restart Spark replays the last batch
+    with the same batch_id, and the skip turns at-least-once delivery
+    into exactly-once output. Readers see only whole committed batch
+    directories (Spark writes _SUCCESS last), mirroring the
+    snapshot-flip pattern used by CacheManager.
+
+    Returns the (batch_df, batch_id) -> None callable to pass to
+    foreachBatch.
+    """
+    import os
+
+    def _write(batch_df, batch_id: int) -> None:
+        dst = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # replayed batch — already committed
+        batch_df.write.mode("overwrite").parquet(dst)
+
+    return _write

@@ -34,7 +34,10 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "text_repetition_filters", "domain_mixture_sample",
        # round-3c pipeline operators
        "text_script_detect", "ccnet_perplexity_buckets",
-       "semdedup_fixed_cells"]
+       "semdedup_fixed_cells",
+       # round-3c time-series operators (events replicated too)
+       "twa_event_value", "m4_downsample_events",
+       "event_transition_matrix"]
 FACTORS = [1, 2, 4, 8]
 
 
@@ -90,6 +93,7 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         replicate(spark, "documents", f, "doc_id", d)
         replicate(spark, "embeddings", f, "vec_id", d)
+        replicate(spark, "events", f, "event_id", d)
         dirs[f] = d
 
     for op in ops:

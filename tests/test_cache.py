@@ -121,3 +121,45 @@ def test_incremental_without_cursor_is_full_refresh(spark, mgr):
     mgr.incremental_sync(c, rows_df(spark, [(2, "b", "2026-01-02")]))
     got = {r.id for r in mgr.read(c).collect()}
     assert got == {2}  # full refresh replaced the table
+
+
+def test_read_pruned_skips_files_and_matches_full_filter(spark, mgr, tmp_path):
+    """Range-clustered snapshot + footer-stats pruning: a narrow
+    predicate must scan a strict subset of files and return exactly
+    what the unpruned filtered read returns."""
+    from flapi_spark.cache import read_pruned
+
+    c = cfg(table="pruned", primary_key=None, cursor_column=None)
+    src = (
+        spark.range(0, 10_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    mgr.full_refresh(c, src)
+
+    df, stats = read_pruned(mgr, c, "k", lo=100, hi=200)
+    assert stats["files_total"] >= 8
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    got = sorted(r.k for r in df.collect())
+    want = list(range(100, 201))
+    assert got == want
+
+
+def test_read_pruned_empty_range_and_unknown_column(spark, mgr):
+    from flapi_spark.cache import read_pruned
+
+    c = cfg(table="pruned2", primary_key=None, cursor_column=None)
+    src = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "k")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    mgr.full_refresh(c, src)
+    # disjoint range: zero files scanned, empty result, schema intact
+    df, stats = read_pruned(mgr, c, "k", lo=10_000, hi=20_000)
+    assert stats["files_scanned"] == 0
+    assert df.count() == 0
+    assert df.columns == ["k"]

@@ -90,3 +90,60 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert stats["files_after"] == 2
     assert stats["rows"] == docs.count()
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_idempotent_batch_writer_skips_replayed_batches(spark, tmp_path):
+    """foreachBatch replays after failure reuse the batch_id — the
+    sink must commit once and skip the replay (exactly-once output
+    from at-least-once delivery)."""
+    import glob
+    import os
+
+    from flapi_spark.sinks import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_writer(out)
+    df1 = spark.range(100).withColumnRenamed("id", "v")
+    write(df1, 0)
+    first = sorted(glob.glob(out + "/batch_id=0/*.parquet"))
+    mtimes = [os.path.getmtime(p) for p in first]
+    # replay with the same batch id but different data: must be a no-op
+    write(spark.range(5).withColumnRenamed("id", "v"), 0)
+    assert sorted(glob.glob(out + "/batch_id=0/*.parquet")) == first
+    assert [os.path.getmtime(p) for p in first] == mtimes
+    # a NEW batch id commits normally
+    write(spark.range(7).withColumnRenamed("id", "v"), 1)
+    got = spark.read.parquet(out).count()
+    assert got == 107
+
+
+def test_idempotent_batch_writer_end_to_end_stream(spark, tmp_path, sf_dir):
+    """Drive it through a real availableNow stream over the events
+    landing files; rerunning the whole stream with a FRESH checkpoint
+    replays batch ids — output must not duplicate."""
+    import shutil as _sh
+
+    from flapi_spark import streaming as ST
+    from flapi_spark.sinks import idempotent_batch_writer
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", landing / "events.parquet")
+    out = str(tmp_path / "sink")
+    n_src = spark.read.parquet(str(landing)).count()
+
+    def run(cp: str) -> None:
+        events = ST.read_events_stream(spark, str(landing))
+        q = (
+            events.writeStream.foreachBatch(idempotent_batch_writer(out))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "cp1"))
+    assert spark.read.parquet(out).count() == n_src
+    # fresh checkpoint -> batch ids restart at 0 -> all replays skipped
+    run(str(tmp_path / "cp2"))
+    assert spark.read.parquet(out).count() == n_src
