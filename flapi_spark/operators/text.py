@@ -924,3 +924,66 @@ def udtf_ngram_profile(
         .where(F.col("rnk") <= k)
         .select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"), "rnk")
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def countmin_token_freq(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: depth×width integer counters built in ONE map-side-combined
+    groupBy (shuffle bounded by depth·width distinct keys, NOT by
+    vocabulary — the bounded-memory frequency structure for 100 TB
+    streams), then point estimates (min over depth rows) for the top-k
+    true tokens beside their exact counts — the estimate ≥ truth
+    overestimate guarantee is visible in the output.
+
+    Engine-portable: bucket hashes are the md5-prefix fold (DSIR's),
+    counters and minima are integral, top-k tiebreaks on the token —
+    the DuckDB oracle replays the sketch bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok"))
+    with_depth = toks.withColumn(
+        "depth", F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)]))
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "pmod(cast(conv(substr(md5(concat(cast(depth AS STRING),"
+            f" ':', tok)), 1, 15), 16, 10) as bigint), {CM_WIDTH})"
+        ),
+    )
+    counters = with_depth.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    wtop = Window.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        true_counts.withColumn("rnk", F.row_number().over(wtop))
+        .where(F.col("rnk") <= k)
+    )
+    probes = top.withColumn(
+        "depth", F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)]))
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "pmod(cast(conv(substr(md5(concat(cast(depth AS STRING),"
+            f" ':', tok)), 1, 15), 16, 10) as bigint), {CM_WIDTH})"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("tok", "n", "rnk")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("long").alias("true_count"),
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        F.col("rnk").cast("long").alias("rnk"),
+        (F.col("cm_estimate") >= F.col("n")).alias("overestimates"),
+    )

@@ -2076,6 +2076,34 @@ QUERIES.update(
             "  CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k"
             " FROM x GROUP BY 1",
         ),
+        "countmin_token_freq": (
+            T.countmin_token_freq,
+            f"WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),"
+            " wd AS (SELECT tok, d FROM tok CROSS JOIN"
+            "  (SELECT unnest([0, 1, 2, 3]) AS d)),"
+            " wb AS (SELECT tok, d,"
+            "  ((CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR),"
+            f"   ':', tok)), 1, 15)) AS BIGINT)) % {T.CM_WIDTH}) AS bucket"
+            "  FROM wd),"
+            " counters AS (SELECT d, bucket, count(*) AS c FROM wb"
+            "  GROUP BY 1, 2),"
+            " tc AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),"
+            " top AS (SELECT tok, n, rnk FROM (SELECT tok, n,"
+            "  row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk"
+            "  FROM tc) x WHERE rnk <= 20),"
+            " probes AS (SELECT top.tok, top.n, top.rnk, dd.d,"
+            "  ((CAST(concat('0x', substr(md5(concat(CAST(dd.d AS VARCHAR),"
+            f"   ':', top.tok)), 1, 15)) AS BIGINT)) % {T.CM_WIDTH})"
+            "   AS bucket"
+            "  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd)"
+            " SELECT p.tok, CAST(p.n AS BIGINT) AS true_count,"
+            "  CAST(min(c.c) AS BIGINT) AS cm_estimate,"
+            "  CAST(p.rnk AS BIGINT) AS rnk,"
+            "  min(c.c) >= p.n AS overestimates"
+            " FROM probes p JOIN counters c ON p.d = c.d"
+            "  AND p.bucket = c.bucket"
+            " GROUP BY p.tok, p.n, p.rnk",
+        ),
         "udtf_ngram_profile": (
             T.udtf_ngram_profile,
             f"WITH t AS (SELECT {_TOKS} AS tk FROM documents),"
@@ -2312,6 +2340,7 @@ _CHECK_FIRST = [
     "src_python_datasource", "rolling_median_order_value_7d",
     "bm25_search", "twa_event_value", "m4_downsample_events",
     "orderpriority_status_concat", "udtf_ngram_profile",
+    "countmin_token_freq",
     # (2b) dtype-convention overflow (same convention as group (1));
     # re-listed directly after the window for the next rotation
     "part_type_share", "q3_shipping_priority", "q6_forecast_revenue",
