@@ -840,3 +840,71 @@ def semdedup_clusters(
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str, chunk: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document — the span view
+    of exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": remove any substring
+    duplicated across the corpus, not just whole-document dups).
+
+    Suffix-array substring dedup is inherently sequential; the
+    distributed re-expression tiles each doc into non-overlapping
+    `chunk`-token windows (the dedup_chunk_boilerplate tiling), marks
+    tiles whose text occurs in >= `min_docs` docs corpus-wide, and
+    merges ADJACENT duplicated tiles into maximal token spans with the
+    classic island trick (tile_index - row_number is constant within a
+    run). Output: one row per maximal span with its token interval —
+    the cut list a scrubbing pass consumes.
+
+    100 TB shape: tiling is a linear projection; the duplicated-tile
+    set is boilerplate-sized (bounded by distinct duplicated chunks,
+    not corpus size) so it re-joins as a broadcast left-semi; the
+    island window partitions by doc_id — one corpus-scale shuffle.
+    Exact DuckDB oracle replays tiling, marking and merging."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(norm_text(), " ").alias("t")
+    ).where(F.size("t") >= chunk)
+    tiles = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
+        ).alias("chunk"),
+    )
+    dup_tiles = (
+        tiles.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("chunk")
+    )
+    flagged = tiles.join(F.broadcast(dup_tiles), "chunk", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = flagged.withColumn(
+        "island", F.col("i") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("i").alias("i0"),
+            F.max("i").alias("i1"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("i0") * chunk).cast("long").alias("start_token"),
+            ((F.col("i1") + 1) * chunk - 1).cast("long").alias("end_token"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    )

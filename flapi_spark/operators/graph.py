@@ -1,0 +1,178 @@
+"""Graph analytics over the near-duplicate pair graph.
+
+Near-dup pair streams (Jaccard / MinHash / SimHash / embedding LSH)
+induce a graph whose structure carries curation signal beyond the
+connected components already in `dedup.label_components`:
+
+- PageRank identifies the most "central" duplicates — the template a
+  boilerplate family radiates from — which is the right canonical
+  survivor when clusters are stars rather than cliques.
+- Triangle counts / clustering coefficients separate tight clique-like
+  duplicate families (every member pairwise similar → safe to collapse
+  to one survivor) from chains of borderline pairs (A~B~C with A≁C →
+  collapsing to one doc loses content).
+
+Both are classic iterative/multi-join graph computations re-expressed
+as DataFrame ops, with deterministic integer arithmetic so a DuckDB
+oracle replays them bit-for-bit (reference parity: flAPI has no graph
+operators; these extend the training-data pipeline suite the same way
+`dedup_connected_components` does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.operators.dedup import dedup_ngram_jaccard
+
+# PageRank mass is tracked in fixed-point integer units (1.0 == SCALE).
+# Floating-point PageRank sums neighbor contributions in partition
+# order — nondeterministic across engines AND across runs; BIGINT
+# sums are exact and associative, so every engine lands on the same
+# value. Mass lost to floor-division truncation is deterministic too.
+PR_SCALE = 10**12
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+PR_ITERATIONS = 5
+
+
+def _undirected_edges(pairs: DataFrame) -> DataFrame:
+    """(u, v) edge list with both directions from a (doc_a, doc_b)
+    pair stream; localCheckpoint truncates lineage so iterative
+    consumers don't double their plan every round."""
+    return (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def pagerank_fixed_point(
+    pairs: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Fixed-point integer PageRank over an undirected pair graph.
+
+    pr_0(u)    = SCALE // N
+    pr_k+1(u)  = (SCALE * 15 // 100) // N
+                 + (85 * Σ_{v∈nbr(u)} pr_k(v) // deg(v)) // 100
+
+    All arithmetic is BIGINT (floor division, exact sums) — the result
+    is identical in any engine, which is what makes the chained-CTE
+    DuckDB oracle exact. Every node in a pair graph has degree ≥ 1, so
+    there are no dangling nodes and every node receives ≥ 1
+    contribution per round (no left-join needed).
+
+    Scale shape: one shuffle per iteration (edges ⋈ ranks on v, then
+    groupBy u) — the Pregel message-passing pattern as DataFrame ops.
+    Degrees are computed once; lineage is truncated per round. The
+    driver holds only the node COUNT (one scalar), never node data.
+    """
+    edges = _undirected_edges(pairs)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.select(F.col("u").alias("node"), "deg").localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("node").alias("doc_id"), F.lit(0).cast("long").alias("pr_scaled")
+        )
+    init = PR_SCALE // n
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    pr = deg.select("node", F.lit(init).cast("long").alias("pr"))
+    for _ in range(iterations):
+        outflow = pr.join(deg, "node").select(
+            "node", F.expr("pr div deg").alias("give")
+        )
+        pr = (
+            edges.join(outflow, edges.v == outflow.node)
+            .groupBy("u")
+            .agg(F.sum("give").alias("inflow"))
+            .select(
+                F.col("u").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP_NUM} * inflow) div {PR_DAMP_DEN}")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("pr").cast("long").alias("pr_scaled"),
+    )
+
+
+def pagerank_neardup_graph(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """PageRank over the Jaccard near-dup pair graph (the same source
+    `dedup_connected_components` uses, so the oracle shares its pair
+    CTE). High-PR docs are the cluster templates — the survivor choice
+    that keeps the most representative copy."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return pagerank_fixed_point(pairs)
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation over a (doc_a < doc_b) pair
+    stream, plus degree and the local clustering coefficient.
+
+    Triangles enumerate as a 3-way self-join with the a < b < c
+    orientation — each triangle appears exactly once. At 100 TB the
+    standard refinement is degree-ordering the orientation so the join
+    fans out from low-degree endpoints (same plan shape, bounded
+    skew); near-dup graphs are tiny relative to their corpus either
+    way (edges ≪ docs after LSH blocking).
+
+    clustering = 2·T / (deg·(deg−1)) for deg ≥ 2 — one double
+    division of two exact integers, rounded to 6dp: deterministic
+    cross-engine (both engines divide the same two integers).
+    """
+    p = pairs.select(
+        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
+    ).distinct().localCheckpoint()
+    e1 = p.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = p.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = p.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    members = (
+        tris.select(F.col("x").alias("doc_id"))
+        .union(tris.select(F.col("y").alias("doc_id")))
+        .union(tris.select(F.col("z").alias("doc_id")))
+    )
+    tri_counts = members.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        p.select(F.col("a").alias("doc_id"))
+        .union(p.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coef = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (F.lit(2.0) * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_counts, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .withColumn("clustering", coef)
+    )
+
+
+def triangle_count_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Triangle counts / clustering coefficients over the Jaccard
+    near-dup graph — clique-ness of each duplicate family."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return triangle_counts(pairs)

@@ -2153,3 +2153,68 @@ def orderpriority_status_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+def counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter `increase()` with reset detection — the
+    monitoring-series primitive (Prometheus counter semantics: a
+    cumulative counter only rises; an observed drop means the process
+    restarted, and the post-reset value counts from zero).
+
+    The synthetic counter is derived deterministically: per-user
+    running sum of floor(value*100) integer units, wrapped modulo
+    100000 so resets genuinely occur in testdata. Per consecutive
+    sample (user-keyed, (ts, event_id)-ordered): increase = counter −
+    prev when monotone, else counter (reset ⇒ restarted from 0).
+    Rolled up per (event_type, hour): total increase, sample count,
+    reset count — all exact BIGINT arithmetic, exact DuckDB oracle.
+
+    Scale shape: two window passes over the SAME user-keyed exchange
+    (cumsum + lag share partitioning) and one tiny groupBy — the shape
+    a 100 TB metrics store (hypertable/Prometheus TSDB rollup) needs.
+    floor(value*100) avoids the double→int cast trap (Spark truncates,
+    DuckDB rounds); floor is IEEE-exact in both."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counters = v.withColumn(
+        "counter",
+        F.pmod(
+            F.sum("v").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(100000),
+        ),
+    )
+    stepped = counters.withColumn("prev", F.lag("counter").over(w))
+    inc = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.when(
+            F.col("counter") >= F.col("prev"),
+            F.col("counter") - F.col("prev"),
+        ).otherwise(F.col("counter"))
+    )
+    reset = F.when(
+        F.col("prev").isNotNull() & (F.col("counter") < F.col("prev")), 1
+    ).otherwise(0)
+    return (
+        stepped.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            inc.alias("inc"),
+            reset.alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("inc").cast("long").alias("total_increase"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("r").cast("long").alias("n_resets"),
+        )
+    )

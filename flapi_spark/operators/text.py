@@ -987,3 +987,126 @@ def countmin_token_freq(
         F.col("rnk").cast("long").alias("rnk"),
         (F.col("cm_estimate") >= F.col("n")).alias("overestimates"),
     )
+
+
+def vocab_oov_rate(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus-built
+    top-k vocabulary (`vocab_top_tokens`) — the coverage check run
+    before committing to a tokenizer vocab: documents with high OOV
+    rates are either noise (drop candidates) or evidence the vocab
+    under-serves a domain.
+
+    Scale shape: the vocab is top-k-small by construction, so
+    membership tagging is a BROADCAST left join against the exploded
+    token stream — corpus-scale work is one projection + one
+    groupBy(doc_id) with map-side combine. oov_rate divides two exact
+    BIGINTs once, rounded to 6dp (cross-engine deterministic).
+    Exact DuckDB oracle rebuilds the same vocab CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_top_tokens(spark, sf_dir, k).select("tok")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(), " ")).alias("tok")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), "tok", "left"
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def bpe_encode_tokens(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Apply corpus-trained BPE merges (`bpe_train_merges`) to encode
+    every document — the tokenizer-application half of the BPE pair:
+    training learns the merge table once; encoding replays the merges
+    IN RANK ORDER over each word. Output: per-doc encoded-symbol
+    count, character count, and the compression ratio the merge table
+    achieves (chars per symbol, the metric tokenizer quality is judged
+    by).
+
+    Scale shape: merges are a tiny driver-held list (the trained
+    artifact — exactly how production tokenizers ship); encoding is a
+    chain of `n_merges` codegen'd array folds applied per word in one
+    linear projection — no shuffle beyond the final groupBy(doc_id),
+    no Python UDF. Rows-only registry check (merge literals are
+    data-dependent); tests verify against a pure-Python golden
+    encoder."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir, n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    ).where(F.col("word").rlike("^[a-z]+$"))
+    expr = (
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+    )
+    for left, right in merges:
+        inner = f"CAST({expr} AS ARRAY<STRING>)"
+        # _merge_pair_expr folds over a column name; alias the chain
+        # via a lateral-style nested expression instead
+        expr = _merge_pair_expr_inline(inner, left, right)
+    enc = words.select(
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.size(F.expr(expr)).alias("n_symbols"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_chars",
+            "n_symbols",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_symbols"), 6
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+def _merge_pair_expr_inline(arr_expr: str, left: str, right: str) -> str:
+    """_merge_pair_expr over an arbitrary array EXPRESSION (not a
+    column name): binds it once per row through a single-element
+    transform so the chained encode fold never re-evaluates the
+    upstream merge chain per element."""
+    merged = left + right
+    return (
+        f"element_at(transform(array({arr_expr}), s ->"
+        " aggregate(sequence(1, size(s)),"
+        " CAST(named_struct('arr', CAST(array() AS ARRAY<STRING>),"
+        "  'skip', false) AS STRUCT<arr: ARRAY<STRING>, skip: BOOLEAN>),"
+        " (acc, i) -> CASE"
+        "  WHEN acc.skip THEN named_struct('arr', acc.arr, 'skip', false)"
+        f"  WHEN i < size(s) AND element_at(s, i) = '{left}'"
+        f"   AND element_at(s, i + 1) = '{right}'"
+        f"   THEN named_struct('arr', array_append(acc.arr, '{merged}'),"
+        "    'skip', true)"
+        f"  ELSE named_struct('arr', array_append(acc.arr,"
+        "   element_at(s, i)), 'skip', false) END,"
+        " acc -> acc.arr)), 1)"
+    )

@@ -2299,6 +2299,142 @@ QUERIES.update(
 )
 
 
+def _pagerank_sql() -> str:
+    """Chained-CTE DuckDB replication of the fixed-point integer
+    PageRank (operators/graph.py): identical BIGINT floor-division
+    arithmetic per iteration, so the ranks match bit-for-bit."""
+    from flapi_spark.operators import graph as G
+
+    P, DN, DD = G.PR_SCALE, G.PR_DAMP_NUM, G.PR_DAMP_DEN
+    base = f"(({P} * {DD - DN} // {DD}) // (SELECT n FROM nn))"
+    sql = (
+        "WITH pairs AS (" + _JACCARD_PAIRS + "),"
+        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),"
+        " nn AS (SELECT count(*) AS n FROM deg),"
+        f" pr0 AS (SELECT node, {P} // (SELECT n FROM nn) AS pr FROM deg),"
+    )
+    for k in range(1, G.PR_ITERATIONS + 1):
+        sql += (
+            f" pr{k} AS (SELECT e.u AS node, {base} +"
+            f"  ({DN} * sum(p.pr // d.deg)) // {DD} AS pr"
+            f"  FROM edges e JOIN pr{k - 1} p ON p.node = e.v"
+            "   JOIN deg d ON d.node = e.v GROUP BY e.u),"
+        )
+    return sql[:-1] + (
+        " SELECT CAST(node AS BIGINT) AS doc_id,"
+        f" CAST(pr AS BIGINT) AS pr_scaled FROM pr{G.PR_ITERATIONS}"
+    )
+
+
+def _pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.graph import pagerank_neardup_graph
+
+    return pagerank_neardup_graph(spark, sf_dir)
+
+
+def _triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.graph import triangle_count_neardup
+
+    return triangle_count_neardup(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        # -- round 3d: graph analytics over the near-dup pair graph,
+        #    substring-span dedup, vocab coverage, BPE encoding,
+        #    counter-rate time series
+        "pagerank_neardup_graph": (
+            _pagerank_neardup_graph,
+            _pagerank_sql(),
+        ),
+        "triangle_count_neardup": (
+            _triangle_count_neardup,
+            "WITH pairs AS (" + _JACCARD_PAIRS + "),"
+            " p AS (SELECT DISTINCT CAST(doc_a AS BIGINT) AS a,"
+            "  CAST(doc_b AS BIGINT) AS b FROM pairs),"
+            " tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            "  FROM p e1 JOIN p e2 ON e2.a = e1.b"
+            "  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),"
+            " mem AS (SELECT x AS doc_id FROM tris"
+            "  UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),"
+            " tc AS (SELECT doc_id, count(*) AS n FROM mem GROUP BY doc_id),"
+            " deg AS (SELECT doc_id, count(*) AS degree FROM"
+            "  (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p) dd"
+            "  GROUP BY doc_id)"
+            " SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,"
+            "  CAST(degree AS BIGINT) AS degree,"
+            "  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_triangles,"
+            "  CASE WHEN degree >= 2 THEN"
+            "   round((2.0 * coalesce(tc.n, 0))"
+            "    / (degree * (degree - 1)), 6)"
+            "  ELSE 0.0 END AS clustering"
+            " FROM deg LEFT JOIN tc ON tc.doc_id = deg.doc_id",
+        ),
+        "dedup_substring_spans": (
+            D.dedup_substring_spans,
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+            " ch AS (SELECT doc_id, i,"
+            "   array_to_string(t[(i * 5 + 1):(i * 5 + 5)], ' ') AS chunk"
+            "  FROM toks CROSS JOIN (SELECT unnest(range(0, 10000)) AS i)"
+            "  WHERE (i + 1) * 5 <= len(t)),"
+            " dup AS (SELECT chunk FROM ch GROUP BY chunk"
+            "  HAVING count(DISTINCT doc_id) >= 2),"
+            " fl AS (SELECT c.doc_id, c.i FROM ch c"
+            "  JOIN dup d ON d.chunk = c.chunk),"
+            " isl AS (SELECT doc_id, i, i - row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY i) AS island FROM fl)"
+            " SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+            "  CAST(min(i) * 5 AS BIGINT) AS start_token,"
+            "  CAST((max(i) + 1) * 5 - 1 AS BIGINT) AS end_token,"
+            "  CAST(count(*) AS BIGINT) AS n_chunks"
+            " FROM isl GROUP BY doc_id, island",
+        ),
+        "vocab_oov_rate": (
+            T.vocab_oov_rate,
+            "WITH vocab AS (SELECT tok FROM ("
+            f"  SELECT tok, count(*) AS n_total FROM (SELECT doc_id,"
+            f"   unnest({_TOKS}) AS tok FROM documents) tt GROUP BY tok"
+            "   ORDER BY n_total DESC, tok ASC LIMIT 100) v),"
+            f" toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)"
+            " SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+            "  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_oov,"
+            "  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)"
+            "   AS DOUBLE) / count(*), 6) AS oov_rate"
+            " FROM toks t LEFT JOIN vocab v ON v.tok = t.tok"
+            " GROUP BY t.doc_id",
+        ),
+        # rows-only: encodes with corpus-trained merges (data-dependent
+        # literals, like bpe_train_merges); golden pure-Python encoder
+        # verified in tests
+        "bpe_encode_tokens": (T.bpe_encode_tokens, None),
+        "counter_rate_events": (
+            R.counter_rate_events,
+            "WITH v AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,"
+            "  user_id, event_type,"
+            "  CAST(floor(value * 100) AS BIGINT) AS v FROM events),"
+            # events.value > 0 ⇒ the running sum is non-negative and
+            # DuckDB's % equals Spark's pmod
+            " c AS (SELECT *, sum(v) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND CURRENT ROW) % 100000 AS counter FROM v),"
+            " s AS (SELECT event_type, ts, counter, lag(counter) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM c)"
+            " SELECT event_type, date_trunc('hour', ts) AS bucket,"
+            "  CAST(sum(CASE WHEN prev IS NULL THEN 0"
+            "   WHEN counter >= prev THEN counter - prev"
+            "   ELSE counter END) AS BIGINT) AS total_increase,"
+            "  CAST(count(*) AS BIGINT) AS n_samples,"
+            "  CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_resets"
+            " FROM s GROUP BY 1, 2",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified

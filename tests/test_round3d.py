@@ -1,0 +1,223 @@
+"""Semantic property tests for the round-3d operators (graph
+analytics over the near-dup pair graph, substring-span dedup, vocab
+OOV coverage, BPE encoding, counter-rate time series) — beyond the
+oracle equality covered by the registry drive."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from flapi_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERATIONS,
+    PR_SCALE,
+    pagerank_fixed_point,
+    pagerank_neardup_graph,
+    triangle_count_neardup,
+    triangle_counts,
+)
+from flapi_spark.operators.dedup import dedup_substring_spans
+from flapi_spark.operators.relational import counter_rate_events
+from flapi_spark.operators.text import (
+    bpe_encode_tokens,
+    bpe_train_merges,
+    vocab_oov_rate,
+    vocab_top_tokens,
+)
+from flapi_spark.session import load_table
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a LONG, doc_b LONG")
+
+
+def _golden_pagerank(pairs, iterations=PR_ITERATIONS):
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    n = len(nbrs)
+    pr = {u: PR_SCALE // n for u in nbrs}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    for _ in range(iterations):
+        give = {u: pr[u] // len(nbrs[u]) for u in nbrs}
+        pr = {
+            u: base + (PR_DAMP_NUM * sum(give[v] for v in nbrs[u])) // PR_DAMP_DEN
+            for u in nbrs
+        }
+    return pr
+
+
+def test_pagerank_matches_golden_python_exactly(spark):
+    # star (1 center, 3 leaves) + a separate edge
+    pairs = [(1, 2), (1, 3), (1, 4), (10, 11)]
+    got = {
+        r.doc_id: r.pr_scaled
+        for r in pagerank_fixed_point(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == _golden_pagerank(pairs)
+    # the star center dominates its leaves
+    assert got[1] > got[2] == got[3] == got[4]
+
+
+def test_pagerank_neardup_deterministic_and_ranked(spark, sf_dir):
+    a = {r.doc_id: r.pr_scaled for r in pagerank_neardup_graph(spark, sf_dir).collect()}
+    b = {r.doc_id: r.pr_scaled for r in pagerank_neardup_graph(spark, sf_dir).collect()}
+    assert a == b  # exact integer arithmetic ⇒ bit-stable across runs
+    assert a and all(v > 0 for v in a.values())
+    # total mass stays ≤ SCALE (floor truncation only leaks downward)
+    assert sum(a.values()) <= PR_SCALE
+
+
+def test_triangle_counts_golden_graph(spark):
+    # triangle 1-2-3 plus a pendant 3-4
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    rows = {r.doc_id: r for r in triangle_counts(_pairs_df(spark, pairs)).collect()}
+    assert rows[1].n_triangles == rows[2].n_triangles == rows[3].n_triangles == 1
+    assert rows[4].n_triangles == 0
+    assert rows[3].degree == 3
+    assert rows[1].clustering == 1.0  # deg 2, 1 triangle
+    assert rows[3].clustering == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[4].clustering == 0.0
+
+
+def test_triangle_neardup_consistent_with_degrees(spark, sf_dir):
+    rows = triangle_count_neardup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # T ≤ C(deg, 2): each triangle uses a distinct neighbor pair
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+        assert 0.0 <= r.clustering <= 1.0
+
+
+def test_substring_spans_golden_python(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        f" AS t FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    chunk = 5
+    tiles = []  # (doc_id, i, text)
+    for doc_id, t in docs:
+        toks = t.split(" ")
+        for i in range(len(toks) // chunk):
+            tiles.append((doc_id, i, " ".join(toks[i * chunk:(i + 1) * chunk])))
+    by_text = Counter()
+    docs_per = defaultdict(set)
+    for d, _, c in tiles:
+        docs_per[c].add(d)
+    dup = {c for c, ds in docs_per.items() if len(ds) >= 2}
+    flagged = defaultdict(list)
+    for d, i, c in tiles:
+        if c in dup:
+            flagged[d].append(i)
+    expect = set()
+    for d, idxs in flagged.items():
+        idxs.sort()
+        run = [idxs[0]]
+        for i in idxs[1:]:
+            if i == run[-1] + 1:
+                run.append(i)
+            else:
+                expect.add((d, run[0] * chunk, (run[-1] + 1) * chunk - 1, len(run)))
+                run = [i]
+        expect.add((d, run[0] * chunk, (run[-1] + 1) * chunk - 1, len(run)))
+    got = {
+        (r.doc_id, r.start_token, r.end_token, r.n_chunks)
+        for r in dedup_substring_spans(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_vocab_oov_rate_bounds_and_vocab_docs(spark, sf_dir):
+    rows = vocab_oov_rate(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    vocab = {r.tok for r in vocab_top_tokens(spark, sf_dir).collect()}
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # tiny synthetic vocab (~31 tokens) fits entirely in top-100 ⇒
+    # every doc is fully covered
+    if len(vocab) < 100:
+        assert all(r.n_oov == 0 for r in rows)
+
+
+def _golden_bpe_encode(word, merges):
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_golden_python(spark, sf_dir):
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert merges
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        f" AS t FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    import re
+
+    expect = {}
+    for doc_id, t in docs:
+        words = [w for w in t.split(" ") if re.fullmatch("[a-z]+", w)]
+        if not words:
+            continue
+        n_chars = sum(len(w) for w in words)
+        n_syms = sum(len(_golden_bpe_encode(w, merges)) for w in words)
+        expect[doc_id] = (len(words), n_chars, n_syms)
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_symbols)
+        for r in bpe_encode_tokens(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_encode_compression_at_least_one(spark, sf_dir):
+    for r in bpe_encode_tokens(spark, sf_dir).collect():
+        # merging can only shrink the symbol stream
+        assert r.n_symbols <= r.n_chars
+        assert r.chars_per_symbol >= 1.0
+
+
+def test_counter_rate_increase_conservation(spark, sf_dir):
+    """Per (type, hour) increases sum exactly to the all-time counter
+    deltas: without resets total_increase over all buckets equals the
+    final counters' cumulative gain; with resets each reset forfeits
+    the pre-reset remainder (< 100000). So the global bound holds:
+    sum(v) - n_resets*100000 < total <= sum(v)."""
+    rows = counter_rate_events(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.total_increase for r in rows)
+    n_resets = sum(r.n_resets for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    sum_v = (
+        ev.select(F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"))
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    n_users = ev.select("user_id").distinct().count()
+    # first sample of each user contributes 0 (no prev) — subtract the
+    # largest possible first-sample mass and reset losses
+    assert total <= sum_v
+    assert total >= sum_v - (n_resets + n_users) * 100000
+    for r in rows:
+        assert r.total_increase >= 0 and r.n_resets <= r.n_samples
