@@ -263,3 +263,111 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes_md5"),
         )
     )
+
+
+# --- PQ (product quantization) ANN -------------------------------------
+
+PQ_SUBSPACES = 8     # 64 dims -> 8 subspaces x 8 dims
+PQ_CODEWORDS = 16    # codewords per subspace codebook
+PQ_SAMPLE_MOD = 31   # deterministic codeword sample: every 31st vector
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """Deterministic PQ codebook: the first PQ_CODEWORDS corpus
+    vectors with vec_id % PQ_SAMPLE_MOD == 0 (vec_id order) provide
+    codeword j's slice in EVERY subspace — the sampled-codebook
+    analogue of ivf_centroids (a k-means refinement per subspace slots
+    in without changing the encode/probe sides). Tiny by construction:
+    broadcastable at any corpus size."""
+    w = Window.orderBy("vec_id")
+    return (
+        emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
+        .orderBy("vec_id")
+        .limit(PQ_CODEWORDS)
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("c"),
+        )
+        .withColumn("j", (F.row_number().over(w) - 1).cast("int"))
+        .select("j", "c")
+    )
+
+
+# squared-L2 between subspace m's 8-dim slices of x (vector) and c
+# (codeword), folded in positional order — the identical IEEE sequence
+# DuckDB's list_dot_product(diff, diff) produces, so encode/LUT
+# distances match the oracle bit-for-bit
+_PQ_DIST = (
+    "aggregate(zip_with(slice(x, m * 8 + 1, 8), slice(c, m * 8 + 1, 8),"
+    " (p, q) -> (p - q) * (p - q)), CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def _pq_subspace_scores(xs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(id, m, j, dist): distance of every vector's subspace slice to
+    every codeword slice — one streamed pass, codebook broadcast."""
+    return (
+        xs.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "j",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("m"),
+            "x",
+            "c",
+        )
+        .select("vec_id", "m", "j", F.expr(_PQ_DIST).alias("dist"))
+    )
+
+
+def ann_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): corpus vectors compress to PQ_SUBSPACES 4-bit codes
+    (argmin codeword per subspace); a query stays uncompressed and
+    scores corpus vectors as the sum of per-subspace lookup-table
+    distances (ADC) — the memory-bound trick behind billion-vector
+    indexes (16 codes replace 64 floats; distances need only a
+    PQ_CODEWORDS x PQ_SUBSPACES LUT per query).
+
+    100 TB shape: encoding is one linear pass with a broadcast
+    codebook (shuffle-free); probing joins the tiny LUT (broadcast) to
+    corpus codes and needs no raw vectors — the scan reads codes, not
+    embeddings. ADC sums fold as a fixed left-associated 8-term chain,
+    bit-identical to the DuckDB oracle that replays sampling, encode,
+    LUT and ranking (same deterministic tiebreaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("x"),
+    )
+    cb = pq_codebook(emb)
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("dist", "j")
+    codes = (
+        _pq_subspace_scores(xs.where(F.col("vec_id") > n_queries), cb)
+        .withColumn("r", F.row_number().over(w_enc))
+        .where(F.col("r") == 1)
+        .select(F.col("vec_id").alias("cid"), "m", "j")
+    )
+    lut = _pq_subspace_scores(xs.where(F.col("vec_id") <= n_queries), cb).select(
+        F.col("vec_id").alias("qid"), "m", "j", "dist"
+    )
+    part = codes.join(F.broadcast(lut), ["m", "j"])
+    piv = part.groupBy("qid", "cid").agg(
+        *[
+            F.max(F.when(F.col("m") == i, F.col("dist"))).alias(f"d{i}")
+            for i in range(PQ_SUBSPACES)
+        ]
+    )
+    adc = F.col("d0")
+    for i in range(1, PQ_SUBSPACES):
+        adc = adc + F.col(f"d{i}")
+    w = Window.partitionBy("qid").orderBy("adc_dist", "cid")
+    return (
+        piv.select("qid", "cid", adc.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", "cid", "adc_dist", "rnk")
+    )

@@ -1110,3 +1110,84 @@ def _merge_pair_expr_inline(arr_expr: str, left: str, right: str) -> str:
         "   element_at(s, i)), 'skip', false) END,"
         " acc -> acc.arr)), 1)"
     )
+
+
+def text_ttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity metrics per document: type-token ratio (TTR)
+    and hapax-legomena fraction (tokens occurring exactly once in the
+    doc / distinct types) — the diversity quality signals beside the
+    Gopher/repetition gates: low TTR flags templated or repetitive
+    text; a high hapax fraction flags noise (OCR junk, random
+    strings).
+
+    One explode + one (doc_id, tok) groupBy + one doc_id groupBy —
+    linear shuffles, map-side combined. Ratios divide exact BIGINTs
+    once, rounded to 6dp; exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(F.split(norm_text(), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 6
+            ).alias("hapax_frac"),
+        )
+    )
+
+
+SHARD_COUNT = 8
+SHARD_SEED = "shard1"
+
+
+def corpus_shard_assign(
+    spark: SparkSession, sf_dir: str, n_shards: int = SHARD_COUNT,
+    seed: str = SHARD_SEED,
+) -> DataFrame:
+    """Deterministic training-order sharding: every document gets a
+    shard and a position within it from a seeded md5 rank — the
+    global-shuffle step of corpus assembly (training wants an order
+    decorrelated from crawl/source order, reproducible across reruns
+    and engines; cf. split_train_holdout's md5-bucket split).
+
+    shard = md5("seed:doc_id") mod n_shards; position = rank of the
+    SAME md5 within the shard. Changing the seed re-shuffles every
+    epoch deterministically. Scale shape: one hash projection + one
+    window per shard — n_shards independent sorts, each 1/n_shards of
+    the corpus (at 1000 executors raise n_shards so per-shard sorts
+    fit an executor; the hash rank makes order independent of
+    partitioning). Exact DuckDB oracle (identical md5 arithmetic)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    hashed = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.expr(
+            f"pmod(cast(conv(substr(md5(concat('{seed}:',"
+            f" CAST(doc_id AS STRING))), 1, 15), 16, 10) as bigint),"
+            f" {n_shards})"
+        ).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -2435,6 +2435,85 @@ QUERIES.update(
 )
 
 
+def _pq_adc_sql() -> str:
+    """DuckDB replication of ann_pq_adc_topk: same deterministic
+    codebook sample, same positional-fold subspace distances
+    (list_dot_product(diff, diff) == Spark's sequential aggregate),
+    same argmin encode / LUT / left-associated ADC sum / tiebreaks."""
+    from flapi_spark.operators import similarity as SIM
+
+    M, K, MOD = SIM.PQ_SUBSPACES, SIM.PQ_CODEWORDS, SIM.PQ_SAMPLE_MOD
+    diff = (
+        "list_transform(range(1, 9),"
+        " i -> v.x[ms.m * 8 + i] - s.c[ms.m * 8 + i])"
+    )
+    d_cols = ", ".join(
+        f"max(CASE WHEN m = {i} THEN dist END) AS d{i}" for i in range(M)
+    )
+    adc = " + ".join(f"d{i}" for i in range(M))
+    return (
+        "WITH xs AS (SELECT vec_id, embedding::DOUBLE[] AS x"
+        "  FROM embeddings),"
+        " samp AS (SELECT x AS c, row_number() OVER (ORDER BY vec_id) - 1"
+        "   AS j FROM (SELECT * FROM xs WHERE vec_id % "
+        f"{MOD} = 0 ORDER BY vec_id LIMIT {K}) s0),"
+        f" ms AS (SELECT unnest(range(0, {M})) AS m),"
+        f" enc0 AS (SELECT v.vec_id, ms.m, s.j,"
+        f"   list_dot_product({diff}, {diff}) AS dist"
+        "   FROM xs v CROSS JOIN samp s CROSS JOIN ms),"
+        " codes AS (SELECT vec_id AS cid, m, j FROM ("
+        "   SELECT vec_id, m, j, row_number() OVER ("
+        "    PARTITION BY vec_id, m ORDER BY dist, j) AS r"
+        "   FROM enc0 WHERE vec_id > 5) rr WHERE r = 1),"
+        " lut AS (SELECT vec_id AS qid, m, j, dist FROM enc0"
+        "  WHERE vec_id <= 5),"
+        " part AS (SELECT l.qid, c2.cid, c2.m, l.dist FROM codes c2"
+        "  JOIN lut l ON l.m = c2.m AND l.j = c2.j),"
+        f" piv AS (SELECT qid, cid, {d_cols} FROM part GROUP BY qid, cid),"
+        f" sc AS (SELECT qid, cid, {adc} AS adc_dist FROM piv)"
+        " SELECT qid, cid, adc_dist, CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY qid"
+        "   ORDER BY adc_dist, cid) AS rnk FROM sc) z"
+        " WHERE rnk <= 10"
+    )
+
+
+QUERIES.update(
+    {
+        "ann_pq_adc_topk": (
+            S.ann_pq_adc_topk,
+            _pq_adc_sql(),
+        ),
+        "text_ttr_diversity": (
+            T.text_ttr_diversity,
+            "WITH pt AS (SELECT doc_id, tok, count(*) AS n FROM ("
+            f"  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t"
+            "  GROUP BY doc_id, tok)"
+            " SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,"
+            "  CAST(count(*) AS BIGINT) AS n_types,"
+            "  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_hapax,"
+            "  round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr,"
+            "  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            "   AS DOUBLE) / count(*), 6) AS hapax_frac"
+            " FROM pt GROUP BY doc_id",
+        ),
+        "corpus_shard_assign": (
+            T.corpus_shard_assign,
+            "WITH h AS (SELECT doc_id,"
+            "  md5(concat('shard1:', CAST(doc_id AS VARCHAR))) AS h,"
+            "  CAST(concat('0x', substr(md5(concat('shard1:',"
+            "   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard"
+            " FROM documents)"
+            " SELECT doc_id, CAST(shard AS BIGINT) AS shard,"
+            "  CAST(row_number() OVER (PARTITION BY shard"
+            "   ORDER BY h, doc_id) AS BIGINT) AS pos"
+            " FROM h",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified

@@ -221,3 +221,126 @@ def test_counter_rate_increase_conservation(spark, sf_dir):
     assert total >= sum_v - (n_resets + n_users) * 100000
     for r in rows:
         assert r.total_increase >= 0 and r.n_resets <= r.n_samples
+
+
+def test_pq_adc_matches_golden_numpy(spark, sf_dir):
+    """Full numpy/python replication of PQ-ADC: deterministic codebook
+    sample, per-subspace argmin encode, LUT, left-associated ADC sum,
+    (adc, cid) ranking — exact equality including distances."""
+    import duckdb
+
+    from flapi_spark.operators.similarity import (
+        PQ_CODEWORDS,
+        PQ_SAMPLE_MOD,
+        PQ_SUBSPACES,
+        ann_pq_adc_topk,
+    )
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    xs = {vid: [float(v) for v in e] for vid, e in vecs.items()}
+    samp_ids = sorted(v for v in xs if v % PQ_SAMPLE_MOD == 0)[:PQ_CODEWORDS]
+    cb = [xs[v] for v in samp_ids]
+
+    def subdist(a, b, m):
+        acc = 0.0
+        for i in range(8):
+            d = a[m * 8 + i] - b[m * 8 + i]
+            acc = acc + d * d
+        return acc
+
+    def encode(x):
+        out = []
+        for m in range(PQ_SUBSPACES):
+            best = min(
+                range(len(cb)), key=lambda j: (subdist(x, cb[j], m), j)
+            )
+            out.append(best)
+        return out
+
+    codes = {v: encode(x) for v, x in xs.items() if v > 5}
+    expect = {}
+    for qid in (v for v in xs if v <= 5):
+        lut = [
+            [subdist(xs[qid], cb[j], m) for j in range(len(cb))]
+            for m in range(PQ_SUBSPACES)
+        ]
+        scored = []
+        for cid, cd in codes.items():
+            acc = lut[0][cd[0]]
+            for m in range(1, PQ_SUBSPACES):
+                acc = acc + lut[m][cd[m]]
+            scored.append((acc, cid))
+        scored.sort()
+        for rnk, (adc, cid) in enumerate(scored[:10], 1):
+            expect[(qid, cid)] = (adc, rnk)
+    got = {
+        (r.qid, r.cid): (r.adc_dist, r.rnk)
+        for r in ann_pq_adc_topk(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ttr_matches_golden_python(spark, sf_dir):
+    import duckdb
+    from collections import Counter as C
+
+    from flapi_spark.operators.text import text_ttr_diversity
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        f" AS t FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for doc_id, t in docs:
+        cnt = C(t.split(" "))
+        n_tok, n_typ = sum(cnt.values()), len(cnt)
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        expect[doc_id] = (n_tok, n_typ, n_hapax)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax)
+        for r in text_ttr_diversity(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_corpus_shard_assign_matches_golden_python(spark, sf_dir):
+    import hashlib
+
+    from flapi_spark.operators.text import (
+        SHARD_COUNT,
+        SHARD_SEED,
+        corpus_shard_assign,
+    )
+    from flapi_spark.session import load_table
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        h = hashlib.md5(f"{SHARD_SEED}:{d}".encode()).hexdigest()
+        shard = int(h[:15], 16) % SHARD_COUNT
+        rows.append((shard, h, d))
+    expect = {}
+    by_shard = defaultdict(list)
+    for shard, h, d in rows:
+        by_shard[shard].append((h, d))
+    for shard, members in by_shard.items():
+        members.sort()
+        for pos, (_, d) in enumerate(members, 1):
+            expect[d] = (shard, pos)
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shard_assign(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # shards are balanced within a loose md5-uniformity band
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * max(1, min(sizes))
