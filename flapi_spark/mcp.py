@@ -360,3 +360,162 @@ class McpRegistry(McpToolRegistry):
                 {"role": "user", "content": {"type": "text", "text": p.render(args)}}
             ],
         }
+
+
+# --- description scanner (reference: mcp_description_scanner.cpp) -------
+
+MAX_DESCRIPTION_LENGTH = 2048
+
+# phrases observed in prompt-injection corpora; short and anchored so
+# legitimate uses of common words like "ignore" don't trip the detector
+_INJECTION_PHRASES = (
+    "ignore previous instructions",
+    "ignore the above",
+    "disregard previous instructions",
+    "disregard the above",
+    "system:",
+    "you are now",
+)
+
+
+def scan_description(description: str) -> list[dict]:
+    """Screen an MCP tool/endpoint description before it is exposed to
+    a model: flag control bytes (NUL/BEL/...; \\n \\r \\t tolerated),
+    excessive length (context-drowning), and known prompt-injection
+    phrases (case-insensitive). Returns [{code, message}, ...]; empty
+    means clean. An empty description is structurally fine — required-
+    ness is validator policy, not hostile content.
+
+    Reference: mcp_description_scanner.cpp (same codes, same phrase
+    set, one control-character report per description)."""
+    issues: list[dict] = []
+    for ch in description:
+        o = ord(ch)
+        if (o < 0x20 and ch not in "\n\r\t") or o == 0x7F:
+            issues.append(
+                {
+                    "code": "DESCRIPTION_CONTROL_CHARACTER",
+                    "message": "description contains a control character"
+                    " (NUL, BEL, etc.); only \\n, \\r and \\t are tolerated",
+                }
+            )
+            break  # one report per description is enough
+    if len(description.encode("utf-8")) > MAX_DESCRIPTION_LENGTH:
+        issues.append(
+            {
+                "code": "DESCRIPTION_TOO_LONG",
+                "message": f"description exceeds {MAX_DESCRIPTION_LENGTH}"
+                " bytes; long descriptions waste model context and are"
+                " sometimes used to drown out user prompts",
+            }
+        )
+    lowered = description.lower()
+    if any(p in lowered for p in _INJECTION_PHRASES):
+        issues.append(
+            {
+                "code": "DESCRIPTION_PROMPT_INJECTION",
+                "message": "description contains a phrase commonly used"
+                " in prompt-injection attempts; if intentional copy,"
+                " rephrase — otherwise treat the YAML as compromised",
+            }
+        )
+    return issues
+
+
+# --- session manager (reference: mcp_session_manager.cpp) ---------------
+
+MCP_PROTOCOL_VERSIONS = (
+    "2024-11-05",
+    "2025-03-26",
+    "2025-06-18",
+    "2025-11-25",
+)
+MCP_LATEST_PROTOCOL_VERSION = MCP_PROTOCOL_VERSIONS[-1]
+DEFAULT_SESSION_TIMEOUT_MINUTES = 30
+
+
+def negotiate_protocol_version(client_version: str) -> str:
+    """MCP initialize negotiation: echo the client's version when the
+    server supports it, otherwise answer with the latest supported
+    (per the MCP spec's version-negotiation rule)."""
+    if client_version in MCP_PROTOCOL_VERSIONS:
+        return client_version
+    return MCP_LATEST_PROTOCOL_VERSION
+
+
+class McpSessionManager:
+    """In-memory MCP session registry: create/get/touch/remove plus
+    timeout-based expiry sweeps. The clock is injectable so expiry is
+    testable without sleeping. Sessions carry the client's negotiated
+    protocol version and an optional auth context (user + roles) so
+    per-call RBAC doesn't re-validate credentials.
+
+    Reference: mcp_session_manager.cpp (expired sessions are evicted
+    lazily on lookup and in bulk by cleanup_expired_sessions)."""
+
+    def __init__(
+        self,
+        timeout_minutes: int = DEFAULT_SESSION_TIMEOUT_MINUTES,
+        clock=None,
+    ):
+        import time as _time
+
+        self._timeout_s = timeout_minutes * 60
+        self._clock = clock or _time.monotonic
+        self._sessions: dict[str, dict] = {}
+
+    def set_session_timeout(self, minutes: int) -> None:
+        self._timeout_s = minutes * 60
+
+    @property
+    def session_timeout_minutes(self) -> int:
+        return self._timeout_s // 60
+
+    def create_session(
+        self, client_version: str = "", auth_context: dict | None = None
+    ) -> str:
+        import secrets
+
+        session_id = secrets.token_hex(12)
+        self._sessions[session_id] = {
+            "session_id": session_id,
+            "client_version": client_version,
+            "protocol_version": negotiate_protocol_version(client_version),
+            "auth_context": auth_context,
+            "last_activity": self._clock(),
+        }
+        return session_id
+
+    def _expired(self, session: dict) -> bool:
+        return self._clock() - session["last_activity"] > self._timeout_s
+
+    def get_session(self, session_id: str) -> dict | None:
+        s = self._sessions.get(session_id)
+        if s is None:
+            return None
+        if self._expired(s):
+            del self._sessions[session_id]
+            return None
+        return s
+
+    def update_session_activity(self, session_id: str) -> None:
+        s = self._sessions.get(session_id)
+        if s is not None:
+            s["last_activity"] = self._clock()
+
+    def remove_session(self, session_id: str) -> None:
+        self._sessions.pop(session_id, None)
+
+    def cleanup_expired_sessions(self) -> int:
+        dead = [k for k, s in self._sessions.items() if self._expired(s)]
+        for k in dead:
+            del self._sessions[k]
+        return len(dead)
+
+    def is_session_valid(self, session_id: str) -> bool:
+        s = self._sessions.get(session_id)
+        return s is not None and not self._expired(s)
+
+    @property
+    def active_session_count(self) -> int:
+        return len(self._sessions)
