@@ -2218,3 +2218,58 @@ def counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("long").alias("n_resets"),
         )
     )
+
+
+def trimmed_mean_order_values(
+    spark: SparkSession, sf_dir: str, trim_pct: int = 10
+) -> DataFrame:
+    """Robust statistics per customer segment: the 10%-trimmed mean of
+    order values beside the plain mean — the outlier-resistant central
+    tendency analysts reach for when a few whale orders drag the
+    average (trim k = n DIV 10 rows from EACH tail; explicit integer
+    division because Spark truncates where DuckDB's cast rounds).
+
+    Scale shape: the customer dim broadcasts into the fact scan; the
+    two rank windows (ascending / descending over a unique
+    (value, orderkey) order) share ONE segment-keyed exchange; sums
+    stay exact DECIMAL until the final double division. Exact DuckDB
+    oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        "o_orderkey",
+    )
+    asc = Window.partitionBy("c_mktsegment").orderBy("v", "o_orderkey")
+    desc = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("v"), F.desc("o_orderkey")
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        "v",
+        F.row_number().over(asc).alias("ra"),
+        F.row_number().over(desc).alias("rd"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("c_mktsegment")
+        ).alias("n"),
+    ).withColumn("k", F.expr(f"n div {100 // trim_pct}"))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum("v").cast("double") / F.count(F.lit(1))
+            ).alias("mean_all"),
+            (
+                F.sum(F.when((F.col("ra") > F.col("k")) & (F.col("rd") > F.col("k")), F.col("v"))).cast("double")
+                / F.sum(F.when((F.col("ra") > F.col("k")) & (F.col("rd") > F.col("k")), 1))
+            ).alias("mean_trimmed"),
+        )
+    )

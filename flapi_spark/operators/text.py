@@ -1191,3 +1191,44 @@ def corpus_shard_assign(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def gram_novelty_rate(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in no other document — the corpus-level
+    complement of hapax diversity (near-1 novelty = unique content;
+    near-0 = assembled from corpus-common phrasing, a boilerplate /
+    template smell that catches duplication finer than whole-chunk
+    tiling).
+
+    Scale shape: one explode to distinct (doc, gram) pairs, one
+    map-side-combined groupBy(gram) for document frequencies, one
+    (gram)-keyed join back, one groupBy(doc) — every shuffle bounded
+    by distinct gram-pair counts, never doc×doc. Exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(norm_text(), " ").alias("t"))
+    grams = t.select(
+        "doc_id",
+        F.explode(F.array_distinct(_gram_expr(n))).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("gram_df")
+    )
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_rate"),
+        )
+    )

@@ -816,6 +816,8 @@ def _src_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     writer = src.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(out)
+    elif fmt == "orc":
+        writer.orc(out)
     else:
         writer.json(out)
     conn = Connection(name=f"src-{fmt}", format=fmt, properties={"path": out})
@@ -2509,6 +2511,45 @@ QUERIES.update(
             "  CAST(row_number() OVER (PARTITION BY shard"
             "   ORDER BY h, doc_id) AS BIGINT) AS pos"
             " FROM h",
+        ),
+        "gram_novelty_rate": (
+            T.gram_novelty_rate,
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+            " g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3"
+            "  THEN list_transform(range(1, len(t) - 1),"
+            "   i -> array_to_string(t[i:i+2], ' '))"
+            "  ELSE [] END) AS gram FROM t),"
+            " dfc AS (SELECT gram, count(DISTINCT doc_id) AS gram_df"
+            "  FROM g GROUP BY gram)"
+            " SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,"
+            "  CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_novel,"
+            "  round(CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END)"
+            "   AS DOUBLE) / count(*), 6) AS novelty_rate"
+            " FROM g JOIN dfc ON dfc.gram = g.gram GROUP BY g.doc_id",
+        ),
+        "trimmed_mean_order_values": (
+            R.trimmed_mean_order_values,
+            "WITH j AS (SELECT c_mktsegment,"
+            "  CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey"
+            "  FROM orders JOIN customer ON o_custkey = c_custkey),"
+            " r AS (SELECT c_mktsegment, v,"
+            "  row_number() OVER (PARTITION BY c_mktsegment"
+            "   ORDER BY v, o_orderkey) AS ra,"
+            "  row_number() OVER (PARTITION BY c_mktsegment"
+            "   ORDER BY v DESC, o_orderkey DESC) AS rd,"
+            "  count(*) OVER (PARTITION BY c_mktsegment) AS n FROM j),"
+            " kk AS (SELECT *, n // 10 AS k FROM r)"
+            " SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"
+            "  CAST(sum(v) AS DOUBLE) / count(*) AS mean_all,"
+            "  CAST(sum(CASE WHEN ra > k AND rd > k THEN v END) AS DOUBLE)"
+            "   / sum(CASE WHEN ra > k AND rd > k THEN 1 END)"
+            "   AS mean_trimmed"
+            " FROM kk GROUP BY c_mktsegment",
+        ),
+        "src_orc_roundtrip": (
+            lambda spark, sf_dir: _src_roundtrip(spark, sf_dir, "orc"),
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer",
         ),
     }
 )

@@ -34,7 +34,7 @@ class SourceUnavailableError(RuntimeError):
 @dataclass
 class Connection:
     name: str
-    format: str = "parquet"  # parquet | csv | json | jdbc | iceberg
+    format: str = "parquet"  # parquet | csv | json | orc | jdbc | iceberg
     properties: dict[str, Any] = field(default_factory=dict)
     init_sql: str | None = None
 
@@ -50,7 +50,7 @@ class Connection:
 
     def read(self, spark: SparkSession) -> DataFrame:
         fmt = self.format.lower()
-        if fmt in ("parquet", "csv", "json"):
+        if fmt in ("parquet", "csv", "json", "orc"):
             # object-store paths (s3://, gs://, abfss://) get their
             # credentials wired into the Hadoop conf per bucket and the
             # scheme normalized (s3 -> s3a) before the read — reference:
@@ -62,6 +62,8 @@ class Connection:
             )
             if fmt == "parquet":
                 return spark.read.parquet(path)
+            if fmt == "orc":
+                return spark.read.orc(path)
             if fmt == "csv":
                 opts = {"header": "true", "inferSchema": "true"}
                 opts.update(
@@ -154,6 +156,8 @@ def load_connections(doc: dict) -> ConnectionRegistry:
                 fmt = "csv"
             elif p.endswith(".json") or p.endswith(".jsonl"):
                 fmt = "json"
+            elif p.endswith(".orc"):
+                fmt = "orc"
             else:
                 fmt = "parquet"
         reg.add(Connection(name=name, format=fmt, properties=props,

@@ -540,3 +540,98 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming counter rate (twin of relational.counter_rate_events) ----
+
+COUNTER_MOD = 100000
+
+COUNTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_us", LongType()),
+        StructField("total_increase", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("cum", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _counter_group(key, pdf_iter, state: GroupState):
+    """Per-user counter tracking across micro-batches: the running sum
+    (whose mod-M wrap IS the counter) persists in one fixed-width
+    tuple; each batch emits this user's per-(type, hour) increase
+    partials. Downstream summation per (type, hour) reassembles the
+    batch-exact totals — partial emission keeps output rows bounded by
+    this user's bucket count, not corpus history."""
+    import math
+
+    if state.exists:
+        cum, n_seen = state.get
+    else:
+        cum, n_seen = 0, 0
+    frames = [p for p in pdf_iter if len(p)]
+    out: dict = {}
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        prev = (cum % COUNTER_MOD) if n_seen > 0 else None
+        for ts, etype, value in zip(pdf["ts"], pdf["event_type"], pdf["value"]):
+            v = int(math.floor(value * 100))
+            cum += v
+            counter = cum % COUNTER_MOD
+            if prev is None:
+                inc, reset = 0, 0
+            elif counter >= prev:
+                inc, reset = counter - prev, 0
+            else:
+                inc, reset = counter, 1
+            prev = counter
+            n_seen += 1
+            bucket_us = int(ts.floor("h").value // 1_000)
+            k = (etype, bucket_us)
+            tot = out.get(k, (0, 0, 0))
+            out[k] = (tot[0] + inc, tot[1] + 1, tot[2] + reset)
+    state.update((cum, n_seen))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": et,
+                "bucket_us": b,
+                "total_increase": t[0],
+                "n_samples": t[1],
+                "n_resets": t[2],
+            }
+            for (et, b), t in out.items()
+        ],
+        columns=[f.name for f in COUNTER_OUTPUT_SCHEMA],
+    )
+
+
+def counter_rate_stream(events: DataFrame) -> DataFrame:
+    """Streaming PromQL-style counter increase() — the streaming twin
+    of operators/relational.py:counter_rate_events. Per-user counter
+    state (one running-sum tuple) survives micro-batches, so resets
+    spanning a batch boundary are detected exactly; emitted rows are
+    per-user partials a downstream per-(type, hour) sum reassembles.
+
+    Ordering contract (as ewma_stream): each user's events arrive in
+    non-decreasing time order across batches — true for time-ordered
+    append-only landing zones; out-of-order ingest needs a watermarked
+    sort upstream."""
+    grouped = events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        _counter_group,
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        stateStructType=COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

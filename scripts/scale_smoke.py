@@ -37,7 +37,16 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "semdedup_fixed_cells",
        # round-3c time-series operators (events replicated too)
        "twa_event_value", "m4_downsample_events",
-       "event_transition_matrix"]
+       "event_transition_matrix",
+       # round-3d operators. Graph ops are smoked over the MinHash-LSH
+       # pair stream (linear candidate generation — the 100 TB source);
+       # the registry's Jaccard source is exact-oracle plumbing whose
+       # inverted index is quadratic on this tiny-vocab corpus, exactly
+       # as documented for dedup_connected_components.
+       "pagerank_minhash_pairs", "triangle_minhash_pairs",
+       "dedup_substring_spans", "vocab_oov_rate", "text_ttr_diversity",
+       "corpus_shard_assign", "ann_pq_adc_topk", "counter_rate_events",
+       "gram_novelty_rate"]
 FACTORS = [1, 2, 4, 8]
 
 
@@ -61,9 +70,27 @@ def _semdedup_fixed_cells(spark, sf_dir):
     return semdedup_clusters(spark, sf_dir, cells_mod=max(25, n // 200))
 
 
+def _pagerank_minhash_pairs(spark, sf_dir):
+    from flapi_spark.operators.dedup import dedup_minhash_lsh
+    from flapi_spark.operators.graph import pagerank_fixed_point
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return pagerank_fixed_point(pairs)
+
+
+def _triangle_minhash_pairs(spark, sf_dir):
+    from flapi_spark.operators.dedup import dedup_minhash_lsh
+    from flapi_spark.operators.graph import triangle_counts
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return triangle_counts(pairs)
+
+
 EXTRA_OPS = {
     "dedup_embedding_lsh_capped": _embedding_lsh_capped,
     "semdedup_fixed_cells": _semdedup_fixed_cells,
+    "pagerank_minhash_pairs": _pagerank_minhash_pairs,
+    "triangle_minhash_pairs": _triangle_minhash_pairs,
 }
 
 

