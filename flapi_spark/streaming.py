@@ -635,3 +635,22 @@ def counter_rate_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming pattern
+    still missing from this suite: each micro-batch joins the static
+    dimension (broadcast by Catalyst: stateless, no streaming state at
+    all, the dim is re-resolvable per batch so slowly-changing dims
+    pick up updates between batches). Keyed user_id -> c_custkey;
+    projecting the segment onto the event stream.
+
+    At 100 TB the dim side must stay broadcast-sized (or become a
+    stream-stream join with watermarks, already covered by
+    error_purchase_join_stream)."""
+    d = F.broadcast(
+        dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).join(d, "user_id", "left")

@@ -417,3 +417,40 @@ def test_counter_rate_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     assert dict(got) == expect
     # resets genuinely occur in testdata (the modulo wrap is exercised)
     assert sum(v[2] for v in expect.values()) > 0
+
+
+def test_enrich_stream_equals_batch_join(spark, sf_dir, tmp_path_factory):
+    """Stream-static join: availableNow over a 2-file landing equals
+    the batch join row-for-row (stateless — no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    d = tmp_path_factory.mktemp("events_enrich_landing")
+    import glob as _glob
+
+    halves = ev.randomSplit([0.5, 0.5], seed=7)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = ST.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    ST.run_stream_to_memory(
+        ST.enrich_stream(stream, cust), name, output_mode="append"
+    )
+    got = {
+        (r.event_id, r.c_mktsegment) for r in spark.table(name).collect()
+    }
+    expect = {
+        (r.event_id, r.c_mktsegment)
+        for r in ST.enrich_stream(ev, cust).collect()
+    }
+    assert got == expect and len(got) == ev.count()
+    # every event found its segment (user ids are a subset of custkeys)
+    assert all(seg is not None for _, seg in got)
