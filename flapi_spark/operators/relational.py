@@ -2273,3 +2273,34 @@ def trimmed_mean_order_values(
             ).alias("mean_trimmed"),
         )
     )
+
+
+def customer_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two activity ledgers — the join
+    type still missing from the suite: customers seen in ORDERS vs
+    users seen in EVENTS, keyed on the shared id space. Matched rows
+    carry both counts; one-sided rows surface as has_* = false with a
+    zero count (the audit shape: 'who ordered but never clicked, who
+    clicked but never ordered').
+
+    Both sides pre-aggregate to key grain BEFORE the join (map-side
+    combined), so the full-outer shuffles key-grain rows, not raw
+    facts — the 100 TB reconciliation shape. Exact DuckDB oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        o.join(e, "key", "full_outer")
+        .select(
+            F.col("key").cast("long").alias("key"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_orders").isNotNull().alias("has_orders"),
+            F.col("n_events").isNotNull().alias("has_events"),
+        )
+    )

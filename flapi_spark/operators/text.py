@@ -1232,3 +1232,48 @@ def gram_novelty_rate(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame
             ).alias("novelty_rate"),
         )
     )
+
+
+SAMPLE_W_SEED = "wsample1"
+SAMPLE_W_K = 50
+
+
+def sample_weighted_quality(
+    spark: SparkSession, sf_dir: str, k: int = SAMPLE_W_K,
+    seed: str = SAMPLE_W_SEED,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    Efraimidis & Spirakis 2006): each doc draws key = ln(u)/w from a
+    seeded md5-derived uniform u and weight w = n_chars; the k largest
+    keys are the sample — longer docs proportionally likelier, yet the
+    draw is reproducible across engines, runs and partitionings (the
+    corpus-assembly sampler when quality/length should bias
+    inclusion).
+
+    Scale shape: one hash projection + one TakeOrdered top-k — no
+    shuffle beyond the k-row reduction. Cross-engine exactness: u is
+    exact integer arithmetic over the md5 prefix; the single ln() is
+    the one libm call, so the key rounds to 9dp with doc_id tiebreak
+    (the documented libm-ulp convention); exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    two60 = 1 << 60
+    u = (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{seed}:',"
+            f" CAST(doc_id AS STRING))), 1, 15), 16, 10) as bigint) + 1"
+        ).cast("double")
+        / F.lit(float(two60))
+    )
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

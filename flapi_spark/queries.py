@@ -2551,6 +2551,30 @@ QUERIES.update(
             lambda spark, sf_dir: _src_roundtrip(spark, sf_dir, "orc"),
             "SELECT c_custkey, c_name, c_mktsegment FROM customer",
         ),
+        "sample_weighted_quality": (
+            T.sample_weighted_quality,
+            "WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,"
+            "  round(ln((CAST(concat('0x', substr(md5(concat('wsample1:',"
+            "   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)"
+            "   / 1152921504606846976.0) / n_chars, 9) AS key"
+            " FROM documents)"
+            " SELECT doc_id, weight, key, CAST(rnk AS BIGINT) AS rnk FROM ("
+            "  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)"
+            "   AS rnk FROM s) z WHERE rnk <= 50",
+        ),
+        "customer_activity_full_outer": (
+            R.customer_activity_full_outer,
+            "WITH o AS (SELECT o_custkey AS key, count(*) AS n_orders"
+            "  FROM orders GROUP BY 1),"
+            " e AS (SELECT user_id AS key, count(*) AS n_events"
+            "  FROM events GROUP BY 1)"
+            " SELECT CAST(coalesce(o.key, e.key) AS BIGINT) AS key,"
+            "  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,"
+            "  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,"
+            "  n_orders IS NOT NULL AS has_orders,"
+            "  n_events IS NOT NULL AS has_events"
+            " FROM o FULL OUTER JOIN e ON o.key = e.key",
+        ),
     }
 )
 

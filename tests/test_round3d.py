@@ -388,3 +388,44 @@ def test_orc_source_roundtrip_through_registry(spark, sf_dir, tmp_path):
     assert {r.c_custkey for r in back.collect()} == {
         r.c_custkey for r in src.collect()
     }
+
+
+def test_weighted_sample_bias_and_determinism(spark, sf_dir):
+    from flapi_spark.operators.text import sample_weighted_quality
+    from flapi_spark.session import load_table
+
+    a = sample_weighted_quality(spark, sf_dir).collect()
+    b = sample_weighted_quality(spark, sf_dir).collect()
+    assert [(r.doc_id, r.rnk) for r in a] == [(r.doc_id, r.rnk) for r in b]
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.weight for r in a) / len(a)
+    # A-Res biases inclusion toward heavier docs: the sampled mean
+    # weight exceeds the corpus mean
+    assert sample_mean > corpus_mean
+    for r in a:
+        assert r.key <= 0.0  # ln(u) <= 0, weights positive
+
+
+def test_full_outer_reconciliation_coverage(spark, sf_dir):
+    from flapi_spark.operators.relational import customer_activity_full_outer
+    from flapi_spark.session import load_table
+
+    rows = {r.key: r for r in customer_activity_full_outer(spark, sf_dir).collect()}
+    orders_keys = {
+        r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").select("o_custkey").distinct().collect()
+    }
+    event_keys = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    assert set(rows) == orders_keys | event_keys
+    for k, r in rows.items():
+        assert r.has_orders == (k in orders_keys)
+        assert r.has_events == (k in event_keys)
+        assert (r.n_orders > 0) == r.has_orders
+        assert (r.n_events > 0) == r.has_events
+    # both one-sided and matched rows genuinely occur
+    assert any(r.has_orders and not r.has_events for r in rows.values())
+    assert any(r.has_orders and r.has_events for r in rows.values())
