@@ -36,6 +36,11 @@ HEADLINE = [
     # round 3
     "cohort_retention",
     "text_bigram_lm_score",
+    # round 3d
+    "counter_rate_events",
+    "dedup_substring_spans",
+    "vocab_oov_rate",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -57,6 +57,16 @@ def references(column: str, ref: DataFrame, ref_column: str) -> Rule:
     return Rule("references", column, ref=ref, ref_column=ref_column)
 
 
+def freshness(column: str, max_age: str, as_of=None) -> Rule:
+    """dbt source-freshness shape: the newest value of a timestamp
+    column must be within `max_age` (an INTERVAL string like
+    '2 days') of `as_of` (a timestamp literal; REQUIRED here rather
+    than defaulting to now() so the check is reproducible — the
+    caller pins the evaluation instant). violations = 1 when stale,
+    0 when fresh; metadata-cheap (one max() aggregate)."""
+    return Rule("freshness", column, values=(max_age, as_of))
+
+
 def _rule_label(r: Rule) -> str:
     return r.kind
 
@@ -99,7 +109,32 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
 
     for r in rules:
-        if r.kind == "unique":
+        if r.kind == "freshness":
+            max_age, as_of = r.values
+            stale = (
+                df.agg(F.max(F.col(r.column)).alias("__mx"))
+                .select(
+                    F.when(
+                        F.col("__mx").isNull()
+                        | (
+                            F.col("__mx")
+                            < F.expr(f"TIMESTAMP '{as_of}' - INTERVAL {max_age}")
+                        ),
+                        1,
+                    )
+                    .otherwise(0)
+                    .cast("long")
+                    .alias("violations")
+                )
+            )
+            parts.append(
+                stale.select(
+                    F.lit("freshness").alias("rule"),
+                    F.lit(r.column).alias("column"),
+                    "violations",
+                )
+            )
+        elif r.kind == "unique":
             dups = (
                 df.groupBy(r.column)
                 .agg(F.count(F.lit(1)).alias("n"))

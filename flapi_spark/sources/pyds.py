@@ -17,7 +17,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _DEFAULT_SCHEMA = (
@@ -73,6 +78,66 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlReader:
         return JsonlReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "JsonlStreamReader":
+        return JsonlStreamReader(schema, self.options)
+
+
+class JsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (readStream.format(
+    "flapi_jsonl")): the offset is the SORTED list of files already
+    ingested, so each micro-batch picks up exactly the files that
+    appeared since the last one — the landing-zone tailer pattern.
+    Offsets are JSON-serializable dicts checkpointed by Spark; replay
+    of a (start, end) range re-reads precisely the files in
+    end - start, giving exactly-once file-level semantics through the
+    engine's own offset log. Per-batch work is file-partitioned by
+    the engine; this simple reader is the prototyping path (the
+    partition-planned batch reader above remains the scale path)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("flapi_jsonl: `path` option is required")
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._files()}
+
+    def partitions(self, start: dict, end: dict):
+        new = [f for f in end["files"] if f not in set(start["files"])]
+        return [_FilePartition(os.path.join(self.path, f)) for f in new]
+
+    def read(self, start: dict):
+        end = self.latestOffset()
+        rows = []
+        names = [f.name for f in self.schema_.fields]
+        for part in self.partitions(start, end):
+            with open(part.path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        rows.append(tuple(obj.get(n) for n in names))
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        names = [f.name for f in self.schema_.fields]
+        for part in self.partitions(start, end):
+            with open(part.path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        yield tuple(obj.get(n) for n in names)
 
 
 def register(spark) -> None:

@@ -64,3 +64,51 @@ def test_missing_path_and_empty_dir_error(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_jsonl_stream_reader_tails_landing_zone(spark, tmp_path):
+    """readStream over the custom connector: two availableNow passes —
+    the checkpointed file-list offset makes the second run ingest ONLY
+    the file that appeared in between (exactly-once at file grain)."""
+    import json as _json
+
+    from flapi_spark.sources.pyds import register
+
+    register(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    def write_file(name, rows):
+        with open(land / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write_file("a.jsonl", [{"doc_id": 1, "lang": "en", "source": "s", "n_chars": 3}])
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("flapi_jsonl")
+            .option("path", str(land))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r.doc_id for r in spark.read.parquet(out).collect()]
+
+    first = run_once()
+    assert first == [1]
+    write_file("b.jsonl", [{"doc_id": 2, "lang": "de", "source": "s", "n_chars": 5}])
+    second = run_once()
+    # the checkpointed file-list offset prevented re-reading a.jsonl:
+    # doc 1 appears exactly once across both runs
+    assert sorted(second) == [1, 2]

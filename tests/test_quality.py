@@ -58,3 +58,24 @@ def test_row_level_rules_fuse_into_one_scan(spark, sf_dir):
     # one scan of orders, one aggregate — no join, no extra exchange
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_freshness_fresh_and_stale(spark, sf_dir):
+    from flapi_spark.quality import freshness, run_expectations
+    from flapi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg({"ts": "max"}).first()[0]
+    as_of = mx.strftime("%Y-%m-%d %H:%M:%S")
+    fresh = run_expectations(
+        ev, [freshness("ts", "2 DAYS", as_of=as_of)]
+    ).collect()[0]
+    assert fresh.passed and fresh.violations == 0
+    # evaluate a month after the newest event: stale
+    import datetime
+
+    later = (mx + datetime.timedelta(days=30)).strftime("%Y-%m-%d %H:%M:%S")
+    stale = run_expectations(
+        ev, [freshness("ts", "2 DAYS", as_of=later)]
+    ).collect()[0]
+    assert not stale.passed and stale.violations == 1
