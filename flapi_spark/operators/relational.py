@@ -2304,3 +2304,53 @@ def customer_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNotNull().alias("has_events"),
         )
     )
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles: for every user completing the
+    ordered view→click→purchase funnel (funnel_conversion's chain),
+    the time from first view to the completing purchase — reported as
+    exact interpolated p50/p90 seconds plus min/max/count, the metric
+    a growth dashboard plots next to the stage counts.
+
+    Scale shape: the same user-keyed min-aggregate chain as the
+    funnel (co-partitioned joins, no event-scale broadcast); the
+    percentile sorts only the converted-user latencies (funnel-sized,
+    not event-sized). Latencies are integral NTZ microseconds, so the
+    only doubles are the final interpolation/division — mirrored in
+    the exact DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"), F.first("view_ts").alias("view_ts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("purchase_ts"),
+            F.first("view_ts").alias("view_ts"),
+        )
+    )
+    lat = purchases.select(
+        F.expr("timestampdiff(MICROSECOND, view_ts, purchase_ts)").alias(
+            "lat_us"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_us", 0.5) / 1e6, 6).alias("p50_s"),
+        F.round(F.percentile("lat_us", 0.9) / 1e6, 6).alias("p90_s"),
+        F.round(F.min("lat_us") / 1e6, 6).alias("min_s"),
+        F.round(F.max("lat_us") / 1e6, 6).alias("max_s"),
+    )

@@ -2562,6 +2562,29 @@ QUERIES.update(
             "  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)"
             "   AS rnk FROM s) z WHERE rnk <= 50",
         ),
+        "funnel_time_to_convert": (
+            R.funnel_time_to_convert,
+            "WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts"
+            "  FROM events WHERE event_type = 'view' GROUP BY user_id),"
+            " c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS click_ts,"
+            "   min(v.view_ts) AS view_ts"
+            "  FROM events e JOIN v ON v.user_id = e.user_id"
+            "  WHERE e.event_type = 'click'"
+            "   AND CAST(e.ts AS TIMESTAMP) > v.view_ts GROUP BY e.user_id),"
+            " p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP))"
+            "   AS purchase_ts, min(c.view_ts) AS view_ts"
+            "  FROM events e JOIN c ON c.user_id = e.user_id"
+            "  WHERE e.event_type = 'purchase'"
+            "   AND CAST(e.ts AS TIMESTAMP) > c.click_ts GROUP BY e.user_id),"
+            " l AS (SELECT date_diff('microseconds', view_ts, purchase_ts)"
+            "   AS lat_us FROM p)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_converted,"
+            "  round(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_s,"
+            "  round(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_s,"
+            "  round(min(lat_us) / 1000000.0, 6) AS min_s,"
+            "  round(max(lat_us) / 1000000.0, 6) AS max_s"
+            " FROM l",
+        ),
         "customer_activity_full_outer": (
             R.customer_activity_full_outer,
             "WITH o AS (SELECT o_custkey AS key, count(*) AS n_orders"

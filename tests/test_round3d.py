@@ -429,3 +429,15 @@ def test_full_outer_reconciliation_coverage(spark, sf_dir):
     # both one-sided and matched rows genuinely occur
     assert any(r.has_orders and not r.has_events for r in rows.values())
     assert any(r.has_orders and r.has_events for r in rows.values())
+
+
+def test_funnel_latency_consistent_with_funnel_counts(spark, sf_dir):
+    from flapi_spark.operators.relational import (
+        funnel_conversion,
+        funnel_time_to_convert,
+    )
+
+    lat = funnel_time_to_convert(spark, sf_dir).collect()[0]
+    stages = {r.stage: r.n_users for r in funnel_conversion(spark, sf_dir).collect()}
+    assert lat.n_converted == stages["3_purchase_after_click"]
+    assert 0 < lat.min_s <= lat.p50_s <= lat.p90_s <= lat.max_s
