@@ -270,3 +270,31 @@ def test_keep_best_survivors_policy(spark, sf_dir):
         assert len(keepers) == 1
         best = max(members, key=lambda m: (m.n_tokens, -m.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_incremental_pairs_equal_full_recompute_on_delta(spark, sf_dir):
+    """Splitting the corpus 80/20 and running the incremental operator
+    on the 20% delta must find EXACTLY the full-recompute pairs that
+    touch at least one new doc (same LSH bands, same Jaccard verify)."""
+    from flapi_spark.operators.dedup import (
+        dedup_incremental_pairs,
+        dedup_minhash_lsh,
+    )
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = int(docs.agg(F.expr("percentile(doc_id, 0.8)")).first()[0])
+    existing = docs.where(F.col("doc_id") <= cutoff)
+    new = docs.where(F.col("doc_id") > cutoff)
+    assert new.count() > 0
+
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental_pairs(spark, existing, new).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        if r.doc_a > cutoff or r.doc_b > cutoff
+    }
+    assert inc == full
