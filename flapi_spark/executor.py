@@ -97,6 +97,7 @@ class QueryExecutor:
         env: dict | None = None,
         audit: "AuditLogger | None" = None,
         rate_limiter: "FixedWindowLimiter | None" = None,
+        metrics: "MetricsRegistry | None" = None,
     ):
         from flapi_spark.ratelimit import FixedWindowLimiter
 
@@ -105,6 +106,7 @@ class QueryExecutor:
         self.env = env
         self.audit = audit
         self.rate_limiter = rate_limiter or FixedWindowLimiter()
+        self.metrics = metrics
 
     def render(
         self,
@@ -156,10 +158,6 @@ class QueryExecutor:
             self.rate_limiter, endpoint.rate_limit, endpoint.url_path,
             client_ip=client_ip, auth_header=auth_header,
         )
-        if self.audit is None:
-            result = self._execute(endpoint, params, order_by)
-            result.rate_status = rate_status
-            return result
         import time as _time
 
         t0 = _time.perf_counter()
@@ -171,17 +169,39 @@ class QueryExecutor:
             status = (
                 "validation_error" if isinstance(exc, ValidationError) else "error"
             )
-            self.audit.log(
-                endpoint.url_path, params or {}, status=status, user=user,
-                duration_ms=(_time.perf_counter() - t0) * 1000,
-                detail=type(exc).__name__,
-            )
+            dur_s = _time.perf_counter() - t0
+            if self.metrics is not None:
+                self.metrics.inc(
+                    "flapi_queries",
+                    {"endpoint": endpoint.url_path, "status": status},
+                )
+                self.metrics.observe(
+                    "flapi_query_duration_seconds", dur_s,
+                    {"endpoint": endpoint.url_path},
+                )
+            if self.audit is not None:
+                self.audit.log(
+                    endpoint.url_path, params or {}, status=status, user=user,
+                    duration_ms=dur_s * 1000,
+                    detail=type(exc).__name__,
+                )
             raise
-        self.audit.log(
-            endpoint.url_path, params or {}, status="ok", user=user,
-            rows=result.total_count,
-            duration_ms=(_time.perf_counter() - t0) * 1000,
-        )
+        dur_s = _time.perf_counter() - t0
+        if self.metrics is not None:
+            self.metrics.inc(
+                "flapi_queries",
+                {"endpoint": endpoint.url_path, "status": "ok"},
+            )
+            self.metrics.observe(
+                "flapi_query_duration_seconds", dur_s,
+                {"endpoint": endpoint.url_path},
+            )
+        if self.audit is not None:
+            self.audit.log(
+                endpoint.url_path, params or {}, status="ok", user=user,
+                rows=result.total_count,
+                duration_ms=dur_s * 1000,
+            )
         result.rate_status = rate_status
         return result
 

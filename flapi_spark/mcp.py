@@ -34,28 +34,6 @@ class RateLimitError(McpError):
     pass
 
 
-# prompt-injection markers for tool descriptions (reference:
-# mcp_description_scanner.cpp — hygiene scan before tools are exposed)
-_INJECTION_PATTERNS = [
-    r"ignore\s+(all\s+|any\s+)?(previous|prior|above)\s+instructions",
-    r"disregard\s+(all\s+|any\s+)?(previous|prior|above)",
-    r"you\s+are\s+now\b",
-    r"system\s*prompt",
-    r"do\s+not\s+tell\s+the\s+user",
-    r"<\s*/?(system|assistant|tool)\s*>",
-    r"BEGIN\s+ADMIN",
-]
-
-
-def scan_description(description: str) -> list[str]:
-    """Return the list of suspicious patterns found in a tool description."""
-    hits = []
-    for pat in _INJECTION_PATTERNS:
-        if re.search(pat, description, re.IGNORECASE):
-            hits.append(pat)
-    return hits
-
-
 class TokenBucket:
     """Per-tool rate limiter (reference: mcp_tool_rate_limiter.cpp)."""
 
@@ -377,6 +355,21 @@ _INJECTION_PHRASES = (
     "you are now",
 )
 
+# regex markers beyond the reference's literal phrase set: role-tag
+# injection (</system> etc.), qualified ignore/disregard variants,
+# admin-mode markers, and tell-no-one secrecy instructions
+_INJECTION_REGEXES = tuple(
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"ignore\s+(all\s+|any\s+)?(previous|prior|above)\s+instructions",
+        r"disregard\s+(all\s+|any\s+)?(previous|prior|above)",
+        r"system\s*prompt",
+        r"do\s+not\s+tell\s+the\s+user",
+        r"<\s*/?(system|assistant|tool)\s*>",
+        r"BEGIN\s+ADMIN",
+    )
+)
+
 
 def scan_description(description: str) -> list[dict]:
     """Screen an MCP tool/endpoint description before it is exposed to
@@ -410,7 +403,9 @@ def scan_description(description: str) -> list[dict]:
             }
         )
     lowered = description.lower()
-    if any(p in lowered for p in _INJECTION_PHRASES):
+    if any(p in lowered for p in _INJECTION_PHRASES) or any(
+        rx.search(description) for rx in _INJECTION_REGEXES
+    ):
         issues.append(
             {
                 "code": "DESCRIPTION_PROMPT_INJECTION",

@@ -1,0 +1,72 @@
+"""Metrics registry + executor instrumentation tests."""
+
+import pytest
+
+from flapi_spark.metrics import MetricsRegistry
+
+
+def test_counters_and_labels():
+    m = MetricsRegistry()
+    m.inc("flapi_queries", {"endpoint": "/a/", "status": "ok"})
+    m.inc("flapi_queries", {"endpoint": "/a/", "status": "ok"})
+    m.inc("flapi_queries", {"endpoint": "/a/", "status": "error"})
+    assert m.counter_value("flapi_queries", {"endpoint": "/a/", "status": "ok"}) == 2
+    assert m.counter_value("flapi_queries", {"status": "error", "endpoint": "/a/"}) == 1
+    assert m.counter_value("flapi_queries", {"endpoint": "/b/"}) == 0
+
+
+def test_histogram_buckets_cumulative():
+    m = MetricsRegistry(buckets=(0.1, 1.0, 10.0))
+    for v in (0.05, 0.5, 5.0, 50.0):
+        m.observe("dur", v)
+    text = m.render_prometheus()
+    assert 'dur_bucket{le="0.1"} 1' in text
+    assert 'dur_bucket{le="1"} 2' in text
+    assert 'dur_bucket{le="10"} 3' in text
+    assert 'dur_bucket{le="+Inf"} 4' in text
+    assert "dur_count 4" in text
+    snap = m.snapshot()
+    assert snap["histograms"]["dur"]["{}"]["count"] == 4
+
+
+def test_prometheus_counter_format():
+    m = MetricsRegistry()
+    m.inc("flapi_cache_refreshes", {"table": "t1"})
+    text = m.render_prometheus()
+    assert "# TYPE flapi_cache_refreshes_total counter" in text
+    assert 'flapi_cache_refreshes_total{table="t1"} 1' in text
+
+
+def test_executor_instruments_ok_and_validation_error(spark, tmp_path):
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.validation import ValidationError
+
+    ep = EndpointConfig.from_dict(
+        {
+            "url-path": "/probe/",
+            "template-text": "SELECT 1 AS one",
+            "request": [
+                {
+                    "field-name": "n",
+                    "field-in": "query",
+                    "validators": [{"type": "int", "min": 0}],
+                }
+            ],
+        },
+        base_dir=tmp_path,
+    )
+    m = MetricsRegistry()
+    ex = QueryExecutor(spark, metrics=m)
+    ex.execute(ep, {"n": "1"})
+    assert m.counter_value(
+        "flapi_queries", {"endpoint": "/probe/", "status": "ok"}
+    ) == 1
+    with pytest.raises(ValidationError):
+        ex.execute(ep, {"n": "not-an-int"})
+    assert m.counter_value(
+        "flapi_queries", {"endpoint": "/probe/", "status": "validation_error"}
+    ) == 1
+    snap = m.snapshot()
+    label = '{endpoint="/probe/"}'
+    assert snap["histograms"]["flapi_query_duration_seconds"][label]["count"] == 2
