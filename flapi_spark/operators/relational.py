@@ -2354,3 +2354,82 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lat_us") / 1e6, 6).alias("min_s"),
         F.round(F.max("lat_us") / 1e6, 6).alias("max_s"),
     )
+
+
+def user_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every ordered pair of event
+    types, distinct users in both / either, and the Jaccard overlap —
+    the segment-intersection question behind audience sizing.
+
+    Scale shape: one distinct (type, user) projection, then a
+    self-join on user_id — shuffle bounded by distinct pairs, with
+    per-type distinct counts joined in from the same base. Exact
+    DuckDB oracle. The HLL twin below answers the same question in
+    one pass with mergeable sketches (no user-keyed self-join) — the
+    100 TB path when ±2%% is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    singles = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        both.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            (F.col("na") + F.col("nb") - F.col("n_both"))
+            .cast("long")
+            .alias("n_either"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra twin of user_overlap_exact: per-type HLL user
+    sketches built in ONE pass, pairwise union via hll_union (sketch
+    merge — no re-scan, no user-keyed join), intersection by
+    inclusion-exclusion |A∩B| = |A| + |B| − |A∪B|. Mergeable sketches
+    are the 100 TB shape: type-grain sketch rows are bytes, the whole
+    matrix computes driver-free from one aggregate. Rows-only check
+    (HLL estimates are engine-specific); accuracy vs the exact twin
+    is test-asserted."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.approx_count_distinct("user_id").alias("n_est"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_est").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_est").alias("nb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    est_union = F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        (F.col("na") + F.col("nb") - est_union).cast("long").alias("n_both_est"),
+        est_union.cast("long").alias("n_either_est"),
+    )

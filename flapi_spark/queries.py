@@ -2562,6 +2562,25 @@ QUERIES.update(
             "  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)"
             "   AS rnk FROM s) z WHERE rnk <= 50",
         ),
+        "user_overlap_exact": (
+            R.user_overlap_exact,
+            "WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),"
+            " s AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),"
+            " both_c AS (SELECT a.event_type AS type_a,"
+            "   b.event_type AS type_b, count(*) AS n_both"
+            "  FROM tu a JOIN tu b ON a.user_id = b.user_id"
+            "   AND a.event_type < b.event_type GROUP BY 1, 2)"
+            " SELECT type_a, type_b,"
+            "  CAST(n_both AS BIGINT) AS n_both,"
+            "  CAST(sa.n + sb.n - n_both AS BIGINT) AS n_either,"
+            "  round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)"
+            "   AS jaccard"
+            " FROM both_c JOIN s sa ON sa.event_type = type_a"
+            " JOIN s sb ON sb.event_type = type_b",
+        ),
+        # rows-only: HLL estimates are engine-specific; accuracy vs the
+        # exact twin asserted in tests
+        "user_overlap_hll": (R.user_overlap_hll, None),
         "funnel_time_to_convert": (
             R.funnel_time_to_convert,
             "WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS view_ts"

@@ -441,3 +441,25 @@ def test_funnel_latency_consistent_with_funnel_counts(spark, sf_dir):
     stages = {r.stage: r.n_users for r in funnel_conversion(spark, sf_dir).collect()}
     assert lat.n_converted == stages["3_purchase_after_click"]
     assert 0 < lat.min_s <= lat.p50_s <= lat.p90_s <= lat.max_s
+
+
+def test_user_overlap_hll_close_to_exact(spark, sf_dir):
+    from flapi_spark.operators.relational import (
+        user_overlap_exact,
+        user_overlap_hll,
+    )
+
+    exact = {
+        (r.type_a, r.type_b): (r.n_both, r.n_either)
+        for r in user_overlap_exact(spark, sf_dir).collect()
+    }
+    est = {
+        (r.type_a, r.type_b): (r.n_both_est, r.n_either_est)
+        for r in user_overlap_hll(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for k, (nb, ne) in exact.items():
+        eb, ee = est[k]
+        # lg_k=14 sketches: ~1% standard error; allow 5% + small slack
+        assert abs(ee - ne) <= max(5, 0.05 * ne)
+        assert abs(eb - nb) <= max(10, 0.10 * max(nb, 1))
