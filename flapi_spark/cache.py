@@ -378,3 +378,57 @@ def read_pruned(
         return _residual(df), stats
     df = mgr.spark.read.parquet(*keep)
     return _residual(df), stats
+
+
+def snapshot_diff(
+    mgr: "CacheManager",
+    cfg,
+    from_snapshot_id: str,
+    to_snapshot_id: str,
+    primary_keys: list[str],
+    compare_columns: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two cache snapshots (Delta CDF /
+    DuckLake table-changes semantics): full-outer join the two
+    snapshot states on the primary key and classify every key as
+    insert / delete / update / unchanged-excluded.
+
+    Output: pk columns + change_type ('insert'|'delete'|'update').
+    `compare_columns` limits the update check (default: all shared
+    non-pk columns). Metadata-routed reads (one parquet dir per
+    snapshot) + one pk-keyed join — the diff costs two scans and one
+    shuffle regardless of how many snapshots exist between the two."""
+    old = mgr.read(cfg, from_snapshot_id)
+    new = mgr.read(cfg, to_snapshot_id)
+    if compare_columns is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_columns = [c for c in shared if c not in set(primary_keys)]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") if c not in primary_keys else F.col(c)
+          for c in primary_keys + compare_columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") if c not in primary_keys else F.col(c)
+          for c in primary_keys + compare_columns]
+    )
+    # presence flags come from explicit markers (a data column could
+    # be legitimately NULL for a present row)
+    o = o.withColumn("__in_old", F.lit(1))
+    n = n.withColumn("__in_new", F.lit(1))
+    j = o.join(n, primary_keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_columns:
+        changed = changed | ~(
+            F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        )
+    ct = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        j.withColumn("change_type", ct)
+        .where(F.col("change_type").isNotNull())
+        .select(*primary_keys, "change_type")
+    )

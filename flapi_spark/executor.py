@@ -89,6 +89,28 @@ def shape_df(df: DataFrame, shape: ShapeConfig) -> tuple[DataFrame, dict]:
     return df, info
 
 
+class PlanGuardError(RuntimeError):
+    """An endpoint's physical plan contains an operator the guard
+    forbids (cartesian / nested-loop join)."""
+
+
+def assert_plan_safe(df, endpoint_path: str = "") -> None:
+    """Operational guard for API-served queries: reject plans whose
+    join degenerated into CartesianProduct or BroadcastNestedLoopJoin
+    — on a shared cluster one template typo (a missing join predicate)
+    must fail fast at plan time, not occupy executors with an O(n²)
+    scan. Opt-in via QueryExecutor(plan_guard=True); analytical
+    sessions that legitimately cross-join stay unguarded."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if marker in plan:
+            raise PlanGuardError(
+                f"endpoint {endpoint_path or '<unknown>'}: physical plan"
+                f" contains {marker} — add a join predicate or disable"
+                " the plan guard for this executor"
+            )
+
+
 class QueryExecutor:
     def __init__(
         self,
@@ -98,6 +120,7 @@ class QueryExecutor:
         audit: "AuditLogger | None" = None,
         rate_limiter: "FixedWindowLimiter | None" = None,
         metrics: "MetricsRegistry | None" = None,
+        plan_guard: bool = False,
     ):
         from flapi_spark.ratelimit import FixedWindowLimiter
 
@@ -107,6 +130,7 @@ class QueryExecutor:
         self.audit = audit
         self.rate_limiter = rate_limiter or FixedWindowLimiter()
         self.metrics = metrics
+        self.plan_guard = plan_guard
 
     def render(
         self,
@@ -234,6 +258,8 @@ class QueryExecutor:
                 self.spark.sql(setup)
         sql = stmts[-1] if stmts else sql
         df = self.spark.sql(sql, args=args) if args else self.spark.sql(sql)
+        if self.plan_guard:
+            assert_plan_safe(df, endpoint.url_path)
 
         result = QueryResult(df=df)
         if endpoint.with_pagination:

@@ -2437,6 +2437,55 @@ QUERIES.update(
 )
 
 
+def _cache_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two cache snapshots (Delta CDF /
+    DuckLake table_changes semantics; reference: cache_manager.cpp
+    snapshot lineage): commit a pre-1997-07 state, then a second state
+    that drops every 97th order and bumps every 100th order's price —
+    the diff must classify exactly the inserts/deletes/updates the
+    oracle replays from the base table."""
+    import os
+    import shutil
+    import tempfile
+
+    from flapi_spark.cache import CacheManager, snapshot_diff
+    from flapi_spark.config import CacheConfig
+    from flapi_spark.session import load_table
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"flapi_spark_cdf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    mgr = CacheManager(spark, root)
+    cfg = CacheConfig(enabled=True, table="orders_cdf", schema="analytics")
+    orders = load_table(spark, sf_dir, "orders")
+    mgr.full_refresh(
+        cfg,
+        orders.where(
+            F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+        ),
+    )
+    mgr.full_refresh(
+        cfg,
+        orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 0,
+                F.col("o_totalprice") + F.lit(10.0),
+            ).otherwise(F.col("o_totalprice")),
+        ),
+    )
+    info = mgr.snapshot_info(cfg)
+    return snapshot_diff(
+        mgr,
+        cfg,
+        info.previous_snapshot_id,
+        info.current_snapshot_id,
+        primary_keys=["o_orderkey"],
+    )
+
+
 def _pq_adc_sql() -> str:
     """DuckDB replication of ann_pq_adc_topk: same deterministic
     codebook sample, same positional-fold subspace distances
@@ -2561,6 +2610,21 @@ QUERIES.update(
             " SELECT doc_id, weight, key, CAST(rnk AS BIGINT) AS rnk FROM ("
             "  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)"
             "   AS rnk FROM s) z WHERE rnk <= 50",
+        ),
+        "cache_snapshot_diff": (
+            _cache_snapshot_diff,
+            "WITH o AS (SELECT o_orderkey FROM orders"
+            "  WHERE o_orderdate < TIMESTAMP '1997-07-01'),"
+            " n AS (SELECT o_orderkey FROM orders"
+            "  WHERE o_orderkey % 97 <> 0)"
+            " SELECT o_orderkey, change_type FROM ("
+            "  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,"
+            "   CASE WHEN o.o_orderkey IS NULL THEN 'insert'"
+            "    WHEN n.o_orderkey IS NULL THEN 'delete'"
+            "    WHEN coalesce(o.o_orderkey, n.o_orderkey) % 100 = 0"
+            "     THEN 'update' ELSE NULL END AS change_type"
+            "  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) z"
+            " WHERE change_type IS NOT NULL",
         ),
         "user_overlap_exact": (
             R.user_overlap_exact,

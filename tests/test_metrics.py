@@ -70,3 +70,32 @@ def test_executor_instruments_ok_and_validation_error(spark, tmp_path):
     snap = m.snapshot()
     label = '{endpoint="/probe/"}'
     assert snap["histograms"]["flapi_query_duration_seconds"][label]["count"] == 2
+
+
+def test_plan_guard_rejects_cartesian(spark, tmp_path):
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import PlanGuardError, QueryExecutor
+
+    spark.range(5).createOrReplaceTempView("pg_a")
+    spark.range(5).createOrReplaceTempView("pg_b")
+    cross = EndpointConfig.from_dict(
+        {
+            "url-path": "/cross/",
+            "template-text": "SELECT a.id FROM pg_a a, pg_b b",
+        },
+        base_dir=tmp_path,
+    )
+    guarded = QueryExecutor(spark, plan_guard=True)
+    with pytest.raises(PlanGuardError, match="/cross/"):
+        guarded.execute(cross)
+    # unguarded executor still serves it (analytical sessions)
+    assert QueryExecutor(spark).execute(cross).df.count() == 25
+    # a keyed join passes the guard
+    joined = EndpointConfig.from_dict(
+        {
+            "url-path": "/join/",
+            "template-text": "SELECT a.id FROM pg_a a JOIN pg_b b USING (id)",
+        },
+        base_dir=tmp_path,
+    )
+    assert guarded.execute(joined).df.count() == 5
