@@ -1,0 +1,141 @@
+"""Command-line surface: the reference binary's non-HTTP verbs.
+
+    python -m flapi_spark validate  -c DIR            # config check
+    python -m flapi_spark list      -c DIR            # endpoints table
+    python -m flapi_spark run       -c DIR -u /path/ [-p k=v ...]
+    python -m flapi_spark openapi   -c DIR            # OpenAPI 3 JSON
+    python -m flapi_spark pack      -c DIR -o out.zip [--allow-secrets]
+    python -m flapi_spark bundle-info -b out.zip
+
+`run` spins a local SparkSession (the serve analogue: one endpoint,
+one execution, JSON rows to stdout); everything else is metadata-only
+and needs no JVM. Exit code 0 on success, 1 on validation/config
+errors — scriptable like the reference's `--validate` flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_validate(args) -> int:
+    from flapi_spark.config import load_endpoints_dir
+    from flapi_spark.config_validator import validate_endpoints
+
+    eps = load_endpoints_dir(args.config)
+    result = validate_endpoints(eps)
+    for w in result.warnings:
+        print(f"WARN  {w}", file=sys.stderr)
+    for e in result.errors:
+        print(f"ERROR {e}", file=sys.stderr)
+    print(
+        f"{len(eps)} endpoint(s) checked,"
+        f" {len(result.errors)} error(s), {len(result.warnings)} warning(s)"
+    )
+    return 0 if result.valid else 1
+
+
+def _cmd_list(args) -> int:
+    from flapi_spark.config import load_endpoints_dir
+
+    eps = load_endpoints_dir(args.config)
+    for ep in eps:
+        params = ",".join(f.field_name for f in ep.request_fields)
+        print(f"{ep.url_path}\tparams=[{params}]")
+    return 0
+
+
+def _cmd_run(args) -> int:
+    from flapi_spark.config import load_endpoints_dir
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.results import to_json_bytes
+    from flapi_spark.session import get_spark
+    from flapi_spark.sources.registry import load_connections
+
+    import yaml
+    from pathlib import Path
+
+    eps = load_endpoints_dir(args.config)
+    match = [e for e in eps if e.url_path == args.url_path]
+    if not match:
+        print(f"no endpoint with url-path {args.url_path}", file=sys.stderr)
+        return 1
+    params = dict(kv.split("=", 1) for kv in (args.param or []))
+    reg = None
+    proj = Path(args.config) / "flapi.yaml"
+    if proj.exists():
+        reg = load_connections(yaml.safe_load(proj.read_text()) or {})
+    spark = get_spark(app_name="flapi_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = QueryExecutor(spark, registry=reg).execute(match[0], params)
+    sys.stdout.write(to_json_bytes(res.df).decode())
+    sys.stdout.write("\n")
+    return 0
+
+
+def _cmd_openapi(args) -> int:
+    from flapi_spark.config import load_endpoints_dir
+    from flapi_spark.describe import openapi_doc
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.session import get_spark
+
+    eps = load_endpoints_dir(args.config)
+    spark = get_spark(app_name="flapi_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(openapi_doc(QueryExecutor(spark), eps), indent=2))
+    return 0
+
+
+def _cmd_pack(args) -> int:
+    from flapi_spark.bundle import PackError, pack_project
+
+    try:
+        entries = pack_project(
+            args.config, args.output, allow_secrets=args.allow_secrets
+        )
+    except PackError as exc:
+        print(f"ERROR {exc}", file=sys.stderr)
+        return 1
+    print(f"packed {len(entries)} file(s) -> {args.output}")
+    return 0
+
+
+def _cmd_bundle_info(args) -> int:
+    from flapi_spark.bundle import bundle_info
+
+    for e in bundle_info(args.bundle):
+        print(f"{e['name']}\t{e['size']}\t{e['compressed']}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="flapi_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def _with_config(p):
+        p.add_argument("-c", "--config", required=True, help="endpoint dir")
+        return p
+
+    _with_config(sub.add_parser("validate")).set_defaults(fn=_cmd_validate)
+    _with_config(sub.add_parser("list")).set_defaults(fn=_cmd_list)
+    runp = _with_config(sub.add_parser("run"))
+    runp.add_argument("-u", "--url-path", required=True)
+    runp.add_argument("-p", "--param", action="append", metavar="k=v")
+    runp.set_defaults(fn=_cmd_run)
+    _with_config(sub.add_parser("openapi")).set_defaults(fn=_cmd_openapi)
+    packp = _with_config(sub.add_parser("pack"))
+    packp.add_argument("-o", "--output", required=True)
+    packp.add_argument("--allow-secrets", action="store_true")
+    packp.set_defaults(fn=_cmd_pack)
+    bip = sub.add_parser("bundle-info")
+    bip.add_argument("-b", "--bundle", required=True)
+    bip.set_defaults(fn=_cmd_bundle_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
