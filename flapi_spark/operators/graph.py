@@ -176,3 +176,45 @@ def triangle_count_neardup(
     near-dup graph — clique-ness of each duplicate family."""
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
     return triangle_counts(pairs)
+
+
+def kcore_decompose(pairs: DataFrame, k: int = 2, max_iterations: int = 30) -> DataFrame:
+    """k-core of an undirected pair graph: iteratively peel nodes with
+    degree < k until a fixpoint — the densest-substructure filter that
+    separates genuinely entangled duplicate families (members survive)
+    from incidental chains and pendants (peeled away). A near-dup
+    cluster's 2-core is its "no doubt" nucleus.
+
+    Each round is one degree aggregate + one semi-join edge filter —
+    linear shuffles; rounds needed = peeling depth (shallow for
+    near-dup graphs). Lineage truncated per round (localCheckpoint),
+    same discipline as label_components. Output: surviving (doc_id,
+    degree-in-core). Golden-tested against a pure-Python peeler."""
+    edges = _undirected_edges(pairs)
+    for _ in range(max_iterations):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        n_before = edges.count()
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        if edges.count() == n_before:
+            break
+    return (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.col("u").cast("long").alias("doc_id"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+    )
+
+
+def kcore_neardup_graph(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95, k: int = 2
+) -> DataFrame:
+    """2-core of the Jaccard near-dup graph (see kcore_decompose)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    return kcore_decompose(pairs, k)

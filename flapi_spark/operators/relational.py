@@ -2433,3 +2433,56 @@ def user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") + F.col("nb") - est_union).cast("long").alias("n_both_est"),
         est_union.cast("long").alias("n_either_est"),
     )
+
+
+def forecast_seasonal_naive(
+    spark: SparkSession, sf_dir: str, season_days: int = 7
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily revenue series:
+    predict each day as the value `season_days` earlier (the standard
+    baseline every forecasting benchmark starts from, cf. M-series
+    competitions) and score the backtest with per-day absolute error
+    plus running MAE — the model-quality readout an endpoint would
+    serve.
+
+    Scale shape: the order-scale work is ONE groupBy(day); lag and
+    the running mean share a single (unpartitioned but day-grain —
+    series-length, not fact-scale) window. Exact decimal revenue;
+    error math in integral cents; MAE divides two exact integers per
+    row (deterministic double), rounded 6dp. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", season_days).over(w).alias("pred_cents"),
+    ).where(F.col("pred_cents").isNotNull())
+    err = F.abs(F.col("cents") - F.col("pred_cents"))
+    scored = fc.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("actual"),
+        (F.col("pred_cents").cast("double") / 100).alias("predicted"),
+        err.alias("abs_err_cents"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return scored.select(
+        "day",
+        "actual",
+        "predicted",
+        F.col("abs_err_cents").cast("long").alias("abs_err_cents"),
+        F.round(
+            F.sum("abs_err_cents").over(wc).cast("double")
+            / (F.count(F.lit(1)).over(wc) * 100),
+            6,
+        ).alias("running_mae"),
+    )

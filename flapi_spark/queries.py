@@ -2611,6 +2611,32 @@ QUERIES.update(
             "  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id ASC)"
             "   AS rnk FROM s) z WHERE rnk <= 50",
         ),
+        # rows-only: iterative peel-to-fixpoint has no clean recursive
+        # SQL form; golden pure-Python peeler equality in tests
+        "kcore_neardup_graph": (
+            lambda spark, sf_dir: __import__(
+                "flapi_spark.operators.graph", fromlist=["kcore_neardup_graph"]
+            ).kcore_neardup_graph(spark, sf_dir),
+            None,
+        ),
+        "forecast_seasonal_naive": (
+            R.forecast_seasonal_naive,
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " fc AS (SELECT day, cents,"
+            "   lag(cents, 7) OVER (ORDER BY day) AS pred_cents FROM daily)"
+            " SELECT day,"
+            "  CAST(cents AS DOUBLE) / 100 AS actual,"
+            "  CAST(pred_cents AS DOUBLE) / 100 AS predicted,"
+            "  CAST(abs(cents - pred_cents) AS BIGINT) AS abs_err_cents,"
+            "  round(CAST(sum(abs(cents - pred_cents)) OVER ("
+            "    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "    CURRENT ROW) AS DOUBLE)"
+            "   / (count(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED"
+            "    PRECEDING AND CURRENT ROW) * 100), 6) AS running_mae"
+            " FROM fc WHERE pred_cents IS NOT NULL",
+        ),
         "cache_snapshot_diff": (
             _cache_snapshot_diff,
             "WITH o AS (SELECT o_orderkey FROM orders"

@@ -463,3 +463,51 @@ def test_user_overlap_hll_close_to_exact(spark, sf_dir):
         # lg_k=14 sketches: ~1% standard error; allow 5% + small slack
         assert abs(ee - ne) <= max(5, 0.05 * ne)
         assert abs(eb - nb) <= max(10, 0.10 * max(nb, 1))
+
+
+def _golden_kcore(pairs, k=2):
+    from collections import defaultdict as dd
+
+    nbrs = dd(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for u in list(nbrs):
+            if len(nbrs[u]) < k:
+                for v in nbrs[u]:
+                    nbrs[v].discard(u)
+                del nbrs[u]
+                changed = True
+    return {u: len(vs) for u, vs in nbrs.items()}
+
+
+def test_kcore_golden_graph(spark):
+    from flapi_spark.operators.graph import kcore_decompose
+
+    # triangle (core) + a tail chain that must peel away entirely
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = {
+        r.doc_id: r.core_degree
+        for r in kcore_decompose(_pairs_df(spark, pairs), k=2).collect()
+    }
+    assert got == _golden_kcore(pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_neardup_matches_golden(spark, sf_dir):
+    from flapi_spark.operators.dedup import dedup_ngram_jaccard
+    from flapi_spark.operators.graph import kcore_neardup_graph
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir, 0.95)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    got = {
+        r.doc_id: r.core_degree
+        for r in kcore_neardup_graph(spark, sf_dir).collect()
+    }
+    assert got == _golden_kcore(pairs, 2)
