@@ -48,13 +48,49 @@ def rewrite_typed_params(
             + re.escape(name)
             + r"\s*(?(t)\})\}\}(?(q)')"
         )
+        # PARTIAL in-string interpolation — the reference's
+        # `LIKE '%{{{params.x}}}%'` idiom: the marker shares a string
+        # literal with literal text, so a bare :x would be quoted
+        # prose. Rewrite the whole literal to concat('%', :x, '%')
+        # (pieces dropped when empty); still injection-proof — the
+        # value travels as a bound parameter, never spliced.
+        marker = re.compile(
+            r"(?:\{\{\{\s*params\." + re.escape(name) + r"\s*\}\}\}"
+            r"|\{\{\s*params\." + re.escape(name) + r"\s*\}\})"
+        )
+        # String literals pair left-to-right; only a marker wholly
+        # INSIDE one literal rewrites here (a naive cross-literal regex
+        # would swallow the SQL between two adjacent literals).
+        literal = re.compile(r"'[^']*'")
+
+        def _concat(lit: re.Match) -> str:
+            body = lit.group(0)[1:-1]
+            m = marker.search(body)
+            if m is None:
+                return lit.group(0)
+            pre, suf = body[: m.start()], body[m.end():]
+            if not pre and not suf:
+                return f":{name}"
+            pieces = []
+            if pre:
+                pieces.append(f"'{pre}'")
+            pieces.append(f":{name}")
+            if suf:
+                pieces.append(f"'{suf}'")
+            return "concat(" + ", ".join(pieces) + ")"
+
+        new = literal.sub(_concat, out)
+        if new != out:
+            bound.append(name)
+            out = new
         # Distinguish section tags by the sigil: the regex above cannot
         # match {{#...}} / {{/...}} / {{^...}} because of the leading
         # sigil character right after the braces. The optional quote
         # groups are paired: a lone quote on one side is left in place.
         new, n = pat.subn(f":{name}", out)
         if n:
-            bound.append(name)
+            if name not in bound:
+                bound.append(name)
             out = new
     return out, bound
 

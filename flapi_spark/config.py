@@ -175,6 +175,10 @@ class EndpointConfig:
     heartbeat: dict = field(default_factory=dict)
     allowed_roles: list[str] = field(default_factory=list)
     description: str = ""
+    # 'duckdb' opts the template into dialect translation
+    # (flapi_spark/dialect.py) — migrated reference templates run
+    # unchanged; default empty = template is already Spark SQL
+    template_dialect: str = ""
     base_dir: Path | None = None
 
     @classmethod
@@ -196,6 +200,9 @@ class EndpointConfig:
             heartbeat=d.get("heartbeat") or {},
             allowed_roles=list(d.get("allowed-roles", []) or []),
             description=d.get("description", ""),
+            template_dialect=d.get(
+                "template-dialect", d.get("template_dialect", "")
+            ),
             base_dir=base_dir,
         )
 

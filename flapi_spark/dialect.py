@@ -1,0 +1,209 @@
+"""DuckDB → Spark SQL dialect translation for migrated templates.
+
+The reference's SQL templates are written for embedded DuckDB
+(`examples/sqls/*`); most of their SQL is ANSI and runs on Spark
+unchanged, but a handful of DuckDB-isms appear in real flAPI projects
+and would otherwise force template edits during migration:
+
+- `FROM '<file.parquet>'` (bare quoted path as a table)
+- `read_parquet('<path>')` / `read_csv('<path>')` table functions
+- `read_parquet('<glob>', filename=true)` + a `filename` column
+  (provenance reads, examples/sqls/taxi/taxi.sql)
+- `{ 'k': expr, ... }` struct literals (examples/sqls/customers)
+- `json_object('k', v, ...)` → `to_json(named_struct(...))`
+- SQLite-style `DATE('now', '-N days')` (examples/sqls/customers)
+
+`duckdb_to_spark_sql` rewrites exactly these, leaving everything else
+byte-identical — it is a syntactic shim, not a SQL parser, applied to
+endpoints that opt in with `template-dialect: duckdb` in their YAML.
+All rewrites are quote-aware (never fire inside string literals).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _scan_strings(sql: str):
+    """Yield (start, end, in_string) runs; '…' literals with ''
+    escapes are opaque."""
+    runs = []
+    i, n = 0, len(sql)
+    last = 0
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            runs.append((last, i, False))
+            runs.append((i, min(j + 1, n), True))
+            i = j + 1
+            last = i
+        else:
+            i += 1
+    runs.append((last, n, False))
+    return runs
+
+
+def _rewrite_outside_strings(sql: str, fn) -> str:
+    out = []
+    for a, b, in_str in _scan_strings(sql):
+        seg = sql[a:b]
+        out.append(seg if in_str else fn(seg))
+    return "".join(out)
+
+
+_READ_FN = re.compile(
+    r"read_(parquet|csv)\s*\(\s*'([^']+)'\s*(?:,\s*filename\s*=\s*true\s*)?\)",
+    re.IGNORECASE,
+)
+_QUOTED_FROM = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|json|orc))'", re.IGNORECASE
+)
+_SQLITE_DATE = re.compile(
+    r"DATE\s*\(\s*'now'\s*,\s*'-(\d+)\s+days?'\s*\)", re.IGNORECASE
+)
+_JSON_OBJECT = re.compile(r"\bjson_object\s*\(", re.IGNORECASE)
+
+
+def _fmt_for(path: str) -> str:
+    lower = path.lower()
+    for ext in ("csv", "json", "orc"):
+        if ext in ("csv",) and lower.endswith(".csv"):
+            return "csv"
+        if lower.endswith("." + ext):
+            return ext
+    return "parquet"
+
+
+def _rewrite_read_fns(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        fmt, path = m.group(1).lower(), m.group(2)
+        table = f"{'parquet' if fmt == 'parquet' else fmt}.`{path}`"
+        if "filename" in m.group(0).lower():
+            # provenance read: surface the source file like DuckDB's
+            # filename=true via Spark's _metadata hidden column
+            return (
+                f"(SELECT *, _metadata.file_path AS filename"
+                f" FROM {table})"
+            )
+        return table
+
+    return _READ_FN.sub(repl, sql)
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """`{ 'k': expr, ... }` → named_struct('k', expr, ...), nested.
+    Scans for '{' followed by a quoted key and rewrites the balanced
+    region; anything else (mustache already rendered away) is left."""
+    i = 0
+    out = []
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "{" and re.match(r"\{\s*'", sql[i:]):
+            j, depth = i, 0
+            while j < n:
+                if sql[j] == "'":  # skip string
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif sql[j] == "{":
+                    depth += 1
+                elif sql[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            body = sql[i + 1 : j]
+            out.append(_struct_body(body))
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _struct_body(body: str) -> str:
+    """Convert `'k': v, 'k2': v2` (v possibly a nested {…}) to
+    named_struct(...)."""
+    parts = []
+    depth = 0
+    cur = []
+    in_str = False
+    for ch in body:
+        if ch == "'":
+            in_str = not in_str
+            cur.append(ch)
+        elif not in_str and ch in "{([":
+            depth += 1
+            cur.append(ch)
+        elif not in_str and ch in "})]":
+            depth -= 1
+            cur.append(ch)
+        elif not in_str and ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    args = []
+    for part in parts:
+        k, _, v = part.partition(":")
+        v = v.strip()
+        if re.match(r"^\{\s*'", v):
+            v = _rewrite_struct_literals(v)
+        args.append(f"{k.strip()}, {v}")
+    return "named_struct(" + ", ".join(args) + ")"
+
+
+def _rewrite_json_object(sql: str) -> str:
+    """json_object(...) → to_json(named_struct(...)) with balanced
+    parens (args copied verbatim — same key/value convention)."""
+    out = []
+    i, n = 0, len(sql)
+    while True:
+        m = _JSON_OBJECT.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        j, depth = m.end() - 1, 0
+        in_str = False
+        while j < n:
+            ch = sql[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ch == "(":
+                depth += 1
+            elif not in_str and ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.end() : j]
+        out.append(f"to_json(named_struct({inner}))")
+        i = j + 1
+    return "".join(out)
+
+
+def duckdb_to_spark_sql(sql: str) -> str:
+    """Apply every rewrite; idempotent on already-Spark SQL."""
+    sql = _rewrite_read_fns(sql)
+    # the 'now' quotes are intrinsic to the pattern, so this rewrite
+    # runs on the raw text (a same-shaped string INSIDE a literal is a
+    # pathological case the shim does not defend against)
+    sql = _SQLITE_DATE.sub(r"date_sub(current_date(), \1)", sql)
+    # quoted-FROM runs on the raw text (the path IS a string literal)
+    sql = _QUOTED_FROM.sub(
+        lambda m: f"{m.group(1)} {_fmt_for(m.group(2))}.`{m.group(2)}`", sql
+    )
+    sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_json_object(sql)
+    return sql

@@ -154,6 +154,13 @@ class QueryExecutor:
                 break
         ctx = build_context(params=typed, conn=conn_ctx, env=self.env, cache=cache_ctx)
         sql = render_template(rewritten, ctx)
+        if endpoint.template_dialect.lower() == "duckdb":
+            # migrated reference templates: translate DuckDB-isms
+            # (quoted-file FROM, read_parquet, struct literals, ...)
+            # AFTER rendering so {{conn.path}}-built paths rewrite too
+            from flapi_spark.dialect import duckdb_to_spark_sql
+
+            sql = duckdb_to_spark_sql(sql)
         if "sap_read_table" in sql.lower():
             # ERPL table-function syntax → per-table temp views backed
             # by the endpoint's sap_rfc connection (sources/sap.py)
