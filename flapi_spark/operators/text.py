@@ -1277,3 +1277,47 @@ def sample_weighted_quality(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between document language and
+    source — the corpus-composition sanity check (are sources
+    language-skewed?) and the A/B-testing primitive in general form.
+
+    One groupBy builds the contingency table; expected counts and the
+    chi-square statistic derive from EXACT integer marginals, with the
+    per-cell (O−E)²/E term computed in a mirrored double shape and
+    rounded 6dp (cross-engine deterministic). Output: per-cell
+    observed/expected/contribution plus the cell count — the statistic
+    is the sum of contributions, df = (R−1)(C−1). Exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    t = (
+        cells.withColumn("row_n", F.sum("observed").over(wl))
+        .withColumn("col_n", F.sum("observed").over(ws))
+        .withColumn("total_n", F.sum("observed").over(wall))
+    )
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n")
+        / F.col("total_n")
+    )
+    contrib = F.round(
+        (F.col("observed") - expected) * (F.col("observed") - expected)
+        / expected,
+        6,
+    )
+    return t.select(
+        "lang",
+        "source",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        contrib.alias("chi2_contrib"),
+    )

@@ -2613,6 +2613,23 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "chi2_lang_source": (
+            T.chi2_lang_source,
+            "WITH c AS (SELECT lang, source, count(*) AS observed"
+            "  FROM documents GROUP BY 1, 2),"
+            " t AS (SELECT *,"
+            "  sum(observed) OVER (PARTITION BY lang) AS row_n,"
+            "  sum(observed) OVER (PARTITION BY source) AS col_n,"
+            "  sum(observed) OVER () AS total_n FROM c)"
+            " SELECT lang, source, CAST(observed AS BIGINT) AS observed,"
+            "  round(CAST(row_n AS DOUBLE) * col_n / total_n, 6)"
+            "   AS expected,"
+            "  round((observed - CAST(row_n AS DOUBLE) * col_n / total_n)"
+            "   * (observed - CAST(row_n AS DOUBLE) * col_n / total_n)"
+            "   / (CAST(row_n AS DOUBLE) * col_n / total_n), 6)"
+            "   AS chi2_contrib"
+            " FROM t",
+        ),
         "kcore_neardup_graph": (
             lambda spark, sf_dir: __import__(
                 "flapi_spark.operators.graph", fromlist=["kcore_neardup_graph"]

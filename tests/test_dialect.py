@@ -166,3 +166,38 @@ def test_reference_taxi_provenance_template(spark, sf_dir, tmp_path):
     rows = QueryExecutor(spark, registry=reg).execute(ep).df.collect()
     files = {r.filename.split("/")[-1] for r in rows}
     assert files == {"a.parquet", "b.parquet"}
+
+
+# --- robustness: the shim must never corrupt non-DuckDB SQL ---------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "Z"),
+                blacklist_characters="{}'",
+            ),
+            max_size=200,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_shim_identity_without_duckdb_isms(sql):
+        # no braces, no quotes -> nothing for any rewrite to bite on
+        # (read_parquet/DATE('now') both need quotes)
+        assert duckdb_to_spark_sql(sql) == sql
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_shim_total_on_arbitrary_text(sql):
+        # never raises, always returns a string
+        out = duckdb_to_spark_sql(sql)
+        assert isinstance(out, str)
