@@ -46,7 +46,11 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "pagerank_minhash_pairs", "triangle_minhash_pairs",
        "dedup_substring_spans", "vocab_oov_rate", "text_ttr_diversity",
        "corpus_shard_assign", "ann_pq_adc_topk", "counter_rate_events",
-       "gram_novelty_rate"]
+       "gram_novelty_rate",
+       # round-3d second batch (documents/events-based; orders-based
+       # ops are excluded — replicate() doesn't scale the orders table)
+       "chi2_lang_source", "funnel_time_to_convert",
+       "user_overlap_exact", "sample_weighted_quality"]
 FACTORS = [1, 2, 4, 8]
 
 
