@@ -2486,3 +2486,121 @@ def forecast_seasonal_naive(
             6,
         ).alias("running_mae"),
     )
+
+
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation:
+    each supplier's share of its nation's lineitem revenue, squared
+    and summed (×10000, the antitrust convention) — the market-power
+    diagnostic (HHI > 2500 = highly concentrated).
+
+    Revenue sums stay exact DECIMAL through both aggregation levels;
+    shares and the HHI are mirrored double expressions rounded 6dp.
+    Fact-scale work is ONE groupBy(suppkey); nation rollups run on
+    supplier-grain rows. Exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    # HHI from EXACT integers: scaled revenue rs (decimal -> integral
+    # BIGINT), sum(rs^2) in DECIMAL(38,0) / HUGEINT, only ONE final
+    # double ratio. A double share-sum would accumulate in partition
+    # order (engine-divergent); int->double conversion is single-
+    # rounded in both engines, so this form is bit-identical.
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+                )
+            ).alias("rev")
+        )
+        .withColumn("rs", F.expr("CAST(rev * 10000 AS BIGINT)"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    num = F.expr("sum(CAST(rs AS DECIMAL(38,0)) * CAST(rs AS DECIMAL(38,0)))")
+    den = F.sum("rs")
+    return rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(
+            (F.lit(10000.0) * num.cast("double"))
+            / (den.cast("double") * den.cast("double")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the customer revenue distribution — the
+    inequality readout of a marketplace ("do 1% of customers drive 99%
+    of revenue?"). G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n over
+    ascending-sorted per-customer revenue x_i (rank i from 1).
+
+    Per-customer revenue in exact integer cents; Σ i·x_i and Σ x_i are
+    exact BIGINT sums (rank · cents < 2^63 at any realistic scale);
+    only the final two-term formula runs in mirrored doubles. One
+    fact-scale groupBy + one customer-grain rank window. Exact
+    oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("cents")))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order values: observed leading-digit
+    frequencies vs the log10(1 + 1/d) expectation — the classic
+    anomaly/fraud diagnostic for transaction amounts.
+
+    The leading digit comes from string arithmetic (first char of the
+    integral part — deterministic, no float log in the extraction);
+    expected frequencies are log10 literals computed identically in
+    both engines; deviation = observed − expected rounded 6dp. One
+    conditional-sum scan. Exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1
+    ).cast("int")
+    t = orders.select(d.alias("digit")).where(F.col("digit") >= 1)
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    counted = (
+        t.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(wall))
+    )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    expect = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    return counted.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 6).alias("observed_freq"),
+        expect.alias("benford_freq"),
+        F.round(obs - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+            "deviation"
+        ),
+    )

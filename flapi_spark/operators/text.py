@@ -1321,3 +1321,43 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 6).alias("expected"),
         contrib.alias("chi2_contrib"),
     )
+
+
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic
+    vowel-group syllable heuristic — the readability quality signal
+    (low-ease documents are candidate jargon/noise; unnaturally high
+    ease flags template text).
+
+    words = whitespace tokens; sentences = [.!?]+ runs (min 1);
+    syllables = [aeiouy]+ group count (min 1 per word approximated
+    corpus-wide). regexp_count with these literal classes behaves
+    identically in Java regex and RE2, so the counts are engine-exact;
+    the two-ratio formula runs in mirrored doubles rounded 6dp.
+    Zero-shuffle projection. Exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = norm_text()
+    words = F.size(F.split(nt, " "))
+    sentences = F.greatest(
+        F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.expr(
+            "regexp_count(lower(trim(regexp_replace(text,"
+            " '\\\\s+', ' '))), '[aeiouy]+')"
+        ),
+        words,
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        score.alias("flesch_ease"),
+    )

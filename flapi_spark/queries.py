@@ -2613,6 +2613,74 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "hhi_market_concentration": (
+            R.hhi_market_concentration,
+            # exact-integer HHI: scaled revenues squared in HUGEINT /
+            # DECIMAL(38,0); int->double is single-rounded in BOTH
+            # engines (unlike decimal->double), so the final ratio is
+            # bit-identical
+            f"WITH rev AS (SELECT l_suppkey, sum({_REVENUE}) AS rev"
+            "  FROM lineitem GROUP BY 1),"
+            " sc AS (SELECT l_suppkey,"
+            "   CAST(rev * 10000 AS BIGINT) AS rs FROM rev),"
+            " j AS (SELECT n_name, rs FROM sc"
+            "  JOIN supplier ON s_suppkey = l_suppkey"
+            "  JOIN nation ON n_nationkey = s_nationkey)"
+            " SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,"
+            "  round((10000.0 * CAST(sum(CAST(rs AS HUGEINT) * rs)"
+            "    AS DOUBLE))"
+            "   / (CAST(sum(rs) AS DOUBLE) * CAST(sum(rs) AS DOUBLE)), 6)"
+            "   AS hhi"
+            " FROM j GROUP BY n_name",
+        ),
+        "gini_customer_revenue": (
+            R.gini_customer_revenue,
+            "WITH pc AS (SELECT o_custkey,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " r AS (SELECT cents, row_number() OVER ("
+            "  ORDER BY cents, o_custkey) AS i FROM pc)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_customers,"
+            "  CAST(sum(cents) AS BIGINT) AS total_cents,"
+            "  round((2.0 * CAST(sum(i * cents) AS DOUBLE))"
+            "   / (CAST(count(*) * sum(cents) AS DOUBLE))"
+            "   - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini"
+            " FROM r",
+        ),
+        "benford_leading_digit": (
+            R.benford_leading_digit,
+            "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)"
+            "   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit"
+            "  FROM orders),"
+            " c AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1"
+            "  GROUP BY 1),"
+            " t AS (SELECT *, sum(n) OVER () AS total FROM c)"
+            " SELECT CAST(digit AS BIGINT) AS digit,"
+            "  CAST(n AS BIGINT) AS n,"
+            "  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+            "   AS observed_freq,"
+            "  round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,"
+            "  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)"
+            "   - log10(1.0 + 1.0 / digit), 6) AS deviation"
+            " FROM t",
+        ),
+        "text_readability_flesch": (
+            T.text_readability_flesch,
+            f"WITH m AS (SELECT doc_id, len({_TOKS}) AS n_words,"
+            "  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+            "   AS n_sentences,"
+            f"  greatest(len(regexp_extract_all({_NORM}, '[aeiouy]+')),"
+            f"   len({_TOKS})) AS n_syllables"
+            " FROM documents)"
+            " SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
+            "  CAST(n_sentences AS BIGINT) AS n_sentences,"
+            "  CAST(n_syllables AS BIGINT) AS n_syllables,"
+            "  round(206.835"
+            "   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+            "   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)"
+            "   AS flesch_ease"
+            " FROM m",
+        ),
         "chi2_lang_source": (
             T.chi2_lang_source,
             "WITH c AS (SELECT lang, source, count(*) AS observed"

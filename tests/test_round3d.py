@@ -511,3 +511,35 @@ def test_kcore_neardup_matches_golden(spark, sf_dir):
         for r in kcore_neardup_graph(spark, sf_dir).collect()
     }
     assert got == _golden_kcore(pairs, 2)
+
+
+def test_gini_and_hhi_bounds(spark, sf_dir):
+    from flapi_spark.operators.relational import (
+        gini_customer_revenue,
+        hhi_market_concentration,
+    )
+
+    g = gini_customer_revenue(spark, sf_dir).collect()[0]
+    assert 0.0 <= g.gini < 1.0
+    for r in hhi_market_concentration(spark, sf_dir).collect():
+        # HHI of n equal shares = 10000/n; bounds (10000/n, 10000]
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
+
+
+def test_benford_freqs_sum_to_one(spark, sf_dir):
+    from flapi_spark.operators.relational import benford_leading_digit
+
+    rows = benford_leading_digit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-4
+
+
+def test_flesch_monotone_in_syllable_density(spark, sf_dir):
+    from flapi_spark.operators.text import text_readability_flesch
+
+    rows = text_readability_flesch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_syllables >= r.n_words >= 1
+        assert r.n_sentences >= 1
