@@ -2604,3 +2604,178 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     )
+
+
+def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over inter-order gaps: "how long
+    until a customer orders again?" with proper right-censoring (each
+    customer's time from last order to the end of observation counts
+    as at-risk but uneventful) — the churn-analysis estimator.
+
+    d_i / n_i at each event time are exact integer counts (one
+    fact-scale window pass + day-grain aggregates). The survival
+    product S_i = Π (1 − d_i/n_i) folds over the SORTED event times —
+    a few hundred elements — as a sequential array fold whose IEEE
+    sequence the oracle's recursive CTE replays term for term
+    (bit-exact, the ewma_daily_revenue pattern)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    end = orders.agg(F.max("o_orderdate")).first()[0]
+    durations = nxt.select(
+        F.when(
+            F.col("next_date").isNotNull(),
+            F.datediff("next_date", "o_orderdate"),
+        )
+        .otherwise(F.datediff(F.lit(end), F.col("o_orderdate")))
+        .cast("long")
+        .alias("t"),
+        F.col("next_date").isNotNull().alias("event"),
+    )
+    total = durations.count()
+    per_t = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.withColumn(
+        "n", F.lit(total) - F.coalesce(F.sum("leaving").over(wt), F.lit(0))
+    ).where(F.col("d") > 0)
+    folded = risk.select(
+        F.expr(
+            "aggregate("
+            " array_sort(collect_list(struct(t, d, n))),"
+            " CAST(named_struct('s', CAST(1.0 AS DOUBLE),"
+            "  'out', CAST(array() AS"
+            "   ARRAY<STRUCT<t: BIGINT, d: BIGINT, n: BIGINT, surv: DOUBLE>>)"
+            " ) AS STRUCT<s: DOUBLE,"
+            "  out: ARRAY<STRUCT<t: BIGINT, d: BIGINT, n: BIGINT, surv: DOUBLE>>>),"
+            " (acc, e) -> named_struct("
+            "  's', acc.s * (CAST(1.0 AS DOUBLE) - CAST(e.d AS DOUBLE) / e.n),"
+            "  'out', array_append(acc.out, named_struct("
+            "   't', CAST(e.t AS BIGINT), 'd', CAST(e.d AS BIGINT),"
+            "   'n', CAST(e.n AS BIGINT),"
+            "   'surv', acc.s * (CAST(1.0 AS DOUBLE)"
+            "    - CAST(e.d AS DOUBLE) / e.n)))),"
+            " acc -> acc.out) AS km"
+        )
+    )
+    return folded.select(F.explode("km").alias("e")).select(
+        F.col("e.t").alias("t_days"),
+        F.col("e.d").alias("n_events"),
+        F.col("e.n").alias("n_at_risk"),
+        F.col("e.surv").alias("survival"),
+    )
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles over customer revenue (the plot behind
+    gini_customer_revenue): each decile's exact revenue share and the
+    cumulative share — "the top decile holds X% of revenue".
+
+    Exact integer cents throughout; each share divides two exact
+    BIGINTs once (round 6dp). One fact-scale groupBy + one
+    customer-grain ntile window. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    dec = pc.withColumn("decile", F.ntile(10).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("total", F.sum("cents").over(wall))
+        .withColumn("cum", F.sum("cents").over(wcum))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(
+                F.col("cents").cast("double") / F.col("total"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def welch_ttest_segments(
+    spark: SparkSession, sf_dir: str,
+    seg_a: str = "BUILDING", seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments'
+    order values — the A/B-significance primitive (does segment A
+    spend differently from B?).
+
+    Group moments (n, Σx, Σx²) accumulate as exact integers (cents;
+    squares in DECIMAL(38,0)/HUGEINT); mean, variance, t and the
+    Welch–Satterthwaite df are mirrored double expressions over those
+    exact sums (int→double single-rounded in both engines), rounded
+    6dp. One broadcast-dim scan, a 2-row aggregate. Exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).where(F.col("c_mktsegment").isin(seg_a, seg_b))
+    x = F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+    stats = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.expr(
+            "sum(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)"
+            " AS DECIMAL(38,0))"
+            " * CAST(floor(o_totalprice * 100) AS BIGINT))"
+        ).alias("sxx"),
+    )
+    a = stats.where(F.col("c_mktsegment") == seg_a).select(
+        F.col("n").alias("na"), F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = stats.where(F.col("c_mktsegment") == seg_b).select(
+        F.col("n").alias("nb"), F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    t = a.crossJoin(b)
+    mean_a = F.col("sxa").cast("double") / F.col("na")
+    mean_b = F.col("sxb").cast("double") / F.col("nb")
+    var_a = (
+        F.col("sxxa").cast("double")
+        - F.col("sxa").cast("double") * F.col("sxa") / F.col("na")
+    ) / (F.col("na") - 1)
+    var_b = (
+        F.col("sxxb").cast("double")
+        - F.col("sxb").cast("double") * F.col("sxb") / F.col("nb")
+    ) / (F.col("nb") - 1)
+    se2 = var_a / F.col("na") + var_b / F.col("nb")
+    tstat = (mean_a - mean_b) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (var_a / F.col("na")) * (var_a / F.col("na")) / (F.col("na") - 1)
+        + (var_b / F.col("nb")) * (var_b / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return t.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a / 100, 6).alias("mean_a"),
+        F.round(mean_b / 100, 6).alias("mean_b"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("welch_df"),
+    )

@@ -2613,6 +2613,84 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "kaplan_meier_order_gaps": (
+            R.kaplan_meier_order_gaps,
+            "WITH RECURSIVE w AS (SELECT o_custkey, o_orderdate,"
+            "   lead(o_orderdate) OVER (PARTITION BY o_custkey"
+            "    ORDER BY o_orderdate, o_orderkey) AS nd FROM orders),"
+            " mx AS (SELECT max(o_orderdate) AS e FROM orders),"
+            " dur AS (SELECT CASE WHEN nd IS NOT NULL THEN"
+            "    date_diff('day', CAST(o_orderdate AS DATE), CAST(nd AS DATE))"
+            "   ELSE date_diff('day', CAST(o_orderdate AS DATE),"
+            "    CAST((SELECT e FROM mx) AS DATE)) END AS t,"
+            "   nd IS NOT NULL AS event FROM w),"
+            " tot AS (SELECT count(*) AS n FROM dur),"
+            " pt AS (SELECT t, sum(CASE WHEN event THEN 1 ELSE 0 END)"
+            "   AS d, count(*) AS leaving FROM dur GROUP BY t),"
+            " rk AS (SELECT t, d, (SELECT n FROM tot)"
+            "   - coalesce(sum(leaving) OVER (ORDER BY t ROWS BETWEEN"
+            "    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n FROM pt),"
+            " ev AS (SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn"
+            "  FROM rk WHERE d > 0),"
+            " rec(rn, t, d, n, s) AS ("
+            "  SELECT rn, t, d, n, CAST(1.0 AS DOUBLE)"
+            "   * (CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / n)"
+            "  FROM ev WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT e.rn, e.t, e.d, e.n,"
+            "   r.s * (CAST(1.0 AS DOUBLE) - CAST(e.d AS DOUBLE) / e.n)"
+            "  FROM ev e JOIN rec r ON e.rn = r.rn + 1)"
+            " SELECT CAST(t AS BIGINT) AS t_days,"
+            "  CAST(d AS BIGINT) AS n_events,"
+            "  CAST(n AS BIGINT) AS n_at_risk, s AS survival FROM rec",
+        ),
+        "lorenz_deciles": (
+            R.lorenz_deciles,
+            "WITH pc AS (SELECT o_custkey,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " d AS (SELECT cents, ntile(10) OVER ("
+            "  ORDER BY cents, o_custkey) AS decile FROM pc),"
+            " p AS (SELECT decile, count(*) AS n_customers,"
+            "  sum(cents) AS cents FROM d GROUP BY 1),"
+            " t AS (SELECT *, sum(cents) OVER () AS total,"
+            "  sum(cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED"
+            "   PRECEDING AND CURRENT ROW) AS cum FROM p)"
+            " SELECT CAST(decile AS BIGINT) AS decile,"
+            "  CAST(n_customers AS BIGINT) AS n_customers,"
+            "  round(CAST(cents AS DOUBLE) / total, 6) AS share,"
+            "  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share"
+            " FROM t",
+        ),
+        "welch_ttest_segments": (
+            R.welch_ttest_segments,
+            "WITH j AS (SELECT c_mktsegment,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS x"
+            "  FROM orders JOIN customer ON o_custkey = c_custkey"
+            "  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),"
+            " s AS (SELECT c_mktsegment, count(*) AS n, sum(x) AS sx,"
+            "  sum(CAST(x AS HUGEINT) * x) AS sxx FROM j GROUP BY 1),"
+            " aa AS (SELECT n AS na, sx AS sxa, sxx AS sxxa FROM s"
+            "  WHERE c_mktsegment = 'BUILDING'),"
+            " bb AS (SELECT n AS nb, sx AS sxb, sxx AS sxxb FROM s"
+            "  WHERE c_mktsegment = 'MACHINERY'),"
+            " m AS (SELECT na, nb,"
+            "  CAST(sxa AS DOUBLE) / na AS mean_a,"
+            "  CAST(sxb AS DOUBLE) / nb AS mean_b,"
+            "  (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * sxa / na)"
+            "   / (na - 1) AS var_a,"
+            "  (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb / nb)"
+            "   / (nb - 1) AS var_b"
+            "  FROM aa CROSS JOIN bb),"
+            " f AS (SELECT *, var_a / na + var_b / nb AS se2 FROM m)"
+            " SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,"
+            "  round(mean_a / 100, 6) AS mean_a,"
+            "  round(mean_b / 100, 6) AS mean_b,"
+            "  round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,"
+            "  round((se2 * se2) / ((var_a / na) * (var_a / na) / (na - 1)"
+            "   + (var_b / nb) * (var_b / nb) / (nb - 1)), 6) AS welch_df"
+            " FROM f",
+        ),
         "hhi_market_concentration": (
             R.hhi_market_concentration,
             # exact-integer HHI: scaled revenues squared in HUGEINT /

@@ -543,3 +543,40 @@ def test_flesch_monotone_in_syllable_density(spark, sf_dir):
     for r in rows:
         assert r.n_syllables >= r.n_words >= 1
         assert r.n_sentences >= 1
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark, sf_dir):
+    from flapi_spark.operators.relational import kaplan_meier_order_gaps
+
+    rows = sorted(
+        kaplan_meier_order_gaps(spark, sf_dir).collect(), key=lambda r: r.t_days
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-12  # survival never rises
+        assert r.n_events >= 1 and r.n_at_risk >= r.n_events
+        prev = r.survival
+
+
+def test_lorenz_monotone_and_convex(spark, sf_dir):
+    from flapi_spark.operators.relational import lorenz_deciles
+
+    rows = sorted(lorenz_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(rows[-1].cum_share - 1.0) < 1e-4
+    shares = [r.share for r in rows]
+    # sorted ascending by revenue -> decile shares non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+
+
+def test_welch_ttest_selfconsistency(spark, sf_dir):
+    from flapi_spark.operators.relational import welch_ttest_segments
+
+    r = welch_ttest_segments(spark, sf_dir).collect()[0]
+    assert r.n_a > 1 and r.n_b > 1
+    assert r.welch_df > min(r.n_a, r.n_b) / 2  # df in a sane band
+    # same segment vs itself -> t == 0
+    same = welch_ttest_segments(spark, sf_dir, "BUILDING", "BUILDING").collect()
+    # identical groups collapse to one stats row; cross join yields 1 row
+    assert same[0].t_stat == 0.0
