@@ -2779,3 +2779,106 @@ def welch_ttest_segments(
         F.round(tstat, 6).alias("t_stat"),
         F.round(dfw, 6).alias("welch_df"),
     )
+
+
+def ols_quantity_on_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares regression of quantity on unit
+    price — the demand-curve primitive (a negative slope = price
+    sensitivity). slope/intercept/R² derive from the classic
+    closed-form moments (n, Σx, Σy, Σxy, Σx², Σy²), ALL accumulated
+    as exact integers (price in cents; squares in DECIMAL(38,0)/
+    HUGEINT), so the aggregation is order-independent; only the final
+    formulas run in mirrored doubles (int→double single-rounded in
+    both engines), rounded 6dp. One broadcast part-dim join + one
+    groupBy(brand). Exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.expr(
+            "CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    big = lambda c: f"CAST({c} AS DECIMAL(38,0))"
+    stats = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr(f"sum({big('x')} * y)").alias("sxy"),
+        F.expr(f"sum({big('x')} * x)").alias("sxx"),
+        F.expr(f"sum({big('y')} * y)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    intercept = (sy - cov_n / var_x * sx) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    return stats.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def session_path_trigrams(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Sequence mining over sessionized events: the top-k ordered
+    event-type TRIGRAMS inside sessions (the path-analysis readout —
+    "view→view→purchase happens N times") built on the same gap
+    sessionization as events_sessionize.
+
+    One user-keyed window pass assigns sessions; two leads per row
+    form trigrams without materializing per-session arrays (codegen,
+    no explode of collected lists); one tiny groupBy counts paths.
+    Deterministic (ts, event_id) ordering; exact oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000  # exact integral microseconds (NTZ)
+    s = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "ns",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > F.lit(gap_us)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy(
+        "ts", "event_id"
+    )
+    tri = s.select(
+        "event_type",
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        tri.select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("e2"), F.col("e3")
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("path", F.col("n").cast("long").alias("n"), "rnk")
+    )

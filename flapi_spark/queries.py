@@ -2613,6 +2613,59 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "ols_quantity_on_price": (
+            R.ols_quantity_on_price,
+            "WITH j AS (SELECT p_brand,"
+            "  CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)"
+            "   AS x,"
+            "  CAST(l_quantity AS BIGINT) AS y"
+            "  FROM lineitem JOIN part ON l_partkey = p_partkey),"
+            " s AS (SELECT p_brand, count(*) AS n, sum(x) AS sx,"
+            "  sum(y) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy,"
+            "  sum(CAST(x AS HUGEINT) * x) AS sxx,"
+            "  sum(CAST(y AS HUGEINT) * y) AS syy FROM j GROUP BY 1),"
+            " d AS (SELECT p_brand, n,"
+            "  CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,"
+            "  CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,"
+            "  CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd"
+            "  FROM s),"
+            " f AS (SELECT p_brand, n,"
+            "  nd * sxyd - sxd * syd AS cov_n,"
+            "  nd * sxxd - sxd * sxd AS var_x,"
+            "  nd * syyd - syd * syd AS var_y,"
+            "  nd, sxd, syd FROM d)"
+            " SELECT p_brand, CAST(n AS BIGINT) AS n,"
+            "  round(cov_n / var_x, 6) AS slope,"
+            "  round((syd - cov_n / var_x * sxd) / nd, 6) AS intercept,"
+            "  round((cov_n * cov_n) / (var_x * var_y), 6) AS r2"
+            " FROM f",
+        ),
+        "session_path_trigrams": (
+            R.session_path_trigrams,
+            "WITH e AS (SELECT user_id, event_id, event_type,"
+            "  CAST(ts AS TIMESTAMP) AS ts FROM events),"
+            " lagd AS (SELECT *, lag(ts) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts"
+            "  FROM e),"
+            " marked AS (SELECT *, CASE WHEN prev_ts IS NULL OR"
+            "   date_diff('microseconds', prev_ts, ts) > 1800000000"
+            "   THEN 1 ELSE 0 END AS ns FROM lagd),"
+            " sess AS (SELECT *, sum(ns) OVER (PARTITION BY user_id"
+            "   ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            "   AND CURRENT ROW) AS session_no FROM marked),"
+            " tri AS (SELECT event_type AS e1,"
+            "   lead(event_type, 1) OVER ws AS e2,"
+            "   lead(event_type, 2) OVER ws AS e3"
+            "  FROM sess WINDOW ws AS (PARTITION BY user_id, session_no"
+            "   ORDER BY ts, event_id)),"
+            " p AS (SELECT concat(e1, '>', e2, '>', e3) AS path,"
+            "   count(*) AS n FROM tri"
+            "  WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1)"
+            " SELECT path, CAST(n AS BIGINT) AS n,"
+            "  CAST(row_number() OVER (ORDER BY n DESC, path ASC)"
+            "   AS BIGINT) AS rnk"
+            " FROM p QUALIFY rnk <= 20",
+        ),
         "kaplan_meier_order_gaps": (
             R.kaplan_meier_order_gaps,
             "WITH RECURSIVE w AS (SELECT o_custkey, o_orderdate,"
