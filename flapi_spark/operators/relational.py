@@ -2882,3 +2882,117 @@ def session_path_trigrams(
         .where(F.col("rnk") <= k)
         .select("path", F.col("n").cast("long").alias("n"), "rnk")
     )
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering 80% of cumulative revenue, B to 95%, C the
+    tail — the warehouse-prioritization classic.
+
+    Revenue per part in exact integer units (cents via the decimal
+    revenue expression ×100); cumulative shares divide two exact
+    BIGINTs per row. One fact-scale groupBy + one part-grain rank
+    window. Output: per-class part counts and revenue share. Exact
+    oracle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # revenue has decimal scale 4 (price scale 2 x discount scale 2);
+    # x10000 clears the scale EXACTLY — x100 would leave a fractional
+    # part where Spark's cast truncates and DuckDB's rounds
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000"
+            " AS BIGINT)"
+        ).alias("units")
+    )
+    w = Window.orderBy(F.desc("units"), F.asc("l_partkey"))
+    wall = Window.partitionBy()
+    t = (
+        per_part.withColumn(
+            "cum",
+            F.sum("units").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("total", F.sum("units").over(wall))
+    )
+    share = F.col("cum").cast("double") / F.col("total")
+    cls = (
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        t.withColumn("abc", cls)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("units").cast("long").alias("units"),
+            F.round(
+                F.sum("units").cast("double") / F.max("total"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between the early and
+    late halves of the order stream — the ML-ops monitor for "has the
+    value distribution shifted since the reference period?" (PSI >
+    0.2 = significant drift).
+
+    Reference bins: the early period's value deciles, with EXACT
+    integer-cents boundaries (max cents per ntile bucket — no float
+    interpolation). Both periods then bucket by pure integer
+    comparisons; per-bin PSI contribution (p−q)·ln(p/q) runs in
+    mirrored doubles (one ln per bin over identical inputs), rounded
+    6dp. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = "1995-06-17"
+    base = orders.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderdate") < F.lit(med).cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    ref = base.where("is_ref")
+    # unique (cents, orderkey) order: ntile over ties alone would
+    # assign tied rows partition-order-nondeterministically and the
+    # decile boundaries would wobble across engines/runs
+    wd = Window.orderBy("cents", "o_orderkey")
+    deciled = ref.withColumn("dec", F.ntile(10).over(wd))
+    bounds = (
+        deciled.groupBy("dec")
+        .agg(F.max("cents").alias("hi"))
+        .where(F.col("dec") <= 9)  # 9 cut points make 10 bins
+    )
+    b = [r.hi for r in bounds.orderBy("dec").collect()]
+    bin_expr = "CASE"
+    for i, hi in enumerate(b, start=1):
+        bin_expr += f" WHEN cents <= {hi} THEN {i}"
+    bin_expr += f" ELSE {len(b) + 1} END"
+    binned = base.withColumn("bin", F.expr(bin_expr))
+    agg = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    wall = Window.partitionBy()
+    t = agg.withColumn("tr", F.sum("n_ref").over(wall)).withColumn(
+        "tc", F.sum("n_cur").over(wall)
+    )
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    q = F.col("n_cur").cast("double") / F.col("tc")
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    return t.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        contrib.alias("psi_contrib"),
+    )

@@ -2613,6 +2613,58 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "abc_classification": (
+            R.abc_classification,
+            "WITH pp AS (SELECT l_partkey,"
+            "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000"
+            "   AS BIGINT) AS units"
+            "  FROM lineitem GROUP BY 1),"
+            " t AS (SELECT *, sum(units) OVER (ORDER BY units DESC,"
+            "   l_partkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "   CURRENT ROW) AS cum, sum(units) OVER () AS total FROM pp),"
+            " c AS (SELECT CASE"
+            "   WHEN CAST(cum AS DOUBLE) / total <= 0.80 THEN 'A'"
+            "   WHEN CAST(cum AS DOUBLE) / total <= 0.95 THEN 'B'"
+            "   ELSE 'C' END AS abc, units, total FROM t)"
+            " SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,"
+            "  CAST(sum(units) AS BIGINT) AS units,"
+            "  round(CAST(sum(units) AS DOUBLE) / max(total), 6)"
+            "   AS revenue_share"
+            " FROM c GROUP BY abc",
+        ),
+        "psi_order_value_drift": (
+            R.psi_order_value_drift,
+            "WITH base AS (SELECT o_orderkey,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,"
+            "  o_orderdate < TIMESTAMP '1995-06-17' AS is_ref"
+            "  FROM orders),"
+            " d AS (SELECT cents, ntile(10) OVER ("
+            "  ORDER BY cents, o_orderkey) AS dec FROM base"
+            "  WHERE is_ref),"
+            " bounds AS (SELECT dec, max(cents) AS hi FROM d"
+            "  WHERE dec <= 9 GROUP BY dec),"
+            # smallest decile whose boundary covers the value ==
+            # 1 + number of boundaries strictly below it
+            " binned AS (SELECT b.is_ref, 1 + (SELECT count(*)"
+            "   FROM bounds WHERE hi < b.cents) AS bin FROM base b),"
+            " agg AS (SELECT bin,"
+            "  sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,"
+            "  sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur"
+            "  FROM binned GROUP BY 1),"
+            " t AS (SELECT *, sum(n_ref) OVER () AS tr,"
+            "  sum(n_cur) OVER () AS tc FROM agg)"
+            " SELECT CAST(bin AS BIGINT) AS bin,"
+            "  CAST(n_ref AS BIGINT) AS n_ref,"
+            "  CAST(n_cur AS BIGINT) AS n_cur,"
+            "  round(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,"
+            "  round(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur,"
+            "  round((CAST(n_ref AS DOUBLE) / tr"
+            "    - CAST(n_cur AS DOUBLE) / tc)"
+            "   * ln((CAST(n_ref AS DOUBLE) / tr)"
+            "    / (CAST(n_cur AS DOUBLE) / tc)), 6) AS psi_contrib"
+            " FROM t",
+        ),
         "ols_quantity_on_price": (
             R.ols_quantity_on_price,
             "WITH j AS (SELECT p_brand,"
