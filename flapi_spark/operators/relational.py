@@ -2996,3 +2996,93 @@ def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("p_cur"),
         contrib.alias("psi_contrib"),
     )
+
+
+def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection over daily revenue: days
+    where the 7-day mean crosses the 28-day mean (golden/death cross
+    — the trend-change signal of technical analysis, equally the
+    alerting rule of an ops dashboard).
+
+    Day-number RANGE frames (calendar-aware like rolling_revenue_7d)
+    over exact integer cents; each mean is ONE division of exact
+    sums; the crossing test compares identically-computed doubles, so
+    the signal days are engine-exact. Emits only crossing days with
+    both means (6dp). Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    ).withColumn(
+        "dn", F.datediff("day", F.lit("1992-01-01").cast("date"))
+    )
+    w7 = Window.orderBy("dn").rangeBetween(-6, 0)
+    w28 = Window.orderBy("dn").rangeBetween(-27, 0)
+    t = (
+        daily.withColumn("s7", F.sum("cents").over(w7))
+        .withColumn("n7", F.count(F.lit(1)).over(w7))
+        .withColumn("s28", F.sum("cents").over(w28))
+        .withColumn("n28", F.count(F.lit(1)).over(w28))
+    )
+    ma7 = F.col("s7").cast("double") / F.col("n7")
+    ma28 = F.col("s28").cast("double") / F.col("n28")
+    t = t.withColumn("above", (ma7 > ma28).cast("int"))
+    wl = Window.orderBy("dn")
+    t = t.withColumn("prev_above", F.lag("above").over(wl))
+    sig = F.when(
+        F.col("prev_above").isNotNull() & (F.col("above") != F.col("prev_above")),
+        F.when(F.col("above") == 1, F.lit("golden")).otherwise(F.lit("death")),
+    )
+    return (
+        t.withColumn("signal", sig)
+        .where(F.col("signal").isNotNull())
+        .select(
+            "day",
+            "signal",
+            F.round(ma7 / 100, 6).alias("ma7"),
+            F.round(ma28 / 100, 6).alias("ma28"),
+        )
+    )
+
+
+def new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-mix series: per month, orders from first-time vs
+    returning customers and the new-order share — the growth
+    dashboard's acquisition/retention split (cohort_retention's
+    month-grain sibling).
+
+    One fact-scale window (first order date per customer, shared
+    customer-key exchange) + one month-grain groupBy; the share
+    divides exact BIGINTs once (6dp). Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    t = orders.withColumn("first_dt", F.min("o_orderdate").over(w)).select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        (F.col("o_orderdate") == F.col("first_dt")).alias("is_new"),
+    )
+    return (
+        t.groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+        .select(
+            "month",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_returning").cast("long").alias("n_returning"),
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_new") + F.col("n_returning")),
+                6,
+            ).alias("new_share"),
+        )
+    )

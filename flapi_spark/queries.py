@@ -2613,6 +2613,48 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "ma_crossover_signals": (
+            R.ma_crossover_signals,
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " d2 AS (SELECT *, date_diff('day', DATE '1992-01-01', day)"
+            "   AS dn FROM daily),"
+            " t AS (SELECT *, sum(cents) OVER w7 AS s7,"
+            "   count(*) OVER w7 AS n7, sum(cents) OVER w28 AS s28,"
+            "   count(*) OVER w28 AS n28 FROM d2"
+            "  WINDOW w7 AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING"
+            "    AND CURRENT ROW),"
+            "   w28 AS (ORDER BY dn RANGE BETWEEN 27 PRECEDING"
+            "    AND CURRENT ROW)),"
+            " u AS (SELECT *, CASE WHEN CAST(s7 AS DOUBLE) / n7"
+            "   > CAST(s28 AS DOUBLE) / n28 THEN 1 ELSE 0 END AS above"
+            "  FROM t),"
+            " v AS (SELECT *, lag(above) OVER (ORDER BY dn)"
+            "   AS prev_above FROM u)"
+            " SELECT day, CASE WHEN above = 1 THEN 'golden'"
+            "   ELSE 'death' END AS signal,"
+            "  round(CAST(s7 AS DOUBLE) / n7 / 100, 6) AS ma7,"
+            "  round(CAST(s28 AS DOUBLE) / n28 / 100, 6) AS ma28"
+            " FROM v WHERE prev_above IS NOT NULL AND above <> prev_above",
+        ),
+        "new_vs_returning_monthly": (
+            R.new_vs_returning_monthly,
+            "WITH t AS (SELECT date_trunc('month', o_orderdate) AS month,"
+            "  o_orderdate = min(o_orderdate) OVER ("
+            "   PARTITION BY o_custkey) AS is_new FROM orders)"
+            " SELECT month,"
+            "  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_new,"
+            "  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)"
+            "   AS n_returning,"
+            "  round(CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)"
+            "    AS DOUBLE)"
+            "   / (sum(CASE WHEN is_new THEN 1 ELSE 0 END)"
+            "    + sum(CASE WHEN is_new THEN 0 ELSE 1 END)), 6)"
+            "   AS new_share"
+            " FROM t GROUP BY month",
+        ),
         "abc_classification": (
             R.abc_classification,
             "WITH pp AS (SELECT l_partkey,"
