@@ -654,3 +654,38 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.select(
         "event_id", "ts", "user_id", "event_type", "value"
     ).join(d, "user_id", "left")
+
+
+def session_window_agg_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """NATIVE session_window streaming aggregation — Spark's built-in
+    merging session windows under a watermark (the engine-managed twin
+    of the applyInPandasWithState sessionization above: state
+    lifecycle, merges of out-of-order fragments and eviction are all
+    Catalyst's problem, which is exactly why the native form is the
+    default at scale; the custom-state form remains the hook for
+    session logic session_window can't express).
+
+    Batch equivalence: the same expression over a batch frame equals
+    events_session_window_agg's gap semantics (tests run both)."""
+    return (
+        events.withColumn("ts_evt", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_evt", watermark)
+        .groupBy(
+            F.session_window("ts_evt", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

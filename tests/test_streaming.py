@@ -454,3 +454,65 @@ def test_enrich_stream_equals_batch_join(spark, sf_dir, tmp_path_factory):
     assert got == expect and len(got) == ev.count()
     # every event found its segment (user ids are a subset of custkeys)
     assert all(seg is not None for _, seg in got)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Native session_window under availableNow == the same expression
+    evaluated in batch (merging windows + watermark lifecycle handled
+    by the engine; append mode emits only watermark-closed sessions,
+    which availableNow's final batch closes entirely)."""
+    from flapi_spark.session import load_table
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tmp_path_factory.mktemp("events_sw_landing")
+    import glob as _glob
+
+    # time-ordered split: a random split would strand pre-watermark
+    # events in the second batch, where the engine rightly drops them
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    split_day = (mn + (mx - mn) / 2).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    lit_day = F.lit(split_day).cast("timestamp_ntz")
+    import datetime as _dt
+
+    # sentinel far-future event (user -1): advances the final
+    # watermark past every real session so append mode flushes them
+    # all (otherwise the trailing <watermark+gap> of data never emits)
+    sentinel = ev.limit(1).select(
+        F.lit(10**9).cast("long").alias("event_id"),
+        F.lit(mx + _dt.timedelta(days=7)).cast("timestamp_ntz").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    parts = (
+        ev.where(F.col("ts") < lit_day),
+        ev.where(F.col("ts") >= lit_day),
+        sentinel,
+    )
+    for i, part in enumerate(parts):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = ST.read_events_stream(spark, str(d), max_files_per_trigger=1)
+    ST.run_stream_to_memory(
+        ST.session_window_agg_stream(stream), name, output_mode="append"
+    )
+    got = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+        if r.user_id >= 0
+    }
+    expect = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.sum_value)
+        for r in ST.session_window_agg_stream(ev).collect()
+    }
+    assert got == expect and len(got) > 0
