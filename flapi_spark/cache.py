@@ -432,3 +432,45 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*primary_keys, "change_type")
     )
+
+
+def schema_drift(
+    mgr: "CacheManager",
+    cfg,
+    from_snapshot_id: str,
+    to_snapshot_id: str,
+) -> list[dict]:
+    """Schema evolution between two snapshots: columns added, removed
+    or retyped — the contract check a pipeline runs before consuming a
+    refreshed table (the CDF's structural sibling; reference:
+    cache_manager.cpp snapshot lineage + DuckLake schema tracking).
+
+    Metadata-only: two parquet-footer schema reads, no data IO.
+    Returns [{column, change, from_type, to_type}, ...] sorted by
+    column; empty means the contract held."""
+    old = dict(
+        (f.name, f.dataType.simpleString())
+        for f in mgr.read(cfg, from_snapshot_id).schema.fields
+    )
+    new = dict(
+        (f.name, f.dataType.simpleString())
+        for f in mgr.read(cfg, to_snapshot_id).schema.fields
+    )
+    out = []
+    for c in sorted(set(old) | set(new)):
+        if c not in new:
+            out.append(
+                {"column": c, "change": "removed", "from_type": old[c],
+                 "to_type": None}
+            )
+        elif c not in old:
+            out.append(
+                {"column": c, "change": "added", "from_type": None,
+                 "to_type": new[c]}
+            )
+        elif old[c] != new[c]:
+            out.append(
+                {"column": c, "change": "retyped", "from_type": old[c],
+                 "to_type": new[c]}
+            )
+    return out

@@ -163,3 +163,35 @@ def test_read_pruned_empty_range_and_unknown_column(spark, mgr):
     assert stats["files_scanned"] == 0
     assert df.count() == 0
     assert df.columns == ["k"]
+
+
+def test_schema_drift_detects_add_remove_retype(spark, sf_dir, tmp_path):
+    from flapi_spark.cache import CacheManager, schema_drift
+    from flapi_spark.config import CacheConfig
+    from flapi_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    mgr = CacheManager(spark, str(tmp_path / "drift"))
+    cfg = CacheConfig(enabled=True, table="drift_t", schema="analytics")
+    base = load_table(spark, sf_dir, "region")
+    mgr.full_refresh(cfg, base)
+    evolved = (
+        base.drop("r_name")
+        .withColumn("r_added", F.lit(1).cast("long"))
+        .withColumn("r_regionkey", F.col("r_regionkey").cast("string"))
+    )
+    mgr.full_refresh(cfg, evolved)
+    info = mgr.snapshot_info(cfg)
+    drift = schema_drift(
+        mgr, cfg, info.previous_snapshot_id, info.current_snapshot_id
+    )
+    by_col = {d["column"]: d for d in drift}
+    assert by_col["r_name"]["change"] == "removed"
+    assert by_col["r_added"]["change"] == "added"
+    assert by_col["r_regionkey"]["change"] == "retyped"
+    assert by_col["r_regionkey"]["from_type"] == "int"
+    assert by_col["r_regionkey"]["to_type"] == "string"
+    # identical snapshots -> clean contract
+    assert schema_drift(
+        mgr, cfg, info.current_snapshot_id, info.current_snapshot_id
+    ) == []
