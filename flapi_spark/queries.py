@@ -2640,7 +2640,8 @@ QUERIES.update(
         ),
         "new_vs_returning_monthly": (
             R.new_vs_returning_monthly,
-            "WITH t AS (SELECT date_trunc('month', o_orderdate) AS month,"
+            "WITH t AS (SELECT CAST(date_trunc('month', o_orderdate)"
+            "   AS TIMESTAMP) AS month,"
             "  o_orderdate = min(o_orderdate) OVER ("
             "   PARTITION BY o_custkey) AS is_new FROM orders)"
             " SELECT month,"
