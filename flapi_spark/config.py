@@ -148,6 +148,9 @@ class ShapeConfig:
     max_rows: int | None = None
     redact_columns: list[str] = field(default_factory=list)
     sample: int | None = None
+    # column -> strategy ('hash' | 'partial' | 'null'): masking keeps
+    # the column present but de-identified, where redact drops it
+    mask_columns: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict | None) -> "ShapeConfig":
@@ -157,6 +160,9 @@ class ShapeConfig:
             max_rows=d.get("max-rows", d.get("max_rows")),
             redact_columns=list(d.get("redact-columns", d.get("redact_columns", []) or [])),
             sample=d.get("sample"),
+            mask_columns=dict(
+                d.get("mask-columns", d.get("mask_columns")) or {}
+            ),
         )
 
 

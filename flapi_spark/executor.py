@@ -70,9 +70,41 @@ def paginate_keyset_sql(
     )
 
 
+def _mask_col(df: DataFrame, name: str, strategy: str):
+    from pyspark.sql import functions as F
+
+    c = F.col(name).cast("string")
+    if strategy == "hash":
+        return F.md5(c)
+    if strategy == "partial":
+        # keep the last 4 characters (the card-number convention)
+        return F.when(
+            F.length(c) > 4,
+            F.concat(
+                F.repeat(F.lit("*"), F.length(c) - 4), F.substring(c, -4, 4)
+            ),
+        ).otherwise(F.repeat(F.lit("*"), F.length(c)))
+    if strategy == "null":
+        return F.lit(None).cast("string")
+    raise ValueError(f"unknown mask strategy '{strategy}' for column {name}")
+
+
 def shape_df(df: DataFrame, shape: ShapeConfig) -> tuple[DataFrame, dict]:
-    """Apply response shaping (redact-columns, max-rows, sample)."""
+    """Apply response shaping (redact-columns, mask-columns, max-rows,
+    sample). Masking (hash / partial / null) keeps the column in the
+    schema but de-identifies values — the governance middle ground
+    between serving raw PII and dropping the column (reference:
+    mcp_response_shaper.cpp shaping surface, extended)."""
     info: dict[str, Any] = {}
+    if shape.mask_columns:
+        lower_map = {k.lower(): v for k, v in shape.mask_columns.items()}
+        masked = []
+        for c in df.columns:
+            if c.lower() in lower_map:
+                df = df.withColumn(c, _mask_col(df, c, lower_map[c.lower()]))
+                masked.append(c)
+        if masked:
+            info["masked"] = masked
     if shape.redact_columns:
         redact = {c.lower() for c in shape.redact_columns}
         keep = [c for c in df.columns if c.lower() not in redact]

@@ -87,3 +87,69 @@ def test_serializers_enforce_default_cap(spark):
         assert len(R.to_json_rows(df, max_rows=R.UNLIMITED)) == 50
     finally:
         R.DEFAULT_MAX_ROWS = old
+
+
+def test_mask_columns_strategies(spark, tmp_path):
+    import hashlib
+
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+
+    spark.createDataFrame(
+        [(1, "alice@example.com", "4111111111111111"), (2, "bo@x.io", "123")],
+        "id LONG, email STRING, card STRING",
+    ).createOrReplaceTempView("mask_src")
+    ep = EndpointConfig.from_dict(
+        {
+            "url-path": "/masked/",
+            "template-text": "SELECT id, email, card FROM mask_src",
+            "with-pagination": False,
+            "response-shape": {
+                "mask-columns": {
+                    "email": "hash",
+                    "card": "partial",
+                }
+            },
+        },
+        base_dir=tmp_path,
+    )
+    res = QueryExecutor(spark).execute(ep)
+    rows = {r.id: r for r in res.df.collect()}
+    assert res.shaped["masked"] == ["email", "card"]
+    assert rows[1].email == hashlib.md5(b"alice@example.com").hexdigest()
+    assert rows[1].card == "************1111"
+    assert rows[2].card == "***"  # <=4 chars: fully starred
+    # schema keeps the columns (mask != redact)
+    assert set(res.df.columns) == {"id", "email", "card"}
+
+
+def test_mask_null_and_unknown_strategy(spark, tmp_path):
+    import pytest as _pytest
+
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+
+    spark.createDataFrame(
+        [(1, "x")], "id LONG, secret STRING"
+    ).createOrReplaceTempView("mask_src2")
+    nulled = EndpointConfig.from_dict(
+        {
+            "url-path": "/nulled/",
+            "template-text": "SELECT id, secret FROM mask_src2",
+            "with-pagination": False,
+            "response-shape": {"mask-columns": {"secret": "null"}},
+        },
+        base_dir=tmp_path,
+    )
+    assert QueryExecutor(spark).execute(nulled).df.collect()[0].secret is None
+    bad = EndpointConfig.from_dict(
+        {
+            "url-path": "/bad/",
+            "template-text": "SELECT id, secret FROM mask_src2",
+            "with-pagination": False,
+            "response-shape": {"mask-columns": {"secret": "rot13"}},
+        },
+        base_dir=tmp_path,
+    )
+    with _pytest.raises(ValueError, match="rot13"):
+        QueryExecutor(spark).execute(bad)
