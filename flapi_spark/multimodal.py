@@ -263,6 +263,69 @@ def _wav_decode(payload: bytes) -> dict:
     }
 
 
+# --- real BMP codec (pure stdlib: struct) ----------------------------------
+
+def bmp_encode(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit BMP writer (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) — the encoder half for round-trip tests."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = b""
+    for row in reversed(pixels):  # BMP stores bottom-up
+        for (r, g, b) in row:
+            body += bytes((b, g, r))  # BGR order
+        body += b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + body
+
+
+def _bmp_decode(payload: bytes) -> dict:
+    """24-bit uncompressed BMP decode: header walk, bottom-up BGR rows
+    with 4-byte padding, per-channel means (same stats contract as
+    _png_decode)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    sums = [0, 0, 0]
+    pos = offset
+    for _ in range(h):
+        row = payload[pos : pos + row_bytes]
+        if len(row) < row_bytes:
+            raise ValueError("BMP pixel data truncated")
+        for i in range(0, row_bytes, 3):
+            sums[2] += row[i]       # B
+            sums[1] += row[i + 1]   # G
+            sums[0] += row[i + 2]   # R
+        pos += row_bytes + pad
+    n_px = w * h
+    means = [s / n_px for s in sums] if n_px else [0.0, 0.0, 0.0]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "checksum": hashlib.md5(payload).hexdigest(),
+        "n_channels": 3,
+        "bit_depth": 8,
+        "sample_rate": None,
+        "duration_ms": None,
+        "mean_level": float(sum(means) / 3),
+    }
+
+
 def decode_real(payload: bytes, media_type: str) -> dict:
     """Real decode: PNG and WAV are parsed with the stdlib codecs
     above; other formats need media libraries this container lacks
@@ -271,6 +334,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return _png_decode(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_decode(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
     try:
         from PIL import Image  # noqa: F401  # pragma: no cover
     except ImportError as exc:
@@ -286,8 +351,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
 def decode_auto(payload: bytes, media_type: str) -> dict:
     """Dispatch on magic bytes: real decode for recognized formats,
     deterministic stub otherwise."""
-    if payload[:8] == PNG_SIG or (
-        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    if (
+        payload[:8] == PNG_SIG
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
+        or payload[:2] == b"BM"
     ):
         return decode_real(payload, media_type)
     return decode_stub(payload, media_type)

@@ -203,3 +203,33 @@ def test_mm_real_decoded_end_to_end(spark, sf_dir):
     # fake mp4 rows fall back to the deterministic stub
     for r in by_type.get("video/mp4", []):
         assert r.n_frames >= 8 and r.sample_rate is None
+
+
+def test_bmp_round_trip_stats():
+    from flapi_spark.multimodal import _bmp_decode, bmp_encode, decode_auto
+
+    # 3x2 image with known channel means (incl. row padding: w=3)
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    payload = bmp_encode(pixels)
+    d = _bmp_decode(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["n_channels"] == 3 and d["bit_depth"] == 8
+    flat = [c for row in pixels for px in row for c in px]
+    assert d["mean_level"] == sum(flat) / len(flat)
+    # decode_auto dispatches on the BM magic
+    assert decode_auto(payload, "image/bmp")["checksum"] == d["checksum"]
+
+
+def test_bmp_rejects_corrupt_and_unsupported():
+    import pytest as _pytest
+
+    from flapi_spark.multimodal import _bmp_decode, bmp_encode
+
+    with _pytest.raises(ValueError, match="signature"):
+        _bmp_decode(b"XX123456")
+    good = bmp_encode([[(1, 2, 3)]])
+    with _pytest.raises(ValueError, match="truncated"):
+        _bmp_decode(good[:-2])
