@@ -3086,3 +3086,107 @@ def new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_share"),
         )
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily revenue: the cumulative
+    sum of deviations from the global mean pinpoints where the level
+    shifted (the argmax-|CUSUM| day is the classic single-changepoint
+    estimate; Page 1954).
+
+    Fully EXACT integer arithmetic: deviation is scaled by the day
+    count (cents_i·N − total, avoiding the fractional mean entirely),
+    so the CUSUM series is a BIGINT running sum — no float drift
+    anywhere. Output: per-day scaled CUSUM + the changepoint flag.
+    Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    wall = Window.partitionBy()
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        daily.withColumn("nn", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.sum("cents").over(wall))
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("cents") * F.col("nn") - F.col("total")
+            ).over(wc),
+        )
+    )
+    wmax = Window.partitionBy()
+    return (
+        t.withColumn("max_abs", F.max(F.abs("cusum")).over(wmax))
+        .select(
+            "day",
+            F.col("cents").cast("long").alias("cents"),
+            F.col("cusum").cast("long").alias("cusum_scaled"),
+            (F.abs("cusum") == F.col("max_abs")).alias("is_changepoint"),
+        )
+    )
+
+
+def holt_linear_daily_revenue(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over daily revenue
+    — level + trend, the forecasting step beyond the EWMA and
+    seasonal-naive baselines:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Event-scale work is one groupBy(day); the inherently sequential
+    recursion folds over the tiny daily array in order, and the DuckDB
+    oracle's recursive CTE replays the identical IEEE sequence
+    (bit-exact, the ewma pattern with a two-component state).
+    Initialization: l_2 = x_2, b_2 = x_2 − x_1 (emitting from t=3)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("x")
+    )
+    w = Window.orderBy("day")
+    rn = daily.withColumn("rn", F.row_number().over(w))
+    a, b = float(alpha), float(beta)
+    folded = rn.select(
+        F.expr(
+            "aggregate("
+            " slice(array_sort(collect_list(struct(rn, day, x))), 3,"
+            "  size(collect_list(struct(rn, day, x)))),"
+            " named_struct("
+            "  'l', element_at(array_sort(collect_list(struct(rn, day, x))), 2).x,"
+            "  'b', element_at(array_sort(collect_list(struct(rn, day, x))), 2).x"
+            "   - element_at(array_sort(collect_list(struct(rn, day, x))), 1).x,"
+            "  'out', CAST(array() AS ARRAY<STRUCT<day: DATE, x: DOUBLE,"
+            "   level: DOUBLE, trend: DOUBLE>>)),"
+            f" (acc, e) -> named_struct("
+            f"  'l', CAST({a} AS DOUBLE) * e.x"
+            f"   + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b),"
+            f"  'b', CAST({b} AS DOUBLE) * ((CAST({a} AS DOUBLE) * e.x"
+            f"   + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b)) - acc.l)"
+            f"   + CAST({1 - b} AS DOUBLE) * acc.b,"
+            "  'out', array_append(acc.out, named_struct("
+            "   'day', e.day, 'x', e.x,"
+            f"   'level', CAST({a} AS DOUBLE) * e.x"
+            f"    + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b),"
+            f"   'trend', CAST({b} AS DOUBLE) * ((CAST({a} AS DOUBLE) * e.x"
+            f"    + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b)) - acc.l)"
+            f"    + CAST({1 - b} AS DOUBLE) * acc.b))),"
+            " acc -> acc.out) AS hw"
+        )
+    )
+    return folded.select(F.explode("hw").alias("e")).select(
+        F.col("e.day").alias("day"),
+        F.col("e.x").alias("revenue"),
+        F.col("e.level").alias("level"),
+        F.col("e.trend").alias("trend"),
+    )

@@ -2613,6 +2613,46 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "cusum_changepoint": (
+            R.cusum_changepoint,
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " t AS (SELECT *, count(*) OVER () AS nn,"
+            "  sum(cents) OVER () AS total FROM daily),"
+            " c AS (SELECT day, cents, sum(cents * nn - total) OVER ("
+            "  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "  CURRENT ROW) AS cusum FROM t),"
+            " m AS (SELECT *, max(abs(cusum)) OVER () AS max_abs FROM c)"
+            " SELECT day, CAST(cents AS BIGINT) AS cents,"
+            "  CAST(cusum AS BIGINT) AS cusum_scaled,"
+            "  abs(cusum) = max_abs AS is_changepoint"
+            " FROM m",
+        ),
+        "holt_linear_daily_revenue": (
+            R.holt_linear_daily_revenue,
+            "WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE)"
+            "   AS day,"
+            "  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "   AS x FROM orders GROUP BY 1),"
+            " o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn"
+            "  FROM daily),"
+            " init AS (SELECT o2.rn, o2.day, o2.x, o2.x AS l,"
+            "   o2.x - o1.x AS b"
+            "  FROM o o1 JOIN o o2 ON o1.rn = 1 AND o2.rn = 2),"
+            " rec(rn, day, x, l, b) AS ("
+            "  SELECT rn, day, x, l, b FROM init"
+            "  UNION ALL"
+            "  SELECT o.rn, o.day, o.x,"
+            "   CAST(0.3 AS DOUBLE) * o.x"
+            "    + CAST(0.7 AS DOUBLE) * (r.l + r.b),"
+            "   CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * o.x"
+            "    + CAST(0.7 AS DOUBLE) * (r.l + r.b)) - r.l)"
+            "    + CAST(0.9 AS DOUBLE) * r.b"
+            "  FROM o JOIN rec r ON o.rn = r.rn + 1)"
+            " SELECT day, x AS revenue, l AS level, b AS trend"
+            " FROM rec WHERE rn >= 3",
+        ),
         "ma_crossover_signals": (
             R.ma_crossover_signals,
             "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
