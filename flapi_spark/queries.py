@@ -3065,7 +3065,16 @@ QUERIES.update(
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
-# entries to the front. Round-3 priority: (1) round-1 hash-fails whose
+# entries to the front.
+#
+# ROUND-4 ROTATION NOTE: the round-3d session added ~30 entries AFTER
+# the r03 window filled (they follow the _CHECK_FIRST block in
+# registration order: pagerank_neardup_graph .. holt_linear_daily_
+# revenue, plus m4_downsample_events / orderpriority_status_concat /
+# udtf_ngram_profile / countmin_token_freq at positions 51-54 of the
+# r03 order). All are local-drive green at sf0.01
+# (scripts/drive_contract.py). Round 4 should put those ~34
+# never-driver-checked entries first, then any r03 failures. Round-3 priority: (1) round-1 hash-fails whose
 # dtype fix was never rechecked (round 2's window ended before them),
 # (2) round-1 passes whose output dtypes changed to the DOUBLE
 # convention afterward, (3) queries new this round, (4) round-1 passes

@@ -266,3 +266,25 @@ def test_counter_rate_single_user_exchange(spark, sf_dir):
     # cumsum + lag share one user-keyed exchange: exactly one
     # hashpartitioning(user_id...) in the plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["hhi_market_concentration", "welch_ttest_segments",
+     "ols_quantity_on_price", "trimmed_mean_order_values"],
+)
+def test_round3d_stats_ops_broadcast_dims(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    # dims (supplier/nation/customer/part) broadcast into the fact scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_and_gini_fact_work_is_one_groupby(spark, sf_dir):
+    # the single-partition rank windows run on part/customer-grain
+    # rows; the fact-scale orders/lineitem work must be a partial
+    # (map-side combined) aggregate, not a global sort of raw facts
+    for name in ("abc_classification", "gini_customer_revenue"):
+        plan = _plan(spark, name, sf_dir)
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
