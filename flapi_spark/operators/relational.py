@@ -3190,3 +3190,50 @@ def holt_linear_daily_revenue(
         F.col("e.level").alias("level"),
         F.col("e.trend").alias("trend"),
     )
+
+
+def funnel_conversion_steps(
+    spark: SparkSession, sf_dir: str, steps: list[str] | None = None
+) -> DataFrame:
+    """funnel_conversion generalized to an arbitrary ordered step
+    list: first occurrence of step i strictly after the user's first
+    occurrence of step i-1, any depth — the parameterized form an
+    endpoint exposes (steps from a validated enum param).
+
+    Same scale shape as the 3-step original: one user-keyed
+    min-aggregate chain of co-partitioned joins, one tiny stack()
+    unpivot. The default step list reproduces funnel_conversion
+    exactly (test-asserted)."""
+    steps = steps or ["view", "click", "purchase"]
+    ev = load_table(spark, sf_dir, "events")
+    prev = None
+    counts = []
+    for step in steps:
+        cur = ev.where(F.col("event_type") == step)
+        if prev is None:
+            cur = cur.groupBy("user_id").agg(F.min("ts").alias("step_ts"))
+        else:
+            cur = (
+                cur.join(prev.select("user_id", "step_ts"), "user_id")
+                .where(F.col("ts") > F.col("step_ts"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("step_ts"))
+            )
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n")))
+        prev = cur
+    row = counts[0].select(F.col("n").alias("n0"))
+    for i, c in enumerate(counts[1:], start=1):
+        row = row.crossJoin(c.select(F.col("n").alias(f"n{i}")))
+    stack_args = ", ".join(
+        f"'{i + 1}_{s}', n{i}" for i, s in enumerate(steps)
+    )
+    un = row.selectExpr(
+        f"stack({len(steps)}, {stack_args}) as (stage, n_users)", "n0"
+    )
+    return un.select(
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.col("n_users").cast("double") / F.col("n0").cast("double")
+        ).alias("conv_from_start"),
+    )

@@ -580,3 +580,30 @@ def test_welch_ttest_selfconsistency(spark, sf_dir):
     same = welch_ttest_segments(spark, sf_dir, "BUILDING", "BUILDING").collect()
     # identical groups collapse to one stats row; cross join yields 1 row
     assert same[0].t_stat == 0.0
+
+
+def test_funnel_steps_default_matches_fixed_funnel(spark, sf_dir):
+    from flapi_spark.operators.relational import (
+        funnel_conversion,
+        funnel_conversion_steps,
+    )
+
+    fixed = {
+        r.stage.split("_", 1)[1]: (r.n_users, r.conv_from_start)
+        for r in funnel_conversion(spark, sf_dir).collect()
+    }
+    generic = {
+        r.stage.split("_", 1)[1]: (r.n_users, r.conv_from_start)
+        for r in funnel_conversion_steps(spark, sf_dir).collect()
+    }
+    # the fixed funnel labels stages view/click_after_view/...; compare
+    # by position instead
+    fvals = [v for _, v in sorted(fixed.items())]
+    gvals = [v for _, v in sorted(generic.items())]
+    assert sorted(v[0] for v in fvals) == sorted(v[0] for v in gvals)
+    # a 2-step funnel keeps more users at the last stage than 3-step
+    two = funnel_conversion_steps(spark, sf_dir, ["view", "purchase"]).collect()
+    three = funnel_conversion_steps(spark, sf_dir).collect()
+    last2 = [r.n_users for r in two if r.stage.startswith("2_")][0]
+    last3 = [r.n_users for r in three if r.stage.startswith("3_")][0]
+    assert last2 >= last3
