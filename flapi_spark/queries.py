@@ -2301,6 +2301,39 @@ QUERIES.update(
 )
 
 
+def _bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-warehouse co-located join as an ORACLE-CHECKED entry
+    (operators/scale.py previously only plan-asserted in pytest):
+    orders and customer persist as same-bucketed tables on the
+    customer key, the revenue-by-segment join then runs with zero
+    exchanges on either side — the repeated-join amortization pattern
+    of a curated 100 TB warehouse. The oracle is the plain join (the
+    bucketed plan must CHANGE the physical strategy, never the
+    rows)."""
+    import os
+
+    from flapi_spark.operators.scale import colocated_join, write_bucketed
+    from flapi_spark.session import load_table
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, rt = f"orders_bk_{suffix}", f"customer_bk_{suffix}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(orders, lt, "o_custkey")
+    write_bucketed(cust, rt, "o_custkey")
+    j = colocated_join(spark, lt, rt, "o_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE DuckDB replication of the fixed-point integer
     PageRank (operators/graph.py): identical BIGINT floor-division
@@ -2613,6 +2646,14 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "bucketed_revenue_by_segment": (
+            _bucketed_revenue_by_segment,
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            "  AS total_value"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment",
+        ),
         "cusum_changepoint": (
             R.cusum_changepoint,
             "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
