@@ -2519,6 +2519,34 @@ def _cache_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
+    """Chained-CTE replication of kcore_decompose: `rounds` fixed peel
+    rounds (degree filter + edge restriction). The peel reaches its
+    fixpoint in diameter-ish rounds; additional rounds are identities,
+    so the fixed-depth SQL equals Spark's converge-and-stop loop."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references its predecessor twice — unmaterialized, the plan
+    # doubles per round (2^rounds scans, file-handle exhaustion)
+    sql = (
+        "WITH pairs AS MATERIALIZED (" + _JACCARD_PAIRS + "),"
+        " e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+    )
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += (
+            f" k{i} AS MATERIALIZED (SELECT u FROM e{p} GROUP BY u"
+            f"  HAVING count(*) >= {k}),"
+            f" e{i} AS MATERIALIZED (SELECT a.u, a.v FROM e{p} a"
+            f"  JOIN k{i} x ON a.u = x.u JOIN k{i} y ON a.v = y.u),"
+        )
+    return sql[:-1] + (
+        f" SELECT CAST(u AS BIGINT) AS doc_id,"
+        f" CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} GROUP BY u"
+    )
+
+
 def _pq_adc_sql() -> str:
     """DuckDB replication of ann_pq_adc_topk: same deterministic
     codebook sample, same positional-fold subspace distances
@@ -3005,11 +3033,14 @@ QUERIES.update(
             "   AS chi2_contrib"
             " FROM t",
         ),
+        # exact oracle: K chained peel-round CTEs — once the peel hits
+        # its fixpoint every further round is a no-op, so a fixed round
+        # count equals Spark's converge-and-stop loop exactly
         "kcore_neardup_graph": (
             lambda spark, sf_dir: __import__(
                 "flapi_spark.operators.graph", fromlist=["kcore_neardup_graph"]
             ).kcore_neardup_graph(spark, sf_dir),
-            None,
+            _kcore_sql(),
         ),
         "forecast_seasonal_naive": (
             R.forecast_seasonal_naive,
