@@ -2315,8 +2315,18 @@ def _bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.operators.scale import colocated_join, write_bucketed
     from flapi_spark.session import load_table
 
+    import shutil
+
     suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     lt, rt = f"orders_bk_{suffix}", f"customer_bk_{suffix}"
+    # a stale warehouse dir from an earlier session blocks saveAsTable
+    # (the table location survives but the in-memory catalog entry
+    # doesn't) — drop both layers before writing
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wpath = warehouse.removeprefix("file:")
+    for t in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
