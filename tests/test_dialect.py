@@ -201,3 +201,35 @@ if HAS_HYPOTHESIS:
         # never raises, always returns a string
         out = duckdb_to_spark_sql(sql)
         assert isinstance(out, str)
+
+
+if HAS_HYPOTHESIS:
+
+    from flapi_spark.binding import rewrite_typed_params, spark_args
+    from flapi_spark.validation import RequestField
+
+    _FIELD = RequestField.from_dict(
+        {
+            "field-name": "p",
+            "field-in": "query",
+            "validators": [{"type": "enum", "allowedValues": ["A"]}],
+        }
+    )
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def test_typed_param_value_never_lands_in_sql(value):
+        """Injection-proof by construction: for TYPED fields (enum
+        here; plain strings deliberately stay interpolation +
+        preventSqlInjection, matching the reference), the rewritten
+        SQL contains only the :p marker — the value travels in the
+        args dict, never the query text."""
+        sql_in = "SELECT * FROM t WHERE a = {{params.p}} AND b = '{{{params.p}}}'"
+        sql, bound = rewrite_typed_params(sql_in, [_FIELD])
+        assert "{{" not in sql and "}}" not in sql
+        assert bound == ["p"]
+        args = spark_args({"p": value}, bound)
+        assert args.get("p") == value
+        # the SQL text is a CONSTANT independent of the value — the
+        # value can only travel through the args dict
+        assert sql == "SELECT * FROM t WHERE a = :p AND b = :p"
