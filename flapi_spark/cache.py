@@ -90,8 +90,10 @@ class CacheManager:
         root: str | Path,
         data_root: str | Path | None = None,
         inline_row_limit: int | None = None,
+        metrics=None,
     ):
         self.spark = spark
+        self.metrics = metrics  # optional MetricsRegistry
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.data_root = Path(data_root) if data_root is not None else self.root
@@ -193,6 +195,16 @@ class CacheManager:
         snaps.append(entry)
         self._write_manifest(cfg, snaps)
         self._audit(cfg, mode, "success", f"rows={row_count}", snap_id)
+        if self.metrics is not None:
+            self.metrics.inc(
+                "flapi_cache_refreshes",
+                {"table": f"{cfg.schema}.{cfg.table}", "mode": mode},
+            )
+            self.metrics.inc(
+                "flapi_cache_rows_committed",
+                {"table": f"{cfg.schema}.{cfg.table}"},
+                by=float(row_count),
+            )
         return self.snapshot_info(cfg)
 
     def read(self, cfg: CacheConfig, snapshot_id: str | None = None) -> DataFrame:

@@ -99,3 +99,22 @@ def test_plan_guard_rejects_cartesian(spark, tmp_path):
         base_dir=tmp_path,
     )
     assert guarded.execute(joined).df.count() == 5
+
+
+def test_cache_refresh_metrics(spark, sf_dir, tmp_path):
+    from flapi_spark.cache import CacheManager
+    from flapi_spark.config import CacheConfig
+    from flapi_spark.session import load_table
+
+    m = MetricsRegistry()
+    mgr = CacheManager(spark, str(tmp_path / "c"), metrics=m)
+    cfg = CacheConfig(enabled=True, table="t", schema="s")
+    region = load_table(spark, sf_dir, "region")
+    mgr.full_refresh(cfg, region)
+    mgr.full_refresh(cfg, region)
+    assert m.counter_value(
+        "flapi_cache_refreshes", {"table": "s.t", "mode": "full_refresh"}
+    ) == 2
+    assert m.counter_value(
+        "flapi_cache_rows_committed", {"table": "s.t"}
+    ) == 2 * region.count()
