@@ -3237,3 +3237,57 @@ def funnel_conversion_steps(
             F.col("n_users").cast("double") / F.col("n0").cast("double")
         ).alias("conv_from_start"),
     )
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: for each
+    signup-quarter cohort (first order) and quarter offset, the
+    cumulative revenue per cohort member — the money-weighted sibling
+    of cohort_retention ("how much has the 1994-Q1 cohort spent by
+    quarter 4 of its life?").
+
+    Exact integer cents end to end (cumulative window sum of BIGINTs);
+    the per-member normalization divides two exact integers per row
+    (6dp). Quarter arithmetic is integral (year*4 + quarter). One
+    fact-scale window for cohort assignment (customer-key exchange),
+    one (cohort, offset) groupBy, one cohort-partitioned cumsum over
+    the tiny curve grid. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    t = orders.withColumn("first_dt", F.min("o_orderdate").over(w)).select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.year("first_dt") * 4 + F.quarter("first_dt") - 1).alias("cq"),
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).alias(
+            "oq"
+        ),
+    )
+    cohort_size = (
+        t.select("o_custkey", "cq")
+        .distinct()
+        .groupBy("cq")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    per = t.groupBy("cq", (F.col("oq") - F.col("cq")).alias("offset_q")).agg(
+        F.sum("cents").alias("cents")
+    )
+    wc = Window.partitionBy("cq").orderBy("offset_q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("cum_cents", F.sum("cents").over(wc))
+        .join(cohort_size, "cq")
+        .select(
+            F.col("cq").cast("long").alias("cohort_quarter"),
+            F.col("offset_q").cast("long").alias("offset_q"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / (F.col("n_members") * 100),
+                6,
+            ).alias("ltv_per_member"),
+        )
+    )

@@ -2684,6 +2684,29 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "cohort_ltv_curves": (
+            R.cohort_ltv_curves,
+            "WITH t AS (SELECT o_custkey,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,"
+            "  year(f) * 4 + quarter(f) - 1 AS cq,"
+            "  year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS oq"
+            "  FROM (SELECT *, min(o_orderdate) OVER ("
+            "   PARTITION BY o_custkey) AS f FROM orders) z),"
+            " cs AS (SELECT cq, count(*) AS n_members FROM ("
+            "  SELECT DISTINCT o_custkey, cq FROM t) d GROUP BY 1),"
+            " p AS (SELECT cq, oq - cq AS offset_q, sum(cents) AS cents"
+            "  FROM t GROUP BY 1, 2),"
+            " c AS (SELECT *, sum(cents) OVER (PARTITION BY cq"
+            "  ORDER BY offset_q ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "  CURRENT ROW) AS cum_cents FROM p)"
+            " SELECT CAST(c.cq AS BIGINT) AS cohort_quarter,"
+            "  CAST(offset_q AS BIGINT) AS offset_q,"
+            "  CAST(n_members AS BIGINT) AS n_members,"
+            "  CAST(cum_cents AS BIGINT) AS cum_cents,"
+            "  round(CAST(cum_cents AS DOUBLE) / (n_members * 100), 6)"
+            "   AS ltv_per_member"
+            " FROM c JOIN cs ON cs.cq = c.cq",
+        ),
         "bucketed_revenue_by_segment": (
             _bucketed_revenue_by_segment,
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,"

@@ -118,3 +118,49 @@ def test_cache_refresh_metrics(spark, sf_dir, tmp_path):
     assert m.counter_value(
         "flapi_cache_rows_committed", {"table": "s.t"}
     ) == 2 * region.count()
+
+
+def test_cursor_roundtrip_and_tampering():
+    import pytest as _pytest
+
+    from flapi_spark.cursor import CursorError, decode_cursor, encode_cursor
+
+    for v in (42, "O_199", 3.5, True, None):
+        assert decode_cursor(encode_cursor(v)) == v
+        assert decode_cursor(encode_cursor(v, "k"), "k") == v
+    tok = encode_cursor(100, "secret")
+    # flipped byte in the body -> signature mismatch
+    body, sig = tok.split(".")
+    bad = ("A" if body[0] != "A" else "B") + body[1:] + "." + sig
+    with _pytest.raises(CursorError, match="signature"):
+        decode_cursor(bad, "secret")
+    with _pytest.raises(CursorError, match="signature"):
+        decode_cursor(body, "secret")  # stripped signature
+    with _pytest.raises(CursorError):
+        decode_cursor("!!notb64!!")
+    # unsigned tokens decode without a secret but are rejected by a
+    # signing decoder
+    with _pytest.raises(CursorError):
+        decode_cursor(encode_cursor(5), "secret")
+
+
+def test_cursor_drives_keyset_pagination(spark, sf_dir):
+    from flapi_spark.cursor import decode_cursor, encode_cursor
+    from flapi_spark.executor import paginate_keyset_sql
+    from flapi_spark.session import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    inner = "SELECT o_orderkey, o_totalprice FROM orders"
+    page1 = spark.sql(paginate_keyset_sql(inner, "o_orderkey", None, 10))
+    rows1 = page1.collect()
+    token = encode_cursor(rows1[-1].o_orderkey, "k")
+    after = decode_cursor(token, "k")
+    page2 = spark.sql(
+        paginate_keyset_sql(inner, "o_orderkey", after, 10),
+        args={"__after": after},
+    )
+    rows2 = page2.collect()
+    assert rows2 and rows2[0].o_orderkey > rows1[-1].o_orderkey
+    assert {r.o_orderkey for r in rows1}.isdisjoint(
+        {r.o_orderkey for r in rows2}
+    )
