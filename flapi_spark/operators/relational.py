@@ -3291,3 +3291,75 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_member"),
         )
     )
+
+
+def revenue_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    dashboard staple ("up 3.2% MoM, 12% YoY"). Monthly sums in exact
+    integer cents; each growth rate is ONE division of exact integers
+    (lag windows over the month grid), rounded 6dp. The YoY lag is 12
+    month-grain rows. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("month")
+    t = monthly.withColumn("prev_m", F.lag("cents", 1).over(w)).withColumn(
+        "prev_y", F.lag("cents", 12).over(w)
+    )
+    mom = F.when(
+        F.col("prev_m").isNotNull(),
+        F.round(
+            (F.col("cents") - F.col("prev_m")).cast("double")
+            / F.col("prev_m"),
+            6,
+        ),
+    )
+    yoy = F.when(
+        F.col("prev_y").isNotNull(),
+        F.round(
+            (F.col("cents") - F.col("prev_y")).cast("double")
+            / F.col("prev_y"),
+            6,
+        ),
+    )
+    return t.select(
+        "month",
+        F.col("cents").cast("long").alias("cents"),
+        mom.alias("mom_growth"),
+        yoy.alias("yoy_growth"),
+    )
+
+
+def order_to_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order→ship latency percentiles per priority class — the
+    logistics SLA readout (does URGENT actually ship faster?).
+    Latencies are exact integer days (datediff through the orders ⋈
+    lineitem join); p50/p90 interpolate identically in Spark's
+    percentile() and DuckDB's quantile_cont (the proven pairing).
+    One fact join shuffling on orderkey + a 5-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat_d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.percentile("lat_d", 0.5).alias("p50_days"),
+        F.percentile("lat_d", 0.9).alias("p90_days"),
+        F.min("lat_d").cast("long").alias("min_days"),
+        F.max("lat_d").cast("long").alias("max_days"),
+    )

@@ -2684,6 +2684,38 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "revenue_growth_rates": (
+            R.revenue_growth_rates,
+            "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)"
+            "   AS TIMESTAMP) AS month,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " t AS (SELECT *, lag(cents, 1) OVER (ORDER BY month)"
+            "   AS prev_m, lag(cents, 12) OVER (ORDER BY month) AS prev_y"
+            "  FROM m)"
+            " SELECT month, CAST(cents AS BIGINT) AS cents,"
+            "  CASE WHEN prev_m IS NOT NULL THEN"
+            "   round(CAST(cents - prev_m AS DOUBLE) / prev_m, 6)"
+            "   END AS mom_growth,"
+            "  CASE WHEN prev_y IS NOT NULL THEN"
+            "   round(CAST(cents - prev_y AS DOUBLE) / prev_y, 6)"
+            "   END AS yoy_growth"
+            " FROM t",
+        ),
+        "order_to_ship_latency_percentiles": (
+            R.order_to_ship_latency_percentiles,
+            "SELECT o_orderpriority,"
+            " CAST(count(*) AS BIGINT) AS n_lines,"
+            " quantile_cont(lat_d, 0.5) AS p50_days,"
+            " quantile_cont(lat_d, 0.9) AS p90_days,"
+            " CAST(min(lat_d) AS BIGINT) AS min_days,"
+            " CAST(max(lat_d) AS BIGINT) AS max_days"
+            " FROM (SELECT o_orderpriority,"
+            "  date_diff('day', CAST(o_orderdate AS DATE),"
+            "   CAST(l_shipdate AS DATE)) AS lat_d"
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t"
+            " GROUP BY o_orderpriority",
+        ),
         "cohort_ltv_curves": (
             R.cohort_ltv_curves,
             "WITH t AS (SELECT o_custkey,"
