@@ -3363,3 +3363,30 @@ def order_to_ship_latency_percentiles(
         F.min("lat_d").cast("long").alias("min_days"),
         F.max("lat_d").cast("long").alias("max_days"),
     )
+
+
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap grid: event counts per (weekday, hour) — the
+    "when are users active" dashboard tile. Weekday comes from pure
+    integer day arithmetic anchored on a known Monday (0=Monday;
+    Spark's dayofweek() and DuckDB's disagree on week start, integer
+    modulo doesn't). One tiny groupBy; exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")),
+        F.lit(7),
+    )
+    return (
+        ev.select(
+            dow.cast("long").alias("weekday"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("weekday", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

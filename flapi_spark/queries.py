@@ -2684,6 +2684,38 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "neardup_pair_evidence": (
+            D.neardup_pair_evidence,
+            "WITH mp AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_portable_sql() + ") z),"
+            " mem AS (SELECT DISTINCT doc_id FROM ("
+            "  SELECT doc_a AS doc_id FROM mp"
+            "  UNION ALL SELECT doc_b FROM mp) u),"
+            f" tk AS (SELECT d.doc_id, {_TOKS} AS t FROM documents d"
+            "  JOIN mem ON mem.doc_id = d.doc_id),"
+            " tiles AS (SELECT DISTINCT doc_id,"
+            "   array_to_string(t[(i * 5 + 1):(i * 5 + 5)], ' ') AS tile"
+            "  FROM tk CROSS JOIN (SELECT unnest(range(0, 10000)) AS i)"
+            "  WHERE (i + 1) * 5 <= len(t)),"
+            " sh AS (SELECT mp.doc_a, mp.doc_b, count(*) AS n"
+            "  FROM mp JOIN tiles a ON a.doc_id = mp.doc_a"
+            "  JOIN tiles b ON b.doc_id = mp.doc_b AND b.tile = a.tile"
+            "  GROUP BY 1, 2)"
+            " SELECT mp.doc_a, mp.doc_b,"
+            "  CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_tiles"
+            " FROM mp LEFT JOIN sh ON sh.doc_a = mp.doc_a"
+            "  AND sh.doc_b = mp.doc_b",
+        ),
+        "events_weekday_hour_heatmap": (
+            R.events_weekday_hour_heatmap,
+            "SELECT CAST((date_diff('day', DATE '1970-01-05',"
+            "   CAST(ts AS DATE)) % 7 + 7) % 7 AS BIGINT) AS weekday,"
+            "  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,"
+            "  CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)"
+            "   AS value_cents"
+            " FROM events GROUP BY 1, 2",
+        ),
         "revenue_growth_rates": (
             R.revenue_growth_rates,
             "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)"
