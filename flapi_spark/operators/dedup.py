@@ -1044,3 +1044,61 @@ def neardup_pair_evidence(
             "n_shared_tiles"
         ),
     )
+
+
+def dedup_family_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation view: one row per near-dup FAMILY (connected
+    component over the Jaccard pair graph) with the keep/drop numbers
+    a curation report needs — member count, survivor (min doc_id),
+    token mass kept vs dropped, and whether the family is a clique
+    (every member pairwise-similar ⇒ safe single-survivor collapse)
+    or a looser chain.
+
+    Composes label_components with per-doc token counts and the pair
+    count per family (a family of n members is a clique iff it holds
+    n·(n−1)/2 pairs). Exact oracle: recursive-CTE closure + the same
+    joins."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, 0.95).select("doc_a", "doc_b")
+    comp = label_components(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(norm_text(), " ")).alias("n_tokens")
+    )
+    members = comp.join(toks, "doc_id")
+    fam = members.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("survivor_id"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    surv = members.select(
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_tokens").alias("survivor_tokens"),
+    )
+    pc = (
+        pairs.join(
+            comp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("component_id"),
+            ),
+            "doc_a",
+        )
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        fam.join(surv, "survivor_id")
+        .join(pc, "component_id")
+        .select(
+            F.col("component_id").cast("long").alias("component_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("survivor_id").cast("long").alias("survivor_id"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (F.col("total_tokens") - F.col("survivor_tokens"))
+            .cast("long")
+            .alias("tokens_dropped"),
+            (
+                F.col("n_pairs")
+                == (F.col("n_members") * (F.col("n_members") - 1)) / 2
+            ).alias("is_clique"),
+        )
+    )

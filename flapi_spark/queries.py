@@ -2684,6 +2684,37 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "dedup_family_summary": (
+            D.dedup_family_summary,
+            "WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS + "),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+            "  UNION SELECT doc_b, doc_a FROM pairs),"
+            " reach(u, v) AS (SELECT u, v FROM edges"
+            "  UNION SELECT r.u, e.v FROM reach r JOIN edges e"
+            "   ON r.v = e.u),"
+            " comp AS (SELECT u AS doc_id,"
+            "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
+            "  FROM reach GROUP BY u),"
+            f" tk AS (SELECT doc_id, len({_TOKS}) AS n_tokens"
+            "  FROM documents),"
+            " mem AS (SELECT c.doc_id, c.component_id, tk.n_tokens"
+            "  FROM comp c JOIN tk ON tk.doc_id = c.doc_id),"
+            " fam AS (SELECT component_id, count(*) AS n_members,"
+            "  min(doc_id) AS survivor_id, sum(n_tokens) AS total_tokens"
+            "  FROM mem GROUP BY 1),"
+            " pc AS (SELECT c.component_id, count(*) AS n_pairs"
+            "  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a"
+            "  GROUP BY 1)"
+            " SELECT fam.component_id,"
+            "  CAST(n_members AS BIGINT) AS n_members,"
+            "  CAST(survivor_id AS BIGINT) AS survivor_id,"
+            "  CAST(total_tokens AS BIGINT) AS total_tokens,"
+            "  CAST(total_tokens - sv.n_tokens AS BIGINT)"
+            "   AS tokens_dropped,"
+            "  n_pairs = (n_members * (n_members - 1)) / 2 AS is_clique"
+            " FROM fam JOIN mem sv ON sv.doc_id = fam.survivor_id"
+            " JOIN pc ON pc.component_id = fam.component_id",
+        ),
         "neardup_pair_evidence": (
             D.neardup_pair_evidence,
             "WITH mp AS (SELECT doc_a, doc_b FROM ("
