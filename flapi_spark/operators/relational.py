@@ -3390,3 +3390,63 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+def k_anonymity_orders(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """k-anonymity risk measurement over the orders quasi-identifier
+    (priority, status, order year): per equivalence class its size and
+    whether it violates k — the privacy check a governance layer runs
+    BEFORE an endpoint may serve row-level data (classes smaller than
+    k re-identify; the masking policies in shape_df are the remedy).
+
+    One groupBy on the quasi-identifier; the violation share derives
+    from exact integers. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cls = orders.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    wall = Window.partitionBy()
+    return (
+        cls.withColumn("total", F.sum("class_size").over(wall))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_year",
+            F.col("class_size").cast("long").alias("class_size"),
+            (F.col("class_size") < k).alias("violates_k"),
+            F.round(
+                F.col("class_size").cast("double") / F.col("total"), 6
+            ).alias("class_share"),
+        )
+    )
+
+
+def tables_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verified probe over EVERY source table: per-table row
+    counts (the smoke query a deployment health check runs — it
+    proves all ten scans resolve and the metadata matches). Count-only
+    scans read footers, not data. Exact oracle."""
+    from flapi_spark.session import load_table as _lt
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    parts = []
+    for t in tables:
+        parts.append(
+            _lt(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2684,6 +2684,31 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "k_anonymity_orders": (
+            R.k_anonymity_orders,
+            "WITH c AS (SELECT o_orderpriority, o_orderstatus,"
+            "  CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+            "  count(*) AS class_size FROM orders GROUP BY 1, 2, 3),"
+            " t AS (SELECT *, sum(class_size) OVER () AS total FROM c)"
+            " SELECT o_orderpriority, o_orderstatus, o_year,"
+            "  CAST(class_size AS BIGINT) AS class_size,"
+            "  class_size < 5 AS violates_k,"
+            "  round(CAST(class_size AS DOUBLE) / total, 6)"
+            "   AS class_share"
+            " FROM t",
+        ),
+        "tables_row_counts": (
+            R.tables_row_counts,
+            " UNION ALL ".join(
+                f"SELECT '{t}' AS table_name,"
+                f" CAST(count(*) AS BIGINT) AS n_rows FROM {t}"
+                for t in (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings",
+                )
+            ),
+        ),
         "dedup_family_summary": (
             D.dedup_family_summary,
             "WITH RECURSIVE pairs AS (" + _JACCARD_PAIRS + "),"
