@@ -3450,3 +3450,80 @@ def tables_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy of the
+    event-type mix (0 = single-minded, ln(5) ≈ 1.609 = uniform) — the
+    engagement-breadth signal segmentation models consume.
+
+    The five known types pivot into fixed conditional-sum columns, so
+    the entropy is a LEFT-ASSOCIATED chain of at most five
+    −p·ln(p) terms in a deterministic order — a groupBy double-sum
+    would accumulate in partition order and diverge across engines.
+    Exact integer counts; one ln per present type; 6dp. Exact
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+            f"n_{t}"
+        )
+        for t in _EVENT_TYPES
+    ]
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"), *aggs
+    )
+    ent = None
+    for t in _EVENT_TYPES:
+        p = F.col(f"n_{t}").cast("double") / F.col("n_total")
+        term = F.when(F.col(f"n_{t}") > 0, -p * F.log(p)).otherwise(
+            F.lit(0.0)
+        )
+        ent = term if ent is None else ent + term
+    return per.select(
+        "user_id",
+        F.col("n_total").cast("long").alias("n_events"),
+        *[F.col(f"n_{t}").cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+        F.round(ent, 6).alias("type_entropy"),
+    )
+
+
+def order_value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per priority class: counts outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] — the robust complement to the
+    z-score anomaly flags (quartiles don't care about the outliers
+    they fence).
+
+    Quartiles interpolate identically (percentile/quantile_cont);
+    the fences and comparisons are mirrored doubles over exact
+    integer cents. Two passes: a 5-row quartile aggregate broadcast
+    back over the fact scan. Exact oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("cents", 0.25).alias("q1"),
+        F.percentile("cents", 0.75).alias("q3"),
+    )
+    j = orders.join(F.broadcast(q), "o_orderpriority")
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("cents") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("cents") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.round(F.max("q1") / 100, 6).alias("q1"),
+            F.round(F.max("q3") / 100, 6).alias("q3"),
+        )
+    )

@@ -2684,6 +2684,56 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "user_behavior_entropy": (
+            R.user_behavior_entropy,
+            "WITH p AS (SELECT user_id, count(*) AS n_total,"
+            + ",".join(
+                f" sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" AS n_{t}"
+                for t in (
+                    "click", "error", "purchase", "signup", "view"
+                )
+            )
+            + " FROM events GROUP BY user_id)"
+            " SELECT user_id, CAST(n_total AS BIGINT) AS n_events,"
+            + ",".join(
+                f" CAST(n_{t} AS BIGINT) AS n_{t}"
+                for t in (
+                    "click", "error", "purchase", "signup", "view"
+                )
+            )
+            + ", round("
+            + " + ".join(
+                f"(CASE WHEN n_{t} > 0 THEN"
+                f" -(CAST(n_{t} AS DOUBLE) / n_total)"
+                f" * ln(CAST(n_{t} AS DOUBLE) / n_total)"
+                f" ELSE 0.0 END)"
+                for t in (
+                    "click", "error", "purchase", "signup", "view"
+                )
+            )
+            + ", 6) AS type_entropy FROM p",
+        ),
+        "order_value_outliers_iqr": (
+            R.order_value_outliers_iqr,
+            "WITH o AS (SELECT o_orderpriority,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"
+            "  FROM orders),"
+            " q AS (SELECT o_orderpriority,"
+            "  quantile_cont(cents, 0.25) AS q1,"
+            "  quantile_cont(cents, 0.75) AS q3 FROM o GROUP BY 1),"
+            " j AS (SELECT o.*, q.q1, q.q3 FROM o"
+            "  JOIN q ON q.o_orderpriority = o.o_orderpriority)"
+            " SELECT o_orderpriority,"
+            "  CAST(count(*) AS BIGINT) AS n_orders,"
+            "  CAST(sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1)"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,"
+            "  CAST(sum(CASE WHEN cents > q3 + 1.5 * (q3 - q1)"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,"
+            "  round(max(q1) / 100, 6) AS q1,"
+            "  round(max(q3) / 100, 6) AS q3"
+            " FROM j GROUP BY o_orderpriority",
+        ),
         "k_anonymity_orders": (
             R.k_anonymity_orders,
             "WITH c AS (SELECT o_orderpriority, o_orderstatus,"
