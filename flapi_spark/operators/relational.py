@@ -3527,3 +3527,39 @@ def order_value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("q3") / 100, 6).alias("q3"),
         )
     )
+
+
+def dim_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling for the part dimension — the data-discovery
+    pass (distinct counts, null counts, min/max rendered as strings)
+    a catalog UI shows before anyone writes a query. One row per
+    column, ALL columns profiled in a single scan (conditional
+    aggregates, no per-column jobs). Exact oracle."""
+    part = load_table(spark, sf_dir, "part")
+    cols = part.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"n_{c}"
+            ),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    one = part.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', d_{c}, n_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_distinct, n_nulls, min_str, max_str)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        "min_str",
+        "max_str",
+    )

@@ -2684,6 +2684,22 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "dim_profile_part": (
+            R.dim_profile_part,
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS column_name,"
+                " CAST(count(*) AS BIGINT) AS n_rows,"
+                f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+                f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                "  AS BIGINT) AS n_nulls,"
+                f" min(CAST({c} AS VARCHAR)) AS min_str,"
+                f" max(CAST({c} AS VARCHAR)) AS max_str FROM part"
+                for c in (
+                    "p_partkey", "p_name", "p_brand", "p_type",
+                    "p_size", "p_retailprice",
+                )
+            ),
+        ),
         "user_behavior_entropy": (
             R.user_behavior_entropy,
             "WITH p AS (SELECT user_id, count(*) AS n_total,"

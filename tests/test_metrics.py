@@ -164,3 +164,22 @@ def test_cursor_drives_keyset_pagination(spark, sf_dir):
     assert {r.o_orderkey for r in rows1}.isdisjoint(
         {r.o_orderkey for r in rows2}
     )
+
+
+def test_metrics_registry_thread_safety():
+    import threading
+
+    m = MetricsRegistry()
+
+    def work():
+        for _ in range(2000):
+            m.inc("c", {"t": "x"})
+            m.observe("h", 0.01)
+
+    threads = [threading.Thread(target=work) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert m.counter_value("c", {"t": "x"}) == 16000
+    assert m.snapshot()["histograms"]["h"]["{}"]["count"] == 16000
