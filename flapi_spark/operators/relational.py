@@ -3563,3 +3563,33 @@ def dim_profile_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def events_error_rate_sla(
+    spark: SparkSession, sf_dir: str, threshold_pct: int = 5
+) -> DataFrame:
+    """Operational SLA series: per hour, the error-event share and a
+    breach flag (> threshold%) — the alerting rule an on-call
+    dashboard evaluates. The share compares exact integers scaled by
+    100·denominator (no float in the breach decision); the rendered
+    rate divides once (6dp). One tiny groupBy. Exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    return t.select(
+        "bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events"), 6
+        ).alias("error_rate"),
+        # integer comparison: errors*100 > threshold*events avoids any
+        # float in the breach decision
+        (
+            F.col("n_errors") * 100 > F.lit(threshold_pct) * F.col("n_events")
+        ).alias("sla_breach"),
+    )

@@ -2684,6 +2684,19 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "events_error_rate_sla": (
+            R.events_error_rate_sla,
+            "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))"
+            "   AS TIMESTAMP) AS bucket,"
+            "  CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0"
+            "   END) AS BIGINT) AS n_errors,"
+            "  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1"
+            "   ELSE 0 END) AS DOUBLE) / count(*), 6) AS error_rate,"
+            "  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            "   * 100 > 5 * count(*) AS sla_breach"
+            " FROM events GROUP BY 1",
+        ),
         "dim_profile_part": (
             R.dim_profile_part,
             " UNION ALL ".join(
