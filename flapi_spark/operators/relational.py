@@ -3593,3 +3593,109 @@ def events_error_rate_sla(
             F.col("n_errors") * 100 > F.lit(threshold_pct) * F.col("n_events")
         ).alias("sla_breach"),
     )
+
+
+def mau_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-engagement staple: per month, monthly active users,
+    average daily active users, and stickiness (avg DAU / MAU) — the
+    ratio product teams track weekly. Distinct-user counts are exact;
+    avg-DAU divides two exact integers (Σ daily distincts / days with
+    activity); stickiness divides the two results (mirrored shape,
+    6dp). Exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    mau = base.groupBy("month").agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    dau = (
+        base.groupBy("month", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(
+            F.sum("dau").alias("dau_sum"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    j = mau.join(dau, "month")
+    avg_dau = F.col("dau_sum").cast("double") / F.col("n_days")
+    return j.select(
+        "month",
+        F.col("mau").cast("long").alias("mau"),
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(
+            (F.col("dau_sum").cast("double") / F.col("n_days"))
+            / F.col("mau"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+def events_interarrival_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival time percentiles per event type — the traffic-
+    model fit input (is arrival bursty or Poisson-ish?). Gaps are
+    exact integral microseconds between consecutive same-type events
+    ((ts, event_id)-ordered); p50/p90 interpolate via the proven
+    percentile/quantile_cont pairing, rendered in seconds (6dp)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias(
+                "gap_us"
+            ),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_us", 0.5) / 1e6, 6).alias("p50_s"),
+        F.round(F.percentile("gap_us", 0.9) / 1e6, 6).alias("p90_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_s"),
+    )
+
+
+def customer_concentration_topn(
+    spark: SparkSession, sf_dir: str, n: int = 10
+) -> DataFrame:
+    """Revenue-concentration exec metric: the top-N customers' share
+    of total revenue plus each member's own share — "our ten largest
+    accounts are 4.1% of revenue". Exact integer cents; each share is
+    one division (6dp); deterministic (revenue desc, custkey)
+    ranking. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    wall = Window.partitionBy()
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    t = (
+        pc.withColumn("total", F.sum("cents").over(wall))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n)
+    )
+    wtop = Window.partitionBy()
+    return t.withColumn("top_cents", F.sum("cents").over(wtop)).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("cents").cast("long").alias("cents"),
+        F.round(F.col("cents").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total"), 6
+        ).alias("topn_share"),
+    )

@@ -2684,6 +2684,52 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "mau_dau_stickiness": (
+            R.mau_dau_stickiness,
+            "WITH b AS (SELECT CAST(date_trunc('month',"
+            "   CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,"
+            "  CAST(ts AS DATE) AS day, user_id FROM events),"
+            " m AS (SELECT month, count(DISTINCT user_id) AS mau"
+            "  FROM b GROUP BY 1),"
+            " d AS (SELECT month, sum(dau) AS dau_sum,"
+            "  count(*) AS n_days FROM (SELECT month, day,"
+            "   count(DISTINCT user_id) AS dau FROM b GROUP BY 1, 2) z"
+            "  GROUP BY 1)"
+            " SELECT m.month, CAST(mau AS BIGINT) AS mau,"
+            "  round(CAST(dau_sum AS DOUBLE) / n_days, 6) AS avg_dau,"
+            "  round((CAST(dau_sum AS DOUBLE) / n_days) / mau, 6)"
+            "   AS stickiness"
+            " FROM m JOIN d ON d.month = m.month",
+        ),
+        "events_interarrival_percentiles": (
+            R.events_interarrival_percentiles,
+            "WITH g AS (SELECT event_type,"
+            "  date_diff('microseconds', lag(CAST(ts AS TIMESTAMP))"
+            "   OVER (PARTITION BY event_type ORDER BY ts, event_id),"
+            "   CAST(ts AS TIMESTAMP)) AS gap_us FROM events)"
+            " SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,"
+            "  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_s,"
+            "  round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_s,"
+            "  round(max(gap_us) / 1000000.0, 6) AS max_s"
+            " FROM g WHERE gap_us IS NOT NULL GROUP BY event_type",
+        ),
+        "customer_concentration_topn": (
+            R.customer_concentration_topn,
+            "WITH pc AS (SELECT o_custkey,"
+            "  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents"
+            "  FROM orders GROUP BY 1),"
+            " t AS (SELECT *, sum(cents) OVER () AS total,"
+            "  row_number() OVER (ORDER BY cents DESC, o_custkey ASC)"
+            "   AS rnk FROM pc),"
+            " top AS (SELECT * FROM t WHERE rnk <= 10),"
+            " u AS (SELECT *, sum(cents) OVER () AS top_cents FROM top)"
+            " SELECT CAST(rnk AS BIGINT) AS rnk,"
+            "  CAST(o_custkey AS BIGINT) AS o_custkey,"
+            "  CAST(cents AS BIGINT) AS cents,"
+            "  round(CAST(cents AS DOUBLE) / total, 6) AS share,"
+            "  round(CAST(top_cents AS DOUBLE) / total, 6) AS topn_share"
+            " FROM u",
+        ),
         "events_error_rate_sla": (
             R.events_error_rate_sla,
             "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))"
