@@ -3699,3 +3699,23 @@ def customer_concentration_topn(
             F.col("top_cents").cast("double") / F.col("total"), 6
         ).alias("topn_share"),
     )
+
+
+def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary (boxplot feed) of event values per type in
+    exact integer cents with interpolated quartiles — the
+    small-multiples distribution tile beside the heatmap. Exact
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.percentile("cents", 0.25).alias("q1_cents"),
+        F.percentile("cents", 0.5).alias("median_cents"),
+        F.percentile("cents", 0.75).alias("q3_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )

@@ -371,3 +371,29 @@ def ann_pq_adc_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "adc_dist", "rnk")
     )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-magnitude profile per label: five-number summary of L2
+    norms — the index-health check before cosine-based ANN (collapsed
+    or wildly varying norms break inner-product shortcuts). Norm² is
+    the positional dot-product fold (identical to DuckDB's
+    list_dot_product); sqrt and the interpolated quartiles are
+    mirrored; 6dp. Exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, embedding,"
+            " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    t = emb.select("label", norm.alias("norm"))
+    return t.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.percentile("norm", 0.25), 6).alias("q1"),
+        F.round(F.percentile("norm", 0.5), 6).alias("median"),
+        F.round(F.percentile("norm", 0.75), 6).alias("q3"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )

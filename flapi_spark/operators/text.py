@@ -1361,3 +1361,35 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         syllables.cast("long").alias("n_syllables"),
         score.alias("flesch_ease"),
     )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report per source: how much of each source is exact-
+    duplicate mass ("which crawl is dirtiest") — docs whose normalized
+    text occurs more than once corpus-wide, counted per source with
+    the duplicate share. One fingerprint groupBy + one source groupBy;
+    exact integers + one division (6dp). Exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", F.md5(norm_text()).alias("fp")
+    )
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    tagged = fp.join(sizes, "fp")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_in_dup_family"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_in_dup_family").cast("long").alias("n_in_dup_family"),
+            F.round(
+                F.col("n_in_dup_family").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -2684,6 +2684,45 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "dedup_rate_by_source": (
+            T.dedup_rate_by_source,
+            f"WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS fp"
+            "  FROM documents),"
+            " s AS (SELECT fp, count(*) AS n_copies FROM fp GROUP BY 1),"
+            " t AS (SELECT f.source, s.n_copies FROM fp f"
+            "  JOIN s ON s.fp = f.fp)"
+            " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+            "  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_in_dup_family,"
+            "  round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)"
+            "   AS DOUBLE) / count(*), 6) AS dup_rate"
+            " FROM t GROUP BY source",
+        ),
+        "embedding_norm_stats": (
+            S.embedding_norm_stats,
+            "WITH n AS (SELECT label,"
+            "  sqrt(list_dot_product(embedding::DOUBLE[],"
+            "   embedding::DOUBLE[])) AS norm FROM embeddings)"
+            " SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,"
+            "  round(min(norm), 6) AS min_norm,"
+            "  round(quantile_cont(norm, 0.25), 6) AS q1,"
+            "  round(quantile_cont(norm, 0.5), 6) AS median,"
+            "  round(quantile_cont(norm, 0.75), 6) AS q3,"
+            "  round(max(norm), 6) AS max_norm"
+            " FROM n GROUP BY label",
+        ),
+        "events_value_boxplot": (
+            R.events_value_boxplot,
+            "WITH t AS (SELECT event_type,"
+            "  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)"
+            " SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+            "  CAST(min(cents) AS BIGINT) AS min_cents,"
+            "  quantile_cont(cents, 0.25) AS q1_cents,"
+            "  quantile_cont(cents, 0.5) AS median_cents,"
+            "  quantile_cont(cents, 0.75) AS q3_cents,"
+            "  CAST(max(cents) AS BIGINT) AS max_cents"
+            " FROM t GROUP BY event_type",
+        ),
         "mau_dau_stickiness": (
             R.mau_dau_stickiness,
             "WITH b AS (SELECT CAST(date_trunc('month',"
