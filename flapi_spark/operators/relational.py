@@ -3719,3 +3719,88 @@ def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("cents", 0.75).alias("q3_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+def order_line_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution: how many orders have 1, 2, ... line
+    items — the order-shape histogram capacity planning and join-fanout
+    estimates read. Two exact groupBys (order grain, then count
+    grain) with the share per bucket; exact oracle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    dist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    wall = Window.partitionBy()
+    return dist.withColumn("total", F.sum("n_orders").over(wall)).select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.col("n_orders").cast("double") / F.col("total"), 6
+        ).alias("share"),
+    )
+
+
+def region_nation_revenue_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical drill-down feed (treemap shape): per nation, its
+    revenue, its share WITHIN its region, and the region's share of
+    the world — the two-level ratio set a drill-down UI binds
+    directly. Revenue stays exact decimal through every aggregate;
+    the three divisions are mirrored (6dp). Dims broadcast; one fact
+    groupBy. Exact oracle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+                )
+            ).alias("rev")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    t = (
+        rev.withColumn("region_rev", F.sum("rev").over(wr))
+        .withColumn("world_rev", F.sum("rev").over(wall))
+    )
+    return t.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("region_rev").cast("double"),
+            6,
+        ).alias("share_in_region"),
+        F.round(
+            F.col("region_rev").cast("double")
+            / F.col("world_rev").cast("double"),
+            6,
+        ).alias("region_share"),
+    )

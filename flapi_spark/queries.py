@@ -2684,6 +2684,37 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "order_line_count_distribution": (
+            R.order_line_count_distribution,
+            "WITH p AS (SELECT l_orderkey, count(*) AS n_lines"
+            "  FROM lineitem GROUP BY 1),"
+            " d AS (SELECT n_lines, count(*) AS n_orders FROM p"
+            "  GROUP BY 1),"
+            " t AS (SELECT *, sum(n_orders) OVER () AS total FROM d)"
+            " SELECT CAST(n_lines AS BIGINT) AS n_lines,"
+            "  CAST(n_orders AS BIGINT) AS n_orders,"
+            "  round(CAST(n_orders AS DOUBLE) / total, 6) AS share"
+            " FROM t",
+        ),
+        "region_nation_revenue_shares": (
+            R.region_nation_revenue_shares,
+            f"WITH rv AS (SELECT l_suppkey, sum({_REVENUE}) AS rev"
+            "  FROM lineitem GROUP BY 1),"
+            " j AS (SELECT r_name, n_name, sum(rev) AS rev FROM rv"
+            "  JOIN supplier ON s_suppkey = l_suppkey"
+            "  JOIN nation ON n_nationkey = s_nationkey"
+            "  JOIN region ON r_regionkey = n_regionkey"
+            "  GROUP BY 1, 2),"
+            " t AS (SELECT *, sum(rev) OVER (PARTITION BY r_name)"
+            "   AS region_rev, sum(rev) OVER () AS world_rev FROM j)"
+            " SELECT r_name, n_name,"
+            "  CAST(rev AS DOUBLE) AS revenue,"
+            "  round(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6)"
+            "   AS share_in_region,"
+            "  round(CAST(region_rev AS DOUBLE)"
+            "   / CAST(world_rev AS DOUBLE), 6) AS region_share"
+            " FROM t",
+        ),
         "dedup_rate_by_source": (
             T.dedup_rate_by_source,
             f"WITH fp AS (SELECT doc_id, source, md5({_NORM}) AS fp"
