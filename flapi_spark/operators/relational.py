@@ -3804,3 +3804,78 @@ def region_nation_revenue_shares(
             6,
         ).alias("region_share"),
     )
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index per event type: coefficient of variation of
+    inter-arrival gaps (CV ≈ 1 ⇒ Poisson-like, > 1 ⇒ bursty) — the
+    one-number traffic-shape readout beside the percentile profile.
+    Gap moments (n, Σg, Σg²) accumulate as exact integers
+    (HUGEINT/DECIMAL(38,0) squares); mean/sd/CV are mirrored double
+    formulas over those sums (6dp). Exact oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("g"),
+        )
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("sg"),
+        F.expr(
+            "sum(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0)))"
+        ).alias("sgg"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sg").cast("double") / n
+    var = (
+        F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg") / n
+    ) / (F.col("n") - 1)
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / 1e6, 6).alias("sd_gap_s"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    )
+
+
+def repeat_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate per customer segment: share of a
+    segment's customers placing 2+ orders — the loyalty KPI beside
+    the acquisition mix. One order-grain groupBy + broadcast dim;
+    exact integers + one division (6dp). Exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = per.join(
+        F.broadcast(cust), per.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias(
+                "n_repeat"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_repeat").cast("long").alias("n_repeat"),
+            F.round(
+                F.col("n_repeat").cast("double") / F.col("n_customers"), 6
+            ).alias("repeat_rate"),
+        )
+    )

@@ -1393,3 +1393,36 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation op: the confusion matrix of the language
+    detector (`text_langid`) against the labeled `lang` column — cell
+    counts, per-cell share, and the row's recall contribution. The
+    eval harness every heuristic/model in the pipeline should carry;
+    the detector is deterministic, so the matrix is exact."""
+    pred = text_langid(spark, sf_dir).select(
+        "doc_id", "predicted_lang", "actual_lang"
+    )
+    from pyspark.sql import Window
+
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("actual_lang")
+    wall = Window.partitionBy()
+    return (
+        cells.withColumn("row_n", F.sum("n").over(wr))
+        .withColumn("total", F.sum("n").over(wall))
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "row_recall"
+            ),
+        )
+    )

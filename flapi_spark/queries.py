@@ -2684,6 +2684,67 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "langid_confusion_matrix": (
+            T.langid_confusion_matrix,
+            f"WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),"
+            " h AS (SELECT doc_id, lang,"
+            f"  {_lang_hits('en')} AS en_hits, {_lang_hits('de')} AS de_hits,"
+            f"  {_lang_hits('es')} AS es_hits, {_lang_hits('fr')} AS fr_hits"
+            " FROM t),"
+            " pr AS (SELECT lang AS actual_lang,"
+            "  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0"
+            "   THEN 'unknown'"
+            "  WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits)"
+            "   THEN 'en'"
+            "  WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits)"
+            "   THEN 'de'"
+            "  WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits)"
+            "   THEN 'es'"
+            "  ELSE 'fr' END AS predicted_lang FROM h),"
+            " c AS (SELECT actual_lang, predicted_lang, count(*) AS n"
+            "  FROM pr GROUP BY 1, 2),"
+            " t2 AS (SELECT *, sum(n) OVER (PARTITION BY actual_lang)"
+            "   AS row_n, sum(n) OVER () AS total FROM c)"
+            " SELECT actual_lang, predicted_lang,"
+            "  CAST(n AS BIGINT) AS n,"
+            "  round(CAST(n AS DOUBLE) / total, 6) AS share,"
+            "  round(CAST(n AS DOUBLE) / row_n, 6) AS row_recall"
+            " FROM t2",
+        ),
+        "events_burstiness": (
+            R.events_burstiness,
+            "WITH g AS (SELECT event_type,"
+            "  date_diff('microseconds', lag(CAST(ts AS TIMESTAMP))"
+            "   OVER (PARTITION BY event_type ORDER BY ts, event_id),"
+            "   CAST(ts AS TIMESTAMP)) AS g FROM events),"
+            " s AS (SELECT event_type, count(*) AS n, sum(g) AS sg,"
+            "  sum(CAST(g AS HUGEINT) * g) AS sgg FROM g"
+            "  WHERE g IS NOT NULL GROUP BY 1)"
+            " SELECT event_type, CAST(n AS BIGINT) AS n_gaps,"
+            "  round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0,"
+            "   6) AS mean_gap_s,"
+            "  round(sqrt((CAST(sgg AS DOUBLE)"
+            "   - CAST(sg AS DOUBLE) * sg / CAST(n AS DOUBLE)) / (n - 1))"
+            "   / 1000000.0, 6) AS sd_gap_s,"
+            "  round(sqrt((CAST(sgg AS DOUBLE)"
+            "   - CAST(sg AS DOUBLE) * sg / CAST(n AS DOUBLE)) / (n - 1))"
+            "   / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv"
+            " FROM s",
+        ),
+        "repeat_rate_by_segment": (
+            R.repeat_rate_by_segment,
+            "WITH p AS (SELECT o_custkey, count(*) AS n_orders"
+            "  FROM orders GROUP BY 1),"
+            " j AS (SELECT c_mktsegment, n_orders FROM p"
+            "  JOIN customer ON c_custkey = o_custkey)"
+            " SELECT c_mktsegment,"
+            "  CAST(count(*) AS BIGINT) AS n_customers,"
+            "  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_repeat,"
+            "  round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+            "   AS DOUBLE) / count(*), 6) AS repeat_rate"
+            " FROM j GROUP BY c_mktsegment",
+        ),
         "order_line_count_distribution": (
             R.order_line_count_distribution,
             "WITH p AS (SELECT l_orderkey, count(*) AS n_lines"
