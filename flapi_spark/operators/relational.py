@@ -3879,3 +3879,90 @@ def repeat_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_rate"),
         )
     )
+
+
+def order_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index for order volume: each weekday's
+    order count against the uniform expectation (index 1.0 = flat) —
+    the staffing/capacity planning readout. Integer-anchored weekday
+    (the Monday-epoch modulo, engine-neutral); the index is one
+    division of exact integers ×7 (6dp). Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    dow = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-05").cast("date")),
+        F.lit(7),
+    )
+    t = orders.groupBy(dow.cast("long").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    wall = Window.partitionBy()
+    return t.withColumn("total", F.sum("n_orders").over(wall)).select(
+        "weekday",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.col("n_orders").cast("double") * 7 / F.col("total"), 6
+        ).alias("seasonality_index"),
+    )
+
+
+def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-effect analysis: per discount band (whole percent), line
+    counts and the average quantity — does a deeper discount move more
+    units? Band = floor(discount·100) (exact); average divides exact
+    integer sums (6dp). One conditional-free groupBy. Exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.expr("CAST(floor(l_discount * 100) AS BIGINT)").alias(
+            "discount_pct"
+        ),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return (
+        t.groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("qty_sum"),
+        )
+        .select(
+            "discount_pct",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round(
+                F.col("qty_sum").cast("double") / F.col("n_lines"), 6
+            ).alias("avg_quantity"),
+        )
+    )
+
+
+def tax_burden_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax share per brand: Σ(price·tax) / Σ(price) over
+    exact DECIMAL products — the pricing-compliance rollup. Both sums
+    stay decimal-exact; one mirrored double division (6dp). Broadcast
+    part dim, one fact groupBy. Exact oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    taxed = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(l_tax AS DECIMAL(18,2))"
+    )
+    base = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.sum(taxed).alias("tax_amt"),
+            F.sum(base).alias("base_amt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("tax_amt").cast("double").alias("tax_amount"),
+            F.round(
+                F.col("tax_amt").cast("double")
+                / F.col("base_amt").cast("double"),
+                6,
+            ).alias("effective_tax_rate"),
+        )
+    )

@@ -2684,6 +2684,40 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "order_weekday_seasonality": (
+            R.order_weekday_seasonality,
+            "WITH t AS (SELECT CAST((date_diff('day', DATE '1970-01-05',"
+            "   CAST(o_orderdate AS DATE)) % 7 + 7) % 7 AS BIGINT)"
+            "   AS weekday, count(*) AS n_orders FROM orders GROUP BY 1),"
+            " u AS (SELECT *, sum(n_orders) OVER () AS total FROM t)"
+            " SELECT weekday, CAST(n_orders AS BIGINT) AS n_orders,"
+            "  round(CAST(n_orders AS DOUBLE) * 7 / total, 6)"
+            "   AS seasonality_index"
+            " FROM u",
+        ),
+        "discount_band_effects": (
+            R.discount_band_effects,
+            "WITH t AS (SELECT CAST(floor(l_discount * 100) AS BIGINT)"
+            "   AS discount_pct, CAST(l_quantity AS BIGINT) AS qty"
+            "  FROM lineitem)"
+            " SELECT discount_pct,"
+            "  CAST(count(*) AS BIGINT) AS n_lines,"
+            "  round(CAST(sum(qty) AS DOUBLE) / count(*), 6)"
+            "   AS avg_quantity"
+            " FROM t GROUP BY discount_pct",
+        ),
+        "tax_burden_by_brand": (
+            R.tax_burden_by_brand,
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "  * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_amount,"
+            " round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+            "   * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)"
+            "  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+            "   AS DOUBLE), 6) AS effective_tax_rate"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " GROUP BY p_brand",
+        ),
         "langid_confusion_matrix": (
             T.langid_confusion_matrix,
             f"WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),"
