@@ -3966,3 +3966,49 @@ def tax_burden_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_tax_rate"),
         )
     )
+
+
+def customer_value_trends(
+    spark: SparkSession, sf_dir: str, min_orders: int = 5
+) -> DataFrame:
+    """Per-customer spending trend: an OLS slope of order value (cents)
+    over order sequence number for every customer with ≥ min_orders —
+    thousands of tiny regressions in ONE groupBy (the churn-risk
+    signal: a negative slope is a declining account). x = the order's
+    rank in the customer's history (exact, gap-free), so moments stay
+    small integers; slope arithmetic mirrors ols_quantity_on_price.
+    Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t = orders.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("x"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    big = "CAST({c} AS DECIMAL(38,0))"
+    stats = (
+        t.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.expr(f"sum({big.format(c='x')} * y)").alias("sxy"),
+            F.expr(f"sum({big.format(c='x')} * x)").alias("sxx"),
+        )
+        .where(F.col("n") >= min_orders)
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    var_x = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return stats.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(cov_n / var_x / 100, 6).alias("slope_per_order"),
+        (cov_n < 0).alias("declining"),
+    )

@@ -2684,6 +2684,27 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "customer_value_trends": (
+            R.customer_value_trends,
+            "WITH t AS (SELECT o_custkey,"
+            "  CAST(row_number() OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS x,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS y"
+            "  FROM orders),"
+            " s AS (SELECT o_custkey, count(*) AS n, sum(x) AS sx,"
+            "  sum(y) AS sy, sum(CAST(x AS HUGEINT) * y) AS sxy,"
+            "  sum(CAST(x AS HUGEINT) * x) AS sxx FROM t GROUP BY 1"
+            "  HAVING count(*) >= 5)"
+            " SELECT CAST(o_custkey AS BIGINT) AS o_custkey,"
+            "  CAST(n AS BIGINT) AS n_orders,"
+            "  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * sy)"
+            "   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            "    - CAST(sx AS DOUBLE) * sx) / 100, 6) AS slope_per_order,"
+            "  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            "   - CAST(sx AS DOUBLE) * sy) < 0 AS declining"
+            " FROM s",
+        ),
         "order_weekday_seasonality": (
             R.order_weekday_seasonality,
             "WITH t AS (SELECT CAST((date_diff('day', DATE '1970-01-05',"
