@@ -4012,3 +4012,36 @@ def customer_value_trends(
         F.round(cov_n / var_x / 100, 6).alias("slope_per_order"),
         (cov_n < 0).alias("declining"),
     )
+
+
+def daily_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily argmax: each day's largest order (value + customer) with
+    its share of the day — the leaderboard tile. One day-partitioned
+    rank window with a unique tiebreak; exact cents. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("cents"), F.asc("o_orderkey")
+    )
+    wd = Window.partitionBy("day")
+    return (
+        t.withColumn("rnk", F.row_number().over(w))
+        .withColumn("day_cents", F.sum("cents").over(wd))
+        .where(F.col("rnk") == 1)
+        .select(
+            "day",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("cents").cast("long").alias("cents"),
+            F.round(
+                F.col("cents").cast("double") / F.col("day_cents"), 6
+            ).alias("share_of_day"),
+        )
+    )

@@ -2684,6 +2684,22 @@ QUERIES.update(
         ),
         # rows-only: iterative peel-to-fixpoint has no clean recursive
         # SQL form; golden pure-Python peeler equality in tests
+        "daily_top_order": (
+            R.daily_top_order,
+            "WITH t AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+            "  o_orderkey, o_custkey,"
+            "  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents"
+            "  FROM orders),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY day"
+            "   ORDER BY cents DESC, o_orderkey ASC) AS rnk,"
+            "  sum(cents) OVER (PARTITION BY day) AS day_cents FROM t)"
+            " SELECT day, CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+            "  CAST(o_custkey AS BIGINT) AS o_custkey,"
+            "  CAST(cents AS BIGINT) AS cents,"
+            "  round(CAST(cents AS DOUBLE) / day_cents, 6)"
+            "   AS share_of_day"
+            " FROM r WHERE rnk = 1",
+        ),
         "customer_value_trends": (
             R.customer_value_trends,
             "WITH t AS (SELECT o_custkey,"
