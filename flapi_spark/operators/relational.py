@@ -48,7 +48,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter + 3-way join + top-N.
 
-    Scale: customer filter broadcasts into orders; revenue agg shuffles
+    Scale: customer join is unhinted (AQE broadcasts while the dim
+    fits, shuffle-joins beyond); revenue agg shuffles
     on l_orderkey only; top-10 is a TakeOrdered, not a full sort."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -59,7 +60,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -89,7 +90,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with co-located customer/supplier
     nation constraint.
 
-    Scale: region/nation/supplier/customer all broadcast (dims); the
+    Scale: region/nation broadcast; supplier/customer joins are
+    unhinted (AQE decides by measured size); the
     only big shuffle is lineitem⋈orders on the order key."""
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -102,9 +104,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -148,7 +150,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
@@ -190,11 +192,26 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bands over event values (ntile window + band stats)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    """Quartile bands over event values (ntile + band stats).
+
+    Scale shape: NOT the naive ``ntile(4).over(Window.orderBy(...))``
+    — an unpartitioned window is a single-task global sort. Instead
+    the distributed-rank pattern (scale.global_rank):
+    repartitionByRange on (value, event_id), per-partition row_number,
+    partition-count offsets broadcast back, then the exact ANSI ntile
+    bucket formula (scale.ntile_band) as a column expression. Output
+    identical to the window version (and to the DuckDB ntile oracle);
+    the heaviest step is one range shuffle that scales out."""
+    from flapi_spark.operators.scale import global_rank, ntile_band
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    # count() is parquet-footer metadata — a bounded scalar action,
+    # same class as global_rank's partition-count offset collect
+    n = ev.count()
+    ranked = global_rank(ev, ["value", "event_id"], rank_col="__rank")
     return (
-        ev.withColumn("band", F.ntile(4).over(w).cast("long"))
+        ranked
+        .withColumn("band", ntile_band(F.col("__rank"), F.lit(n), 4))
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -211,7 +228,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -376,8 +393,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(pair)
         .groupBy(
             "supp_nation",
@@ -417,8 +434,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
     )
     target = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
                    .otherwise(F.lit(0).cast(MONEY)))
@@ -448,7 +465,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = revenue_expr() - cost
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -514,7 +531,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("total_revenue"))
     top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
     return (
-        top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
+        top.join(supp, top.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -557,7 +574,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             dec("o_totalprice").cast("double").alias("o_totalprice"),
@@ -752,7 +769,7 @@ def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_qty").cast("double") > 0.3 * F.col("part_qty").cast("double")
     )
     return (
-        shared.join(F.broadcast(supp), shared.l_suppkey == supp.s_suppkey)
+        shared.join(supp, shared.l_suppkey == supp.s_suppkey)
         .select(
             "l_partkey", "s_suppkey", "s_name",
             F.col("supp_qty").cast("double").alias("supp_qty"),
@@ -784,7 +801,7 @@ def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shippers.join(F.broadcast(cheapest), shippers.l_partkey == cheapest.p_partkey)
-        .join(F.broadcast(supp), shippers.l_suppkey == supp.s_suppkey)
+        .join(supp, shippers.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
@@ -846,7 +863,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -902,7 +919,7 @@ def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlisted pivot)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         j.groupBy("o_orderpriority")
         .pivot("c_mktsegment", SEGMENTS)
@@ -1067,7 +1084,8 @@ def windowfns_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The window ordering carries a unique (value desc, custkey)
     tiebreak so rank-derived ratios are deterministic across engines.
-    Scale shape: customer-keyed aggregate, broadcast customer dim,
+    Scale shape: customer-keyed aggregate, unhinted customer join
+    (AQE broadcasts only while the dim fits),
     one window shuffle on the 5-value segment key; top-10 filter
     prunes before the driver sees anything."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1076,7 +1094,7 @@ def windowfns_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("o_totalprice")).alias("total")
     )
     j = totals.join(
-        F.broadcast(cust), totals.o_custkey == cust.c_custkey
+        cust, totals.o_custkey == cust.c_custkey
     ).select("o_custkey", "c_mktsegment", "total")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("total"), F.asc("o_custkey")
@@ -1524,13 +1542,13 @@ def mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode() is tie-unstable across engines; the count + rank shape is
     portable and equally one-pass.
 
-    Scale shape: broadcast customer dim onto orders, one
+    Scale shape: unhinted customer join onto orders (AQE-sized), one
     (segment, priority) groupBy — ≤ |segments|×|priorities| groups —
     then a window over that tiny aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select("c_mktsegment", "o_orderpriority")
     counts = j.groupBy("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
@@ -2016,15 +2034,16 @@ def bm25_search(
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heap of k, no global sort) — NOT a row_number window over every
+    # scored doc, which plans as a single-task sort of the whole
+    # corpus. rnk is re-derived over the k survivors only.
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select(
-            "doc_id", "score",
-            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
-            "rnk",
-        )
+    return topk.select(
+        "doc_id", "score",
+        F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
     )
 
 
@@ -2229,7 +2248,8 @@ def trimmed_mean_order_values(
     average (trim k = n DIV 10 rows from EACH tail; explicit integer
     division because Spark truncates where DuckDB's cast rounds).
 
-    Scale shape: the customer dim broadcasts into the fact scan; the
+    Scale shape: the customer join is unhinted (AQE broadcasts while
+    the projected dim fits); the
     two rank windows (ascending / descending over a unique
     (value, orderkey) order) share ONE segment-keyed exchange; sums
     stay exact DECIMAL until the final double division. Exact DuckDB
@@ -2241,7 +2261,7 @@ def trimmed_mean_order_values(
         "c_custkey", "c_mktsegment"
     )
     j = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment",
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
@@ -2521,7 +2541,7 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
         .withColumn("rs", F.expr("CAST(rev * 10000 AS BIGINT)"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     num = F.expr("sum(CAST(rs AS DECIMAL(38,0)) * CAST(rs AS DECIMAL(38,0)))")
@@ -2734,7 +2754,7 @@ def welch_ttest_segments(
         "c_custkey", "c_mktsegment"
     )
     j = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).where(F.col("c_mktsegment").isin(seg_a, seg_b))
     x = F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
     stats = j.groupBy("c_mktsegment").agg(
@@ -2961,17 +2981,33 @@ def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     ref = base.where("is_ref")
-    # unique (cents, orderkey) order: ntile over ties alone would
-    # assign tied rows partition-order-nondeterministically and the
-    # decile boundaries would wobble across engines/runs
-    wd = Window.orderBy("cents", "o_orderkey")
-    deciled = ref.withColumn("dec", F.ntile(10).over(wd))
-    bounds = (
-        deciled.groupBy("dec")
-        .agg(F.max("cents").alias("hi"))
-        .where(F.col("dec") <= 9)  # 9 cut points make 10 bins
+    # Reference deciles WITHOUT the naive ntile(10) global window (an
+    # unpartitioned window over the reference half of orders is a
+    # single-task sort — the 100×-scale killer). The boundary of
+    # decile d is just the cents value at global rank
+    # R_d = d*(n div 10) + min(d, n mod 10) under the unique
+    # (cents, o_orderkey) order — ties alone would split
+    # partition-order-nondeterministically across engines/runs. So:
+    # distributed rank (scale.global_rank: range-repartition +
+    # per-partition row_number + broadcast offsets), then filter the 9
+    # cut ranks and collect 9 rows. Boundaries are bit-identical to
+    # the ntile formulation, so the oracle (which may keep using
+    # ntile) stays green.
+    from flapi_spark.operators.scale import global_rank
+
+    n_ref = ref.count()  # footer-metadata scalar
+    small, rem = divmod(n_ref, 10)
+    cut_ranks = [d * small + min(d, rem) for d in range(1, 10)]
+    ranked = global_rank(
+        ref.select("cents", "o_orderkey"), ["cents", "o_orderkey"]
     )
-    b = [r.hi for r in bounds.orderBy("dec").collect()]
+    cuts = (
+        ranked.where(F.col("__rank").isin(cut_ranks))
+        .orderBy("__rank")
+        .select("cents")
+        .collect()
+    )
+    b = [r.cents for r in cuts]
     bin_expr = "CASE"
     for i, hi in enumerate(b, start=1):
         bin_expr += f" WHEN cents <= {hi} THEN {i}"
@@ -3778,7 +3814,7 @@ def region_nation_revenue_shares(
                 )
             ).alias("rev")
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -3860,7 +3896,7 @@ def repeat_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders")
     )
     j = per.join(
-        F.broadcast(cust), per.o_custkey == cust.c_custkey
+        cust, per.o_custkey == cust.c_custkey
     )
     return (
         j.groupBy("c_mktsegment")

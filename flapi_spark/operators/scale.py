@@ -132,3 +132,100 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.session import load_table
 
     return skew_profile(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "__rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row numbering by `order_cols` WITHOUT a
+    single-task global sort.
+
+    An unpartitioned ``row_number().over(Window.orderBy(...))`` plans
+    as one exchange to ONE partition — the canonical 100×-scale
+    killer. This is the distributed twin, and it must survive a
+    subtlety: ``repartitionByRange`` re-SAMPLES its split points per
+    job (RangePartitioner seeds differ per shuffle), so a counts pass
+    and a final pass over the same plan can disagree on boundaries and
+    corrupt the offsets. Hence the boundaries are FROZEN as literals:
+
+    1. one seeded sample (bounded: ~200 keys per target partition)
+       picks split points, collected once and baked into the plan;
+    2. every row gets a deterministic ``__bin`` from struct
+       comparisons against those literal boundaries;
+    3. per-bin counts (one tiny agg; collect bounded by the bin
+       count, not the data) become cumulative offsets, broadcast
+       back; per-bin ``row_number`` windows sort only their own slice.
+
+    `order_cols` must form a UNIQUE total order (composite keys
+    including a tiebreaker are fine — comparison is on the full
+    struct, so ties never straddle bins nondeterministically).
+    Output = `df` + `rank_col`, identical to the single-task window.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    n = df.count()  # parquet-footer / cached-plan scalar
+    key = F.struct(*[F.col(c) for c in order_cols])
+    if n > 0 and num_partitions > 1:
+        frac = min(1.0, (num_partitions * 200) / n)
+        sampled = sorted(
+            tuple(r) for r in
+            df.select(*order_cols).sample(False, frac, seed=42).collect()
+        )
+        nb = num_partitions - 1
+        step = max(1, len(sampled) // (nb + 1))
+        raw = [sampled[min(i * step, len(sampled) - 1)]
+               for i in range(1, nb + 1)]
+        bounds = sorted(set(raw))
+    else:
+        bounds = []
+    dtypes = dict(df.dtypes)
+    bin_col = F.lit(0)
+    for b in bounds:
+        # literal struct must mirror the key struct's field names AND
+        # types (lit(2376) is INT, event_id is BIGINT) or the struct
+        # comparison fails to resolve
+        bound = F.struct(*[
+            F.lit(v).cast(dtypes[c]).alias(c)
+            for v, c in zip(b, order_cols)
+        ])
+        bin_col = bin_col + F.when(key > bound, 1).otherwise(0)
+    binned = df.withColumn("__bin", bin_col)
+    counts = binned.groupBy("__bin").count().orderBy("__bin").collect()
+    running = 0
+    rows = []
+    for r in counts:
+        rows.append((r["__bin"], running))
+        running += r["count"]
+    offset_df = spark.createDataFrame(rows, "__bin INT, __off LONG")
+    w = Window.partitionBy("__bin").orderBy(*order_cols)
+    return (
+        binned.withColumn("__local_rn", F.row_number().over(w))
+        .join(F.broadcast(offset_df), "__bin")
+        .withColumn(rank_col, F.col("__off") + F.col("__local_rn"))
+        .drop("__bin", "__local_rn", "__off")
+    )
+
+
+def ntile_band(rank: "F.Column", n_rows: "F.Column", k: int) -> "F.Column":
+    """SQL ntile(k) bucket for a 1-based `rank` out of `n_rows` —
+    column-expression twin of the window function, for use after
+    :func:`global_rank`. First ``n_rows % k`` tiles get one extra row
+    (exact ANSI ntile semantics). Division runs in double then
+    truncates — exact while ranks stay under 2^53 (at the 100 TB SF
+    orders is ~1.5e11 rows, comfortably inside)."""
+    rem = n_rows % k                       # first `rem` tiles are larger
+    small = ((n_rows - rem) / k).cast("long")  # floor size of a tile
+    big_span = rem * (small + 1)  # rows covered by the larger tiles
+    return F.when(
+        rank <= big_span, (rank - 1) / (small + 1)
+    ).otherwise(
+        rem + (rank - 1 - big_span) / F.greatest(small, F.lit(1))
+    ).cast("long") + 1

@@ -3619,67 +3619,48 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-4 ROTATION NOTE: the round-3d session added ~30 entries AFTER
-# the r03 window filled (they follow the _CHECK_FIRST block in
-# registration order: pagerank_neardup_graph .. holt_linear_daily_
-# revenue, plus m4_downsample_events / orderpriority_status_concat /
-# udtf_ngram_profile / countmin_token_freq at positions 51-54 of the
-# r03 order). All are local-drive green at sf0.01
-# (scripts/drive_contract.py). Round 4 should put those ~34
-# never-driver-checked entries first, then any r03 failures. Round-3 priority: (1) round-1 hash-fails whose
-# dtype fix was never rechecked (round 2's window ended before them),
-# (2) round-1 passes whose output dtypes changed to the DOUBLE
-# convention afterward, (3) queries new this round, (4) round-1 passes
-# never rechecked since, (5) the events/asof queries re-verified under
-# the new native NANOS->NTZ reader, then the long-stable round-2 greens.
+# ROUND-4 ROTATION: CORRECTNESS_r01+r02+r03 together cover 125 of the
+# 194 registry entries; the remaining 69 have only judge-local drives
+# (scripts/drive_contract.py, all green at sf0.01). This round's window
+# holds the first 50 of those 69 (oracle-checked ones first — the two
+# rows-only entries bpe_encode_tokens / user_overlap_hll sort behind
+# with the 17 oracle-checked stragglers at positions 51-69 for the
+# round-5 window), then every previously-driven entry in its old order.
 _CHECK_FIRST = [
-    # (1) dtype fix never driver-verified
-    "pivot_priority_by_segment", "grouping_sets_revenue",
-    "q20_volume_share_suppliers", "q2_min_price_parts",
-    "q11_important_parts", "q9_profit_by_nation_year",
-    "q12_priority_by_status", "q18_large_orders", "q22_idle_customers",
-    "supplier_balance_by_nation",
-    # (2) round-1 greens whose dtypes changed since all moved just
-    # past the window (group (1)'s ten entries exercise the identical
-    # decimal→double convention and sit first) — freed slots go to
-    # never-verified round-3c entries (cap is 50).
-    # (3) new in round 3 (no driver verdict yet)
-    "text_repetition_filters", "domain_mixture_sample",
-    "cohort_retention", "funnel_conversion", "windowfns_order_ranks",
-    "histogram_order_values", "corr_matrix_lineitem",
-    "scd2_order_priority_history", "events_linear_interp",
-    "text_bigram_lm_score", "dsir_importance_weights", "tfidf_top_terms",
-    "dedup_keep_best_survivors",
-    "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
-    "rolling_revenue_7d", "repeat_customers_intersect",
-    "lineitem_measures_unpivot", "dq_orders_expectations",
-    # (3b) new in round 3, second batch (no driver verdict yet)
-    "market_basket_brand_pairs", "ewma_daily_revenue",
-    "anomaly_zscore_daily", "mode_priority_by_segment",
-    "zorder_locality_stats", "text_script_detect",
-    "ccnet_perplexity_buckets", "semdedup_clusters", "cache_time_travel",
-    "event_transition_matrix", "rfm_segmentation", "bpe_train_merges",
-    "events_props_variant", "cube_revenue", "fuzzy_part_name_pairs",
-    "rolling_distinct_customers_7d", "events_session_window_agg",
-    "src_python_datasource", "rolling_median_order_value_7d",
-    "bm25_search", "twa_event_value", "m4_downsample_events",
-    "orderpriority_status_concat", "udtf_ngram_profile",
-    "countmin_token_freq",
-    # (2b) dtype-convention overflow (same convention as group (1));
-    # re-listed directly after the window for the next rotation
-    "part_type_share", "q3_shipping_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q19_bracket_revenue",
-    "q14_promo_revenue_share", "q15_top_supplier",
-    # (4) round-1 green, never rechecked
-    "tpl_customers_by_segment", "tpl_customers_all",
-    "shape_redact_customers", "paginate_orders", "paginate_orders_keyset",
-    "percentile_order_values", "approx_percentile_order_values",
-    "cache_upsert_latest", "top_customers_window", "q4_order_priority",
-    "q13_customer_order_counts", "q17_small_qty_revenue",
-    "q21_sole_late_supplier", "customer_order_gaps", "text_token_count",
-    # (5) timestamp semantics changed under Spark 4.1.2 (NANOS -> NTZ)
-    "events_sessionize", "events_tumbling_agg", "asof_join_events_orders",
-    "range_join_error_purchase",
+    # (1) never driver-verified, oracle-checked (window: 50 slots)
+    "m4_downsample_events", "orderpriority_status_concat",
+    "udtf_ngram_profile", "countmin_token_freq",
+    "pagerank_neardup_graph", "triangle_count_neardup",
+    "dedup_substring_spans", "vocab_oov_rate", "counter_rate_events",
+    "ann_pq_adc_topk", "text_ttr_diversity", "corpus_shard_assign",
+    "gram_novelty_rate", "trimmed_mean_order_values",
+    "src_orc_roundtrip", "sample_weighted_quality", "daily_top_order",
+    "customer_value_trends", "order_weekday_seasonality",
+    "discount_band_effects", "tax_burden_by_brand",
+    "langid_confusion_matrix", "events_burstiness",
+    "repeat_rate_by_segment", "order_line_count_distribution",
+    "region_nation_revenue_shares", "dedup_rate_by_source",
+    "embedding_norm_stats", "events_value_boxplot", "mau_dau_stickiness",
+    "events_interarrival_percentiles", "customer_concentration_topn",
+    "events_error_rate_sla", "dim_profile_part", "user_behavior_entropy",
+    "order_value_outliers_iqr", "k_anonymity_orders", "tables_row_counts",
+    "dedup_family_summary", "neardup_pair_evidence",
+    "events_weekday_hour_heatmap", "revenue_growth_rates",
+    "order_to_ship_latency_percentiles", "cohort_ltv_curves",
+    "bucketed_revenue_by_segment", "cusum_changepoint",
+    "holt_linear_daily_revenue", "ma_crossover_signals",
+    "new_vs_returning_monthly", "abc_classification",
+    # (2) never driver-verified overflow -> round-5 window head
+    "psi_order_value_drift", "ols_quantity_on_price",
+    "session_path_trigrams", "kaplan_meier_order_gaps",
+    "lorenz_deciles", "welch_ttest_segments", "hhi_market_concentration",
+    "gini_customer_revenue", "benford_leading_digit",
+    "text_readability_flesch", "chi2_lang_source", "kcore_neardup_graph",
+    "forecast_seasonal_naive", "cache_snapshot_diff",
+    "user_overlap_exact", "funnel_time_to_convert",
+    "customer_activity_full_outer",
+    # (2b) rows-only (no oracle -> driver records weaker check)
+    "bpe_encode_tokens", "user_overlap_hll",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

@@ -288,3 +288,45 @@ def test_abc_and_gini_fact_work_is_one_groupby(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "partial" in plan.lower()
         assert "CartesianProduct" not in plan
+
+
+def test_customer_joins_unhinted_survive_without_broadcast(spark, sf_dir):
+    """Fact-scale dims (customer/supplier) carry NO forced
+    F.broadcast() hint: with autoBroadcastJoinThreshold=-1 the planner
+    must be free to fall back to a shuffle join (a forced hint would
+    pin BroadcastHashJoin and OOM executors at the 100 TB SF where
+    customer is billions of rows). region/nation hints stay — those
+    are fixed 5/25-row tables at every SF."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("q10_returned_items", "q18_large_orders",
+                     "mode_priority_by_segment"):
+            fn, _ = QUERIES[name]
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # the customer join must have degraded to a shuffle join
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), name
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fact_scale_ntile_queries_have_no_global_sort(spark, sf_dir):
+    """ntile_value_bands / psi_order_value_drift / bm25_search used to
+    plan a fact-scale unpartitioned window (Exchange SinglePartition +
+    one-task sort). After the global_rank / TakeOrdered rewrites the
+    fact-scale path must carry NO SinglePartition exchange; bm25's
+    top-k must be a TakeOrderedAndProject."""
+    fn, _ = QUERIES["ntile_value_bands"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # psi keeps ONE SinglePartition exchange — over the ≤11-row bin
+    # aggregate (the total-sums window), which is bin-grain, not
+    # fact-grain; the decile-boundary path must not add another
+    fn, _ = QUERIES["psi_order_value_drift"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    fn, _ = QUERIES["bm25_search"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
