@@ -60,23 +60,29 @@ def rewrite_typed_params(
         )
         # String literals pair left-to-right; only a marker wholly
         # INSIDE one literal rewrites here (a naive cross-literal regex
-        # would swallow the SQL between two adjacent literals).
-        literal = re.compile(r"'[^']*'")
+        # would swallow the SQL between two adjacent literals). The
+        # scanner is ''-escape-aware: 'it''s {{params.q}}' is ONE
+        # literal, not two — pairing on bare quotes would split it at
+        # the escape and emit broken SQL.
+        literal = re.compile(r"'(?:[^']|'')*'")
 
         def _concat(lit: re.Match) -> str:
             body = lit.group(0)[1:-1]
-            m = marker.search(body)
-            if m is None:
+            # split on EVERY marker occurrence — a literal like
+            # '%{{params.q}}%{{params.q}}%' yields one concat piece
+            # per marker (re-quoting the text parts preserves any ''
+            # escapes verbatim)
+            parts = marker.split(body)
+            if len(parts) == 1:
                 return lit.group(0)
-            pre, suf = body[: m.start()], body[m.end():]
-            if not pre and not suf:
+            pieces: list[str] = []
+            for i, p in enumerate(parts):
+                if p:
+                    pieces.append(f"'{p}'")
+                if i < len(parts) - 1:
+                    pieces.append(f":{name}")
+            if pieces == [f":{name}"]:
                 return f":{name}"
-            pieces = []
-            if pre:
-                pieces.append(f"'{pre}'")
-            pieces.append(f":{name}")
-            if suf:
-                pieces.append(f"'{suf}'")
             return "concat(" + ", ".join(pieces) + ")"
 
         new = literal.sub(_concat, out)

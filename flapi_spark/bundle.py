@@ -127,6 +127,12 @@ def unpack_bundle(zip_path: str | Path, dst: str | Path) -> list[str]:
             target = (dst_p / name).resolve()
             if not str(target).startswith(str(dst_p) + os.sep):
                 raise PackError(f"bundle entry escapes destination: {name}")
+            if info.is_dir():
+                # foreign archives carry explicit directory entries;
+                # writing them as zero-byte regular files would make
+                # the later 'dir/file' member collide with a file
+                target.mkdir(parents=True, exist_ok=True)
+                continue
             target.parent.mkdir(parents=True, exist_ok=True)
             with z.open(info) as src, open(target, "wb") as fh:
                 fh.write(src.read())

@@ -50,12 +50,20 @@ def _scan_strings(sql: str):
     return runs
 
 
-def _rewrite_outside_strings(sql: str, fn) -> str:
-    out = []
-    for a, b, in_str in _scan_strings(sql):
-        seg = sql[a:b]
-        out.append(seg if in_str else fn(seg))
-    return "".join(out)
+def _sub_quote_aware(regex: "re.Pattern", repl, sql: str) -> str:
+    """regex.sub that SKIPS matches starting inside a string literal
+    (per _scan_strings, ''-escape-aware). The patterns here (e.g.
+    read_parquet('p')) legitimately SPAN quotes — what must never
+    happen is the trigger token itself sitting inside prose, like
+    SELECT 'use json_object(x)' — so the guard is on match START."""
+    spans = [(a, b) for a, b, in_str in _scan_strings(sql) if in_str]
+
+    def guard(m: "re.Match") -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return regex.sub(guard, sql)
 
 
 _READ_FN = re.compile(
@@ -94,7 +102,7 @@ def _rewrite_read_fns(sql: str) -> str:
             )
         return table
 
-    return _READ_FN.sub(repl, sql)
+    return _sub_quote_aware(_READ_FN, repl, sql)
 
 
 def _rewrite_struct_literals(sql: str) -> str:
@@ -106,6 +114,20 @@ def _rewrite_struct_literals(sql: str) -> str:
     n = len(sql)
     while i < n:
         c = sql[i]
+        if c == "'":
+            # copy the whole literal verbatim (''-escape-aware) so a
+            # {...}-shaped snippet inside prose never rewrites
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : min(j + 1, n)])
+            i = j + 1
+            continue
         if c == "{" and re.match(r"\{\s*'", sql[i:]):
             j, depth = i, 0
             while j < n:
@@ -168,11 +190,17 @@ def _rewrite_json_object(sql: str) -> str:
     parens (args copied verbatim — same key/value convention)."""
     out = []
     i, n = 0, len(sql)
+    spans = [(a, b) for a, b, in_str in _scan_strings(sql) if in_str]
     while True:
         m = _JSON_OBJECT.search(sql, i)
         if not m:
             out.append(sql[i:])
             break
+        if any(a <= m.start() < b for a, b in spans):
+            # token inside a string literal — prose, not a call
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
         out.append(sql[i : m.start()])
         j, depth = m.end() - 1, 0
         in_str = False
@@ -196,13 +224,16 @@ def _rewrite_json_object(sql: str) -> str:
 def duckdb_to_spark_sql(sql: str) -> str:
     """Apply every rewrite; idempotent on already-Spark SQL."""
     sql = _rewrite_read_fns(sql)
-    # the 'now' quotes are intrinsic to the pattern, so this rewrite
-    # runs on the raw text (a same-shaped string INSIDE a literal is a
-    # pathological case the shim does not defend against)
-    sql = _SQLITE_DATE.sub(r"date_sub(current_date(), \1)", sql)
-    # quoted-FROM runs on the raw text (the path IS a string literal)
-    sql = _QUOTED_FROM.sub(
-        lambda m: f"{m.group(1)} {_fmt_for(m.group(2))}.`{m.group(2)}`", sql
+    # DATE('now', ...) / FROM 'path': the quotes are intrinsic to the
+    # patterns, so they run over the raw text but guarded on match
+    # START — a same-shaped snippet inside another literal stays prose
+    sql = _sub_quote_aware(
+        _SQLITE_DATE, r"date_sub(current_date(), \1)", sql
+    )
+    sql = _sub_quote_aware(
+        _QUOTED_FROM,
+        lambda m: f"{m.group(1)} {_fmt_for(m.group(2))}.`{m.group(2)}`",
+        sql,
     )
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_json_object(sql)

@@ -24,10 +24,22 @@ def _label_key(labels: dict | None) -> tuple:
     return tuple(sorted((labels or {}).items()))
 
 
+def _esc_label(v) -> str:
+    """Prometheus exposition-format label escaping: backslash, double
+    quote and newline must be escaped or the scrape line is invalid
+    (e.g. an endpoint path label containing a quote)."""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
 def _label_str(key: tuple) -> str:
     if not key:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in key)
+    inner = ",".join(f'{k}="{_esc_label(v)}"' for k, v in key)
     return "{" + inner + "}"
 
 

@@ -20,6 +20,7 @@ dim). Nothing collects; the report is a tiny DataFrame of
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,13 +58,38 @@ def references(column: str, ref: DataFrame, ref_column: str) -> Rule:
     return Rule("references", column, ref=ref, ref_column=ref_column)
 
 
-def freshness(column: str, max_age: str, as_of=None) -> Rule:
+_INTERVAL_RE = re.compile(
+    r"^'?\d+'?\s+(?:year|month|week|day|hour|minute|second)s?$",
+    re.IGNORECASE,
+)
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+)
+
+
+def freshness(column: str, max_age: str, as_of: str) -> Rule:
     """dbt source-freshness shape: the newest value of a timestamp
     column must be within `max_age` (an INTERVAL string like
-    '2 days') of `as_of` (a timestamp literal; REQUIRED here rather
-    than defaulting to now() so the check is reproducible — the
-    caller pins the evaluation instant). violations = 1 when stale,
-    0 when fresh; metadata-cheap (one max() aggregate)."""
+    '2 days') of `as_of` (a timestamp literal; REQUIRED — no now()
+    default — so the check is reproducible: the caller pins the
+    evaluation instant). violations = 1 when stale, 0 when fresh;
+    metadata-cheap (one max() aggregate).
+
+    Both strings end up inside a SQL expression, so they are
+    shape-validated here (fail fast at rule build, not with an
+    AnalysisException mid-report — and no expression injection via a
+    crafted interval)."""
+    if as_of is None:
+        raise ValueError(
+            "freshness(as_of=...) is required: pass the evaluation "
+            "instant explicitly (e.g. '2024-06-01 00:00:00')"
+        )
+    if not _TS_RE.match(str(as_of).strip()):
+        raise ValueError(f"as_of is not a timestamp literal: {as_of!r}")
+    if not _INTERVAL_RE.match(str(max_age).strip()):
+        raise ValueError(
+            f"max_age is not an INTERVAL string like '2 days': {max_age!r}"
+        )
     return Rule("freshness", column, values=(max_age, as_of))
 
 

@@ -101,3 +101,20 @@ def test_load_endpoints_from_bundle(tmp_path):
     endpoints, d = load_endpoints_from_bundle(z)
     assert len(endpoints) == 1
     assert endpoints[0].url_path == "/customers/"
+
+
+def test_unpack_foreign_archive_with_directory_entries(tmp_path):
+    """Archives produced by other tools carry explicit 'dir/' members;
+    those must become directories, not zero-byte files that collide
+    with the 'dir/file' member that follows."""
+    import zipfile
+
+    from flapi_spark.bundle import unpack_bundle
+
+    zp = tmp_path / "foreign.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("sub/", "")            # explicit directory entry
+        z.writestr("sub/file.txt", "hi")
+    out = unpack_bundle(zp, tmp_path / "dst")
+    assert (tmp_path / "dst" / "sub" / "file.txt").read_text() == "hi"
+    assert "sub/file.txt" in out and "sub/" not in out

@@ -233,3 +233,25 @@ if HAS_HYPOTHESIS:
         # the SQL text is a CONSTANT independent of the value — the
         # value can only travel through the args dict
         assert sql == "SELECT * FROM t WHERE a = :p AND b = :p"
+
+
+def test_rewrites_skip_tokens_inside_string_literals():
+    """Trigger tokens sitting inside prose string literals must stay
+    prose — the module promises all rewrites are quote-aware."""
+    from flapi_spark.dialect import duckdb_to_spark_sql as d
+
+    # json_object( inside a literal is prose
+    sql = "SELECT 'call json_object(a, b) here' AS note"
+    assert d(sql) == sql
+    # a real call NEXT TO prose containing the token
+    out = d("SELECT 'json_object(' AS p, json_object('k', v) AS j")
+    assert out == "SELECT 'json_object(' AS p, to_json(named_struct('k', v)) AS j"
+    # read_parquet mentioned in prose
+    sql2 = "SELECT 'use read_parquet(x) for speed' AS tip"
+    assert d(sql2) == sql2
+    # {'k': v}-shaped snippet inside prose
+    sql3 = "SELECT '{ ''k'': 1 }' AS shape"
+    assert d(sql3) == sql3
+    # DATE('now') mentioned midway through a literal
+    sql4 = "SELECT 'DATE(''now'', ''-3 days'') syntax' AS doc"
+    assert d(sql4) == sql4

@@ -167,3 +167,30 @@ def test_multi_statement_template_runs_setup_then_result(executor):
     assert rows[0].c_mktsegment == "BUILDING"
     assert rows[0].n > 0
     assert rows[0].marker == ";not a split;"
+
+
+def test_partial_binding_escape_aware_and_repeated_markers():
+    """The in-string partial rewrite must treat '' as an escape (one
+    literal, not two) and must rewrite EVERY marker occurrence inside
+    a literal, not just the first."""
+    from flapi_spark.binding import rewrite_typed_params
+    from flapi_spark.validation import RequestField, Validator
+
+    fields = [RequestField(field_name="q", validators=[Validator(type="int")])]
+    # '' escape inside the literal: naive pairing would split at the
+    # escape and rewrite into broken SQL
+    out, bound = rewrite_typed_params(
+        "SELECT * FROM t WHERE note = 'it''s {{params.q}}'", fields
+    )
+    assert out == "SELECT * FROM t WHERE note = concat('it''s ', :q)"
+    assert bound == ["q"]
+    # repeated marker in one literal: both occurrences become pieces
+    out2, _ = rewrite_typed_params(
+        "SELECT * FROM t WHERE x LIKE '%{{params.q}}-{{params.q}}%'", fields
+    )
+    assert out2 == (
+        "SELECT * FROM t WHERE x LIKE concat('%', :q, '-', :q, '%')"
+    )
+    # marker-only literal still collapses to the bare marker
+    out3, _ = rewrite_typed_params("WHERE x = '{{params.q}}'", fields)
+    assert out3 == "WHERE x = :q"

@@ -183,3 +183,14 @@ def test_metrics_registry_thread_safety():
         t.join()
     assert m.counter_value("c", {"t": "x"}) == 16000
     assert m.snapshot()["histograms"]["h"]["{}"]["count"] == 16000
+
+
+def test_prometheus_label_values_escaped():
+    from flapi_spark.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    reg.inc("hits", labels={"path": 'a"b\\c\nd'})
+    text = reg.render_prometheus()
+    line = next(l for l in text.splitlines() if l.startswith("hits_total{"))
+    assert 'path="a\\"b\\\\c\\nd"' in line
+    assert "\n" not in line  # the raw newline never reaches the line

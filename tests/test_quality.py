@@ -79,3 +79,18 @@ def test_freshness_fresh_and_stale(spark, sf_dir):
         ev, [freshness("ts", "2 DAYS", as_of=later)]
     ).collect()[0]
     assert not stale.passed and stale.violations == 1
+
+
+def test_freshness_requires_valid_as_of_and_interval():
+    import pytest as _pytest
+
+    from flapi_spark.quality import freshness
+
+    with _pytest.raises(ValueError, match="required"):
+        freshness("ts", "2 days", None)
+    with _pytest.raises(ValueError, match="timestamp"):
+        freshness("ts", "2 days", "not-a-time")
+    with _pytest.raises(ValueError, match="INTERVAL"):
+        freshness("ts", "2; DROP TABLE x", "2024-06-01 00:00:00")
+    r = freshness("ts", "2 days", "2024-06-01 00:00:00")
+    assert r.kind == "freshness"
