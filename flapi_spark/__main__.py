@@ -21,11 +21,27 @@ import sys
 
 
 def _cmd_validate(args) -> int:
+    from pathlib import Path
+
+    import yaml
+
     from flapi_spark.config import load_endpoints_dir
-    from flapi_spark.config_validator import validate_endpoints
+    from flapi_spark.config_validator import (
+        ConfigurationError,
+        parse_https_config,
+        validate_endpoints,
+    )
 
     eps = load_endpoints_dir(args.config)
     result = validate_endpoints(eps)
+    proj = Path(args.config) / "flapi.yaml"
+    if proj.exists():
+        try:
+            parse_https_config(
+                yaml.safe_load(proj.read_text()) or {}, check_files=True
+            )
+        except ConfigurationError as exc:
+            result.error(f"flapi.yaml {exc.config_path}: {exc}")
     for w in result.warnings:
         print(f"WARN  {w}", file=sys.stderr)
     for e in result.errors:

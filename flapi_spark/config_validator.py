@@ -122,3 +122,70 @@ def validate_endpoints(
                 total.error(f"duplicate url-path '{ep.url_path}'")
             seen_paths.add(ep.url_path)
     return total
+
+
+class ConfigurationError(ValueError):
+    """Project-config semantic error (reference: ConfigurationError in
+    config_manager.cpp — carries the offending config path)."""
+
+    def __init__(self, message: str, config_path: str = ""):
+        super().__init__(message)
+        self.config_path = config_path
+
+
+@dataclass
+class HttpsConfig:
+    """Parsed `enforce-https` block of the project flapi.yaml
+    (reference: config_manager.cpp parseHttpsConfig +
+    test/cpp/https_config_test.cpp). The TLS listener itself is out of
+    scope for a query engine; the config SEMANTICS are not — a bundle
+    validated here deploys unchanged against the reference server."""
+
+    enabled: bool = False
+    ssl_cert_file: str = ""
+    ssl_key_file: str = ""
+
+
+def parse_https_config(
+    project_doc: dict, check_files: bool = False
+) -> HttpsConfig:
+    """Mirror of the reference's parseHttpsConfig semantics
+    (config_manager.cpp:1062-1078, vectors in https_config_test.cpp):
+
+    - absent `enforce-https` -> disabled, empty paths
+    - `enforce-https` not a map -> ConfigurationError
+    - enabled: false -> disabled; cert/key NOT required and not kept
+    - enabled: true -> BOTH ssl-cert-file and ssl-key-file keys
+      required, else ConfigurationError
+    - `check_files=True` additionally requires both paths to exist
+      (the reference defers that to the TLS listener at bind time;
+      opt-in here so `flapi validate` can fail fast pre-deploy)
+    """
+    node = (project_doc or {}).get("enforce-https")
+    if node is None:
+        return HttpsConfig()
+    if not isinstance(node, dict):
+        raise ConfigurationError(
+            "'enforce-https' must be a map", "enforce-https"
+        )
+    enabled = bool(node.get("enabled", False))
+    if not enabled:
+        return HttpsConfig(enabled=False)
+    cert = str(node.get("ssl-cert-file") or "")
+    key = str(node.get("ssl-key-file") or "")
+    if not cert or not key:
+        raise ConfigurationError(
+            "SSL certificate and key files must be specified when"
+            " HTTPS is enabled",
+            "enforce-https",
+        )
+    if check_files:
+        from pathlib import Path
+
+        for label, p in (("ssl-cert-file", cert), ("ssl-key-file", key)):
+            if not Path(p).is_file():
+                raise ConfigurationError(
+                    f"{label} does not exist: {p}",
+                    f"enforce-https.{label}",
+                )
+    return HttpsConfig(enabled=True, ssl_cert_file=cert, ssl_key_file=key)

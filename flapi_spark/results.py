@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -50,39 +51,69 @@ def _bounded(df: DataFrame, max_rows: int | None) -> DataFrame:
     return df if cap == UNLIMITED else df.limit(cap)
 
 
+def _record(registry, fmt: str, n_bytes: int, n_rows: int, dur_s: float) -> None:
+    """Serialization metrics per wire format (reference:
+    src/include/arrow_metrics.hpp serialization counters +
+    test/cpp/test_arrow_metrics.cpp expectations): bytes out, rows
+    out, and a duration histogram, labeled by format."""
+    if registry is None:
+        return
+    labels = {"format": fmt}
+    registry.inc("serialize_bytes", labels, by=float(n_bytes))
+    registry.inc("serialize_rows", labels, by=float(n_rows))
+    registry.observe("serialize_duration_seconds", dur_s, labels)
+
+
 def to_json_rows(df: DataFrame, max_rows: int | None = None) -> list[dict[str, Any]]:
     """Row dicts with JSON-safe values (JVM-side serialization via
     Dataset.toJSON — no Python per-row conversion)."""
     return [json.loads(s) for s in _bounded(df, max_rows).toJSON().collect()]
 
 
-def to_json_bytes(df: DataFrame, max_rows: int | None = None) -> bytes:
-    return json.dumps(to_json_rows(df, max_rows)).encode()
+def to_json_bytes(
+    df: DataFrame, max_rows: int | None = None, registry=None
+) -> bytes:
+    t0 = time.monotonic()
+    rows = to_json_rows(df, max_rows)
+    out = json.dumps(rows).encode()
+    _record(registry, "json", len(out), len(rows), time.monotonic() - t0)
+    return out
 
 
-def to_csv_bytes(df: DataFrame, max_rows: int | None = None) -> bytes:
+def to_csv_bytes(
+    df: DataFrame, max_rows: int | None = None, registry=None
+) -> bytes:
     """CSV with header. Arrow-accelerated collect, pandas writer."""
+    t0 = time.monotonic()
     buf = io.StringIO()
-    _bounded(df, max_rows).toPandas().to_csv(buf, index=False)
-    return buf.getvalue().encode()
+    pdf = _bounded(df, max_rows).toPandas()
+    pdf.to_csv(buf, index=False)
+    out = buf.getvalue().encode()
+    _record(registry, "csv", len(out), len(pdf), time.monotonic() - t0)
+    return out
 
 
 def to_arrow_ipc(
     df: DataFrame,
     compression: str | None = None,
     max_rows: int | None = None,
+    registry=None,
 ) -> bytes:
     """Arrow IPC stream bytes. `compression` may be 'zstd' or 'lz4'
     (reference: test_arrow_compression.cpp negotiates codecs)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
+    t0 = time.monotonic()
     table = _bounded(df, max_rows).toArrow()
     sink = pa.BufferOutputStream()
     options = ipc.IpcWriteOptions(compression=compression)
     with ipc.new_stream(sink, table.schema, options=options) as w:
         w.write_table(table)
-    return sink.getvalue().to_pybytes()
+    out = sink.getvalue().to_pybytes()
+    fmt = "arrow" if compression is None else f"arrow+{compression}"
+    _record(registry, fmt, len(out), table.num_rows, time.monotonic() - t0)
+    return out
 
 
 def from_arrow_ipc(data: bytes):
@@ -94,7 +125,10 @@ def from_arrow_ipc(data: bytes):
 
 
 def negotiate(
-    df: DataFrame, accept: str | None, max_rows: int | None = None
+    df: DataFrame,
+    accept: str | None,
+    max_rows: int | None = None,
+    registry=None,
 ) -> tuple[bytes, str]:
     """Serialize `df` per an Accept-style header value. Unknown types
     fall back to JSON (the reference's default)."""
@@ -105,7 +139,7 @@ def negotiate(
             kind = _ACCEPTS[media]
             break
     if kind == "csv":
-        return to_csv_bytes(df, max_rows), CSV
+        return to_csv_bytes(df, max_rows, registry=registry), CSV
     if kind == "arrow":
-        return to_arrow_ipc(df, max_rows=max_rows), ARROW
-    return to_json_bytes(df, max_rows), JSON
+        return to_arrow_ipc(df, max_rows=max_rows, registry=registry), ARROW
+    return to_json_bytes(df, max_rows, registry=registry), JSON

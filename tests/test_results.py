@@ -153,3 +153,26 @@ def test_mask_null_and_unknown_strategy(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="rot13"):
         QueryExecutor(spark).execute(bad)
+
+
+def test_serialization_metrics_per_format(spark):
+    """Bytes/rows counters + duration histogram per wire format
+    (reference: arrow_metrics.hpp, test_arrow_metrics.cpp)."""
+    from flapi_spark.metrics import MetricsRegistry
+    from flapi_spark.results import negotiate, to_arrow_ipc
+
+    df = spark.range(5).toDF("id")
+    reg = MetricsRegistry()
+    body, _ = negotiate(df, "application/json", registry=reg)
+    assert reg.counter_value("serialize_rows", {"format": "json"}) == 5
+    assert reg.counter_value("serialize_bytes", {"format": "json"}) == len(body)
+    body, _ = negotiate(df, "text/csv", registry=reg)
+    assert reg.counter_value("serialize_rows", {"format": "csv"}) == 5
+    ipc = to_arrow_ipc(df, registry=reg)
+    assert reg.counter_value("serialize_bytes", {"format": "arrow"}) == len(ipc)
+    zipc = to_arrow_ipc(df, compression="zstd", registry=reg)
+    assert reg.counter_value(
+        "serialize_bytes", {"format": "arrow+zstd"}
+    ) == len(zipc)
+    snap = reg.snapshot()
+    assert "serialize_duration_seconds" in snap["histograms"]
