@@ -41,6 +41,13 @@ HEADLINE = [
     "dedup_substring_spans",
     "vocab_oov_rate",
     "ann_pq_adc_topk",
+    # round 4: graph + statistics tail, and the de-globalized windows
+    "pagerank_neardup_graph",
+    "kcore_neardup_graph",
+    "session_path_trigrams",
+    "psi_order_value_drift",
+    "ntile_value_bands",
+    "bm25_search",
 ]
 
 

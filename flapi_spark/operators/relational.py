@@ -1594,25 +1594,34 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     EITHER dimension; a single-column sort leaves the other dimension's
     span at full width in every file.
 
-    At 100 TB the normalization is a SAMPLED range-partition id and the
-    bucketing is `repartitionByRange(z)` + `sortWithinPartitions(z)` at
-    write time — fully distributed; exact ntile() here (a diagnostic
-    over one table, like skew_profile) keeps the cut deterministic so
-    the DuckDB oracle replays it bit-for-bit."""
+    The rank-normalization and bucketing run through the distributed
+    global_rank/ntile_band pattern (scale.py) — no unpartitioned
+    window anywhere, so the diagnostic itself survives fact-scale
+    input; the exact ANSI-ntile bucket formula keeps the cut
+    deterministic so the DuckDB oracle replays it bit-for-bit. (At
+    write time the production layout step is `repartitionByRange(z)` +
+    `sortWithinPartitions(z)`, the same shape Delta's OPTIMIZE ZORDER
+    uses.)"""
+    from flapi_spark.operators.scale import global_rank, ntile_band
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.selectExpr(
         "o_orderkey",
         "o_custkey",
         "date_diff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dn",
     )
-    wc = Window.orderBy(F.asc("o_custkey"), F.asc("o_orderkey"))
-    wd = Window.orderBy(F.asc("dn"), F.asc("o_orderkey"))
-    norm = base.select(
+    n = base.count()  # footer-metadata scalar, shared by all 3 cuts
+    ranked = global_rank(
+        global_rank(base, ["o_custkey", "o_orderkey"], "rc"),
+        ["dn", "o_orderkey"],
+        "rd",
+    )
+    norm = ranked.select(
         "o_orderkey",
         "o_custkey",
         "dn",
-        (F.ntile(256).over(wc) - 1).alias("c8"),
-        (F.ntile(256).over(wd) - 1).alias("d8"),
+        (ntile_band(F.col("rc"), F.lit(n), 256) - 1).alias("c8"),
+        (ntile_band(F.col("rd"), F.lit(n), 256) - 1).alias("d8"),
     )
     z = norm.selectExpr(
         "o_orderkey",
@@ -1620,9 +1629,9 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dn",
         f"{_z_interleave_terms('c8', 'd8')} AS z",
     )
-    wb = Window.orderBy(F.asc("z"), F.asc("o_orderkey"))
+    zr = global_rank(z, ["z", "o_orderkey"], "rz")
     return (
-        z.withColumn("bucket", F.ntile(16).over(wb))
+        zr.withColumn("bucket", ntile_band(F.col("rz"), F.lit(n), 16))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

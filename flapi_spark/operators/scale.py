@@ -134,43 +134,20 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(load_table(spark, sf_dir, "orders"), "o_custkey")
 
 
-def global_rank(
-    df: DataFrame,
-    order_cols: list[str],
-    rank_col: str = "__rank",
-    num_partitions: int | None = None,
+def _frozen_bins(
+    df: DataFrame, order_cols: list[str], num_partitions: int
 ) -> DataFrame:
-    """Exact global 1-based row numbering by `order_cols` WITHOUT a
-    single-task global sort.
+    """Deterministic range-binning with FROZEN literal boundaries.
 
-    An unpartitioned ``row_number().over(Window.orderBy(...))`` plans
-    as one exchange to ONE partition — the canonical 100×-scale
-    killer. This is the distributed twin, and it must survive a
-    subtlety: ``repartitionByRange`` re-SAMPLES its split points per
-    job (RangePartitioner seeds differ per shuffle), so a counts pass
-    and a final pass over the same plan can disagree on boundaries and
-    corrupt the offsets. Hence the boundaries are FROZEN as literals:
-
-    1. one seeded sample (bounded: ~200 keys per target partition)
-       picks split points, collected once and baked into the plan;
-    2. every row gets a deterministic ``__bin`` from struct
-       comparisons against those literal boundaries;
-    3. per-bin counts (one tiny agg; collect bounded by the bin
-       count, not the data) become cumulative offsets, broadcast
-       back; per-bin ``row_number`` windows sort only their own slice.
-
-    `order_cols` must form a UNIQUE total order (composite keys
-    including a tiebreaker are fine — comparison is on the full
-    struct, so ties never straddle bins nondeterministically).
-    Output = `df` + `rank_col`, identical to the single-task window.
-    """
-    from pyspark.sql import Window
-
+    ``repartitionByRange`` re-SAMPLES split points per job
+    (RangePartitioner seeds differ per shuffle), so two passes over
+    the same plan can disagree on boundaries — fatal when a counts
+    pass feeds offsets to a later pass. One seeded sample (bounded:
+    ~200 keys per target bin) picks split points, collected once and
+    baked into the plan as struct-comparison literals; every
+    subsequent job bins identically. Adds ``__bin`` (0..n_bins-1,
+    range-ordered)."""
     spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
     n = df.count()  # parquet-footer / cached-plan scalar
     key = F.struct(*[F.col(c) for c in order_cols])
     if n > 0 and num_partitions > 1:
@@ -197,21 +174,87 @@ def global_rank(
             for v, c in zip(b, order_cols)
         ])
         bin_col = bin_col + F.when(key > bound, 1).otherwise(0)
-    binned = df.withColumn("__bin", bin_col)
-    counts = binned.groupBy("__bin").count().orderBy("__bin").collect()
-    running = 0
+    return df.withColumn("__bin", bin_col)
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "__rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row numbering by `order_cols` WITHOUT a
+    single-task global sort.
+
+    An unpartitioned ``row_number().over(Window.orderBy(...))`` plans
+    as one exchange to ONE partition — the canonical 100×-scale
+    killer. This is the distributed twin: deterministic range bins
+    (see _frozen_bins), per-bin counts (one tiny agg; collect bounded
+    by the bin count, not the data) become cumulative offsets
+    broadcast back, and per-bin ``row_number`` windows sort only
+    their own slice.
+
+    `order_cols` must form a UNIQUE total order (composite keys
+    including a tiebreaker are fine — comparison is on the full
+    struct, so ties never straddle bins nondeterministically).
+    Output = `df` + `rank_col`, identical to the single-task window.
+    """
+    return global_ordered_prefix(
+        df, order_cols, rank_col=rank_col, num_partitions=num_partitions
+    )
+
+
+def global_ordered_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "__rank",
+    sum_col: str | None = None,
+    prefix_col: str = "__prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """global_rank plus (optionally) an exact global running SUM of
+    `sum_col` in `order_cols` order — the distributed twin of
+    ``sum(x).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))``, the shape Gini/Lorenz/ABC cumulative-share
+    analytics need. Same frozen-bin machinery; the per-bin agg
+    collects (count, sum) pairs so both the rank offset and the
+    prefix-sum offset come from one bounded collect."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    binned = _frozen_bins(df, order_cols, num_partitions)
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__bin_sum"))
+    counts = binned.groupBy("__bin").agg(*aggs).orderBy("__bin").collect()
     rows = []
+    run_n, run_s = 0, 0
     for r in counts:
-        rows.append((r["__bin"], running))
-        running += r["count"]
-    offset_df = spark.createDataFrame(rows, "__bin INT, __off LONG")
+        rows.append((r["__bin"], run_n, run_s if sum_col is not None else 0))
+        run_n += r["__cnt"]
+        if sum_col is not None:
+            run_s += r["__bin_sum"] or 0
+    if sum_col is not None and rows and isinstance(run_s, float):
+        off_schema = "__bin INT, __off LONG, __soff DOUBLE"
+    else:
+        off_schema = "__bin INT, __off LONG, __soff LONG"
+    offset_df = spark.createDataFrame(rows, off_schema)
     w = Window.partitionBy("__bin").orderBy(*order_cols)
-    return (
+    out = (
         binned.withColumn("__local_rn", F.row_number().over(w))
         .join(F.broadcast(offset_df), "__bin")
         .withColumn(rank_col, F.col("__off") + F.col("__local_rn"))
-        .drop("__bin", "__local_rn", "__off")
     )
+    if sum_col is not None:
+        wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = out.withColumn(
+            prefix_col, F.col("__soff") + F.sum(sum_col).over(wsum)
+        )
+    return out.drop("__bin", "__local_rn", "__off", "__soff")
 
 
 def ntile_band(rank: "F.Column", n_rows: "F.Column", k: int) -> "F.Column":

@@ -96,3 +96,55 @@ def test_skew_profile_matches_plain_counts(spark, sf_dir):
     for r in prof:
         assert abs(r.share - r.n / total) < 1e-12
     assert [r.rnk for r in prof] == list(range(1, 21))
+
+
+def test_global_rank_matches_single_task_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.scale import global_rank
+    from flapi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    w = Window.orderBy("value", "event_id")
+    expected = ev.withColumn("r", F.row_number().over(w).cast("long"))
+    got = global_rank(ev, ["value", "event_id"], "r")
+    diff = expected.join(got, "event_id").where(
+        expected.r != got.r
+    )
+    assert diff.count() == 0
+    assert got.count() == ev.count()
+
+
+def test_global_ordered_prefix_matches_window_cumsum(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.scale import global_ordered_prefix
+    from flapi_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    w = (
+        Window.orderBy("cents", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = o.withColumn("cum", F.sum("cents").over(w))
+    got = global_ordered_prefix(
+        o, ["cents", "o_orderkey"], rank_col="r",
+        sum_col="cents", prefix_col="cum",
+    )
+    joined = expected.alias("e").join(got.alias("g"), "o_orderkey")
+    assert joined.where("e.cum != g.cum").count() == 0
+
+
+def test_global_rank_empty_and_tiny_inputs(spark):
+    from flapi_spark.operators.scale import global_rank
+
+    empty = spark.range(0).selectExpr("id AS k")
+    assert global_rank(empty, ["k"], "r").count() == 0
+    tiny = spark.range(3).selectExpr("id AS k")
+    got = {r.k: r.r for r in global_rank(tiny, ["k"], "r").collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
