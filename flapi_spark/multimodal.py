@@ -11,7 +11,7 @@ Decode: PNG and WAV are decoded FOR REAL with pure-stdlib parsing
 channel stats; `_wav_decode`: RIFF/fmt/data walk + PCM RMS) — no
 media libraries needed. Matching pure-stdlib encoders exist so
 pipelines (and tests) can synthesize genuine payloads. Exotic formats
-(mp4, jpeg) stay behind `decode_stub` / the NotImplementedError gate
+(mp4) stay behind `decode_stub` / the NotImplementedError gate
 in `decode_real`; `decode_auto` dispatches on magic bytes.
 """
 
@@ -336,12 +336,17 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return _wav_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from flapi_spark.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     try:
         from PIL import Image  # noqa: F401  # pragma: no cover
     except ImportError as exc:
         raise NotImplementedError(
-            f"decode for {media_type} requires media libraries not installed;"
-            " PNG/WAV decode is native, other formats use decode_stub"
+            f"decode for {media_type} requires media libraries not"
+            " installed; PNG/WAV/BMP/baseline-JPEG decode is native,"
+            " other formats (mp4...) use decode_stub"
         ) from exc
     raise NotImplementedError(  # pragma: no cover
         f"real decode for {media_type} not implemented"
@@ -355,6 +360,7 @@ def decode_auto(payload: bytes, media_type: str) -> dict:
         payload[:8] == PNG_SIG
         or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
         or payload[:2] == b"BM"
+        or payload[:2] == b"\xff\xd8"
     ):
         return decode_real(payload, media_type)
     return decode_stub(payload, media_type)

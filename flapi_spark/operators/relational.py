@@ -528,8 +528,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(revenue_expr()).cast("double").alias("total_revenue")
     )
-    w = Window.orderBy(F.desc("total_revenue"))
-    top = rev.withColumn("rk", F.rank().over(w)).where(F.col("rk") == 1).drop("rk")
+    # rank()==1 is just "ties at the max": a one-row broadcast max
+    # joined back beats an unpartitioned rank window (supplier-grain
+    # is fact-scale at the 100 TB SF)
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue == F.col("__mx")
+    ).drop("__mx")
     return (
         top.join(supp, top.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -1698,9 +1703,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic 3-digit RFM segment code.
 
     Scale shape: the order-scale work is one groupBy(custkey); the
-    quintile windows run over customer-grain rows. Exact ntile keeps
-    the DuckDB oracle bit-for-bit (at petabyte customer counts the
-    cut becomes approx percentile boundaries — same output schema)."""
+    quintile cuts run through the DISTRIBUTED global_rank + exact
+    ANSI ntile formula (scale.py) — customer-grain is fact-scale at
+    the 100 TB SF, so three unpartitioned ntile windows would each be
+    a single-task sort. Descending dimensions rank on negated keys.
+    Bit-for-bit equal to the window ntile, so the DuckDB oracle (which
+    keeps using ntile) stays green."""
+    from flapi_spark.operators.scale import global_rank, ntile_band
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.date_diff(
@@ -1711,17 +1721,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
+    n = per_cust.count()
+    ranked = per_cust.withColumn(
+        "__negf", -F.col("n_orders")
+    ).withColumn("__negm", -F.col("monetary"))
+    ranked = global_rank(ranked, ["recency_days", "o_custkey"], "__rr")
+    ranked = global_rank(ranked, ["__negf", "o_custkey"], "__rf")
+    ranked = global_rank(ranked, ["__negm", "o_custkey"], "__rm")
+    scored = ranked.select(
         "o_custkey",
         "recency_days",
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(5).over(wr).alias("r_q"),
-        F.ntile(5).over(wf).alias("f_q"),
-        F.ntile(5).over(wm).alias("m_q"),
+        ntile_band(F.col("__rr"), F.lit(n), 5).cast("int").alias("r_q"),
+        ntile_band(F.col("__rf"), F.lit(n), 5).cast("int").alias("f_q"),
+        ntile_band(F.col("__rm"), F.lit(n), 5).cast("int").alias("m_q"),
     )
     return scored.select(
         "o_custkey",
@@ -2574,9 +2588,11 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-customer revenue in exact integer cents; Σ i·x_i and Σ x_i are
     exact BIGINT sums (rank · cents < 2^63 at any realistic scale);
     only the final two-term formula runs in mirrored doubles. One
-    fact-scale groupBy + one customer-grain rank window. Exact
-    oracle."""
-    from pyspark.sql import Window
+    fact-scale groupBy, then the rank comes from the DISTRIBUTED
+    global_rank (scale.py) — customer-grain is still billions of rows
+    at the 100 TB SF, so an unpartitioned rank window would be a
+    single-task sort. Exact oracle."""
+    from flapi_spark.operators.scale import global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -2584,8 +2600,7 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    ranked = global_rank(per_cust, ["cents", "o_custkey"], "i")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -2709,9 +2724,14 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share — "the top decile holds X% of revenue".
 
     Exact integer cents throughout; each share divides two exact
-    BIGINTs once (round 6dp). One fact-scale groupBy + one
-    customer-grain ntile window. Exact oracle."""
+    BIGINTs once (round 6dp). One fact-scale groupBy, then the decile
+    cut via distributed global_rank + the exact ANSI ntile formula
+    (customer-grain rows are fact-scale at the 100 TB SF — no
+    unpartitioned window). The two windows AFTER the decile groupBy
+    run over 10 rows. Exact oracle."""
     from pyspark.sql import Window
+
+    from flapi_spark.operators.scale import global_rank, ntile_band
 
     orders = load_table(spark, sf_dir, "orders")
     pc = orders.groupBy("o_custkey").agg(
@@ -2719,8 +2739,10 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    dec = pc.withColumn("decile", F.ntile(10).over(w))
+    n = pc.count()
+    dec = global_rank(pc, ["cents", "o_custkey"], "__r").withColumn(
+        "decile", ntile_band(F.col("__r"), F.lit(n), 10)
+    )
     per = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("cents"),
@@ -2898,6 +2920,10 @@ def session_path_trigrams(
         F.lead("event_type", 1).over(ws).alias("e2"),
         F.lead("event_type", 2).over(ws).alias("e3"),
     ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap of k) — the trigram vocabulary grows with the corpus, so a
+    # global row_number window over it would be a single-task sort;
+    # rnk re-derives over the k survivors only
     wr = Window.orderBy(F.desc("n"), F.asc("path"))
     return (
         tri.select(
@@ -2907,9 +2933,13 @@ def session_path_trigrams(
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("path", F.col("n").cast("long").alias("n"), "rnk")
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
     )
 
 
@@ -2920,10 +2950,13 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue per part in exact integer units (cents via the decimal
     revenue expression ×100); cumulative shares divide two exact
-    BIGINTs per row. One fact-scale groupBy + one part-grain rank
-    window. Output: per-class part counts and revenue share. Exact
+    BIGINTs per row. One fact-scale groupBy, then the descending
+    cumulative sum via the DISTRIBUTED global_ordered_prefix
+    (scale.py) on a negated sort key — part-grain is fact-scale at
+    the 100 TB SF, so an unpartitioned window would be a single-task
+    sort; the grand total is a one-row scalar collect. Exact
     oracle."""
-    from pyspark.sql import Window
+    from flapi_spark.operators.scale import global_ordered_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
     # revenue has decimal scale 4 (price scale 2 x discount scale 2);
@@ -2936,17 +2969,14 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("units")
     )
-    w = Window.orderBy(F.desc("units"), F.asc("l_partkey"))
-    wall = Window.partitionBy()
-    t = (
-        per_part.withColumn(
-            "cum",
-            F.sum("units").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .withColumn("total", F.sum("units").over(wall))
-    )
+    total = per_part.agg(F.sum("units")).collect()[0][0] or 0
+    t = global_ordered_prefix(
+        per_part.withColumn("__neg", -F.col("units")),
+        ["__neg", "l_partkey"],
+        rank_col="__r",
+        sum_col="units",
+        prefix_col="cum",
+    ).withColumn("total", F.lit(total).cast("long"))
     share = F.col("cum").cast("double") / F.col("total")
     cls = (
         F.when(share <= 0.80, F.lit("A"))
@@ -3716,7 +3746,12 @@ def customer_concentration_topn(
     of total revenue plus each member's own share — "our ten largest
     accounts are 4.1% of revenue". Exact integer cents; each share is
     one division (6dp); deterministic (revenue desc, custkey)
-    ranking. Exact oracle."""
+    ranking.
+
+    Scale shape: top-N via orderBy+limit (TakeOrderedAndProject — a
+    per-partition heap of N, never a global sort of customer-grain
+    rows); the grand total is a one-row scalar collect; the rank and
+    top-N-sum windows run over the N survivors only. Exact oracle."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3725,12 +3760,13 @@ def customer_concentration_topn(
             "cents"
         )
     )
-    wall = Window.partitionBy()
+    total = pc.agg(F.sum("cents")).collect()[0][0] or 0
     w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
     t = (
-        pc.withColumn("total", F.sum("cents").over(wall))
+        pc.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .limit(n)
+        .withColumn("total", F.lit(total).cast("long"))
         .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= n)
     )
     wtop = Window.partitionBy()
     return t.withColumn("top_cents", F.sum("cents").over(wtop)).select(

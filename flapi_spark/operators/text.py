@@ -916,13 +916,21 @@ def udtf_ngram_profile(
         f"SELECT g.gram FROM documents d,"
         f" LATERAL flapi_ngrams({norm}, {n}) g"
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject, per-partition
+    # heap) — the gram vocabulary scales with the corpus, so a global
+    # row_number window over it is a single-task sort; rnk re-derives
+    # over the k survivors
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
-        .select("gram", F.col("n_occurrences").cast("long").alias("n_occurrences"), "rnk")
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+        .select(
+            "gram",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
     )
 
 
@@ -961,10 +969,13 @@ def countmin_token_freq(
         F.count(F.lit(1)).alias("c")
     )
     true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # top-k tokens via orderBy+limit (vocabulary-scale input; the
+    # re-ranking window runs over the k survivors only)
     wtop = Window.orderBy(F.desc("n"), F.asc("tok"))
     top = (
-        true_counts.withColumn("rnk", F.row_number().over(wtop))
-        .where(F.col("rnk") <= k)
+        true_counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(wtop))
     )
     probes = top.withColumn(
         "depth", F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)]))
@@ -1267,6 +1278,9 @@ def sample_weighted_quality(
     key = F.round(F.log(u) / F.col("n_chars"), 9)
     from pyspark.sql import Window
 
+    # A-Res keeps the k largest keys: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition heap of k over the corpus,
+    # no global sort); rnk re-derives over the k survivors
     w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
     return (
         docs.select(
@@ -1274,8 +1288,9 @@ def sample_weighted_quality(
             F.col("n_chars").cast("long").alias("weight"),
             key.alias("key"),
         )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
     )
 
 

@@ -1,4 +1,5 @@
 import pytest
+import struct
 
 from flapi_spark import multimodal as M
 
@@ -233,3 +234,65 @@ def test_bmp_rejects_corrupt_and_unsupported():
     good = bmp_encode([[(1, 2, 3)]])
     with _pytest.raises(ValueError, match="truncated"):
         _bmp_decode(good[:-2])
+
+
+class TestJpegCodec:
+    def test_round_trip_feature_dict(self):
+        from flapi_spark.jpeg import jpeg_decode, jpeg_encode
+
+        px = [[(x * 9 % 256, y * 7 % 256, (x ^ y) % 256)
+               for x in range(20)] for y in range(12)]
+        enc = jpeg_encode(px)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        d = jpeg_decode(enc)
+        assert d["width"] == 20 and d["height"] == 12
+        assert d["n_channels"] == 3 and d["bit_depth"] == 8
+        assert 0 <= d["mean_level"] <= 255
+
+    def test_round_trip_pixel_error_bounded(self):
+        import numpy as np
+
+        from flapi_spark.jpeg import decoded_pixels, jpeg_encode
+
+        px = [[(min(255, x * 4), min(255, y * 8), 128)
+               for x in range(33)] for y in range(17)]  # non-multiple of 8
+        enc = jpeg_encode(px)
+        arr = decoded_pixels(enc)
+        assert arr.shape == (17, 33, 3)
+        err = np.abs(arr - np.array(px, dtype=float)).mean()
+        assert err < 12, err  # flat-quant baseline: small loss only
+
+    def test_decode_auto_dispatches_jpeg(self):
+        from flapi_spark.jpeg import jpeg_encode
+        from flapi_spark.multimodal import decode_auto, decode_real
+
+        px = [[(10, 200, 30)] * 8 for _ in range(8)]
+        enc = jpeg_encode(px)
+        d = decode_auto(enc, "image/jpeg")
+        assert d["width"] == 8 and d["n_channels"] == 3
+        assert decode_real(enc, "image/jpeg")["checksum"] == d["checksum"]
+
+    def test_corrupt_payload_raises(self):
+        import pytest as _pytest
+
+        from flapi_spark.jpeg import jpeg_decode, jpeg_encode
+
+        with _pytest.raises(ValueError, match="SOI"):
+            jpeg_decode(b"not a jpeg")
+        px = [[(1, 2, 3)] * 8 for _ in range(8)]
+        enc = bytearray(jpeg_encode(px))
+        enc = enc[:40]  # truncated mid-headers
+        with _pytest.raises((ValueError, IndexError, struct.error)):
+            jpeg_decode(bytes(enc))
+
+    def test_progressive_jpeg_rejected(self):
+        import pytest as _pytest
+
+        from flapi_spark.jpeg import jpeg_decode
+
+        # SOI + SOF2 (progressive) header
+        payload = (
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+        with _pytest.raises(ValueError, match="baseline"):
+            jpeg_decode(payload)
