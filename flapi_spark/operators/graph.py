@@ -66,8 +66,11 @@ def pagerank_fixed_point(
 
     Scale shape: one shuffle per iteration (edges ⋈ ranks on v, then
     groupBy u) — the Pregel message-passing pattern as DataFrame ops.
-    Degrees are computed once; lineage is truncated per round. The
-    driver holds only the node COUNT (one scalar), never node data.
+    Degrees are computed once and PRE-JOINED onto the edge list
+    (u, v, deg_v) outside the loop, so each iteration is a single
+    join + one groupBy instead of two joins; lineage is truncated per
+    round. The driver holds only the node COUNT (one scalar), never
+    node data.
     """
     edges = _undirected_edges(pairs)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -79,13 +82,16 @@ def pagerank_fixed_point(
         )
     init = PR_SCALE // n
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    edges_d = (
+        edges.join(deg, edges.v == deg.node)
+        .select("u", "v", F.col("deg").alias("deg_v"))
+        .localCheckpoint()
+    )
     pr = deg.select("node", F.lit(init).cast("long").alias("pr"))
     for _ in range(iterations):
-        outflow = pr.join(deg, "node").select(
-            "node", F.expr("pr div deg").alias("give")
-        )
         pr = (
-            edges.join(outflow, edges.v == outflow.node)
+            edges_d.join(pr, edges_d.v == pr.node)
+            .select("u", F.expr("pr div deg_v").alias("give"))
             .groupBy("u")
             .agg(F.sum("give").alias("inflow"))
             .select(
@@ -191,17 +197,19 @@ def kcore_decompose(pairs: DataFrame, k: int = 2, max_iterations: int = 30) -> D
     same discipline as label_components. Output: surviving (doc_id,
     degree-in-core). Golden-tested against a pure-Python peeler."""
     edges = _undirected_edges(pairs)
+    n_prev = edges.count()  # carried across rounds: one count per round
     for _ in range(max_iterations):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("u")
-        n_before = edges.count()
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint()
         )
-        if edges.count() == n_before:
+        n_now = edges.count()
+        if n_now == n_prev:
             break
+        n_prev = n_now
     return (
         edges.groupBy("u")
         .agg(F.count(F.lit(1)).alias("core_degree"))
