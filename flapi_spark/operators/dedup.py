@@ -1102,3 +1102,50 @@ def dedup_family_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_clique"),
         )
     )
+
+
+def minhash_estimate_error(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Sketch-accuracy evaluation: for every verified near-dup pair
+    (the portable MinHash pipeline's output), compare the MinHash
+    ESTIMATE of Jaccard — matching signature components / NUM_PERM —
+    against the exact shingle-set Jaccard the verify step computed.
+    The per-pair |error| is the empirical check of the 1/sqrt(k)
+    sketch bound, i.e. the dial a deployment reads before trusting
+    signatures alone (skipping verify) at some threshold.
+
+    Scale shape: re-derives signatures (one linear pass) and joins
+    them onto the pair stream twice — pair-bounded work on top of the
+    existing pipeline. Exact oracle (same arithmetic in DuckDB)."""
+    from flapi_spark.session import load_table
+
+    pairs = dedup_minhash_portable(spark, sf_dir, threshold)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_from_hashed(
+        hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    est = matches.cast("double") / F.lit(float(NUM_PERM))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard_exact"),
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_error"),
+        )
+    )

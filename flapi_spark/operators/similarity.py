@@ -397,3 +397,39 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("norm", 0.75), 6).alias("q3"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+def ann_recall_eval(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Recall@k of the LSH index against exact brute-force ground
+    truth, per query — the evaluation harness an ANN deployment tunes
+    its bands/probes with (an index you can't measure is an index you
+    can't trust). recall = |lsh∩brute| / |brute| over each query's
+    top-k sets; 6dp.
+
+    Scale shape: both sides are the existing bucketed/broadcast ANN
+    plans; the eval adds one (qid,cid) equi-join + a per-query
+    aggregate over ≤ k rows per query. Exact oracle (composes the two
+    entries' own oracle SQL as CTEs)."""
+    brute = ann_bruteforce_topk(spark, sf_dir, k=k).select(
+        "qid", F.col("cid").alias("bcid")
+    )
+    lsh = ann_lsh_topk(spark, sf_dir, k=k).select(
+        "qid", F.col("cid").alias("lcid")
+    )
+    hits = brute.join(
+        lsh,
+        (brute.qid == lsh.qid) & (F.col("bcid") == F.col("lcid")),
+        "left",
+    ).select(
+        brute.qid.alias("qid"),
+        F.col("lcid").isNotNull().cast("int").alias("hit"),
+    )
+    return hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )

@@ -731,6 +731,66 @@ def _minhash_portable_sql() -> str:
     )
 
 
+def _minhash_estimate_error_sql() -> str:
+    """Sketch-accuracy oracle: the portable-minhash CTE chain up to
+    verified pairs, then per-pair matching-component counts over the
+    64 signature columns — identical integer arithmetic, mirrored
+    double division and rounding."""
+    P = D.MERSENNE_P
+    n, r = 3, D.NUM_PERM // D.BANDS
+    tok = f"((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) % {P})"
+    gram = "0"
+    for j in range(n - 1, -1, -1):
+        a = D.PERMS[j][0]
+        gram = f"(({a} * coalesce(ht[i + {j + 1}], 0) + {gram}) % {P})"
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(D.PERMS)
+    )
+    band_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        + ", ".join(f"m{band * r + j} AS b{j}" for j in range(r))
+        + " FROM sigs"
+        for band in range(D.BANDS)
+    )
+    eq = " AND ".join(f"a.b{j} = c.b{j}" for j in range(r))
+    jac = "(CAST(s AS DOUBLE) / (sa.n + sb.n - s))"
+    match = " + ".join(
+        f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(D.NUM_PERM)
+    )
+    est = f"(CAST(({match}) AS DOUBLE) / {float(D.NUM_PERM)})"
+    return (
+        f"WITH toks AS (SELECT doc_id, list_transform({_TOKS},"
+        f"  x -> {tok}) AS ht FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        f"  range(0, greatest(len(ht) - {n}, 0) + 1), i -> {gram})) AS g"
+        "  FROM toks),"
+        " hs AS (SELECT doc_id, unnest(g) AS h FROM grams),"
+        f" sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),"
+        f" bands AS ({band_arms}),"
+        " cands AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b"
+        f"  FROM bands a JOIN bands c ON a.band_id = c.band_id AND {eq}"
+        "   AND a.doc_id < c.doc_id),"
+        " sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n FROM grams),"
+        " shared AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,"
+        "   count(*) AS s FROM hs a JOIN hs c ON a.h = c.h"
+        "   AND a.doc_id < c.doc_id GROUP BY 1, 2),"
+        f" pairs AS (SELECT cands.doc_a, cands.doc_b, {jac} AS jaccard"
+        "  FROM cands JOIN shared ON shared.doc_a = cands.doc_a"
+        "   AND shared.doc_b = cands.doc_b"
+        "  JOIN sizes sa ON sa.doc_id = cands.doc_a"
+        "  JOIN sizes sb ON sb.doc_id = cands.doc_b"
+        f"  WHERE {jac} >= 0.5)"
+        " SELECT p.doc_a, p.doc_b,"
+        "  ROUND(p.jaccard, 6) AS jaccard_exact,"
+        f"  ROUND({est}, 6) AS jaccard_est,"
+        f"  ROUND(ABS(p.jaccard - {est}), 6) AS abs_error"
+        " FROM pairs p JOIN sigs ga ON ga.doc_id = p.doc_a"
+        " JOIN sigs gb ON gb.doc_id = p.doc_b"
+    )
+
+
 def _simhash_portable_sql() -> str:
     """DuckDB replication of dedup_simhash_portable: md5-derived 32-bit
     hash halves, ±1 votes per bit, sign-of-tally fingerprints, 16-bit
@@ -3609,6 +3669,43 @@ QUERIES.update(
             "  n_orders IS NOT NULL AS has_orders,"
             "  n_events IS NOT NULL AS has_events"
             " FROM o FULL OUTER JOIN e ON o.key = e.key",
+        ),
+    }
+)
+
+
+def _ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.similarity import ann_recall_eval
+
+    return ann_recall_eval(spark, sf_dir)
+
+
+def _minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        # -- round 4: index-quality evaluation (recall@k of the LSH
+        #    index vs brute-force ground truth; composes the two
+        #    entries' own oracle SQL as CTEs so the eval itself is
+        #    exactly checked)
+        "ann_recall_eval": (
+            _ann_recall_eval,
+            "WITH brute AS (" + QUERIES["ann_bruteforce_topk"][1] + "),"
+            " lsh AS (" + QUERIES["ann_lsh_topk"][1] + ")"
+            " SELECT b.qid AS qid, CAST(count(*) AS BIGINT) AS n_true,"
+            "  CAST(count(l.cid) AS BIGINT) AS n_hits,"
+            "  ROUND(count(l.cid) * 1.0 / count(*), 6) AS recall"
+            " FROM brute b LEFT JOIN lsh l"
+            "  ON b.qid = l.qid AND b.cid = l.cid"
+            " GROUP BY 1",
+        ),
+        "minhash_estimate_error": (
+            _minhash_estimate_error,
+            _minhash_estimate_error_sql(),
         ),
     }
 )
