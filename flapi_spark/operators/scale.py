@@ -105,23 +105,25 @@ def skew_profile(
     """Join-key skew profiler: per-key row counts, corpus share, and
     rank for the `top_n` heaviest keys — the diagnostic an engineer
     runs BEFORE shuffling 100 TB on a key, to size salting / AQE skew
-    thresholds. One groupBy (map-side combined) plus a windowed rank
-    over the key-cardinality-sized count table; the raw table is
-    touched once."""
+    thresholds. One groupBy (map-side combined); the top-N cut is
+    orderBy+limit (TakeOrderedAndProject — per-partition heap over
+    the key-cardinality count table, which is itself fact-scale for
+    high-cardinality keys, so no global window); the total is the
+    input row count (one scalar); the rank window runs over the N
+    survivors. The raw table is touched once per pass."""
     from pyspark.sql import Window
 
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    w_all = Window.partitionBy()
+    tot = df.count()
     w_rank = Window.orderBy(F.desc("n"), F.asc(key))
     return (
-        counts.withColumn("tot", F.sum("n").over(w_all))
-        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("rnk") <= top_n)
+        counts.orderBy(F.desc("n"), F.asc(key))
+        .limit(top_n)
         .select(
             key,
             F.col("n").cast("long").alias("n"),
-            (F.col("n") / F.col("tot")).alias("share"),
-            "rnk",
+            (F.col("n") / F.lit(tot)).alias("share"),
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
         )
     )
 
