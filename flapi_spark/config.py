@@ -212,11 +212,26 @@ class EndpointConfig:
             base_dir=base_dir,
         )
 
-    def load_template(self) -> str:
+    def load_template(self, provider=None) -> str:
+        """Template text; `provider` (a vfs file provider, e.g.
+        vfs.CachingFileProvider over remote schemes) intercepts
+        remote `template-source` paths — the reference's caching VFS
+        layer (caching_file_provider.cpp) serving s3://-hosted
+        templates without a refetch per request."""
         if self.template_text is not None:
             return self.template_text
         if not self.template_source:
             raise ValueError(f"endpoint {self.url_path}: no template")
+        from flapi_spark.vfs import is_remote_path
+
+        if is_remote_path(self.template_source):
+            if provider is None:
+                raise ValueError(
+                    f"endpoint {self.url_path}: remote template-source"
+                    f" {self.template_source!r} needs a file provider"
+                    " (vfs.CachingFileProvider)"
+                )
+            return provider.read_file(self.template_source)
         path = Path(self.template_source)
         if not path.is_absolute() and self.base_dir is not None:
             # config-supplied relative template paths must stay inside

@@ -153,6 +153,7 @@ class QueryExecutor:
         rate_limiter: "FixedWindowLimiter | None" = None,
         metrics: "MetricsRegistry | None" = None,
         plan_guard: bool = False,
+        file_provider=None,
     ):
         from flapi_spark.ratelimit import FixedWindowLimiter
 
@@ -163,6 +164,9 @@ class QueryExecutor:
         self.rate_limiter = rate_limiter or FixedWindowLimiter()
         self.metrics = metrics
         self.plan_guard = plan_guard
+        # vfs provider for remote template-source paths (TTL-cached
+        # reads; see vfs.CachingFileProvider / config.load_template)
+        self.file_provider = file_provider
 
     def render(
         self,
@@ -172,7 +176,7 @@ class QueryExecutor:
     ) -> tuple[str, dict[str, Any]]:
         """Validate params and produce (sql, spark_args)."""
         typed = validate_params(endpoint.request_fields, params)
-        template = endpoint.load_template()
+        template = endpoint.load_template(provider=self.file_provider)
         rewritten, bound = rewrite_typed_params(template, endpoint.request_fields)
         conn_ctx: dict = {}
         for name in endpoint.connections:

@@ -3686,6 +3686,34 @@ def _minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_error(spark, sf_dir)
 
 
+def _src_duckdb_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live DuckDB scan via the flapi_duckdb Python DataSource: the
+    query runs inside embedded DuckDB on the executors, lands in
+    Spark as Arrow batches cast to the declared schema, and is
+    predicate-split across 2 partitions (hash(o_orderkey) % 2)."""
+    from flapi_spark.sources.pyds import register
+
+    register(spark)
+    return (
+        spark.read.format("flapi_duckdb")
+        .option(
+            "schema",
+            "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+        )
+        .option(
+            "query",
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+            " CAST(o_custkey AS BIGINT) AS o_custkey,"
+            " CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+            f" FROM '{sf_dir}/orders.parquet'"
+            " WHERE o_orderkey % 100 = 0",
+        )
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "2")
+        .load()
+    )
+
+
 QUERIES.update(
     {
         # -- round 4: index-quality evaluation (recall@k of the LSH
@@ -3706,6 +3734,17 @@ QUERIES.update(
         "minhash_estimate_error": (
             _minhash_estimate_error,
             _minhash_estimate_error_sql(),
+        ),
+        # -- round 4: LIVE heterogeneous-source read — Spark scanning
+        #    an embedded DuckDB engine through the Python DataSource
+        #    API (the reference's ATTACH path, database_manager.cpp:
+        #    251-310), predicate-split into 2 partitions
+        "src_duckdb_query": (
+            _src_duckdb_query,
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+            " CAST(o_custkey AS BIGINT) AS o_custkey,"
+            " CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+            " FROM orders WHERE o_orderkey % 100 = 0",
         ),
     }
 )

@@ -141,5 +141,109 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the datasource with a session."""
+    """Idempotently register the datasources with a session."""
     spark.dataSource.register(JsonlDataSource)
+    spark.dataSource.register(DuckDBDataSource)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, idx: int, n: int):
+        self.idx = idx
+        self.n = n
+
+
+class DuckDBReader(DataSourceReader):
+    """Executor-side DuckDB query evaluation, Arrow-batched.
+
+    Each task opens its own read-only connection (DuckDB connections
+    are process-local; nothing crosses the serialization boundary but
+    the options dict) and yields pyarrow RecordBatches — Spark's
+    Python DataSource API moves them zero-copy into the scan.
+
+    Partitioning mirrors the JDBC predicate-split pattern: with
+    `partition_column` + `num_partitions`, partition i evaluates
+    `query WHERE hash(col) % n = i` — n independent scans that fan
+    out across the cluster (DuckDB re-reads the source per task; the
+    split is by predicate, not offset, so it is deterministic and
+    stable under parallel re-execution). Without it: one partition.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = options
+        if not options.get("query"):
+            raise ValueError("flapi_duckdb: `query` option is required")
+
+    def partitions(self):
+        n = int(self.options.get("num_partitions", "1"))
+        if n > 1 and not self.options.get("partition_column"):
+            raise ValueError(
+                "flapi_duckdb: num_partitions > 1 needs partition_column"
+            )
+        return [_RangePartition(i, n) for i in range(n)]
+
+    def read(self, partition: _RangePartition):
+        import duckdb
+
+        con = duckdb.connect()
+        query = self.options["query"]
+        database = self.options.get("database")
+        if database:
+            con.execute(
+                f"ATTACH '{database}' AS src (READ_ONLY); USE src"
+            )
+        if partition.n > 1:
+            col = self.options["partition_column"]
+            query = (
+                f"SELECT * FROM ({query}) __q"
+                f" WHERE hash({col}) % {partition.n} = {partition.idx}"
+            )
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # DuckDB's Arrow types follow its own inference (parquet int32
+        # stays int32); Spark's scan requires vectors matching the
+        # DECLARED schema exactly — cast every batch to it
+        target = to_arrow_schema(self.schema)
+        reader = con.execute(query).fetch_record_batch(
+            int(self.options.get("batch_size", "8192"))
+        )
+        try:
+            while True:
+                batch = reader.read_next_batch()
+                yield pa.record_batch(
+                    [
+                        batch.column(i).cast(target.field(i).type)
+                        for i in range(batch.num_columns)
+                    ],
+                    schema=target,
+                )
+        except StopIteration:
+            return
+
+
+class DuckDBDataSource(DataSource):
+    """spark.read.format("flapi_duckdb")
+        .option("query", "SELECT ... FROM 'file.parquet'")
+        [.option("database", "/path/file.duckdb")]
+        [.option("partition_column", "id").option("num_partitions", 8)]
+
+    The live heterogeneous-source read the reference does via ATTACH
+    (database_manager.cpp:251-310): an embedded analytical engine
+    queried in place, results landing in Spark as Arrow batches.
+    `schema` option (DDL string) is required — Spark's Python
+    DataSource API cannot infer it, and pinning it keeps the scan
+    contract explicit (same stance as the JDBC presets)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flapi_duckdb"
+
+    def schema(self) -> str:
+        s = self.options.get("schema")
+        if not s:
+            raise ValueError("flapi_duckdb: `schema` option is required")
+        return s
+
+    def reader(self, schema: StructType) -> DuckDBReader:
+        return DuckDBReader(schema, self.options)

@@ -112,3 +112,85 @@ def test_jsonl_stream_reader_tails_landing_zone(spark, tmp_path):
     # the checkpointed file-list offset prevented re-reading a.jsonl:
     # doc 1 appears exactly once across both runs
     assert sorted(second) == [1, 2]
+
+
+class TestDuckDBDataSource:
+    """Live heterogeneous-source read: Spark scanning an embedded
+    DuckDB engine (parquet query + attached .duckdb database),
+    Arrow-batched, with predicate-split partitioning."""
+
+    def test_query_over_parquet(self, spark, sf_dir):
+        from flapi_spark.sources.pyds import register
+
+        register(spark)
+        df = (
+            spark.read.format("flapi_duckdb")
+            .option("schema", "r_regionkey BIGINT, r_name STRING")
+            .option(
+                "query",
+                f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
+                " ORDER BY r_regionkey",
+            )
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 5
+        assert rows[0].r_name is not None
+
+    def test_partitioned_read_matches_single(self, spark, sf_dir):
+        from flapi_spark.sources.pyds import register
+
+        register(spark)
+        base = (
+            spark.read.format("flapi_duckdb")
+            .option("schema", "o_orderkey BIGINT, o_custkey BIGINT")
+            .option(
+                "query",
+                f"SELECT o_orderkey, o_custkey FROM '{sf_dir}/orders.parquet'",
+            )
+        )
+        single = base.load()
+        split = (
+            base.option("partition_column", "o_orderkey")
+            .option("num_partitions", "4")
+            .load()
+        )
+        assert split.rdd.getNumPartitions() == 4
+        assert split.count() == single.count()
+        assert (
+            split.exceptAll(single).count() == 0
+            and single.exceptAll(split).count() == 0
+        )
+
+    def test_attached_database(self, spark, tmp_path):
+        import duckdb
+
+        from flapi_spark.sources.pyds import register
+
+        db = str(tmp_path / "t.duckdb")
+        con = duckdb.connect(db)
+        con.execute("CREATE TABLE kv (k BIGINT, v VARCHAR)")
+        con.execute("INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+        con.close()
+        register(spark)
+        df = (
+            spark.read.format("flapi_duckdb")
+            .option("schema", "k BIGINT, v STRING")
+            .option("database", db)
+            .option("query", "SELECT k, v FROM kv ORDER BY k")
+            .load()
+        )
+        assert [tuple(r) for r in df.collect()] == [(1, "a"), (2, "b")]
+
+    def test_missing_options_raise(self, spark):
+        from flapi_spark.sources.pyds import register
+
+        register(spark)
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
+            spark.read.format("flapi_duckdb").option(
+                "schema", "x BIGINT"
+            ).load().collect()

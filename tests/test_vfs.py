@@ -216,3 +216,22 @@ def test_local_provider_list_and_read(tmp_path):
         p.list_files(str(tmp_path / "nodir"))
     with pytest.raises(FileOperationError):
         p.read_file(str(tmp_path / "nofile"))
+
+
+def test_remote_template_source_served_through_provider():
+    """A remote template-source routes through the (caching) file
+    provider instead of the local filesystem."""
+    from flapi_spark.config import EndpointConfig
+
+    ep = EndpointConfig(
+        url_path="/remote",
+        template_source="s3://bucket/tpl/q.sql",
+    )
+    mock = MockProvider("SELECT 42 AS x")
+    cached = CachingFileProvider(mock, FileCacheConfig(ttl_s=60),
+                                 clock=FakeClock())
+    assert ep.load_template(provider=cached) == "SELECT 42 AS x"
+    assert ep.load_template(provider=cached) == "SELECT 42 AS x"
+    assert mock.read_count == 1  # second read served from cache
+    with pytest.raises(ValueError, match="file provider"):
+        ep.load_template()
