@@ -34,7 +34,7 @@ class SourceUnavailableError(RuntimeError):
 @dataclass
 class Connection:
     name: str
-    format: str = "parquet"  # parquet | csv | json | orc | jdbc | iceberg
+    format: str = "parquet"  # parquet | csv | json | orc | jdbc | duckdb | iceberg
     properties: dict[str, Any] = field(default_factory=dict)
     init_sql: str | None = None
 
@@ -89,6 +89,22 @@ class Connection:
                 raise SourceUnavailableError(
                     f"jdbc connection '{self.name}' unavailable: {exc}"
                 ) from exc
+        if fmt == "duckdb":
+            # LIVE embedded-DuckDB read through the flapi_duckdb Python
+            # DataSource (sources/pyds.py) — the reference's DuckDB
+            # ATTACH, runnable in any environment with the duckdb
+            # wheel. properties: query (required), schema (required
+            # DDL), database (optional .duckdb file),
+            # partition_column/num_partitions (optional split).
+            from flapi_spark.sources.pyds import register
+
+            register(spark)
+            reader = spark.read.format("flapi_duckdb")
+            for k in ("query", "schema", "database",
+                      "partition_column", "num_partitions", "batch_size"):
+                if k in self.properties:
+                    reader = reader.option(k, str(self.properties[k]))
+            return reader.load()
         if fmt == "iceberg":
             try:
                 return spark.read.format("iceberg").load(self.properties["table"])

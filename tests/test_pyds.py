@@ -194,3 +194,22 @@ class TestDuckDBDataSource:
             spark.read.format("flapi_duckdb").option(
                 "schema", "x BIGINT"
             ).load().collect()
+
+
+def test_duckdb_connection_through_registry(spark, sf_dir):
+    """connections: {format: duckdb} routes through the flapi_duckdb
+    DataSource — the ATTACH-style connection config end-to-end."""
+    from flapi_spark.sources.registry import Connection
+
+    conn = Connection(
+        name="duck",
+        format="duckdb",
+        properties={
+            "schema": "r_regionkey BIGINT, r_name STRING",
+            "query": (
+                "SELECT r_regionkey, r_name"
+                f" FROM '{sf_dir}/region.parquet' ORDER BY r_regionkey"
+            ),
+        },
+    )
+    assert conn.read(spark).count() == 5
