@@ -50,7 +50,10 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # round-3d second batch (documents/events-based; orders-based
        # ops are excluded — replicate() doesn't scale the orders table)
        "chi2_lang_source", "funnel_time_to_convert",
-       "user_overlap_exact", "sample_weighted_quality"]
+       "user_overlap_exact", "sample_weighted_quality",
+       # round-4: distributed global-rank pattern (events-based) and
+       # the index-quality evaluation ops
+       "ntile_value_bands", "ann_recall_eval", "minhash_estimate_error"]
 FACTORS = [1, 2, 4, 8]
 
 
