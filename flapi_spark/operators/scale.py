@@ -220,10 +220,22 @@ def global_ordered_prefix(
     currentRow))``, the shape Gini/Lorenz/ABC cumulative-share
     analytics need. Same frozen-bin machinery; the per-bin agg
     collects (count, sum) pairs so both the rank offset and the
-    prefix-sum offset come from one bounded collect."""
+    prefix-sum offset come from one bounded collect.
+
+    `sum_col` must be integral or double (the repo-wide exact-cents
+    convention): a DECIMAL sum would silently lose its scale through
+    the LONG/DOUBLE offset schema, so it is rejected up front."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if sum_col is not None:
+        t = dict(df.dtypes).get(sum_col, "")
+        if t.startswith("decimal"):
+            raise ValueError(
+                f"global_ordered_prefix: sum_col {sum_col!r} is {t};"
+                " cast to BIGINT integer cents (or DOUBLE) first —"
+                " decimal offsets would lose scale"
+            )
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")

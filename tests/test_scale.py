@@ -148,3 +148,16 @@ def test_global_rank_empty_and_tiny_inputs(spark):
     tiny = spark.range(3).selectExpr("id AS k")
     got = {r.k: r.r for r in global_rank(tiny, ["k"], "r").collect()}
     assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_global_ordered_prefix_rejects_decimal_sum(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.scale import global_ordered_prefix
+
+    df = spark.range(5).select(
+        "id", F.expr("CAST(id AS DECIMAL(10,2))").alias("d")
+    )
+    with _pytest.raises(ValueError, match="integer cents"):
+        global_ordered_prefix(df, ["id"], sum_col="d")
