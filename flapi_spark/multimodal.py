@@ -459,6 +459,24 @@ def _text_to_png(text: str) -> bytes:
     return png_encode(pixels)
 
 
+def _text_to_jpeg(text: str) -> bytes:
+    """Deterministic tiny baseline JPEG derived from the text hash
+    (real SOI/DQT/SOF0/DHT/SOS structure — flapi_spark.jpeg)."""
+    from flapi_spark.jpeg import jpeg_encode
+
+    seed = hashlib.sha256(b"jpeg:" + text.encode()).digest()
+    w = 4 + seed[0] % 13
+    h = 4 + seed[1] % 13
+    stream = hashlib.sha256(seed).digest()
+    while len(stream) < w * h * 3:
+        stream += hashlib.sha256(stream[-32:]).digest()
+    it = iter(stream)
+    pixels = [
+        [(next(it), next(it), next(it)) for _ in range(w)] for _ in range(h)
+    ]
+    return jpeg_encode(pixels)
+
+
 def _text_to_wav(text: str) -> bytes:
     """Deterministic PCM16 WAV derived from the text hash."""
     seed = hashlib.sha256(text.encode()).digest()
@@ -473,24 +491,28 @@ def _text_to_wav(text: str) -> bytes:
 
 
 def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Genuine media payloads from `documents`: doc_id%3==0 → real PNG,
-    %3==1 → real WAV, else an opaque fake-mp4 blob. Payload bytes are a
-    pure function of the text, so the table is deterministic. Runs as
-    an Arrow-batched mapInPandas stage — per-row imperative encode
-    work streams through executors, no driver loop."""
+    """Genuine media payloads from `documents`: doc_id%4==0 → real PNG,
+    %4==1 → real WAV, %4==2 → real baseline JPEG, else an opaque
+    fake-mp4 blob. Payload bytes are a pure function of the text, so
+    the table is deterministic. Runs as an Arrow-batched mapInPandas
+    stage — per-row imperative encode work streams through executors,
+    no driver loop."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, types = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                m = int(doc_id) % 3
+                m = int(doc_id) % 4
                 if m == 0:
                     payloads.append(_text_to_png(text))
                     types.append("image/png")
                 elif m == 1:
                     payloads.append(_text_to_wav(text))
                     types.append("audio/wav")
+                elif m == 2:
+                    payloads.append(_text_to_jpeg(text))
+                    types.append("image/jpeg")
                 else:
                     payloads.append(b"\x00\x00\x00\x18ftypmp42" +
                                     hashlib.sha256(text.encode()).digest())
@@ -508,10 +530,11 @@ def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_real_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode end-to-end: synthesize genuine PNG/WAV payloads,
-    then parse them with the native codecs (decode_auto → _png_decode /
-    _wav_decode); fake-mp4 rows fall back to the stub. Rows-only check
-    (binary payload synthesis is not SQL-expressible)."""
+    """REAL decode end-to-end: synthesize genuine PNG/WAV/JPEG
+    payloads, then parse them with the native codecs (decode_auto →
+    _png_decode / _wav_decode / jpeg_decode); fake-mp4 rows fall back
+    to the stub. Rows-only check (binary payload synthesis is not
+    SQL-expressible)."""
     return decode_batch(synthesize_real_media(spark, sf_dir), decoder=decode_auto)
 
 

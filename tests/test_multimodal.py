@@ -194,8 +194,9 @@ def test_mm_real_decoded_end_to_end(spark, sf_dir):
         by_type.setdefault(r.media_type, []).append(r)
     pngs = by_type.get("image/png", [])
     wavs = by_type.get("audio/wav", [])
-    assert pngs and wavs
-    for r in pngs:
+    jpegs = by_type.get("image/jpeg", [])
+    assert pngs and wavs and jpegs
+    for r in pngs + jpegs:
         assert 4 <= r.width <= 16 and 4 <= r.height <= 16
         assert r.n_channels == 3 and r.mean_level is not None
     for r in wavs:
