@@ -1149,3 +1149,57 @@ def minhash_estimate_error(
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_error"),
         )
     )
+
+
+def rowwise_minhash(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs, m0..m63) with EVERY stage a per-row expression —
+    no explode, no groupBy. Same arithmetic as hashed_shingles_from +
+    minhash_signatures_from_hashed (same PERMS, same fold), so
+    signatures are identical; the shape exists for STREAMING
+    consumers, where a groupBy would make the query stateful. Batch
+    total work is identical (k·|shingles| multiplies per doc, just
+    evaluated inside one projection)."""
+    toks = docs.select("doc_id", F.split(norm_text(), " ").alias("t"))
+    tok_hash = f"pmod(xxhash64(x), {MERSENNE_P})"
+    th = toks.select(
+        "doc_id", F.expr(f"transform(t, x -> {tok_hash})").alias("ht")
+    )
+    gram = "0"
+    for j in range(n - 1, -1, -1):
+        a = PERMS[j][0]
+        gram = (
+            f"pmod({a} * coalesce(try_element_at(ht, i + {j + 1}), 0)"
+            f" + {gram}, {MERSENNE_P})"
+        )
+    hs = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(ht) - {n}, 0)),"
+        f" i -> {gram}))"
+    )
+    sigs = [
+        F.expr(
+            f"array_min(transform(hs, h -> pmod(h * {a} + {b},"
+            f" {MERSENNE_P})))"
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return th.select("doc_id", hs.alias("hs")).select("doc_id", "hs", *sigs)
+
+
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bh) banded rows from signature columns — the
+    LSH bucket key stream (generator + projection: streaming-safe)."""
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(*[F.col(f"m{band * r + j}") for j in range(r)]).alias("bh"),
+        )
+        for band in range(BANDS)
+    ])
+    return sigs.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.bh").alias("bh"),
+    )

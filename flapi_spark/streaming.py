@@ -689,3 +689,62 @@ def session_window_agg_stream(
             "sum_value",
         )
     )
+
+
+def neardup_guard_stream(
+    docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingestion-time near-dup guard: a stream of incoming documents
+    checked against a STATIC reference corpus by MinHash-LSH — the
+    "is this new crawl page already in my training set?" contamination
+    gate, run before data lands.
+
+    Every stage is stateless (append-mode safe, zero streaming
+    state): per-row signatures (dedup.rowwise_minhash — no groupBy),
+    band explode (generator), stream-static equi-join on the band
+    bucket, then the exact-Jaccard verify as another stream-static
+    join against the corpus shingle sets with a per-row
+    array_intersect. Spark re-resolves the static side per
+    micro-batch, so a corpus refresh between batches is picked up
+    automatically.
+
+    Emission is AT-LEAST-ONCE per (incoming, corpus) pair — a pair
+    matching in k bands emits k rows (band_id included as evidence);
+    dedup happens at the sink (idempotent_batch_writer / pk-merge
+    cache), because a streaming distinct would turn the stateless
+    guard stateful. The batch twin (same helpers, batch input +
+    distinct) is the equality anchor in tests.
+
+    At 100 TB the corpus band table is a bucketed warehouse table on
+    (band_id, bh) so the per-batch join co-locates without a shuffle
+    of the static side."""
+    from flapi_spark.operators.dedup import band_rows, rowwise_minhash
+
+    corpus_sigs = rowwise_minhash(corpus_docs)
+    corpus_bands = band_rows(corpus_sigs).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
+    )
+    corpus_sets = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
+    )
+    s = rowwise_minhash(docs_stream)
+    cands = band_rows(s).join(corpus_bands, ["band_id", "bh"]).select(
+        "doc_id", "corpus_doc_id", "band_id"
+    )
+    enriched = (
+        cands.join(s.select("doc_id", "hs"), "doc_id")
+        .join(corpus_sets, "corpus_doc_id")
+    )
+    inter = F.size(F.array_intersect("hs", "corpus_hs")).cast("double")
+    union = (
+        F.size("hs") + F.size("corpus_hs")
+        - F.size(F.array_intersect("hs", "corpus_hs"))
+    )
+    return enriched.select(
+        "doc_id",
+        "corpus_doc_id",
+        "band_id",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

@@ -298,3 +298,22 @@ def test_incremental_pairs_equal_full_recompute_on_delta(spark, sf_dir):
         if r.doc_a > cutoff or r.doc_b > cutoff
     }
     assert inc == full
+
+
+def test_rowwise_minhash_matches_exploded_pipeline(spark, sf_dir):
+    """The streaming-safe per-row signature builder must produce
+    exactly the signatures of the exploded groupBy pipeline."""
+    from flapi_spark.operators.dedup import (
+        NUM_PERM,
+        hashed_shingles_from,
+        minhash_signatures_from_hashed,
+        rowwise_minhash,
+    )
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = minhash_signatures_from_hashed(hashed_shingles_from(docs))
+    b = rowwise_minhash(docs).drop("hs")
+    cols = ["doc_id"] + [f"m{i}" for i in range(NUM_PERM)]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0

@@ -516,3 +516,52 @@ def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path_factory):
         for r in ST.session_window_agg_stream(ev).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_neardup_guard_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Ingestion near-dup guard: availableNow over a 2-file landing of
+    incoming docs equals the batch twin (distinct pair sets — the
+    stream is documented at-least-once per band), and every incoming
+    doc that IS a corpus member self-matches at jaccard 1.0."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    d = tmp_path_factory.mktemp("docs_guard_landing")
+    halves = incoming.randomSplit([0.5, 0.5], seed=11)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.neardup_guard_stream(stream, docs), name, output_mode="append"
+    )
+    got = {
+        (r.doc_id, r.corpus_doc_id, r.jaccard)
+        for r in spark.table(name).collect()
+    }
+    expect = {
+        (r.doc_id, r.corpus_doc_id, r.jaccard)
+        for r in ST.neardup_guard_stream(incoming, docs).collect()
+    }
+    assert got == expect and got
+    # corpus members self-match exactly
+    self_pairs = {(a, b) for a, b, _ in got if a == b}
+    incoming_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    assert self_pairs == {(i, i) for i in incoming_ids}
+    for a, b, j in got:
+        if a == b:
+            assert j == 1.0
