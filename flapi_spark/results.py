@@ -143,3 +143,94 @@ def negotiate(
     if kind == "arrow":
         return to_arrow_ipc(df, max_rows=max_rows, registry=registry), ARROW
     return to_json_bytes(df, max_rows, registry=registry), JSON
+
+
+class NotAcceptable(ValueError):
+    """No supported format satisfies the request (HTTP 406 semantics,
+    reference: flapi-09 §5.1 edge cases)."""
+
+
+def select_format(
+    accept: str | None,
+    format_override: str | None = None,
+    default_format: str = "json",
+) -> tuple[str, str | None]:
+    """Format negotiation per the reference's priority order
+    (docs/features/flapi-09-arrow-content-type.md §5.1):
+
+    1. query-param override wins over Accept;
+    2. Accept media types ranked by q-value (highest supported wins;
+       codec preference read from the media-type `codec=` parameter);
+    3. wildcard / absent / malformed Accept -> the default format;
+    4. an Accept listing ONLY unsupported concrete types (no
+       wildcard, no q=0 escape) -> NotAcceptable (406).
+
+    Returns (format, codec) with format in {json, csv, arrow}.
+    """
+    if format_override:
+        fmt = format_override.strip().lower()
+        if fmt not in ("json", "csv", "arrow"):
+            raise NotAcceptable(f"unsupported format override: {format_override!r}")
+        return fmt, None
+    if accept is None or not accept.strip():
+        return default_format, None
+    candidates = []  # (q, order, fmt, codec)
+    any_parsed = False
+    for order, part in enumerate(accept.split(",")):
+        part = part.strip()
+        if not part:
+            continue
+        pieces = part.split(";")
+        media = pieces[0].strip().lower()
+        q = 1.0
+        codec = None
+        for p in pieces[1:]:
+            k, _, v = p.partition("=")
+            k, v = k.strip().lower(), v.strip().strip('"')
+            if k == "q":
+                try:
+                    q = float(v)
+                except ValueError:
+                    return default_format, None  # malformed -> */*
+            elif k == "codec" and v.lower() in ("zstd", "lz4"):
+                codec = v.lower()
+        if "/" not in media:
+            return default_format, None  # malformed -> */*
+        any_parsed = True
+        if media in ("*/*", "application/*") :
+            candidates.append((q, order, default_format, codec))
+        elif media in _ACCEPTS:
+            candidates.append((q, order, _ACCEPTS[media], codec))
+        elif media == "text/*":
+            candidates.append((q, order, "csv", codec))
+        # unsupported concrete types contribute nothing
+    viable = [c for c in candidates if c[0] > 0]
+    if not viable:
+        if any_parsed:
+            raise NotAcceptable(f"no supported media type in Accept: {accept!r}")
+        return default_format, None
+    viable.sort(key=lambda c: (-c[0], c[1]))
+    _, _, fmt, codec = viable[0]
+    return fmt, codec
+
+
+def negotiate_full(
+    df: DataFrame,
+    accept: str | None,
+    max_rows: int | None = None,
+    registry=None,
+    format_override: str | None = None,
+    default_format: str = "json",
+) -> tuple[bytes, str]:
+    """select_format + serialize: the complete reference negotiation
+    path (query-param override, q-values, codec parameter, 406)."""
+    fmt, codec = select_format(accept, format_override, default_format)
+    if fmt == "csv":
+        return to_csv_bytes(df, max_rows, registry=registry), CSV
+    if fmt == "arrow":
+        body = to_arrow_ipc(
+            df, compression=codec, max_rows=max_rows, registry=registry
+        )
+        ctype = ARROW if codec is None else f"{ARROW}; codec={codec}"
+        return body, ctype
+    return to_json_bytes(df, max_rows, registry=registry), JSON

@@ -176,3 +176,72 @@ def test_serialization_metrics_per_format(spark):
     ) == len(zipc)
     snap = reg.snapshot()
     assert "serialize_duration_seconds" in snap["histograms"]
+
+
+class TestFormatNegotiation:
+    """Reference semantics: docs/features/flapi-09 §5.1 priority order,
+    q-values, codec parameter, 406 and malformed-header handling."""
+
+    def test_query_param_override_wins(self):
+        from flapi_spark.results import select_format
+
+        assert select_format("application/json", "arrow") == ("arrow", None)
+        assert select_format(None, "csv") == ("csv", None)
+
+    def test_quality_values_rank(self):
+        from flapi_spark.results import select_format
+
+        fmt, _ = select_format(
+            "application/json;q=0.5,"
+            "application/vnd.apache.arrow.stream;q=0.9"
+        )
+        assert fmt == "arrow"
+        # tie broken by order
+        fmt2, _ = select_format(
+            "text/csv, application/json"
+        )
+        assert fmt2 == "csv"
+
+    def test_codec_parameter_extracted(self):
+        from flapi_spark.results import select_format
+
+        fmt, codec = select_format(
+            "application/vnd.apache.arrow.stream;codec=zstd"
+        )
+        assert (fmt, codec) == ("arrow", "zstd")
+
+    def test_wildcard_and_malformed_default(self):
+        from flapi_spark.results import select_format
+
+        assert select_format("*/*")[0] == "json"
+        assert select_format("garbage-no-slash")[0] == "json"
+        assert select_format("application/json;q=abc")[0] == "json"
+        assert select_format(None)[0] == "json"
+        assert select_format("*/*", default_format="arrow")[0] == "arrow"
+
+    def test_unsupported_only_is_406(self):
+        import pytest as _pytest
+
+        from flapi_spark.results import NotAcceptable, select_format
+
+        with _pytest.raises(NotAcceptable):
+            select_format("application/xml")
+        with _pytest.raises(NotAcceptable):
+            select_format(None, "yaml")
+        # q=0 on everything supported -> 406 too
+        with _pytest.raises(NotAcceptable):
+            select_format("application/json;q=0")
+
+    def test_negotiate_full_serializes(self, spark):
+        from flapi_spark.results import ARROW, from_arrow_ipc, negotiate_full
+
+        df = spark.range(3).toDF("id")
+        body, ctype = negotiate_full(
+            df, "application/vnd.apache.arrow.stream;codec=lz4"
+        )
+        assert ctype == f"{ARROW}; codec=lz4"
+        assert from_arrow_ipc(body).num_rows == 3
+        body2, ctype2 = negotiate_full(
+            df, "application/json", format_override="csv"
+        )
+        assert ctype2 == "text/csv" and body2.startswith(b"id")
