@@ -1861,36 +1861,43 @@ def rolling_distinct_customers_7d(
 ) -> DataFrame:
     """Trailing-7-day DISTINCT customer count per day — the windowed
     count-distinct Spark's window functions cannot express directly
-    (COUNT(DISTINCT) OVER is unsupported): per-day customer SETS are
-    built once in the event-scale groupBy, and the calendar RANGE
-    frame unions the ≤7 daily sets per output row.
+    (COUNT(DISTINCT) OVER is unsupported).
 
-    Scale shape: the heavy work (set building) is one shuffle on day;
-    the frame union touches day-grain rows only. Set sizes are bounded
-    by active-customers-per-day — at much larger cardinalities the
-    exact sets swap for HLL sketch merge (hll_sketch_agg /
-    hll_union_agg, the continuous-aggregate module's path) with the
-    same plan shape. Counts are integral → exact oracle."""
+    Scale shape: the coverage-explode formulation — a customer active
+    on day a counts toward every window day a..a+6, so each distinct
+    (custkey, day) pair explodes into ≤7 (custkey, window_day) rows,
+    deduped and counted per window day. Every row stays
+    CONSTANT-SIZE (the previous formulation collected per-day
+    customer SETS, whose row width grows with daily active customers
+    — tens of millions of keys in one row at the 100 TB SF); every
+    stage is a linear shuffle. Sketch twin at extreme cardinality:
+    HLL union over the same explode. Counts integral → exact
+    oracle."""
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("day")
-    ).agg(
-        F.collect_set("o_custkey").alias("cs"),
-        F.count(F.lit(1)).alias("n_orders"),
+    day = F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    daily = orders.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_orders")
     )
-    daynum = F.date_diff(F.col("day"), F.lit("1995-01-01").cast("date"))
-    w = (
-        Window.orderBy(daynum.cast("long"))
-        .rangeBetween(-6, Window.currentRow)
+    pairs = orders.select(
+        "o_custkey", day
+    ).distinct()
+    coverage = pairs.select(
+        "o_custkey",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("wday"),
+    ).distinct()
+    counts = coverage.groupBy("wday").agg(
+        F.count(F.lit(1)).alias("distinct_customers_7d")
     )
-    return daily.select(
+    return daily.join(
+        counts, daily.day == counts.wday
+    ).select(
         "day",
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.size(
-            F.array_distinct(F.flatten(F.collect_list("cs").over(w)))
-        )
-        .cast("long")
-        .alias("distinct_customers_7d"),
+        F.col("distinct_customers_7d").cast("long").alias(
+            "distinct_customers_7d"
+        ),
     )
 
 
