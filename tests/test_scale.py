@@ -161,3 +161,29 @@ def test_global_ordered_prefix_rejects_decimal_sum(spark):
     )
     with _pytest.raises(ValueError, match="integer cents"):
         global_ordered_prefix(df, ["id"], sum_col="d")
+
+
+def test_ntile_band_property_matches_ansi_semantics(spark):
+    """Property: for random (n, k), ntile_band over ranks 1..n equals
+    Spark's own ntile(k) window output."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.scale import ntile_band
+
+    rng = random.Random(1234)
+    cases = [(rng.randint(1, 500), rng.randint(1, 12)) for _ in range(12)]
+    cases += [(1, 1), (1, 5), (4, 4), (5, 4), (3, 10)]
+    for n, k in cases:
+        df = spark.range(1, n + 1).toDF("r")
+        w = Window.orderBy("r")
+        expected = df.select(
+            "r", F.ntile(k).over(w).cast("long").alias("e")
+        )
+        got = df.select(
+            "r", ntile_band(F.col("r"), F.lit(n), k).alias("g")
+        )
+        bad = expected.join(got, "r").where("e != g").count()
+        assert bad == 0, (n, k)
