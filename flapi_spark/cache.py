@@ -139,6 +139,25 @@ class CacheManager:
                 info.previous_snapshot_committed_at = prev["committed_at"]
         return info
 
+    def invalidate(self, cfg: CacheConfig) -> bool:
+        """Mark the current snapshot stale (reference:
+        cache.invalidate-on-write — a write through the endpoint means
+        the cached result no longer reflects the table; the NEXT read
+        should refresh first). Returns False when there is nothing to
+        invalidate. The snapshot data stays on disk (time travel keeps
+        working); only the staleness flag flips."""
+        snaps = self._load_manifest(cfg)
+        if not snaps:
+            return False
+        snaps[-1]["invalidated"] = True
+        self._write_manifest(cfg, snaps)
+        self._audit(cfg, "invalidate", "ok", "write invalidated snapshot", snaps[-1]["id"])
+        return True
+
+    def is_stale(self, cfg: CacheConfig) -> bool:
+        snaps = self._load_manifest(cfg)
+        return bool(snaps) and bool(snaps[-1].get("invalidated"))
+
     # --- snapshot IO --------------------------------------------------------
 
     def _df_from_inline(self, snap: dict) -> DataFrame:

@@ -66,8 +66,22 @@ def refresh_endpoint_cache(
     if not cfg.enabled or not cfg.table:
         raise ValueError(f"endpoint {endpoint.url_path}: cache not configured")
     info = cache_mgr.snapshot_info(cfg)
+    # the reference keeps a SEPARATE refresh template per cached
+    # endpoint (cache.template-file, cache_manager.cpp) — essential
+    # for WRITE endpoints, whose own template is the mutation, not the
+    # cacheable read. Fall back to the endpoint template when no cache
+    # template is configured (read endpoints).
+    src_ep = endpoint
+    if cfg.template_file:
+        import dataclasses
+
+        src_ep = dataclasses.replace(
+            endpoint,
+            template_source=cfg.template_file,
+            template_text=None,
+        )
     sql, args = executor.render(
-        endpoint, dict(params or {}), cache_ctx=cache_template_vars(cfg, info)
+        src_ep, dict(params or {}), cache_ctx=cache_template_vars(cfg, info)
     )
     df = executor.spark.sql(sql, args=args) if args else executor.spark.sql(sql)
     if cfg.cursor_column and info.current_snapshot_id:

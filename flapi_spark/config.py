@@ -120,6 +120,10 @@ class CacheConfig:
     template_file: str | None = None
     keep_last_snapshots: int | None = None
     max_snapshot_age: str | None = None
+    # write-endpoint interplay (reference: config_manager.hpp
+    # invalidate_on_write / refresh_on_write)
+    invalidate_on_write: bool = False
+    refresh_on_write: bool = False
 
     @classmethod
     def from_dict(cls, d: dict | None) -> "CacheConfig":
@@ -138,6 +142,40 @@ class CacheConfig:
             template_file=d.get("template-file", d.get("template_file")),
             keep_last_snapshots=retention.get("keep-last-snapshots"),
             max_snapshot_age=retention.get("max-snapshot-age"),
+            invalidate_on_write=bool(
+                d.get("invalidate-on-write", d.get("invalidate_on_write", False))
+            ),
+            refresh_on_write=bool(
+                d.get("refresh-on-write", d.get("refresh_on_write", False))
+            ),
+        )
+
+
+@dataclass
+class OperationConfig:
+    """Operation block (reference: config_manager.hpp OperationConfig +
+    endpoint_config_parser.cpp:369-404): writes are auto-detected from
+    POST/PUT/PATCH/DELETE methods and overridable via `operation:`."""
+
+    type: str = "read"  # read | write
+    returns_data: bool = False
+    transaction: bool = True
+    validate_before_write: bool = True
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "OperationConfig":
+        if not d:
+            return cls()
+        t = str(d.get("type", "read")).lower()
+        if t not in ("read", "write"):
+            raise ValueError(f"operation.type must be read|write, got {t!r}")
+        return cls(
+            type=t,
+            returns_data=bool(d.get("returns-data", d.get("returns_data", False))),
+            transaction=bool(d.get("transaction", True)),
+            validate_before_write=bool(
+                d.get("validate-before-write", d.get("validate_before_write", True))
+            ),
         )
 
 
@@ -166,6 +204,19 @@ class ShapeConfig:
         )
 
 
+def _operation_with_method_default(d: dict) -> OperationConfig:
+    """Auto-detect write from the HTTP method (reference:
+    endpoint_config_parser.cpp:150-156 — POST/PUT/PATCH imply write;
+    DELETE added for the write-examples' delete-order endpoint), then
+    let an explicit operation block override."""
+    op = OperationConfig.from_dict(d.get("operation"))
+    if "operation" not in d or "type" not in (d.get("operation") or {}):
+        if str(d.get("method", "GET")).upper() in ("POST", "PUT", "PATCH",
+                                                   "DELETE"):
+            op.type = "write"
+    return op
+
+
 @dataclass
 class EndpointConfig:
     url_path: str = ""
@@ -185,7 +236,13 @@ class EndpointConfig:
     # (flapi_spark/dialect.py) — migrated reference templates run
     # unchanged; default empty = template is already Spark SQL
     template_dialect: str = ""
+    method: str = "GET"
+    operation: OperationConfig = field(default_factory=OperationConfig)
     base_dir: Path | None = None
+
+    @property
+    def is_write(self) -> bool:
+        return self.operation.type == "write"
 
     @classmethod
     def from_dict(cls, d: dict, base_dir: Path | None = None) -> "EndpointConfig":
@@ -209,6 +266,8 @@ class EndpointConfig:
             template_dialect=d.get(
                 "template-dialect", d.get("template_dialect", "")
             ),
+            method=str(d.get("method", "GET")).upper(),
+            operation=_operation_with_method_default(d),
             base_dir=base_dir,
         )
 

@@ -328,3 +328,84 @@ class QueryExecutor:
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "formatted"
         )
+
+    def execute_write(
+        self,
+        endpoint: EndpointConfig,
+        params: dict[str, Any] | None = None,
+        cache_mgr=None,
+        user: str | None = None,
+        client_ip: str | None = None,
+        auth_header: str | None = None,
+    ):
+        """Write-endpoint path (reference: database_manager.cpp
+        executeWrite / executeWriteInTransaction + request_handler.cpp
+        rows_affected): render with the SAME typed-binding pipeline as
+        reads, split statements, then run them through the
+        copy-on-write translator (flapi_spark.writes). Honors
+        operation.returns-data (trailing SELECT or RETURNING),
+        operation.transaction (multi-statement backup/restore), and
+        the cache write hooks (invalidate-on-write marks the snapshot
+        stale; refresh-on-write re-syncs it immediately)."""
+        from flapi_spark.ratelimit import check_endpoint
+        from flapi_spark.sql_utils import split_sql_statements
+        from flapi_spark.writes import WriteError, execute_write_statements
+
+        if not endpoint.is_write:
+            raise WriteError(
+                f"endpoint {endpoint.url_path} is not a write endpoint"
+                " (set method: POST/PUT/PATCH/DELETE or operation.type:"
+                " write)"
+            )
+        check_endpoint(
+            self.rate_limiter, endpoint.rate_limit, endpoint.url_path,
+            client_ip=client_ip, auth_header=auth_header,
+        )
+        import time as _time
+
+        t0 = _time.perf_counter()
+        status = "ok"
+        try:
+            sql, args = self.render(endpoint, dict(params or {}))
+            stmts = split_sql_statements(sql)
+            result = execute_write_statements(
+                self.spark,
+                stmts,
+                args=args,
+                returns_data=endpoint.operation.returns_data,
+                transaction=endpoint.operation.transaction,
+            )
+        except Exception as exc:
+            from flapi_spark.validation import ValidationError
+
+            status = (
+                "validation_error"
+                if isinstance(exc, ValidationError)
+                else "error"
+            )
+            raise
+        finally:
+            dur_s = _time.perf_counter() - t0
+            if self.metrics is not None:
+                self.metrics.inc(
+                    "flapi_writes",
+                    {"endpoint": endpoint.url_path, "status": status},
+                )
+                self.metrics.observe(
+                    "flapi_write_duration_seconds", dur_s,
+                    {"endpoint": endpoint.url_path},
+                )
+            if self.audit is not None:
+                self.audit.log(
+                    endpoint.url_path, params or {}, status=status,
+                    user=user, duration_ms=dur_s * 1000,
+                )
+        cfg = endpoint.cache
+        if cache_mgr is not None and cfg.enabled and cfg.table:
+            if cfg.invalidate_on_write:
+                cache_mgr.invalidate(cfg)
+            if cfg.refresh_on_write:
+                from flapi_spark.cache_flow import refresh_endpoint_cache
+
+                refresh_endpoint_cache(self, cache_mgr, endpoint)
+        return result

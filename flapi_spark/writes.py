@@ -1,0 +1,360 @@
+"""Write operations: POST/PUT/PATCH/DELETE endpoints over warehouse
+tables (reference: database_manager.cpp executeWrite /
+executeWriteInTransaction, request_handler.cpp rows_affected,
+examples/data/write-examples/*, test/integration/
+test_write_operations*.py).
+
+Spark-first re-expression. DuckDB mutates rows in place inside one
+transactional engine; Spark's storage is immutable files, so row-level
+DML becomes COPY-ON-WRITE — exactly the mechanism Delta/Iceberg use
+under their UPDATE/DELETE, spelled out here for plain catalog parquet
+tables:
+
+- ``INSERT INTO …`` runs natively (Spark supports it on catalog
+  tables); rows_affected is the target's before/after row-count delta.
+- ``UPDATE t SET … WHERE …`` translates to a staged full projection —
+  ``CASE WHEN (pred) THEN expr ELSE col END`` per assigned column —
+  written to a staging table and swapped in with INSERT OVERWRITE
+  (Spark refuses a direct self-overwrite: UNSUPPORTED_OVERWRITE).
+  rows_affected = matching-row count, evaluated pre-image.
+- ``DELETE FROM t WHERE …`` keeps the complement (same staging swap).
+- ``RETURNING col, …`` (DuckDB syntax the reference's templates use)
+  is honored for UPDATE (post-image rows re-selected by the
+  predicate — exact when the predicate doesn't touch assigned
+  columns, which is the keyed-update shape every reference template
+  has) and DELETE (pre-image rows, captured before the swap). INSERT
+  RETURNING raises with guidance: the multi-statement
+  ``INSERT …; SELECT …`` workflow (which the reference also supports,
+  database_manager.cpp:612-647) is the Spark path.
+
+Transactionality: each statement is atomic (INSERT OVERWRITE commits
+via staged files). Multi-statement writes with ``operation.transaction``
+snapshot every touched table first (CTAS backup) and restore on
+failure — copy-on-write BEGIN/ROLLBACK. Single-statement writes skip
+the backup (the statement is already atomic).
+
+Scale: every translated statement is a full linear scan + rewrite of
+the target table — the honest cost of row-level DML on immutable
+storage; at 100 TB the target should be a partitioned table so the
+predicate prunes the rewrite to touched partitions, or an
+Iceberg/Delta catalog where Spark's native row-level plans take over
+(same SQL, no translation needed — the translator steps aside for v2
+tables that accept UPDATE/DELETE directly).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*|`[^`]+`(?:\.`[^`]+`)*"
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>{_IDENT})",
+    re.IGNORECASE,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+(?P<t>{_IDENT})\s+SET\s+(?P<body>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<t>{_IDENT})(?:\s+WHERE\s+(?P<pred>.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RETURNING_RE = re.compile(
+    r"\s+RETURNING\s+(?P<cols>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+@dataclass
+class WriteResult:
+    """reference: database_manager.hpp WriteResult."""
+
+    rows_affected: int = 0
+    returned_data: DataFrame | None = None
+
+
+class WriteError(ValueError):
+    pass
+
+
+def _strip_returning(stmt: str) -> tuple[str, str | None]:
+    m = _RETURNING_RE.search(stmt)
+    if not m:
+        return stmt, None
+    return stmt[: m.start()], m.group("cols").strip()
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` outside quotes/parens (SET-clause assignments)."""
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            if in_str and i + 1 < len(text) and text[i + 1] == "'":
+                cur.append("''")
+                i += 2
+                continue
+            in_str = not in_str
+        elif not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == sep and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+        cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _split_where(body: str) -> tuple[str, str | None]:
+    """Split a SET body into (assignments, predicate) on the LAST
+    top-level WHERE keyword."""
+    m = None
+    for m_ in re.finditer(r"\bWHERE\b", body, re.IGNORECASE):
+        # quote/paren awareness: count quotes+parens before the match
+        prefix = body[: m_.start()]
+        if prefix.count("'") % 2 == 0 and (
+            prefix.count("(") == prefix.count(")")
+        ):
+            m = m_
+    if m is None:
+        return body, None
+    return body[: m.start()], body[m.end():]
+
+
+def _classify(stmt: str) -> tuple[str, str | None]:
+    s = stmt.strip()
+    if _INSERT_RE.match(s):
+        return "insert", _INSERT_RE.match(s).group("t")
+    if _UPDATE_RE.match(s):
+        return "update", _UPDATE_RE.match(s).group("t")
+    if _DELETE_RE.match(s):
+        return "delete", _DELETE_RE.match(s).group("t")
+    return "other", None
+
+
+def touched_tables(statements: list[str]) -> list[str]:
+    out = []
+    for s in statements:
+        kind, t = _classify(s)
+        if kind in ("insert", "update", "delete") and t and t not in out:
+            out.append(t)
+    return out
+
+
+def _run(spark: SparkSession, sql: str, args: dict | None):
+    return spark.sql(sql, args=args) if args else spark.sql(sql)
+
+
+def _scalar(spark: SparkSession, sql: str, args: dict | None) -> int:
+    return int(_run(spark, sql, args).collect()[0][0])
+
+
+def _table_supports_row_dml(spark: SparkSession, table: str) -> bool:
+    """v2 tables (Iceberg/Delta) take UPDATE/DELETE natively — the
+    translator steps aside for them."""
+    try:
+        provider = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }.get("Provider", "").lower()
+        return provider in ("iceberg", "delta")
+    except Exception:
+        return False
+
+
+def _staged_swap(
+    spark: SparkSession, table: str, projection_sql: str, args: dict | None
+) -> None:
+    """Write the new image to a staging table, swap via INSERT
+    OVERWRITE (a direct self-overwrite is rejected by Spark), drop the
+    stage."""
+    stage = f"{table.replace('.', '_').strip('`')}__write_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
+    try:
+        spark.sql(f"INSERT OVERWRITE {table} SELECT * FROM {stage}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def apply_write_statement(
+    spark: SparkSession,
+    stmt: str,
+    args: dict | None = None,
+    max_returning_rows: int = 10_000,
+) -> WriteResult:
+    """Execute ONE write statement with reference semantics; see the
+    module docstring for the translation rules."""
+    stmt, returning = _strip_returning(stmt)
+    kind, table = _classify(stmt)
+
+    if kind == "insert":
+        if returning:
+            raise WriteError(
+                "INSERT ... RETURNING is not expressible on Spark; use"
+                " the multi-statement 'INSERT ...; SELECT ...' workflow"
+                " with operation.returns-data (the reference supports"
+                " the same shape)"
+            )
+        before = _scalar(spark, f"SELECT count(*) FROM {table}", None)
+        _run(spark, stmt, args)
+        after = _scalar(spark, f"SELECT count(*) FROM {table}", None)
+        return WriteResult(rows_affected=max(after - before, 0))
+
+    if kind == "update":
+        m = _UPDATE_RE.match(stmt.strip())
+        body = m.group("body")
+        assigns_raw, pred = _split_where(body)
+        if _table_supports_row_dml(spark, table):
+            _run(spark, stmt, args)
+            n = _scalar(
+                spark,
+                f"SELECT count(*) FROM {table}"
+                + (f" WHERE {pred}" if pred else ""),
+                args,
+            )
+            return WriteResult(rows_affected=n)
+        assigns = {}
+        for part in _split_top_level(assigns_raw):
+            col, _, expr = part.partition("=")
+            col, expr = col.strip().strip("`"), expr.strip()
+            if not col or not expr:
+                raise WriteError(f"unparseable SET assignment: {part!r}")
+            assigns[col] = expr
+        cols = spark.table(table).columns
+        unknown = set(assigns) - set(cols)
+        if unknown:
+            raise WriteError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+        cond = pred if pred else "true"
+        n = _scalar(
+            spark, f"SELECT count(*) FROM {table} WHERE {cond}", args
+        )
+        proj = ", ".join(
+            f"CASE WHEN ({cond}) THEN ({assigns[c]}) ELSE {c} END AS {c}"
+            if c in assigns else c
+            for c in cols
+        )
+        _staged_swap(
+            spark, table, f"SELECT {proj} FROM {table}", args
+        )
+        ret = None
+        if returning:
+            if any(
+                re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE)
+                for c in assigns
+            ):
+                raise WriteError(
+                    "UPDATE ... RETURNING with a predicate over assigned"
+                    " columns is ambiguous post-image; re-select instead"
+                )
+            ret = _run(
+                spark,
+                f"SELECT {returning} FROM {table} WHERE {cond}"
+                f" LIMIT {max_returning_rows}",
+                args,
+            )
+        return WriteResult(rows_affected=n, returned_data=ret)
+
+    if kind == "delete":
+        m = _DELETE_RE.match(stmt.strip())
+        pred = (m.group("pred") or "").strip()
+        if _table_supports_row_dml(spark, table):
+            n = _scalar(
+                spark,
+                f"SELECT count(*) FROM {table}"
+                + (f" WHERE {pred}" if pred else ""),
+                args,
+            )
+            _run(spark, stmt, args)
+            return WriteResult(rows_affected=n)
+        cond = pred if pred else "true"
+        n = _scalar(
+            spark, f"SELECT count(*) FROM {table} WHERE {cond}", args
+        )
+        ret = None
+        if returning:
+            # DELETE RETURNING = the pre-image rows; materialize to the
+            # driver (bounded) BEFORE the swap deletes them
+            pre = _run(
+                spark,
+                f"SELECT {returning} FROM {table} WHERE {cond}"
+                f" LIMIT {max_returning_rows}",
+                args,
+            )
+            rows = pre.collect()
+            ret = spark.createDataFrame(rows, pre.schema)
+        _staged_swap(
+            spark, table,
+            f"SELECT * FROM {table} WHERE NOT ({cond})"
+            " OR (" + cond + ") IS NULL",
+            args,
+        )
+        return WriteResult(rows_affected=n, returned_data=ret)
+
+    # DDL / other statements pass through untranslated
+    _run(spark, stmt, args)
+    return WriteResult(rows_affected=0)
+
+
+def execute_write_statements(
+    spark: SparkSession,
+    statements: list[str],
+    args: dict | None = None,
+    returns_data: bool = False,
+    transaction: bool = True,
+) -> WriteResult:
+    """Multi-statement write with the reference's trailing-SELECT
+    contract (database_manager.cpp:612-647): when `returns_data` and
+    the LAST statement is a SELECT, it runs after the writes and its
+    result becomes `returned_data`. With `transaction`, every touched
+    table is snapshotted first (CTAS backup) and restored if any
+    statement fails — copy-on-write BEGIN/ROLLBACK; single-statement
+    writes skip the backup (each statement is already atomic)."""
+    if not statements:
+        raise WriteError("no statements to execute")
+    statements = [s for s in (s.strip() for s in statements) if s]
+    trailing_select = None
+    if returns_data and len(statements) > 1 and re.match(
+        r"^\s*SELECT\b", statements[-1], re.IGNORECASE
+    ):
+        trailing_select = statements[-1]
+        statements = statements[:-1]
+
+    backups: dict[str, str] = {}
+    need_backup = transaction and len(statements) > 1
+    if need_backup:
+        for t in touched_tables(statements):
+            bk = f"{t.replace('.', '_').strip('`')}__txn_backup"
+            spark.sql(f"DROP TABLE IF EXISTS {bk}")
+            spark.sql(f"CREATE TABLE {bk} AS SELECT * FROM {t}")
+            backups[t] = bk
+
+    result = WriteResult()
+    try:
+        for stmt in statements:
+            r = apply_write_statement(spark, stmt, args)
+            if r.rows_affected > 0:
+                result.rows_affected = r.rows_affected
+            if r.returned_data is not None:
+                result.returned_data = r.returned_data
+    except Exception:
+        for t, bk in backups.items():
+            spark.sql(f"INSERT OVERWRITE {t} SELECT * FROM {bk}")
+        raise
+    finally:
+        for bk in backups.values():
+            spark.sql(f"DROP TABLE IF EXISTS {bk}")
+
+    if trailing_select is not None and result.returned_data is None:
+        result.returned_data = _run(spark, trailing_select, args)
+    return result

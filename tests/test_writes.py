@@ -1,0 +1,250 @@
+"""Write operations, vector-mirrored from the reference's
+examples/data/write-examples/* and test/integration/
+test_write_operations*.py: POST insert, PUT update with RETURNING,
+DELETE, rows_affected, trailing-SELECT returns-data, transactional
+rollback, cache invalidate/refresh-on-write, and the write half of the
+injection corpus (typed binding holds for writes too)."""
+
+import pytest
+
+from flapi_spark.config import EndpointConfig
+from flapi_spark.executor import QueryExecutor
+from flapi_spark.writes import (
+    WriteError,
+    apply_write_statement,
+    execute_write_statements,
+)
+
+
+@pytest.fixture()
+def customers_table(spark):
+    spark.sql("DROP TABLE IF EXISTS wcustomers")
+    spark.sql(
+        "CREATE TABLE wcustomers (customer_id BIGINT, name STRING,"
+        " email STRING, segment STRING) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO wcustomers VALUES"
+        " (1, 'Alice', 'alice@x.io', 'BUILDING'),"
+        " (2, 'Bob', 'bob@x.io', 'MACHINERY'),"
+        " (3, 'Cara', 'cara@x.io', 'BUILDING')"
+    )
+    yield "wcustomers"
+    spark.sql("DROP TABLE IF EXISTS wcustomers")
+
+
+class TestStatements:
+    def test_insert_rows_affected(self, spark, customers_table):
+        r = apply_write_statement(
+            spark,
+            "INSERT INTO wcustomers VALUES"
+            " (4, 'Dee', 'dee@x.io', 'FURNITURE')",
+        )
+        assert r.rows_affected == 1
+        assert spark.table("wcustomers").count() == 4
+
+    def test_update_translates_to_copy_on_write(self, spark, customers_table):
+        r = apply_write_statement(
+            spark,
+            "UPDATE wcustomers SET segment = 'AUTOMOBILE'"
+            " WHERE customer_id = 2",
+        )
+        assert r.rows_affected == 1
+        rows = {r2.customer_id: r2.segment
+                for r2 in spark.table("wcustomers").collect()}
+        assert rows[2] == "AUTOMOBILE" and rows[1] == "BUILDING"
+
+    def test_update_returning_post_image(self, spark, customers_table):
+        r = apply_write_statement(
+            spark,
+            "UPDATE wcustomers SET email = 'new@x.io'"
+            " WHERE customer_id = 1"
+            " RETURNING customer_id, email",
+        )
+        assert r.rows_affected == 1
+        got = r.returned_data.collect()
+        assert [(x.customer_id, x.email) for x in got] == [(1, "new@x.io")]
+
+    def test_update_without_where_touches_all(self, spark, customers_table):
+        r = apply_write_statement(
+            spark, "UPDATE wcustomers SET segment = 'ALL'"
+        )
+        assert r.rows_affected == 3
+        assert spark.table("wcustomers").where(
+            "segment != 'ALL'"
+        ).count() == 0
+
+    def test_delete_with_returning_pre_image(self, spark, customers_table):
+        r = apply_write_statement(
+            spark,
+            "DELETE FROM wcustomers WHERE segment = 'BUILDING'"
+            " RETURNING customer_id, name",
+        )
+        assert r.rows_affected == 2
+        kept = [x.customer_id for x in spark.table("wcustomers").collect()]
+        assert kept == [2]
+        deleted = sorted(x.customer_id for x in r.returned_data.collect())
+        assert deleted == [1, 3]
+
+    def test_insert_returning_raises_with_guidance(self, spark, customers_table):
+        with pytest.raises(WriteError, match="multi-statement"):
+            apply_write_statement(
+                spark,
+                "INSERT INTO wcustomers VALUES (9,'x','x@x','S')"
+                " RETURNING customer_id",
+            )
+
+    def test_update_unknown_column_rejected(self, spark, customers_table):
+        with pytest.raises(WriteError, match="unknown columns"):
+            apply_write_statement(
+                spark, "UPDATE wcustomers SET nope = 1 WHERE customer_id = 1"
+            )
+
+
+class TestMultiStatement:
+    def test_trailing_select_returns_data(self, spark, customers_table):
+        r = execute_write_statements(
+            spark,
+            [
+                "INSERT INTO wcustomers VALUES (5,'Eve','eve@x.io','S')",
+                "SELECT customer_id, name FROM wcustomers"
+                " WHERE customer_id = 5",
+            ],
+            returns_data=True,
+        )
+        assert r.rows_affected == 1
+        assert [(x.customer_id, x.name) for x in r.returned_data.collect()] \
+            == [(5, "Eve")]
+
+    def test_transaction_rolls_back_on_failure(self, spark, customers_table):
+        with pytest.raises(Exception):
+            execute_write_statements(
+                spark,
+                [
+                    "DELETE FROM wcustomers WHERE customer_id = 1",
+                    "INSERT INTO wcustomers SELECT * FROM no_such_table",
+                ],
+                transaction=True,
+            )
+        # first statement's delete restored
+        assert spark.table("wcustomers").count() == 3
+
+    def test_no_transaction_keeps_partial_effects(self, spark, customers_table):
+        with pytest.raises(Exception):
+            execute_write_statements(
+                spark,
+                [
+                    "DELETE FROM wcustomers WHERE customer_id = 1",
+                    "INSERT INTO wcustomers SELECT * FROM no_such_table",
+                ],
+                transaction=False,
+            )
+        assert spark.table("wcustomers").count() == 2
+
+
+class TestEndpointSurface:
+    def _write_ep(self, template, method="POST", **kw):
+        d = {
+            "url-path": "/customers",
+            "method": method,
+            "template-text": template,
+            "request": [
+                {"field-name": "id", "field-in": "body",
+                 "validators": [{"type": "int", "min": 0}]},
+                {"field-name": "name", "field-in": "body",
+                 "validators": [{"type": "string",
+                                 "preventSqlInjection": True}]},
+            ],
+        }
+        d.update(kw)
+        return EndpointConfig.from_dict(d)
+
+    def test_post_endpoint_creates_record(self, spark, customers_table):
+        ep = self._write_ep(
+            "INSERT INTO wcustomers VALUES"
+            " ({{params.id}}, '{{params.name}}', 'x@x.io', 'S')"
+        )
+        assert ep.is_write  # auto-detected from POST
+        res = QueryExecutor(spark).execute_write(
+            ep, {"id": "7", "name": "Greg"}
+        )
+        assert res.rows_affected == 1
+        assert spark.table("wcustomers").where("customer_id = 7").count() == 1
+
+    def test_put_update_via_typed_binding(self, spark, customers_table):
+        ep = self._write_ep(
+            "UPDATE wcustomers SET name = '{{params.name}}'"
+            " WHERE customer_id = {{params.id}}",
+            method="PUT",
+        )
+        res = QueryExecutor(spark).execute_write(
+            ep, {"id": "2", "name": "Bobby"}
+        )
+        assert res.rows_affected == 1
+        assert spark.table("wcustomers").where(
+            "name = 'Bobby'"
+        ).count() == 1
+
+    def test_read_endpoint_refuses_write_path(self, spark, customers_table):
+        ep = self._write_ep("SELECT 1", method="GET")
+        with pytest.raises(WriteError, match="not a write endpoint"):
+            QueryExecutor(spark).execute_write(ep, {})
+
+    def test_write_injection_corpus(self, spark, customers_table):
+        """Write half of the reference's injection corpus
+        (test_sql_injection_write_corpus.py shapes): hostile values in
+        typed/screened params must fail validation or bind inertly —
+        never execute."""
+        from flapi_spark.validation import ValidationError
+
+        ep = self._write_ep(
+            "INSERT INTO wcustomers VALUES"
+            " ({{params.id}}, '{{params.name}}', 'x@x.io', 'S')"
+        )
+        ex = QueryExecutor(spark)
+        before = spark.table("wcustomers").count()
+        for hostile_id in ("1; DROP TABLE wcustomers", "1 OR 1=1"):
+            with pytest.raises((ValidationError, ValueError)):
+                ex.execute_write(ep, {"id": hostile_id, "name": "ok"})
+        for hostile_name in ("x'); DELETE FROM wcustomers; --",
+                             "Robert'); DROP TABLE wcustomers;--"):
+            with pytest.raises((ValidationError, ValueError)):
+                ex.execute_write(ep, {"id": "8", "name": hostile_name})
+        assert spark.table("wcustomers").count() == before
+        assert spark.table("wcustomers").columns  # table still exists
+
+    def test_cache_invalidate_and_refresh_on_write(
+        self, spark, customers_table, tmp_path
+    ):
+        from flapi_spark.cache import CacheManager
+
+        (tmp_path / "cache_refresh.sql").write_text(
+            "SELECT customer_id, name FROM wcustomers"
+        )
+        ep = self._write_ep(
+            "INSERT INTO wcustomers VALUES"
+            " ({{params.id}}, '{{params.name}}', 'x@x.io', 'S')",
+            **{
+                "cache": {
+                    "enabled": True,
+                    "table": "wcustomers_cache",
+                    "template-file": str(tmp_path / "cache_refresh.sql"),
+                    "invalidate-on-write": True,
+                },
+            },
+        )
+        mgr = CacheManager(spark, root=str(tmp_path / "cache_root"))
+        ex = QueryExecutor(spark)
+        # seed the cache, then write through the endpoint
+        from flapi_spark.cache_flow import refresh_endpoint_cache
+
+        refresh_endpoint_cache(ex, mgr, ep)
+        assert not mgr.is_stale(ep.cache)
+        ex.execute_write(ep, {"id": "11", "name": "Kay"}, cache_mgr=mgr)
+        assert mgr.is_stale(ep.cache)
+        # refresh-on-write variant re-syncs immediately
+        ep.cache.refresh_on_write = True
+        ex.execute_write(ep, {"id": "12", "name": "Lee"}, cache_mgr=mgr)
+        assert not mgr.is_stale(ep.cache)
+        cached = mgr.read(ep.cache)
+        assert cached.where("customer_id = 12").count() == 1
