@@ -12,6 +12,11 @@ and would otherwise force template edits during migration:
 - `{ 'k': expr, ... }` struct literals (examples/sqls/customers)
 - `json_object('k', v, ...)` → `to_json(named_struct(...))`
 - SQLite-style `DATE('now', '-N days')` (examples/sqls/customers)
+- CREATE TABLE column types Spark lacks: `TEXT`→STRING, `TIME`→STRING,
+  and `PRIMARY KEY` constraints stripped (Spark tables are
+  constraint-free; the write-examples' CRUD DDL,
+  test/integration/api_configuration/sqls/customers-create.sql)
+- `TIME '12:34:56'` literals → plain string literals
 
 `duckdb_to_spark_sql` rewrites exactly these, leaving everything else
 byte-identical — it is a syntactic shim, not a SQL parser, applied to
@@ -77,6 +82,21 @@ _SQLITE_DATE = re.compile(
     r"DATE\s*\(\s*'now'\s*,\s*'-(\d+)\s+days?'\s*\)", re.IGNORECASE
 )
 _JSON_OBJECT = re.compile(r"\bjson_object\s*\(", re.IGNORECASE)
+_TIME_LITERAL = re.compile(r"\bTIME\s+'([^']*)'", re.IGNORECASE)
+# typed-literal prefix over a NAMED MARKER: the binding pass rewrites
+# quoted typed sites like DATE '{{{params.d}}}' into DATE :d before
+# the dialect runs — Spark cannot parse a type keyword before a
+# parameter marker, so the prefix becomes a CAST (TIME -> plain
+# string, the repo-wide time convention)
+_TYPED_MARKER = re.compile(
+    r"\b(DATE|TIMESTAMP|TIME)\s+(:\w+)", re.IGNORECASE
+)
+_CREATE_TABLE = re.compile(
+    r"\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*\(",
+    re.IGNORECASE,
+)
+_PK_CONSTRAINT = re.compile(r"\s+PRIMARY\s+KEY", re.IGNORECASE)
+_TEXT_TYPE = re.compile(r"\b(TEXT|TIME)\b", re.IGNORECASE)
 
 
 def _fmt_for(path: str) -> str:
@@ -221,6 +241,39 @@ def _rewrite_json_object(sql: str) -> str:
     return "".join(out)
 
 
+def _rewrite_create_table_types(sql: str) -> str:
+    """Map DuckDB DDL Spark can't parse inside CREATE TABLE column
+    lists: TEXT/TIME column types -> STRING, PRIMARY KEY constraints
+    stripped (Spark tables carry no constraints). Only the balanced
+    paren region after CREATE TABLE is touched."""
+    out = []
+    pos = 0
+    while True:
+        m = _CREATE_TABLE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        out.append(sql[pos : m.end()])
+        j, depth, in_str = m.end(), 1, False
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            j += 1
+        body = sql[m.end() : j - 1]
+        body = _PK_CONSTRAINT.sub("", body)
+        body = _TEXT_TYPE.sub("STRING", body)
+        out.append(body)
+        out.append(")")
+        pos = j
+    return "".join(out)
+
+
 def duckdb_to_spark_sql(sql: str) -> str:
     """Apply every rewrite; idempotent on already-Spark SQL."""
     sql = _rewrite_read_fns(sql)
@@ -237,4 +290,16 @@ def duckdb_to_spark_sql(sql: str) -> str:
     )
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_json_object(sql)
+    sql = _rewrite_create_table_types(sql)
+    # TIME '…' literal -> plain string (Spark has no TIME type; the
+    # repo-wide convention binds times as strings, binding.py)
+    sql = _sub_quote_aware(_TIME_LITERAL, r"'\1'", sql)
+
+    def _typed_marker(m: "re.Match") -> str:
+        kw, marker = m.group(1).upper(), m.group(2)
+        if kw == "TIME":
+            return marker  # binds as string
+        return f"CAST({marker} AS {kw})"
+
+    sql = _sub_quote_aware(_TYPED_MARKER, _typed_marker, sql)
     return sql

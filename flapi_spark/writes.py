@@ -330,10 +330,16 @@ def execute_write_statements(
         trailing_select = statements[-1]
         statements = statements[:-1]
 
-    backups: dict[str, str] = {}
+    # backup value None = the table did not exist before this write
+    # (a CREATE TABLE IF NOT EXISTS in the same template will make
+    # it): rollback then DROPS it instead of restoring
+    backups: dict[str, str | None] = {}
     need_backup = transaction and len(statements) > 1
     if need_backup:
         for t in touched_tables(statements):
+            if not spark.catalog.tableExists(t.strip("`")):
+                backups[t] = None
+                continue
             bk = f"{t.replace('.', '_').strip('`')}__txn_backup"
             spark.sql(f"DROP TABLE IF EXISTS {bk}")
             spark.sql(f"CREATE TABLE {bk} AS SELECT * FROM {t}")
@@ -349,11 +355,15 @@ def execute_write_statements(
                 result.returned_data = r.returned_data
     except Exception:
         for t, bk in backups.items():
-            spark.sql(f"INSERT OVERWRITE {t} SELECT * FROM {bk}")
+            if bk is None:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            else:
+                spark.sql(f"INSERT OVERWRITE {t} SELECT * FROM {bk}")
         raise
     finally:
         for bk in backups.values():
-            spark.sql(f"DROP TABLE IF EXISTS {bk}")
+            if bk is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {bk}")
 
     if trailing_select is not None and result.returned_data is None:
         result.returned_data = _run(spark, trailing_select, args)

@@ -248,3 +248,110 @@ class TestEndpointSurface:
         assert not mgr.is_stale(ep.cache)
         cached = mgr.read(ep.cache)
         assert cached.where("customer_id = 12").count() == 1
+
+
+class TestReferenceCrudShapes:
+    """Reference-shaped CRUD templates (the construct mix of
+    test/integration/api_configuration/sqls/customers-create.sql /
+    -patch.sql: DuckDB DDL types, CREATE IF NOT EXISTS + INSERT +
+    trailing SELECT in one template, mustache-optional PATCH
+    assignments) run unchanged under template-dialect: duckdb."""
+
+    def _ep(self, template, method, extra_fields=()):
+        fields = [
+            {"field-name": "customer_id", "field-in": "path",
+             "required": False,
+             "validators": [{"type": "int", "min": 1}]},
+            {"field-name": "name", "field-in": "body", "required": False,
+             "validators": [{"type": "string", "max": 100,
+                             "preventSqlInjection": True}]},
+            {"field-name": "segment", "field-in": "body",
+             "required": False,
+             "validators": [{"type": "enum",
+                             "allowedValues": ["BUILDING", "MACHINERY"]}]},
+            {"field-name": "last_login_time", "field-in": "body",
+             "required": False, "validators": [{"type": "time"}]},
+        ]
+        return EndpointConfig.from_dict({
+            "url-path": "/crud-customers",
+            "method": method,
+            "template-dialect": "duckdb",
+            "template-text": template,
+            "operation": {"type": "Write", "returns-data": True},
+            "request": fields + list(extra_fields),
+        })
+
+    CREATE_TPL = """
+CREATE TABLE IF NOT EXISTS crud_customers (
+    id INTEGER PRIMARY KEY,
+    name VARCHAR(100),
+    segment VARCHAR(50),
+    comment TEXT,
+    last_login_time TIME
+);
+
+INSERT INTO crud_customers
+SELECT COALESCE(MAX(id), 0) + 1,
+  '{{{ params.name }}}',
+  '{{{ params.segment }}}',
+  {{#params.comment}}'{{{ params.comment }}}'{{/params.comment}}{{^params.comment}}NULL{{/params.comment}},
+  {{#params.last_login_time}}TIME '{{{ params.last_login_time }}}'{{/params.last_login_time}}{{^params.last_login_time}}NULL{{/params.last_login_time}}
+FROM crud_customers;
+
+SELECT * FROM crud_customers WHERE id = (SELECT MAX(id) FROM crud_customers);
+"""
+
+    PATCH_TPL = """
+UPDATE crud_customers
+SET
+  name = {{#params.name}}'{{{ params.name }}}'{{/params.name}}{{^params.name}}name{{/params.name}},
+  segment = {{#params.segment}}'{{{ params.segment }}}'{{/params.segment}}{{^params.segment}}segment{{/params.segment}}
+WHERE id = {{{ params.customer_id }}};
+
+SELECT * FROM crud_customers WHERE id = {{{ params.customer_id }}};
+"""
+
+    def test_create_patch_delete_cycle(self, spark):
+        spark.sql("DROP TABLE IF EXISTS crud_customers")
+        try:
+            ex = QueryExecutor(spark)
+            create = self._ep(
+                self.CREATE_TPL, "POST",
+                extra_fields=[{"field-name": "comment", "field-in": "body",
+                               "required": False,
+                               "validators": [{"type": "string",
+                                               "max": 500}]}],
+            )
+            r1 = ex.execute_write(create, {
+                "name": "Acme Corp", "segment": "BUILDING",
+                "last_login_time": "12:30:00",
+            })
+            assert r1.rows_affected == 1
+            row = r1.returned_data.collect()[0]
+            assert row.id == 1 and row.name == "Acme Corp"
+            assert row.last_login_time == "12:30:00"
+            # second create auto-increments via MAX(id)+1
+            r2 = ex.execute_write(create, {
+                "name": "Bolt Ltd", "segment": "MACHINERY",
+            })
+            assert r2.returned_data.collect()[0].id == 2
+
+            patch = self._ep(self.PATCH_TPL, "PATCH")
+            r3 = ex.execute_write(patch, {
+                "customer_id": "1", "name": "Acme Holdings",
+            })
+            assert r3.rows_affected == 1
+            got = r3.returned_data.collect()[0]
+            assert got.name == "Acme Holdings"
+            assert got.segment == "BUILDING"  # untouched (self-assign)
+
+            delete = self._ep(
+                "DELETE FROM crud_customers"
+                " WHERE id = {{{ params.customer_id }}}",
+                "DELETE",
+            )
+            r4 = ex.execute_write(delete, {"customer_id": "2"})
+            assert r4.rows_affected == 1
+            assert spark.table("crud_customers").count() == 1
+        finally:
+            spark.sql("DROP TABLE IF EXISTS crud_customers")
