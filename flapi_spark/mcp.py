@@ -193,6 +193,22 @@ class McpToolRegistry:
             plan = self.executor.explain(tool.endpoint, arguments)
             return {"dry_run": True, "sql": sql, "bound_params": sorted(args), "plan": plan}
 
+        if tool.endpoint.is_write:
+            # write tools (reference: customers_write_mcp.yaml +
+            # mcp_tool_handler.cpp rows_affected): route through the
+            # write path; rows out = RETURNING / trailing-SELECT data
+            wres = self.executor.execute_write(tool.endpoint, arguments)
+            out = {"rows_affected": wres.rows_affected}
+            if wres.returned_data is not None:
+                cap = DEFAULT_MAX_ROWS if tool.max_rows is None else tool.max_rows
+                df = wres.returned_data
+                if cap != UNLIMITED:
+                    df = df.limit(cap)
+                rows = [r.asDict() for r in df.collect()]
+                out["rows"] = rows
+                out["row_count"] = len(rows)
+            return out
+
         result = self.executor.execute(tool.endpoint, arguments, order_by=order_by)
         df = result.df
         cap = DEFAULT_MAX_ROWS if tool.max_rows is None else tool.max_rows

@@ -355,3 +355,34 @@ SELECT * FROM crud_customers WHERE id = {{{ params.customer_id }}};
             assert spark.table("crud_customers").count() == 1
         finally:
             spark.sql("DROP TABLE IF EXISTS crud_customers")
+
+
+def test_mcp_write_tool_reports_rows_affected(spark):
+    """MCP write tools (reference: customers_write_mcp.yaml) route
+    through the write path and report rows_affected + returned rows."""
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.mcp import McpToolRegistry
+
+    spark.sql("DROP TABLE IF EXISTS mcp_writes")
+    spark.sql("CREATE TABLE mcp_writes (id BIGINT, v STRING) USING parquet")
+    try:
+        ep = EndpointConfig.from_dict({
+            "url-path": "/mcp-write",
+            "method": "POST",
+            "operation": {"type": "write", "returns-data": True},
+            "template-text": (
+                "INSERT INTO mcp_writes VALUES ({{params.id}}, 'x');"
+                " SELECT * FROM mcp_writes WHERE id = {{params.id}}"
+            ),
+            "request": [
+                {"field-name": "id", "field-in": "query",
+                 "validators": [{"type": "int", "min": 0}]},
+            ],
+        })
+        reg = McpToolRegistry(QueryExecutor(spark))
+        reg.register("create_row", ep, description="insert one row")
+        out = reg.call_tool("create_row", {"id": "41"})
+        assert out["rows_affected"] == 1
+        assert out["rows"] == [{"id": 41, "v": "x"}]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mcp_writes")
