@@ -34,18 +34,27 @@ def describe_endpoint(
                 ],
             }
         )
-    sql, args = executor.render(endpoint, dict(sample_params or {}))
-    df = executor.spark.sql(sql, args=args) if args else executor.spark.sql(sql)
-    result_schema = [
-        {"name": fld.name, "type": fld.dataType.simpleString(), "nullable": fld.nullable}
-        for fld in df.schema.fields
-    ]
+    if endpoint.is_write:
+        # NEVER probe a write endpoint's schema: spark.sql() runs DML
+        # commands EAGERLY, so building the "lazy" DataFrame would
+        # execute the mutation. Writes report the WriteResult shape.
+        result_schema = [
+            {"name": "rows_affected", "type": "bigint", "nullable": False},
+        ]
+    else:
+        sql, args = executor.render(endpoint, dict(sample_params or {}))
+        df = executor.spark.sql(sql, args=args) if args else executor.spark.sql(sql)
+        result_schema = [
+            {"name": fld.name, "type": fld.dataType.simpleString(), "nullable": fld.nullable}
+            for fld in df.schema.fields
+        ]
     doc = {
         "url_path": endpoint.url_path,
         "description": endpoint.description,
         "parameters": params,
         "result_schema": result_schema,
         "with_pagination": endpoint.with_pagination,
+        "method": endpoint.method,
     }
     if endpoint.with_pagination:
         doc["pagination"] = {
@@ -115,6 +124,51 @@ def openapi_doc(
             f["name"]: {"type": _spark_to_openapi(f["type"])}
             for f in desc["result_schema"]
         }
+        method = desc.get("method", "GET").lower()
+        if ep.is_write:
+            # write endpoints: body params become a requestBody; the
+            # response is the WriteResult envelope (reference:
+            # request_handler.cpp rows_affected + 201 for POST)
+            body_props = {
+                p["name"]: p["schema"]
+                for p in parameters if p["in"] == "body"
+            }
+            op = {
+                "description": ep.description or "",
+                "parameters": [p for p in parameters if p["in"] != "body"],
+                "responses": {
+                    ("201" if method == "post" else "200"): {
+                        "description": "write result",
+                        "content": {
+                            "application/json": {
+                                "schema": {
+                                    "type": "object",
+                                    "properties": {
+                                        "rows_affected": {
+                                            "type": "integer"
+                                        },
+                                    },
+                                }
+                            }
+                        },
+                    },
+                    "400": {"description": "validation error"},
+                },
+            }
+            if body_props:
+                op["requestBody"] = {
+                    "required": True,
+                    "content": {
+                        "application/json": {
+                            "schema": {
+                                "type": "object",
+                                "properties": body_props,
+                            }
+                        }
+                    },
+                }
+            paths[ep.url_path] = {method: op}
+            continue
         paths[ep.url_path] = {
             "get": {
                 "description": ep.description or "",

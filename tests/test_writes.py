@@ -386,3 +386,37 @@ def test_mcp_write_tool_reports_rows_affected(spark):
         assert out["rows"] == [{"id": 41, "v": "x"}]
     finally:
         spark.sql("DROP TABLE IF EXISTS mcp_writes")
+
+
+def test_describe_never_executes_write_and_openapi_method(spark):
+    """describe/OpenAPI on a write endpoint must NOT execute the DML
+    (spark.sql runs commands eagerly) and must emit the method verb
+    with a requestBody + rows_affected response."""
+    from flapi_spark.describe import describe_endpoint, openapi_doc
+    from flapi_spark.executor import QueryExecutor
+
+    spark.sql("DROP TABLE IF EXISTS desc_writes")
+    spark.sql("CREATE TABLE desc_writes (id BIGINT) USING parquet")
+    try:
+        ep = EndpointConfig.from_dict({
+            "url-path": "/desc-write",
+            "method": "POST",
+            "template-text": "INSERT INTO desc_writes VALUES ({{params.id}})",
+            "request": [
+                {"field-name": "id", "field-in": "body",
+                 "validators": [{"type": "int"}]},
+            ],
+        })
+        ex = QueryExecutor(spark)
+        d = describe_endpoint(ex, ep, {"id": "1"})
+        assert d["method"] == "POST"
+        assert d["result_schema"][0]["name"] == "rows_affected"
+        assert spark.table("desc_writes").count() == 0  # not executed
+        doc = openapi_doc(ex, [ep])
+        op = doc["paths"]["/desc-write"]["post"]
+        assert "201" in op["responses"]
+        assert "id" in op["requestBody"]["content"]["application/json"][
+            "schema"]["properties"]
+        assert spark.table("desc_writes").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS desc_writes")
