@@ -278,6 +278,14 @@ class QueryExecutor:
         params: dict[str, Any] | None = None,
         order_by: str | None = None,
     ) -> QueryResult:
+        if endpoint.is_write:
+            from flapi_spark.writes import WriteError
+
+            raise WriteError(
+                f"endpoint {endpoint.url_path} is a write endpoint; use"
+                " execute_write() — the read path would run its DML"
+                " eagerly and then mis-handle the result"
+            )
         params = dict(params or {})
         offset = int(params.pop("offset", 0) or 0)
         limit = int(params.pop("limit", 100) or 100)

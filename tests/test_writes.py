@@ -420,3 +420,14 @@ def test_describe_never_executes_write_and_openapi_method(spark):
         assert spark.table("desc_writes").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS desc_writes")
+
+
+def test_read_path_refuses_write_endpoint(spark):
+    from flapi_spark.executor import QueryExecutor
+
+    ep = EndpointConfig.from_dict({
+        "url-path": "/w", "method": "POST",
+        "template-text": "INSERT INTO nowhere VALUES (1)",
+    })
+    with pytest.raises(WriteError, match="use execute_write"):
+        QueryExecutor(spark).execute(ep, {})
