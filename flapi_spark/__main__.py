@@ -85,7 +85,19 @@ def _cmd_run(args) -> int:
         reg = load_connections(yaml.safe_load(proj.read_text()) or {})
     spark = get_spark(app_name="flapi_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
-    res = QueryExecutor(spark, registry=reg).execute(match[0], params)
+    ex = QueryExecutor(spark, registry=reg)
+    ep = match[0]
+    if ep.is_write:
+        wres = ex.execute_write(ep, params)
+        out = {"rows_affected": wres.rows_affected}
+        if wres.returned_data is not None:
+            from flapi_spark.results import to_json_rows
+
+            out["rows"] = to_json_rows(wres.returned_data)
+        sys.stdout.write(json.dumps(out))
+        sys.stdout.write("\n")
+        return 0
+    res = ex.execute(ep, params)
     sys.stdout.write(to_json_bytes(res.df).decode())
     sys.stdout.write("\n")
     return 0
