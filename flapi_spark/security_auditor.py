@@ -106,6 +106,31 @@ def audit(
                     loc,
                 ))
 
+        # write endpoint without auth: anonymous callers can mutate
+        # the warehouse — the highest-impact misconfiguration a write
+        # surface adds
+        if ep.is_write and not (ep.auth or {}).get("enabled"):
+            warnings.append(SecurityWarning(
+                "UNAUTHENTICATED_WRITE",
+                "Write endpoint has no auth block; anonymous callers"
+                " can mutate data. Enable auth or restrict roles.",
+                loc,
+            ))
+        # write endpoint with an unbounded method-to-operation drift:
+        # operation.type read on POST/PUT/PATCH/DELETE means the read
+        # path executes DML eagerly on describe/dry-run
+        if (
+            ep.method in ("POST", "PUT", "PATCH", "DELETE")
+            and not ep.is_write
+        ):
+            warnings.append(SecurityWarning(
+                "WRITE_METHOD_READ_OPERATION",
+                f"Method {ep.method} with operation.type read: the"
+                " read path would execute template DML eagerly during"
+                " schema probing. Set operation.type: write.",
+                loc,
+            ))
+
         # unbounded endpoint: no pagination and no shape cap means a
         # full-result driver materialization at serialization time
         if not ep.with_pagination and not (ep.shape and ep.shape.max_rows):

@@ -65,3 +65,29 @@ def test_mcp_unauthenticated_tools_flagged():
         w.code for w in audit(eps, mcp_auth_enabled=True)]
     assert "MCP_UNAUTHENTICATED_TOOLS" not in [
         w.code for w in audit(eps)]  # MCP state unknown -> no claim
+
+
+def test_write_endpoints_flagged_without_auth():
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.security_auditor import audit
+
+    noauth = EndpointConfig.from_dict({
+        "url-path": "/w", "method": "POST",
+        "template-text": "INSERT INTO t VALUES (1)",
+    })
+    codes = [w.code for w in audit([noauth])]
+    assert "UNAUTHENTICATED_WRITE" in codes
+    authed = EndpointConfig.from_dict({
+        "url-path": "/w2", "method": "POST",
+        "template-text": "INSERT INTO t VALUES (1)",
+        "auth": {"enabled": True, "users": []},
+    })
+    codes2 = [w.code for w in audit([authed])]
+    assert "UNAUTHENTICATED_WRITE" not in codes2
+    drift = EndpointConfig.from_dict({
+        "url-path": "/w3", "method": "POST",
+        "operation": {"type": "read"},
+        "template-text": "INSERT INTO t VALUES (1)",
+    })
+    codes3 = [w.code for w in audit([drift])]
+    assert "WRITE_METHOD_READ_OPERATION" in codes3
