@@ -42,6 +42,9 @@ def validate_endpoint(ep: EndpointConfig, known_connections: set[str] | None = N
     if not ep.template_source and ep.template_text is None:
         res.error(f"{where}: one of 'template-source' or 'template-text' is required")
 
+    if ep.method not in ("GET", "POST", "PUT", "PATCH", "DELETE"):
+        res.error(f"{where}: unknown method '{ep.method}'")
+
     if known_connections is not None:
         for c in ep.connections:
             if c not in known_connections:

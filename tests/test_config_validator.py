@@ -160,3 +160,19 @@ class TestHttpsConfig:
         assert parse_https_config(doc).enabled is True
         with pytest.raises(ConfigurationError, match="does not exist"):
             parse_https_config(doc, check_files=True)
+
+
+def test_method_validation():
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.config_validator import validate_endpoint
+
+    bad = EndpointConfig.from_dict({
+        "url-path": "/m", "method": "FETCH", "template-text": "SELECT 1",
+    })
+    r = validate_endpoint(bad)
+    assert any("unknown method" in e for e in r.errors)
+    ok = EndpointConfig.from_dict({
+        "url-path": "/m2", "method": "POST",
+        "template-text": "INSERT INTO t VALUES (1)",
+    })
+    assert validate_endpoint(ok).valid
