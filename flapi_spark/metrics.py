@@ -119,3 +119,52 @@ class MetricsRegistry:
                     out.append(f"{name}_sum{_label_str(key)} {h['sum']:g}")
                     out.append(f"{name}_count{_label_str(key)} {h['count']}")
         return "\n".join(out) + "\n"
+
+
+class TelemetryBackend:
+    """Interface for start/stop lifecycle capture (reference:
+    flapi_telemetry.hpp ITelemetryBackend). The production reference
+    backend phones home; this library ships NO network backend — the
+    injectable seam exists for parity and for deployments that wire
+    their own sink."""
+
+    def capture_start(self, app_name: str, app_version: str) -> None:
+        raise NotImplementedError
+
+    def capture_stop(self, app_name: str, app_version: str) -> None:
+        raise NotImplementedError
+
+
+class FlapiTelemetry:
+    """Lifecycle telemetry with the reference's opt-out semantics
+    (flapi_telemetry.cpp, test_flapi_telemetry.cpp vectors):
+    DATAZOO_DISABLE_TELEMETRY set to 1/true (any case) suppresses all
+    capture, as does setEnabled(False); every notify is forwarded
+    once, never batched or deduped."""
+
+    ENV_VAR = "DATAZOO_DISABLE_TELEMETRY"
+
+    def __init__(self, backend: TelemetryBackend, env: dict | None = None):
+        if backend is None:
+            raise ValueError("FlapiTelemetry requires a backend")
+        self._backend = backend
+        self._env = env
+        self._enabled = True
+
+    def set_enabled(self, enabled: bool) -> None:
+        self._enabled = bool(enabled)
+
+    def _suppressed(self) -> bool:
+        import os
+
+        env = self._env if self._env is not None else os.environ
+        val = str(env.get(self.ENV_VAR, "")).strip().lower()
+        return (not self._enabled) or val in ("1", "true", "yes")
+
+    def notify_start(self, app_name: str, app_version: str) -> None:
+        if not self._suppressed():
+            self._backend.capture_start(app_name, app_version)
+
+    def notify_stop(self, app_name: str, app_version: str) -> None:
+        if not self._suppressed():
+            self._backend.capture_stop(app_name, app_version)

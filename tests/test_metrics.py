@@ -194,3 +194,68 @@ def test_prometheus_label_values_escaped():
     line = next(l for l in text.splitlines() if l.startswith("hits_total{"))
     assert 'path="a\\"b\\\\c\\nd"' in line
     assert "\n" not in line  # the raw newline never reaches the line
+
+
+class TestFlapiTelemetry:
+    """Vector-mirrored from reference test_flapi_telemetry.cpp."""
+
+    class MockBackend:
+        def __init__(self):
+            self.start_calls = 0
+            self.stop_calls = 0
+            self.last = None
+
+        def capture_start(self, app, ver):
+            self.start_calls += 1
+            self.last = ("start", app, ver)
+
+        def capture_stop(self, app, ver):
+            self.stop_calls += 1
+            self.last = ("stop", app, ver)
+
+    def test_notify_start_stop_forwarded_once(self):
+        from flapi_spark.metrics import FlapiTelemetry
+
+        b = self.MockBackend()
+        t = FlapiTelemetry(b, env={})
+        t.notify_start("flapi", "1.2.3")
+        assert b.start_calls == 1 and b.last == ("start", "flapi", "1.2.3")
+        t.notify_stop("flapi", "1.2.3")
+        assert b.stop_calls == 1 and b.last == ("stop", "flapi", "1.2.3")
+        t.notify_start("flapi", "1.2.3")
+        assert b.start_calls == 2  # each call forwarded
+
+    def test_env_var_suppresses(self):
+        from flapi_spark.metrics import FlapiTelemetry
+
+        for val in ("1", "true", "TRUE"):
+            b = self.MockBackend()
+            t = FlapiTelemetry(b, env={"DATAZOO_DISABLE_TELEMETRY": val})
+            t.notify_start("a", "v")
+            t.notify_stop("a", "v")
+            assert b.start_calls == 0 and b.stop_calls == 0
+        # unset allows calls through
+        b2 = self.MockBackend()
+        FlapiTelemetry(b2, env={}).notify_start("a", "v")
+        assert b2.start_calls == 1
+
+    def test_set_enabled_false_suppresses(self):
+        from flapi_spark.metrics import FlapiTelemetry
+
+        b = self.MockBackend()
+        t = FlapiTelemetry(b, env={})
+        t.set_enabled(False)
+        t.notify_start("a", "v")
+        t.notify_stop("a", "v")
+        assert b.start_calls == 0 and b.stop_calls == 0
+        t.set_enabled(True)
+        t.notify_start("a", "v")
+        assert b.start_calls == 1
+
+    def test_requires_backend(self):
+        import pytest as _pytest
+
+        from flapi_spark.metrics import FlapiTelemetry
+
+        with _pytest.raises(ValueError):
+            FlapiTelemetry(None)
