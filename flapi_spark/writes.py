@@ -172,18 +172,46 @@ def _table_supports_row_dml(spark: SparkSession, table: str) -> bool:
         return False
 
 
+def _partition_cols(spark: SparkSession, table: str) -> list[str]:
+    """Partition columns from DESCRIBE TABLE (empty for unpartitioned)."""
+    rows = spark.sql(f"DESCRIBE TABLE {table}").collect()
+    out: list[str] = []
+    in_part = False
+    for r in rows:
+        name = r.col_name
+        if name.startswith("# Partition"):
+            in_part = True
+            continue
+        if in_part:
+            if name.startswith("#") or not name:
+                continue
+            out.append(name)
+    return out
+
+
 def _staged_swap(
-    spark: SparkSession, table: str, projection_sql: str, args: dict | None
+    spark: SparkSession,
+    table: str,
+    projection_sql: str,
+    args: dict | None,
+    dynamic: bool = False,
 ) -> None:
     """Write the new image to a staging table, swap via INSERT
     OVERWRITE (a direct self-overwrite is rejected by Spark), drop the
-    stage."""
+    stage. With `dynamic`, the swap runs under dynamic partition
+    overwrite — only the partitions PRESENT in the stage are replaced
+    (the partition-pruned copy-on-write path)."""
     stage = f"{table.replace('.', '_').strip('`')}__write_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
     _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
     try:
+        if dynamic:
+            spark.conf.set(conf_key, "dynamic")
         spark.sql(f"INSERT OVERWRITE {table} SELECT * FROM {stage}")
     finally:
+        spark.conf.set(conf_key, prev)
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
@@ -244,9 +272,27 @@ def apply_write_statement(
             if c in assigns else c
             for c in cols
         )
-        _staged_swap(
-            spark, table, f"SELECT {proj} FROM {table}", args
-        )
+        pcols = _partition_cols(spark, table)
+        if pcols and not set(pcols) & set(assigns):
+            # partition-PRUNED copy-on-write: stage only the
+            # partitions that contain matching rows (multi-column IN
+            # subquery = a semi-join, no driver collect) and swap
+            # under dynamic partition overwrite — untouched partitions
+            # are never rewritten. This is the 100 TB UPDATE shape
+            # (the full-table rewrite only happens for unpartitioned
+            # targets or partition-column reassignment, where rows
+            # migrate across partitions).
+            plist = ", ".join(pcols)
+            sel = (
+                f"SELECT {proj} FROM {table}"
+                f" WHERE ({plist}) IN"
+                f" (SELECT DISTINCT {plist} FROM {table} WHERE {cond})"
+            )
+            _staged_swap(spark, table, sel, args, dynamic=True)
+        else:
+            _staged_swap(
+                spark, table, f"SELECT {proj} FROM {table}", args
+            )
         ret = None
         if returning:
             if any(
@@ -293,6 +339,10 @@ def apply_write_statement(
             )
             rows = pre.collect()
             ret = spark.createDataFrame(rows, pre.schema)
+        # DELETE stays a FULL rewrite even on partitioned tables: a
+        # partition whose every row matches would vanish from the
+        # stage, and dynamic overwrite would leave its old files in
+        # place (stale survivors) — correctness over pruning here
         _staged_swap(
             spark, table,
             f"SELECT * FROM {table} WHERE NOT ({cond})"

@@ -431,3 +431,73 @@ def test_read_path_refuses_write_endpoint(spark):
     })
     with pytest.raises(WriteError, match="use execute_write"):
         QueryExecutor(spark).execute(ep, {})
+
+
+def test_partitioned_update_prunes_untouched_partitions(spark, tmp_path):
+    """UPDATE on a partitioned table rewrites ONLY the partitions
+    containing matches (dynamic overwrite + semi-join pruning): the
+    untouched partition's data files stay byte-identical."""
+    import glob as _glob
+    import os
+
+    from flapi_spark.writes import apply_write_statement
+
+    spark.sql("DROP TABLE IF EXISTS part_upd")
+    spark.sql(
+        "CREATE TABLE part_upd (id BIGINT, v STRING) USING parquet"
+        " PARTITIONED BY (seg STRING)"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO part_upd VALUES"
+            " (1,'a','X'),(2,'b','Y'),(3,'c','X'),(4,'d','Z')"
+        )
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        y_files = {
+            (p, os.path.getmtime(p))
+            for p in _glob.glob(
+                os.path.join(warehouse, "part_upd", "seg=Y", "*.parquet")
+            )
+        }
+        assert y_files
+        r = apply_write_statement(
+            spark, "UPDATE part_upd SET v = upper(v) WHERE seg = 'X'"
+        )
+        assert r.rows_affected == 2
+        rows = {x.id: x.v for x in spark.table("part_upd").collect()}
+        assert rows == {1: "A", 2: "b", 3: "C", 4: "d"}
+        y_after = {
+            (p, os.path.getmtime(p))
+            for p in _glob.glob(
+                os.path.join(warehouse, "part_upd", "seg=Y", "*.parquet")
+            )
+        }
+        assert y_after == y_files  # untouched partition: same files
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_upd")
+
+
+def test_partitioned_delete_handles_emptied_partition(spark):
+    """DELETE that empties a whole partition must actually remove its
+    rows (the full-rewrite path; a pruned dynamic overwrite would
+    leave stale files)."""
+    from flapi_spark.writes import apply_write_statement
+
+    spark.sql("DROP TABLE IF EXISTS part_del")
+    spark.sql(
+        "CREATE TABLE part_del (id BIGINT, v STRING) USING parquet"
+        " PARTITIONED BY (seg STRING)"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO part_del VALUES (1,'a','X'),(2,'b','Y')"
+        )
+        r = apply_write_statement(
+            spark, "DELETE FROM part_del WHERE seg = 'Y'"
+        )
+        assert r.rows_affected == 1
+        assert [x.id for x in spark.table("part_del").collect()] == [1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_del")
