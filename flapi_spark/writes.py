@@ -83,6 +83,10 @@ def _strip_returning(stmt: str) -> tuple[str, str | None]:
     m = _RETURNING_RE.search(stmt)
     if not m:
         return stmt, None
+    # guard: a RETURNING inside a trailing string literal is data, not
+    # a clause (quote parity of the prefix, ''-escapes cancel out)
+    if stmt[: m.start()].count("'") % 2 == 1:
+        return stmt, None
     return stmt[: m.start()], m.group("cols").strip()
 
 

@@ -501,3 +501,15 @@ def test_partitioned_delete_handles_emptied_partition(spark):
         assert [x.id for x in spark.table("part_del").collect()] == [1]
     finally:
         spark.sql("DROP TABLE IF EXISTS part_del")
+
+
+def test_returning_inside_string_literal_is_data(spark):
+    from flapi_spark.writes import _strip_returning
+
+    stmt = "INSERT INTO t VALUES ('about RETURNING x')"
+    out, cols = _strip_returning(stmt)
+    assert cols is None and out == stmt
+    out2, cols2 = _strip_returning(
+        "DELETE FROM t WHERE v = 'x' RETURNING id"
+    )
+    assert cols2 == "id" and out2.rstrip() == "DELETE FROM t WHERE v = 'x'"
