@@ -32,8 +32,12 @@ def _cmd_validate(args) -> int:
         validate_endpoints,
     )
 
+    from flapi_spark.security_auditor import audit
+
     eps = load_endpoints_dir(args.config)
     result = validate_endpoints(eps)
+    for w in audit(eps):
+        result.warnings.append(f"[{w.code}] {w.location}: {w.message}")
     proj = Path(args.config) / "flapi.yaml"
     if proj.exists():
         try:
