@@ -513,3 +513,25 @@ def test_returning_inside_string_literal_is_data(spark):
         "DELETE FROM t WHERE v = 'x' RETURNING id"
     )
     assert cols2 == "id" and out2.rstrip() == "DELETE FROM t WHERE v = 'x'"
+
+
+def test_update_swap_uses_pre_image_semantics(spark):
+    """SQL UPDATE evaluates every right-hand side against the
+    PRE-image: UPDATE t SET a=b, b=a must swap, not duplicate — the
+    CASE-projection translation reads FROM the unmodified table, so it
+    inherits this for free."""
+    from flapi_spark.writes import apply_write_statement
+
+    spark.sql("DROP TABLE IF EXISTS swap_t")
+    spark.sql("CREATE TABLE swap_t (id BIGINT, a BIGINT, b BIGINT) USING parquet")
+    try:
+        spark.sql("INSERT INTO swap_t VALUES (1, 10, 20), (2, 30, 40)")
+        r = apply_write_statement(
+            spark, "UPDATE swap_t SET a = b, b = a WHERE id = 1"
+        )
+        assert r.rows_affected == 1
+        rows = {x.id: (x.a, x.b) for x in spark.table("swap_t").collect()}
+        assert rows[1] == (20, 10)  # swapped
+        assert rows[2] == (30, 40)  # untouched
+    finally:
+        spark.sql("DROP TABLE IF EXISTS swap_t")
