@@ -93,10 +93,16 @@ def read_cached_endpoint(
     executor: QueryExecutor,
     cache_mgr: CacheManager,
     endpoint: EndpointConfig,
+    refresh_if_stale: bool = True,
 ) -> DataFrame:
     """Serve the endpoint from its committed cache snapshot (shaped),
     never touching the source — the reference's read path for cached
-    endpoints."""
+    endpoints. A snapshot flagged by invalidate-on-write is STALE:
+    by default the read refreshes first (the contract the flag
+    exists for); pass refresh_if_stale=False to serve it anyway
+    (explicitly-stale reads, e.g. dashboards that prefer speed)."""
+    if refresh_if_stale and cache_mgr.is_stale(endpoint.cache):
+        refresh_endpoint_cache(executor, cache_mgr, endpoint)
     df = cache_mgr.read(endpoint.cache)
     shaped, _info = shape_df(df, endpoint.shape)
     return shaped

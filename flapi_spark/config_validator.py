@@ -44,6 +44,17 @@ def validate_endpoint(ep: EndpointConfig, known_connections: set[str] | None = N
 
     if ep.method not in ("GET", "POST", "PUT", "PATCH", "DELETE"):
         res.error(f"{where}: unknown method '{ep.method}'")
+    if (
+        ep.is_write
+        and ep.cache.enabled
+        and ep.cache.refresh_on_write
+        and not ep.cache.template_file
+    ):
+        res.error(
+            f"{where}: refresh-on-write on a write endpoint requires"
+            " cache.template-file (the endpoint template is the"
+            " mutation, not the cacheable read)"
+        )
 
     if known_connections is not None:
         for c in ep.connections:

@@ -96,7 +96,28 @@ _CREATE_TABLE = re.compile(
     re.IGNORECASE,
 )
 _PK_CONSTRAINT = re.compile(r"\s+PRIMARY\s+KEY", re.IGNORECASE)
-_TEXT_TYPE = re.compile(r"\b(TEXT|TIME)\b", re.IGNORECASE)
+
+
+def _split_defs(body: str) -> list[str]:
+    """Split a CREATE TABLE body on top-level commas (quote- and
+    paren-aware, so DECIMAL(10,2) and COMMENT 'a, b' stay intact)."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in body:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def _fmt_for(path: str) -> str:
@@ -267,7 +288,18 @@ def _rewrite_create_table_types(sql: str) -> str:
             j += 1
         body = sql[m.end() : j - 1]
         body = _PK_CONSTRAINT.sub("", body)
-        body = _TEXT_TYPE.sub("STRING", body)
+        # map types per COLUMN DEFINITION (name then type): a blanket
+        # \bTEXT|TIME\b substitution would also rewrite column NAMES
+        # like `time` or words inside COMMENT literals
+        defs = []
+        for coldef in _split_defs(body):
+            toks = coldef.split(None, 2)
+            if len(toks) >= 2 and toks[1].upper() in ("TEXT", "TIME"):
+                lead = coldef[: len(coldef) - len(coldef.lstrip())]
+                rest = " " + toks[2] if len(toks) > 2 else ""
+                coldef = f"{lead}{toks[0]} STRING{rest}"
+            defs.append(coldef)
+        body = ",".join(defs)
         out.append(body)
         out.append(")")
         pos = j

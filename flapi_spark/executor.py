@@ -382,6 +382,9 @@ class QueryExecutor:
                 args=args,
                 returns_data=endpoint.operation.returns_data,
                 transaction=endpoint.operation.transaction,
+                validate_before_write=(
+                    endpoint.operation.validate_before_write
+                ),
             )
         except Exception as exc:
             from flapi_spark.validation import ValidationError
@@ -413,6 +416,16 @@ class QueryExecutor:
             if cfg.invalidate_on_write:
                 cache_mgr.invalidate(cfg)
             if cfg.refresh_on_write:
+                if not cfg.template_file:
+                    # without a separate cache template, the refresh
+                    # would re-render THIS endpoint's template — i.e.
+                    # re-run the mutation just executed
+                    raise WriteError(
+                        f"endpoint {endpoint.url_path}:"
+                        " refresh-on-write requires cache.template-file"
+                        " (the endpoint template is the mutation, not"
+                        " the cacheable read)"
+                    )
                 from flapi_spark.cache_flow import refresh_endpoint_cache
 
                 refresh_endpoint_cache(self, cache_mgr, endpoint)

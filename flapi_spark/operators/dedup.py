@@ -1185,9 +1185,12 @@ def rowwise_minhash(docs: DataFrame, n: int = 3) -> DataFrame:
     return th.select("doc_id", hs.alias("hs")).select("doc_id", "hs", *sigs)
 
 
-def band_rows(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, bh) banded rows from signature columns — the
-    LSH bucket key stream (generator + projection: streaming-safe)."""
+def band_rows(sigs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [keep...], band_id, bh) banded rows from signature
+    columns — the LSH bucket key stream (generator + projection:
+    streaming-safe). `keep` carries extra per-doc columns through the
+    explode, which lets STREAMING consumers avoid a join back to the
+    signature stream (a stream-stream self-join would be stateful)."""
     r = NUM_PERM // BANDS
     bands = F.array(*[
         F.struct(
@@ -1197,9 +1200,10 @@ def band_rows(sigs: DataFrame) -> DataFrame:
         for band in range(BANDS)
     ])
     return sigs.select(
-        "doc_id", F.explode(bands).alias("b")
+        "doc_id", *keep, F.explode(bands).alias("b")
     ).select(
         "doc_id",
+        *keep,
         F.col("b.band_id").alias("band_id"),
         F.col("b.bh").alias("bh"),
     )

@@ -242,20 +242,25 @@ def global_ordered_prefix(
         )
     binned = _frozen_bins(df, order_cols, num_partitions)
     aggs = [F.count(F.lit(1)).alias("__cnt")]
+    is_double = False
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__bin_sum"))
+        is_double = dict(df.dtypes)[sum_col] in ("double", "float")
     counts = binned.groupBy("__bin").agg(*aggs).orderBy("__bin").collect()
     rows = []
-    run_n, run_s = 0, 0
+    # the accumulator's PYTHON type must match the offset schema from
+    # row one (DoubleType rejects int 0), so seed it by column dtype
+    run_n = 0
+    run_s = 0.0 if is_double else 0
     for r in counts:
-        rows.append((r["__bin"], run_n, run_s if sum_col is not None else 0))
+        rows.append((r["__bin"], run_n, run_s))
         run_n += r["__cnt"]
         if sum_col is not None:
-            run_s += r["__bin_sum"] or 0
-    if sum_col is not None and rows and isinstance(run_s, float):
-        off_schema = "__bin INT, __off LONG, __soff DOUBLE"
-    else:
-        off_schema = "__bin INT, __off LONG, __soff LONG"
+            run_s += r["__bin_sum"] or (0.0 if is_double else 0)
+    off_schema = (
+        "__bin INT, __off LONG, __soff DOUBLE"
+        if is_double else "__bin INT, __off LONG, __soff LONG"
+    )
     offset_df = spark.createDataFrame(rows, off_schema)
     w = Window.partitionBy("__bin").orderBy(*order_cols)
     out = (

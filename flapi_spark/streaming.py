@@ -730,13 +730,16 @@ def neardup_guard_stream(
         F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
     )
     s = rowwise_minhash(docs_stream)
-    cands = band_rows(s).join(corpus_bands, ["band_id", "bh"]).select(
-        "doc_id", "corpus_doc_id", "band_id"
+    # hs rides THROUGH the band explode (band_rows keep=) — joining
+    # the candidates back to the signature stream would be a
+    # stream-stream self-join, i.e. unbounded join state; carried
+    # columns keep both joins stream-static and the query stateless
+    cands = (
+        band_rows(s, keep=("hs",))
+        .join(corpus_bands, ["band_id", "bh"])
+        .select("doc_id", "hs", "corpus_doc_id", "band_id")
     )
-    enriched = (
-        cands.join(s.select("doc_id", "hs"), "doc_id")
-        .join(corpus_sets, "corpus_doc_id")
-    )
+    enriched = cands.join(corpus_sets, "corpus_doc_id")
     inter = F.size(F.array_intersect("hs", "corpus_hs")).cast("double")
     union = (
         F.size("hs") + F.size("corpus_hs")

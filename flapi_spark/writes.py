@@ -80,14 +80,19 @@ class WriteError(ValueError):
 
 
 def _strip_returning(stmt: str) -> tuple[str, str | None]:
-    m = _RETURNING_RE.search(stmt)
-    if not m:
+    # the clause is the LAST RETURNING whose prefix has even quote
+    # parity — an occurrence inside a string literal is data, but a
+    # real trailing clause may follow it in the same statement
+    m = None
+    for m_ in re.finditer(r"\bRETURNING\b", stmt, re.IGNORECASE):
+        if stmt[: m_.start()].count("'") % 2 == 0:
+            m = m_
+    if m is None:
         return stmt, None
-    # guard: a RETURNING inside a trailing string literal is data, not
-    # a clause (quote parity of the prefix, ''-escapes cancel out)
-    if stmt[: m.start()].count("'") % 2 == 1:
+    tail = stmt[m.end():].strip().rstrip(";").strip()
+    if not tail:
         return stmt, None
-    return stmt[: m.start()], m.group("cols").strip()
+    return stmt[: m.start()].rstrip(), tail
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -205,7 +210,7 @@ def _staged_swap(
     stage. With `dynamic`, the swap runs under dynamic partition
     overwrite — only the partitions PRESENT in the stage are replaced
     (the partition-pruned copy-on-write path)."""
-    stage = f"{table.replace('.', '_').strip('`')}__write_stage"
+    stage = re.sub(r"\W", "_", table) + "__write_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
     _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -248,14 +253,25 @@ def apply_write_statement(
         body = m.group("body")
         assigns_raw, pred = _split_where(body)
         if _table_supports_row_dml(spark, table):
-            _run(spark, stmt, args)
+            # pre-image count: counting AFTER the update with the same
+            # predicate would see the post-image (often 0 matches)
             n = _scalar(
                 spark,
                 f"SELECT count(*) FROM {table}"
                 + (f" WHERE {pred}" if pred else ""),
                 args,
             )
-            return WriteResult(rows_affected=n)
+            _run(spark, stmt, args)
+            ret = None
+            if returning:
+                ret = _run(
+                    spark,
+                    f"SELECT {returning} FROM {table}"
+                    + (f" WHERE {pred}" if pred else "")
+                    + f" LIMIT {max_returning_rows}",
+                    args,
+                )
+            return WriteResult(rows_affected=n, returned_data=ret)
         assigns = {}
         for part in _split_top_level(assigns_raw):
             col, _, expr = part.partition("=")
@@ -264,10 +280,22 @@ def apply_write_statement(
                 raise WriteError(f"unparseable SET assignment: {part!r}")
             assigns[col] = expr
         cols = spark.table(table).columns
-        unknown = set(assigns) - set(cols)
+        by_lower = {c.lower(): c for c in cols}
+        unknown = [c for c in assigns if c.lower() not in by_lower]
         if unknown:
             raise WriteError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
+        assigns = {by_lower[c.lower()]: e for c, e in assigns.items()}
         cond = pred if pred else "true"
+        if returning and any(
+            re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE)
+            for c in assigns
+        ):
+            # checked BEFORE the swap: raising after it would leave
+            # the table mutated behind an error response
+            raise WriteError(
+                "UPDATE ... RETURNING with a predicate over assigned"
+                " columns is ambiguous post-image; re-select instead"
+            )
         n = _scalar(
             spark, f"SELECT count(*) FROM {table} WHERE {cond}", args
         )
@@ -287,10 +315,15 @@ def apply_write_statement(
             # targets or partition-column reassignment, where rows
             # migrate across partitions).
             plist = ", ".join(pcols)
+            nullp = " OR ".join(f"{c} IS NULL" for c in pcols)
+            # NULL partition values make the IN-subquery evaluate to
+            # NULL (row silently skipped) — include every
+            # NULL-partition row in the stage so its updates land
             sel = (
                 f"SELECT {proj} FROM {table}"
                 f" WHERE ({plist}) IN"
                 f" (SELECT DISTINCT {plist} FROM {table} WHERE {cond})"
+                f" OR ({nullp})"
             )
             _staged_swap(spark, table, sel, args, dynamic=True)
         else:
@@ -299,14 +332,6 @@ def apply_write_statement(
             )
         ret = None
         if returning:
-            if any(
-                re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE)
-                for c in assigns
-            ):
-                raise WriteError(
-                    "UPDATE ... RETURNING with a predicate over assigned"
-                    " columns is ambiguous post-image; re-select instead"
-                )
             ret = _run(
                 spark,
                 f"SELECT {returning} FROM {table} WHERE {cond}"
@@ -325,8 +350,19 @@ def apply_write_statement(
                 + (f" WHERE {pred}" if pred else ""),
                 args,
             )
+            ret = None
+            if returning:
+                pre = _run(
+                    spark,
+                    f"SELECT {returning} FROM {table}"
+                    + (f" WHERE {pred}" if pred else "")
+                    + f" LIMIT {max_returning_rows}",
+                    args,
+                )
+                rows = pre.collect()
+                ret = spark.createDataFrame(rows, pre.schema)
             _run(spark, stmt, args)
-            return WriteResult(rows_affected=n)
+            return WriteResult(rows_affected=n, returned_data=ret)
         cond = pred if pred else "true"
         n = _scalar(
             spark, f"SELECT count(*) FROM {table} WHERE {cond}", args
@@ -360,12 +396,18 @@ def apply_write_statement(
     return WriteResult(rows_affected=0)
 
 
+_DESTRUCTIVE_RE = re.compile(
+    r"^\s*(DROP|TRUNCATE|ALTER)\b", re.IGNORECASE
+)
+
+
 def execute_write_statements(
     spark: SparkSession,
     statements: list[str],
     args: dict | None = None,
     returns_data: bool = False,
     transaction: bool = True,
+    validate_before_write: bool = True,
 ) -> WriteResult:
     """Multi-statement write with the reference's trailing-SELECT
     contract (database_manager.cpp:612-647): when `returns_data` and
@@ -377,6 +419,19 @@ def execute_write_statements(
     if not statements:
         raise WriteError("no statements to execute")
     statements = [s for s in (s.strip() for s in statements) if s]
+    if validate_before_write:
+        # operation.validate-before-write (reference default true):
+        # endpoint-driven writes are row mutations, not schema
+        # surgery — DROP/TRUNCATE/ALTER only run when the endpoint
+        # explicitly opts out of the stricter validation
+        for s in statements:
+            if _DESTRUCTIVE_RE.match(s):
+                raise WriteError(
+                    f"destructive statement blocked by"
+                    f" validate-before-write: {s.split(None, 1)[0].upper()}"
+                    " (set operation.validate-before-write: false to"
+                    " allow)"
+                )
     trailing_select = None
     if returns_data and len(statements) > 1 and re.match(
         r"^\s*SELECT\b", statements[-1], re.IGNORECASE
@@ -394,7 +449,7 @@ def execute_write_statements(
             if not spark.catalog.tableExists(t.strip("`")):
                 backups[t] = None
                 continue
-            bk = f"{t.replace('.', '_').strip('`')}__txn_backup"
+            bk = re.sub(r"\W", "_", t) + "__txn_backup"
             spark.sql(f"DROP TABLE IF EXISTS {bk}")
             spark.sql(f"CREATE TABLE {bk} AS SELECT * FROM {t}")
             backups[t] = bk

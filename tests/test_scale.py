@@ -187,3 +187,21 @@ def test_ntile_band_property_matches_ansi_semantics(spark):
         )
         bad = expected.join(got, "r").where("e != g").count()
         assert bad == 0, (n, k)
+
+
+def test_global_ordered_prefix_double_sum_works(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.scale import global_ordered_prefix
+
+    df = spark.range(1, 101).select(
+        "id", (F.col("id") * 0.5).alias("x")
+    )
+    got = global_ordered_prefix(
+        df, ["id"], rank_col="r", sum_col="x", prefix_col="cum"
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.withColumn("cum", F.sum("x").over(w))
+    joined = exp.alias("e").join(got.alias("g"), "id")
+    assert joined.where("abs(e.cum - g.cum) > 1e-9").count() == 0

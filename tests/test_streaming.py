@@ -565,3 +565,29 @@ def test_neardup_guard_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     for a, b, j in got:
         if a == b:
             assert j == 1.0
+
+
+def test_neardup_guard_plan_has_no_stream_stream_join(spark, sf_dir):
+    """The guard must stay stateless: its streaming plan may contain
+    stream-static joins only — a stream-stream self-join would retain
+    every incoming signature in join state forever."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.format("rate").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(F.lit("sample text number "),
+                     F.col("value").cast("string")).alias("text"),
+        )
+    )
+    guarded = ST.neardup_guard_stream(stream, docs)
+    plan = guarded._jdf.queryExecution().analyzed().toString()
+    # exactly one side of every join is streaming: no binary node with
+    # two streaming children -> Spark would mark the query as
+    # requiring state via StreamingSymmetricHashJoin at runtime;
+    # analyzed-plan check: the streaming leaf appears ONCE
+    assert plan.count("StreamingRelation") == 1

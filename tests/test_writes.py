@@ -535,3 +535,107 @@ def test_update_swap_uses_pre_image_semantics(spark):
         assert rows[2] == (30, 40)  # untouched
     finally:
         spark.sql("DROP TABLE IF EXISTS swap_t")
+
+
+def test_real_returning_after_literal_mention(spark):
+    from flapi_spark.writes import _strip_returning
+
+    out, cols = _strip_returning(
+        "UPDATE t SET msg = 'use RETURNING wisely'"
+        " WHERE id = 1 RETURNING id"
+    )
+    assert cols == "id"
+    assert out.endswith("WHERE id = 1")
+
+
+def test_validate_before_write_blocks_destructive_statements(spark):
+    from flapi_spark.executor import QueryExecutor
+
+    ep = EndpointConfig.from_dict({
+        "url-path": "/drop", "method": "POST",
+        "template-text": "DROP TABLE important",
+    })
+    with pytest.raises(WriteError, match="validate-before-write"):
+        QueryExecutor(spark).execute_write(ep, {})
+    # explicit opt-out allows DDL (fails later on the missing table,
+    # which proves the guard stepped aside)
+    ep2 = EndpointConfig.from_dict({
+        "url-path": "/drop2", "method": "POST",
+        "operation": {"type": "write", "validate-before-write": False},
+        "template-text": "DROP TABLE IF EXISTS not_important_tmp",
+    })
+    r = QueryExecutor(spark).execute_write(ep2, {})
+    assert r.rows_affected == 0
+
+
+def test_refresh_on_write_requires_cache_template(spark, tmp_path):
+    from flapi_spark.cache import CacheManager
+    from flapi_spark.executor import QueryExecutor
+
+    spark.sql("DROP TABLE IF EXISTS row_guard_t")
+    spark.sql("CREATE TABLE row_guard_t (id BIGINT) USING parquet")
+    try:
+        ep = EndpointConfig.from_dict({
+            "url-path": "/rw", "method": "POST",
+            "template-text": "INSERT INTO row_guard_t VALUES ({{params.id}})",
+            "request": [{"field-name": "id", "field-in": "body",
+                         "validators": [{"type": "int"}]}],
+            "cache": {"enabled": True, "table": "rw_cache",
+                      "refresh-on-write": True},
+        })
+        mgr = CacheManager(spark, root=str(tmp_path / "c"))
+        with pytest.raises(WriteError, match="template-file"):
+            QueryExecutor(spark).execute_write(
+                ep, {"id": "1"}, cache_mgr=mgr
+            )
+        # the refresh guard fires AFTER the write itself (the insert
+        # happened; only the refresh hook is refused) — config
+        # validation catches this combination statically:
+        from flapi_spark.config_validator import validate_endpoint
+
+        r = validate_endpoint(ep)
+        assert any("template-file" in e for e in r.errors)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS row_guard_t")
+
+
+def test_stale_cache_refreshes_on_read(spark, tmp_path):
+    """invalidate-on-write marks the snapshot stale; the cached READ
+    path refreshes before serving (finding: the flag previously had
+    no consumer)."""
+    from flapi_spark.cache import CacheManager
+    from flapi_spark.cache_flow import (
+        read_cached_endpoint, refresh_endpoint_cache,
+    )
+    from flapi_spark.executor import QueryExecutor
+
+    spark.sql("DROP TABLE IF EXISTS stale_t")
+    spark.sql("CREATE TABLE stale_t (id BIGINT) USING parquet")
+    try:
+        (tmp_path / "refresh.sql").write_text("SELECT id FROM stale_t")
+        ep = EndpointConfig.from_dict({
+            "url-path": "/stale", "method": "POST",
+            "template-text": "INSERT INTO stale_t VALUES ({{params.id}})",
+            "request": [{"field-name": "id", "field-in": "body",
+                         "validators": [{"type": "int"}]}],
+            "cache": {"enabled": True, "table": "stale_cache",
+                      "template-file": str(tmp_path / "refresh.sql"),
+                      "invalidate-on-write": True},
+        })
+        ex = QueryExecutor(spark)
+        mgr = CacheManager(spark, root=str(tmp_path / "c2"))
+        ex.execute_write(ep, {"id": "1"}, cache_mgr=mgr)
+        refresh_endpoint_cache(ex, mgr, ep)
+        assert read_cached_endpoint(ex, mgr, ep).count() == 1
+        ex.execute_write(ep, {"id": "2"}, cache_mgr=mgr)
+        assert mgr.is_stale(ep.cache)
+        # the read path refreshes and serves the NEW row
+        assert read_cached_endpoint(ex, mgr, ep).count() == 2
+        assert not mgr.is_stale(ep.cache)
+        # opt-out serves the stale snapshot
+        ex.execute_write(ep, {"id": "3"}, cache_mgr=mgr)
+        assert read_cached_endpoint(
+            ex, mgr, ep, refresh_if_stale=False
+        ).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stale_t")
