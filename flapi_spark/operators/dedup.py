@@ -1207,3 +1207,86 @@ def band_rows(sigs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
         F.col("b.band_id").alias("band_id"),
         F.col("b.bh").alias("bh"),
     )
+
+
+def dedup_lsh_recall_eval(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Recall of the banded-LSH candidate stage against EXACT shingle
+    Jaccard ground truth — the dial that tunes bands×rows (16×4 here):
+    of all true near-dup pairs (Jaccard ≥ threshold over md5-hashed
+    shingles), what fraction did banding surface as candidates? One
+    summary row: (n_true, n_candidates, n_hits, recall, precision).
+
+    The ground-truth generator is the same quadratic inverted-index
+    self-join every exact-oracle baseline in this module uses —
+    quarantined oracle plumbing; the PRODUCTION signal is recall,
+    which only needs the candidate stream (linear) plus the verify
+    join on candidates. Exact oracle (composes the portable-minhash
+    CTE chain)."""
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    sizes = sets.select("doc_id", F.size("hs").alias("n"))
+    # exact ground truth: inverted-index pair join + Jaccard
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("s").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("s")
+    )
+    true_pairs = (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    # candidate stage: the banded self-join of the portable pipeline
+    sigs = minhash_signatures_from_hashed(hashed)
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            *[F.col(f"m{band * r + j}").alias(f"b{j}") for j in range(r)],
+        )
+        for band in range(BANDS)
+    ])
+    ex = sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id",
+        *[F.col(f"b.b{j}").alias(f"b{j}") for j in range(r)],
+    )
+    keys = ["band_id"] + [f"b{j}" for j in range(r)]
+    ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
+    cb = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    cands = (
+        ca.join(cb, keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hits = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_true = true_pairs.count()
+    n_cands = cands.count()
+    n_hits = hits.count()
+    return spark.createDataFrame(
+        [(
+            n_true,
+            n_cands,
+            n_hits,
+            round(n_hits / n_true, 6) if n_true else 1.0,
+            round(n_hits / n_cands, 6) if n_cands else 1.0,
+        )],
+        "n_true LONG, n_candidates LONG, n_hits LONG,"
+        " recall DOUBLE, precision DOUBLE",
+    )

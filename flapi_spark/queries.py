@@ -791,6 +791,62 @@ def _minhash_estimate_error_sql() -> str:
     )
 
 
+def _lsh_recall_eval_sql() -> str:
+    """Banded-LSH recall oracle: exact-Jaccard true pairs vs the band
+    candidate set, same md5/fold/min arithmetic as the portable
+    minhash oracle; one summary row with mirrored 6dp divisions."""
+    P = D.MERSENNE_P
+    n, r = 3, D.NUM_PERM // D.BANDS
+    tok = f"((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) % {P})"
+    gram = "0"
+    for j in range(n - 1, -1, -1):
+        a = D.PERMS[j][0]
+        gram = f"(({a} * coalesce(ht[i + {j + 1}], 0) + {gram}) % {P})"
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(D.PERMS)
+    )
+    band_arms = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        + ", ".join(f"m{band * r + j} AS b{j}" for j in range(r))
+        + " FROM sigs"
+        for band in range(D.BANDS)
+    )
+    eq = " AND ".join(f"a.b{j} = c.b{j}" for j in range(r))
+    jac = "(CAST(s AS DOUBLE) / (sa.n + sb.n - s))"
+    return (
+        f"WITH toks AS (SELECT doc_id, list_transform({_TOKS},"
+        f"  x -> {tok}) AS ht FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        f"  range(0, greatest(len(ht) - {n}, 0) + 1), i -> {gram})) AS g"
+        "  FROM toks),"
+        " hs AS (SELECT doc_id, unnest(g) AS h FROM grams),"
+        f" sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),"
+        f" bands AS ({band_arms}),"
+        " cands AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b"
+        f"  FROM bands a JOIN bands c ON a.band_id = c.band_id AND {eq}"
+        "   AND a.doc_id < c.doc_id),"
+        " sizes AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n FROM grams),"
+        " shared AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,"
+        "   count(*) AS s FROM hs a JOIN hs c ON a.h = c.h"
+        "   AND a.doc_id < c.doc_id GROUP BY 1, 2),"
+        " true_pairs AS (SELECT shared.doc_a, shared.doc_b"
+        "  FROM shared JOIN sizes sa ON sa.doc_id = shared.doc_a"
+        "  JOIN sizes sb ON sb.doc_id = shared.doc_b"
+        f"  WHERE {jac} >= 0.5),"
+        " hits AS (SELECT t.doc_a, t.doc_b FROM true_pairs t"
+        "  JOIN cands ON cands.doc_a = t.doc_a AND cands.doc_b = t.doc_b)"
+        " SELECT CAST((SELECT count(*) FROM true_pairs) AS BIGINT)"
+        "   AS n_true,"
+        "  CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,"
+        "  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,"
+        "  ROUND((SELECT count(*) FROM hits) * 1.0 /"
+        "   (SELECT count(*) FROM true_pairs), 6) AS recall,"
+        "  ROUND((SELECT count(*) FROM hits) * 1.0 /"
+        "   (SELECT count(*) FROM cands), 6) AS precision"
+    )
+
+
 def _simhash_portable_sql() -> str:
     """DuckDB replication of dedup_simhash_portable: md5-derived 32-bit
     hash halves, ±1 votes per bit, sign-of-tally fingerprints, 16-bit
@@ -3686,6 +3742,12 @@ def _minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_error(spark, sf_dir)
 
 
+def _dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.dedup import dedup_lsh_recall_eval
+
+    return dedup_lsh_recall_eval(spark, sf_dir)
+
+
 def _src_duckdb_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live DuckDB scan via the flapi_duckdb Python DataSource: the
     query runs inside embedded DuckDB on the executors, lands in
@@ -3739,6 +3801,10 @@ QUERIES.update(
         #    an embedded DuckDB engine through the Python DataSource
         #    API (the reference's ATTACH path, database_manager.cpp:
         #    251-310), predicate-split into 2 partitions
+        "dedup_lsh_recall_eval": (
+            _dedup_lsh_recall_eval,
+            _lsh_recall_eval_sql(),
+        ),
         "src_duckdb_query": (
             _src_duckdb_query,
             "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
