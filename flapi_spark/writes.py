@@ -232,7 +232,13 @@ def apply_write_statement(
 ) -> WriteResult:
     """Execute ONE write statement with reference semantics; see the
     module docstring for the translation rules."""
-    stmt, returning = _strip_returning(stmt)
+    # classify FIRST: RETURNING is a DML-only clause, and stripping it
+    # from a passthrough statement could corrupt SQL that merely uses
+    # the word (e.g. a column alias in a CTAS)
+    kind0, _t0 = _classify(stmt)
+    returning = None
+    if kind0 in ("insert", "update", "delete"):
+        stmt, returning = _strip_returning(stmt)
     kind, table = _classify(stmt)
 
     if kind == "insert":
