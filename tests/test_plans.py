@@ -330,3 +330,36 @@ def test_fact_scale_ntile_queries_have_no_global_sort(spark, sf_dir):
     fn, _ = QUERIES["bm25_search"]
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rfm_segmentation", "lorenz_deciles", "gini_customer_revenue",
+     "abc_classification", "zorder_locality_stats",
+     "customer_concentration_topn", "skew_profile_orders",
+     "session_path_trigrams", "sample_weighted_quality",
+     "udtf_ngram_profile"],
+)
+def test_no_fact_scale_single_partition_exchange(spark, sf_dir, name):
+    """Round-4 rewrites: none of the customer/part/vocabulary-grain
+    rankings may plan a SinglePartition exchange over their heavy
+    input — frozen-bin global_rank or TakeOrdered everywhere. (Tiny
+    windows over <=N survivor rows or <=10 aggregate rows are the only
+    acceptable single-partition work, and those appear AFTER a
+    limit/groupBy shrink — asserted by capping the exchange's position
+    relative to plan size is brittle, so instead: any SinglePartition
+    exchange must feed from a LocalLimit/HashAggregate, never a scan.)"""
+    fn, _ = QUERIES[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the next plan line is the exchange's child: must be a
+        # bounded producer (limit or aggregate), not a raw scan
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert any(
+            t in child
+            for t in ("LocalLimit", "HashAggregate", "Project", "TakeOrdered")
+        ), f"{name}: SinglePartition over {child.strip()}"
+        assert "Scan parquet" not in child, name
