@@ -113,14 +113,28 @@ def schedule_cache_refreshes(
     executor: QueryExecutor,
     cache_mgr: CacheManager,
     endpoints: list[EndpointConfig],
+    stale_poll: str | float | None = None,
 ) -> list[str]:
     """Register every cache-enabled endpoint with a `schedule:` on the
     heartbeat worker (reference: heartbeat_worker.cpp drives
     schedule-based cache syncs). Each tick refreshes the snapshot and
-    applies retention GC. Returns the scheduled job names."""
+    applies retention GC. With `stale_poll`, a second job per cached
+    endpoint refreshes EARLY whenever invalidate-on-write has flagged
+    the snapshot stale — writes propagate to readers at the poll
+    cadence instead of waiting out the full schedule. Returns the
+    scheduled job names."""
     names = []
     for ep in endpoints:
         cfg = ep.cache
+        if stale_poll is not None and cfg.enabled and cfg.table:
+            sname = f"cache-stale:{cfg.schema}.{cfg.table}"
+
+            def _stale_job(ep=ep):
+                if cache_mgr.is_stale(ep.cache):
+                    refresh_endpoint_cache(executor, cache_mgr, ep)
+
+            worker.add_job(sname, stale_poll, _stale_job)
+            names.append(sname)
         if not (cfg.enabled and cfg.table and cfg.schedule):
             continue
         name = f"cache:{cfg.schema}.{cfg.table}"

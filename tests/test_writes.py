@@ -639,3 +639,48 @@ def test_stale_cache_refreshes_on_read(spark, tmp_path):
         ).count() == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS stale_t")
+
+
+def test_heartbeat_stale_poll_refreshes_after_write(spark, tmp_path):
+    """invalidate-on-write + a stale-poll heartbeat job: the write
+    flags the snapshot; the next poll refreshes it without waiting for
+    the scheduled interval."""
+    from flapi_spark.cache import CacheManager
+    from flapi_spark.cache_flow import (
+        refresh_endpoint_cache, schedule_cache_refreshes,
+    )
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.heartbeat import HeartbeatWorker
+
+    spark.sql("DROP TABLE IF EXISTS hb_t")
+    spark.sql("CREATE TABLE hb_t (id BIGINT) USING parquet")
+    try:
+        (tmp_path / "r.sql").write_text("SELECT id FROM hb_t")
+        ep = EndpointConfig.from_dict({
+            "url-path": "/hb", "method": "POST",
+            "template-text": "INSERT INTO hb_t VALUES ({{params.id}})",
+            "request": [{"field-name": "id", "field-in": "body",
+                         "validators": [{"type": "int"}]}],
+            "cache": {"enabled": True, "table": "hb_cache",
+                      "template-file": str(tmp_path / "r.sql"),
+                      "invalidate-on-write": True},
+        })
+        ex = QueryExecutor(spark)
+        mgr = CacheManager(spark, root=str(tmp_path / "c"))
+        ex.execute_write(ep, {"id": "1"}, cache_mgr=mgr)
+        refresh_endpoint_cache(ex, mgr, ep)
+        worker = HeartbeatWorker()
+        names = schedule_cache_refreshes(
+            worker, ex, mgr, [ep], stale_poll=0.01
+        )
+        assert any(n.startswith("cache-stale:") for n in names)
+        ex.execute_write(ep, {"id": "2"}, cache_mgr=mgr)
+        assert mgr.is_stale(ep.cache)
+        import time as _t
+
+        ran = worker.run_pending(now=_t.monotonic() + 1)
+        assert ran >= 1
+        assert not mgr.is_stale(ep.cache)
+        assert mgr.read(ep.cache).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hb_t")
