@@ -108,15 +108,28 @@ def _cmd_run(args) -> int:
 
 
 def _cmd_openapi(args) -> int:
+    from pathlib import Path
+
+    import yaml
+
     from flapi_spark.config import load_endpoints_dir
     from flapi_spark.describe import openapi_doc
     from flapi_spark.executor import QueryExecutor
     from flapi_spark.session import get_spark
+    from flapi_spark.sources.registry import load_connections
 
     eps = load_endpoints_dir(args.config)
+    reg = None
+    proj = Path(args.config) / "flapi.yaml"
+    if proj.exists():
+        # schema probing renders templates, so {{conn.*}} needs the
+        # project connections — same wiring as the run command
+        reg = load_connections(yaml.safe_load(proj.read_text()) or {})
     spark = get_spark(app_name="flapi_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(openapi_doc(QueryExecutor(spark), eps), indent=2))
+    print(json.dumps(
+        openapi_doc(QueryExecutor(spark, registry=reg), eps), indent=2
+    ))
     return 0
 
 

@@ -70,3 +70,20 @@ def test_run_endpoint_json(project, spark, capsys):
 
 def test_run_unknown_endpoint(project, capsys):
     assert main(["run", "-c", str(project), "-u", "/nope/"]) == 1
+
+
+def test_openapi_cli_loads_project_connections(capsys):
+    """openapi probes templates, so {{conn.*}} must resolve through the
+    project flapi.yaml — previously the command passed no registry and
+    any connection-templated endpoint failed to render."""
+    import json as _json
+    import os
+
+    from flapi_spark.__main__ import main
+
+    os.environ.setdefault("NOTES_PASSWORD", "pw")
+    rc = main(["openapi", "-c", "examples/project/endpoints"])
+    assert rc == 0
+    doc = _json.loads(capsys.readouterr().out)
+    assert "/customers/" in doc["paths"]          # conn-templated read
+    assert "post" in doc["paths"]["/customer-notes"]  # write endpoint
