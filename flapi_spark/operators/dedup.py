@@ -263,9 +263,12 @@ def dedup_minhash_lsh(
         .distinct()
     )
     # semi-join the RAW docs before hashing: the verify branch then
-    # tokenizes+hashes only candidate docs, not the corpus again
+    # tokenizes+hashes only candidate docs, not the corpus again.
+    # UNHINTED: the candidate set is data-dependent (corpus-shaped on a
+    # dup-heavy crawl) — AQE broadcasts it only while measured-small; a
+    # pinned hint would OOM the driver exactly when dedup matters most.
     cand_texts = load_table(spark, sf_dir, "documents").join(
-        F.broadcast(cand_docs), "doc_id", "left_semi"
+        cand_docs, "doc_id", "left_semi"
     )
     sets = (
         hashed_shingles_from(cand_texts)
@@ -725,7 +728,9 @@ def dedup_minhash_portable(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_texts = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # unhinted semi-join: candidate volume is data-dependent (see
+    # dedup_minhash_lsh) — AQE picks broadcast only while small
+    cand_texts = docs.join(cand_docs, "doc_id", "left_semi")
     sets = (
         hashed_shingles_from(cand_texts, tok_hash_sql=MD5_TOK_HASH)
         .groupBy("doc_id")
@@ -860,10 +865,13 @@ def dedup_substring_spans(
     the cut list a scrubbing pass consumes.
 
     100 TB shape: tiling is a linear projection; the duplicated-tile
-    set is boilerplate-sized (bounded by distinct duplicated chunks,
-    not corpus size) so it re-joins as a broadcast left-semi; the
-    island window partitions by doc_id — one corpus-scale shuffle.
-    Exact DuckDB oracle replays tiling, marking and merging."""
+    set re-joins as an UNHINTED left-semi — on a boilerplate-light
+    corpus it is small and AQE broadcasts it, but on a dup-heavy crawl
+    every ≥2-doc span qualifies and the set is corpus-shaped, where a
+    pinned broadcast hint would OOM the driver and an unhinted join
+    gracefully shuffles on the chunk key. The island window partitions
+    by doc_id — one corpus-scale shuffle. Exact DuckDB oracle replays
+    tiling, marking and merging."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -889,7 +897,7 @@ def dedup_substring_spans(
         .where(F.col("nd") >= min_docs)
         .select("chunk")
     )
-    flagged = tiles.join(F.broadcast(dup_tiles), "chunk", "left_semi")
+    flagged = tiles.join(dup_tiles, "chunk", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("i")
     islands = flagged.withColumn(
         "island", F.col("i") - F.row_number().over(w)
@@ -971,8 +979,9 @@ def dedup_incremental_pairs(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # unhinted: delta-batch candidate volume is data-dependent
     cand_texts = existing_docs.unionByName(new_docs).join(
-        F.broadcast(cand_docs), "doc_id", "left_semi"
+        cand_docs, "doc_id", "left_semi"
     )
     sets = (
         hashed_shingles_from(cand_texts)
@@ -1002,9 +1011,9 @@ def neardup_pair_evidence(
     its drop decisions.
 
     Tiling reuses dedup_chunk_boilerplate's non-overlapping windows;
-    the evidence join touches only candidate-pair members (broadcast
-    semi-join on the pair set). Exact DuckDB oracle (reuses the
-    portable-MinHash CTE chain)."""
+    the evidence join touches only candidate-pair members (unhinted
+    semi-join on the pair set — AQE broadcasts while measured-small).
+    Exact DuckDB oracle (reuses the portable-MinHash CTE chain)."""
     pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
     members = (
@@ -1013,7 +1022,7 @@ def neardup_pair_evidence(
         .distinct()
     )
     t = (
-        docs.join(F.broadcast(members), "doc_id", "left_semi")
+        docs.join(members, "doc_id", "left_semi")
         .select("doc_id", F.split(norm_text(), " ").alias("t"))
         .where(F.size("t") >= chunk)
     )

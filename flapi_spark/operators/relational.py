@@ -320,11 +320,15 @@ def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by part type: big fact ⋈ broadcast part dim."""
+    """Revenue by part type: big fact ⋈ part dim.
+
+    Scale: part is 200k×SF rows — NOT force-broadcast (a pinned hint
+    would abort on the 8 GB broadcast limit at the 100 TB SF). AQE
+    picks broadcast when the measured size is genuinely small."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
             F.sum(revenue_expr()).cast("double").alias("revenue"),
@@ -409,8 +413,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional revenue per year
     for one part type (conditional-sum ratio).
 
-    Scale: dims broadcast; the share is two conditional sums in a
-    single agg — no second pass over the joined fact."""
+    Scale: nation/region (fixed 25/5 rows) broadcast; part is
+    unhinted — AQE broadcasts it only while measured-small. The share
+    is two conditional sums in a single agg — no second fact pass."""
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
@@ -432,7 +437,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = revenue_expr()
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_region, orders.o_custkey == cust_region.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -456,7 +461,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no partsupp/ps_supplycost, so cost is proxied as
     0.6 * p_retailprice * l_quantity (same join/agg shape).
 
-    Scale: part+supplier+nation broadcast; one shuffle on the group key."""
+    Scale: nation (25 rows) broadcasts; part/supplier are unhinted —
+    both grow with SF, so AQE decides by measured size; one shuffle on
+    the group key."""
     nation = load_table(spark, sf_dir, "nation")
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("bolt"))
@@ -464,7 +471,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (F.lit(0.60).cast(MONEY) * dec("p_retailprice") * dec("l_quantity"))
     profit = revenue_expr() - cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -502,7 +509,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", vol)
                   .otherwise(F.lit(0).cast(MONEY)))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             promo.cast("double").alias("promo_revenue"),
             F.sum(vol).cast("double").alias("total_revenue"),
@@ -547,13 +554,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery re-expressed as a per-part aggregate join)."""
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
     li = load_table(spark, sf_dir, "lineitem")
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branded = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = branded.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
         .alias("avg_q")
     )
     return (
-        branded.join(F.broadcast(avg_qty), branded.l_partkey == avg_qty.ap)
+        branded.join(avg_qty, branded.l_partkey == avg_qty.ap)
         .where(F.col("l_quantity") < 0.5 * F.col("avg_q"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(2.0))
@@ -595,7 +602,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets — a disjunctive pushdown test."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     b1 = (
         (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
@@ -749,7 +756,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#45")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -800,12 +807,12 @@ def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     shippers = (
-        li.join(F.broadcast(cheapest), li.l_partkey == cheapest.p_partkey, "left_semi")
+        li.join(cheapest, li.l_partkey == cheapest.p_partkey, "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
     return (
-        shippers.join(F.broadcast(cheapest), shippers.l_partkey == cheapest.p_partkey)
+        shippers.join(cheapest, shippers.l_partkey == cheapest.p_partkey)
         .join(supp, shippers.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1391,8 +1398,10 @@ def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives (Agrawal & Srikant 1994) behind "frequently bought
     together" endpoints the reference serves via SQL templates.
 
-    Scale shape: brand tagging is a broadcast join against the part
-    dim; the pair generation is a SELF-JOIN ON l_orderkey — both sides
+    Scale shape: brand tagging joins the part dim UNHINTED (part is
+    200k×SF rows — AQE broadcasts only while measured-small; a pinned
+    hint would abort at the 100 TB SF); the pair generation is a
+    SELF-JOIN ON l_orderkey — both sides
     shuffle-partitioned on the same key, so pairs are built within
     co-located partitions and the blow-up is bounded by (brands per
     order choose 2), never |orders|². Brand-level rollup keeps the
@@ -1402,7 +1411,7 @@ def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     ob = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
@@ -2847,11 +2856,12 @@ def ols_quantity_on_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact integers (price in cents; squares in DECIMAL(38,0)/
     HUGEINT), so the aggregation is order-independent; only the final
     formulas run in mirrored doubles (int→double single-rounded in
-    both engines), rounded 6dp. One broadcast part-dim join + one
-    groupBy(brand). Exact oracle."""
+    both engines), rounded 6dp. One unhinted part-dim join (AQE
+    broadcasts while measured-small) + one groupBy(brand). Exact
+    oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
         "p_brand",
         F.expr(
             "CAST(floor(l_extendedprice / l_quantity * 100) AS BIGINT)"
@@ -4026,11 +4036,11 @@ def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tax_burden_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective tax share per brand: Σ(price·tax) / Σ(price) over
     exact DECIMAL products — the pricing-compliance rollup. Both sums
-    stay decimal-exact; one mirrored double division (6dp). Broadcast
-    part dim, one fact groupBy. Exact oracle."""
+    stay decimal-exact; one mirrored double division (6dp). Unhinted
+    part-dim join, one fact groupBy. Exact oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     taxed = F.expr(
         "CAST(l_extendedprice AS DECIMAL(18,2))"
         " * CAST(l_tax AS DECIMAL(18,2))"

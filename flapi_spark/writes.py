@@ -14,38 +14,66 @@ tables:
   tables); rows_affected is the target's before/after row-count delta.
 - ``UPDATE t SET … WHERE …`` translates to a staged full projection —
   ``CASE WHEN (pred) THEN expr ELSE col END`` per assigned column —
-  written to a staging table and swapped in with INSERT OVERWRITE
-  (Spark refuses a direct self-overwrite: UNSUPPORTED_OVERWRITE).
-  rows_affected = matching-row count, evaluated pre-image.
-- ``DELETE FROM t WHERE …`` keeps the complement (same staging swap).
+  written once to a staging table. Unpartitioned managed targets then
+  RENAME-swap (stage → table, a metadata/directory move — the new
+  image is written exactly ONCE; the old INSERT OVERWRITE swap wrote
+  it twice). Partitioned targets stage only the partitions containing
+  matches and swap under dynamic partition overwrite — untouched
+  partitions' files are never rewritten.
+- ``DELETE FROM t WHERE …`` keeps the complement. Partitioned targets
+  get the same partition-pruned stage as UPDATE, plus an explicit
+  ``ALTER TABLE … DROP PARTITION`` for every partition whose EVERY
+  row matched (a fully-deleted partition produces no stage rows, and
+  dynamic overwrite would otherwise leave its old files in place as
+  stale survivors — reference semantics:
+  test_write_operations_comprehensive.tavern.yaml delete-all shapes).
 - ``RETURNING col, …`` (DuckDB syntax the reference's templates use)
   is honored for UPDATE (post-image rows re-selected by the
-  predicate — exact when the predicate doesn't touch assigned
-  columns, which is the keyed-update shape every reference template
-  has) and DELETE (pre-image rows, captured before the swap). INSERT
-  RETURNING raises with guidance: the multi-statement
-  ``INSERT …; SELECT …`` workflow (which the reference also supports,
-  database_manager.cpp:612-647) is the Spark path.
+  predicate — a predicate over an assigned column is rejected as
+  ambiguous BEFORE any mutation, on both the native-v2 and
+  copy-on-write paths), DELETE (pre-image rows, captured before the
+  swap), and INSERT (reference: database_manager.cpp write path;
+  emulated WITHOUT a 100 TB table re-scan by projecting the
+  statement's own VALUES/SELECT source through the table schema —
+  inserted rows cast to table column types, unlisted columns NULL).
 
-Transactionality: each statement is atomic (INSERT OVERWRITE commits
-via staged files). Multi-statement writes with ``operation.transaction``
-snapshot every touched table first (CTAS backup) and restore on
-failure — copy-on-write BEGIN/ROLLBACK. Single-statement writes skip
-the backup (the statement is already atomic).
+Transactionality: each statement is atomic (the stage is fully
+materialized before any swap). Multi-statement writes with
+``operation.transaction`` preserve pre-images WITHOUT the round-4 CTAS
+full-table backup (two extra full rewrites per write at 100 TB):
 
-Scale: every translated statement is a full linear scan + rewrite of
-the target table — the honest cost of row-level DML on immutable
-storage; at 100 TB the target should be a partitioned table so the
-predicate prunes the rewrite to touched partitions, or an
-Iceberg/Delta catalog where Spark's native row-level plans take over
-(same SQL, no translation needed — the translator steps aside for v2
-tables that accept UPDATE/DELETE directly).
+- BEGIN records each touched table's data-file manifest
+  (``inputFiles()`` — a listing, no data copy).
+- The first full swap on an unpartitioned table RENAMES the old table
+  aside instead of dropping it (metadata-only pre-image preservation);
+  rollback renames it back and deletes any files appended since BEGIN
+  (manifest diff) — no table is ever rewritten to roll back.
+- Partition-pruned UPDATE/DELETE on a partitioned table snapshots ONLY
+  the touched partitions (delta-proportional CTAS) right before the
+  swap; rollback dynamic-overwrites those partitions back (re-creating
+  any DROP PARTITION'd ones).
+- INSERT INTO needs no snapshot at all: rollback deletes the appended
+  files (manifest diff) and refreshes.
+- Documented fallback: a partitioned table that mixes INSERT with
+  UPDATE/DELETE in ONE transaction, takes more than one UPDATE/DELETE,
+  or is hit by INSERT OVERWRITE / a partition-column-reassigning
+  UPDATE, still gets the full CTAS backup at BEGIN — the only shapes
+  where a cheap pre-image is not well-defined. Reference CRUD
+  templates are single-statement-per-table, which always takes the
+  metadata path.
+
+Scale: the rewrite cost of row-level DML on immutable storage is the
+new image, written once, pruned to touched partitions where the target
+is partitioned; rollback is metadata (renames + file deletes) or
+delta-proportional. Iceberg/Delta catalogs bypass the translation
+entirely (native row-level plans; the translator steps aside for v2
+tables).
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,6 +81,14 @@ _IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*|`[^`]+`(?:\.`[^`]+`)*"
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>{_IDENT})",
     re.IGNORECASE,
+)
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\b", re.IGNORECASE
+)
+_INSERT_PARTS_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s*"
+    rf"(?:\((?P<cols>[^)]*)\)\s*)?(?P<src>(?:VALUES|SELECT|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+(?P<t>{_IDENT})\s+SET\s+(?P<body>.*)$",
@@ -143,7 +179,10 @@ def _split_where(body: str) -> tuple[str, str | None]:
 def _classify(stmt: str) -> tuple[str, str | None]:
     s = stmt.strip()
     if _INSERT_RE.match(s):
-        return "insert", _INSERT_RE.match(s).group("t")
+        kind = (
+            "insert_overwrite" if _INSERT_OVERWRITE_RE.match(s) else "insert"
+        )
+        return kind, _INSERT_RE.match(s).group("t")
     if _UPDATE_RE.match(s):
         return "update", _UPDATE_RE.match(s).group("t")
     if _DELETE_RE.match(s):
@@ -155,8 +194,19 @@ def touched_tables(statements: list[str]) -> list[str]:
     out = []
     for s in statements:
         kind, t = _classify(s)
-        if kind in ("insert", "update", "delete") and t and t not in out:
+        if kind in ("insert", "insert_overwrite", "update", "delete") \
+                and t and t not in out:
             out.append(t)
+    return out
+
+
+def _table_kinds(statements: list[str]) -> dict[str, list[str]]:
+    """table -> ordered statement kinds touching it (txn planning)."""
+    out: dict[str, list[str]] = {}
+    for s in statements:
+        kind, t = _classify(s)
+        if kind in ("insert", "insert_overwrite", "update", "delete") and t:
+            out.setdefault(t, []).append(kind)
     return out
 
 
@@ -168,17 +218,30 @@ def _scalar(spark: SparkSession, sql: str, args: dict | None) -> int:
     return int(_run(spark, sql, args).collect()[0][0])
 
 
+def _describe_extended(spark: SparkSession, table: str) -> dict[str, str]:
+    try:
+        return {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+    except Exception:
+        return {}
+
+
 def _table_supports_row_dml(spark: SparkSession, table: str) -> bool:
     """v2 tables (Iceberg/Delta) take UPDATE/DELETE natively — the
     translator steps aside for them."""
-    try:
-        provider = {
-            r.col_name: r.data_type
-            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-        }.get("Provider", "").lower()
-        return provider in ("iceberg", "delta")
-    except Exception:
-        return False
+    provider = _describe_extended(spark, table).get("Provider", "").lower()
+    return provider in ("iceberg", "delta")
+
+
+def _table_provider(spark: SparkSession, table: str) -> str:
+    return _describe_extended(spark, table).get("Provider") or "parquet"
+
+
+def _table_is_managed(spark: SparkSession, table: str) -> bool:
+    return _describe_extended(spark, table).get("Type", "").upper() \
+        == "MANAGED"
 
 
 def _partition_cols(spark: SparkSession, table: str) -> list[str]:
@@ -198,30 +261,304 @@ def _partition_cols(spark: SparkSession, table: str) -> list[str]:
     return out
 
 
+def _delete_files(spark: SparkSession, paths: set[str]) -> None:
+    """Remove data files via the Hadoop FileSystem API (scheme-aware:
+    file:/, s3a:/, …) — the rollback primitive for appended files."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in paths:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(hconf)
+        fs.delete(jp, False)
+
+
+def _rm_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS *and* remove any stale warehouse directory
+    a previous session left behind: the default in-memory catalog
+    forgets tables on session end but their managed locations persist,
+    and CREATE TABLE then fails with LOCATION_ALREADY_EXISTS. Only
+    used for the translator's OWN stage/keep/backup names (always
+    managed tables)."""
+    loc = None
+    try:
+        if spark.catalog.tableExists(name.strip("`")):
+            loc = _describe_extended(spark, name).get("Location")
+    except Exception:
+        pass
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = wh.rstrip("/") + "/" + name.strip("`").lower()
+    try:
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jp, True)
+    except Exception:
+        pass
+
+
+def _part_literal(v) -> str:
+    """Render one partition value for ALTER TABLE … PARTITION specs."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class _TxnState:
+    """Pre-image preservation for metadata-first rollback (module
+    docstring, Transactionality). One instance per
+    execute_write_statements call; apply_write_statement consults it
+    before destructive swaps."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, dict] = {}
+
+    @staticmethod
+    def _name(table: str, suffix: str) -> str:
+        return re.sub(r"\W", "_", table) + suffix
+
+    def begin(self, statements: list[str]) -> None:
+        kinds_by_table = _table_kinds(statements)
+        for t, kinds in kinds_by_table.items():
+            exists = self.spark.catalog.tableExists(t.strip("`"))
+            ent = {
+                "existed": exists,
+                "begin_files": set(),
+                "keep": None,       # renamed-aside pre-image table
+                "delta_bk": None,   # touched-partition snapshot table
+                "full_bk": None,    # documented-fallback full backup
+            }
+            if exists:
+                ent["begin_files"] = set(self.spark.table(t).inputFiles())
+                pcols = _partition_cols(self.spark, t)
+                ks = set(kinds)
+                n_rowdml = sum(1 for k in kinds if k in ("update", "delete"))
+                if pcols and (
+                    "insert_overwrite" in ks
+                    or (("insert" in ks) and n_rowdml > 0)
+                    or n_rowdml > 1
+                ):
+                    bk = self._name(t, "__txn_backup")
+                    _rm_table(self.spark, bk)
+                    self.spark.sql(f"CREATE TABLE {bk} AS SELECT * FROM {t}")
+                    ent["full_bk"] = bk
+            self.tables[t] = ent
+
+    # --- hooks consulted by apply_write_statement -----------------------
+
+    def want_keep(self, table: str) -> str | None:
+        """Name to rename the pre-image aside as, for the FIRST full
+        swap on a tracked table (later swaps in the same txn replace
+        txn-intermediate images — safe to drop)."""
+        ent = self.tables.get(table)
+        if not ent or not ent["existed"] or ent["full_bk"] or ent["keep"]:
+            return None
+        name = self._name(table, "__txn_keep")
+        _rm_table(self.spark, name)
+        ent["keep"] = name
+        return name
+
+    def backup_partitions(
+        self, table: str, scope_cond: str, args: dict | None
+    ) -> None:
+        """Delta-proportional snapshot of the partitions a pruned
+        UPDATE/DELETE is about to dynamic-overwrite (scope_cond is the
+        partition-scope predicate the stage uses)."""
+        ent = self.tables.get(table)
+        if not ent or not ent["existed"] or ent["full_bk"] \
+                or ent["delta_bk"]:
+            return
+        bk = self._name(table, "__txn_delta")
+        _rm_table(self.spark, bk)
+        _run(
+            self.spark,
+            f"CREATE TABLE {bk} AS SELECT * FROM {table}"
+            f" WHERE {scope_cond}",
+            args,
+        )
+        ent["delta_bk"] = bk
+
+    # --- terminal transitions -------------------------------------------
+
+    def rollback(self) -> None:
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        for t, ent in self.tables.items():
+            if not ent["existed"]:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                continue
+            if ent["keep"]:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                self.spark.sql(
+                    f"ALTER TABLE {ent['keep']} RENAME TO {t}"
+                )
+            elif ent["full_bk"]:
+                self.spark.sql(
+                    f"INSERT OVERWRITE {t} SELECT * FROM {ent['full_bk']}"
+                )
+            elif ent["delta_bk"]:
+                # restore the touched partitions (re-creates any that
+                # were DROP PARTITION'd by a pruned DELETE)
+                prev = self.spark.conf.get(conf_key, "static")
+                try:
+                    self.spark.conf.set(conf_key, "dynamic")
+                    self.spark.sql(
+                        f"INSERT OVERWRITE {t}"
+                        f" SELECT * FROM {ent['delta_bk']}"
+                    )
+                finally:
+                    self.spark.conf.set(conf_key, prev)
+            # appended-file cleanup: anything present now that was not
+            # in the BEGIN manifest was written by this txn (rename
+            # moves directories, so restored pre-image paths equal the
+            # BEGIN paths; delta-restore partitions already hold only
+            # restored files)
+            if ent["keep"] or not (ent["full_bk"] or ent["delta_bk"]):
+                self.spark.sql(f"REFRESH TABLE {t}")
+                now = set(self.spark.table(t).inputFiles())
+                _delete_files(self.spark, now - ent["begin_files"])
+            self.spark.sql(f"REFRESH TABLE {t}")
+        self._drop_preservation()
+
+    def commit(self) -> None:
+        self._drop_preservation()
+
+    def _drop_preservation(self) -> None:
+        for ent in self.tables.values():
+            for key in ("delta_bk", "full_bk"):
+                if ent[key]:
+                    _rm_table(self.spark, ent[key])
+            # keep either became the live table again (rollback rename)
+            # or still holds the pre-swap image (commit) — drop by name
+            if ent["keep"] and self.spark.catalog.tableExists(
+                ent["keep"].strip("`")
+            ):
+                _rm_table(self.spark, ent["keep"])
+
+
 def _staged_swap(
     spark: SparkSession,
     table: str,
     projection_sql: str,
     args: dict | None,
     dynamic: bool = False,
+    txn: _TxnState | None = None,
 ) -> None:
-    """Write the new image to a staging table, swap via INSERT
-    OVERWRITE (a direct self-overwrite is rejected by Spark), drop the
-    stage. With `dynamic`, the swap runs under dynamic partition
-    overwrite — only the partitions PRESENT in the stage are replaced
-    (the partition-pruned copy-on-write path)."""
+    """Materialize the new image to a staging table, then swap it in.
+
+    `dynamic`: swap via INSERT OVERWRITE under dynamic partition
+    overwrite — only partitions PRESENT in the stage are replaced (the
+    partition-pruned copy-on-write path; callers snapshot touched
+    partitions through txn.backup_partitions first).
+
+    Full-table path on a MANAGED target: RENAME-swap — the stage
+    (written once, with the target's provider and partitioning) simply
+    becomes the table; a transaction keeps the old image under a
+    __txn_keep name (metadata-only pre-image), otherwise it is
+    dropped. Non-managed (external) targets keep the INSERT OVERWRITE
+    swap: their location is part of their contract and a rename would
+    move the data out of it."""
     stage = re.sub(r"\W", "_", table) + "__write_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    try:
-        if dynamic:
+    _rm_table(spark, stage)
+    if dynamic:
+        _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        try:
             spark.conf.set(conf_key, "dynamic")
+            spark.sql(f"INSERT OVERWRITE {table} SELECT * FROM {stage}")
+        finally:
+            spark.conf.set(conf_key, prev)
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        return
+    if _table_is_managed(spark, table):
+        provider = _table_provider(spark, table)
+        pcols = _partition_cols(spark, table)
+        part_clause = (
+            f" PARTITIONED BY ({', '.join(pcols)})" if pcols else ""
+        )
+        _run(
+            spark,
+            f"CREATE TABLE {stage} USING {provider}{part_clause}"
+            f" AS {projection_sql}",
+            args,
+        )
+        keep = txn.want_keep(table) if txn else None
+        old = keep or (re.sub(r"\W", "_", table) + "__write_old")
+        if not keep:
+            _rm_table(spark, old)
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        try:
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        except Exception:
+            # restore the original name before surfacing the error
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+            raise
+        if not keep:
+            spark.sql(f"DROP TABLE IF EXISTS {old}")
+        return
+    # external table: overwrite in place (location is contractual)
+    _run(spark, f"CREATE TABLE {stage} AS {projection_sql}", args)
+    try:
         spark.sql(f"INSERT OVERWRITE {table} SELECT * FROM {stage}")
     finally:
-        spark.conf.set(conf_key, prev)
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def _insert_returning(
+    spark: SparkSession,
+    stmt: str,
+    table: str,
+    returning: str,
+    args: dict | None,
+    max_rows: int,
+) -> DataFrame:
+    """INSERT … RETURNING (reference: database_manager.cpp write path;
+    CRUD template shapes in examples/data/write-examples/ and
+    test_write_operations.tavern.yaml): project the statement's OWN
+    source rows through the table schema — returned rows are the
+    post-image (cast to table column types, unlisted columns NULL)
+    WITHOUT re-scanning the target (a 100 TB table re-select for a
+    3-row insert is the wrong plan; the reference's templates insert
+    by explicit keys, so the source rows ARE the inserted rows)."""
+    m = _INSERT_PARTS_RE.match(stmt.strip())
+    if not m:
+        raise WriteError(
+            "INSERT ... RETURNING requires the INSERT INTO"
+            " [(columns)] VALUES/SELECT shape"
+        )
+    schema = {f.name: f.dataType.simpleString()
+              for f in spark.table(table).schema.fields}
+    by_lower = {c.lower(): c for c in schema}
+    if m.group("cols"):
+        listed = [c.strip().strip("`") for c in m.group("cols").split(",")]
+        unknown = [c for c in listed if c.lower() not in by_lower]
+        if unknown:
+            raise WriteError(
+                f"INSERT column list names unknown columns: {unknown}"
+            )
+        listed = [by_lower[c.lower()] for c in listed]
+    else:
+        listed = list(schema)
+    src_alias = ", ".join(f"`{c}`" for c in listed)
+    listed_set = set(listed)
+    proj = ", ".join(
+        f"CAST(`{c}` AS {schema[c]}) AS `{c}`" if c in listed_set
+        else f"CAST(NULL AS {schema[c]}) AS `{c}`"
+        for c in schema
+    )
+    return _run(
+        spark,
+        f"SELECT {returning} FROM (SELECT {proj} FROM"
+        f" ({m.group('src')}) AS __ins({src_alias})) AS __post"
+        f" LIMIT {max_rows}",
+        args,
+    )
 
 
 def apply_write_statement(
@@ -229,6 +566,7 @@ def apply_write_statement(
     stmt: str,
     args: dict | None = None,
     max_returning_rows: int = 10_000,
+    txn: _TxnState | None = None,
 ) -> WriteResult:
     """Execute ONE write statement with reference semantics; see the
     module docstring for the translation rules."""
@@ -237,27 +575,55 @@ def apply_write_statement(
     # the word (e.g. a column alias in a CTAS)
     kind0, _t0 = _classify(stmt)
     returning = None
-    if kind0 in ("insert", "update", "delete"):
+    if kind0 in ("insert", "insert_overwrite", "update", "delete"):
         stmt, returning = _strip_returning(stmt)
     kind, table = _classify(stmt)
 
-    if kind == "insert":
-        if returning:
+    if kind in ("insert", "insert_overwrite"):
+        if returning and kind == "insert_overwrite":
             raise WriteError(
-                "INSERT ... RETURNING is not expressible on Spark; use"
+                "INSERT OVERWRITE ... RETURNING is not supported; use"
                 " the multi-statement 'INSERT ...; SELECT ...' workflow"
-                " with operation.returns-data (the reference supports"
-                " the same shape)"
+                " with operation.returns-data"
             )
         before = _scalar(spark, f"SELECT count(*) FROM {table}", None)
         _run(spark, stmt, args)
         after = _scalar(spark, f"SELECT count(*) FROM {table}", None)
-        return WriteResult(rows_affected=max(after - before, 0))
+        ret = None
+        if returning:
+            ret = _insert_returning(
+                spark, stmt, table, returning, args, max_returning_rows
+            )
+        return WriteResult(
+            rows_affected=max(after - before, 0), returned_data=ret
+        )
 
     if kind == "update":
         m = _UPDATE_RE.match(stmt.strip())
         body = m.group("body")
         assigns_raw, pred = _split_where(body)
+        # parse assignment targets up front: the RETURNING ambiguity
+        # guard below applies to the native-v2 path too (a predicate
+        # over an assigned column re-selects a silently-empty/wrong
+        # post-image after ANY engine's update)
+        assigns = {}
+        for part in _split_top_level(assigns_raw):
+            col, _, expr = part.partition("=")
+            col, expr = col.strip().strip("`"), expr.strip()
+            if not col or not expr:
+                raise WriteError(f"unparseable SET assignment: {part!r}")
+            assigns[col] = expr
+        cond = pred if pred else "true"
+        if returning and any(
+            re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE)
+            for c in assigns
+        ):
+            # checked BEFORE any mutation: raising after it would leave
+            # the table mutated behind an error response
+            raise WriteError(
+                "UPDATE ... RETURNING with a predicate over assigned"
+                " columns is ambiguous post-image; re-select instead"
+            )
         if _table_supports_row_dml(spark, table):
             # pre-image count: counting AFTER the update with the same
             # predicate would see the post-image (often 0 matches)
@@ -278,30 +644,12 @@ def apply_write_statement(
                     args,
                 )
             return WriteResult(rows_affected=n, returned_data=ret)
-        assigns = {}
-        for part in _split_top_level(assigns_raw):
-            col, _, expr = part.partition("=")
-            col, expr = col.strip().strip("`"), expr.strip()
-            if not col or not expr:
-                raise WriteError(f"unparseable SET assignment: {part!r}")
-            assigns[col] = expr
         cols = spark.table(table).columns
         by_lower = {c.lower(): c for c in cols}
         unknown = [c for c in assigns if c.lower() not in by_lower]
         if unknown:
             raise WriteError(f"UPDATE assigns unknown columns: {sorted(unknown)}")
         assigns = {by_lower[c.lower()]: e for c, e in assigns.items()}
-        cond = pred if pred else "true"
-        if returning and any(
-            re.search(rf"\b{re.escape(c)}\b", cond, re.IGNORECASE)
-            for c in assigns
-        ):
-            # checked BEFORE the swap: raising after it would leave
-            # the table mutated behind an error response
-            raise WriteError(
-                "UPDATE ... RETURNING with a predicate over assigned"
-                " columns is ambiguous post-image; re-select instead"
-            )
         n = _scalar(
             spark, f"SELECT count(*) FROM {table} WHERE {cond}", args
         )
@@ -325,16 +673,18 @@ def apply_write_statement(
             # NULL partition values make the IN-subquery evaluate to
             # NULL (row silently skipped) — include every
             # NULL-partition row in the stage so its updates land
-            sel = (
-                f"SELECT {proj} FROM {table}"
-                f" WHERE ({plist}) IN"
+            scope = (
+                f"(({plist}) IN"
                 f" (SELECT DISTINCT {plist} FROM {table} WHERE {cond})"
-                f" OR ({nullp})"
+                f" OR ({nullp}))"
             )
+            if txn:
+                txn.backup_partitions(table, scope, args)
+            sel = f"SELECT {proj} FROM {table} WHERE {scope}"
             _staged_swap(spark, table, sel, args, dynamic=True)
         else:
             _staged_swap(
-                spark, table, f"SELECT {proj} FROM {table}", args
+                spark, table, f"SELECT {proj} FROM {table}", args, txn=txn
             )
         ret = None
         if returning:
@@ -385,16 +735,51 @@ def apply_write_statement(
             )
             rows = pre.collect()
             ret = spark.createDataFrame(rows, pre.schema)
-        # DELETE stays a FULL rewrite even on partitioned tables: a
-        # partition whose every row matches would vanish from the
-        # stage, and dynamic overwrite would leave its old files in
-        # place (stale survivors) — correctness over pruning here
-        _staged_swap(
-            spark, table,
-            f"SELECT * FROM {table} WHERE NOT ({cond})"
-            " OR (" + cond + ") IS NULL",
-            args,
-        )
+        survivors = f"(NOT ({cond}) OR ({cond}) IS NULL)"
+        pcols = _partition_cols(spark, table)
+        if pcols:
+            # partition-PRUNED DELETE (the 100 TB shape): stage only
+            # the survivors of partitions containing matches, swap
+            # under dynamic overwrite, then explicitly DROP every
+            # partition whose EVERY row matched — a fully-deleted
+            # partition produces no stage rows and dynamic overwrite
+            # would leave its old files as stale survivors.
+            plist = ", ".join(pcols)
+            nullp = " OR ".join(f"{c} IS NULL" for c in pcols)
+            scope = (
+                f"(({plist}) IN"
+                f" (SELECT DISTINCT {plist} FROM {table} WHERE {cond})"
+                f" OR ({nullp}))"
+            )
+            # fully-deleted partitions, computed BEFORE the swap; the
+            # collect is bounded by partition COUNT (metadata-scale)
+            gone = _run(
+                spark,
+                f"SELECT {plist} FROM {table} GROUP BY {plist}"
+                f" HAVING count(*) ="
+                f" sum(CASE WHEN ({cond}) THEN 1 ELSE 0 END)",
+                args,
+            ).collect()
+            if txn:
+                txn.backup_partitions(table, scope, args)
+            sel = (
+                f"SELECT * FROM {table} WHERE {scope} AND {survivors}"
+            )
+            _staged_swap(spark, table, sel, args, dynamic=True)
+            for row in gone:
+                spec = ", ".join(
+                    f"{c} = {_part_literal(row[c])}" for c in pcols
+                )
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS"
+                    f" PARTITION ({spec})"
+                )
+        else:
+            _staged_swap(
+                spark, table,
+                f"SELECT * FROM {table} WHERE {survivors}",
+                args, txn=txn,
+            )
         return WriteResult(rows_affected=n, returned_data=ret)
 
     # DDL / other statements pass through untranslated
@@ -418,10 +803,12 @@ def execute_write_statements(
     """Multi-statement write with the reference's trailing-SELECT
     contract (database_manager.cpp:612-647): when `returns_data` and
     the LAST statement is a SELECT, it runs after the writes and its
-    result becomes `returned_data`. With `transaction`, every touched
-    table is snapshotted first (CTAS backup) and restored if any
-    statement fails — copy-on-write BEGIN/ROLLBACK; single-statement
-    writes skip the backup (each statement is already atomic)."""
+    result becomes `returned_data`. With `transaction`, pre-images of
+    touched tables are preserved via the metadata-first _TxnState
+    (file manifests + rename-aside + touched-partition deltas — see
+    the module docstring) and restored if any statement fails;
+    single-statement writes skip the bookkeeping (each statement is
+    already atomic)."""
     if not statements:
         raise WriteError("no statements to execute")
     statements = [s for s in (s.strip() for s in statements) if s]
@@ -445,40 +832,26 @@ def execute_write_statements(
         trailing_select = statements[-1]
         statements = statements[:-1]
 
-    # backup value None = the table did not exist before this write
-    # (a CREATE TABLE IF NOT EXISTS in the same template will make
-    # it): rollback then DROPS it instead of restoring
-    backups: dict[str, str | None] = {}
-    need_backup = transaction and len(statements) > 1
-    if need_backup:
-        for t in touched_tables(statements):
-            if not spark.catalog.tableExists(t.strip("`")):
-                backups[t] = None
-                continue
-            bk = re.sub(r"\W", "_", t) + "__txn_backup"
-            spark.sql(f"DROP TABLE IF EXISTS {bk}")
-            spark.sql(f"CREATE TABLE {bk} AS SELECT * FROM {t}")
-            backups[t] = bk
+    txn: _TxnState | None = None
+    if transaction and len(statements) > 1:
+        txn = _TxnState(spark)
+        txn.begin(statements)
 
     result = WriteResult()
     try:
         for stmt in statements:
-            r = apply_write_statement(spark, stmt, args)
+            r = apply_write_statement(spark, stmt, args, txn=txn)
             if r.rows_affected > 0:
                 result.rows_affected = r.rows_affected
             if r.returned_data is not None:
                 result.returned_data = r.returned_data
     except Exception:
-        for t, bk in backups.items():
-            if bk is None:
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            else:
-                spark.sql(f"INSERT OVERWRITE {t} SELECT * FROM {bk}")
+        if txn:
+            txn.rollback()
         raise
-    finally:
-        for bk in backups.values():
-            if bk is not None:
-                spark.sql(f"DROP TABLE IF EXISTS {bk}")
+    else:
+        if txn:
+            txn.commit()
 
     if trailing_select is not None and result.returned_data is None:
         result.returned_data = _run(spark, trailing_select, args)

@@ -188,9 +188,11 @@ def test_cohort_retention_user_keyed(spark, sf_dir):
 # --- round 3c plan audits --------------------------------------------------
 
 
-def test_market_basket_broadcasts_part_dim_no_cartesian(spark, sf_dir):
+def test_market_basket_part_join_equi_keyed_no_cartesian(spark, sf_dir):
+    # part tagging is UNHINTED (part scales with SF) — at test SF the
+    # planner may broadcast it by measured size, but the test only
+    # requires an equi-join, never a loop join
     plan = _plan(spark, "market_basket_brand_pairs", sf_dir)
-    assert "BroadcastHashJoin" in plan   # part dim tagging
     assert "CartesianProduct" not in plan
     # the pair self-join stays EQUI-KEYED on the order key (hash or
     # merge join on ok/ok2) — never a nested loop over order pairs.
@@ -231,12 +233,36 @@ def test_script_detect_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan  # pure projection: no shuffle at all
 
 
-def test_substring_spans_dup_tiles_broadcast(spark, sf_dir):
+def test_substring_spans_dup_tiles_semi_join_unhinted(spark, sf_dir):
+    # the duplicated-tile set re-joins the corpus as an equi-keyed
+    # LEFT-SEMI with NO forced broadcast hint (the set is data-
+    # dependent: corpus-shaped on a boilerplate-heavy crawl); never a
+    # loop join
     plan = _plan(spark, "dedup_substring_spans", sf_dir)
-    # the duplicated-tile set re-joins the corpus as a broadcast
-    # left-semi, never a shuffled corpus-vs-corpus join
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_substring_spans", "dedup_minhash_lsh", "dedup_minhash_portable",
+     "neardup_pair_evidence"],
+)
+def test_dedup_candidate_joins_survive_without_broadcast(spark, sf_dir, name):
+    """The candidate/dup-tile semi-joins are data-dependent in size —
+    with broadcast disabled they must degrade to shuffle joins, never
+    pin a broadcast (driver OOM on a dup-heavy crawl) or loop join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), name
+        assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_vocab_oov_vocab_broadcasts(spark, sf_dir):
@@ -308,6 +334,34 @@ def test_customer_joins_unhinted_survive_without_broadcast(spark, sf_dir):
             # the customer join must have degraded to a shuffle join
             assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), name
             assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["part_type_share", "q8_market_share", "q9_profit_by_nation_year",
+     "q14_promo_revenue_share", "q16_part_supplier_counts",
+     "q17_small_qty_revenue", "q19_bracket_revenue", "q2_min_price_parts",
+     "market_basket_brand_pairs", "ols_quantity_on_price",
+     "tax_burden_by_brand"],
+)
+def test_part_joins_unhinted_survive_without_broadcast(spark, sf_dir, name):
+    """part is 200k×SF rows — LARGER than customer — so its joins carry
+    NO forced F.broadcast() hint either (round 5; same hazard class as
+    the customer/supplier hints removed in round 4). With
+    autoBroadcastJoinThreshold=-1 the planner must be free to fall
+    back to a shuffle join; a pinned hint would force an 8 GB-limit
+    abort at the 100 TB SF. Fixed 5/25-row region/nation hints stay."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the part join must have degraded to a shuffle join
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), name
+        assert "CartesianProduct" not in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

@@ -11,6 +11,7 @@ from flapi_spark.config import EndpointConfig
 from flapi_spark.executor import QueryExecutor
 from flapi_spark.writes import (
     WriteError,
+    _rm_table as _rm,
     apply_write_statement,
     execute_write_statements,
 )
@@ -86,13 +87,85 @@ class TestStatements:
         deleted = sorted(x.customer_id for x in r.returned_data.collect())
         assert deleted == [1, 3]
 
-    def test_insert_returning_raises_with_guidance(self, spark, customers_table):
+    def test_insert_returning_returns_inserted_rows(self, spark, customers_table):
+        """Reference create-template shape (database_manager.cpp write
+        path; examples/data/write-examples/): INSERT ... RETURNING
+        yields the inserted rows, cast to table column types."""
+        r = apply_write_statement(
+            spark,
+            "INSERT INTO wcustomers VALUES (9,'Zed','z@x.io','S')"
+            " RETURNING customer_id, name",
+        )
+        assert r.rows_affected == 1
+        got = [(x.customer_id, x.name) for x in r.returned_data.collect()]
+        assert got == [(9, "Zed")]
+        assert spark.table("wcustomers").count() == 4
+
+    def test_insert_returning_with_column_list_nulls_unlisted(
+        self, spark, customers_table
+    ):
+        r = apply_write_statement(
+            spark,
+            "INSERT INTO wcustomers (customer_id, name)"
+            " VALUES (10, 'Yan'), (11, 'Wes')"
+            " RETURNING customer_id, email, segment",
+        )
+        assert r.rows_affected == 2
+        got = sorted(
+            (x.customer_id, x.email, x.segment)
+            for x in r.returned_data.collect()
+        )
+        assert got == [(10, None, None), (11, None, None)]
+
+    def test_insert_returning_does_not_rescan_target(
+        self, spark, customers_table
+    ):
+        """The RETURNING projection derives from the statement's OWN
+        source rows (pre-existing rows with the same values never
+        appear): inserting a duplicate of customer 1 returns ONE row."""
+        r = apply_write_statement(
+            spark,
+            "INSERT INTO wcustomers VALUES"
+            " (1, 'Alice', 'alice@x.io', 'BUILDING')"
+            " RETURNING customer_id",
+        )
+        assert r.rows_affected == 1
+        assert len(r.returned_data.collect()) == 1
+
+    def test_insert_overwrite_returning_still_guided(
+        self, spark, customers_table
+    ):
         with pytest.raises(WriteError, match="multi-statement"):
             apply_write_statement(
                 spark,
-                "INSERT INTO wcustomers VALUES (9,'x','x@x','S')"
+                "INSERT OVERWRITE wcustomers VALUES (9,'x','x@x','S')"
                 " RETURNING customer_id",
             )
+
+    def test_v2_update_returning_ambiguity_guard_precedes_native_path(
+        self, spark, customers_table, monkeypatch
+    ):
+        """Iceberg/Delta targets take UPDATE natively — but a RETURNING
+        whose predicate touches an assigned column must STILL raise
+        BEFORE the native update runs (the post-update re-select would
+        be silently empty/wrong). Simulated v2: no Iceberg jar in this
+        sandbox, so _table_supports_row_dml is forced true and the
+        guard must fire before anything executes."""
+        import flapi_spark.writes as W
+
+        monkeypatch.setattr(
+            W, "_table_supports_row_dml", lambda *_: True
+        )
+        with pytest.raises(WriteError, match="ambiguous post-image"):
+            apply_write_statement(
+                spark,
+                "UPDATE wcustomers SET segment = 'S2'"
+                " WHERE segment = 'BUILDING' RETURNING customer_id",
+            )
+        # nothing mutated (the guard fired before the native branch)
+        assert spark.table("wcustomers").where(
+            "segment = 'BUILDING'"
+        ).count() == 2
 
     def test_update_unknown_column_rejected(self, spark, customers_table):
         with pytest.raises(WriteError, match="unknown columns"):
@@ -481,11 +554,15 @@ def test_partitioned_update_prunes_untouched_partitions(spark, tmp_path):
 
 def test_partitioned_delete_handles_emptied_partition(spark):
     """DELETE that empties a whole partition must actually remove its
-    rows (the full-rewrite path; a pruned dynamic overwrite would
-    leave stale files)."""
+    rows: the pruned path stages survivors under dynamic overwrite and
+    explicitly DROPs partitions whose every row matched (stale files
+    would otherwise survive the dynamic overwrite)."""
+    import glob as _glob
+    import os
+
     from flapi_spark.writes import apply_write_statement
 
-    spark.sql("DROP TABLE IF EXISTS part_del")
+    _rm(spark, "part_del")
     spark.sql(
         "CREATE TABLE part_del (id BIGINT, v STRING) USING parquet"
         " PARTITIONED BY (seg STRING)"
@@ -499,8 +576,260 @@ def test_partitioned_delete_handles_emptied_partition(spark):
         )
         assert r.rows_affected == 1
         assert [x.id for x in spark.table("part_del").collect()] == [1]
+        # the emptied partition's DIRECTORY is gone, not just unread
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        assert not os.path.isdir(
+            os.path.join(warehouse, "part_del", "seg=Y")
+        )
     finally:
         spark.sql("DROP TABLE IF EXISTS part_del")
+
+
+def test_partitioned_delete_prunes_untouched_partitions(spark):
+    """DELETE on a partitioned table rewrites ONLY partitions that
+    contain matches: the untouched partition's files stay
+    byte-identical (same paths, same mtimes)."""
+    import glob as _glob
+    import os
+
+    from flapi_spark.writes import apply_write_statement
+
+    _rm(spark, "part_del2")
+    spark.sql(
+        "CREATE TABLE part_del2 (id BIGINT, v STRING) USING parquet"
+        " PARTITIONED BY (seg STRING)"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO part_del2 VALUES"
+            " (1,'a','X'),(2,'b','X'),(3,'c','Y'),(4,'d','Z')"
+        )
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        y_files = {
+            (p, os.path.getmtime(p))
+            for p in _glob.glob(
+                os.path.join(warehouse, "part_del2", "seg=Y", "*.parquet")
+            )
+        }
+        assert y_files
+        # delete SOME rows of X (partial) and ALL of Z (emptied)
+        r = apply_write_statement(
+            spark,
+            "DELETE FROM part_del2 WHERE id = 1 OR seg = 'Z'",
+        )
+        assert r.rows_affected == 2
+        rows = sorted(x.id for x in spark.table("part_del2").collect())
+        assert rows == [2, 3]
+        y_after = {
+            (p, os.path.getmtime(p))
+            for p in _glob.glob(
+                os.path.join(warehouse, "part_del2", "seg=Y", "*.parquet")
+            )
+        }
+        assert y_after == y_files  # untouched partition: same files
+        assert not os.path.isdir(
+            os.path.join(warehouse, "part_del2", "seg=Z")
+        )  # emptied partition dropped
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_del2")
+
+
+def test_partitioned_delete_null_partition(spark):
+    """NULL-partition rows delete correctly, including the fully-
+    emptied default partition (DROP PARTITION (p=null))."""
+    from flapi_spark.writes import apply_write_statement
+
+    _rm(spark, "part_del3")
+    spark.sql(
+        "CREATE TABLE part_del3 (id BIGINT, v STRING) USING parquet"
+        " PARTITIONED BY (seg STRING)"
+    )
+    try:
+        spark.sql(
+            "INSERT INTO part_del3 VALUES (1,'a','X'),(2,'b',NULL)"
+        )
+        r = apply_write_statement(
+            spark, "DELETE FROM part_del3 WHERE seg IS NULL"
+        )
+        assert r.rows_affected == 1
+        assert [x.id for x in spark.table("part_del3").collect()] == [1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_del3")
+
+
+class TestMetadataRollback:
+    """Round-5 transaction machinery: rollback restores BEGIN state
+    without the round-4 full CTAS backup — renames + manifest-diff
+    file deletes (unpartitioned), touched-partition deltas
+    (partitioned)."""
+
+    def test_rollback_never_rewrites_table_files(self, spark):
+        """A failed transaction restores the table to its exact BEGIN
+        files — same paths AND same mtimes: the pre-image was renamed
+        aside and renamed back, never copied or rewritten."""
+        import os
+
+        from flapi_spark.writes import execute_write_statements
+
+        _rm(spark, "txn_meta")
+        spark.sql("CREATE TABLE txn_meta (id BIGINT, v STRING) USING parquet")
+        try:
+            spark.sql("INSERT INTO txn_meta VALUES (1,'a'),(2,'b')")
+            begin = {
+                (p.removeprefix("file:"),
+                 os.path.getmtime(p.removeprefix("file:")))
+                for p in spark.table("txn_meta").inputFiles()
+            }
+            with pytest.raises(Exception):
+                execute_write_statements(
+                    spark,
+                    [
+                        "UPDATE txn_meta SET v = 'zz' WHERE id = 1",
+                        "INSERT INTO txn_meta SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            after = {
+                (p.removeprefix("file:"),
+                 os.path.getmtime(p.removeprefix("file:")))
+                for p in spark.table("txn_meta").inputFiles()
+            }
+            assert after == begin  # metadata-only restore
+            rows = {x.id: x.v for x in spark.table("txn_meta").collect()}
+            assert rows == {1: "a", 2: "b"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_meta")
+
+    def test_rollback_deletes_appended_files(self, spark):
+        """INSERT INTO needs no snapshot: rollback removes exactly the
+        files the transaction appended (manifest diff)."""
+        from flapi_spark.writes import execute_write_statements
+
+        _rm(spark, "txn_app")
+        spark.sql("CREATE TABLE txn_app (id BIGINT) USING parquet")
+        try:
+            spark.sql("INSERT INTO txn_app VALUES (1)")
+            begin = set(spark.table("txn_app").inputFiles())
+            with pytest.raises(Exception):
+                execute_write_statements(
+                    spark,
+                    [
+                        "INSERT INTO txn_app VALUES (2), (3)",
+                        "INSERT INTO txn_app SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            assert set(spark.table("txn_app").inputFiles()) == begin
+            assert [x.id for x in spark.table("txn_app").collect()] == [1]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_app")
+
+    def test_rollback_mixed_insert_then_update_unpartitioned(self, spark):
+        """Append + full swap on the same unpartitioned table: the
+        rename-back restores the first-swap image and the manifest
+        diff removes the pre-swap append — BEGIN state exactly."""
+        from flapi_spark.writes import execute_write_statements
+
+        _rm(spark, "txn_mix")
+        spark.sql("CREATE TABLE txn_mix (id BIGINT, v STRING) USING parquet")
+        try:
+            spark.sql("INSERT INTO txn_mix VALUES (1,'a')")
+            with pytest.raises(Exception):
+                execute_write_statements(
+                    spark,
+                    [
+                        "INSERT INTO txn_mix VALUES (2,'b')",
+                        "UPDATE txn_mix SET v = 'zz'",
+                        "INSERT INTO txn_mix SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            rows = {x.id: x.v for x in spark.table("txn_mix").collect()}
+            assert rows == {1: "a"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_mix")
+
+    def test_rollback_partitioned_delta_restores_dropped_partition(
+        self, spark
+    ):
+        """Pruned DELETE inside a failed transaction: the touched-
+        partition delta snapshot restores even a DROP PARTITION'd
+        partition; the untouched partition is never rewritten."""
+        import glob as _glob
+        import os
+
+        from flapi_spark.writes import execute_write_statements
+
+        _rm(spark, "txn_part")
+        spark.sql(
+            "CREATE TABLE txn_part (id BIGINT, v STRING) USING parquet"
+            " PARTITIONED BY (seg STRING)"
+        )
+        try:
+            spark.sql(
+                "INSERT INTO txn_part VALUES"
+                " (1,'a','X'),(2,'b','Y'),(3,'c','Z')"
+            )
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir"
+            ).removeprefix("file:")
+            y_files = {
+                (p, os.path.getmtime(p))
+                for p in _glob.glob(
+                    os.path.join(warehouse, "txn_part", "seg=Y", "*.parquet")
+                )
+            }
+            # the failing statement targets a DIFFERENT table, so
+            # txn_part's only kind is DELETE → the delta path (a mixed
+            # insert+delete on one partitioned table is the documented
+            # full-backup fallback)
+            with pytest.raises(Exception):
+                execute_write_statements(
+                    spark,
+                    [
+                        "DELETE FROM txn_part WHERE seg = 'Z'",
+                        "INSERT INTO txn_elsewhere"
+                        " SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            rows = sorted(x.id for x in spark.table("txn_part").collect())
+            assert rows == [1, 2, 3]  # dropped partition restored
+            y_after = {
+                (p, os.path.getmtime(p))
+                for p in _glob.glob(
+                    os.path.join(warehouse, "txn_part", "seg=Y", "*.parquet")
+                )
+            }
+            assert y_after == y_files  # untouched partition untouched
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_part")
+
+    def test_commit_drops_preservation_tables(self, spark):
+        from flapi_spark.writes import execute_write_statements
+
+        _rm(spark, "txn_ok")
+        spark.sql("CREATE TABLE txn_ok (id BIGINT, v STRING) USING parquet")
+        try:
+            spark.sql("INSERT INTO txn_ok VALUES (1,'a')")
+            execute_write_statements(
+                spark,
+                [
+                    "UPDATE txn_ok SET v = 'b' WHERE id = 1",
+                    "INSERT INTO txn_ok VALUES (2,'c')",
+                ],
+                transaction=True,
+            )
+            rows = {x.id: x.v for x in spark.table("txn_ok").collect()}
+            assert rows == {1: "b", 2: "c"}
+            assert not spark.catalog.tableExists("txn_ok__txn_keep")
+            assert not spark.catalog.tableExists("txn_ok__txn_backup")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_ok")
 
 
 def test_returning_inside_string_literal_is_data(spark):
