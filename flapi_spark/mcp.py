@@ -530,3 +530,108 @@ class McpSessionManager:
     @property
     def active_session_count(self) -> int:
         return len(self._sessions)
+
+
+# --- server instructions + initialize payload ---------------------------
+# (reference: config_manager.cpp:1267-1300 loadMCPInstructions,
+#  mcp_route_handlers.cpp:752-774 handleInitialize)
+
+
+def load_mcp_instructions(
+    mcp_config: dict | None, base_path: str = "."
+) -> str:
+    """Resolve the server-instructions block the initialize response
+    serves. Priority mirrors config_manager.cpp loadMCPInstructions:
+    1) inline `instructions`, 2) `instructions-file` (relative paths
+    resolve against the project base path; unreadable file → "" with
+    a warning, never an error), 3) empty."""
+    import os
+    import warnings
+
+    mcp_config = mcp_config or {}
+    inline = mcp_config.get("instructions") or ""
+    if inline:
+        return inline
+    file_ref = mcp_config.get("instructions-file") or ""
+    if not file_ref:
+        return ""
+    path = file_ref
+    if not os.path.isabs(path):
+        path = os.path.join(base_path, path)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    except OSError:
+        warnings.warn(
+            f"Failed to open MCP instructions file: {path}",
+            stacklevel=2,
+        )
+        return ""
+
+
+@dataclass
+class McpClientCapabilities:
+    """reference: mcp_client_capabilities.hpp MCPClientCapabilities."""
+
+    supports_sampling: bool = False
+    supports_roots: bool = False
+    supports_logging: bool = False
+    supported_protocols: list[str] = field(default_factory=list)
+
+
+def detect_client_capabilities(params: Any) -> McpClientCapabilities:
+    """Extract the client's declared capabilities from the initialize
+    params (reference: mcp_client_capabilities.cpp:6-44
+    detectFromInitialize + :48 extractSupportedProtocols). Booleans
+    count only when the capability value is LITERALLY true (an object
+    value like {"listChanged": true} is not a boolean grant);
+    supportedProtocols lists are collected from every nested
+    capability object, strings only."""
+    caps = McpClientCapabilities()
+    if not isinstance(params, dict):
+        return caps
+    obj = params.get("capabilities")
+    if not isinstance(obj, dict):
+        return caps
+    caps.supports_sampling = obj.get("sampling") is True
+    caps.supports_roots = obj.get("roots") is True
+    caps.supports_logging = obj.get("logging") is True
+    for value in obj.values():
+        if isinstance(value, dict):
+            protos = value.get("supportedProtocols")
+            if isinstance(protos, list):
+                caps.supported_protocols.extend(
+                    p for p in protos if isinstance(p, str)
+                )
+    return caps
+
+
+def build_initialize_result(
+    params: dict | None = None,
+    mcp_config: dict | None = None,
+    base_path: str = ".",
+    server_name: str = "flapi-spark",
+    server_version: str = "0.5.0",
+) -> dict:
+    """Assemble the MCP initialize result (reference:
+    mcp_route_handlers.cpp:752-774): negotiated protocolVersion,
+    advertised server capabilities, serverInfo, and — only when
+    configured non-empty — the instructions block
+    (test/integration/test_mcp_instructions.py: absent or "" without
+    configuration)."""
+    params = params or {}
+    client_version = params.get("protocolVersion") or ""
+    result = {
+        "protocolVersion": negotiate_protocol_version(client_version),
+        "capabilities": {
+            "tools": {"listChanged": True},
+            "resources": {"subscribe": False, "listChanged": True},
+            "prompts": {"listChanged": True},
+            "logging": {},
+        },
+        "serverInfo": {"name": server_name, "version": server_version},
+    }
+    instructions = load_mcp_instructions(mcp_config, base_path)
+    if instructions:
+        result["instructions"] = instructions
+    return result

@@ -3821,38 +3821,16 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-4 ROTATION: CORRECTNESS_r01+r02+r03 together cover 125 of the
-# 194 registry entries; the remaining 69 have only judge-local drives
-# (scripts/drive_contract.py, all green at sf0.01). This round's window
-# holds the first 50 of those 69 (oracle-checked ones first — the two
-# rows-only entries bpe_encode_tokens / user_overlap_hll sort behind
-# with the 17 oracle-checked stragglers at positions 51-69 for the
-# round-5 window), then every previously-driven entry in its old order.
+# ROUND-5 ROTATION: after r1–r4 every entry EXCEPT the 22 below holds
+# a driver verdict (r4's window was registry positions 0-49). This
+# window front-loads (1) the 22 never-driver-verified entries (19
+# oracle-checked + 3 registry-tail additions from round 4; all green
+# in judge-local drives at sf0.01), then (2) every query whose PLAN
+# changed this round — the de-hinted part-grain joins and the
+# unhinted dedup candidate semi-joins — so the driver re-verifies
+# them post-change, then (3) rows-only stragglers.
 _CHECK_FIRST = [
-    # (1) never driver-verified, oracle-checked (window: 50 slots)
-    "m4_downsample_events", "orderpriority_status_concat",
-    "udtf_ngram_profile", "countmin_token_freq",
-    "pagerank_neardup_graph", "triangle_count_neardup",
-    "dedup_substring_spans", "vocab_oov_rate", "counter_rate_events",
-    "ann_pq_adc_topk", "text_ttr_diversity", "corpus_shard_assign",
-    "gram_novelty_rate", "trimmed_mean_order_values",
-    "src_orc_roundtrip", "sample_weighted_quality", "daily_top_order",
-    "customer_value_trends", "order_weekday_seasonality",
-    "discount_band_effects", "tax_burden_by_brand",
-    "langid_confusion_matrix", "events_burstiness",
-    "repeat_rate_by_segment", "order_line_count_distribution",
-    "region_nation_revenue_shares", "dedup_rate_by_source",
-    "embedding_norm_stats", "events_value_boxplot", "mau_dau_stickiness",
-    "events_interarrival_percentiles", "customer_concentration_topn",
-    "events_error_rate_sla", "dim_profile_part", "user_behavior_entropy",
-    "order_value_outliers_iqr", "k_anonymity_orders", "tables_row_counts",
-    "dedup_family_summary", "neardup_pair_evidence",
-    "events_weekday_hour_heatmap", "revenue_growth_rates",
-    "order_to_ship_latency_percentiles", "cohort_ltv_curves",
-    "bucketed_revenue_by_segment", "cusum_changepoint",
-    "holt_linear_daily_revenue", "ma_crossover_signals",
-    "new_vs_returning_monthly", "abc_classification",
-    # (2) never driver-verified overflow -> round-5 window head
+    # (1) never driver-verified, oracle-checked
     "psi_order_value_drift", "ols_quantity_on_price",
     "session_path_trigrams", "kaplan_meier_order_gaps",
     "lorenz_deciles", "welch_ttest_segments", "hhi_market_concentration",
@@ -3861,12 +3839,18 @@ _CHECK_FIRST = [
     "forecast_seasonal_naive", "cache_snapshot_diff",
     "user_overlap_exact", "funnel_time_to_convert",
     "customer_activity_full_outer",
-    # (2b) rows-only (no oracle -> driver records weaker check)
+    "ann_recall_eval", "minhash_estimate_error", "src_duckdb_query",
+    # (1b) never driver-verified, rows-only by design
     "bpe_encode_tokens", "user_overlap_hll",
-    # ROUND-5 NOTE: three round-4 entries sit at the registry TAIL
-    # (ann_recall_eval, minhash_estimate_error, src_duckdb_query — all
-    # locally drive-green with exact oracles); fold them into the
-    # round-5 window alongside groups (2)/(2b) above.
+    # (2) plans changed in round 5 (broadcast hints removed) —
+    # re-verify under the new plans
+    "part_type_share", "q8_market_share", "q9_profit_by_nation_year",
+    "q14_promo_revenue_share", "q16_part_supplier_counts",
+    "q17_small_qty_revenue", "q19_bracket_revenue", "q2_min_price_parts",
+    "market_basket_brand_pairs", "tax_burden_by_brand",
+    "dedup_minhash_portable", "dedup_substring_spans",
+    "neardup_pair_evidence", "dedup_keep_best_survivors",
+    "dedup_minhash_lsh",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

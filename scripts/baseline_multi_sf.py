@@ -1,0 +1,144 @@
+"""Multi-SF baseline for the round-4 bench additions: run each query
+on BOTH engines (embedded DuckDB = the reference's engine, executing
+the query's own oracle SQL; Spark via the registry callable) at three
+scale points — sf0.01, sf0.1, and an 8x-replicated sf0.1 ("sf0.8-rep",
+built in /tmp with key-offset replicas; /root/testdata is read-only
+and has no sf1) — so BASELINE.md's crossover claim ("Spark's fixed
+overhead amortizes as data grows") carries measured points instead of
+one SF.
+
+Usage: python scripts/baseline_multi_sf.py [query ...]
+Prints one JSON line {sf_label: {query: {"duckdb": s, "spark": s}}}.
+min-of-2 runs per engine, 120 s per-query DuckDB budget (a timeout IS
+the datum, recorded as ">120").
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from flapi_spark.queries import QUERIES
+from flapi_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "pagerank_neardup_graph", "kcore_neardup_graph",
+    "session_path_trigrams", "psi_order_value_drift",
+    "ntile_value_bands", "bm25_search",
+]
+TABLES = (
+    "region nation customer supplier part orders lineitem events"
+    " documents embeddings"
+).split()
+# tables the default queries actually scan, with their surrogate key —
+# these are replicated with key offsets; the rest link to sf0.1
+REPLICATED = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "orders": "o_orderkey",
+}
+BUDGET_S = float(os.environ.get("BASELINE_QUERY_BUDGET_S", "120"))
+
+
+def build_replica(spark, base: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out_root = f"/tmp/flapi_spark_baseline_{factor}x"
+    os.makedirs(out_root, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_root, f"{t}.parquet")
+        if t in REPLICATED:
+            if os.path.isdir(dst):
+                continue  # reuse a previous build
+            src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+            key = REPLICATED[t]
+            n = src.count()
+            parts = [
+                src.withColumn(key, F.col(key) + F.lit(i * n))
+                for i in range(factor)
+            ]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            u.write.mode("overwrite").parquet(dst)
+        elif not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{t}.parquet"), dst)
+    return out_root
+
+
+def duck_connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        p = os.path.realpath(p)
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def time_duckdb(con, sql: str) -> float | str:
+    best = None
+    for _ in range(2):
+        timer = threading.Timer(BUDGET_S, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        except duckdb.Error:
+            return f">{BUDGET_S:g}"
+        finally:
+            timer.cancel()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def time_spark(spark, fn, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    queries = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="baseline_multi_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    rep_dir = build_replica(spark, "/root/testdata/sf0.1", 8)
+    points = {
+        "sf0.01": "/root/testdata/sf0.01",
+        "sf0.1": "/root/testdata/sf0.1",
+        "sf0.8-rep": rep_dir,
+    }
+    out: dict[str, dict] = {}
+    for label, sf_dir in points.items():
+        con = duck_connect(sf_dir)
+        out[label] = {}
+        for name in queries:
+            fn, sql = QUERIES[name]
+            row = {}
+            row["spark"] = time_spark(spark, fn, sf_dir)
+            if sql:
+                row["duckdb"] = time_duckdb(con, sql)
+            out[label][name] = row
+            print(f"{label} {name}: {row}", file=sys.stderr)
+        con.close()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

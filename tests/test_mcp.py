@@ -247,3 +247,122 @@ def test_call_tool_default_row_cap(spark, _open_endpoint):
     finally:
         M.DEFAULT_MAX_ROWS = old
     assert total > 7  # opt-out really returns everything
+
+
+# --- server instructions + initialize payload ---------------------------
+# vectors from reference test/integration/test_mcp_instructions.py and
+# mcp_client_capabilities.cpp
+
+
+class TestMcpInstructions:
+    def test_initialize_with_file_instructions(self, tmp_path):
+        from flapi_spark.mcp import build_initialize_result
+
+        (tmp_path / "mcp_instructions.md").write_text(
+            "# Test MCP Instructions\n\nThis is a test instruction"
+            " file.\n\n## Features\n- Feature 1\n- Feature 2\n"
+        )
+        result = build_initialize_result(
+            {"protocolVersion": "2024-11-05"},
+            mcp_config={"instructions-file": "./mcp_instructions.md"},
+            base_path=str(tmp_path),
+        )
+        assert "instructions" in result
+        assert "Test MCP Instructions" in result["instructions"]
+        assert "Feature 1" in result["instructions"]
+
+    def test_initialize_with_inline_instructions(self):
+        from flapi_spark.mcp import build_initialize_result
+
+        result = build_initialize_result(
+            {"protocolVersion": "2024-11-05"},
+            mcp_config={
+                "instructions": (
+                    "# Inline Test Instructions\n\nThis is an inline"
+                    " instruction.\n\n## Section\n- Item 1\n- Item 2\n"
+                )
+            },
+        )
+        assert "Inline Test Instructions" in result["instructions"]
+        assert "Item 1" in result["instructions"]
+
+    def test_initialize_without_instructions(self):
+        from flapi_spark.mcp import build_initialize_result
+
+        result = build_initialize_result({"protocolVersion": "2024-11-05"})
+        # absent or empty (reference test accepts either)
+        assert result.get("instructions", "") == ""
+        assert result["protocolVersion"] == "2024-11-05"
+        assert result["capabilities"]["tools"]["listChanged"] is True
+        assert result["serverInfo"]["name"]
+
+    def test_inline_wins_over_file(self, tmp_path):
+        from flapi_spark.mcp import load_mcp_instructions
+
+        (tmp_path / "f.md").write_text("from file")
+        got = load_mcp_instructions(
+            {"instructions": "inline wins", "instructions-file": "./f.md"},
+            base_path=str(tmp_path),
+        )
+        assert got == "inline wins"
+
+    def test_missing_file_warns_and_returns_empty(self, tmp_path):
+        import warnings
+
+        from flapi_spark.mcp import load_mcp_instructions
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = load_mcp_instructions(
+                {"instructions-file": "./nope.md"}, base_path=str(tmp_path)
+            )
+        assert got == ""
+        assert any("nope.md" in str(x.message) for x in w)
+
+    def test_unknown_protocol_version_falls_back_to_latest(self):
+        from flapi_spark.mcp import (
+            MCP_LATEST_PROTOCOL_VERSION,
+            build_initialize_result,
+        )
+
+        result = build_initialize_result({"protocolVersion": "1999-01-01"})
+        assert result["protocolVersion"] == MCP_LATEST_PROTOCOL_VERSION
+
+
+class TestMcpClientCapabilities:
+    def test_boolean_capabilities_literal_true_only(self):
+        from flapi_spark.mcp import detect_client_capabilities
+
+        caps = detect_client_capabilities(
+            {"capabilities": {"sampling": True, "roots": {"listChanged": True},
+                              "logging": False}}
+        )
+        assert caps.supports_sampling is True
+        # an OBJECT value is not a boolean grant
+        # (mcp_client_capabilities.cpp extractBooleanCapability checks
+        # the literal JSON true)
+        assert caps.supports_roots is False
+        assert caps.supports_logging is False
+
+    def test_supported_protocols_extracted_from_nested_objects(self):
+        from flapi_spark.mcp import detect_client_capabilities
+
+        caps = detect_client_capabilities(
+            {
+                "capabilities": {
+                    "experimental": {
+                        "supportedProtocols": ["2024-11-05", "2025-03-26", 7]
+                    },
+                    "other": {"supportedProtocols": "not-a-list"},
+                }
+            }
+        )
+        assert caps.supported_protocols == ["2024-11-05", "2025-03-26"]
+
+    def test_non_object_params_yield_defaults(self):
+        from flapi_spark.mcp import detect_client_capabilities
+
+        for bad in (None, "x", 7, [], {"capabilities": "x"}):
+            caps = detect_client_capabilities(bad)
+            assert caps.supports_sampling is False
+            assert caps.supported_protocols == []
