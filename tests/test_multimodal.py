@@ -175,8 +175,13 @@ def test_decode_real_rejects_garbage_and_corrupt():
 
     from flapi_spark import multimodal as MM
 
-    with _pytest.raises(NotImplementedError):
+    # a truncated mp4-magic blob is now a CORRUPT container (round-5
+    # real ISO-BMFF parse), not an unimplemented format
+    with _pytest.raises(ValueError):
         MM.decode_real(b"\x00\x00\x00\x18ftypmp42garbage", "video/mp4")
+    # truly unknown formats still hit the honest gate
+    with _pytest.raises(NotImplementedError):
+        MM.decode_real(b"GIF89a" + b"\x00" * 32, "image/gif")
     png = MM.png_encode([[(1, 2, 3)]])
     corrupted = bytearray(png)
     corrupted[12] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
@@ -202,9 +207,11 @@ def test_mm_real_decoded_end_to_end(spark, sf_dir):
     for r in wavs:
         assert r.sample_rate == 8000 and r.duration_ms is not None
         assert r.width is None  # audio has no dims
-    # fake mp4 rows fall back to the deterministic stub
+    # mp4 rows are REAL ISO-BMFF containers now (round 5): metadata
+    # comes from the box tables, not the stub hash
     for r in by_type.get("video/mp4", []):
-        assert r.n_frames >= 8 and r.sample_rate is None
+        assert 1 <= r.n_frames <= 5 and r.sample_rate is None
+        assert r.duration_ms == r.n_frames * 40
 
 
 def test_bmp_round_trip_stats():
@@ -297,3 +304,79 @@ class TestJpegCodec:
         )
         with _pytest.raises(ValueError, match="baseline"):
             jpeg_decode(payload)
+
+
+class TestMp4Container:
+    """Round 5: real ISO-BMFF container parse + demux (ISO/IEC
+    14496-12 box layout); codec FRAME decode stays honestly gated."""
+
+    def _payload(self):
+        from flapi_spark.multimodal import mp4_encode
+
+        frames = [b"\x11" * 100, b"\x22" * 120, b"\x33" * 90]
+        return frames, mp4_encode(
+            frames, width=320, height=240, timescale=1000, frame_duration=40
+        )
+
+    def test_round_trip_metadata(self):
+        from flapi_spark.multimodal import _mp4_decode
+
+        frames, p = self._payload()
+        d = _mp4_decode(p)
+        assert (d["width"], d["height"]) == (320, 240)
+        assert d["n_frames"] == 3
+        assert d["duration_ms"] == 120  # 3 frames x 40ms
+        assert d["mean_level"] is None  # pixel decode = codec work
+
+    def test_demux_returns_exact_sample_bytes(self):
+        from flapi_spark.multimodal import mp4_samples
+
+        frames, p = self._payload()
+        assert mp4_samples(p) == frames
+
+    def test_decode_auto_dispatches_on_ftyp(self):
+        from flapi_spark.multimodal import decode_auto
+
+        _frames, p = self._payload()
+        assert decode_auto(p, "video/mp4")["n_frames"] == 3
+
+    def test_corrupt_box_size_rejected(self):
+        import struct
+
+        import pytest
+
+        from flapi_spark.multimodal import _mp4_decode
+
+        _frames, p = self._payload()
+        bad = p[:28] + struct.pack(">I", 0x0FFFFFF0) + p[32:]
+        with pytest.raises(ValueError, match="bad box size"):
+            _mp4_decode(bad)
+
+    def test_truncated_sample_range_rejected(self):
+        import pytest
+
+        from flapi_spark.multimodal import mp4_samples
+
+        _frames, p = self._payload()
+        with pytest.raises(ValueError, match="beyond payload"):
+            mp4_samples(p[:-50])
+
+    def test_empty_video(self):
+        from flapi_spark.multimodal import _mp4_decode, mp4_encode
+
+        p = mp4_encode([], width=8, height=8)
+        d = _mp4_decode(p)
+        assert d["n_frames"] == 0 and d["duration_ms"] == 0
+
+    def test_synthesized_corpus_mp4_rows_decode_for_real(self, spark, sf_dir):
+        from flapi_spark.multimodal import mm_real_decoded
+
+        out = mm_real_decoded(spark, sf_dir)
+        mp4_rows = out.where("media_type = 'video/mp4'")
+        got = mp4_rows.limit(5).collect()
+        assert got
+        for r in got:
+            # real container metadata, not stub hash-derived dims
+            assert r.width % 16 == 0 and 16 <= r.width <= 64
+            assert r.n_frames >= 1
+            assert r.duration_ms == r.n_frames * 40
