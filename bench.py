@@ -48,6 +48,9 @@ HEADLINE = [
     "psi_order_value_drift",
     "ntile_value_bands",
     "bm25_search",
+    # round 5: sketch + asymmetric-dedup additions
+    "bloom_token_filter",
+    "dedup_containment_pairs",
 ]
 
 

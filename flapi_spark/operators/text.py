@@ -1441,3 +1441,203 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- round 5: sketch / corpus-statistics additions -----------------------
+
+BLOOM_M = 1 << 16          # filter bits
+BLOOM_K = 4                # hash functions
+# independent affine perms over the md5-prefix token hash (same
+# universal-hash family as the portable MinHash pipeline)
+BLOOM_PERMS = ((769, 12289), (3079, 49157), (196613, 786433),
+               (1572869, 98317))
+_MERSENNE_P = 2147483647
+
+
+def bloom_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter construction over the corpus vocabulary — the
+    mergeable membership sketch a 100 TB ingest uses for cross-batch
+    "have we seen this token/URL?" guards (one bitmap per shard,
+    OR-merged on the driver or in a reduce). Token hashing is the
+    engine-portable md5-prefix arithmetic (exactly replayable in
+    DuckDB), k=4 affine probes into an m=65536-bit space.
+
+    Output is the filter's quality sheet: distinct-token count, bits
+    set, fill rate and the analytic false-positive estimate
+    fill_rate^k — all from exact integer counts, two mirrored
+    double roundings.
+
+    Scale: one vocabulary-grain distinct (the only corpus shuffle),
+    then k codegen projections and a <=m-row distinct. The bitmap
+    itself is (bit_idx) rows — collectable at m/8 = 8 KiB per shard,
+    never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    th = F.expr(
+        f"pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint),"
+        f" {_MERSENNE_P})"
+    )
+    hashed = toks.select(th.alias("h"))
+    bits = hashed.select(
+        F.explode(
+            F.array(*[
+                ((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE_P
+                 % BLOOM_M).alias(f"b{i}")
+                for i, (a, b) in enumerate(BLOOM_PERMS)
+            ])
+        ).alias("bit_idx")
+    ).distinct()
+    n_tokens = toks.agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    fill = F.col("bits_set").cast("double") / F.lit(float(BLOOM_M))
+    return n_tokens.crossJoin(n_bits).select(
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.round(fill, 6).alias("fill_rate"),
+        F.round(F.pow(fill, F.lit(BLOOM_K)), 6).alias("est_fpr"),
+    )
+
+
+def tokens_zipf_fit(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """Zipf-law fit over the vocabulary: OLS of ln(freq) on ln(rank)
+    for the top-N tokens — the corpus-statistics dial (slope near -1
+    = natural language; a flat or cliff-shaped curve flags synthetic
+    or boilerplate-heavy data) used when sizing tokenizers.
+
+    Scale: token counts are one vocabulary-grain groupBy; the top-N
+    cut is TakeOrderedAndProject; the rank window and the moment sums
+    run over N<=100 survivor rows. Counts are exact BIGINTs;
+    ln/regression run in mirrored doubles rounded 6dp (sums of <=100
+    ln-terms are far inside double's stable range)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (varx * vary)
+    return stats.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r_squared"),
+    )
+
+
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all token OCCURRENCES
+    covered by the top-k most frequent tokens, k in {10, 100, 1000} —
+    the tokenizer-sizing primitive (how big must a vocab be before
+    OOV collapses).
+
+    Scale: one vocabulary-grain count groupBy; the top-1000 cut is
+    TakeOrderedAndProject and the cumulative window runs over those
+    <=1000 survivor rows (bounded single-partition work AFTER the
+    limit, per the plan-test contract); the total is a scalar
+    broadcast. All counts exact BIGINT, one mirrored rounding."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(1000)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = counts.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    at_k = (
+        ranked.join(ks, ranked.rank == ks.k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return at_k
+
+
+# fixed counting alphabet: the letters + space of the normalized
+# corpus; everything else lands in the OTHER bucket. Counting uses the
+# length-difference trick (len(s) - len(replace(s, ch, ''))) — exact,
+# identical in Spark and DuckDB, no split('') semantics to mirror.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    degenerate-text gate (mono-character spam and base64 blobs sit at
+    the entropy extremes; natural language clusters ~3.5-4.2 bits).
+
+    Counts per character come from the replace-length trick over a
+    fixed 27-symbol alphabet (+ OTHER remainder) — pure codegen
+    projections, zero shuffles, exact integers; entropy = -Σ p·log2 p
+    in mirrored doubles rounded 6dp. low_entropy flags < 2.5 bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_text()
+    base = docs.select("doc_id", norm.alias("s"), F.length(norm).alias("L"))
+    cnt_cols = [
+        (F.col("L") - F.length(F.replace(F.col("s"), F.lit(ch)))).alias(
+            f"c{i}"
+        )
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    ]
+    counted = base.select("doc_id", "L", *cnt_cols).withColumn(
+        "c_other",
+        F.col("L") - sum(F.col(f"c{i}") for i in range(len(ENTROPY_ALPHABET))),
+    )
+    terms = []
+    for i in range(len(ENTROPY_ALPHABET)):
+        p = F.col(f"c{i}").cast("double") / F.col("L").cast("double")
+        terms.append(
+            F.when(F.col(f"c{i}") > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        )
+    p_o = F.col("c_other").cast("double") / F.col("L").cast("double")
+    terms.append(
+        F.when(F.col("c_other") > 0, -p_o * F.log2(p_o)).otherwise(F.lit(0.0))
+    )
+    ent = sum(terms)
+    return counted.where(F.col("L") > 0).select(
+        "doc_id",
+        F.round(ent, 6).alias("char_entropy"),
+        (ent < 2.5).alias("low_entropy"),
+    )

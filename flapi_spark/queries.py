@@ -3816,6 +3816,142 @@ QUERIES.update(
 )
 
 
+def _bloom_filter_sql() -> str:
+    """Portable-hash Bloom construction replay: identical md5-prefix
+    token hash + affine probes (all operands non-negative, < 2^52 —
+    % equals pmod, no overflow on either engine)."""
+    P = T._MERSENNE_P
+    probes = ", ".join(
+        f"((h * {a} + {b}) % {P}) % {T.BLOOM_M}" for a, b in T.BLOOM_PERMS
+    )
+    return (
+        f"WITH t2 AS (SELECT DISTINCT tok FROM (SELECT"
+        f" unnest({_TOKS}) AS tok FROM documents) WHERE tok <> ''),"
+        " h AS (SELECT ((CAST(concat('0x', substr(md5(tok), 1, 15))"
+        f" AS BIGINT)) % {P}) AS h FROM t2),"
+        f" bits AS (SELECT DISTINCT unnest([{probes}]) AS bit_idx FROM h)"
+        " SELECT (SELECT CAST(count(*) AS BIGINT) FROM t2)"
+        "  AS n_distinct_tokens,"
+        " CAST(count(*) AS BIGINT) AS bits_set,"
+        f" ROUND(count(*) / {float(T.BLOOM_M)}, 6) AS fill_rate,"
+        f" ROUND(POW(count(*) / {float(T.BLOOM_M)}, {T.BLOOM_K}), 6)"
+        "  AS est_fpr"
+        " FROM bits"
+    )
+
+
+def _char_entropy_sql() -> str:
+    """Replace-length character counts + mirrored -Σ p·log2 p, term
+    order identical to the Spark expression chain."""
+    terms = []
+    for ch in T.ENTROPY_ALPHABET:
+        lit = "''''" if ch == "'" else ch
+        c = f"(length(s) - length(replace(s, '{lit}', '')))"
+        p = f"(CAST({c} AS DOUBLE) / CAST(length(s) AS DOUBLE))"
+        terms.append(f"(CASE WHEN {c} > 0 THEN -{p} * log2({p}) ELSE 0.0 END)")
+    other = "(length(s) - (" + " + ".join(
+        f"(length(s) - length(replace(s, '{ch}', '')))"
+        for ch in T.ENTROPY_ALPHABET
+    ) + "))"
+    p_o = f"(CAST({other} AS DOUBLE) / CAST(length(s) AS DOUBLE))"
+    terms.append(
+        f"(CASE WHEN {other} > 0 THEN -{p_o} * log2({p_o}) ELSE 0.0 END)"
+    )
+    ent = " + ".join(terms)
+    return (
+        f"WITH n AS (SELECT doc_id, {_NORM} AS s FROM documents)"
+        f" SELECT doc_id, ROUND({ent}, 6) AS char_entropy,"
+        f" ({ent}) < 2.5 AS low_entropy"
+        " FROM n WHERE length(s) > 0"
+    )
+
+
+def _containment_pairs_sql() -> str:
+    """3-gram shingle containment replay: the portable-minhash toks/
+    grams CTE chain (identical md5-prefix hash + gram fold), then the
+    inverted-index shared counts and both mirrored containment
+    divisions."""
+    P = D.MERSENNE_P
+    n = 3
+    tok = f"((CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) % {P})"
+    gram = "0"
+    for j in range(n - 1, -1, -1):
+        a = D.PERMS[j][0]
+        gram = f"(({a} * coalesce(ht[i + {j + 1}], 0) + {gram}) % {P})"
+    return (
+        f"WITH toks AS (SELECT doc_id, list_transform({_TOKS},"
+        f"  x -> {tok}) AS ht FROM documents),"
+        " grams AS (SELECT doc_id, list_distinct(list_transform("
+        f"  range(0, greatest(len(ht) - {n}, 0) + 1), i -> {gram})) AS g"
+        "  FROM toks),"
+        " hs AS (SELECT doc_id, unnest(g) AS h FROM grams),"
+        " sizes AS (SELECT doc_id, len(g) AS n FROM grams),"
+        " shared AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,"
+        "  count(*) AS s FROM hs a JOIN hs c ON a.h = c.h"
+        "  AND a.doc_id < c.doc_id GROUP BY 1, 2)"
+        " SELECT doc_a, doc_b, CAST(s AS BIGINT) AS shared_shingles,"
+        " ROUND(CAST(s AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)"
+        "  AS containment_a_in_b,"
+        " ROUND(CAST(s AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)"
+        "  AS containment_b_in_a"
+        " FROM shared JOIN sizes sa ON sa.doc_id = doc_a"
+        " JOIN sizes sb ON sb.doc_id = doc_b"
+        " WHERE CAST(s AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.6"
+        "  OR CAST(s AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.6"
+    )
+
+
+QUERIES.update(
+    {
+        # -- round 5: sketch / corpus-statistics / asymmetric-dedup
+        "bloom_token_filter": (T.bloom_token_filter, _bloom_filter_sql()),
+        "tokens_zipf_fit": (
+            T.tokens_zipf_fit,
+            f"WITH c AS (SELECT tok, count(*) AS n FROM (SELECT"
+            f" unnest({_TOKS}) AS tok FROM documents) WHERE tok <> ''"
+            "  GROUP BY tok ORDER BY n DESC, tok LIMIT 100),"
+            " r AS (SELECT ln(CAST(row_number() OVER"
+            "   (ORDER BY n DESC, tok) AS DOUBLE)) AS x,"
+            "  ln(CAST(n AS DOUBLE)) AS y FROM c),"
+            " s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,"
+            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,"
+            "  sum(y * y) AS syy FROM r)"
+            " SELECT CAST(n AS BIGINT) AS n_tokens_fit,"
+            " ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+            "  AS zipf_slope,"
+            " ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+            "  / n, 6) AS zipf_intercept,"
+            " ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            "  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+            "  AS r_squared"
+            " FROM s",
+        ),
+        "token_coverage_curve": (
+            T.token_coverage_curve,
+            f"WITH t2 AS (SELECT tok FROM (SELECT unnest({_TOKS}) AS tok"
+            "  FROM documents) WHERE tok <> ''),"
+            " c AS (SELECT tok, count(*) AS n FROM t2 GROUP BY tok"
+            "  ORDER BY n DESC, tok LIMIT 1000),"
+            " r AS (SELECT row_number() OVER (ORDER BY n DESC, tok)"
+            "   AS rank, sum(n) OVER (ORDER BY n DESC, tok"
+            "   ROWS UNBOUNDED PRECEDING) AS cum FROM c),"
+            " tot AS (SELECT count(*) AS total FROM t2)"
+            " SELECT CAST(k AS BIGINT) AS k,"
+            " CAST(cum AS BIGINT) AS covered_tokens,"
+            " ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)"
+            "  AS coverage"
+            " FROM r JOIN (VALUES (10), (100), (1000)) ks(k)"
+            "  ON r.rank = ks.k CROSS JOIN tot",
+        ),
+        "text_char_entropy": (T.text_char_entropy, _char_entropy_sql()),
+        "dedup_containment_pairs": (
+            D.dedup_containment_pairs,
+            _containment_pairs_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -3842,7 +3978,10 @@ _CHECK_FIRST = [
     "ann_recall_eval", "minhash_estimate_error", "src_duckdb_query",
     # (1b) never driver-verified, rows-only by design
     "bpe_encode_tokens", "user_overlap_hll",
-    # (2) plans changed in round 5 (broadcast hints removed) —
+    # (2) new round-5 operators (first driver look)
+    "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
+    "text_char_entropy", "dedup_containment_pairs",
+    # (3) plans changed in round 5 (broadcast hints removed) —
     # re-verify under the new plans
     "part_type_share", "q8_market_share", "q9_profit_by_nation_year",
     "q14_promo_revenue_share", "q16_part_supplier_counts",

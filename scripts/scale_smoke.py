@@ -53,7 +53,10 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "user_overlap_exact", "sample_weighted_quality",
        # round-4: distributed global-rank pattern (events-based) and
        # the index-quality evaluation ops
-       "ntile_value_bands", "ann_recall_eval", "minhash_estimate_error"]
+       "ntile_value_bands", "ann_recall_eval", "minhash_estimate_error",
+       # round-5 operators (documents-based)
+       "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
+       "text_char_entropy", "dedup_containment_pairs"]
 FACTORS = [1, 2, 4, 8]
 
 

@@ -317,3 +317,29 @@ def test_rowwise_minhash_matches_exploded_pipeline(spark, sf_dir):
     cols = ["doc_id"] + [f"m{i}" for i in range(NUM_PERM)]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_containment_pairs_direction_semantics(spark, tmp_path):
+    """A doc whose shingles are a strict subset of a longer doc's must
+    surface with containment 1.0 in the subset direction and < 1 in
+    the other; an unrelated doc must not pair."""
+    d = tmp_path / "docs"
+    long_text = "alpha beta gamma delta epsilon zeta eta theta"
+    sub_text = "alpha beta gamma delta"            # prefix -> subset shingles
+    other = "one two three four five six seven"
+    spark.createDataFrame(
+        [(1, long_text, "en", "s", len(long_text)),
+         (2, sub_text, "en", "s", len(sub_text)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    from flapi_spark.operators.dedup import dedup_containment_pairs
+
+    rows = dedup_containment_pairs(spark, str(d)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # doc 2's shingle set is contained in doc 1's
+    assert r.containment_b_in_a == 1.0
+    assert r.containment_a_in_b < 1.0
+    assert not any(3 in p for p in pairs)

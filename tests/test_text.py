@@ -275,3 +275,95 @@ def test_tfidf_top_terms_shape(spark, sf_dir):
         ordered = sorted(terms, key=lambda t: t.rn)
         for a, b in zip(ordered, ordered[1:]):
             assert (a.score, b.term) >= (b.score, a.term) or a.score >= b.score
+
+
+# --- round 5: sketch / corpus-statistics operators -----------------------
+
+
+def test_bloom_token_filter_bounds_and_determinism(spark, sf_dir):
+    from flapi_spark.operators.text import BLOOM_K, BLOOM_M, bloom_token_filter
+
+    r1 = bloom_token_filter(spark, sf_dir).collect()[0]
+    r2 = bloom_token_filter(spark, sf_dir).collect()[0]
+    assert r1 == r2  # deterministic hashing, no rng
+    assert 0 < r1.bits_set <= min(r1.n_distinct_tokens * BLOOM_K, BLOOM_M)
+    assert 0.0 < r1.fill_rate <= 1.0
+    assert abs(r1.est_fpr - round(r1.fill_rate ** BLOOM_K, 6)) < 1e-6
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """Every corpus token's k probe bits must all be set — the Bloom
+    guarantee that matters (zero false negatives)."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.text import (
+        BLOOM_M, BLOOM_PERMS, _MERSENNE_P, _tokens,
+    )
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .where(F.col("tok") != "").distinct()
+    )
+    th = F.expr(
+        f"pmod(cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint),"
+        f" {_MERSENNE_P})"
+    )
+    bits = toks.select(th.alias("h")).select(
+        F.explode(F.array(*[
+            ((F.col("h") * F.lit(a) + F.lit(b)) % _MERSENNE_P % BLOOM_M)
+            for a, b in BLOOM_PERMS
+        ])).alias("bit_idx")
+    ).distinct()
+    bitset = {r.bit_idx for r in bits.collect()}
+    # re-probe a sample of tokens: all bits present
+    sample = toks.limit(20).collect()
+    import hashlib as H
+    for row in sample:
+        h = int(H.md5(row.tok.encode()).hexdigest()[:15], 16) % _MERSENNE_P
+        for a, b in BLOOM_PERMS:
+            assert ((h * a + b) % _MERSENNE_P) % BLOOM_M in bitset
+
+
+def test_tokens_zipf_fit_natural_shape(spark, sf_dir):
+    from flapi_spark.operators.text import tokens_zipf_fit
+
+    r = tokens_zipf_fit(spark, sf_dir).collect()[0]
+    assert r.zipf_slope < 0          # frequency falls with rank
+    assert 0.0 <= r.r_squared <= 1.0
+    assert r.n_tokens_fit >= 10
+
+
+def test_token_coverage_curve_monotone(spark, sf_dir):
+    from flapi_spark.operators.text import token_coverage_curve
+
+    rows = {r.k: r for r in token_coverage_curve(spark, sf_dir).collect()}
+    assert 10 in rows
+    ks = sorted(rows)
+    for k1, k2 in zip(ks, ks[1:]):
+        assert rows[k2].coverage >= rows[k1].coverage
+        assert rows[k2].covered_tokens >= rows[k1].covered_tokens
+    assert all(0.0 < r.coverage <= 1.0 for r in rows.values())
+
+
+def test_text_char_entropy_known_value(spark, sf_dir, tmp_path):
+    """Entropy of a crafted corpus checked against the closed form."""
+    import math
+
+    from flapi_spark.operators.text import text_char_entropy
+
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, "aaaa", "en", "s", 4),          # one symbol -> 0 bits
+         (2, "ab ab", "en", "s", 5),         # p(a)=p(b)=2/5, p(' ')=1/5
+         (3, "abcd efgh", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in text_char_entropy(spark, str(d)).collect()}
+    assert got[1].char_entropy == 0.0 and got[1].low_entropy
+    exp2 = -(2 * 0.4 * math.log2(0.4) + 0.2 * math.log2(0.2))
+    assert abs(got[2].char_entropy - round(exp2, 6)) < 1e-6
+    exp3 = -(8 * (1 / 9) * math.log2(1 / 9) + (1 / 9) * math.log2(1 / 9))
+    assert abs(got[3].char_entropy - round(exp3, 6)) < 1e-6
+    assert not got[3].low_entropy
