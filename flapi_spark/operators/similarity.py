@@ -433,3 +433,63 @@ def ann_recall_eval(
             F.sum("hit").cast("double") / F.count(F.lit(1)), 6
         ).alias("recall"),
     )
+
+
+def embedding_pca_power(
+    spark: SparkSession, sf_dir: str, iters: int = 5
+) -> DataFrame:
+    """Dominant principal component of the embedding table by POWER
+    ITERATION on X^T X — the whitening / ABQ / OOD-scoring primitive a
+    training pipeline runs before quantization or semantic dedup
+    (top-PC removal is the classic embedding post-process, Mu & Thakoor
+    2018 'All-but-the-Top').
+
+    Distributed shape: each iteration is ONE aggregate pass — per row
+    the scalar s = x·v (positional zip_with fold, v a frozen literal),
+    then w_j = Σ s·x_j via posexplode + groupBy(j) (64 groups). The
+    d-vector w collects to the driver (d rows — bounded, the k-means/
+    BPE coordination pattern), is normalized, ROUNDED to 9dp and
+    frozen into the next iteration's literal. The rounding is
+    load-bearing for exactness: both engines re-enter each iteration
+    with the IDENTICAL vector, so cross-engine float drift cannot
+    compound (the only divergence source is last-ulp sum ordering
+    inside one iteration, absorbed by the 1e-9 grid).
+
+    Output: one row per component — loadings sign-fixed (first
+    component positive) and the eigenvalue estimate ||X^T X v||,
+    rounded 6dp. Exact oracle: the same iterations unrolled as chained
+    CTEs in DuckDB."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
+    )
+    d = len(emb.first()["emb"])
+    v = [0.0] * d
+    v[0] = 1.0
+    lam = 0.0
+    for _ in range(iters):
+        v_lit = ", ".join(repr(x) for x in v)
+        dot = (
+            f"aggregate(zip_with(emb, array({v_lit}),"
+            " (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        ex = emb.select(
+            F.expr(dot).alias("s"), F.posexplode("emb").alias("j", "e")
+        )
+        rows = (
+            ex.groupBy("j")
+            .agg(F.sum(F.col("s") * F.col("e")).alias("w"))
+            .orderBy("j")
+            .collect()
+        )
+        w = [r.w for r in rows]
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [round(x / lam, 9) for x in w]
+    sign = -1.0 if v[0] < 0 else 1.0
+    out = [
+        (j + 1, round(sign * v[j], 6), round(lam, 6)) for j in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "component long, loading double, eigenvalue double"
+    )

@@ -3901,9 +3901,44 @@ def _containment_pairs_sql() -> str:
     )
 
 
+def _pca_power_sql(iters: int = 5, d: int = 64) -> str:
+    """Unrolled power-iteration replay: each iteration's vector is
+    ROUND(…, 9)-frozen exactly like the Spark driver does, so both
+    engines re-enter every iteration with the identical literal grid
+    point and float drift cannot compound."""
+    v0 = "[" + ", ".join(
+        "1.0" if j == 0 else "0.0" for j in range(d)
+    ) + "]"
+    ctes = ["e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings)"]
+    prev_v = v0
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS (SELECT j,"
+            f" sum(list_dot_product(emb, {prev_v}) * el) AS w"
+            " FROM (SELECT emb, unnest(emb) AS el,"
+            " generate_subscripts(emb, 1) AS j FROM e) GROUP BY j)"
+        )
+        ctes.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})")
+        ctes.append(
+            f"v{t} AS (SELECT list(ROUND(w / nrm, 9) ORDER BY j) AS v"
+            f" FROM w{t}, n{t})"
+        )
+        prev_v = f"(SELECT v FROM v{t})"
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT CAST(j AS BIGINT) AS component,"
+        " ROUND((CASE WHEN v[1] < 0 THEN -1.0 ELSE 1.0 END) * vj, 6)"
+        "  AS loading,"
+        f" ROUND((SELECT nrm FROM n{iters}), 6) AS eigenvalue"
+        f" FROM (SELECT v, unnest(v) AS vj,"
+        f" generate_subscripts(v, 1) AS j FROM v{iters})"
+    )
+
+
 QUERIES.update(
     {
         # -- round 5: sketch / corpus-statistics / asymmetric-dedup
+        "embedding_pca_power": (S.embedding_pca_power, _pca_power_sql()),
         "bloom_token_filter": (T.bloom_token_filter, _bloom_filter_sql()),
         "tokens_zipf_fit": (
             T.tokens_zipf_fit,
@@ -3980,7 +4015,7 @@ _CHECK_FIRST = [
     "bpe_encode_tokens", "user_overlap_hll",
     # (2) new round-5 operators (first driver look)
     "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
-    "text_char_entropy", "dedup_containment_pairs",
+    "text_char_entropy", "dedup_containment_pairs", "embedding_pca_power",
     # (3) plans changed in round 5 (broadcast hints removed) —
     # re-verify under the new plans
     "part_type_share", "q8_market_share", "q9_profit_by_nation_year",

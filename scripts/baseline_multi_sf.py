@@ -39,13 +39,19 @@ TABLES = (
     "region nation customer supplier part orders lineitem events"
     " documents embeddings"
 ).split()
-# tables the default queries actually scan, with their surrogate key —
-# these are replicated with key offsets; the rest link to sf0.1
+# tables the default queries actually scan, with the key columns that
+# must stay distinct across replicas; the rest link to sf0.1.
+# events also offsets user_id (the scale-up models MORE USERS, not 8×
+# longer per-user histories, which would superlinearly distort
+# session/trigram shapes); documents suffix every WORD with the
+# replica id, so replicas share ZERO tokens/shingles — the near-dup
+# pair set scales linearly (8× the original pairs). Plain replication
+# would make each doc an 8-clique of exact dups and densify the graph
+# quadratically in replicas — an artifact, not scale signal.
 REPLICATED = {
-    "documents": "doc_id",
-    "embeddings": "vec_id",
-    "events": "event_id",
-    "orders": "o_orderkey",
+    "documents": ("doc_id",),
+    "events": ("event_id", "user_id"),
+    "orders": ("o_orderkey",),
 }
 BUDGET_S = float(os.environ.get("BASELINE_QUERY_BUDGET_S", "120"))
 
@@ -61,12 +67,22 @@ def build_replica(spark, base: str, factor: int) -> str:
             if os.path.isdir(dst):
                 continue  # reuse a previous build
             src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
-            key = REPLICATED[t]
+            keys = REPLICATED[t]
             n = src.count()
-            parts = [
-                src.withColumn(key, F.col(key) + F.lit(i * n))
-                for i in range(factor)
-            ]
+            parts = []
+            for i in range(factor):
+                p = src
+                for key in keys:
+                    p = p.withColumn(key, F.col(key) + F.lit(i * n))
+                if t == "documents" and i > 0:
+                    p = p.withColumn(
+                        "text",
+                        F.expr(
+                            "array_join(transform(split(text, ' '),"
+                            f" x -> concat(x, '{i}')), ' ')"
+                        ),
+                    )
+                parts.append(p)
             u = parts[0]
             for p in parts[1:]:
                 u = u.unionByName(p)
