@@ -417,3 +417,40 @@ def test_no_fact_scale_single_partition_exchange(spark, sf_dir, name):
             for t in ("LocalLimit", "HashAggregate", "Project", "TakeOrdered")
         ), f"{name}: SinglePartition over {child.strip()}"
         assert "Scan parquet" not in child, name
+
+
+# --- round 5 plan audits ----------------------------------------------------
+
+
+def test_char_entropy_is_shuffle_free(spark, sf_dir):
+    """Replace-length counting is a pure projection: no Exchange at
+    all, and the scan prunes to the text column."""
+    plan = _plan(spark, "text_char_entropy", sf_dir)
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read
+
+
+def test_bloom_filter_vocab_grain_only(spark, sf_dir):
+    """The only corpus-scale shuffle is the vocabulary distinct; the
+    bitmap distinct runs on <= m rows. No loop joins."""
+    plan = _plan(spark, "bloom_token_filter", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the two scalar aggregates meet in a 1-row nested-loop join,
+    # which is the right plan for scalars — but never more than that
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_zipf_and_coverage_use_take_ordered_topk(spark, sf_dir):
+    """The top-k vocabulary cut must be TakeOrderedAndProject, never a
+    global sort of the vocabulary."""
+    for name in ("tokens_zipf_fit", "token_coverage_curve"):
+        plan = _plan(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_containment_pairs_equi_keyed(spark, sf_dir):
+    plan = _plan(spark, "dedup_containment_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
