@@ -155,12 +155,79 @@ def _cmd_bundle_info(args) -> int:
     return 0
 
 
+VALID_LOG_LEVELS = ("debug", "info", "warning", "error")
+
+
+class SettingsError(ValueError):
+    """Invalid runtime setting — a single-line error, never a silent
+    coercion (reference main.cpp:469-499: a typo'd FLAPI_PORT or
+    FLAPI_LOG_LEVEL must abort, not fall through)."""
+
+
+def resolve_runtime_settings(
+    config: str | None = None,
+    port: int | None = None,
+    host: str | None = None,
+    log_level: str | None = None,
+    env: dict | None = None,
+) -> dict:
+    """12-factor env-var precedence (reference main.cpp:451-500,
+    issues #47/#63): CLI flag > env var > built-in default; config-file
+    values apply downstream only when neither CLI nor env provided one.
+    Pass explicit (non-None) values for CLI flags the user actually
+    used. FLAPI_PORT must be a strict integer in 1..65535; the
+    resolved log level must be one of debug/info/warning/error —
+    anything else raises SettingsError."""
+    import os
+
+    env = dict(os.environ) if env is None else env
+
+    if config is None:
+        config = env.get("FLAPI_CONFIG") or None
+    if log_level is None:
+        log_level = env.get("FLAPI_LOG_LEVEL") or "info"
+    if log_level not in VALID_LOG_LEVELS:
+        raise SettingsError(
+            f"invalid log level '{log_level}'; must be one of:"
+            " debug, info, warning, error"
+        )
+    if port is None:
+        raw = env.get("FLAPI_PORT") or ""
+        if raw:
+            try:
+                parsed = int(raw, 10)
+            except ValueError:
+                parsed = None
+            if parsed is None or not (1 <= parsed <= 65535) or (
+                raw.strip() != raw or not raw.lstrip("+-").isdigit()
+            ):
+                raise SettingsError(
+                    f"invalid FLAPI_PORT '{raw}'; must be an integer"
+                    " in 1..65535"
+                )
+            port = parsed
+    if host is None:
+        host = env.get("FLAPI_HOST") or None
+    return {
+        "config": config,
+        "port": port,
+        "host": host,
+        "log_level": log_level,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="flapi_spark")
+    ap.add_argument(
+        "--log-level", default=None, choices=None,
+        help="debug|info|warning|error (default: FLAPI_LOG_LEVEL or info)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def _with_config(p):
-        p.add_argument("-c", "--config", required=True, help="endpoint dir")
+        # not required at parse time: FLAPI_CONFIG is the 12-factor
+        # fallback (resolve_runtime_settings); missing BOTH is the error
+        p.add_argument("-c", "--config", default=None, help="endpoint dir")
         return p
 
     _with_config(sub.add_parser("validate")).set_defaults(fn=_cmd_validate)
@@ -179,6 +246,24 @@ def main(argv: list[str] | None = None) -> int:
     bip.set_defaults(fn=_cmd_bundle_info)
 
     args = ap.parse_args(argv)
+    try:
+        settings = resolve_runtime_settings(
+            config=getattr(args, "config", None),
+            log_level=args.log_level,
+        )
+    except SettingsError as exc:
+        print(f"flapi_spark: {exc}", file=sys.stderr)
+        return 1
+    if hasattr(args, "config"):
+        if settings["config"] is None and args.cmd != "bundle-info":
+            print(
+                "flapi_spark: no config given (pass -c/--config or set"
+                " FLAPI_CONFIG)",
+                file=sys.stderr,
+            )
+            return 1
+        args.config = settings["config"]
+    args.log_level = settings["log_level"]
     return args.fn(args)
 
 

@@ -86,6 +86,14 @@ class ConfigService:
         self.config_dir = Path(config_dir)
         self.config_dir.mkdir(parents=True, exist_ok=True)
         self.env = env
+        if token is None:
+            # CLI token > FLAPI_CONFIG_SERVICE_TOKEN env (reference
+            # main.cpp:504-509); an unset env leaves the gate open
+            # exactly like the reference's empty-token path
+            import os
+
+            src = env if env is not None else os.environ
+            token = src.get("FLAPI_CONFIG_SERVICE_TOKEN") or None
         self.token = token
         # url_path -> (EndpointConfig, source file, mtime at load)
         self._endpoints: dict[str, tuple[EndpointConfig, Path, float]] = {}

@@ -139,10 +139,13 @@ class FlapiTelemetry:
     """Lifecycle telemetry with the reference's opt-out semantics
     (flapi_telemetry.cpp, test_flapi_telemetry.cpp vectors):
     DATAZOO_DISABLE_TELEMETRY set to 1/true (any case) suppresses all
-    capture, as does setEnabled(False); every notify is forwarded
-    once, never batched or deduped."""
+    capture, as does FLAPI_NO_TELEMETRY (the 12-factor spelling the
+    launcher resolves, main.cpp:536-541: CLI flag > env > config) and
+    setEnabled(False); every notify is forwarded once, never batched
+    or deduped."""
 
     ENV_VAR = "DATAZOO_DISABLE_TELEMETRY"
+    ENV_VAR_ALT = "FLAPI_NO_TELEMETRY"
 
     def __init__(self, backend: TelemetryBackend, env: dict | None = None):
         if backend is None:
@@ -159,7 +162,9 @@ class FlapiTelemetry:
 
         env = self._env if self._env is not None else os.environ
         val = str(env.get(self.ENV_VAR, "")).strip().lower()
-        return (not self._enabled) or val in ("1", "true", "yes")
+        alt = str(env.get(self.ENV_VAR_ALT, "")).strip().lower()
+        off = ("1", "true", "yes")
+        return (not self._enabled) or val in off or alt in off
 
     def notify_start(self, app_name: str, app_version: str) -> None:
         if not self._suppressed():

@@ -87,3 +87,107 @@ def test_openapi_cli_loads_project_connections(capsys):
     doc = _json.loads(capsys.readouterr().out)
     assert "/customers/" in doc["paths"]          # conn-templated read
     assert "post" in doc["paths"]["/customer-notes"]  # write endpoint
+
+
+class TestEnvOverrides:
+    """12-factor env-var precedence, vector-mirrored from the
+    reference's test/integration/test_env_overrides.py (issues
+    #47/#63): CLI flag > env var > built-in default; invalid
+    FLAPI_PORT / FLAPI_LOG_LEVEL are single-line hard errors, never
+    silent coercions."""
+
+    def _resolve(self, **kw):
+        from flapi_spark.__main__ import resolve_runtime_settings
+
+        return resolve_runtime_settings(**kw)
+
+    def test_env_fallback_used_when_cli_absent(self):
+        s = self._resolve(env={
+            "FLAPI_CONFIG": "/tmp/cfg", "FLAPI_LOG_LEVEL": "debug",
+            "FLAPI_PORT": "9099", "FLAPI_HOST": "127.0.0.1",
+        })
+        assert s == {"config": "/tmp/cfg", "port": 9099,
+                     "host": "127.0.0.1", "log_level": "debug"}
+
+    def test_cli_beats_env(self):
+        s = self._resolve(
+            config="/cli/cfg", port=8123, host="0.0.0.0",
+            log_level="error",
+            env={"FLAPI_CONFIG": "/env/cfg", "FLAPI_LOG_LEVEL": "debug",
+                 "FLAPI_PORT": "9099", "FLAPI_HOST": "127.0.0.1"},
+        )
+        assert s == {"config": "/cli/cfg", "port": 8123,
+                     "host": "0.0.0.0", "log_level": "error"}
+
+    def test_defaults_when_nothing_given(self):
+        s = self._resolve(env={})
+        assert s == {"config": None, "port": None, "host": None,
+                     "log_level": "info"}
+
+    def test_empty_env_values_ignored(self):
+        # reference: *env != '\0' — empty string is "not set"
+        s = self._resolve(env={"FLAPI_CONFIG": "", "FLAPI_PORT": "",
+                               "FLAPI_LOG_LEVEL": "", "FLAPI_HOST": ""})
+        assert s["config"] is None and s["port"] is None
+        assert s["log_level"] == "info"
+
+    @pytest.mark.parametrize(
+        "bad", ["abc", "12.5", "0", "65536", "-1", " 8080", "8080 ", "8e3"]
+    )
+    def test_invalid_port_rejected(self, bad):
+        from flapi_spark.__main__ import SettingsError
+
+        with pytest.raises(SettingsError, match="FLAPI_PORT"):
+            self._resolve(env={"FLAPI_PORT": bad})
+
+    @pytest.mark.parametrize("bad", ["DEBUG", "verbose", "trace", "warn"])
+    def test_invalid_log_level_rejected(self, bad):
+        from flapi_spark.__main__ import SettingsError
+
+        with pytest.raises(SettingsError, match="log level"):
+            self._resolve(env={"FLAPI_LOG_LEVEL": bad})
+
+    def test_cli_invalid_log_level_also_rejected(self):
+        # CLI values pass through the same validator (reference
+        # validates the RESOLVED level, wherever it came from)
+        from flapi_spark.__main__ import SettingsError
+
+        with pytest.raises(SettingsError):
+            self._resolve(log_level="DEBUG", env={})
+
+    def test_main_uses_flapi_config_env(self, tmp_path, monkeypatch, capsys):
+        from flapi_spark.__main__ import main
+
+        d = tmp_path / "eps"
+        d.mkdir()
+        (d / "e.yaml").write_text(
+            "url-path: /x\ntemplate-text: SELECT 1 AS one\n"
+        )
+        monkeypatch.setenv("FLAPI_CONFIG", str(d))
+        assert main(["list"]) == 0
+        assert "/x" in capsys.readouterr().out
+
+    def test_main_errors_without_any_config(self, monkeypatch, capsys):
+        from flapi_spark.__main__ import main
+
+        monkeypatch.delenv("FLAPI_CONFIG", raising=False)
+        assert main(["list"]) == 1
+        assert "FLAPI_CONFIG" in capsys.readouterr().err
+
+    def test_main_invalid_env_port_is_single_line_error(
+        self, tmp_path, monkeypatch, capsys
+    ):
+        from flapi_spark.__main__ import main, resolve_runtime_settings
+
+        monkeypatch.setenv("FLAPI_PORT", "not-a-port")
+        # settings layer raises; main's CLI surface has no port flag to
+        # override it, so commands that resolve ports would abort —
+        # assert the error text shape the reference emits
+        from flapi_spark.__main__ import SettingsError
+
+        try:
+            resolve_runtime_settings(env={"FLAPI_PORT": "not-a-port"})
+        except SettingsError as e:
+            msg = str(e)
+        assert "invalid FLAPI_PORT 'not-a-port'" in msg
+        assert "1..65535" in msg

@@ -129,3 +129,28 @@ def test_project_config_and_env(tmp_path):
     # project file is not mistaken for an endpoint
     assert svc.reload_if_changed() == []
     assert svc.list_endpoints() == []
+
+
+def test_config_service_token_env_fallback(tmp_path):
+    """main.cpp:504-509: CLI token wins; FLAPI_CONFIG_SERVICE_TOKEN
+    fills in when no token was passed; unset env leaves the gate
+    open."""
+    import pytest as _pytest
+
+    from flapi_spark.config_service import AuthError, ConfigService
+
+    svc = ConfigService(
+        tmp_path / "a", env={"FLAPI_CONFIG_SERVICE_TOKEN": "sekrit"}
+    )
+    with _pytest.raises(AuthError):
+        svc.list_endpoints()
+    assert svc.list_endpoints(token="sekrit") == []
+    # explicit token beats env
+    svc2 = ConfigService(
+        tmp_path / "b", env={"FLAPI_CONFIG_SERVICE_TOKEN": "ignored"},
+        token="cli-tok",
+    )
+    assert svc2.list_endpoints(token="cli-tok") == []
+    # no env, no token -> open (reference empty-token path)
+    svc3 = ConfigService(tmp_path / "c", env={})
+    assert svc3.list_endpoints() == []

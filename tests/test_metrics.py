@@ -259,3 +259,27 @@ class TestFlapiTelemetry:
 
         with _pytest.raises(ValueError):
             FlapiTelemetry(None)
+
+
+def test_flapi_no_telemetry_env_also_suppresses():
+    """main.cpp:536-541: FLAPI_NO_TELEMETRY (1/true/yes) suppresses
+    capture exactly like DATAZOO_DISABLE_TELEMETRY."""
+    from flapi_spark.metrics import FlapiTelemetry, TelemetryBackend
+
+    class Rec(TelemetryBackend):
+        def __init__(self):
+            self.events = []
+
+        def capture_start(self, n, v):
+            self.events.append(("start", n, v))
+
+        def capture_stop(self, n, v):
+            self.events.append(("stop", n, v))
+
+    b = Rec()
+    t = FlapiTelemetry(b, env={"FLAPI_NO_TELEMETRY": "true"})
+    t.notify_start("flapi", "1.0")
+    assert b.events == []
+    t2 = FlapiTelemetry(b, env={"FLAPI_NO_TELEMETRY": "0"})
+    t2.notify_start("flapi", "1.0")
+    assert b.events == [("start", "flapi", "1.0")]
