@@ -355,14 +355,22 @@ class _TxnState:
     def want_keep(self, table: str) -> str | None:
         """Name to rename the pre-image aside as, for the FIRST full
         swap on a tracked table (later swaps in the same txn replace
-        txn-intermediate images — safe to drop)."""
+        txn-intermediate images — safe to drop). Only RESERVES the
+        name; the caller must record_keep() once the rename actually
+        happened — recording up front would make rollback DROP the
+        live table and rename a keep that never came to exist when
+        the stage/rename fails first."""
         ent = self.tables.get(table)
         if not ent or not ent["existed"] or ent["full_bk"] or ent["keep"]:
             return None
         name = self._name(table, "__txn_keep")
         _rm_table(self.spark, name)
-        ent["keep"] = name
         return name
+
+    def record_keep(self, table: str, name: str) -> None:
+        """The pre-image now LIVES at `name` (rename done) — rollback
+        may rely on it from here on."""
+        self.tables[table]["keep"] = name
 
     def backup_partitions(
         self, table: str, scope_cond: str, args: dict | None
@@ -499,7 +507,10 @@ def _staged_swap(
             # restore the original name before surfacing the error
             spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
             raise
-        if not keep:
+        if keep:
+            # pre-image is in place under the keep name ONLY now
+            txn.record_keep(table, keep)
+        else:
             spark.sql(f"DROP TABLE IF EXISTS {old}")
         return
     # external table: overwrite in place (location is contractual)

@@ -1013,3 +1013,31 @@ def test_heartbeat_stale_poll_refreshes_after_write(spark, tmp_path):
         assert mgr.read(ep.cache).count() == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS hb_t")
+
+
+def test_rollback_safe_when_stage_creation_fails(spark):
+    """If the staged projection itself fails (before any rename), the
+    live table must survive rollback untouched — the keep name is
+    reserved but never recorded, so rollback must NOT drop the live
+    table expecting a pre-image that never came to exist."""
+    from flapi_spark.writes import _rm_table, execute_write_statements
+
+    _rm_table(spark, "txn_stagefail")
+    spark.sql("CREATE TABLE txn_stagefail (id BIGINT, v STRING) USING parquet")
+    try:
+        spark.sql("INSERT INTO txn_stagefail VALUES (1,'a')")
+        with pytest.raises(Exception):
+            execute_write_statements(
+                spark,
+                [
+                    # the CASE projection references a missing function
+                    # -> stage CTAS fails before any rename
+                    "UPDATE txn_stagefail SET v = no_such_fn(v)",
+                    "INSERT INTO txn_stagefail VALUES (2,'b')",
+                ],
+                transaction=True,
+            )
+        rows = {x.id: x.v for x in spark.table("txn_stagefail").collect()}
+        assert rows == {1: "a"}  # live table intact
+    finally:
+        spark.sql("DROP TABLE IF EXISTS txn_stagefail")
