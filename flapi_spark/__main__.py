@@ -67,6 +67,17 @@ def _cmd_list(args) -> int:
     return 0
 
 
+def _spark_log_level(args) -> str:
+    """Map the resolved flapi log level onto Spark's log4j levels —
+    the consumer of --log-level/FLAPI_LOG_LEVEL in the CLI (CLI
+    default 'info' intentionally maps to ERROR: Spark's INFO firehose
+    would bury query output; 'debug' opts into the full stream)."""
+    return {
+        "debug": "INFO", "info": "ERROR",
+        "warning": "WARN", "error": "ERROR",
+    }[getattr(args, "log_level", None) or "info"]
+
+
 def _cmd_run(args) -> int:
     from flapi_spark.config import load_endpoints_dir
     from flapi_spark.executor import QueryExecutor
@@ -88,7 +99,7 @@ def _cmd_run(args) -> int:
     if proj.exists():
         reg = load_connections(yaml.safe_load(proj.read_text()) or {})
     spark = get_spark(app_name="flapi_spark_cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(_spark_log_level(args))
     ex = QueryExecutor(spark, registry=reg)
     ep = match[0]
     if ep.is_write:
@@ -126,7 +137,7 @@ def _cmd_openapi(args) -> int:
         # project connections — same wiring as the run command
         reg = load_connections(yaml.safe_load(proj.read_text()) or {})
     spark = get_spark(app_name="flapi_spark_cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(_spark_log_level(args))
     print(json.dumps(
         openapi_doc(QueryExecutor(spark, registry=reg), eps), indent=2
     ))
@@ -246,6 +257,12 @@ def main(argv: list[str] | None = None) -> int:
     bip.set_defaults(fn=_cmd_bundle_info)
 
     args = ap.parse_args(argv)
+    if args.cmd == "bundle-info":
+        # metadata-only command: runs before env resolution, exactly
+        # like the reference's unpack path (main.cpp:430-443 returns
+        # before the 12-factor block) — a typo'd FLAPI_PORT must not
+        # block reading a bundle manifest
+        return args.fn(args)
     try:
         settings = resolve_runtime_settings(
             config=getattr(args, "config", None),
@@ -254,16 +271,20 @@ def main(argv: list[str] | None = None) -> int:
     except SettingsError as exc:
         print(f"flapi_spark: {exc}", file=sys.stderr)
         return 1
-    if hasattr(args, "config"):
-        if settings["config"] is None and args.cmd != "bundle-info":
-            print(
-                "flapi_spark: no config given (pass -c/--config or set"
-                " FLAPI_CONFIG)",
-                file=sys.stderr,
-            )
-            return 1
-        args.config = settings["config"]
+    if settings["config"] is None:
+        print(
+            "flapi_spark: no config given (pass -c/--config or set"
+            " FLAPI_CONFIG)",
+            file=sys.stderr,
+        )
+        return 1
+    args.config = settings["config"]
+    # consumed by the Spark-session commands (run/openapi) to set the
+    # driver log verbosity; port/host are resolved for the serve-layer
+    # consumers (routes/describe server info)
     args.log_level = settings["log_level"]
+    args.port = settings["port"]
+    args.host = settings["host"]
     return args.fn(args)
 
 

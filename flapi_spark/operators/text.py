@@ -1574,6 +1574,7 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1000)
     )
     total = toks.agg(F.count(F.lit(1)).alias("total"))
+    vocab_n = counts.agg(F.count(F.lit(1)).alias("vocab_n"))
     w = Window.orderBy(F.desc("n"), "tok")
     ranked = counts.withColumn("rank", F.row_number().over(w)).withColumn(
         "cum", F.sum("n").over(
@@ -1581,8 +1582,11 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    # a vocabulary smaller than k must still report its point (at full
+    # coverage), not silently drop the row — clamp k to the vocab size
     at_k = (
-        ranked.join(ks, ranked.rank == ks.k)
+        ks.crossJoin(F.broadcast(vocab_n))
+        .join(ranked, F.least(F.col("k"), F.col("vocab_n")) == ranked.rank)
         .crossJoin(F.broadcast(total))
         .select(
             F.col("k").cast("long").alias("k"),

@@ -3970,13 +3970,15 @@ QUERIES.update(
             " r AS (SELECT row_number() OVER (ORDER BY n DESC, tok)"
             "   AS rank, sum(n) OVER (ORDER BY n DESC, tok"
             "   ROWS UNBOUNDED PRECEDING) AS cum FROM c),"
-            " tot AS (SELECT count(*) AS total FROM t2)"
+            " tot AS (SELECT count(*) AS total FROM t2),"
+            " vn AS (SELECT count(*) AS vocab_n FROM c)"
             " SELECT CAST(k AS BIGINT) AS k,"
             " CAST(cum AS BIGINT) AS covered_tokens,"
             " ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)"
             "  AS coverage"
-            " FROM r JOIN (VALUES (10), (100), (1000)) ks(k)"
-            "  ON r.rank = ks.k CROSS JOIN tot",
+            " FROM (VALUES (10), (100), (1000)) ks(k) CROSS JOIN vn"
+            "  JOIN r ON r.rank = least(ks.k, vn.vocab_n)"
+            "  CROSS JOIN tot",
         ),
         "text_char_entropy": (T.text_char_entropy, _char_entropy_sql()),
         "dedup_containment_pairs": (

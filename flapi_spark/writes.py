@@ -337,12 +337,27 @@ class _TxnState:
             if exists:
                 ent["begin_files"] = set(self.spark.table(t).inputFiles())
                 pcols = _partition_cols(self.spark, t)
+                managed = _table_is_managed(self.spark, t)
                 ks = set(kinds)
                 n_rowdml = sum(1 for k in kinds if k in ("update", "delete"))
-                if pcols and (
+                # full-CTAS fallback for every shape whose destructive
+                # statements would otherwise leave NO pre-image:
+                # - INSERT OVERWRITE executes natively (old files gone)
+                # - non-managed targets take the external INSERT
+                #   OVERWRITE swap, which cannot rename-preserve
+                # - mixed/multi row-DML on partitioned tables (delta
+                #   snapshots would capture post-earlier-statement
+                #   rows — module docstring)
+                if (
                     "insert_overwrite" in ks
-                    or (("insert" in ks) and n_rowdml > 0)
-                    or n_rowdml > 1
+                    or (not managed and n_rowdml > 0)
+                    or (
+                        pcols
+                        and (
+                            (("insert" in ks) and n_rowdml > 0)
+                            or n_rowdml > 1
+                        )
+                    )
                 ):
                     bk = self._name(t, "__txn_backup")
                     _rm_table(self.spark, bk)
@@ -536,7 +551,13 @@ def _insert_returning(
     post-image (cast to table column types, unlisted columns NULL)
     WITHOUT re-scanning the target (a 100 TB table re-select for a
     3-row insert is the wrong plan; the reference's templates insert
-    by explicit keys, so the source rows ARE the inserted rows)."""
+    by explicit keys, so the source rows ARE the inserted rows). The
+    caller evaluates this BEFORE executing the insert (self-
+    referential sources read the pre-image) and materializes it
+    eagerly. Honest limitation: a NONDETERMINISTIC source expression
+    (uuid(), rand()) re-evaluates here, so its returned value differs
+    from the row the insert wrote — explicit-key templates are the
+    supported shape."""
     m = _INSERT_PARTS_RE.match(stmt.strip())
     if not m:
         raise WriteError(
@@ -598,13 +619,19 @@ def apply_write_statement(
                 " with operation.returns-data"
             )
         before = _scalar(spark, f"SELECT count(*) FROM {table}", None)
-        _run(spark, stmt, args)
-        after = _scalar(spark, f"SELECT count(*) FROM {table}", None)
         ret = None
         if returning:
-            ret = _insert_returning(
+            # evaluate + MATERIALIZE the source projection BEFORE the
+            # insert runs: a self-referential source (INSERT INTO t
+            # SELECT * FROM t) would otherwise re-read the post-image,
+            # and a lazy result would re-run the source per collect
+            pre = _insert_returning(
                 spark, stmt, table, returning, args, max_returning_rows
             )
+            rows = pre.collect()
+            ret = spark.createDataFrame(rows, pre.schema)
+        _run(spark, stmt, args)
+        after = _scalar(spark, f"SELECT count(*) FROM {table}", None)
         return WriteResult(
             rows_affected=max(after - before, 0), returned_data=ret
         )
@@ -763,10 +790,14 @@ def apply_write_statement(
                 f" OR ({nullp}))"
             )
             # fully-deleted partitions, computed BEFORE the swap; the
-            # collect is bounded by partition COUNT (metadata-scale)
+            # collect is bounded by partition COUNT (metadata-scale).
+            # WHERE {scope} prunes the aggregate to touched partitions
+            # — zero-match partitions can never satisfy the HAVING, so
+            # scanning them would be a pointless extra full-table pass
             gone = _run(
                 spark,
-                f"SELECT {plist} FROM {table} GROUP BY {plist}"
+                f"SELECT {plist} FROM {table} WHERE {scope}"
+                f" GROUP BY {plist}"
                 f" HAVING count(*) ="
                 f" sum(CASE WHEN ({cond}) THEN 1 ELSE 0 END)",
                 args,

@@ -1041,3 +1041,75 @@ def test_rollback_safe_when_stage_creation_fails(spark):
         assert rows == {1: "a"}  # live table intact
     finally:
         spark.sql("DROP TABLE IF EXISTS txn_stagefail")
+
+
+def test_rollback_insert_overwrite_unpartitioned(spark):
+    """Review finding (round 5): INSERT OVERWRITE destroys old files
+    natively, so a transaction must take a full pre-image backup even
+    for unpartitioned targets — rollback restores the BEGIN rows, not
+    an empty table."""
+    from flapi_spark.writes import _rm_table, execute_write_statements
+
+    _rm_table(spark, "txn_ovr")
+    spark.sql("CREATE TABLE txn_ovr (id BIGINT, v STRING) USING parquet")
+    try:
+        spark.sql("INSERT INTO txn_ovr VALUES (1,'a'),(2,'b')")
+        with pytest.raises(Exception):
+            execute_write_statements(
+                spark,
+                [
+                    "INSERT OVERWRITE txn_ovr VALUES (9,'z')",
+                    "INSERT INTO txn_ovr SELECT * FROM no_such_table",
+                ],
+                transaction=True,
+            )
+        rows = {x.id: x.v for x in spark.table("txn_ovr").collect()}
+        assert rows == {1: "a", 2: "b"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS txn_ovr")
+
+
+def test_rollback_external_table_update(spark, tmp_path):
+    """Review finding (round 5): external targets take the INSERT
+    OVERWRITE swap (no rename-preserve possible), so a transaction
+    must full-backup them — rollback restores the BEGIN rows."""
+    from flapi_spark.writes import _rm_table, execute_write_statements
+
+    loc = tmp_path / "ext_data"
+    _rm_table(spark, "txn_ext")
+    spark.sql(
+        f"CREATE TABLE txn_ext (id BIGINT, v STRING) USING parquet"
+        f" LOCATION '{loc}'"
+    )
+    try:
+        spark.sql("INSERT INTO txn_ext VALUES (1,'a'),(2,'b')")
+        with pytest.raises(Exception):
+            execute_write_statements(
+                spark,
+                [
+                    "UPDATE txn_ext SET v = 'zz' WHERE id = 1",
+                    "INSERT INTO txn_ext SELECT * FROM no_such_table",
+                ],
+                transaction=True,
+            )
+        rows = {x.id: x.v for x in spark.table("txn_ext").collect()}
+        assert rows == {1: "a", 2: "b"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS txn_ext")
+
+
+def test_insert_returning_self_referential_reads_pre_image(
+    spark, customers_table
+):
+    """Review finding (round 5): INSERT INTO t SELECT * FROM t
+    RETURNING must return the 3 pre-image rows being inserted, not the
+    6-row post-image."""
+    r = apply_write_statement(
+        spark,
+        "INSERT INTO wcustomers SELECT * FROM wcustomers"
+        " RETURNING customer_id",
+    )
+    assert r.rows_affected == 3
+    got = sorted(x.customer_id for x in r.returned_data.collect())
+    assert got == [1, 2, 3]
+    assert spark.table("wcustomers").count() == 6
