@@ -236,6 +236,11 @@ class EndpointConfig:
     # (flapi_spark/dialect.py) — migrated reference templates run
     # unchanged; default empty = template is already Spark SQL
     template_dialect: str = ""
+    # columns whose string values are JSON documents to embed as
+    # nested objects in responses (reference issue #38: DuckDB's JSON
+    # logical-type alias — no Spark analogue, so the endpoint declares
+    # them)
+    json_columns: list[str] = field(default_factory=list)
     method: str = "GET"
     operation: OperationConfig = field(default_factory=OperationConfig)
     base_dir: Path | None = None
@@ -265,6 +270,9 @@ class EndpointConfig:
             description=d.get("description", ""),
             template_dialect=d.get(
                 "template-dialect", d.get("template_dialect", "")
+            ),
+            json_columns=list(
+                d.get("json-columns", d.get("json_columns", [])) or []
             ),
             method=str(d.get("method", "GET")).upper(),
             operation=_operation_with_method_default(d),

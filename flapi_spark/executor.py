@@ -39,6 +39,9 @@ class QueryResult:
     # the reference's X-RateLimit-* triple when the endpoint has a
     # rate-limit block (flapi_spark/ratelimit.py), else None
     rate_status: "RateLimitStatus | None" = None
+    # endpoint-declared JSON-document columns, threaded to the JSON
+    # serializer (results.to_json_rows — reference issue #38)
+    json_columns: list[str] = field(default_factory=list)
 
 
 def paginate_sql(inner_sql: str, order_by: str | None, limit: int, offset: int) -> str:
@@ -312,7 +315,9 @@ class QueryExecutor:
         if self.plan_guard:
             assert_plan_safe(df, endpoint.url_path)
 
-        result = QueryResult(df=df)
+        result = QueryResult(
+            df=df, json_columns=list(endpoint.json_columns)
+        )
         if endpoint.with_pagination:
             result.total_count = df.count()
             result.offset, result.limit = offset, limit

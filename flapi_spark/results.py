@@ -64,17 +64,72 @@ def _record(registry, fmt: str, n_bytes: int, n_rows: int, dur_s: float) -> None
     registry.observe("serialize_duration_seconds", dur_s, labels)
 
 
-def to_json_rows(df: DataFrame, max_rows: int | None = None) -> list[dict[str, Any]]:
+def _blob_str(raw: bytes) -> str:
+    """The reference's BLOB rendering (query_executor.cpp
+    convertVectorBlobToJson, matching DuckDB's own blob string form):
+    printable ASCII bytes as-is, everything else as \\xNN — arbitrary
+    binary can't travel through the plain-string path (invalid UTF-8 /
+    invalid JSON)."""
+    out = []
+    for b in raw:
+        if 32 <= b <= 126 and b != 0x5C:  # printable, not backslash
+            out.append(chr(b))
+        else:
+            out.append(f"\\x{b:02X}")
+    return "".join(out)
+
+
+def to_json_rows(
+    df: DataFrame,
+    max_rows: int | None = None,
+    json_columns: list[str] | None = None,
+) -> list[dict[str, Any]]:
     """Row dicts with JSON-safe values (JVM-side serialization via
-    Dataset.toJSON — no Python per-row conversion)."""
-    return [json.loads(s) for s in _bounded(df, max_rows).toJSON().collect()]
+    Dataset.toJSON — no Python per-row conversion of ordinary
+    columns). Two reference serialization rules apply on top
+    (query_executor.cpp convertVectorEntryToJson):
+
+    - `json_columns` (DuckDB's JSON logical-type alias has no Spark
+      analogue, so the endpoint DECLARES them — `json-columns:` in the
+      YAML): string values parse into NESTED objects (issue #38);
+      malformed JSON degrades to the raw string, never a dropped row.
+    - BinaryType columns render in DuckDB's blob string form
+      (printable bytes as-is, others \\xNN) instead of Spark's
+      base64 — matching CAST(blob AS VARCHAR) on the reference.
+    """
+    rows = [json.loads(s) for s in _bounded(df, max_rows).toJSON().collect()]
+    jset = {c for c in (json_columns or ())}
+    from pyspark.sql.types import BinaryType
+
+    bin_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)
+    ]
+    if jset or bin_cols:
+        import base64
+
+        for r in rows:
+            for c in jset:
+                v = r.get(c)
+                if isinstance(v, str):
+                    try:
+                        r[c] = json.loads(v)
+                    except ValueError:
+                        pass  # malformed: stays a queryable string
+            for c in bin_cols:
+                v = r.get(c)
+                if isinstance(v, str):
+                    r[c] = _blob_str(base64.b64decode(v))
+    return rows
 
 
 def to_json_bytes(
-    df: DataFrame, max_rows: int | None = None, registry=None
+    df: DataFrame,
+    max_rows: int | None = None,
+    registry=None,
+    json_columns: list[str] | None = None,
 ) -> bytes:
     t0 = time.monotonic()
-    rows = to_json_rows(df, max_rows)
+    rows = to_json_rows(df, max_rows, json_columns=json_columns)
     out = json.dumps(rows).encode()
     _record(registry, "json", len(out), len(rows), time.monotonic() - t0)
     return out

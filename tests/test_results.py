@@ -245,3 +245,79 @@ class TestFormatNegotiation:
             df, "application/json", format_override="csv"
         )
         assert ctype2 == "text/csv" and body2.startswith(b"id")
+
+
+class TestJsonColumnEmbedding:
+    """Reference issue #38 (test_json_column.tavern.yaml): a column
+    carrying JSON documents must serialize as a NESTED object, not a
+    JSON-escaped string; malformed JSON degrades to the raw string.
+    DuckDB detects its JSON logical-type alias; Spark has no analogue,
+    so the endpoint declares `json-columns`."""
+
+    def test_declared_json_column_embeds_nested(self, spark):
+        from flapi_spark.results import to_json_rows
+
+        df = spark.createDataFrame(
+            [(1, '{"a": 1, "b": [10, 20], "c": {"nested": true}}')],
+            "id long, payload string",
+        )
+        rows = to_json_rows(df, json_columns=["payload"])
+        assert rows == [
+            {"id": 1,
+             "payload": {"a": 1, "b": [10, 20], "c": {"nested": True}}}
+        ]
+
+    def test_undeclared_column_stays_string(self, spark):
+        from flapi_spark.results import to_json_rows
+
+        df = spark.createDataFrame(
+            [(1, '{"a": 1}')], "id long, payload string"
+        )
+        rows = to_json_rows(df)
+        assert rows == [{"id": 1, "payload": '{"a": 1}'}]
+
+    def test_malformed_json_degrades_to_raw_string(self, spark):
+        from flapi_spark.results import to_json_rows
+
+        df = spark.createDataFrame(
+            [(1, "{not json"), (2, '{"ok": 2}')],
+            "id long, payload string",
+        )
+        rows = sorted(
+            to_json_rows(df, json_columns=["payload"]),
+            key=lambda r: r["id"],
+        )
+        assert rows[0]["payload"] == "{not json"
+        assert rows[1]["payload"] == {"ok": 2}
+
+    def test_endpoint_json_columns_threaded_through_executor(self, spark):
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.results import to_json_rows
+
+        ep = EndpointConfig.from_dict({
+            "url-path": "/json-demo",
+            "template-text": (
+                "SELECT 1 AS id,"
+                " '{\"a\": 1, \"b\": [10, 20]}' AS payload"
+            ),
+            "json-columns": ["payload"],
+            "with-pagination": False,
+        })
+        ex = QueryExecutor(spark, None)
+        res = ex.execute(ep, {})
+        assert res.json_columns == ["payload"]
+        rows = to_json_rows(res.df, json_columns=res.json_columns)
+        assert rows[0]["payload"] == {"a": 1, "b": [10, 20]}
+
+
+def test_binary_columns_render_duckdb_blob_form(spark):
+    """query_executor.cpp convertVectorBlobToJson: printable bytes
+    as-is, others \\xNN — never base64, never raw invalid UTF-8."""
+    from flapi_spark.results import to_json_rows
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc\x00\xff"))], "id long, blob binary"
+    )
+    rows = to_json_rows(df)
+    assert rows == [{"id": 1, "blob": "abc\\x00\\xFF"}]
