@@ -261,3 +261,35 @@ class ConfigService:
         import os
 
         return dict(self.env if self.env is not None else os.environ)
+
+    # --- cache audit (reference: config_service.cpp AuditLogHandler,
+    #     routes /api/v1/_config/cache/audit and
+    #     /_config/endpoints/<slug>/cache/audit;
+    #     test_ducklake_scheduler.py vectors) --------------------------------
+
+    def attach_cache_manager(self, cache_manager) -> None:
+        """Wire the CacheManager whose sync_events log backs the audit
+        surface (the reference reads the DuckLake catalog's audit
+        table; the repo's analogue is the manager's JSONL log)."""
+        self._cache_manager = cache_manager
+
+    def cache_audit(
+        self, slug: str | None = None, token: str | None = None
+    ) -> list[dict]:
+        """All cache audit entries, newest first — or one endpoint's
+        when `slug` names it. Mirrors the reference's failure modes:
+        unknown endpoint raises KeyError (404), an endpoint without
+        caching raises ValueError (400), no cache manager wired raises
+        ValueError (the DuckLake-disabled 400)."""
+        self._check(token)
+        mgr = getattr(self, "_cache_manager", None)
+        if mgr is None:
+            raise ValueError("cache audit: no cache manager attached")
+        events = list(reversed(mgr.sync_events()))
+        if slug is None:
+            return events
+        ep, _path, _mtime = self._by_slug(slug)
+        if not ep.cache.enabled:
+            raise ValueError("cache not enabled for this endpoint")
+        table = ep.cache.table
+        return [e for e in events if e.get("table") == table]

@@ -154,3 +154,42 @@ def test_config_service_token_env_fallback(tmp_path):
     # no env, no token -> open (reference empty-token path)
     svc3 = ConfigService(tmp_path / "c", env={})
     assert svc3.list_endpoints() == []
+
+
+def test_cache_audit_surface(tmp_path, spark):
+    """Reference AuditLogHandler (config_service.cpp:690-737,
+    test_ducklake_scheduler.py): all-endpoints audit list, per-endpoint
+    filter, 400 for cache-disabled endpoints, 404 for unknown slugs,
+    DuckLake-disabled analogue when no manager is wired."""
+    import pytest as _pytest
+
+    from flapi_spark.cache import CacheConfig, CacheManager
+    from flapi_spark.config_service import ConfigService, EndpointNotFound
+
+    cfgdir = tmp_path / "eps"
+    cfgdir.mkdir()
+    (cfgdir / "cached.yaml").write_text(
+        "url-path: /cached\ntemplate-text: SELECT * FROM {{cache.table}}\n"
+        "cache:\n  enabled: true\n  table: audit_t\n"
+    )
+    (cfgdir / "plain.yaml").write_text(
+        "url-path: /plain\ntemplate-text: SELECT 1 AS one\n"
+    )
+    svc = ConfigService(cfgdir, env={})
+    with _pytest.raises(ValueError, match="no cache manager"):
+        svc.cache_audit()
+
+    mgr = CacheManager(spark, root=tmp_path / "cache_root")
+    svc.attach_cache_manager(mgr)
+    ep = svc.get_endpoint("cached")
+    assert ep.cache.enabled
+    c = CacheConfig(enabled=True, table="audit_t", schema="flapi_cache")
+    mgr.full_refresh(c, spark.createDataFrame([(1,)], "x int"))
+    events = svc.cache_audit()
+    assert events and events[0]["table"] == "audit_t"
+    per = svc.cache_audit("cached")
+    assert per and all(e["table"] == "audit_t" for e in per)
+    with _pytest.raises(ValueError, match="not enabled"):
+        svc.cache_audit("plain")
+    with _pytest.raises(EndpointNotFound):
+        svc.cache_audit("nope")
