@@ -635,3 +635,190 @@ def build_initialize_result(
     if instructions:
         result["instructions"] = instructions
     return result
+
+
+# --- JSON-RPC request validation ----------------------------------------
+# (reference: mcp_request_validator.cpp + mcp_constants.hpp)
+
+JSONRPC_VERSION = "2.0"
+PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+INTERNAL_ERROR = -32603
+
+MCP_METHODS = (
+    "initialize", "tools/list", "tools/call",
+    "resources/list", "resources/read",
+)
+_METHOD_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_./]*$")
+# the validator's accepted initialize protocol versions — deliberately
+# the reference's own (narrower) set, mcp_request_validator.cpp:106;
+# session NEGOTIATION (negotiate_protocol_version) handles the wider
+# set after validation passes
+_VALIDATOR_PROTOCOL_VERSIONS = ("2024-11-05", "2024-01-01")
+
+
+def validate_jsonrpc_request(request: dict) -> list[str]:
+    """Validation errors for an MCP JSON-RPC request, empty when valid
+    (reference: mcp_request_validator.cpp validateJsonRpcRequest —
+    version check, method-name pattern, then method-specific param
+    rules; first failure short-circuits like the reference)."""
+    if request.get("jsonrpc") != JSONRPC_VERSION:
+        return [f"Invalid JSON-RPC version: {request.get('jsonrpc', '')}"]
+    method = request.get("method") or ""
+    if not _METHOD_NAME_RE.match(method):
+        return [f"Invalid method name: {method}"]
+    return validate_params_for_method(method, request.get("params"))
+
+
+def validate_method_exists(method: str) -> list[str]:
+    if method not in MCP_METHODS:
+        return [f"Method not found: {method}"]
+    return []
+
+
+def validate_params_for_method(method: str, params) -> list[str]:
+    if method == "initialize":
+        if not isinstance(params, dict):
+            return ["Initialize params must be an object"]
+        version = params.get("protocolVersion")
+        if isinstance(version, str) and version not in \
+                _VALIDATOR_PROTOCOL_VERSIONS:
+            return [f"Unsupported protocol version: {version}"]
+        return []
+    if method == "tools/call":
+        if not isinstance(params, dict):
+            return ["Tools call params must be an object"]
+        if "name" not in params:
+            return ["Tools call params must include 'name' field"]
+        if not isinstance(params["name"], str):
+            return ["Tool name must be a string"]
+        return []
+    if method == "resources/read":
+        if not isinstance(params, dict):
+            return ["Resources read params must be an object"]
+        if "uri" not in params:
+            return ["Resources read params must include 'uri' field"]
+        if not isinstance(params["uri"], str):
+            return ["Resource URI must be a string"]
+        return []
+    return []  # other methods carry no param rules (reference parity)
+
+
+def validate_accept_header(accept_header: str) -> bool:
+    """Streamable-HTTP transport requires BOTH application/json and
+    text/event-stream in Accept (mcp_request_validator.cpp:67-77)."""
+    if not accept_header:
+        return False
+    return (
+        "application/json" in accept_header
+        and "text/event-stream" in accept_header
+    )
+
+
+def validate_content_type(content_type: str) -> bool:
+    return content_type == "application/json"
+
+
+def jsonrpc_error(
+    id_value, code: int, message: str, data=None
+) -> dict:
+    """JSON-RPC error object (reference: mcp_error_builder.cpp
+    createJsonRpcError): empty/None id → JSON null; a numeric-looking
+    string id is coerced to a number (the reference std::stod's it);
+    `data` attaches only when provided."""
+    err: dict = {"code": code, "message": message}
+    if data is not None:
+        err["data"] = data
+    if id_value in (None, ""):
+        rid = None
+    elif isinstance(id_value, str) and id_value and all(
+        c in "0123456789.-" for c in id_value
+    ):
+        try:
+            f = float(id_value)
+            rid = int(f) if f.is_integer() else f
+        except ValueError:
+            rid = id_value
+    else:
+        rid = id_value
+    return {"jsonrpc": JSONRPC_VERSION, "id": rid, "error": err}
+
+
+# --- content blocks ------------------------------------------------------
+# (reference: mcp_content_types.cpp ContentBuilder / ContentResponse)
+
+_MIME_BY_EXT = {
+    "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+    "gif": "image/gif", "webp": "image/webp", "svg": "image/svg+xml",
+    "bmp": "image/bmp",
+    "wav": "audio/wav", "mp3": "audio/mpeg", "ogg": "audio/ogg",
+    "oga": "audio/ogg", "m4a": "audio/mp4", "aac": "audio/aac",
+    "flac": "audio/flac",
+    "mp4": "video/mp4", "webm": "video/webm", "mov": "video/quicktime",
+    "avi": "video/x-msvideo",
+    "pdf": "application/pdf", "json": "application/json",
+    "xml": "application/xml", "csv": "text/csv", "txt": "text/plain",
+    "html": "text/html", "htm": "text/html",
+}
+
+
+def detect_mime_type(filename: str) -> str:
+    """Extension → MIME (reference mcp_content_types.cpp:70-112 table,
+    unknown/missing extension → application/octet-stream)."""
+    if "." not in filename:
+        return "application/octet-stream"
+    ext = filename.rsplit(".", 1)[1].lower()
+    return _MIME_BY_EXT.get(ext, "application/octet-stream")
+
+
+def text_content(text: str, mime_type: str | None = None) -> dict:
+    out = {"type": "text", "text": text}
+    if mime_type is not None:
+        out["mimeType"] = mime_type
+    return out
+
+
+def image_content(base64_data: str, mime_type: str) -> dict:
+    return {"type": "image", "data": base64_data, "mimeType": mime_type}
+
+
+def audio_content(base64_data: str, mime_type: str) -> dict:
+    return {"type": "audio", "data": base64_data, "mimeType": mime_type}
+
+
+def resource_content(
+    uri: str, mime_type: str, text: str | None = None
+) -> dict:
+    res = {"uri": uri, "mimeType": mime_type}
+    if text is not None:
+        res["text"] = text
+    return {"type": "resource", "resource": res}
+
+
+def embedded_file_content(uri: str, mime_type: str, content: str) -> dict:
+    return {
+        "type": "resource",
+        "resource": {"uri": uri, "mimeType": mime_type, "text": content},
+    }
+
+
+class ContentResponse:
+    """Accumulates content blocks into the {"content": [...]} response
+    shape tools/resources return (mcp_content_types.cpp:225-249)."""
+
+    def __init__(self):
+        self._blocks: list[dict] = []
+
+    def add_content(self, block: dict) -> None:
+        self._blocks.append(block)
+
+    def add_text(self, text: str) -> None:
+        self.add_content(text_content(text))
+
+    def add_image(self, base64_data: str, mime_type: str) -> None:
+        self.add_content(image_content(base64_data, mime_type))
+
+    def to_json(self) -> dict:
+        return {"content": list(self._blocks)}

@@ -366,3 +366,123 @@ class TestMcpClientCapabilities:
             caps = detect_client_capabilities(bad)
             assert caps.supports_sampling is False
             assert caps.supported_protocols == []
+
+
+class TestMcpRequestValidator:
+    """Vectors from mcp_request_validator.cpp /
+    mcp_request_validator_test.cpp."""
+
+    def test_valid_requests(self):
+        from flapi_spark.mcp import validate_jsonrpc_request as v
+
+        assert v({"jsonrpc": "2.0", "method": "initialize",
+                  "params": {"protocolVersion": "2024-11-05"}}) == []
+        assert v({"jsonrpc": "2.0", "method": "tools/call",
+                  "params": {"name": "t"}}) == []
+        assert v({"jsonrpc": "2.0", "method": "resources/read",
+                  "params": {"uri": "flapi://x"}}) == []
+        assert v({"jsonrpc": "2.0", "method": "tools/list",
+                  "params": None}) == []
+
+    def test_bad_version_and_method_name(self):
+        from flapi_spark.mcp import validate_jsonrpc_request as v
+
+        assert v({"jsonrpc": "1.0", "method": "tools/list"}) == \
+            ["Invalid JSON-RPC version: 1.0"]
+        assert v({"jsonrpc": "2.0", "method": "9bad"}) == \
+            ["Invalid method name: 9bad"]
+        assert v({"jsonrpc": "2.0", "method": ""}) == \
+            ["Invalid method name: "]
+
+    def test_method_specific_params(self):
+        from flapi_spark.mcp import validate_jsonrpc_request as v
+
+        assert v({"jsonrpc": "2.0", "method": "tools/call",
+                  "params": {}}) == \
+            ["Tools call params must include 'name' field"]
+        assert v({"jsonrpc": "2.0", "method": "tools/call",
+                  "params": {"name": 7}}) == ["Tool name must be a string"]
+        assert v({"jsonrpc": "2.0", "method": "resources/read",
+                  "params": []}) == \
+            ["Resources read params must be an object"]
+        assert v({"jsonrpc": "2.0", "method": "initialize",
+                  "params": {"protocolVersion": "1999-01-01"}}) == \
+            ["Unsupported protocol version: 1999-01-01"]
+
+    def test_method_exists(self):
+        from flapi_spark.mcp import validate_method_exists
+
+        assert validate_method_exists("tools/list") == []
+        assert validate_method_exists("nope") == ["Method not found: nope"]
+
+    def test_transport_headers(self):
+        from flapi_spark.mcp import (
+            validate_accept_header, validate_content_type,
+        )
+
+        assert validate_accept_header(
+            "application/json, text/event-stream"
+        )
+        assert not validate_accept_header("application/json")
+        assert not validate_accept_header("")
+        assert validate_content_type("application/json")
+        assert not validate_content_type("text/plain")
+
+
+class TestMcpErrorBuilder:
+    def test_numeric_string_id_coerced(self):
+        from flapi_spark.mcp import METHOD_NOT_FOUND, jsonrpc_error
+
+        e = jsonrpc_error("42", METHOD_NOT_FOUND, "Method not found")
+        assert e == {"jsonrpc": "2.0", "id": 42,
+                     "error": {"code": -32601,
+                               "message": "Method not found"}}
+
+    def test_empty_id_is_null_and_data_attaches(self):
+        from flapi_spark.mcp import INVALID_PARAMS, jsonrpc_error
+
+        e = jsonrpc_error("", INVALID_PARAMS, "bad", data={"hint": "x"})
+        assert e["id"] is None
+        assert e["error"]["data"] == {"hint": "x"}
+
+    def test_non_numeric_string_id_stays_string(self):
+        from flapi_spark.mcp import INTERNAL_ERROR, jsonrpc_error
+
+        assert jsonrpc_error("abc-1", INTERNAL_ERROR, "x")["id"] == "abc-1"
+
+
+class TestMcpContentTypes:
+    def test_block_shapes(self):
+        from flapi_spark import mcp as M
+
+        assert M.text_content("hi") == {"type": "text", "text": "hi"}
+        assert M.text_content("h", "text/html")["mimeType"] == "text/html"
+        assert M.image_content("QUJD", "image/png") == {
+            "type": "image", "data": "QUJD", "mimeType": "image/png"}
+        r = M.resource_content("flapi://r", "text/csv")
+        assert r == {"type": "resource",
+                     "resource": {"uri": "flapi://r",
+                                  "mimeType": "text/csv"}}
+        e = M.embedded_file_content("flapi://f", "text/plain", "body")
+        assert e["resource"]["text"] == "body"
+
+    def test_mime_detection_table(self):
+        from flapi_spark.mcp import detect_mime_type as d
+
+        assert d("x.png") == "image/png"
+        assert d("X.JPEG") == "image/jpeg"
+        assert d("a.mp3") == "audio/mpeg"
+        assert d("v.mov") == "video/quicktime"
+        assert d("doc.pdf") == "application/pdf"
+        assert d("page.htm") == "text/html"
+        assert d("unknown.zzz") == "application/octet-stream"
+        assert d("noext") == "application/octet-stream"
+
+    def test_content_response_accumulates(self):
+        from flapi_spark.mcp import ContentResponse
+
+        r = ContentResponse()
+        r.add_text("hello")
+        r.add_image("QUJD", "image/png")
+        out = r.to_json()
+        assert [b["type"] for b in out["content"]] == ["text", "image"]
