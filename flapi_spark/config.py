@@ -241,6 +241,13 @@ class EndpointConfig:
     # logical-type alias — no Spark analogue, so the endpoint declares
     # them)
     json_columns: list[str] = field(default_factory=list)
+    # MCP surface blocks (reference endpoint_config_parser.cpp:76-78,
+    # 163-166: an endpoint may be a REST route, an MCP tool/resource/
+    # prompt, or BOTH — the repository registers each surface
+    # independently)
+    mcp_tool: dict | None = None
+    mcp_resource: dict | None = None
+    mcp_prompt: dict | None = None
     method: str = "GET"
     operation: OperationConfig = field(default_factory=OperationConfig)
     base_dir: Path | None = None
@@ -274,6 +281,9 @@ class EndpointConfig:
             json_columns=list(
                 d.get("json-columns", d.get("json_columns", [])) or []
             ),
+            mcp_tool=d.get("mcp-tool", d.get("mcp_tool")),
+            mcp_resource=d.get("mcp-resource", d.get("mcp_resource")),
+            mcp_prompt=d.get("mcp-prompt", d.get("mcp_prompt")),
             method=str(d.get("method", "GET")).upper(),
             operation=_operation_with_method_default(d),
             base_dir=base_dir,

@@ -191,3 +191,103 @@ class TestEnvOverrides:
             msg = str(e)
         assert "invalid FLAPI_PORT 'not-a-port'" in msg
         assert "1..65535" in msg
+
+
+class TestEndpointRepository:
+    """Vectors from reference test/cpp/test_endpoint_repository.cpp."""
+
+    def _rest(self, path, method="GET", template="test.sql"):
+        from flapi_spark.config import EndpointConfig
+
+        return EndpointConfig.from_dict({
+            "url-path": path, "method": method,
+            "template-source": template,
+        })
+
+    def _tool(self, name):
+        from flapi_spark.config import EndpointConfig
+
+        return EndpointConfig.from_dict({
+            "template-source": "test.sql",
+            "mcp-tool": {"name": name, "description": "Test tool"},
+        })
+
+    def _dual(self, path, name, method="POST"):
+        from flapi_spark.config import EndpointConfig
+
+        return EndpointConfig.from_dict({
+            "url-path": path, "method": method,
+            "template-source": "test.sql",
+            "mcp-tool": {"name": name, "description": "d"},
+        })
+
+    def test_counts_and_clear(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        assert repo.count() == 0
+        repo.add_endpoint(self._rest("/customers", "GET"))
+        repo.add_endpoint(self._rest("/customers", "POST"))
+        repo.add_endpoint(self._rest("/orders", "GET"))
+        repo.add_endpoint(self._tool("customer_lookup"))
+        assert repo.count() == 4
+        assert repo.count_rest_endpoints() == 3
+        assert repo.count_mcp_endpoints() == 1
+        repo.clear()
+        assert repo.count() == 0
+
+    def test_methods_are_separate_endpoints(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        repo.add_endpoint(self._rest("/customers", "GET"))
+        repo.add_endpoint(self._rest("/customers", "POST"))
+        assert repo.has_rest_endpoint("/customers", "GET")
+        assert repo.has_rest_endpoint("/customers", "POST")
+        assert not repo.has_rest_endpoint("/customers", "DELETE")
+
+    def test_replace_same_path_method(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        repo.add_endpoint(self._rest("/customers", "GET", "customers.sql"))
+        repo.add_endpoint(self._rest("/customers", "GET", "customers_v2.sql"))
+        assert repo.count_rest_endpoints() == 1
+        got = repo.get_endpoint_by_rest_path("/customers", "GET")
+        assert got.template_source == "customers_v2.sql"
+
+    def test_remove_semantics(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        repo.add_endpoint(self._rest("/customers", "GET"))
+        repo.add_endpoint(self._rest("/orders", "GET"))
+        assert repo.remove_rest_endpoint("/customers", "GET")
+        assert not repo.remove_rest_endpoint("/nonexistent", "GET")
+        assert repo.count_rest_endpoints() == 1
+        assert repo.has_rest_endpoint("/orders", "GET")
+
+    def test_dual_endpoint_counts_once_removes_independently(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        repo.add_endpoint(self._dual("/customers", "create_customer"))
+        assert repo.count() == 1
+        assert repo.count_rest_endpoints() == 1
+        assert repo.count_mcp_endpoints() == 1
+        assert repo.get_endpoint_by_rest_path("/customers", "POST") is \
+            repo.get_endpoint_by_mcp_name("create_customer")
+        assert repo.remove_rest_endpoint("/customers", "POST")
+        assert repo.count_rest_endpoints() == 0
+        assert repo.has_mcp_endpoint("create_customer")
+
+    def test_get_all_and_find(self):
+        from flapi_spark.routes import EndpointRepository
+
+        repo = EndpointRepository()
+        repo.add_endpoint(self._dual("/customers", "create_customer"))
+        repo.add_endpoint(self._rest("/orders", "GET"))
+        eps = repo.get_all_endpoints()
+        assert len(eps) == 2  # the dual endpoint appears once
+        posts = repo.find_endpoints(lambda e: e.method == "POST")
+        assert len(posts) == 1
