@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import json
 import time
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -148,25 +149,59 @@ def to_csv_bytes(
     return out
 
 
+@dataclass
+class ArrowSerializerConfig:
+    """reference: ArrowSerializerConfig (test_arrow_configuration.cpp
+    defaults: batch 8192, no codec, level 0, 256 MB memory cap)."""
+
+    batch_size: int = 8192
+    codec: str = ""
+    compression_level: int = 0
+    max_memory_bytes: int = 256 * 1024 * 1024
+
+
+class ArrowMemoryLimitError(MemoryError):
+    pass
+
+
 def to_arrow_ipc(
     df: DataFrame,
     compression: str | None = None,
     max_rows: int | None = None,
     registry=None,
+    config: ArrowSerializerConfig | None = None,
 ) -> bytes:
     """Arrow IPC stream bytes. `compression` may be 'zstd' or 'lz4'
-    (reference: test_arrow_compression.cpp negotiates codecs)."""
+    (reference: test_arrow_compression.cpp negotiates codecs); or pass
+    an ArrowSerializerConfig for the full reference surface —
+    batch-sized record batches, codec + compression level, and the
+    max-memory guard (a result whose Arrow buffers exceed the cap
+    fails with a memory error instead of ballooning the driver,
+    test_arrow_configuration.cpp 'Custom max memory is enforced')."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
     t0 = time.monotonic()
     table = _bounded(df, max_rows).toArrow()
+    cfg = config or ArrowSerializerConfig(codec=compression or "")
+    if compression and config is None:
+        cfg.codec = compression
+    if table.nbytes > cfg.max_memory_bytes:
+        raise ArrowMemoryLimitError(
+            f"arrow serialization exceeds the memory limit:"
+            f" {table.nbytes} > {cfg.max_memory_bytes} bytes"
+        )
+    if cfg.codec and cfg.compression_level:
+        codec = pa.Codec(cfg.codec, compression_level=cfg.compression_level)
+    else:
+        codec = cfg.codec or None
     sink = pa.BufferOutputStream()
-    options = ipc.IpcWriteOptions(compression=compression)
+    options = ipc.IpcWriteOptions(compression=codec)
     with ipc.new_stream(sink, table.schema, options=options) as w:
-        w.write_table(table)
+        for batch in table.to_batches(max_chunksize=cfg.batch_size):
+            w.write_batch(batch)
     out = sink.getvalue().to_pybytes()
-    fmt = "arrow" if compression is None else f"arrow+{compression}"
+    fmt = "arrow" if not cfg.codec else f"arrow+{cfg.codec}"
     _record(registry, fmt, len(out), table.num_rows, time.monotonic() - t0)
     return out
 

@@ -321,3 +321,64 @@ def test_binary_columns_render_duckdb_blob_form(spark):
     )
     rows = to_json_rows(df)
     assert rows == [{"id": 1, "blob": "abc\\x00\\xFF"}]
+
+
+class TestArrowSerializerConfig:
+    """Vectors from reference test_arrow_configuration.cpp."""
+
+    def test_defaults(self):
+        from flapi_spark.results import ArrowSerializerConfig
+
+        c = ArrowSerializerConfig()
+        assert c.batch_size == 8192
+        assert c.codec == ""
+        assert c.compression_level == 0
+        assert c.max_memory_bytes == 256 * 1024 * 1024
+
+    def test_zstd_magic_and_roundtrip(self, spark):
+        from flapi_spark.results import (
+            ArrowSerializerConfig, from_arrow_ipc, to_arrow_ipc,
+        )
+
+        df = spark.range(100).toDF("i")
+        out = to_arrow_ipc(
+            df, config=ArrowSerializerConfig(codec="zstd")
+        )
+        t = from_arrow_ipc(out)
+        assert t.num_rows == 100
+
+    def test_compression_level_applied(self, spark):
+        from flapi_spark.results import ArrowSerializerConfig, to_arrow_ipc
+
+        df = spark.range(5000).selectExpr(
+            "id", "repeat('abc', 40) AS s"
+        )
+        fast = to_arrow_ipc(df, config=ArrowSerializerConfig(
+            codec="zstd", compression_level=1))
+        best = to_arrow_ipc(df, config=ArrowSerializerConfig(
+            codec="zstd", compression_level=9))
+        assert len(best) <= len(fast) * 1.1  # reference tolerance
+
+    def test_memory_limit_enforced(self, spark):
+        import pytest as _pytest
+
+        from flapi_spark.results import (
+            ArrowMemoryLimitError, ArrowSerializerConfig, to_arrow_ipc,
+        )
+
+        df = spark.range(10000).selectExpr("id", "repeat('x', 100) AS s")
+        with _pytest.raises(ArrowMemoryLimitError, match="memory"):
+            to_arrow_ipc(df, config=ArrowSerializerConfig(
+                max_memory_bytes=1024))
+
+    def test_batch_size_respected(self, spark):
+        import pyarrow.ipc as ipc
+
+        from flapi_spark.results import ArrowSerializerConfig, to_arrow_ipc
+
+        df = spark.range(1000).toDF("i")
+        out = to_arrow_ipc(df, config=ArrowSerializerConfig(batch_size=100))
+        with ipc.open_stream(out) as r:
+            batches = [b for b in r]
+        assert all(b.num_rows <= 100 for b in batches)
+        assert sum(b.num_rows for b in batches) == 1000
