@@ -205,13 +205,14 @@ def resolve_runtime_settings(
     if port is None:
         raw = env.get("FLAPI_PORT") or ""
         if raw:
-            try:
-                parsed = int(raw, 10)
-            except ValueError:
-                parsed = None
-            if parsed is None or not (1 <= parsed <= 65535) or (
-                raw.strip() != raw or not raw.lstrip("+-").isdigit()
-            ):
+            import re as _re
+
+            # std::stoi semantics (main.cpp:471-479): optional leading
+            # whitespace + sign + digits consumed to the END of the
+            # string (trailing junk rejected), then the 1..65535 range
+            m = _re.fullmatch(r"\s*([+-]?\d+)", raw)
+            parsed = int(m.group(1)) if m else None
+            if parsed is None or not (1 <= parsed <= 65535):
                 raise SettingsError(
                     f"invalid FLAPI_PORT '{raw}'; must be an integer"
                     " in 1..65535"

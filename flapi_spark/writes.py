@@ -155,7 +155,10 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
                 continue
         cur.append(ch)
         i += 1
-    if cur:
+    if text:
+        # unconditionally: a trailing separator yields a trailing
+        # EMPTY part, keeping the split lossless
+        # (",".join(parts) == text for every input — property-tested)
         parts.append("".join(cur))
     return parts
 

@@ -132,13 +132,20 @@ class TestEnvOverrides:
         assert s["log_level"] == "info"
 
     @pytest.mark.parametrize(
-        "bad", ["abc", "12.5", "0", "65536", "-1", " 8080", "8080 ", "8e3"]
+        "bad", ["abc", "12.5", "0", "65536", "-1", "8080 ", "8e3"]
     )
     def test_invalid_port_rejected(self, bad):
         from flapi_spark.__main__ import SettingsError
 
         with pytest.raises(SettingsError, match="FLAPI_PORT"):
             self._resolve(env={"FLAPI_PORT": bad})
+
+    def test_port_stoi_semantics_accepts_leading_space_and_zeros(self):
+        # std::stoi skips leading whitespace and its consumed count
+        # includes it (main.cpp:471-479), so ' 8080' and '01' are
+        # VALID reference ports; trailing junk is not
+        assert self._resolve(env={"FLAPI_PORT": " 8080"})["port"] == 8080
+        assert self._resolve(env={"FLAPI_PORT": "01"})["port"] == 1
 
     @pytest.mark.parametrize("bad", ["DEBUG", "verbose", "trace", "warn"])
     def test_invalid_log_level_rejected(self, bad):

@@ -1113,3 +1113,78 @@ def test_insert_returning_self_referential_reads_pre_image(
     got = sorted(x.customer_id for x in r.returned_data.collect())
     assert got == [1, 2, 3]
     assert spark.table("wcustomers").count() == 6
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_split_top_level_is_lossless(text):
+        """Re-joining the split parts with the separator reconstructs
+        the input byte-for-byte for ANY text — the splitter only ever
+        removes top-level separators, never content."""
+        from flapi_spark.writes import _split_top_level
+
+        assert ",".join(_split_top_level(text)) == text
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "Z", "P"),
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_strip_returning_finds_appended_clause(body):
+        """For any UPDATE statement whose quotes are balanced (string
+        data built by escaping), appending a real RETURNING clause is
+        always detected and stripped to exactly the original."""
+        from flapi_spark.writes import _strip_returning
+
+        lit = body.replace("'", "''")
+        stmt = f"UPDATE t SET v = '{lit}' WHERE id = 1"
+        out, cols = _strip_returning(stmt + " RETURNING id, v")
+        assert cols == "id, v"
+        assert out.rstrip() == stmt
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_strip_returning_never_raises(stmt):
+        from flapi_spark.writes import _strip_returning
+
+        out, cols = _strip_returning(stmt)
+        assert isinstance(out, str)
+
+    @given(
+        st.text(
+            alphabet="0123456789abcxyz.- +",
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_resolve_port_strict_or_error(raw):
+        """FLAPI_PORT either resolves to its exact in-range integer or
+        raises — never a silent coercion (truncation, stripping,
+        clamping)."""
+        from flapi_spark.__main__ import (
+            SettingsError, resolve_runtime_settings,
+        )
+
+        try:
+            s = resolve_runtime_settings(env={"FLAPI_PORT": raw})
+        except SettingsError:
+            return
+        # stoi semantics: leading whitespace/sign/zeros fine, value
+        # exact, trailing junk rejected (it would have raised)
+        assert s["port"] == int(raw.strip())
+        assert 1 <= s["port"] <= 65535
