@@ -493,3 +493,69 @@ def embedding_pca_power(
     return spark.createDataFrame(
         out, "component long, loading double, eigenvalue double"
     )
+
+
+def embedding_pc_removal_stats(
+    spark: SparkSession, sf_dir: str, iters: int = 5
+) -> DataFrame:
+    """'All-but-the-top' applied (Mu & Thakoor 2018): project the
+    dominant principal component OUT of every embedding and report the
+    per-label norm geometry before/after — mean norm, mean |cos| to
+    the top PC (anisotropy), and the mean norm retained. The QA sheet
+    a pipeline checks before shipping whitened embeddings to ANN /
+    semantic-dedup stages (a high pre-removal |cos| = anisotropic
+    corpus where cosine similarity saturates).
+
+    Composition shape: the PC comes from embedding_pca_power's
+    driver-frozen iteration (d-vector literal), so the removal pass is
+    ONE codegen projection + one groupBy(label) — nothing iterative
+    touches the corpus twice. Exact oracle: the unrolled-CTE PCA chain
+    + the same projection arithmetic, every per-row scalar through the
+    identical positional fold, outputs rounded 6dp."""
+    import math
+
+    pc_rows = embedding_pca_power(spark, sf_dir, iters=iters).collect()
+    v = [r.loading for r in sorted(pc_rows, key=lambda r: r.component)]
+    v_lit = ", ".join(repr(x) for x in v)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
+    )
+    dot = (
+        f"aggregate(zip_with(emb, array({v_lit}),"
+        " (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    sq = (
+        "aggregate(emb, CAST(0 AS DOUBLE), (a, b) -> a + b * b)"
+    )
+    scored = emb.select(
+        "label",
+        F.expr(sq).alias("sq"),
+        F.expr(dot).alias("s"),
+    ).select(
+        "label",
+        F.sqrt("sq").alias("norm"),
+        # removing s·v from x leaves squared norm sq - s² (v unit);
+        # guard tiny negatives from float cancellation
+        F.sqrt(F.greatest(F.col("sq") - F.col("s") * F.col("s"),
+                          F.lit(0.0))).alias("norm_removed"),
+        (F.abs("s") / F.sqrt("sq")).alias("abs_cos"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("norm").alias("sn"),
+            F.sum("norm_removed").alias("snr"),
+            F.sum("abs_cos").alias("sc"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sn") / F.col("n"), 6).alias("mean_norm"),
+            F.round(F.col("snr") / F.col("n"), 6).alias(
+                "mean_norm_removed"
+            ),
+            F.round(F.col("sc") / F.col("n"), 6).alias("mean_abs_cos_pc"),
+            F.round(F.col("snr") / F.col("sn"), 6).alias("norm_retained"),
+        )
+    )

@@ -3935,10 +3935,66 @@ def _pca_power_sql(iters: int = 5, d: int = 64) -> str:
     )
 
 
+def _pc_removal_sql(iters: int = 5, d: int = 64) -> str:
+    """All-but-the-top oracle: the PCA CTE chain, then the 6dp
+    sign-fixed loadings (exactly the vector the Spark operator reads
+    from embedding_pca_power's output) drive one projection pass —
+    norms / removed-norms / |cos| mirrored per label."""
+    v0 = "[" + ", ".join(
+        "1.0" if j == 0 else "0.0" for j in range(d)
+    ) + "]"
+    ctes = ["e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings)"]
+    prev_v = v0
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS (SELECT j,"
+            f" sum(list_dot_product(emb, {prev_v}) * el) AS w"
+            " FROM (SELECT emb, unnest(emb) AS el,"
+            " generate_subscripts(emb, 1) AS j FROM e) GROUP BY j)"
+        )
+        ctes.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})")
+        ctes.append(
+            f"v{t} AS (SELECT list(ROUND(w / nrm, 9) ORDER BY j) AS v"
+            f" FROM w{t}, n{t})"
+        )
+        prev_v = f"(SELECT v FROM v{t})"
+    ctes.append(
+        "vr AS (SELECT list_transform(v, x -> ROUND(x *"
+        " (CASE WHEN v[1] < 0 THEN -1.0 ELSE 1.0 END), 6)) AS v"
+        f" FROM v{iters})"
+    )
+    ctes.append(
+        "e2 AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)"
+    )
+    ctes.append(
+        "scored AS (SELECT label,"
+        " list_sum(list_transform(emb, x -> x * x)) AS sq,"
+        " list_dot_product(emb, (SELECT v FROM vr)) AS s FROM e2)"
+    )
+    ctes.append(
+        "geo AS (SELECT label, sqrt(sq) AS norm,"
+        " sqrt(greatest(sq - s * s, 0.0)) AS norm_removed,"
+        " (abs(s) / sqrt(sq)) AS abs_cos FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT CAST(label AS BIGINT) AS label,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " ROUND(sum(norm) / count(*), 6) AS mean_norm,"
+        " ROUND(sum(norm_removed) / count(*), 6) AS mean_norm_removed,"
+        " ROUND(sum(abs_cos) / count(*), 6) AS mean_abs_cos_pc,"
+        " ROUND(sum(norm_removed) / sum(norm), 6) AS norm_retained"
+        " FROM geo GROUP BY label"
+    )
+
+
 QUERIES.update(
     {
         # -- round 5: sketch / corpus-statistics / asymmetric-dedup
         "embedding_pca_power": (S.embedding_pca_power, _pca_power_sql()),
+        "embedding_pc_removal_stats": (
+            S.embedding_pc_removal_stats, _pc_removal_sql(),
+        ),
         "bloom_token_filter": (T.bloom_token_filter, _bloom_filter_sql()),
         "tokens_zipf_fit": (
             T.tokens_zipf_fit,
@@ -4018,6 +4074,7 @@ _CHECK_FIRST = [
     # (2) new round-5 operators (first driver look)
     "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
     "text_char_entropy", "dedup_containment_pairs", "embedding_pca_power",
+    "embedding_pc_removal_stats",
     # (3) plans changed in round 5 (broadcast hints removed) —
     # re-verify under the new plans
     "part_type_share", "q8_market_share", "q9_profit_by_nation_year",

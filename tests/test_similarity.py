@@ -161,3 +161,18 @@ def test_embedding_pca_power_properties(spark, sf_dir):
     r6 = {x.component: x for x in
           embedding_pca_power(spark, sf_dir, iters=6).collect()}
     assert r6[1].eigenvalue >= r5[1].eigenvalue - 1e-6
+
+
+def test_pc_removal_geometry(spark, sf_dir):
+    """Removing a unit direction can only shrink norms; |cos| to the
+    top PC sits in [0, 1]; the retained share matches the removed/
+    original ratio."""
+    from flapi_spark.operators.similarity import embedding_pc_removal_stats
+
+    rows = embedding_pc_removal_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.mean_norm_removed <= r.mean_norm + 1e-9
+        assert 0.0 <= r.mean_abs_cos_pc <= 1.0
+        assert 0.0 < r.norm_retained <= 1.0 + 1e-9
+        assert r.n > 0
