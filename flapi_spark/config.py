@@ -343,3 +343,143 @@ def load_endpoints_dir(dir_path: str | Path, env: dict | None = None) -> list[En
         if isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc):
             out.append(EndpointConfig.from_dict(_expand_env(doc, env), base_dir=p.parent))
     return out
+
+
+# --- serialization (reference: config_serializer.cpp
+#     serializeEndpointConfigToYaml / deserialize; vectors in
+#     test/cpp/test_config_serializer.cpp) -------------------------------
+
+
+def serialize_endpoint_to_dict(ep: "EndpointConfig") -> dict:
+    """EndpointConfig → the reference-spelled YAML document shape,
+    round-trip-faithful: EndpointConfig.from_dict(serialize(ep))
+    reproduces the config (defaults are omitted so the emitted YAML
+    stays minimal, like the reference serializer)."""
+    d: dict = {}
+    if ep.url_path:
+        d["url-path"] = ep.url_path
+    if ep.method != "GET":
+        d["method"] = ep.method
+    if ep.template_source:
+        d["template-source"] = ep.template_source
+    if ep.template_text is not None:
+        d["template-text"] = ep.template_text
+    if ep.connections:
+        d["connection"] = list(ep.connections)
+    if ep.description:
+        d["description"] = ep.description
+    if not ep.with_pagination:
+        d["with-pagination"] = False
+    if ep.template_dialect:
+        d["template-dialect"] = ep.template_dialect
+    if ep.json_columns:
+        d["json-columns"] = list(ep.json_columns)
+    if ep.allowed_roles:
+        d["allowed-roles"] = list(ep.allowed_roles)
+    if ep.auth:
+        d["auth"] = dict(ep.auth)
+    if ep.rate_limit:
+        d["rate-limit"] = dict(ep.rate_limit)
+    if ep.heartbeat:
+        d["heartbeat"] = dict(ep.heartbeat)
+    for key, block in (("mcp-tool", ep.mcp_tool),
+                       ("mcp-resource", ep.mcp_resource),
+                       ("mcp-prompt", ep.mcp_prompt)):
+        if block is not None:
+            d[key] = dict(block)
+
+    if ep.request_fields:
+        fields = []
+        for f in ep.request_fields:
+            fd: dict = {"field-name": f.field_name}
+            if f.field_in != "query":
+                fd["field-in"] = f.field_in
+            if f.description:
+                fd["description"] = f.description
+            if f.required:
+                fd["required"] = True
+            if f.default is not None:
+                fd["default"] = f.default
+            if f.validators:
+                vs = []
+                for v in f.validators:
+                    vd: dict = {"type": v.type}
+                    if v.min is not None:
+                        vd["min"] = v.min
+                    if v.max is not None:
+                        vd["max"] = v.max
+                    if v.regex:
+                        vd["regex"] = v.regex
+                    if v.allowed_values:
+                        vd["allowedValues"] = list(v.allowed_values)
+                    if v.case_insensitive:
+                        vd["caseInsensitive"] = True
+                    if v.prevent_sql_injection:
+                        vd["preventSqlInjection"] = True
+                    vs.append(vd)
+                fd["validators"] = vs
+            fields.append(fd)
+        d["request"] = fields
+
+    c = ep.cache
+    if c.enabled or c.table:
+        cd: dict = {"enabled": c.enabled, "table": c.table}
+        if c.schema != "main":
+            cd["schema"] = c.schema
+        if c.schedule:
+            cd["schedule"] = c.schedule
+        if c.primary_key:
+            cd["primary-key"] = list(c.primary_key)
+        if c.cursor_column or c.cursor_type:
+            cd["cursor"] = {
+                k: v for k, v in (("column", c.cursor_column),
+                                  ("type", c.cursor_type)) if v
+            }
+        if c.template_file:
+            cd["template-file"] = c.template_file
+        if c.keep_last_snapshots is not None or c.max_snapshot_age:
+            cd["retention"] = {
+                k: v for k, v in (
+                    ("keep-last-snapshots", c.keep_last_snapshots),
+                    ("max-snapshot-age", c.max_snapshot_age),
+                ) if v is not None
+            }
+        if c.invalidate_on_write:
+            cd["invalidate-on-write"] = True
+        if c.refresh_on_write:
+            cd["refresh-on-write"] = True
+        d["cache"] = cd
+
+    op = ep.operation
+    implied_write = ep.method in ("POST", "PUT", "PATCH", "DELETE")
+    if (op.type == "write") != implied_write or op.returns_data \
+            or not op.transaction or not op.validate_before_write:
+        od: dict = {"type": op.type}
+        if op.returns_data:
+            od["returns-data"] = True
+        if not op.transaction:
+            od["transaction"] = False
+        if not op.validate_before_write:
+            od["validate-before-write"] = False
+        d["operation"] = od
+
+    s = ep.shape
+    if s.max_rows is not None or s.redact_columns or s.sample is not None \
+            or s.mask_columns:
+        sd: dict = {}
+        if s.max_rows is not None:
+            sd["max-rows"] = s.max_rows
+        if s.redact_columns:
+            sd["redact-columns"] = list(s.redact_columns)
+        if s.sample is not None:
+            sd["sample"] = s.sample
+        if s.mask_columns:
+            sd["mask-columns"] = dict(s.mask_columns)
+        d["shape"] = sd
+    return d
+
+
+def serialize_endpoint_to_yaml(ep: "EndpointConfig") -> str:
+    return yaml.safe_dump(
+        serialize_endpoint_to_dict(ep), sort_keys=False
+    )

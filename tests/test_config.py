@@ -174,3 +174,112 @@ def test_nested_includes_resolve(tmp_path):
         _resolve_includes("{{include from outer.yaml}}\ntop: 0\n", tmp_path)
     )
     assert doc == {"deep": 42, "middle": 1, "top": 0}
+
+
+class TestConfigSerializer:
+    """Vectors from reference test/cpp/test_config_serializer.cpp:
+    reference-spelled keys in the YAML, and full round-trip fidelity
+    through from_dict(serialize(ep))."""
+
+    def test_basic_rest_endpoint_yaml_keys(self):
+        from flapi_spark.config import (
+            EndpointConfig, serialize_endpoint_to_yaml,
+        )
+
+        ep = EndpointConfig.from_dict({
+            "url-path": "/customers", "method": "POST",
+            "template-source": "test.sql",
+            "connection": ["primary", "cache"],
+        })
+        y = serialize_endpoint_to_yaml(ep)
+        assert "url-path: /customers" in y
+        assert "method: POST" in y
+        assert "template-source: test.sql" in y
+        assert "connection:" in y and "primary" in y and "cache" in y
+
+    def test_mcp_tool_block(self):
+        from flapi_spark.config import (
+            EndpointConfig, serialize_endpoint_to_yaml,
+        )
+
+        ep = EndpointConfig.from_dict({
+            "template-source": "test.sql",
+            "mcp-tool": {"name": "customer_lookup",
+                         "description": "Test tool"},
+        })
+        y = serialize_endpoint_to_yaml(ep)
+        assert "mcp-tool:" in y
+        assert "name: customer_lookup" in y
+        assert "description: Test tool" in y
+
+    def test_round_trip_complex_endpoint(self):
+        from flapi_spark.config import (
+            EndpointConfig, serialize_endpoint_to_dict,
+        )
+
+        doc = {
+            "url-path": "/orders", "method": "POST",
+            "template-text": "INSERT INTO t VALUES (:id)",
+            "description": "create order",
+            "with-pagination": False,
+            "json-columns": ["payload"],
+            "allowed-roles": ["admin"],
+            "request": [
+                {"field-name": "id", "field-in": "body",
+                 "required": True, "default": "1",
+                 "validators": [
+                     {"type": "int", "min": 0, "max": 10},
+                     {"type": "string", "regex": "^x",
+                      "preventSqlInjection": True},
+                 ]},
+            ],
+            "cache": {
+                "enabled": True, "table": "orders_c",
+                "schema": "analytics", "primary-key": ["id"],
+                "cursor": {"column": "updated_at", "type": "timestamp"},
+                "retention": {"keep-last-snapshots": 3},
+                "refresh-on-write": True,
+            },
+            "operation": {"type": "write", "returns-data": True,
+                          "transaction": False},
+            "shape": {"max-rows": 10, "redact-columns": ["ssn"],
+                      "mask-columns": {"email": "partial"}},
+            "mcp-tool": {"name": "create_order", "description": "d"},
+        }
+        ep1 = EndpointConfig.from_dict(doc)
+        ep2 = EndpointConfig.from_dict(serialize_endpoint_to_dict(ep1))
+        assert serialize_endpoint_to_dict(ep1) == \
+            serialize_endpoint_to_dict(ep2)
+        assert ep2.url_path == ep1.url_path
+        assert ep2.request_fields == ep1.request_fields
+        assert ep2.cache == ep1.cache
+        assert ep2.operation == ep1.operation
+        assert ep2.shape == ep1.shape
+        assert ep2.mcp_tool == ep1.mcp_tool
+        assert ep2.json_columns == ep1.json_columns
+
+    def test_defaults_are_omitted(self):
+        from flapi_spark.config import (
+            EndpointConfig, serialize_endpoint_to_dict,
+        )
+
+        d = serialize_endpoint_to_dict(EndpointConfig.from_dict({
+            "url-path": "/x", "template-text": "SELECT 1",
+        }))
+        assert d == {"url-path": "/x", "template-text": "SELECT 1"}
+
+    def test_write_method_implies_operation_omitted(self):
+        from flapi_spark.config import (
+            EndpointConfig, serialize_endpoint_to_dict,
+        )
+
+        # POST auto-implies write: no operation block needed in the
+        # output unless a field deviates from the implied defaults
+        ep = EndpointConfig.from_dict({
+            "url-path": "/w", "method": "POST",
+            "template-text": "INSERT INTO t VALUES (1)",
+        })
+        d = serialize_endpoint_to_dict(ep)
+        assert "operation" not in d
+        ep2 = EndpointConfig.from_dict(d)
+        assert ep2.is_write
