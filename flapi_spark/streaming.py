@@ -751,3 +751,59 @@ def neardup_guard_stream(
         "band_id",
         F.round(inter / union, 6).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def vocab_drift_stream(
+    docs_stream: DataFrame,
+    vocab: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming vocabulary-drift monitor: per event-time window, the
+    share of incoming token OCCURRENCES outside a reference
+    vocabulary — the tokenizer-drift alarm for a training-data ingest
+    (a rising OOV share means the corpus moved away from the
+    tokenizer's training distribution; retrain/revocab signal). The
+    streaming twin of the batch `vocab_oov_rate` family, rolled up per
+    window instead of per doc.
+
+    Shape: stateless tokenize/explode (whitespace-normalized, the
+    batch operators' tokenization), stream-static LEFT join against
+    the vocab table (re-resolved every micro-batch — a vocab refresh
+    is picked up automatically; broadcast-small or bucketed on tok at
+    scale), then ONE watermarked windowed aggregate — the only
+    streaming state is the window counters. Expects (ts, text)."""
+    toks = (
+        docs_stream.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.explode(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))),
+                    " ",
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    marked = toks.join(
+        vocab.select("tok").withColumn("__v", F.lit(1)), "tok", "left"
+    )
+    return (
+        marked.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__v").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_share"),
+        )
+    )

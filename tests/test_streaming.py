@@ -591,3 +591,73 @@ def test_neardup_guard_plan_has_no_stream_stream_join(spark, sf_dir):
     # requiring state via StreamingSymmetricHashJoin at runtime;
     # analyzed-plan check: the streaming leaf appears ONCE
     assert plan.count("StreamingRelation") == 1
+
+
+def test_vocab_drift_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Vocabulary-drift monitor: availableNow over a 2-file landing
+    equals the batch twin window-for-window; a window of all-known
+    tokens scores 0 OOV and an injected alien batch scores > 0."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # reference vocab: every token of doc_id % 2 == 0 docs
+    vocab = (
+        docs.where("doc_id % 2 = 0")
+        .select(F.explode(F.split(F.lower(F.trim(
+            F.regexp_replace("text", "\\s+", " "))), " ")).alias("tok"))
+        .where("tok != ''")
+        .distinct()
+    )
+    incoming = (
+        docs.where("doc_id % 2 = 1")
+        .limit(40)
+        .select(
+            F.to_timestamp(
+                F.concat(F.lit("2026-01-01 00:"),
+                         F.lpad((F.col("doc_id") % 50).cast("string"), 2,
+                                "0"),
+                         F.lit(":00"))
+            ).alias("ts"),
+            "text",
+        )
+        .unionByName(spark.createDataFrame(
+            [("2026-01-01 02:00:00", "zzalien yyalien xxalien")],
+            "ts string, text string",
+        ).select(F.to_timestamp("ts").alias("ts"), "text"))
+    )
+    d = tmp_path_factory.mktemp("vocab_drift_landing")
+    halves = incoming.randomSplit([0.5, 0.5], seed=7)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.vocab_drift_stream(stream, vocab), name,
+        output_mode="complete",
+    )
+    got = {
+        (r.window_start, r.n_tokens, r.n_oov, r.oov_share)
+        for r in spark.table(name).collect()
+    }
+    expect = {
+        (r.window_start, r.n_tokens, r.n_oov, r.oov_share)
+        for r in ST.vocab_drift_stream(incoming, vocab).collect()
+    }
+    assert got == expect and got
+    # the alien window is pure OOV
+    alien = [r for r in spark.table(name).collect()
+             if r.window_start.hour == 2]
+    assert alien and alien[0].n_oov == 3 and alien[0].oov_share == 1.0
