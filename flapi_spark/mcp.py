@@ -822,3 +822,88 @@ class ContentResponse:
 
     def to_json(self) -> dict:
         return {"content": list(self._blocks)}
+
+
+def handle_jsonrpc(
+    registry: "McpRegistry",
+    request: dict,
+    mcp_config: dict | None = None,
+    base_path: str = ".",
+    session_manager: "McpSessionManager | None" = None,
+    session_id: str | None = None,
+    roles: list[str] | None = None,
+) -> dict:
+    """One-shot JSON-RPC dispatch composing the full MCP surface
+    (reference: mcp_route_handlers.cpp handleJsonRpcRequest — parse/
+    validate → per-method handler → uniform JSON-RPC result/error
+    envelopes): initialize (session create + negotiated version +
+    instructions), tools/list, tools/call, resources/list,
+    resources/read. Transport-free — an HTTP layer dumps the returned
+    dict; errors surface as JSON-RPC error objects with the
+    reference's codes (validation −32600/−32602, unknown method
+    −32601, handler failures −32603)."""
+    rid = request.get("id")
+    errors = validate_jsonrpc_request(request)
+    if errors:
+        code = (
+            INVALID_PARAMS
+            if "params" in errors[0] or "field" in errors[0]
+            or "protocol" in errors[0].lower()
+            else INVALID_REQUEST
+        )
+        return jsonrpc_error(rid, code, errors[0])
+    method = request["method"]
+    if validate_method_exists(method):
+        return jsonrpc_error(
+            rid, METHOD_NOT_FOUND, f"Method not found: {method}"
+        )
+    params = request.get("params") or {}
+    try:
+        if method == "initialize":
+            result = build_initialize_result(
+                params, mcp_config=mcp_config, base_path=base_path
+            )
+            if session_manager is not None:
+                sid = session_manager.create_session(
+                    client_version=params.get("protocolVersion", "")
+                )
+                result["sessionId"] = sid
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid,
+                    "result": result}
+        if session_manager is not None:
+            # non-initialize on a session-managed server: the session
+            # must be live (mcp_session_manager.cpp expiry semantics)
+            if session_id is None or not session_manager.is_session_valid(
+                session_id
+            ):
+                return jsonrpc_error(
+                    rid, INVALID_REQUEST, "Invalid or expired session"
+                )
+            session_manager.update_session_activity(session_id)
+        if method == "tools/list":
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid,
+                    "result": {"tools": registry.list_tools(roles=roles)}}
+        if method == "tools/call":
+            out = registry.call_tool(
+                params["name"], params.get("arguments"), roles=roles
+            )
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
+        if method == "resources/list":
+            return {
+                "jsonrpc": JSONRPC_VERSION, "id": rid,
+                "result": {"resources": registry.list_resources()},
+            }
+        if method == "resources/read":
+            uri = params["uri"]
+            name = uri.split("://", 1)[1] if "://" in uri else uri
+            out = registry.read_resource(name, roles=roles)
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
+        raise McpError(f"unhandled method {method}")  # pragma: no cover
+    except AuthorizationError as exc:
+        return jsonrpc_error(rid, INVALID_REQUEST, str(exc))
+    except RateLimitError as exc:
+        return jsonrpc_error(rid, INVALID_REQUEST, str(exc))
+    except McpError as exc:
+        return jsonrpc_error(rid, INVALID_PARAMS, str(exc))
+    except Exception as exc:  # handler failure → internal error
+        return jsonrpc_error(rid, INTERNAL_ERROR, str(exc))

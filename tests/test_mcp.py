@@ -486,3 +486,102 @@ class TestMcpContentTypes:
         r.add_image("QUJD", "image/png")
         out = r.to_json()
         assert [b["type"] for b in out["content"]] == ["text", "image"]
+
+
+class TestJsonRpcDispatch:
+    """Full-surface dispatch (mcp_route_handlers.cpp
+    handleJsonRpcRequest shape): initialize/tools/resources through
+    one entry point with JSON-RPC envelopes and reference error
+    codes."""
+
+    def _registry(self, spark):
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.mcp import McpRegistry
+
+        reg = McpRegistry(QueryExecutor(spark, None))
+        reg.register("ping", EndpointConfig(
+            url_path="/ping/",
+            template_text="SELECT 1 AS pong",
+            with_pagination=False,
+        ))
+        return reg
+
+    def test_initialize_and_tool_call(self, spark):
+        from flapi_spark.mcp import McpSessionManager, handle_jsonrpc
+
+        reg = self._registry(spark)
+        sm = McpSessionManager()
+        init = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+             "params": {"protocolVersion": "2024-11-05"}},
+            mcp_config={"instructions": "Use the ping tool."},
+            session_manager=sm,
+        )
+        assert init["result"]["protocolVersion"] == "2024-11-05"
+        assert init["result"]["instructions"] == "Use the ping tool."
+        sid = init["result"]["sessionId"]
+        assert sm.is_session_valid(sid)
+
+        lst = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 2, "method": "tools/list",
+                  "params": None},
+            session_manager=sm, session_id=sid,
+        )
+        assert [t["name"] for t in lst["result"]["tools"]] == ["ping"]
+
+        call = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+             "params": {"name": "ping", "arguments": {}}},
+            session_manager=sm, session_id=sid,
+        )
+        assert call["result"]["row_count"] == 1
+
+    def test_error_envelopes(self, spark):
+        from flapi_spark.mcp import (
+            INVALID_PARAMS, INVALID_REQUEST, METHOD_NOT_FOUND,
+            handle_jsonrpc,
+        )
+
+        reg = self._registry(spark)
+        bad_version = handle_jsonrpc(
+            reg, {"jsonrpc": "1.0", "id": 1, "method": "tools/list"}
+        )
+        assert bad_version["error"]["code"] == INVALID_REQUEST
+        unknown = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 2, "method": "no/such",
+                  "params": None}
+        )
+        assert unknown["error"]["code"] == METHOD_NOT_FOUND
+        bad_tool = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                  "params": {"name": "ghost"}}
+        )
+        assert bad_tool["error"]["code"] == INVALID_PARAMS
+        assert "ghost" in bad_tool["error"]["message"]
+
+    def test_expired_session_rejected(self, spark):
+        from flapi_spark.mcp import (
+            INVALID_REQUEST, McpSessionManager, handle_jsonrpc,
+        )
+
+        reg = self._registry(spark)
+        clock = [0.0]
+        sm = McpSessionManager(timeout_minutes=1, clock=lambda: clock[0])
+        init = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+             "params": {"protocolVersion": "2024-11-05"}},
+            session_manager=sm,
+        )
+        sid = init["result"]["sessionId"]
+        clock[0] = 120.0  # past the 1-minute timeout
+        out = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 2, "method": "tools/list",
+                  "params": None},
+            session_manager=sm, session_id=sid,
+        )
+        assert out["error"]["code"] == INVALID_REQUEST
+        assert "session" in out["error"]["message"].lower()
