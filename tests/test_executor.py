@@ -194,3 +194,33 @@ def test_partial_binding_escape_aware_and_repeated_markers():
     # marker-only literal still collapses to the bare marker
     out3, _ = rewrite_typed_params("WHERE x = '{{params.q}}'", fields)
     assert out3 == "WHERE x = :q"
+
+
+def test_concurrent_executor_queries(spark):
+    """Load-shape smoke (reference: test/integration/
+    test_load_testing.py exercises the server under concurrent
+    clients): 8 threads share one QueryExecutor + SparkSession; every
+    query returns its own correct result (Spark sessions are
+    thread-safe for job submission; the executor keeps no mutable
+    per-query state)."""
+    import concurrent.futures as cf
+
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+
+    ex = QueryExecutor(spark, None)
+
+    def one(i: int) -> tuple[int, int]:
+        ep = EndpointConfig.from_dict({
+            "url-path": f"/t{i}",
+            "template-text":
+                f"SELECT {i} AS tag, count(*) AS n"
+                f" FROM range({i + 1} * 100)",
+            "with-pagination": False,
+        })
+        row = ex.execute(ep, {}).df.collect()[0]
+        return row.tag, row.n
+
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(16)))
+    assert results == [(i, (i + 1) * 100) for i in range(16)]
