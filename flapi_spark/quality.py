@@ -179,15 +179,17 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 )
             )
         elif r.kind == "references":
+            # UNHINTED anti-join: the referenced table scales with SF
+            # (a pinned broadcast of a billion-key dim aborts at the
+            # 100 TB point); AQE broadcasts the distinct key set only
+            # while measured-small, else shuffles on the key
             orphans = (
                 df.select(F.col(r.column).alias("__fk"))
                 .where(F.col("__fk").isNotNull())
                 .join(
-                    F.broadcast(
-                        r.ref.select(
-                            F.col(r.ref_column).alias("__fk")
-                        ).distinct()
-                    ),
+                    r.ref.select(
+                        F.col(r.ref_column).alias("__fk")
+                    ).distinct(),
                     "__fk",
                     "left_anti",
                 )
