@@ -1352,3 +1352,113 @@ def dedup_containment_pairs(
             F.round(c_ba, 6).alias("containment_b_in_a"),
         )
     )
+
+
+def band_rows_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bh) LSH band rows for a document set — the
+    persisted-index unit the continuous-dedup flow stores (one row per
+    doc per band; xxhash64 band fingerprints, the
+    dedup_incremental_pairs arithmetic)."""
+    sigs = minhash_signatures_from_hashed(hashed_shingles_from(docs))
+    r = NUM_PERM // BANDS
+    arr = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"m{band * r + j}") for j in range(r)]
+            ).alias("bh"),
+        )
+        for band in range(BANDS)
+    ])
+    return sigs.select("doc_id", F.explode(arr).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"),
+        F.col("b.bh").alias("bh"),
+    )
+
+
+def write_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str = "neardup_band_index",
+    buckets: int = 16,
+) -> None:
+    """Materialize the MinHash-LSH band index as a BUCKETED warehouse
+    table on (band_id, bh) — the persisted structure the continuous-
+    dedup ingestion probes per batch (module docstrings promised it;
+    this is the real thing). Bucketing pre-co-locates the index on the
+    probe key, so the per-batch candidate join reads the index WITHOUT
+    an index-side exchange — at 100 TB the index is re-shuffled ZERO
+    times after bootstrap instead of once per ingest batch."""
+    (
+        band_rows_for(docs)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band_id", "bh")
+        .sortBy("band_id", "bh")
+        .saveAsTable(table)
+    )
+
+
+def append_band_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index",
+) -> None:
+    """Per-batch index maintenance: append the NEW docs' band rows
+    (insertInto preserves the table's bucket spec — appended files
+    land in the right buckets, keeping the probe exchange-free)."""
+    band_rows_for(new_docs).write.insertInto(table)
+
+
+def incremental_pairs_indexed(
+    spark: SparkSession,
+    all_docs: DataFrame,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """dedup_incremental_pairs against the PERSISTED band index: new
+    docs' bands (delta-sized) probe the bucketed index for candidates;
+    verification hashes only candidate members of `all_docs` (the
+    corpus the index covers plus the batch). Work remains delta-
+    proportional, and the corpus-side band recompute of the
+    self-contained operator disappears — the index read is a bucketed
+    scan. Equality with dedup_incremental_pairs is asserted in
+    tests."""
+    new_bands = band_rows_for(new_docs)
+    index = spark.table(table)
+    a, b = new_bands.alias("a"), index.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_texts = all_docs.join(cand_docs, "doc_id", "left_semi")
+    sets = (
+        hashed_shingles_from(cand_texts)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    union = F.size(F.array_union("ha", "hb"))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

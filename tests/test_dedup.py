@@ -343,3 +343,73 @@ def test_containment_pairs_direction_semantics(spark, tmp_path):
     assert r.containment_b_in_a == 1.0
     assert r.containment_a_in_b < 1.0
     assert not any(3 in p for p in pairs)
+
+
+def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
+    """Bootstrap the bucketed band index on the existing corpus,
+    append a batch, probe: pairs equal dedup_incremental_pairs'
+    self-contained recompute; and the index side of the candidate
+    join is a BUCKETED scan with no index-side exchange."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.dedup import (
+        append_band_index, dedup_incremental_pairs,
+        incremental_pairs_indexed, write_band_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where("doc_id % 10 != 0")
+    batch = docs.where("doc_id % 10 = 0")
+    table = "t_band_index"
+    _rm_table(spark, table)
+    try:
+        write_band_index(spark, existing, table)
+        append_band_index(spark, batch, table)
+        got_df = incremental_pairs_indexed(
+            spark, docs, batch, table
+        )
+        got = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in got_df.collect()}
+        expect = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup_incremental_pairs(
+                spark, existing, batch
+            ).collect()
+        }
+        assert got == expect and got
+        # plan: the index read is bucketed (pre-co-located on the
+        # probe key) — Spark reports the scan as bucketed and the
+        # index side needs no exchange before the candidate join
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        _rm_table(spark, table)
+
+
+def test_append_band_index_preserves_bucketing(spark, sf_dir):
+    from flapi_spark.operators.dedup import (
+        append_band_index, write_band_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "t_band_index2"
+    _rm_table(spark, table)
+    try:
+        write_band_index(spark, docs.where("doc_id < 50"), table)
+        n1 = spark.table(table).count()
+        append_band_index(spark, docs.where("doc_id >= 450"), table)
+        n2 = spark.table(table).count()
+        assert n2 > n1
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect()
+        }
+        assert "band_id" in desc.get("Bucket Columns", "")
+    finally:
+        _rm_table(spark, table)
