@@ -559,3 +559,88 @@ def embedding_pc_removal_stats(
             F.round(F.col("snr") / F.col("sn"), 6).alias("norm_retained"),
         )
     )
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    table: str = "ann_ivf_index",
+    buckets: int = 16,
+) -> None:
+    """Materialize the IVF index as a BUCKETED warehouse table on
+    cell_id: (cell_id, vec_id, embedding) rows, cell-co-located on
+    disk. Probes then join queries' probe cells against a bucketed
+    scan — no index-side exchange per query batch; at 100 TB the
+    corpus embeddings are shuffled into cells exactly ONCE at
+    bootstrap (plus appends), not per probe run. Same persistence
+    pattern as the dedup band index (dedup.write_band_index)."""
+    centroids = ivf_centroids(emb)
+    assigned = ivf_assign(emb, centroids, nprobe=1)
+    (
+        emb.join(assigned, "vec_id")
+        .select("cell_id", "vec_id", "embedding")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "cell_id")
+        .sortBy("cell_id")
+        .saveAsTable(table)
+    )
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    all_emb: DataFrame,
+    table: str = "ann_ivf_index",
+) -> None:
+    """Append a vector batch to the persisted IVF index: assign the
+    NEW vectors against the same deterministic centroid set (derived
+    from the full corpus so cell identity is stable) and insertInto —
+    the bucket spec is preserved, appended files land cell-bucketed."""
+    centroids = ivf_centroids(all_emb)
+    assigned = ivf_assign(new_emb, centroids, nprobe=1)
+    (
+        new_emb.join(assigned, "vec_id")
+        .select("cell_id", "vec_id", "embedding")
+        .write.insertInto(table)
+    )
+
+
+def ann_ivf_probe_indexed(
+    spark: SparkSession,
+    queries: DataFrame,
+    all_emb: DataFrame,
+    table: str = "ann_ivf_index",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF probe against the PERSISTED index: queries score the
+    broadcast centroid set for their nprobe cells, then join the
+    bucketed index on cell_id (query side broadcast — the index scan
+    never shuffles) and rank exact cosines among cell-cohabitants.
+    Equality with the self-contained ann_ivf_topk (same centroid
+    arithmetic) is asserted in tests."""
+    centroids = ivf_centroids(all_emb)
+    qcells = ivf_assign(queries, centroids, nprobe=nprobe)
+    q = queries.join(qcells, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("eq"),
+        "cell_id",
+    )
+    index = spark.table(table)
+    qids = [r.vec_id for r in queries.select("vec_id").collect()]
+    c = index.where(~F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"),
+        "cell_id",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell_id")
+        .select("qid", "cid", cosine_col("eq", "ec").alias("cosine"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
