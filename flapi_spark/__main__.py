@@ -113,7 +113,9 @@ def _cmd_run(args) -> int:
         sys.stdout.write("\n")
         return 0
     res = ex.execute(ep, params)
-    sys.stdout.write(to_json_bytes(res.df).decode())
+    sys.stdout.write(
+        to_json_bytes(res.df, json_columns=res.json_columns).decode()
+    )
     sys.stdout.write("\n")
     return 0
 
@@ -280,12 +282,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 1
     args.config = settings["config"]
-    # consumed by the Spark-session commands (run/openapi) to set the
-    # driver log verbosity; port/host are resolved for the serve-layer
-    # consumers (routes/describe server info)
+    # log level drives the Spark session verbosity in run/openapi;
+    # FLAPI_PORT/HOST are resolved for VALIDATION only (the reference
+    # aborts even --validate-config on a malformed FLAPI_PORT,
+    # test_env_overrides.py) — this CLI has no serve command, so the
+    # values themselves are not consumed
     args.log_level = settings["log_level"]
-    args.port = settings["port"]
-    args.host = settings["host"]
     return args.fn(args)
 
 

@@ -652,11 +652,14 @@ MCP_METHODS = (
     "resources/list", "resources/read",
 )
 _METHOD_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_./]*$")
-# the validator's accepted initialize protocol versions — deliberately
-# the reference's own (narrower) set, mcp_request_validator.cpp:106;
-# session NEGOTIATION (negotiate_protocol_version) handles the wider
-# set after validation passes
-_VALIDATOR_PROTOCOL_VERSIONS = ("2024-11-05", "2024-01-01")
+# accepted initialize protocol versions: everything the server can
+# NEGOTIATE (MCP_PROTOCOL_VERSIONS) plus the reference validator's
+# legacy "2024-01-01" (mcp_request_validator.cpp:106). Deliberate
+# deviation: the reference's validator whitelist is NARROWER than its
+# own initialize negotiation, so a current client sending e.g.
+# 2025-06-18 would be bounced before negotiation ever ran — we accept
+# the full negotiable set instead of reproducing that bug.
+_VALIDATOR_PROTOCOL_VERSIONS = (*MCP_PROTOCOL_VERSIONS, "2024-01-01")
 
 
 def validate_jsonrpc_request(request: dict) -> list[str]:
@@ -843,20 +846,28 @@ def handle_jsonrpc(
     reference's codes (validation −32600/−32602, unknown method
     −32601, handler failures −32603)."""
     rid = request.get("id")
-    errors = validate_jsonrpc_request(request)
-    if errors:
-        code = (
-            INVALID_PARAMS
-            if "params" in errors[0] or "field" in errors[0]
-            or "protocol" in errors[0].lower()
-            else INVALID_REQUEST
+    # envelope checks (version, method name) are INVALID_REQUEST;
+    # method-specific param faults are uniformly INVALID_PARAMS —
+    # decided structurally, not by matching error text
+    if request.get("jsonrpc") != JSONRPC_VERSION:
+        return jsonrpc_error(
+            rid, INVALID_REQUEST,
+            f"Invalid JSON-RPC version: {request.get('jsonrpc', '')}",
         )
-        return jsonrpc_error(rid, code, errors[0])
-    method = request["method"]
+    method = request.get("method") or ""
+    if not _METHOD_NAME_RE.match(method):
+        return jsonrpc_error(
+            rid, INVALID_REQUEST, f"Invalid method name: {method}"
+        )
     if validate_method_exists(method):
         return jsonrpc_error(
             rid, METHOD_NOT_FOUND, f"Method not found: {method}"
         )
+    param_errors = validate_params_for_method(
+        method, request.get("params")
+    )
+    if param_errors:
+        return jsonrpc_error(rid, INVALID_PARAMS, param_errors[0])
     params = request.get("params") or {}
     try:
         if method == "initialize":
@@ -897,7 +908,20 @@ def handle_jsonrpc(
             uri = params["uri"]
             name = uri.split("://", 1)[1] if "://" in uri else uri
             out = registry.read_resource(name, roles=roles)
-            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
+            # MCP resources/read result shape: {"contents": [...]} of
+            # content blocks — the registry hands back negotiated BYTES
+            # (results.negotiate), which must become JSON-serializable
+            # text here, not leak into the envelope
+            body = out.get("content", b"")
+            if isinstance(body, (bytes, bytearray)):
+                body = bytes(body).decode("utf-8", errors="replace")
+            block = resource_content(
+                uri, out.get("mimeType", "application/json"), text=body
+            )
+            return {
+                "jsonrpc": JSONRPC_VERSION, "id": rid,
+                "result": {"contents": [block]},
+            }
         raise McpError(f"unhandled method {method}")  # pragma: no cover
     except AuthorizationError as exc:
         return jsonrpc_error(rid, INVALID_REQUEST, str(exc))

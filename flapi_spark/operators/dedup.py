@@ -939,26 +939,8 @@ def dedup_incremental_pairs(
     self-contained. Verification hashes only candidate members.
     Equality with the full recompute (restricted to pairs touching new
     docs) is asserted in tests."""
-    ex_hashed = hashed_shingles_from(existing_docs)
-    new_hashed = hashed_shingles_from(new_docs)
-    ex_sigs = minhash_signatures_from_hashed(ex_hashed)
-    new_sigs = minhash_signatures_from_hashed(new_hashed)
-
-    r = NUM_PERM // BANDS
-    def _bands(sigs: DataFrame) -> DataFrame:
-        arr = F.array(*[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.xxhash64(*[F.col(f"m{band * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for band in range(BANDS)
-        ])
-        return sigs.select("doc_id", F.explode(arr).alias("b")).select(
-            "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")
-        )
-
-    new_bands = _bands(new_sigs)
-    all_bands = _bands(ex_sigs).unionByName(new_bands)
+    new_bands = band_rows_for(new_docs)
+    all_bands = band_rows_for(existing_docs).unionByName(new_bands)
     a, b = new_bands.alias("a"), all_bands.alias("b")
     cands = (
         a.join(
@@ -1422,22 +1404,37 @@ def incremental_pairs_indexed(
     corpus the index covers plus the batch). Work remains delta-
     proportional, and the corpus-side band recompute of the
     self-contained operator disappears — the index read is a bucketed
-    scan. Equality with dedup_incremental_pairs is asserted in
-    tests."""
+    scan. A second delta-sized new×new probe arm makes the result
+    independent of whether append_band_index ran first. Equality with
+    dedup_incremental_pairs is asserted in tests."""
     new_bands = band_rows_for(new_docs)
     index = spark.table(table)
-    a, b = new_bands.alias("a"), index.alias("b")
+
+    def _cand(a_df: DataFrame, b_df: DataFrame) -> DataFrame:
+        a, b = a_df.alias("a"), b_df.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                    "doc_b"
+                ),
+            )
+        )
+
+    # two probe arms so the result is ORDER-INDEPENDENT of the
+    # append: new×index (the bucketed, exchange-free arm) plus
+    # new×new (delta-sized) — probing BEFORE append_band_index would
+    # otherwise silently miss intra-batch duplicate pairs (review
+    # finding); after an append the union just dedups
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
+        _cand(new_bands, index)
+        .unionByName(_cand(new_bands, new_bands))
         .distinct()
         .persist()
     )

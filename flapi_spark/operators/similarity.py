@@ -575,7 +575,13 @@ def write_ivf_index(
     bootstrap (plus appends), not per probe run. Same persistence
     pattern as the dedup band index (dedup.write_band_index)."""
     centroids = ivf_centroids(emb)
-    assigned = ivf_assign(emb, centroids, nprobe=1)
+    # FREEZE the centroid set beside the index: appends and probes
+    # must use the BOOTSTRAP centroids — re-deriving them from a grown
+    # corpus would mint new centroids and leave old index rows filed
+    # under stale cells (silent recall loss)
+    centroids.write.mode("overwrite").saveAsTable(f"{table}__centroids")
+    frozen = spark.table(f"{table}__centroids")
+    assigned = ivf_assign(emb, frozen, nprobe=1)
     (
         emb.join(assigned, "vec_id")
         .select("cell_id", "vec_id", "embedding")
@@ -589,14 +595,15 @@ def write_ivf_index(
 def append_ivf_index(
     spark: SparkSession,
     new_emb: DataFrame,
-    all_emb: DataFrame,
     table: str = "ann_ivf_index",
 ) -> None:
     """Append a vector batch to the persisted IVF index: assign the
-    NEW vectors against the same deterministic centroid set (derived
-    from the full corpus so cell identity is stable) and insertInto —
-    the bucket spec is preserved, appended files land cell-bucketed."""
-    centroids = ivf_centroids(all_emb)
+    NEW vectors against the FROZEN bootstrap centroid table (cell
+    identity stays stable across appends — review finding: deriving
+    centroids from the grown corpus minted new cells and stranded old
+    index rows) and insertInto — the bucket spec is preserved,
+    appended files land cell-bucketed."""
+    centroids = spark.table(f"{table}__centroids")
     assigned = ivf_assign(new_emb, centroids, nprobe=1)
     (
         new_emb.join(assigned, "vec_id")
@@ -608,7 +615,6 @@ def append_ivf_index(
 def ann_ivf_probe_indexed(
     spark: SparkSession,
     queries: DataFrame,
-    all_emb: DataFrame,
     table: str = "ann_ivf_index",
     k: int = 10,
     nprobe: int = 3,
@@ -618,8 +624,8 @@ def ann_ivf_probe_indexed(
     bucketed index on cell_id (query side broadcast — the index scan
     never shuffles) and rank exact cosines among cell-cohabitants.
     Equality with the self-contained ann_ivf_topk (same centroid
-    arithmetic) is asserted in tests."""
-    centroids = ivf_centroids(all_emb)
+    arithmetic at bootstrap) is asserted in tests."""
+    centroids = spark.table(f"{table}__centroids")
     qcells = ivf_assign(queries, centroids, nprobe=nprobe)
     q = queries.join(qcells, "vec_id").select(
         F.col("vec_id").alias("qid"),

@@ -184,8 +184,6 @@ def to_arrow_ipc(
     t0 = time.monotonic()
     table = _bounded(df, max_rows).toArrow()
     cfg = config or ArrowSerializerConfig(codec=compression or "")
-    if compression and config is None:
-        cfg.codec = compression
     if table.nbytes > cfg.max_memory_bytes:
         raise ArrowMemoryLimitError(
             f"arrow serialization exceeds the memory limit:"
@@ -219,6 +217,7 @@ def negotiate(
     accept: str | None,
     max_rows: int | None = None,
     registry=None,
+    json_columns: list[str] | None = None,
 ) -> tuple[bytes, str]:
     """Serialize `df` per an Accept-style header value. Unknown types
     fall back to JSON (the reference's default)."""
@@ -232,7 +231,9 @@ def negotiate(
         return to_csv_bytes(df, max_rows, registry=registry), CSV
     if kind == "arrow":
         return to_arrow_ipc(df, max_rows=max_rows, registry=registry), ARROW
-    return to_json_bytes(df, max_rows, registry=registry), JSON
+    return to_json_bytes(
+        df, max_rows, registry=registry, json_columns=json_columns
+    ), JSON
 
 
 class NotAcceptable(ValueError):
@@ -311,6 +312,7 @@ def negotiate_full(
     registry=None,
     format_override: str | None = None,
     default_format: str = "json",
+    json_columns: list[str] | None = None,
 ) -> tuple[bytes, str]:
     """select_format + serialize: the complete reference negotiation
     path (query-param override, q-values, codec parameter, 406)."""
@@ -323,4 +325,6 @@ def negotiate_full(
         )
         ctype = ARROW if codec is None else f"{ARROW}; codec={codec}"
         return body, ctype
-    return to_json_bytes(df, max_rows, registry=registry), JSON
+    return to_json_bytes(
+        df, max_rows, registry=registry, json_columns=json_columns
+    ), JSON

@@ -786,8 +786,12 @@ def vocab_drift_stream(
         )
         .where(F.col("tok") != "")
     )
+    # DISTINCT the vocab side: a refreshed/duplicated vocab table must
+    # not fan out in-vocab token rows (that would inflate n_tokens and
+    # deflate oov_share — the very alarm this monitor raises)
     marked = toks.join(
-        vocab.select("tok").withColumn("__v", F.lit(1)), "tok", "left"
+        vocab.select("tok").distinct().withColumn("__v", F.lit(1)),
+        "tok", "left",
     )
     return (
         marked.groupBy(F.window("ts", window).alias("w"))

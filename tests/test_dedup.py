@@ -366,6 +366,14 @@ def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
     _rm_table(spark, table)
     try:
         write_band_index(spark, existing, table)
+        # probe BEFORE the append: the new x new arm must cover
+        # intra-batch pairs regardless of index state
+        pre = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in incremental_pairs_indexed(
+                spark, docs, batch, table
+            ).collect()
+        }
         append_band_index(spark, batch, table)
         got_df = incremental_pairs_indexed(
             spark, docs, batch, table
@@ -379,6 +387,7 @@ def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
             ).collect()
         }
         assert got == expect and got
+        assert pre == expect  # order-independent of the append
         # plan: the index read is bucketed (pre-co-located on the
         # probe key) — Spark reports the scan as bucketed and the
         # index side needs no exchange before the candidate join

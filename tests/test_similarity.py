@@ -195,7 +195,7 @@ def test_persisted_ivf_index_probe_matches_self_contained(spark, sf_dir):
     try:
         write_ivf_index(spark, emb, table)
         queries = emb.where("vec_id <= 5")
-        got_df = ann_ivf_probe_indexed(spark, queries, emb, table)
+        got_df = ann_ivf_probe_indexed(spark, queries, table)
         got = {(r.qid, r.cid, r.rnk) for r in got_df.collect()}
         expect = {(r.qid, r.cid, r.rnk)
                   for r in ann_ivf_topk(spark, sf_dir).collect()}
@@ -204,6 +204,7 @@ def test_persisted_ivf_index_probe_matches_self_contained(spark, sf_dir):
         assert "Bucketed: true" in plan
     finally:
         _rm_table(spark, table)
+        _rm_table(spark, table + "__centroids")
 
 
 def test_append_ivf_index_makes_batch_findable(spark, sf_dir):
@@ -221,14 +222,20 @@ def test_append_ivf_index_makes_batch_findable(spark, sf_dir):
     try:
         write_ivf_index(spark, emb.where("vec_id < 400"), table)
         batch = emb.where("vec_id >= 400")
-        append_ivf_index(spark, batch, emb, table)
+        append_ivf_index(spark, batch, table)
         # probing with a batch member must find itself... it's excluded
         # as a candidate, so instead: a batch vector appears among some
         # query's candidates once appended
         queries = emb.where("vec_id <= 5")
-        got = ann_ivf_probe_indexed(spark, queries, emb, table,
+        got = ann_ivf_probe_indexed(spark, queries, table,
                                     k=400, nprobe=8)
         cids = {r.cid for r in got.collect()}
         assert cids & {r.vec_id for r in batch.collect()}
+        # frozen centroids: the centroid table is the bootstrap set
+        # (no vec_id >= 400 centroid despite 400 % 25 == 0)
+        cents = {r.cell_id for r in
+                 spark.table(table + "__centroids").collect()}
+        assert all(c < 400 for c in cents)
     finally:
         _rm_table(spark, table)
+        _rm_table(spark, table + "__centroids")
