@@ -186,9 +186,20 @@ class QueryExecutor:
             if name in self.registry:
                 conn = self.registry.get(name)
                 conn_ctx = conn.template_context()
-                # sap_rfc has no standalone table to expose as a view;
-                # its tables materialize per sap_read_table() call site
-                if conn.format.lower() not in ("sap_rfc", "sap"):
+                # sap_rfc has no standalone table to expose as a view
+                # (tables materialize per sap_read_table() call site);
+                # likewise a bigquery connection WITHOUT a table/path
+                # property is pushdown-only — its data materializes
+                # per bigquery_query() call site
+                fmt = conn.format.lower()
+                pushdown_only = fmt in ("sap_rfc", "sap") or (
+                    fmt == "bigquery"
+                    and not (
+                        conn.properties.get("table")
+                        or conn.properties.get("path")
+                    )
+                )
+                if not pushdown_only:
                     conn.register_view(self.spark)
                 break
         ctx = build_context(params=typed, conn=conn_ctx, env=self.env, cache=cache_ctx)
@@ -210,6 +221,17 @@ class QueryExecutor:
                     c = self.registry.get(name)
                     if c.format.lower() in ("sap_rfc", "sap"):
                         sql = rewrite_sap_read_table(self.spark, sql, c)
+                        break
+        if "bigquery_query" in sql.lower():
+            # DuckDB-bigquery-extension table function → query-pushdown
+            # temp views (sources/bigquery.py)
+            from flapi_spark.sources.bigquery import rewrite_bigquery_query
+
+            for name in endpoint.connections:
+                if name in self.registry:
+                    c = self.registry.get(name)
+                    if c.format.lower() == "bigquery":
+                        sql = rewrite_bigquery_query(self.spark, sql, c)
                         break
         return sql, spark_args(typed, bound)
 

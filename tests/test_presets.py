@@ -146,3 +146,70 @@ def test_sap_rewrite_through_executor(spark):
         assert [r.carrid for r in res.df.collect()] == ["LH"]
     finally:
         sap_mod._default_reader = orig
+
+
+def test_bigquery_query_rewrite_end_to_end(spark):
+    """bigquery_query('project', 'SELECT …') table-function syntax
+    (reference: examples/sqls/recommendations/bydevice_cache.sql via
+    the DuckDB bigquery community extension) rewrites to a
+    query-pushdown temp view; an injected local reader proves the
+    flow without the connector jar. Repeated identical calls share
+    one view; distinct inner queries get distinct views; '' unescapes
+    to a literal quote before the pushdown."""
+    from flapi_spark.sources.bigquery import rewrite_bigquery_query
+    from flapi_spark.sources.registry import Connection
+
+    conn = Connection(name="bq", format="bigquery", properties={})
+    seen = []
+
+    def fake_reader(spark_, conn_, project, inner_sql):
+        seen.append((project, inner_sql))
+        return spark_.createDataFrame(
+            [(project, inner_sql, 1)], "proj string, q string, v int"
+        )
+
+    sql = (
+        "SELECT a.v + b.v AS s FROM"
+        " bigquery_query('proj-1', 'SELECT * FROM ds.t1') a,"
+        " bigquery_query('proj-1', 'SELECT * FROM ds.t1') b"
+    )
+    out = rewrite_bigquery_query(spark, sql, conn, reader=fake_reader)
+    assert "bigquery_query" not in out.lower()
+    assert len(seen) == 1  # identical calls share one view/read
+    assert spark.sql(out).collect()[0].s == 2
+
+    sql2 = (
+        "SELECT * FROM bigquery_query('p', 'SELECT ''x'' AS lit')"
+    )
+    out2 = rewrite_bigquery_query(spark, sql2, conn, reader=fake_reader)
+    assert seen[-1] == ("p", "SELECT 'x' AS lit")  # '' unescaped
+    assert spark.sql(out2).count() == 1
+
+
+def test_bigquery_rewrite_wired_into_executor(spark):
+    from flapi_spark import sources
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.sources.registry import Connection, ConnectionRegistry
+
+    reg = ConnectionRegistry()
+    reg.add(Connection(name="bq", format="bigquery", properties={}))
+    ex = QueryExecutor(spark, reg)
+    ep = EndpointConfig.from_dict({
+        "url-path": "/bq",
+        "template-text":
+            "SELECT * FROM bigquery_query('p', 'SELECT 1 AS one')",
+        "connection": ["bq"],
+        "with-pagination": False,
+    })
+    import flapi_spark.sources.bigquery as B
+
+    orig = B._default_reader
+    B._default_reader = lambda s, c, p, q: s.createDataFrame(
+        [(1,)], "one int"
+    )
+    try:
+        res = ex.execute(ep, {})
+        assert res.df.collect()[0].one == 1
+    finally:
+        B._default_reader = orig
