@@ -931,3 +931,47 @@ def handle_jsonrpc(
         return jsonrpc_error(rid, INVALID_PARAMS, str(exc))
     except Exception as exc:  # handler failure → internal error
         return jsonrpc_error(rid, INTERNAL_ERROR, str(exc))
+
+
+def register_endpoints(
+    registry: "McpRegistry", endpoints: list[EndpointConfig]
+) -> dict:
+    """Walk a project's endpoint configs and register every declared
+    MCP surface from its ``mcp-tool`` / ``mcp-resource`` /
+    ``mcp-prompt`` block (reference: endpoint_config_parser.cpp:76-78
+    detects the blocks; mcp_server.cpp builds the tool/resource/prompt
+    registries from them at startup). Returns counts per surface. An
+    endpoint may declare several surfaces (dual endpoints — the
+    EndpointRepository semantics); endpoints without any mcp-* block
+    are skipped."""
+    counts = {"tools": 0, "resources": 0, "prompts": 0}
+    for ep in endpoints:
+        tool = ep.mcp_tool
+        if isinstance(tool, dict) and tool.get("name"):
+            registry.register(
+                tool["name"], ep,
+                description=tool.get("description", ""),
+                allowed_roles=tool.get("allowed-roles"),
+            )
+            counts["tools"] += 1
+        res = ep.mcp_resource
+        if isinstance(res, dict) and res.get("name"):
+            registry.register_resource(
+                res["name"], ep,
+                description=res.get("description", ""),
+                mime_type=res.get(
+                    "mime-type", res.get("content-type", "application/json")
+                ),
+                allowed_roles=res.get("allowed-roles"),
+            )
+            counts["resources"] += 1
+        pr = ep.mcp_prompt
+        if isinstance(pr, dict) and pr.get("name"):
+            registry.register_prompt(Prompt(
+                name=pr["name"],
+                template=pr.get("template", ""),
+                description=pr.get("description", ""),
+                arguments=list(pr.get("arguments", []) or []),
+            ))
+            counts["prompts"] += 1
+    return counts

@@ -585,3 +585,47 @@ class TestJsonRpcDispatch:
         )
         assert out["error"]["code"] == INVALID_REQUEST
         assert "session" in out["error"]["message"].lower()
+
+
+def test_register_endpoints_from_mcp_blocks(spark):
+    """mcp-tool / mcp-resource / mcp-prompt YAML blocks register their
+    surfaces automatically (the reference builds its MCP registries
+    from the endpoint configs at startup); dual endpoints register on
+    both surfaces; plain endpoints are skipped."""
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.mcp import McpRegistry, register_endpoints
+
+    eps = [
+        EndpointConfig.from_dict({
+            "url-path": "/lookup",
+            "template-text": "SELECT 1 AS one",
+            "with-pagination": False,
+            "mcp-tool": {"name": "lookup", "description": "find things"},
+        }),
+        EndpointConfig.from_dict({
+            "url-path": "/feed",
+            "template-text": "SELECT 2 AS two",
+            "with-pagination": False,
+            "mcp-tool": {"name": "feed_tool", "description": "t"},
+            "mcp-resource": {"name": "feed", "description": "r",
+                             "mime-type": "text/csv"},
+        }),
+        EndpointConfig.from_dict({
+            "template-text": "SELECT 1",
+            "mcp-prompt": {"name": "greet",
+                           "template": "Hello {{who}}",
+                           "arguments": ["who"]},
+        }),
+        EndpointConfig.from_dict({
+            "url-path": "/plain", "template-text": "SELECT 3 AS c",
+        }),
+    ]
+    reg = McpRegistry(QueryExecutor(spark, None))
+    counts = register_endpoints(reg, eps)
+    assert counts == {"tools": 2, "resources": 1, "prompts": 1}
+    assert {t["name"] for t in reg.list_tools()} == {"lookup", "feed_tool"}
+    assert reg.list_resources()[0]["mimeType"] == "text/csv"
+    assert reg.call_tool("lookup", {})["rows"][0]["one"] == 1
+    got = reg.get_prompt("greet", {"who": "world"})
+    assert "world" in str(got)
