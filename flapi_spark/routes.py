@@ -41,14 +41,25 @@ class RouteTable:
     reference registers endpoints in config order)."""
 
     def __init__(self) -> None:
-        self._routes: list[tuple[str, re.Pattern, list[str], Any]] = []
+        self._routes: list[
+            tuple[str, str, re.Pattern, list[str], Any]
+        ] = []
 
-    def add(self, pattern: str, target: Any) -> None:
+    def add(self, pattern: str, target: Any, method: str = "GET") -> None:
         rx, names = translate_route_path(pattern)
-        self._routes.append((pattern, rx, names, target))
+        self._routes.append((pattern, method.upper(), rx, names, target))
 
-    def match(self, path: str) -> tuple[Any, dict[str, str]] | None:
-        for _pattern, rx, names, target in self._routes:
+    def match(
+        self, path: str, method: str = "GET"
+    ) -> tuple[Any, dict[str, str]] | None:
+        """First registered route whose pattern AND method match —
+        the reference routes by (path, method), so /customers GET and
+        /customers POST are independent targets
+        (endpoint_repository.cpp semantics at the pattern level)."""
+        m_up = method.upper()
+        for _pattern, m_method, rx, names, target in self._routes:
+            if m_method != m_up:
+                continue
             m = rx.match(path)
             if m:
                 return target, dict(zip(names, m.groups()))

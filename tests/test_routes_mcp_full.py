@@ -129,3 +129,16 @@ def test_list_and_get_prompt(full_registry):
 def test_tools_still_work_on_full_registry(full_registry):
     # McpRegistry extends the tool registry — same executor drives both
     assert full_registry.list_tools() == []
+
+
+def test_route_table_is_method_aware():
+    """Same pattern, different methods → independent targets (the
+    reference routes by (path, method))."""
+    t = RouteTable()
+    t.add("/customers/:id", "get-target", method="GET")
+    t.add("/customers/:id", "post-target", method="POST")
+    got_get = t.match("/customers/7", "GET")
+    got_post = t.match("/customers/7", "post")
+    assert got_get == ("get-target", {"id": "7"})
+    assert got_post == ("post-target", {"id": "7"})
+    assert t.match("/customers/7", "DELETE") is None
