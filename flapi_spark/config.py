@@ -301,6 +301,11 @@ class EndpointConfig:
             raise ValueError(f"endpoint {self.url_path}: no template")
         from flapi_spark.vfs import is_remote_path
 
+        if provider is not None and getattr(provider, "serves_local", False):
+            # a self-contained provider (vfs.ArchiveFileProvider —
+            # templates live INSIDE the bundle, not on the local fs)
+            # intercepts every template-source path, not just remote
+            return provider.read_file(self.template_source)
         if is_remote_path(self.template_source):
             if provider is None:
                 raise ValueError(

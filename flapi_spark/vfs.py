@@ -277,3 +277,69 @@ def check_health(
             health.healthy = False
     health.total_latency_ms = int((time.monotonic() - start) * 1000)
     return health
+
+
+class ArchiveFileProvider:
+    """File provider serving DIRECTLY from a packed project bundle —
+    no unpack, no temp dir (reference:
+    embedded_archive_file_provider.cpp serves configs/templates from
+    the archive appended to the self-extracting binary; this is the
+    same in-place semantics over the zip bundle format of
+    flapi_spark/bundle.py). Paths are archive-relative; absolute or
+    parent-escaping names are rejected the same way unpack_bundle
+    rejects zip-slip entries."""
+
+    provider_name = "archive"
+    # templates/configs live INSIDE the bundle: intercept every
+    # template-source path, not just remote schemes
+    serves_local = True
+
+    def __init__(self, zip_path: str):
+        import zipfile
+
+        self._zip_path = str(zip_path)
+        self._zf = zipfile.ZipFile(self._zip_path)
+        self._names = set(self._zf.namelist())
+
+    @staticmethod
+    def _check(path: str) -> str:
+        p = str(path).replace("\\", "/")
+        if p.startswith("/") or ".." in p.split("/"):
+            raise FileOperationError(
+                f"archive path escapes the bundle: {path!r}"
+            )
+        return p
+
+    def read_file(self, path: str) -> str:
+        p = self._check(path)
+        if p not in self._names:
+            raise FileOperationError(
+                f"no such entry in {self._zip_path}: {path!r}"
+            )
+        return self._zf.read(p).decode("utf-8")
+
+    def file_exists(self, path: str) -> bool:
+        try:
+            return self._check(path) in self._names
+        except FileOperationError:
+            return False
+
+    def list_files(self, directory: str, pattern: str = "*") -> list[str]:
+        d = self._check(directory).rstrip("/")
+        prefix = d + "/" if d else ""
+        out = []
+        for n in self._names:
+            if not n.startswith(prefix) or n == prefix:
+                continue
+            rest = n[len(prefix):]
+            if "/" in rest:  # direct children only, like LocalFileProvider
+                continue
+            if fnmatch.fnmatch(rest, pattern):
+                out.append(n)
+        return sorted(out)
+
+    def is_remote_path(self, path: str) -> bool:
+        return False
+
+    def close(self) -> None:
+        self._zf.close()

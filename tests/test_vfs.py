@@ -235,3 +235,58 @@ def test_remote_template_source_served_through_provider():
     assert mock.read_count == 1  # second read served from cache
     with pytest.raises(ValueError, match="file provider"):
         ep.load_template()
+
+
+class TestArchiveFileProvider:
+    """In-place bundle serving (reference:
+    embedded_archive_file_provider.cpp): read/exists/list straight
+    from the zip, zip-slip-shaped names rejected, and an executor can
+    run an endpoint whose template loads through the provider without
+    any unpack."""
+
+    def _bundle(self, tmp_path):
+        from flapi_spark.bundle import pack_project
+
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        (proj / "customers.yaml").write_text(
+            "url-path: /customers\n"
+            "template-source: customers.sql\n"
+            "with-pagination: false\n"
+        )
+        (proj / "customers.sql").write_text("SELECT 11 AS eleven")
+        out = tmp_path / "proj.zip"
+        pack_project(proj, out)
+        return out
+
+    def test_read_exists_list(self, tmp_path):
+        from flapi_spark.vfs import ArchiveFileProvider, FileOperationError
+
+        p = ArchiveFileProvider(str(self._bundle(tmp_path)))
+        assert p.file_exists("customers.sql")
+        assert "SELECT 11" in p.read_file("customers.sql")
+        assert not p.file_exists("nope.sql")
+        import pytest as _pytest
+
+        with _pytest.raises(FileOperationError):
+            p.read_file("nope.sql")
+        with _pytest.raises(FileOperationError):
+            p.read_file("../etc/passwd")
+        assert not p.file_exists("/abs/path")
+        names = p.list_files("", "*.sql")
+        assert names == ["customers.sql"]
+
+    def test_executor_serves_template_from_archive(self, tmp_path, spark):
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.vfs import ArchiveFileProvider
+
+        provider = ArchiveFileProvider(str(self._bundle(tmp_path)))
+        ep = EndpointConfig.from_dict({
+            "url-path": "/customers",
+            "template-source": "customers.sql",
+            "with-pagination": False,
+        })
+        ex = QueryExecutor(spark, None, file_provider=provider)
+        res = ex.execute(ep, {})
+        assert res.df.collect()[0].eleven == 11
