@@ -6,6 +6,7 @@
     python -m flapi_spark openapi   -c DIR            # OpenAPI 3 JSON
     python -m flapi_spark pack      -c DIR -o out.zip [--allow-secrets]
     python -m flapi_spark bundle-info -b out.zip
+    python -m flapi_spark run-bundle -b out.zip -u /path [-p k=v ...]
 
 `run` spins a local SparkSession (the serve analogue: one endpoint,
 one execution, JSON rows to stdout); everything else is metadata-only
@@ -160,6 +161,45 @@ def _cmd_pack(args) -> int:
     return 0
 
 
+def _cmd_run_bundle(args) -> int:
+    """Run an endpoint STRAIGHT from a packed bundle — the reference
+    binary's self-contained mode (bundle_locator.cpp +
+    embedded_archive_file_provider.cpp: configs and templates served
+    from the archive, nothing unpacked)."""
+    import yaml
+
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.results import to_json_bytes
+    from flapi_spark.session import get_spark
+    from flapi_spark.sources.registry import load_connections
+    from flapi_spark.vfs import ArchiveFileProvider
+
+    provider = ArchiveFileProvider(args.bundle)
+    eps = []
+    reg = None
+    for name in provider.list_files("", "*.yaml"):
+        doc = yaml.safe_load(provider.read_file(name)) or {}
+        if isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc):
+            eps.append(EndpointConfig.from_dict(doc))
+        elif isinstance(doc, dict) and "connections" in doc:
+            reg = load_connections(doc)
+    match = [e for e in eps if e.url_path == args.url_path]
+    if not match:
+        print(f"no endpoint with url-path {args.url_path}", file=sys.stderr)
+        return 1
+    params = dict(kv.split("=", 1) for kv in (args.param or []))
+    spark = get_spark(app_name="flapi_spark_cli")
+    spark.sparkContext.setLogLevel(_spark_log_level(args))
+    ex = QueryExecutor(spark, registry=reg, file_provider=provider)
+    res = ex.execute(match[0], params)
+    sys.stdout.write(
+        to_json_bytes(res.df, json_columns=res.json_columns).decode()
+    )
+    sys.stdout.write("\n")
+    return 0
+
+
 def _cmd_bundle_info(args) -> int:
     from flapi_spark.bundle import bundle_info
 
@@ -258,6 +298,11 @@ def main(argv: list[str] | None = None) -> int:
     bip = sub.add_parser("bundle-info")
     bip.add_argument("-b", "--bundle", required=True)
     bip.set_defaults(fn=_cmd_bundle_info)
+    rbp = sub.add_parser("run-bundle")
+    rbp.add_argument("-b", "--bundle", required=True)
+    rbp.add_argument("-u", "--url-path", required=True)
+    rbp.add_argument("-p", "--param", action="append", metavar="k=v")
+    rbp.set_defaults(fn=_cmd_run_bundle)
 
     args = ap.parse_args(argv)
     if args.cmd == "bundle-info":
@@ -274,14 +319,16 @@ def main(argv: list[str] | None = None) -> int:
     except SettingsError as exc:
         print(f"flapi_spark: {exc}", file=sys.stderr)
         return 1
-    if settings["config"] is None:
-        print(
-            "flapi_spark: no config given (pass -c/--config or set"
-            " FLAPI_CONFIG)",
-            file=sys.stderr,
-        )
-        return 1
-    args.config = settings["config"]
+    if hasattr(args, "config"):
+        # run-bundle carries a -b bundle instead of a config dir
+        if settings["config"] is None:
+            print(
+                "flapi_spark: no config given (pass -c/--config or set"
+                " FLAPI_CONFIG)",
+                file=sys.stderr,
+            )
+            return 1
+        args.config = settings["config"]
     # log level drives the Spark session verbosity in run/openapi;
     # FLAPI_PORT/HOST are resolved for VALIDATION only (the reference
     # aborts even --validate-config on a malformed FLAPI_PORT,

@@ -298,3 +298,36 @@ class TestEndpointRepository:
         assert len(eps) == 2  # the dual endpoint appears once
         posts = repo.find_endpoints(lambda e: e.method == "POST")
         assert len(posts) == 1
+
+
+def test_run_bundle_serves_from_archive(tmp_path, capsys, spark):
+    """pack -> run-bundle executes an endpoint with configs AND
+    templates served straight from the archive (the reference
+    binary's self-contained mode; nothing unpacked)."""
+    import json as _json
+
+    from flapi_spark.__main__ import main
+    from flapi_spark.bundle import pack_project
+
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "nums.yaml").write_text(
+        "url-path: /nums\n"
+        "template-source: nums.sql\n"
+        "with-pagination: false\n"
+        "request:\n"
+        "  - field-name: n\n"
+        "    field-in: query\n"
+        "    validators:\n"
+        "      - type: int\n"
+        "        min: 0\n"
+    )
+    (proj / "nums.sql").write_text(
+        "SELECT {{{ params.n }}} * 2 AS doubled"
+    )
+    out = tmp_path / "proj.zip"
+    pack_project(proj, out)
+    rc = main(["run-bundle", "-b", str(out), "-u", "/nums", "-p", "n=21"])
+    assert rc == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert rows == [{"doubled": 42}]
