@@ -178,10 +178,17 @@ def _cmd_run_bundle(args) -> int:
     provider = ArchiveFileProvider(args.bundle)
     eps = []
     reg = None
-    for name in provider.list_files("", "*.yaml"):
+    for name in provider.glob("*.yaml"):
         doc = yaml.safe_load(provider.read_file(name)) or {}
         if isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc):
-            eps.append(EndpointConfig.from_dict(doc))
+            ep = EndpointConfig.from_dict(doc)
+            # template-source paths are archive-relative to the YAML's
+            # own directory, matching on-disk resolution
+            if ep.template_source and "/" in name:
+                ep.template_source = (
+                    name.rsplit("/", 1)[0] + "/" + ep.template_source
+                )
+            eps.append(ep)
         elif isinstance(doc, dict) and "connections" in doc:
             reg = load_connections(doc)
     match = [e for e in eps if e.url_path == args.url_path]

@@ -338,6 +338,15 @@ class ArchiveFileProvider:
                 out.append(n)
         return sorted(out)
 
+    def glob(self, pattern: str = "*") -> list[str]:
+        """Every entry at ANY depth whose basename matches `pattern`
+        (the recursive companion to list_files — bundles nest their
+        endpoint YAMLs under endpoints/)."""
+        return sorted(
+            n for n in self._names
+            if fnmatch.fnmatch(n.rsplit("/", 1)[-1], pattern)
+        )
+
     def is_remote_path(self, path: str) -> bool:
         return False
 

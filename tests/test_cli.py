@@ -331,3 +331,27 @@ def test_run_bundle_serves_from_archive(tmp_path, capsys, spark):
     assert rc == 0
     rows = _json.loads(capsys.readouterr().out)
     assert rows == [{"doubled": 42}]
+
+
+def test_run_bundle_nested_endpoints_dir(tmp_path, capsys, spark):
+    """Bundles with endpoints nested under a subdir (the standard
+    project layout) resolve YAMLs and their sibling templates at any
+    depth."""
+    import json as _json
+
+    from flapi_spark.__main__ import main
+    from flapi_spark.bundle import pack_project
+
+    proj = tmp_path / "proj"
+    (proj / "endpoints").mkdir(parents=True)
+    (proj / "endpoints" / "deep.yaml").write_text(
+        "url-path: /deep\n"
+        "template-source: deep.sql\n"
+        "with-pagination: false\n"
+    )
+    (proj / "endpoints" / "deep.sql").write_text("SELECT 7 AS seven")
+    out = tmp_path / "p.zip"
+    pack_project(proj, out)
+    rc = main(["run-bundle", "-b", str(out), "-u", "/deep"])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out) == [{"seven": 7}]
