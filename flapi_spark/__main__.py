@@ -175,16 +175,41 @@ def _cmd_run_bundle(args) -> int:
     from flapi_spark.sources.registry import load_connections
     from flapi_spark.vfs import ArchiveFileProvider
 
+    import os
+
+    from flapi_spark.config import _expand_env
+    from flapi_spark.vfs import is_remote_path
+
     provider = ArchiveFileProvider(args.bundle)
     eps = []
     reg = None
     for name in provider.glob("*.yaml"):
-        doc = yaml.safe_load(provider.read_file(name)) or {}
+        raw = provider.read_file(name)
+        if "{{include" in raw:
+            # include directives resolve against the filesystem
+            # (config._resolve_includes); in-archive resolution is not
+            # supported — fail with guidance, not a parser traceback
+            print(
+                f"run-bundle: {name} uses {{{{include:…}}}} directives;"
+                " unpack the bundle and use `run -c DIR` instead",
+                file=sys.stderr,
+            )
+            return 1
+        try:
+            doc = yaml.safe_load(raw) or {}
+        except yaml.YAMLError:
+            continue  # load_endpoints_dir tolerance: skip bad YAMLs
+        doc = _expand_env(doc, dict(os.environ))
         if isinstance(doc, dict) and ("url-path" in doc or "url_path" in doc):
             ep = EndpointConfig.from_dict(doc)
-            # template-source paths are archive-relative to the YAML's
-            # own directory, matching on-disk resolution
-            if ep.template_source and "/" in name:
+            # archive-relative template paths resolve against the
+            # YAML's own directory (matching on-disk resolution);
+            # remote s3://… sources stay untouched
+            if (
+                ep.template_source
+                and "/" in name
+                and not is_remote_path(ep.template_source)
+            ):
                 ep.template_source = (
                     name.rsplit("/", 1)[0] + "/" + ep.template_source
                 )
@@ -199,7 +224,19 @@ def _cmd_run_bundle(args) -> int:
     spark = get_spark(app_name="flapi_spark_cli")
     spark.sparkContext.setLogLevel(_spark_log_level(args))
     ex = QueryExecutor(spark, registry=reg, file_provider=provider)
-    res = ex.execute(match[0], params)
+    ep = match[0]
+    if ep.is_write:
+        # same write routing as the on-disk `run` verb
+        wres = ex.execute_write(ep, params)
+        out = {"rows_affected": wres.rows_affected}
+        if wres.returned_data is not None:
+            from flapi_spark.results import to_json_rows
+
+            out["rows"] = to_json_rows(wres.returned_data)
+        sys.stdout.write(json.dumps(out))
+        sys.stdout.write("\n")
+        return 0
+    res = ex.execute(ep, params)
     sys.stdout.write(
         to_json_bytes(res.df, json_columns=res.json_columns).decode()
     )

@@ -301,10 +301,16 @@ class EndpointConfig:
             raise ValueError(f"endpoint {self.url_path}: no template")
         from flapi_spark.vfs import is_remote_path
 
-        if provider is not None and getattr(provider, "serves_local", False):
+        if (
+            provider is not None
+            and getattr(provider, "serves_local", False)
+            and not is_remote_path(self.template_source)
+        ):
             # a self-contained provider (vfs.ArchiveFileProvider —
             # templates live INSIDE the bundle, not on the local fs)
-            # intercepts every template-source path, not just remote
+            # intercepts archive-relative paths; REMOTE template
+            # sources (s3://…) still take the remote branch below —
+            # an archive can never serve them
             return provider.read_file(self.template_source)
         if is_remote_path(self.template_source):
             if provider is None:

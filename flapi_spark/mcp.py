@@ -967,11 +967,6 @@ def register_endpoints(
             counts["resources"] += 1
         pr = ep.mcp_prompt
         if isinstance(pr, dict) and pr.get("name"):
-            registry.register_prompt(Prompt(
-                name=pr["name"],
-                template=pr.get("template", ""),
-                description=pr.get("description", ""),
-                arguments=list(pr.get("arguments", []) or []),
-            ))
+            registry.register_prompt(Prompt.from_dict(pr))
             counts["prompts"] += 1
     return counts

@@ -45,12 +45,18 @@ Reader = Callable[[SparkSession, Connection, str, str], DataFrame]
 def _default_reader(
     spark: SparkSession, conn: Connection, project: str, inner_sql: str
 ) -> DataFrame:
-    opts = {
-        "parentProject": project,
-        "query": inner_sql,
-        "viewsEnabled": "true",
-        **{k: str(v) for k, v in conn.properties.items()},
-    }
+    from flapi_spark.sources.presets import reader_spec
+
+    # TRANSLATE the friendly connection properties through the preset
+    # layer (credentials_file → credentialsFile etc. — presets.py owns
+    # the spelling); then overlay the pushdown read: query replaces
+    # any table binding (a table= + query= pair is rejected by the
+    # connector), and the call-site project wins
+    _fmt, opts = reader_spec("bigquery", conn.properties)
+    opts.pop("table", None)
+    opts.update(
+        parentProject=project, query=inner_sql, viewsEnabled="true"
+    )
     try:
         return spark.read.format("bigquery").options(**opts).load()
     except Exception as exc:  # pragma: no cover - needs a live connector
@@ -85,9 +91,13 @@ def rewrite_bigquery_query(
         read(spark, conn, project, inner_unescaped).createOrReplaceTempView(
             view
         )
+        # only the FUNCTION NAME is case-insensitive; the project and
+        # inner-SQL payloads match exactly (two calls differing only
+        # in inner-SQL case are DISTINCT queries and must keep their
+        # own views)
         pat = (
-            r"bigquery_query\(\s*'" + re.escape(project) + r"'\s*,\s*'"
-            + re.escape(inner) + r"'\s*\)"
+            r"(?i:bigquery_query)\(\s*'" + re.escape(project)
+            + r"'\s*,\s*'" + re.escape(inner) + r"'\s*\)"
         )
-        out = re.sub(pat, view, out, flags=re.IGNORECASE)
+        out = re.sub(pat, view, out)
     return out

@@ -355,3 +355,58 @@ def test_run_bundle_nested_endpoints_dir(tmp_path, capsys, spark):
     rc = main(["run-bundle", "-b", str(out), "-u", "/deep"])
     assert rc == 0
     assert _json.loads(capsys.readouterr().out) == [{"seven": 7}]
+
+
+def test_run_bundle_write_endpoint_and_env_expansion(
+    tmp_path, capsys, spark, monkeypatch
+):
+    """run-bundle routes write endpoints through execute_write (same
+    as `run`) and expands {{env.X}} placeholders in bundle YAMLs."""
+    import json as _json
+
+    from flapi_spark.__main__ import main
+    from flapi_spark.bundle import pack_project
+    from flapi_spark.writes import _rm_table
+
+    monkeypatch.setenv("RB_TABLE", "rb_notes")
+    _rm_table(spark, "rb_notes")
+    spark.sql("CREATE TABLE rb_notes (id BIGINT, note STRING) USING parquet")
+    try:
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        (proj / "add.yaml").write_text(
+            "url-path: /add\n"
+            "method: POST\n"
+            "template-text: >-\n"
+            "  INSERT INTO {{env.RB_TABLE}} VALUES (1, 'hi')\n"
+        )
+        out = tmp_path / "w.zip"
+        pack_project(proj, out)
+        rc = main(["run-bundle", "-b", str(out), "-u", "/add"])
+        assert rc == 0
+        got = _json.loads(capsys.readouterr().out)
+        assert got["rows_affected"] == 1
+        assert spark.table("rb_notes").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rb_notes")
+
+
+def test_run_bundle_include_directive_gets_clear_error(
+    tmp_path, capsys
+):
+    from flapi_spark.__main__ import main
+    from flapi_spark.bundle import pack_project
+
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / "inc.yaml").write_text(
+        "url-path: /inc\n"
+        "template-text: SELECT 1\n"
+        "{{include:auth from shared.yaml}}\n"
+    )
+    (proj / "shared.yaml").write_text("auth:\n  enabled: false\n")
+    out = tmp_path / "i.zip"
+    pack_project(proj, out)
+    rc = main(["run-bundle", "-b", str(out), "-u", "/inc"])
+    assert rc == 1
+    assert "include" in capsys.readouterr().err
