@@ -382,3 +382,52 @@ class TestArrowSerializerConfig:
             batches = [b for b in r]
         assert all(b.num_rows <= 100 for b in batches)
         assert sum(b.num_rows for b in batches) == 1000
+
+
+def test_empty_result_returns_valid_arrow_with_schema(spark):
+    """test_arrow_streaming.py vector: a zero-row result is still a
+    VALID Arrow IPC stream carrying the full schema (consumers learn
+    the shape even when nothing matched)."""
+    from flapi_spark.results import from_arrow_ipc, to_arrow_ipc
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS dbl").where("id > 100")
+    t = from_arrow_ipc(to_arrow_ipc(df))
+    assert t.num_rows == 0
+    assert t.schema.names == ["id", "dbl"]
+
+
+def test_arrow_nulls_preserved(spark):
+    """test_arrow_streaming.py vector: nulls survive the Arrow path
+    as nulls, not empty strings or sentinels."""
+    from flapi_spark.results import from_arrow_ipc, to_arrow_ipc
+
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "x", 2.5)],
+        "id long, v string, d double",
+    )
+    t = from_arrow_ipc(to_arrow_ipc(df))
+    rows = sorted(
+        zip(t.column("id").to_pylist(), t.column("v").to_pylist(),
+            t.column("d").to_pylist())
+    )
+    assert rows == [(1, None, None), (2, "x", 2.5)]
+
+
+def test_arrow_data_matches_json(spark):
+    """test_arrow_streaming.py vector: the Arrow body and the JSON
+    body of the same result carry identical values."""
+    from flapi_spark.results import from_arrow_ipc, to_arrow_ipc, to_json_rows
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, v string, d double"
+    )
+    jrows = sorted(to_json_rows(df), key=lambda r: r["id"])
+    t = from_arrow_ipc(to_arrow_ipc(df))
+    arows = sorted(
+        ({"id": i, "v": v, "d": d}
+         for i, v, d in zip(t.column("id").to_pylist(),
+                            t.column("v").to_pylist(),
+                            t.column("d").to_pylist())),
+        key=lambda r: r["id"],
+    )
+    assert jrows == arows
