@@ -293,3 +293,78 @@ class ConfigService:
             raise ValueError("cache not enabled for this endpoint")
         table = ep.cache.table
         return [e for e in events if e.get("table") == table]
+
+
+def schema_info(
+    spark,
+    registry=None,
+    tables: bool = False,
+    connections: bool = False,
+    fmt: str | None = None,
+    connection: str | None = None,
+) -> dict:
+    """Catalog introspection for the config service's /schema route
+    (reference: config_service.cpp /api/v1/_config/schema +
+    test_config_service_schema.py): the full schemas → tables →
+    columns hierarchy by default, a flat table list with
+    ``tables=True``, the connection names with ``connections=True``,
+    the editor-completion shape with ``fmt='completion'``, and a
+    single connection's view schema with ``connection=``. Spark-first:
+    the source of truth is the session catalog (databases, tables,
+    temp views) instead of an embedded DuckDB instance."""
+    if connections:
+        return {
+            "connections": sorted(registry.names()) if registry else []
+        }
+    if connection is not None:
+        if registry is None or connection not in registry:
+            raise EndpointNotFound(f"unknown connection {connection!r}")
+        conn = registry.get(connection)
+        view = conn.register_view(spark)
+        cols = {
+            f.name: f.dataType.simpleString()
+            for f in spark.table(view).schema.fields
+        }
+        return {connection: {"tables": {view: {"columns": cols}}}}
+
+    all_tables = []
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            all_tables.append((t.database or db.name, t.name))
+    # global/local temp views surface with a None database
+    for t in spark.catalog.listTables():
+        if t.database is None and ("", t.name) not in all_tables:
+            all_tables.append(("", t.name))
+
+    if tables:
+        return {
+            "tables": [
+                {"name": name, "schema": db} for db, name in sorted(all_tables)
+            ]
+        }
+    if fmt == "completion":
+        names, cols = [], set()
+        for db, name in sorted(all_tables):
+            names.append(name)
+            try:
+                for c in spark.catalog.listColumns(
+                    name, dbName=db or None
+                ):
+                    cols.add(c.name)
+            except Exception:
+                continue
+        return {"tables": names, "columns": sorted(cols)}
+
+    out: dict = {}
+    for db, name in sorted(all_tables):
+        try:
+            cols = {
+                c.name: c.dataType
+                for c in spark.catalog.listColumns(name, dbName=db or None)
+            }
+        except Exception:
+            continue
+        out.setdefault(db or "temp", {"tables": {}})["tables"][name] = {
+            "columns": cols
+        }
+    return out

@@ -193,3 +193,59 @@ def test_cache_audit_surface(tmp_path, spark):
         svc.cache_audit("plain")
     with _pytest.raises(EndpointNotFound):
         svc.cache_audit("nope")
+
+
+def test_schema_info_surface(spark, tmp_path):
+    """Reference /api/v1/_config/schema vectors
+    (test_config_service_schema.py): hierarchical schemas→tables→
+    columns, tables-only list, connections list, completion format,
+    per-connection filter, unknown-connection 404."""
+    import os
+
+    import pytest as _pytest
+
+    from flapi_spark.config_service import EndpointNotFound, schema_info
+    from flapi_spark.sources.registry import Connection, ConnectionRegistry
+    from flapi_spark.writes import _rm_table
+
+    _rm_table(spark, "schema_demo")
+    spark.sql(
+        "CREATE TABLE schema_demo (id BIGINT, v STRING) USING parquet"
+    )
+    reg = ConnectionRegistry()
+    reg.add(Connection(
+        name="customers-parquet",
+        properties={"path": "/root/testdata/sf0.001/customer.parquet"},
+    ))
+    try:
+        full = schema_info(spark)
+        assert len(full) > 0
+        found = [
+            (db, t) for db, d in full.items()
+            for t in d.get("tables", {})
+        ]
+        assert any(t == "schema_demo" for _db, t in found)
+        db, _ = next((db, t) for db, t in found if t == "schema_demo")
+        cols = full[db]["tables"]["schema_demo"]["columns"]
+        assert cols["id"] == "bigint" and cols["v"] == "string"
+
+        tbl = schema_info(spark, tables=True)
+        assert {"name": "schema_demo", "schema": db} in tbl["tables"]
+
+        conns = schema_info(spark, reg, connections=True)
+        assert conns == {"connections": ["customers-parquet"]}
+
+        comp = schema_info(spark, fmt="completion")
+        assert "schema_demo" in comp["tables"]
+        assert "id" in comp["columns"] and "v" in comp["columns"]
+
+        one = schema_info(spark, reg, connection="customers-parquet")
+        view_cols = next(iter(
+            one["customers-parquet"]["tables"].values()
+        ))["columns"]
+        assert "c_custkey" in view_cols
+
+        with _pytest.raises(EndpointNotFound):
+            schema_info(spark, reg, connection="nope")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS schema_demo")
