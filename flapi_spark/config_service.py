@@ -368,3 +368,95 @@ def schema_info(
             "columns": cols
         }
     return out
+
+
+# --- template lookup + endpoint parameters (reference:
+#     config_service.cpp EndpointConfigHandler.findEndpointsByTemplate /
+#     getEndpointParameters; vectors in
+#     config_service_template_lookup_test.cpp and
+#     config_service_parameters_test.cpp) ---------------------------------
+
+
+def _endpoint_surface_type(ep: EndpointConfig) -> str:
+    rest = bool(ep.url_path)
+    mcp = bool(
+        (isinstance(ep.mcp_tool, dict) and ep.mcp_tool.get("name"))
+        or (isinstance(ep.mcp_resource, dict) and ep.mcp_resource.get("name"))
+        or (isinstance(ep.mcp_prompt, dict) and ep.mcp_prompt.get("name"))
+    )
+    if rest and mcp:
+        return "REST+MCP"
+    if mcp:
+        return "MCP"
+    return "REST"
+
+
+def find_endpoints_by_template(
+    endpoints: list[EndpointConfig], template_path: str
+) -> dict:
+    """Which endpoints would a template edit affect? Matches on the
+    template-source path with normalization (exact, basename, or
+    suffix match — the reference normalizes ./-prefixed and
+    dir-qualified spellings). Returns the reference's response shape:
+    {"count": n, "endpoints": [{url_path, method, type,
+    template_source}, …]}."""
+    import os
+
+    def norm(p: str) -> str:
+        return os.path.normpath(str(p)).lstrip("./")
+
+    want = norm(template_path)
+    hits = []
+    for ep in endpoints:
+        src = norm(ep.template_source) if ep.template_source else ""
+        if not src:
+            continue
+        if (
+            src == want
+            or os.path.basename(src) == os.path.basename(want)
+            and (src.endswith(want) or want.endswith(src))
+        ):
+            hits.append({
+                "url_path": ep.url_path,
+                "method": ep.method,
+                "type": _endpoint_surface_type(ep),
+                "template_source": ep.template_source,
+            })
+    return {"count": len(hits), "endpoints": hits}
+
+
+def endpoint_parameters(ep: EndpointConfig) -> dict:
+    """The /parameters response shape: endpoint metadata plus one
+    entry per request field with its validator constraints spelled
+    out (config_service_parameters_test.cpp)."""
+    params = []
+    for f in ep.request_fields:
+        entry: dict = {
+            "name": f.field_name,
+            "in": f.field_in,
+            "description": f.description,
+            "required": f.required,
+        }
+        if f.default is not None:
+            entry["default"] = f.default
+        vs = []
+        for v in f.validators:
+            vd: dict = {"type": v.type}
+            if v.min is not None:
+                vd["min"] = v.min
+            if v.max is not None:
+                vd["max"] = v.max
+            if v.regex:
+                vd["regex"] = v.regex
+            if v.allowed_values:
+                vd["allowedValues"] = list(v.allowed_values)
+            if v.prevent_sql_injection:
+                vd["preventSqlInjection"] = True
+            vs.append(vd)
+        entry["validators"] = vs
+        params.append(entry)
+    return {
+        "endpoint": ep.url_path,
+        "method": ep.method,
+        "parameters": params,
+    }

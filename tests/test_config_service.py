@@ -249,3 +249,74 @@ def test_schema_info_surface(spark, tmp_path):
             schema_info(spark, reg, connection="nope")
     finally:
         spark.sql("DROP TABLE IF EXISTS schema_demo")
+
+
+def test_find_endpoints_by_template():
+    """config_service_template_lookup_test.cpp vectors: single match,
+    multiple endpoints sharing one template, path normalization, MCP
+    surfaces typed, and zero matches for unknown templates."""
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.config_service import find_endpoints_by_template
+
+    eps = [
+        EndpointConfig.from_dict({
+            "url-path": "/customers/", "method": "GET",
+            "template-source": "sqls/customers.sql",
+        }),
+        EndpointConfig.from_dict({
+            "url-path": "/customers-v2/", "method": "GET",
+            "template-source": "./sqls/customers.sql",
+        }),
+        EndpointConfig.from_dict({
+            "template-source": "sqls/tool.sql",
+            "mcp-tool": {"name": "lookup", "description": "d"},
+        }),
+        EndpointConfig.from_dict({
+            "url-path": "/other/", "template-text": "SELECT 1",
+        }),
+    ]
+    got = find_endpoints_by_template(eps, "sqls/customers.sql")
+    assert got["count"] == 2
+    assert {e["url_path"] for e in got["endpoints"]} == \
+        {"/customers/", "/customers-v2/"}
+    assert all(e["type"] == "REST" for e in got["endpoints"])
+
+    mcp = find_endpoints_by_template(eps, "tool.sql")
+    assert mcp["count"] == 1 and mcp["endpoints"][0]["type"] == "MCP"
+
+    assert find_endpoints_by_template(eps, "nope.sql") == \
+        {"count": 0, "endpoints": []}
+
+
+def test_endpoint_parameters_shape():
+    """config_service_parameters_test.cpp vectors: metadata + per-
+    field validator constraints; empty request list yields an empty
+    parameters array."""
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.config_service import endpoint_parameters
+
+    ep = EndpointConfig.from_dict({
+        "url-path": "/api/test", "method": "GET",
+        "template-text": "SELECT 1",
+        "request": [
+            {"field-name": "user_id", "field-in": "query",
+             "description": "User identifier", "required": True,
+             "default": "123",
+             "validators": [{"type": "int", "min": 1, "max": 9999}]},
+            {"field-name": "tag", "field-in": "query",
+             "validators": [{"type": "string", "regex": "^[a-z]+$",
+                             "preventSqlInjection": True}]},
+        ],
+    })
+    got = endpoint_parameters(ep)
+    assert got["endpoint"] == "/api/test" and got["method"] == "GET"
+    p0 = got["parameters"][0]
+    assert p0["name"] == "user_id" and p0["in"] == "query"
+    assert p0["required"] is True and p0["default"] == "123"
+    assert p0["validators"] == [{"type": "int", "min": 1, "max": 9999}]
+    p1 = got["parameters"][1]
+    assert p1["validators"][0]["preventSqlInjection"] is True
+    bare = EndpointConfig.from_dict({
+        "url-path": "/bare", "template-text": "SELECT 1",
+    })
+    assert endpoint_parameters(bare)["parameters"] == []
