@@ -460,3 +460,66 @@ def endpoint_parameters(ep: EndpointConfig) -> dict:
         "method": ep.method,
         "parameters": params,
     }
+
+
+def filesystem_structure(
+    config_dir: str | Path, config_file: str = "flapi.yaml"
+) -> dict:
+    """The config tree the admin UI renders (reference:
+    config_service.cpp getFilesystemStructure, vectors in
+    config_service_filesystem_test.cpp): a recursive, sorted tree
+    (directories before files, alphabetical within each kind) where
+    every YAML is classified — `endpoint` (carries url_path +
+    template_source + cache_template_source when cached), `project`
+    (the flapi.yaml), `shared` (any other mapping) — and .sql files
+    appear as plain template files. Response shape:
+    {config_file_exists, config_file, tree}."""
+    root = Path(config_dir)
+
+    def classify(p: Path) -> dict:
+        node: dict = {"name": p.name, "type": "file"}
+        if p.suffix == ".yaml":
+            try:
+                doc = yaml.safe_load(p.read_text()) or {}
+            except Exception:
+                node["yaml_type"] = "invalid"
+                return node
+            if isinstance(doc, dict) and (
+                "url-path" in doc or "url_path" in doc
+            ):
+                node["yaml_type"] = "endpoint"
+                node["url_path"] = doc.get(
+                    "url-path", doc.get("url_path", "")
+                )
+                src = doc.get("template-source", doc.get("template_source"))
+                if src:
+                    node["template_source"] = src
+                cache = doc.get("cache") or {}
+                ct = cache.get("template-file", cache.get("template_file"))
+                if ct:
+                    node["cache_template_source"] = ct
+            elif p.name == config_file:
+                node["yaml_type"] = "project"
+            else:
+                node["yaml_type"] = "shared"
+        return node
+
+    def walk(d: Path) -> list[dict]:
+        dirs = sorted(
+            (p for p in d.iterdir() if p.is_dir()), key=lambda p: p.name
+        )
+        files = sorted(
+            (p for p in d.iterdir() if p.is_file()), key=lambda p: p.name
+        )
+        out = [
+            {"name": p.name, "type": "directory", "children": walk(p)}
+            for p in dirs
+        ]
+        out.extend(classify(p) for p in files)
+        return out
+
+    return {
+        "config_file_exists": (root / config_file).is_file(),
+        "config_file": config_file,
+        "tree": walk(root) if root.is_dir() else [],
+    }

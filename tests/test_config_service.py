@@ -320,3 +320,50 @@ def test_endpoint_parameters_shape():
         "url-path": "/bare", "template-text": "SELECT 1",
     })
     assert endpoint_parameters(bare)["parameters"] == []
+
+
+def test_filesystem_structure(tmp_path):
+    """config_service_filesystem_test.cpp vectors: classification
+    (endpoint/project/shared), cache template relationships, nested
+    dirs, dirs-before-files sorting, empty dirs."""
+    from flapi_spark.config_service import filesystem_structure
+
+    d = tmp_path / "cfg"
+    (d / "sub").mkdir(parents=True)
+    (d / "flapi.yaml").write_text("project-name: t\nconnections: {}\n")
+    (d / "users.yaml").write_text(
+        "url-path: /users\ntemplate-source: users.sql\n"
+    )
+    (d / "products.yaml").write_text(
+        "url-path: /products\ntemplate-source: products.sql\n"
+        "cache:\n  enabled: true\n  table: p\n"
+        "  template-file: products_cache.sql\n"
+    )
+    (d / "auth-shared.yaml").write_text("auth:\n  enabled: false\n")
+    (d / "users.sql").write_text("SELECT 1")
+    (d / "sub" / "deep.yaml").write_text(
+        "url-path: /deep\ntemplate-text: SELECT 1\n"
+    )
+
+    got = filesystem_structure(d)
+    assert got["config_file_exists"] is True
+    assert got["config_file"] == "flapi.yaml"
+    tree = got["tree"]
+    # directories first, then files alphabetically
+    assert tree[0]["type"] == "directory" and tree[0]["name"] == "sub"
+    assert tree[0]["children"][0]["yaml_type"] == "endpoint"
+    names = [n["name"] for n in tree[1:]]
+    assert names == sorted(names)
+    by_name = {n["name"]: n for n in tree[1:]}
+    assert by_name["users.yaml"]["yaml_type"] == "endpoint"
+    assert by_name["users.yaml"]["url_path"] == "/users"
+    assert by_name["users.yaml"]["template_source"] == "users.sql"
+    assert by_name["products.yaml"]["cache_template_source"] == \
+        "products_cache.sql"
+    assert by_name["flapi.yaml"]["yaml_type"] == "project"
+    assert by_name["auth-shared.yaml"]["yaml_type"] == "shared"
+    assert by_name["users.sql"]["type"] == "file"
+    assert "yaml_type" not in by_name["users.sql"]
+    # empty directory
+    empty = filesystem_structure(tmp_path / "nope")
+    assert empty["tree"] == [] and empty["config_file_exists"] is False
