@@ -83,6 +83,11 @@ _SQLITE_DATE = re.compile(
 )
 _JSON_OBJECT = re.compile(r"\bjson_object\s*\(", re.IGNORECASE)
 _TIME_LITERAL = re.compile(r"\bTIME\s+'([^']*)'", re.IGNORECASE)
+_JSON_CAST_SUFFIX = re.compile(r"::\s*JSON\b", re.IGNORECASE)
+_JSON_CAST_FN = re.compile(
+    r"\bCAST\s*\(\s*((?:[^()']|'(?:[^']|'')*')+?)\s+AS\s+JSON\s*\)",
+    re.IGNORECASE,
+)
 # typed-literal prefix over a NAMED MARKER: the binding pass rewrites
 # quoted typed sites like DATE '{{{params.d}}}' into DATE :d before
 # the dialect runs — Spark cannot parse a type keyword before a
@@ -334,4 +339,11 @@ def duckdb_to_spark_sql(sql: str) -> str:
         return f"CAST({marker} AS {kw})"
 
     sql = _sub_quote_aware(_TYPED_MARKER, _typed_marker, sql)
+    # DuckDB's JSON type is a VARCHAR alias (query_executor.cpp:213);
+    # Spark has no JSON type, so the cast disappears and the value
+    # stays a string — declare the column in the endpoint's
+    # `json-columns:` to get the reference's nested-object response
+    # (issue #38, results.to_json_rows)
+    sql = _sub_quote_aware(_JSON_CAST_SUFFIX, "", sql)
+    sql = _sub_quote_aware(_JSON_CAST_FN, r"CAST(\1 AS STRING)", sql)
     return sql

@@ -255,3 +255,40 @@ def test_rewrites_skip_tokens_inside_string_literals():
     # DATE('now') mentioned midway through a literal
     sql4 = "SELECT 'DATE(''now'', ''-3 days'') syntax' AS doc"
     assert d(sql4) == sql4
+
+
+def test_json_cast_rewrites(spark):
+    """The issue-#38 template shape (api_configuration/sqls/
+    json_demo.sql): '…'::JSON parses in DuckDB but not Spark — the
+    cast drops (JSON is a VARCHAR alias) and runs end-to-end; with
+    json-columns declared, the response embeds the nested object."""
+    from flapi_spark.config import EndpointConfig
+    from flapi_spark.dialect import duckdb_to_spark_sql
+    from flapi_spark.executor import QueryExecutor
+    from flapi_spark.results import to_json_rows
+
+    sql = (
+        "SELECT 1 AS id,"
+        " '{\"a\": 1, \"b\": [10, 20]}'::JSON AS payload"
+    )
+    out = duckdb_to_spark_sql(sql)
+    assert "::" not in out and "JSON" not in out.upper().replace(
+        '"A": 1', ""
+    ).split("AS PAYLOAD")[0].split("'")[-1]
+    assert duckdb_to_spark_sql(
+        "SELECT CAST(x AS JSON) FROM t"
+    ) == "SELECT CAST(x AS STRING) FROM t"
+    # a ::JSON inside a string literal is data, untouched
+    lit = "SELECT 'cast it with ::JSON' AS note"
+    assert duckdb_to_spark_sql(lit) == lit
+
+    ep = EndpointConfig.from_dict({
+        "url-path": "/json-demo",
+        "template-text": sql,
+        "template-dialect": "duckdb",
+        "json-columns": ["payload"],
+        "with-pagination": False,
+    })
+    res = QueryExecutor(spark, None).execute(ep, {})
+    rows = to_json_rows(res.df, json_columns=res.json_columns)
+    assert rows == [{"id": 1, "payload": {"a": 1, "b": [10, 20]}}]
