@@ -403,7 +403,9 @@ def find_endpoints_by_template(
     import os
 
     def norm(p: str) -> str:
-        return os.path.normpath(str(p)).lstrip("./")
+        # normpath already collapses the ./ prefix; a str.lstrip("./")
+        # would strip CHARACTERS (mangling names like "..foo")
+        return os.path.normpath(str(p))
 
     want = norm(template_path)
     hits = []
