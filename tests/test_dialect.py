@@ -5,6 +5,8 @@ unchanged via `template-dialect: duckdb`."""
 
 import textwrap
 
+import os
+
 import pytest
 
 from flapi_spark.config import EndpointConfig
@@ -292,3 +294,68 @@ def test_json_cast_rewrites(spark):
     res = QueryExecutor(spark, None).execute(ep, {})
     rows = to_json_rows(res.df, json_columns=res.json_columns)
     assert rows == [{"id": 1, "payload": {"a": 1, "b": [10, 20]}}]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/examples/sqls"),
+    reason="reference tree not available",
+)
+def test_dialect_parses_entire_reference_template_corpus(spark):
+    """Every SQL template shipped by the reference (examples/ + the
+    integration fixture project) must survive the dialect shim and
+    PARSE in Spark once mustache placeholders are rendered. Template
+    params render as literals; {{conn.*}}/table refs as dummy
+    identifiers (a missing table is fine — resolution errors are
+    allowed, parse errors are not)."""
+    import glob as _glob
+    import re as _re
+
+    from flapi_spark.dialect import duckdb_to_spark_sql
+
+    paths = sorted(
+        _glob.glob(
+            "/root/reference/test/integration/api_configuration/sqls/*.sql"
+        )
+        + _glob.glob("/root/reference/examples/sqls/**/*.sql",
+                     recursive=True)
+    )
+    assert len(paths) >= 25
+    failures = []
+    for p in paths:
+        raw = open(p).read()
+        # render: conn/table refs -> identifier, params -> literal,
+        # section markers -> empty (their bodies keep rendering)
+        txt = _re.sub(r"\{\{[#^/][^}]*\}\}", "", raw)
+        # conn.path renders as a parquet path (the quoted-FROM rewrite
+        # keys on the extension, exactly like a real render would)
+        txt = _re.sub(
+            r"\{\{\{?\s*conn\.path\s*\}\}\}?", "tbl.parquet", txt
+        )
+        txt = _re.sub(r"\{\{\{?\s*(conn|cache)\.[^}]*\}\}\}?", "tbl", txt)
+        txt = _re.sub(r"\{\{\{?[^}]*\}\}\}?", "1", txt)
+        try:
+            sql = duckdb_to_spark_sql(txt)
+        except Exception as exc:
+            failures.append((p, f"dialect: {exc}"))
+            continue
+        for s in (x.strip() for x in sql.split(";")):
+            if not s or not s.lstrip().upper().startswith(
+                ("SELECT", "WITH")
+            ):
+                continue
+            try:
+                spark.sql("EXPLAIN " + s)
+            except Exception as exc:
+                msg = str(exc).split("\n")[0]
+                if (
+                    "TABLE_OR_VIEW_NOT_FOUND" in msg
+                    or "cannot be found" in msg
+                    or "PATH_NOT_FOUND" in msg
+                    or "UNRESOLVED_COLUMN" in msg
+                    or "UNRESOLVED_ROUTINE" in msg
+                    or "COLUMN_NOT_FOUND" in msg
+                ):
+                    continue  # parse succeeded; only resolution failed
+                failures.append((p, msg[:160]))
+                break
+    assert not failures, failures
