@@ -84,10 +84,56 @@ _SQLITE_DATE = re.compile(
 _JSON_OBJECT = re.compile(r"\bjson_object\s*\(", re.IGNORECASE)
 _TIME_LITERAL = re.compile(r"\bTIME\s+'([^']*)'", re.IGNORECASE)
 _JSON_CAST_SUFFIX = re.compile(r"::\s*JSON\b", re.IGNORECASE)
-_JSON_CAST_FN = re.compile(
-    r"\bCAST\s*\(\s*((?:[^()']|'(?:[^']|'')*')+?)\s+AS\s+JSON\s*\)",
-    re.IGNORECASE,
-)
+_CAST_OPEN = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_AS_JSON_TAIL = re.compile(r"\s+AS\s+JSON\s*$", re.IGNORECASE)
+
+
+def _rewrite_json_casts(sql: str) -> str:
+    """CAST(expr AS JSON) → CAST(expr AS STRING) with a paren-aware
+    scan: the operand may be any expression, including nested calls
+    like json_object(...) — a regex character class cannot balance
+    parentheses, so the close paren is found by depth counting
+    (''-escape-aware). Nested JSON casts inside the operand are
+    rewritten recursively."""
+    spans = [(a, b) for a, b, in_str in _scan_strings(sql) if in_str]
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _CAST_OPEN.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        if any(a <= m.start() < b for a, b in spans):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        depth, j, in_str = 1, m.end(), False
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            j += 1
+        if depth:  # unbalanced — leave the remainder untouched
+            out.append(sql[i:])
+            break
+        body = sql[m.end():j - 1]
+        tail = _AS_JSON_TAIL.search(body)
+        if tail:
+            inner = _rewrite_json_casts(body[: tail.start()])
+            out.append(sql[i:m.start()])
+            out.append(f"CAST({inner} AS STRING)")
+            i = j
+        else:
+            # not a JSON cast: step inside so nested CAST(.. AS JSON)
+            # operands still get rewritten
+            out.append(sql[i:m.end()])
+            i = m.end()
+    return "".join(out)
 # typed-literal prefix over a NAMED MARKER: the binding pass rewrites
 # quoted typed sites like DATE '{{{params.d}}}' into DATE :d before
 # the dialect runs — Spark cannot parse a type keyword before a
@@ -345,5 +391,5 @@ def duckdb_to_spark_sql(sql: str) -> str:
     # `json-columns:` to get the reference's nested-object response
     # (issue #38, results.to_json_rows)
     sql = _sub_quote_aware(_JSON_CAST_SUFFIX, "", sql)
-    sql = _sub_quote_aware(_JSON_CAST_FN, r"CAST(\1 AS STRING)", sql)
+    sql = _rewrite_json_casts(sql)
     return sql

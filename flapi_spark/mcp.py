@@ -13,6 +13,7 @@ layer is what carries over to a Spark engine.
 
 from __future__ import annotations
 
+import logging
 import re
 import time
 from dataclasses import dataclass, field
@@ -345,7 +346,7 @@ class McpRegistry(McpToolRegistry):
 
     def get_prompt(self, name: str, args: dict | None = None) -> dict:
         if name not in self._prompts:
-            raise McpError(f"unknown prompt '{name}'")
+            raise McpError(f"Prompt not found: {name}")
         p = self._prompts[name]
         return {
             "name": name,
@@ -354,6 +355,53 @@ class McpRegistry(McpToolRegistry):
                 {"role": "user", "content": {"type": "text", "text": p.render(args)}}
             ],
         }
+
+    # --- completion ----------------------------------------------------------
+
+    def complete(
+        self, ref: str, argument: str, value_prefix: str = ""
+    ) -> dict:
+        """Argument-completion suggestions for a tool or prompt
+        (reference: mcp_route_handlers.cpp
+        handleCompletionCompleteRequest): enum-validated arguments
+        complete from their allowedValues, prefix-filtered, capped at
+        50 with total/hasMore; non-enum arguments return an empty
+        completion (the client falls back to its own methods)."""
+        fields = None
+        tool = self._tools.get(ref)
+        if tool is not None:
+            fields = {
+                f.field_name: f for f in tool.endpoint.request_fields
+            }
+        elif ref in self._prompts:
+            # prompts declare bare argument names (no validators) —
+            # a known argument completes to the empty set
+            fields = {a: None for a in self._prompts[ref].arguments}
+        if fields is None:
+            raise McpError(f"Reference not found: {ref}")
+        if argument not in fields:
+            raise McpError(f"Argument not found: {argument}")
+        values: list[str] = []
+        total = 0
+        has_more = False
+        f = fields[argument]
+        if f is not None:
+            for v in f.validators:
+                if v.type == "enum" and v.allowed_values:
+                    # total counts every value ITERATED (reference
+                    # parity — the loop breaks once the 50-cap trips,
+                    # so total under-reports past the cap, by design)
+                    for ev in v.allowed_values:
+                        ev = str(ev)
+                        if not value_prefix or ev.startswith(value_prefix):
+                            if len(values) < 50:
+                                values.append(ev)
+                            else:
+                                has_more = True
+                                break
+                        total += 1  # loop-level (not per-match)
+                    break
+        return {"values": values, "total": total, "hasMore": has_more}
 
 
 # --- description scanner (reference: mcp_description_scanner.cpp) -------
@@ -650,6 +698,8 @@ INTERNAL_ERROR = -32603
 MCP_METHODS = (
     "initialize", "tools/list", "tools/call",
     "resources/list", "resources/read",
+    "prompts/list", "prompts/get",
+    "logging/setLevel", "completion/complete", "ping",
 )
 _METHOD_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_./]*$")
 # accepted initialize protocol versions: everything the server can
@@ -706,7 +756,65 @@ def validate_params_for_method(method: str, params) -> list[str]:
         if not isinstance(params["uri"], str):
             return ["Resource URI must be a string"]
         return []
+    if method == "prompts/get":
+        # reference: mcp_route_handlers.cpp handlePromptsGetRequest →
+        # extractRequiredStringParam("name") (-32602 on miss)
+        if not isinstance(params, dict):
+            return ["Prompts get params must be an object"]
+        if "name" not in params:
+            return ["Prompts get params must include 'name' field"]
+        if not isinstance(params["name"], str):
+            return ["Prompt name must be a string"]
+        return []
+    if method == "logging/setLevel":
+        # reference: handleLoggingSetLevelRequest — missing/non-string
+        # 'level' is -32602
+        if not isinstance(params, dict):
+            return ["Logging setLevel params must be an object"]
+        if "level" not in params:
+            return ["Invalid params: missing 'level' field"]
+        if not isinstance(params["level"], str):
+            return ["Invalid params: 'level' must be a string"]
+        return []
+    if method == "completion/complete":
+        # reference: handleCompletionCompleteRequest — 'ref' and
+        # 'argument' required strings
+        if not isinstance(params, dict):
+            return ["Completion params must be an object"]
+        if "ref" not in params or "argument" not in params:
+            return ["Invalid params: missing 'ref' or 'argument' field"]
+        if not isinstance(params["ref"], str):
+            return ["Invalid params: 'ref' must be a string"]
+        if not isinstance(params["argument"], str):
+            return ["Invalid params: 'argument' must be a string"]
+        return []
     return []  # other methods carry no param rules (reference parity)
+
+
+# MCP log levels → Python logging levels (reference:
+# handleLoggingSetLevelRequest maps the 8 MCP/syslog levels onto the 4
+# Crow levels; the Python analogue collapses the same way)
+_MCP_LOG_LEVELS = {
+    "debug": logging.DEBUG,
+    "info": logging.INFO,
+    "notice": logging.INFO,
+    "warning": logging.WARNING,
+    "error": logging.ERROR,
+    "critical": logging.ERROR,
+    "alert": logging.ERROR,
+    "emergency": logging.ERROR,
+}
+
+
+def set_mcp_log_level(level: str) -> int:
+    """Apply an MCP logging/setLevel request to the package logger.
+    Unknown levels raise McpError (the reference's -32602 'Invalid log
+    level'). Returns the applied Python level."""
+    py_level = _MCP_LOG_LEVELS.get(level)
+    if py_level is None:
+        raise McpError(f"Invalid log level: {level}")
+    logging.getLogger("flapi_spark").setLevel(py_level)
+    return py_level
 
 
 def validate_accept_header(accept_header: str) -> bool:
@@ -841,7 +949,10 @@ def handle_jsonrpc(
     validate → per-method handler → uniform JSON-RPC result/error
     envelopes): initialize (session create + negotiated version +
     instructions), tools/list, tools/call, resources/list,
-    resources/read. Transport-free — an HTTP layer dumps the returned
+    resources/read, prompts/list, prompts/get, logging/setLevel,
+    completion/complete, ping — the reference's full method table
+    (mcp_route_handlers.cpp:662-684), so every capability initialize
+    advertises is dispatchable. Transport-free — an HTTP layer dumps the returned
     dict; errors surface as JSON-RPC error objects with the
     reference's codes (validation −32600/−32602, unknown method
     −32601, handler failures −32603)."""
@@ -881,9 +992,12 @@ def handle_jsonrpc(
                 result["sessionId"] = sid
             return {"jsonrpc": JSONRPC_VERSION, "id": rid,
                     "result": result}
-        if session_manager is not None:
+        if session_manager is not None and method != "ping":
             # non-initialize on a session-managed server: the session
-            # must be live (mcp_session_manager.cpp expiry semantics)
+            # must be live (mcp_session_manager.cpp expiry semantics).
+            # ping is exempt — it is the transport liveness probe and
+            # may precede initialize (reference handlePingRequest has
+            # no session dependency)
             if session_id is None or not session_manager.is_session_valid(
                 session_id
             ):
@@ -904,6 +1018,29 @@ def handle_jsonrpc(
                 "jsonrpc": JSONRPC_VERSION, "id": rid,
                 "result": {"resources": registry.list_resources()},
             }
+        if method == "prompts/list":
+            return {
+                "jsonrpc": JSONRPC_VERSION, "id": rid,
+                "result": {"prompts": registry.list_prompts()},
+            }
+        if method == "prompts/get":
+            out = registry.get_prompt(
+                params["name"], params.get("arguments")
+            )
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
+        if method == "ping":
+            # empty-object result per MCP spec (reference:
+            # handlePingRequest)
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": {}}
+        if method == "logging/setLevel":
+            set_mcp_log_level(params["level"])
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": {}}
+        if method == "completion/complete":
+            out = registry.complete(
+                params["ref"], params["argument"],
+                str(params.get("value") or ""),
+            )
+            return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
         if method == "resources/read":
             uri = params["uri"]
             name = uri.split("://", 1)[1] if "://" in uri else uri

@@ -464,7 +464,14 @@ def embedding_pca_power(
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("emb")
     )
-    d = len(emb.first()["emb"])
+    first = emb.first()
+    if first is None:
+        # empty table: the declared schema with no rows, not a
+        # TypeError from first()[...] (r5 ADVICE)
+        return spark.createDataFrame(
+            [], "component long, loading double, eigenvalue double"
+        )
+    d = len(first["emb"])
     v = [0.0] * d
     v[0] = 1.0
     lam = 0.0

@@ -61,6 +61,12 @@ full-table backup (two extra full rewrites per write at 100 TB):
   where a cheap pre-image is not well-defined. Reference CRUD
   templates are single-statement-per-table, which always takes the
   metadata path.
+- v2 (Iceberg/Delta) targets ALWAYS take the CTAS backup: their
+  statements execute natively through the table's transaction log, so
+  the file-manifest machinery sees nothing, and raw-deleting their
+  data files would corrupt log-referenced snapshots. Restore is
+  ``INSERT OVERWRITE`` — a new log snapshot, never a file delete;
+  physical cleanup stays the table's own vacuum/expire-snapshots job.
 
 Scale: the rewrite cost of row-level DML on immutable storage is the
 new image, written once, pruned to touched partitions where the target
@@ -336,15 +342,25 @@ class _TxnState:
                 "keep": None,       # renamed-aside pre-image table
                 "delta_bk": None,   # touched-partition snapshot table
                 "full_bk": None,    # documented-fallback full backup
+                "v2": False,        # Iceberg/Delta: log-managed files
             }
             if exists:
                 ent["begin_files"] = set(self.spark.table(t).inputFiles())
+                ent["v2"] = _table_supports_row_dml(self.spark, t)
                 pcols = _partition_cols(self.spark, t)
                 managed = _table_is_managed(self.spark, t)
                 ks = set(kinds)
                 n_rowdml = sum(1 for k in kinds if k in ("update", "delete"))
                 # full-CTAS fallback for every shape whose destructive
                 # statements would otherwise leave NO pre-image:
+                # - v2 (Iceberg/Delta) targets: their statements run
+                #   natively through the table's transaction log, so
+                #   the file-manifest machinery records nothing — and
+                #   raw-deleting their data files on rollback would
+                #   corrupt log-referenced snapshots. The CTAS backup
+                #   restores via INSERT OVERWRITE, which goes THROUGH
+                #   the log (a new snapshot), keeping the table
+                #   readable at every point.
                 # - INSERT OVERWRITE executes natively (old files gone)
                 # - non-managed targets take the external INSERT
                 #   OVERWRITE swap, which cannot rename-preserve
@@ -352,7 +368,8 @@ class _TxnState:
                 #   snapshots would capture post-earlier-statement
                 #   rows — module docstring)
                 if (
-                    "insert_overwrite" in ks
+                    ent["v2"]
+                    or "insert_overwrite" in ks
                     or (not managed and n_rowdml > 0)
                     or (
                         pcols
@@ -443,8 +460,13 @@ class _TxnState:
             # in the BEGIN manifest was written by this txn (rename
             # moves directories, so restored pre-image paths equal the
             # BEGIN paths; delta-restore partitions already hold only
-            # restored files)
-            if ent["keep"] or not (ent["full_bk"] or ent["delta_bk"]):
+            # restored files). NEVER on a v2 table — its files belong
+            # to the transaction log, and the log's own snapshots may
+            # still reference them; physical cleanup is the table's
+            # vacuum/expire-snapshots job, not ours.
+            if not ent.get("v2") and (
+                ent["keep"] or not (ent["full_bk"] or ent["delta_bk"])
+            ):
                 self.spark.sql(f"REFRESH TABLE {t}")
                 now = set(self.spark.table(t).inputFiles())
                 _delete_files(self.spark, now - ent["begin_files"])

@@ -283,6 +283,25 @@ def test_json_cast_rewrites(spark):
     # a ::JSON inside a string literal is data, untouched
     lit = "SELECT 'cast it with ::JSON' AS note"
     assert duckdb_to_spark_sql(lit) == lit
+    # nested-call operands (paren-aware scan; r5 ADVICE: the old
+    # character-class regex could not match any parenthesized operand)
+    assert duckdb_to_spark_sql(
+        "SELECT CAST(json_object('a', x, 'b', f(y, 2)) AS JSON) FROM t"
+    ) == (
+        "SELECT CAST(to_json(named_struct('a', x, 'b', f(y, 2)))"
+        " AS STRING) FROM t"
+    )
+    # non-JSON casts with nested parens are untouched; a JSON cast
+    # NESTED inside another cast's operand still rewrites
+    assert duckdb_to_spark_sql(
+        "SELECT CAST(coalesce(CAST(p AS JSON), '{}') AS VARCHAR) FROM t"
+    ) == (
+        "SELECT CAST(coalesce(CAST(p AS STRING), '{}') AS VARCHAR)"
+        " FROM t"
+    )
+    # 'AS JSON' as trailing string DATA is not a cast tail
+    s = "SELECT CAST('payload AS JSON' AS VARCHAR) FROM t"
+    assert duckdb_to_spark_sql(s) == s
 
     ep = EndpointConfig.from_dict({
         "url-path": "/json-demo",

@@ -587,6 +587,187 @@ class TestJsonRpcDispatch:
         assert "session" in out["error"]["message"].lower()
 
 
+class TestJsonRpcPromptsPingDispatch:
+    """Every capability initialize advertises must be dispatchable
+    (reference mcp_route_handlers.cpp:662-684 dispatches prompts/list,
+    prompts/get, logging/setLevel, completion/complete and ping in the
+    same method table as tools/resources)."""
+
+    def _registry(self, spark):
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.mcp import McpRegistry, Prompt
+
+        reg = McpRegistry(QueryExecutor(spark, None))
+        reg.register("seg_tool", EndpointConfig.from_dict({
+            "url-path": "/seg/",
+            "template-text": "SELECT 1 AS x",
+            "with-pagination": False,
+            "request": [{
+                "field-name": "segment",
+                "validators": [{
+                    "type": "enum",
+                    "allowedValues": ["AUTOMOBILE", "BUILDING",
+                                      "FURNITURE", "MACHINERY"],
+                }],
+            }],
+        }))
+        reg.register_prompt(Prompt(
+            name="analyze",
+            template="Analyze segment {{segment}}.",
+            description="analysis prompt",
+            arguments=["segment"],
+        ))
+        return reg
+
+    def test_prompts_list_and_get(self, spark):
+        from flapi_spark.mcp import INVALID_PARAMS, handle_jsonrpc
+
+        reg = self._registry(spark)
+        lst = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 1, "method": "prompts/list",
+                  "params": None},
+        )
+        assert [p["name"] for p in lst["result"]["prompts"]] == ["analyze"]
+        got = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 2, "method": "prompts/get",
+             "params": {"name": "analyze",
+                        "arguments": {"segment": "BUILDING"}}},
+        )
+        msg = got["result"]["messages"][0]
+        assert msg["content"]["text"] == "Analyze segment BUILDING."
+        missing = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 3, "method": "prompts/get",
+                  "params": {"name": "ghost"}},
+        )
+        assert missing["error"]["code"] == INVALID_PARAMS
+        assert "Prompt not found" in missing["error"]["message"]
+        no_name = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 4, "method": "prompts/get",
+                  "params": {}},
+        )
+        assert no_name["error"]["code"] == INVALID_PARAMS
+
+    def test_ping_empty_object_and_session_exempt(self, spark):
+        from flapi_spark.mcp import McpSessionManager, handle_jsonrpc
+
+        reg = self._registry(spark)
+        out = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 1, "method": "ping",
+                  "params": None},
+        )
+        assert out["result"] == {}
+        # liveness probe works WITHOUT a session (may precede
+        # initialize on a session-managed server)
+        sm = McpSessionManager()
+        out2 = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 2, "method": "ping",
+                  "params": None},
+            session_manager=sm,
+        )
+        assert out2["result"] == {}
+
+    def test_logging_set_level(self, spark):
+        import logging
+
+        from flapi_spark.mcp import INVALID_PARAMS, handle_jsonrpc
+
+        reg = self._registry(spark)
+        ok = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 1, "method": "logging/setLevel",
+                  "params": {"level": "debug"}},
+        )
+        assert ok["result"] == {}
+        assert logging.getLogger("flapi_spark").level == logging.DEBUG
+        # notice collapses onto info (reference level mapping)
+        handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 2, "method": "logging/setLevel",
+                  "params": {"level": "notice"}},
+        )
+        assert logging.getLogger("flapi_spark").level == logging.INFO
+        bad = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 3, "method": "logging/setLevel",
+                  "params": {"level": "verbose"}},
+        )
+        assert bad["error"]["code"] == INVALID_PARAMS
+        assert "Invalid log level" in bad["error"]["message"]
+        missing = handle_jsonrpc(
+            reg, {"jsonrpc": "2.0", "id": 4, "method": "logging/setLevel",
+                  "params": {}},
+        )
+        assert missing["error"]["code"] == INVALID_PARAMS
+
+    def test_completion_complete(self, spark):
+        from flapi_spark.mcp import INVALID_PARAMS, handle_jsonrpc
+
+        reg = self._registry(spark)
+        all_vals = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 1, "method": "completion/complete",
+             "params": {"ref": "seg_tool", "argument": "segment"}},
+        )
+        assert all_vals["result"]["values"] == [
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"]
+        assert all_vals["result"]["hasMore"] is False
+        pref = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 2, "method": "completion/complete",
+             "params": {"ref": "seg_tool", "argument": "segment",
+                        "value": "B"}},
+        )
+        assert pref["result"]["values"] == ["BUILDING"]
+        # prompt ref with a declared bare argument: empty completion
+        # (no validators to complete from), not an error
+        p = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 3, "method": "completion/complete",
+             "params": {"ref": "analyze", "argument": "segment"}},
+        )
+        assert p["result"]["values"] == []
+        bad_ref = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 4, "method": "completion/complete",
+             "params": {"ref": "ghost", "argument": "segment"}},
+        )
+        assert bad_ref["error"]["code"] == INVALID_PARAMS
+        assert "Reference not found" in bad_ref["error"]["message"]
+        bad_arg = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 5, "method": "completion/complete",
+             "params": {"ref": "seg_tool", "argument": "nope"}},
+        )
+        assert bad_arg["error"]["code"] == INVALID_PARAMS
+        assert "Argument not found" in bad_arg["error"]["message"]
+        missing = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 6, "method": "completion/complete",
+             "params": {"ref": "seg_tool"}},
+        )
+        assert missing["error"]["code"] == INVALID_PARAMS
+
+    def test_completion_cap_and_total(self, spark):
+        """50-value cap with hasMore; total counts iterated values
+        (reference loop semantics)."""
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.mcp import McpRegistry
+
+        reg = McpRegistry(QueryExecutor(spark, None))
+        vals = [f"V{i:03d}" for i in range(60)]
+        reg.register("big", EndpointConfig.from_dict({
+            "url-path": "/big/",
+            "template-text": "SELECT 1 AS x",
+            "request": [{
+                "field-name": "v",
+                "validators": [{"type": "enum", "allowedValues": vals}],
+            }],
+        }))
+        out = reg.complete("big", "v")
+        assert len(out["values"]) == 50
+        assert out["hasMore"] is True
+
+
 def test_register_endpoints_from_mcp_blocks(spark):
     """mcp-tool / mcp-resource / mcp-prompt YAML blocks register their
     surfaces automatically (the reference builds its MCP registries

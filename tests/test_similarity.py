@@ -163,6 +163,21 @@ def test_embedding_pca_power_properties(spark, sf_dir):
     assert r6[1].eigenvalue >= r5[1].eigenvalue - 1e-6
 
 
+def test_embedding_pca_power_empty_table(spark, tmp_path):
+    """An empty embeddings table returns the declared schema with no
+    rows — not a TypeError from first() (r5 ADVICE)."""
+    from flapi_spark.operators.similarity import embedding_pca_power
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    spark.createDataFrame(
+        [], "id long, embedding array<float>, label long"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    out = embedding_pca_power(spark, str(d))
+    assert out.columns == ["component", "loading", "eigenvalue"]
+    assert out.count() == 0
+
+
 def test_pc_removal_geometry(spark, sf_dir):
     """Removing a unit direction can only shrink norms; |cos| to the
     top PC sits in [0, 1]; the retained share matches the removed/

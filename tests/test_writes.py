@@ -809,6 +809,56 @@ class TestMetadataRollback:
         finally:
             spark.sql("DROP TABLE IF EXISTS txn_part")
 
+    def test_rollback_v2_table_ctas_backup_never_raw_deletes(
+        self, spark, monkeypatch
+    ):
+        """A v2 (Iceberg/Delta) table in a failed transaction gets the
+        CTAS backup at BEGIN — its statements run natively through the
+        table's transaction log, so the file-manifest machinery records
+        no pre-image — and its data files are NEVER raw-deleted:
+        rollback restores through the log (INSERT OVERWRITE), because a
+        filesystem delete would corrupt log-referenced snapshots.
+        Simulated v2 (no Iceberg jar in this sandbox):
+        _table_supports_row_dml is forced true for the target and
+        _delete_files is intercepted to record every path."""
+        import flapi_spark.writes as W
+
+        _rm(spark, "txn_v2")
+        spark.sql("CREATE TABLE txn_v2 (id BIGINT, v STRING) USING parquet")
+        try:
+            spark.sql("INSERT INTO txn_v2 VALUES (1,'a'),(2,'b')")
+            monkeypatch.setattr(
+                W,
+                "_table_supports_row_dml",
+                lambda _s, t: t.strip("`").endswith("txn_v2"),
+            )
+            deleted: list[str] = []
+            real_delete = W._delete_files
+
+            def recording_delete(s, paths):
+                deleted.extend(paths)
+                real_delete(s, paths)
+
+            monkeypatch.setattr(W, "_delete_files", recording_delete)
+            # insert-only shape: without the v2 CTAS forcing, rollback
+            # would take the manifest-diff branch and raw-delete the
+            # appended (log-owned) files
+            with pytest.raises(Exception):
+                W.execute_write_statements(
+                    spark,
+                    [
+                        "INSERT INTO txn_v2 VALUES (3,'c')",
+                        "INSERT INTO txn_v2 SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            assert not [p for p in deleted if "txn_v2" in p]
+            rows = {x.id: x.v for x in spark.table("txn_v2").collect()}
+            assert rows == {1: "a", 2: "b"}  # logical pre-image restored
+            assert not spark.catalog.tableExists("txn_v2__txn_backup")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS txn_v2")
+
     def test_commit_drops_preservation_tables(self, spark):
         from flapi_spark.writes import execute_write_statements
 
