@@ -956,30 +956,41 @@ def dedup_incremental_pairs(
         .distinct()
         .persist()
     )
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # unhinted: delta-batch candidate volume is data-dependent
-    cand_texts = existing_docs.unionByName(new_docs).join(
-        cand_docs, "doc_id", "left_semi"
-    )
-    sets = (
-        hashed_shingles_from(cand_texts)
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
-    )
-    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
-    union = F.size(F.array_union("ha", "hb"))
-    return (
-        cands.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    # cache released before return (eager localCheckpoint severs the
+    # lineage): a per-ingest-batch function must not leak one cached
+    # pair-set per call (r5 ADVICE on the indexed twin)
+    try:
+        cand_docs = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # unhinted: delta-batch candidate volume is data-dependent
+        cand_texts = existing_docs.unionByName(new_docs).join(
+            cand_docs, "doc_id", "left_semi"
+        )
+        sets = (
+            hashed_shingles_from(cand_texts)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"))
+        )
+        wa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
+        )
+        wb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+        )
+        inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+        union = F.size(F.array_union("ha", "hb"))
+        return (
+            cands.join(wa, "doc_a")
+            .join(wb, "doc_b")
+            .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cands.unpersist()
 
 
 def neardup_pair_evidence(
@@ -1406,7 +1417,35 @@ def incremental_pairs_indexed(
     self-contained operator disappears — the index read is a bucketed
     scan. A second delta-sized new×new probe arm makes the result
     independent of whether append_band_index ran first. Equality with
-    dedup_incremental_pairs is asserted in tests."""
+    dedup_incremental_pairs is asserted in tests.
+
+    The candidate set is cached only for the duration of the call:
+    the (delta-proportional) result is materialized eagerly via
+    localCheckpoint and the cache released in a finally — a per-batch
+    maintenance function that leaked one cached pair-set per ingest
+    batch would exhaust executor storage over a long-running flow
+    (r5 ADVICE)."""
+    result, cands = _incremental_pairs_indexed_plan(
+        spark, all_docs, new_docs, table, threshold
+    )
+    try:
+        # eager: severs the returned plan's lineage from the cached
+        # candidate set so the finally-unpersist is safe
+        return result.localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+
+
+def _incremental_pairs_indexed_plan(
+    spark: SparkSession,
+    all_docs: DataFrame,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index",
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy plan for incremental_pairs_indexed: returns (result,
+    persisted candidate set). The CALLER owns the cache lifecycle —
+    plan tests inspect the un-checkpointed query here."""
     new_bands = band_rows_for(new_docs)
     index = spark.table(table)
 
@@ -1453,9 +1492,46 @@ def incremental_pairs_indexed(
     wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb")).cast("double")
     union = F.size(F.array_union("ha", "hb"))
-    return (
+    result = (
         cands.join(wa, "doc_a")
         .join(wb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+    return result, cands
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH design-dial table: for a (rows-per-band r,
+    bands b) grid, the candidate-collision probability
+    P(candidate | jaccard = s) = 1 − (1 − s^r)^b over s = 0.1 … 0.9,
+    plus each configuration's threshold s* = (1/b)^(1/r) (the
+    s-curve's inflection — pairs above it are probably candidates).
+    The companion to the MEASURED dials (dedup_lsh_recall_eval,
+    minhash_estimate_error): recall evals tell you what a config DID
+    on this corpus; this table tells you what any config WOULD do at
+    a target similarity before burning a 100 TB pass on it
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+
+    Pure closed-form math — 81 rows, no table scan; pow() is libm on
+    both engines, absorbed by the 6dp grid. sf_dir accepted for the
+    uniform queries() signature."""
+    return spark.sql(
+        """
+        SELECT r, b, s,
+               round(1 - pow(1 - pow(s, r), b), 6) AS p_candidate,
+               round(pow(1.0 / b, 1.0 / r), 6) AS s_threshold
+        FROM (SELECT explode(array(2, 4, 8)) AS r)
+        CROSS JOIN (SELECT explode(array(4, 8, 16)) AS b)
+        CROSS JOIN (
+          SELECT CAST(i AS DOUBLE) / 10 AS s
+          FROM (SELECT explode(sequence(1, 9)) AS i)
+        )
+        """
+    ).select(
+        F.col("r").cast("long").alias("r"),
+        F.col("b").cast("long").alias("b"),
+        F.col("s").alias("s"),
+        "p_candidate",
+        "s_threshold",
     )

@@ -375,9 +375,17 @@ def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
             ).collect()
         }
         append_band_index(spark, batch, table)
+        persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        cached_before = persistent.size()
         got_df = incremental_pairs_indexed(
             spark, docs, batch, table
         )
+        # cache-lifecycle: the per-batch call released its candidate
+        # cache (r5 ADVICE) — at most the returned result's own
+        # localCheckpoint blocks remain
+        cached_after = spark.sparkContext._jsc.sc() \
+            .getPersistentRDDs().size()
+        assert cached_after <= cached_before + 1
         got = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
                for r in got_df.collect()}
         expect = {
@@ -391,8 +399,20 @@ def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
         # plan: the index read is bucketed (pre-co-located on the
         # probe key) — Spark reports the scan as bucketed and the
         # index side needs no exchange before the candidate join
-        plan = got_df._jdf.queryExecution().executedPlan().toString()
-        assert "Bucketed: true" in plan
+        # (inspected on the lazy builder; the public wrapper returns
+        # a checkpointed result whose plan is an RDD scan)
+        from flapi_spark.operators.dedup import (
+            _incremental_pairs_indexed_plan,
+        )
+
+        lazy_df, lazy_cands = _incremental_pairs_indexed_plan(
+            spark, docs, batch, table
+        )
+        try:
+            plan = lazy_df._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+        finally:
+            lazy_cands.unpersist()
     finally:
         _rm_table(spark, table)
 
