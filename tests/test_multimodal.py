@@ -340,6 +340,31 @@ class TestMp4Container:
         _frames, p = self._payload()
         assert decode_auto(p, "video/mp4")["n_frames"] == 3
 
+    def test_mjpeg_frames_decode_for_real(self):
+        """Round 6: Motion-JPEG tracks (every sample a standalone
+        baseline JPEG) get REAL frame decode through the pure-stdlib
+        JPEG codec — mean_level is the mean of per-frame pixel means;
+        inter-frame codecs (avc1) stay gated at None."""
+        from flapi_spark.jpeg import jpeg_decode, jpeg_encode
+        from flapi_spark.multimodal import _mp4_decode, mp4_encode
+
+        def flat(rgb):
+            return [[rgb] * 16 for _ in range(16)]
+
+        frames = [
+            jpeg_encode(flat((40, 40, 40))),
+            jpeg_encode(flat((200, 200, 200))),
+        ]
+        p = mp4_encode(frames, width=16, height=16, codec=b"jpeg")
+        d = _mp4_decode(p)
+        assert d["n_frames"] == 2
+        expect = sum(jpeg_decode(f)["mean_level"] for f in frames) / 2
+        assert d["mean_level"] == pytest.approx(expect)
+        # same JPEG samples under an inter-frame fourcc: honest gate
+        d2 = _mp4_decode(mp4_encode(frames, width=16, height=16,
+                                    codec=b"avc1"))
+        assert d2["mean_level"] is None
+
     def test_corrupt_box_size_rejected(self):
         import struct
 
