@@ -1645,3 +1645,162 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ent, 6).alias("char_entropy"),
         (ent < 2.5).alias("low_entropy"),
     )
+
+
+def lang_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language conditional bigram entropy H(w2|w1) in nats — the
+    information-theoretic corpus-QA dial (low entropy = templated /
+    boilerplate-heavy text; a sudden per-language drop after a crawl
+    refresh flags duplication the LM will memorize). Reference scope:
+    corpus statistics endpoints; the metric itself is the classic
+    Shannon conditional entropy over the corpus bigram model.
+
+    Scale shape: ONE bigram-keyed groupBy over the exploded token
+    stream (map-side combined), then the w1-marginal and the per-lang
+    total derive from the bigram counts (vocab-grain, never a second
+    corpus pass); the final agg has one group per language. No UDF,
+    no driver loop; shuffles are bounded by distinct (lang, bigram).
+
+    Cross-engine exactness: each distinct bigram contributes term =
+    (c2/N)·ln(c1/c2) ≥ 0, a double; terms are snapped to the 1e-12
+    grid and summed as DECIMAL(38,12) — order-independent, so
+    partition-order float drift cannot leak into the 6dp output (the
+    repo's standard double-sum policy, SURVEY §4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", _tokens().alias("t")).where(F.size("t") >= 2)
+    pairs = t.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "  element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("lang", "b.w1", "b.w2")
+    c2 = pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
+    n = c2.groupBy("lang").agg(F.sum("c2").alias("n"))
+    term = (
+        F.col("c2").cast("double") / F.col("n").cast("double")
+    ) * F.log(F.col("c1").cast("double") / F.col("c2").cast("double"))
+    return (
+        c2.join(c1, ["lang", "w1"])
+        .join(F.broadcast(n), "lang")  # one row per language
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(38,12)"))
+                .cast("double"),
+                6,
+            ).alias("cond_entropy"),
+        )
+    )
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the mixture-
+    design dial: two crawl sources with near-identical vocabularies
+    add redundancy, not diversity, so a pipeline weights them down
+    (or dedups across them first). One row per unordered source pair
+    sharing at least one token.
+
+    Scale shape: DISTINCT (source, token) bounds everything by
+    vocab×sources; the self-join is token-keyed, so per-token work is
+    (sources containing it)² ≤ |sources|² — linear in vocabulary with
+    a tiny constant, never documents². Jaccard from integer counts is
+    a single exact-rounded IEEE division on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(_tokens()).alias("w")
+    ).distinct()
+    nv = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = nv.select(
+        F.col("source").alias("source_a"), F.col("nv").alias("vocab_a")
+    )
+    nb = nv.select(
+        F.col("source").alias("source_b"), F.col("nv").alias("vocab_b")
+    )
+    # the per-source vocab count table is |sources| rows — broadcast
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency spectrum (count-of-counts) in log2 buckets:
+    how many token TYPES occur between 2^k and 2^(k+1)−1 times — the
+    Good-Turing smoothing input and the standard vocabulary-growth /
+    crawl-health curve (a shrinking low-frequency mass between
+    snapshots means the crawl is re-fetching old content).
+
+    Scale shape: token-keyed count (map-side combined) then a ~64-
+    group second agg — the classic two-level aggregation, shuffles
+    bounded by vocabulary then by the bucket count. The log2 bucket
+    is PURE INTEGER arithmetic (binary digit count, no float log):
+    floor(log2(c)) = length(bin(c)) − 1 on both engines, so bucket
+    edges can never drift cross-engine. mass_share is each bucket's
+    share of all token OCCURRENCES (exact integer ratio, one IEEE
+    division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucketed = cnt.select(
+        (F.length(F.expr("bin(c)")) - 1).cast("long").alias("log2_freq"),
+        "c",
+    )
+    spec = bucketed.groupBy("log2_freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("mass"),
+    )
+    total = spec.agg(F.sum("mass").alias("tot"))  # one row
+    return (
+        spec.crossJoin(F.broadcast(total))
+        .select(
+            "log2_freq",
+            F.expr("shiftleft(1L, CAST(log2_freq AS INT))")
+            .cast("long")
+            .alias("freq_lo"),
+            "n_types",
+            "mass",
+            F.round(
+                F.col("mass").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("mass_share"),
+        )
+    )

@@ -4044,46 +4044,118 @@ QUERIES.update(
     }
 )
 
+# --- round 6: corpus information-theory + LSH design dials ------------------
+QUERIES.update(
+    {
+        "lang_bigram_entropy": (
+            T.lang_bigram_entropy,
+            f"WITH t0 AS (SELECT lang, {_TOKS} AS t FROM documents),"
+            " t AS (SELECT * FROM t0 WHERE len(t) >= 2),"
+            " p AS (SELECT lang, unnest(list_transform(range(1, len(t)),"
+            "  i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg FROM t),"
+            " c2 AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c2"
+            "  FROM p GROUP BY 1, 2, 3),"
+            " c1 AS (SELECT lang, w1, sum(c2) AS c1 FROM c2 GROUP BY 1, 2),"
+            " nn AS (SELECT lang, sum(c2) AS n FROM c2 GROUP BY 1)"
+            " SELECT c2.lang AS lang, CAST(max(nn.n) AS BIGINT) AS n_bigrams,"
+            "  CAST(count(*) AS BIGINT) AS distinct_bigrams,"
+            "  round(CAST(sum(CAST(round((CAST(c2.c2 AS DOUBLE)"
+            "   / CAST(nn.n AS DOUBLE)) * ln(CAST(c1.c1 AS DOUBLE)"
+            "   / CAST(c2.c2 AS DOUBLE)), 12) AS DECIMAL(38,12)))"
+            "   AS DOUBLE), 6) AS cond_entropy"
+            " FROM c2 JOIN c1 ON c1.lang = c2.lang AND c1.w1 = c2.w1"
+            " JOIN nn ON nn.lang = c2.lang GROUP BY c2.lang",
+        ),
+        "source_vocab_overlap": (
+            T.source_vocab_overlap,
+            f"WITH v AS (SELECT DISTINCT source, w FROM"
+            f"  (SELECT source, unnest({_TOKS}) AS w FROM documents) z),"
+            " nv AS (SELECT source, count(*) AS nv FROM v GROUP BY source),"
+            " i AS (SELECT a.source AS source_a, b.source AS source_b,"
+            "  count(*) AS common FROM v a JOIN v b"
+            "  ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)"
+            " SELECT source_a, source_b, CAST(na.nv AS BIGINT) AS vocab_a,"
+            "  CAST(nb.nv AS BIGINT) AS vocab_b,"
+            "  CAST(common AS BIGINT) AS common,"
+            "  round(CAST(common AS DOUBLE)"
+            "   / CAST(na.nv + nb.nv - common AS DOUBLE), 6) AS jaccard"
+            " FROM i JOIN nv na ON na.source = i.source_a"
+            " JOIN nv nb ON nb.source = i.source_b",
+        ),
+        "token_freq_spectrum": (
+            T.token_freq_spectrum,
+            f"WITH c AS (SELECT w, count(*) AS c FROM"
+            f"  (SELECT unnest({_TOKS}) AS w FROM documents) z GROUP BY w),"
+            " s AS (SELECT length(bin(c)) - 1 AS log2_freq,"
+            "   count(*) AS n_types, sum(c) AS mass"
+            "  FROM c GROUP BY 1)"
+            " SELECT CAST(log2_freq AS BIGINT) AS log2_freq,"
+            "  CAST(2 ** log2_freq AS BIGINT) AS freq_lo,"
+            "  CAST(n_types AS BIGINT) AS n_types,"
+            "  CAST(mass AS BIGINT) AS mass,"
+            "  round(CAST(mass AS DOUBLE)"
+            "   / CAST((SELECT sum(mass) FROM s) AS DOUBLE), 6)"
+            "   AS mass_share"
+            " FROM s",
+        ),
+        "lsh_tuning_curve": (
+            D.lsh_tuning_curve,
+            "SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b, s,"
+            " round(1 - pow(1 - pow(s, r), b), 6) AS p_candidate,"
+            " round(pow(1.0 / b, 1.0 / r), 6) AS s_threshold"
+            " FROM (SELECT unnest([2, 4, 8]) AS r)"
+            " CROSS JOIN (SELECT unnest([4, 8, 16]) AS b)"
+            " CROSS JOIN (SELECT CAST(i AS DOUBLE) / 10 AS s"
+            "  FROM range(1, 10) t(i))",
+        ),
+    }
+)
+
 
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-5 ROTATION: after r1–r4 every entry EXCEPT the 22 below holds
-# a driver verdict (r4's window was registry positions 0-49). This
-# window front-loads (1) the 22 never-driver-verified entries (19
-# oracle-checked + 3 registry-tail additions from round 4; all green
-# in judge-local drives at sf0.01), then (2) every query whose PLAN
-# changed this round — the de-hinted part-grain joins and the
-# unhinted dedup candidate semi-joins — so the driver re-verifies
-# them post-change, then (3) rows-only stragglers.
+# ROUND-6 ROTATION: after r1–r5 every entry holds a driver verdict
+# except dedup_lsh_recall_eval (judge-local green in r4, squeezed out
+# of every 50-entry window since). This window front-loads (1) the
+# four NEW round-6 operators, (2) that one never-driver-verified
+# entry, (3) every query whose code path changed this round (the
+# dedup cache-lifecycle refactor and the similarity empty-guard), then
+# (4) a re-verification sweep over the heavy dedup/graph family so
+# the driver re-pins the most complex plans each round.
 _CHECK_FIRST = [
-    # (1) never driver-verified, oracle-checked
-    "psi_order_value_drift", "ols_quantity_on_price",
-    "session_path_trigrams", "kaplan_meier_order_gaps",
-    "lorenz_deciles", "welch_ttest_segments", "hhi_market_concentration",
-    "gini_customer_revenue", "benford_leading_digit",
-    "text_readability_flesch", "chi2_lang_source", "kcore_neardup_graph",
-    "forecast_seasonal_naive", "cache_snapshot_diff",
-    "user_overlap_exact", "funnel_time_to_convert",
-    "customer_activity_full_outer",
-    "ann_recall_eval", "minhash_estimate_error", "src_duckdb_query",
-    # (1b) never driver-verified, rows-only by design
-    "bpe_encode_tokens", "user_overlap_hll",
-    # (2) new round-5 operators (first driver look)
-    "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
-    "text_char_entropy", "dedup_containment_pairs", "embedding_pca_power",
-    "embedding_pc_removal_stats",
-    # (3) plans changed in round 5 (broadcast hints removed) —
-    # re-verify under the new plans
-    "part_type_share", "q8_market_share", "q9_profit_by_nation_year",
-    "q14_promo_revenue_share", "q16_part_supplier_counts",
-    "q17_small_qty_revenue", "q19_bracket_revenue", "q2_min_price_parts",
-    "market_basket_brand_pairs", "tax_burden_by_brand",
-    "dedup_minhash_portable", "dedup_substring_spans",
-    "neardup_pair_evidence", "dedup_keep_best_survivors",
-    "dedup_minhash_lsh",
+    # (1) new round-6 operators (first driver look)
+    "lang_bigram_entropy", "source_vocab_overlap",
+    "token_freq_spectrum", "lsh_tuning_curve",
+    # (2) never driver-verified (judge-local green r4)
+    "dedup_lsh_recall_eval",
+    # (3) code paths touched in round 6
+    "dedup_minhash_lsh", "dedup_minhash_portable",
+    "embedding_pca_power", "embedding_pc_removal_stats",
+    "mm_real_decoded",
+    # (4) heavy-plan re-verification sweep
+    "pagerank_neardup_graph", "kcore_neardup_graph",
+    "triangle_count_neardup", "dedup_connected_components",
+    "dedup_minhash_components", "dedup_embedding_lsh",
+    "dedup_embedding_cosine", "semdedup_clusters",
+    "dedup_keep_best_survivors", "dedup_family_summary",
+    "neardup_pair_evidence", "dedup_substring_spans",
+    "dedup_chunk_boilerplate", "dedup_containment_pairs",
+    "ann_recall_eval", "ann_pq_adc_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "minhash_estimate_error", "bm25_search", "bloom_token_filter",
+    "tokens_zipf_fit", "token_coverage_curve", "text_char_entropy",
+    "bpe_train_merges", "bpe_encode_tokens", "countmin_token_freq",
+    "contamination_ngram_overlap", "pack_sequences",
+    "text_bigram_lm_score", "ccnet_perplexity_buckets",
+    "dsir_importance_weights", "tfidf_top_terms",
+    "psi_order_value_drift", "ntile_value_bands",
+    "windowfns_order_ranks", "cache_time_travel",
+    "cache_snapshot_diff", "cache_upsert_latest",
+    "src_duckdb_query", "src_python_datasource", "src_orc_roundtrip",
+    "events_session_window_agg", "asof_join_events_orders_nearest",
+    "range_join_error_purchase",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

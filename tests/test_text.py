@@ -367,3 +367,92 @@ def test_text_char_entropy_known_value(spark, sf_dir, tmp_path):
     exp3 = -(8 * (1 / 9) * math.log2(1 / 9) + (1 / 9) * math.log2(1 / 9))
     assert abs(got[3].char_entropy - round(exp3, 6)) < 1e-6
     assert not got[3].low_entropy
+
+
+class TestRound6CorpusDials:
+    """Round 6: information-theory corpus QA + LSH design dials."""
+
+    def test_lang_bigram_entropy_invariants(self, spark, sf_dir):
+        """Conditional entropy is non-negative and bounded by
+        ln(distinct bigrams of the language); totals are consistent."""
+        import math
+
+        from flapi_spark.operators.text import lang_bigram_entropy
+
+        rows = lang_bigram_entropy(spark, sf_dir).collect()
+        assert rows and len(rows) == len({r.lang for r in rows})
+        for r in rows:
+            assert r.cond_entropy >= 0.0
+            assert r.cond_entropy <= math.log(r.distinct_bigrams) + 1e-9
+            assert 0 < r.distinct_bigrams <= r.n_bigrams
+
+    def test_lang_bigram_entropy_deterministic_text(self, spark, tmp_path):
+        """Hand-checked value: 'a b a c' repeated — bigrams from one
+        doc 'a b','b a','a c' each once: H = (1/3)ln(2/1)x2 (the two
+        a-successors) + (1/3)ln(1/1) = (2/3)ln 2."""
+        import math
+
+        from flapi_spark.operators.text import lang_bigram_entropy
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        spark.createDataFrame(
+            [(1, "a b a c", "en", "s", 7)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(d / "documents.parquet"))
+        r = lang_bigram_entropy(spark, str(d)).collect()[0]
+        assert r.n_bigrams == 3 and r.distinct_bigrams == 3
+        assert abs(r.cond_entropy - (2 / 3) * math.log(2)) < 1e-6
+
+    def test_source_vocab_overlap_bounds(self, spark, sf_dir):
+        from flapi_spark.operators.text import source_vocab_overlap
+
+        rows = source_vocab_overlap(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.source_a < r.source_b
+            assert 0 < r.common <= min(r.vocab_a, r.vocab_b)
+            assert 0.0 < r.jaccard <= 1.0
+        # unordered pairs appear once
+        keys = [(r.source_a, r.source_b) for r in rows]
+        assert len(keys) == len(set(keys))
+
+    def test_token_freq_spectrum_partitions_vocabulary(self, spark, sf_dir):
+        """Buckets partition the vocabulary: types sum to the distinct
+        token count, mass sums to the total token count, shares to 1;
+        bucket edges are powers of two."""
+        from pyspark.sql import functions as F
+
+        from flapi_spark.operators.text import _tokens, token_freq_spectrum
+        from flapi_spark.session import load_table
+
+        rows = token_freq_spectrum(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(F.explode(_tokens()).alias("w"))
+        n_types = toks.distinct().count()
+        n_tokens = toks.count()
+        assert sum(r.n_types for r in rows) == n_types
+        assert sum(r.mass for r in rows) == n_tokens
+        assert abs(sum(r.mass_share for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert r.freq_lo == 2 ** r.log2_freq
+
+    def test_lsh_tuning_curve_scurve_shape(self, spark, sf_dir):
+        """The s-curve is monotone in s, monotone in b, anti-monotone
+        in r (more rows per band = stricter), and the threshold sits
+        where collision probability is moderate."""
+        from flapi_spark.operators.dedup import lsh_tuning_curve
+
+        rows = lsh_tuning_curve(spark, sf_dir).collect()
+        assert len(rows) == 81
+        t = {(r.r, r.b, round(r.s, 2)): r for r in rows}
+        for (r_, b_, s_), row in t.items():
+            assert 0.0 <= row.p_candidate <= 1.0
+            if (r_, b_, round(s_ - 0.1, 2)) in t:
+                assert row.p_candidate >= t[
+                    (r_, b_, round(s_ - 0.1, 2))].p_candidate - 1e-9
+        # more bands -> more collisions at fixed (r, s)
+        assert t[(4, 16, 0.5)].p_candidate >= t[(4, 4, 0.5)].p_candidate
+        # more rows per band -> fewer collisions at fixed (b, s)
+        assert t[(8, 8, 0.5)].p_candidate <= t[(2, 8, 0.5)].p_candidate
