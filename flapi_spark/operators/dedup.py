@@ -1535,3 +1535,40 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_candidate",
         "s_threshold",
     )
+
+
+def cross_source_neardup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate flow BETWEEN sources: portable-MinHash pairs
+    rolled up to an unordered source-pair matrix with a cross-source
+    flag — the dial that says which crawl sources mirror which (high
+    cross-source counts = syndication/plagiarism; dedup those sources
+    against each other first) and which duplicate internally.
+
+    Scale shape: the pair stream is LSH-linear (never all-pairs); the
+    doc→source attachment is two doc_id-keyed joins where the pair
+    side is candidate-bounded — AQE broadcasts it while measured-small,
+    unhinted (data-dependent size, the r4/r5 de-hinting rule). The
+    matrix agg has ≤ |sources|² groups."""
+    pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "cross_source", F.col("source_a") != F.col("source_b")
+        )
+    )

@@ -1804,3 +1804,56 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mass_share"),
         )
     )
+
+
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-health FUNNEL over the Gopher gates: one row per
+    gate in application order with its marginal pass count and the
+    cumulative survivor count/rate — the view that tells you WHICH
+    gate bites (per-doc gate flags say who failed; the funnel says
+    where the corpus goes). Stage order mirrors the pipeline:
+    n_tokens → token_len → alpha_ratio → stopwords.
+
+    Scale shape: the per-doc gate pass is text_gopher_filters' single
+    scan; the funnel adds ONE global aggregate (8 sums → one row) and
+    a stack() to 4 rows — nothing per-doc leaves the executors."""
+    g = text_gopher_filters(spark, sf_dir)
+    c1 = F.col("pass_n_tokens")
+    c2 = c1 & F.col("pass_token_len")
+    c3 = c2 & F.col("pass_alpha_ratio")
+    c4 = c3 & F.col("pass_stopwords")
+
+    def s(c):
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        s(F.col("pass_n_tokens")).alias("g1"),
+        s(F.col("pass_token_len")).alias("g2"),
+        s(F.col("pass_alpha_ratio")).alias("g3"),
+        s(F.col("pass_stopwords")).alias("g4"),
+        s(c1).alias("c1"), s(c2).alias("c2"),
+        s(c3).alias("c3"), s(c4).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1L, 'n_tokens', g1, c1,"
+            " 2L, 'token_len', g2, c2,"
+            " 3L, 'alpha_ratio', g3, c3,"
+            " 4L, 'stopwords', g4, c4)"
+            " AS (stage, gate, n_pass_gate, n_pass_cum)"
+        ),
+        "n_docs",
+    ).select(
+        "stage",
+        "gate",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pass_gate").cast("long").alias("n_pass_gate"),
+        F.col("n_pass_cum").cast("long").alias("n_pass_cum"),
+        F.round(
+            F.col("n_pass_cum").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("cum_rate"),
+    )

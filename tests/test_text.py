@@ -456,3 +456,37 @@ class TestRound6CorpusDials:
         assert t[(4, 16, 0.5)].p_candidate >= t[(4, 4, 0.5)].p_candidate
         # more rows per band -> fewer collisions at fixed (b, s)
         assert t[(8, 8, 0.5)].p_candidate <= t[(2, 8, 0.5)].p_candidate
+
+    def test_quality_gate_funnel_monotone(self, spark, sf_dir):
+        """The cumulative survivor count is non-increasing down the
+        funnel, bounded by each gate's marginal count, and stage 1's
+        cum equals its marginal."""
+        from flapi_spark.operators.text import quality_gate_funnel
+
+        rows = {r.stage: r for r in
+                quality_gate_funnel(spark, sf_dir).collect()}
+        assert sorted(rows) == [1, 2, 3, 4]
+        assert rows[1].n_pass_cum == rows[1].n_pass_gate
+        for s in (2, 3, 4):
+            assert rows[s].n_pass_cum <= rows[s - 1].n_pass_cum
+            assert rows[s].n_pass_cum <= rows[s].n_pass_gate
+        n = rows[1].n_docs
+        for r in rows.values():
+            assert r.n_docs == n
+            assert abs(r.cum_rate - r.n_pass_cum / n) < 1e-6
+
+    def test_cross_source_neardup_matrix_consistent(self, spark, sf_dir):
+        """Matrix totals equal the pair-stream size; unordered pairs
+        appear once; the flag matches the key columns."""
+        from flapi_spark.operators.dedup import (
+            cross_source_neardup_matrix, dedup_minhash_portable,
+        )
+
+        rows = cross_source_neardup_matrix(spark, sf_dir).collect()
+        n_pairs = dedup_minhash_portable(spark, sf_dir).count()
+        assert sum(r.n_pairs for r in rows) == n_pairs
+        keys = [(r.source_a, r.source_b) for r in rows]
+        assert len(keys) == len(set(keys))
+        for r in rows:
+            assert r.source_a <= r.source_b
+            assert r.cross_source == (r.source_a != r.source_b)
