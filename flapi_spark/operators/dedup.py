@@ -83,29 +83,82 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Word-set Jaccard near-dup pairs via inverted-index self-join.
+    """Word-set Jaccard near-dup pairs — EXACT, via AllPairs prefix
+    filtering (Bayardo, Ma & Srikant, WWW'07).
 
-    Scale: explode+join on token is linear in total postings; hot
-    (ubiquitous) tokens are the skew risk — AQE skew-join splits them,
-    and the MinHash variant below removes them from the plan entirely."""
+    The naive inverted-index self-join generates Σ_token df² candidate
+    rows — quadratic in document frequency, which detonates exactly on
+    the corpora dedup exists for (boilerplate-heavy, small-vocab). The
+    AllPairs identity keeps the result EXACT while indexing only each
+    document's PREFIX: order every token set by a global total order
+    (document frequency ascending, token as tie-break — rarest first),
+    and index the first n − ⌈t·n⌉ + 1 tokens. Any pair with
+    J ≥ t must (a) satisfy the size filter t·na ≤ nb ∧ t·nb ≤ na and
+    (b) share at least one token inside BOTH prefixes (the smallest-
+    ordered common token lies in each side's prefix — overlap ≥ ⌈t·n⌉
+    per side under the size filter). Candidates are then verified by
+    the true intersection, so over-generation can never change the
+    result. At t = 0.95 the prefix is ~5% of each set and lands on the
+    rarest tokens, collapsing candidate volume by orders of magnitude
+    — at 100 TB this is the difference between a feasible exact-
+    Jaccard pass and none.
+
+    The ceil guards subtract 1e-9 before ceiling: float error can then
+    only ENLARGE a prefix / RELAX the size filter (more candidates,
+    still exact), never drop a qualifying pair. The emitted jaccard is
+    the same shared/(na+nb−shared) division as the all-pairs oracle —
+    bit-identical doubles."""
+    from pyspark.sql import Window
+
+    t = threshold
     toks = _doc_tokens(spark, sf_dir)
-    sizes = toks.select("doc_id", F.size("toks").alias("n"))
     inv = _exploded_tokens(spark, sf_dir)
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    df_tok = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(df_tok, "tok")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wc = Window.partitionBy("doc_id")
+    pre = (
+        ranked.select(
+            "doc_id",
+            "tok",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("shared")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("n").alias("na")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(
+            b,
+            (a.tok == b.tok)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb").cast("double") >= F.col("na") * t - 1e-9)
+            & (F.col("na").cast("double") >= F.col("nb") * t - 1e-9),
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    shared = F.size(F.array_intersect("ta", "tb"))
+    jac = shared.cast("double") / (
+        F.col("na") + F.col("nb") - shared
     )
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -88,7 +88,7 @@ def pagerank_fixed_point(
         .localCheckpoint()
     )
     pr = deg.select("node", F.lit(init).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         pr = (
             edges_d.join(pr, edges_d.v == pr.node)
             .select("u", F.expr("pr div deg_v").alias("give"))
@@ -101,8 +101,13 @@ def pagerank_fixed_point(
                     + F.expr(f"({PR_DAMP_NUM} * inflow) div {PR_DAMP_DEN}")
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint()
         )
+        # lineage truncation every OTHER round: one materialization
+        # job per two iterations (a 2-deep join/agg plan is still flat
+        # for Catalyst; values are exact integers, so checkpoint
+        # frequency cannot change the result)
+        if i % 2 == 1 or i == iterations - 1:
+            pr = pr.localCheckpoint()
     return pr.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("pr").cast("long").alias("pr_scaled"),
@@ -199,13 +204,18 @@ def kcore_decompose(pairs: DataFrame, k: int = 2, max_iterations: int = 30) -> D
     edges = _undirected_edges(pairs)
     n_prev = edges.count()  # carried across rounds: one count per round
     for _ in range(max_iterations):
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("u")
-        edges = (
-            edges.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint()
-        )
+        # TWO peels per materialization round: peeling is idempotent
+        # at the fixpoint, so an equal edge count across a double peel
+        # proves convergence of both (counts are monotone
+        # non-increasing) — halves the driver-side job count without
+        # changing the result
+        for _peel in range(2):
+            deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.where(F.col("deg") >= k).select("u")
+            edges = edges.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        edges = edges.localCheckpoint()
         n_now = edges.count()
         if n_now == n_prev:
             break
