@@ -4182,7 +4182,9 @@ _CHECK_FIRST = [
     "quality_gate_funnel", "cross_source_neardup_matrix",
     # (2) never driver-verified (judge-local green r4)
     "dedup_lsh_recall_eval",
-    # (3) code paths touched in round 6
+    # (3) code paths touched in round 6 (incl. the AllPairs
+    # prefix-filter rewrite of the exact-Jaccard pair source)
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_minhash_portable",
     "embedding_pca_power", "embedding_pc_removal_stats",
     "mm_real_decoded",
