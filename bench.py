@@ -51,6 +51,9 @@ HEADLINE = [
     # round 5: sketch + asymmetric-dedup additions
     "bloom_token_filter",
     "dedup_containment_pairs",
+    # round 6: corpus information-theory + source-pair dedup rollup
+    "lang_bigram_entropy",
+    "cross_source_neardup_matrix",
 ]
 
 

@@ -1625,3 +1625,94 @@ def cross_source_neardup_matrix(
             "cross_source", F.col("source_a") != F.col("source_b")
         )
     )
+
+
+def jaccard_prefix_filter_stats(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Audit sheet for the AllPairs prefix filter behind
+    dedup_ngram_jaccard (round 6): the naive inverted-index join's
+    candidate-row count (Σ_token C(df,2) — what the exact join would
+    generate without filtering), the prefix index's bound
+    (Σ_token C(prefix_df,2)), the distinct candidates that survive the
+    prefix+size filters, the true pairs, and the derived
+    precision/row-reduction ratios. The dial that says whether the
+    exact-Jaccard pass is feasible at the next scale-up BEFORE running
+    it — the same evaluate-the-optimizer pattern as
+    dedup_lsh_recall_eval / minhash_estimate_error.
+
+    All counts are exact integers on both engines (the prefix rank is
+    a per-doc row_number over the (df, tok) total order; the 1e-9 ceil
+    guards are the production operator's); ratios are single IEEE
+    divisions rounded 6dp. One row out."""
+    from pyspark.sql import Window
+
+    t = threshold
+    inv = _exploded_tokens(spark, sf_dir)
+    df_tok = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    naive = df_tok.agg(
+        F.sum(F.expr("df * (df - 1) div 2")).cast("long")
+        .alias("n_naive_rows")
+    )
+    ranked = inv.join(df_tok, "tok")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wc = Window.partitionBy("doc_id")
+    pre = (
+        ranked.select(
+            "doc_id",
+            "tok",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(
+            F.col("rk") <= F.col("n") - F.ceil(F.col("n") * t - 1e-9) + 1
+        )
+    )
+    prefix_rows = (
+        pre.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long")
+            .alias("n_prefix_rows")
+        )
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), "tok",
+                   F.col("n").alias("na"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), "tok",
+                   F.col("n").alias("nb"))
+    cand = (
+        a.join(
+            b,
+            (a.tok == b.tok)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb").cast("double") >= F.col("na") * t - 1e-9)
+            & (F.col("na").cast("double") >= F.col("nb") * t - 1e-9),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir, t).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return (
+        naive.crossJoin(prefix_rows)
+        .crossJoin(cand)
+        .crossJoin(pairs)
+        .select(
+            "n_naive_rows",
+            "n_prefix_rows",
+            "n_candidates",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_prefix_rows").cast("double")
+                / F.col("n_naive_rows").cast("double"),
+                6,
+            ).alias("row_reduction"),
+        )
+    )

@@ -4148,6 +4148,48 @@ QUERIES.update(
             " JOIN d db ON db.doc_id = mp.doc_b"
             " GROUP BY 1, 2, 4",
         ),
+        "jaccard_prefix_filter_stats": (
+            D.jaccard_prefix_filter_stats,
+            f"WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t"
+            "  FROM documents),"
+            " inv AS (SELECT doc_id, unnest(t) AS tok FROM toks),"
+            " dfT AS (SELECT tok, count(*) AS df FROM inv GROUP BY tok),"
+            " naive AS (SELECT sum(df * (df - 1) // 2) AS n_naive_rows"
+            "  FROM dfT),"
+            " rk AS (SELECT i.doc_id, i.tok,"
+            "   row_number() OVER (PARTITION BY i.doc_id"
+            "    ORDER BY d.df, i.tok) AS rk,"
+            "   count(*) OVER (PARTITION BY i.doc_id) AS n"
+            "  FROM inv i JOIN dfT d USING (tok)),"
+            " pre AS (SELECT * FROM rk"
+            "  WHERE rk <= n - ceil(n * 0.95 - 1e-9) + 1),"
+            " pdf AS (SELECT tok, count(*) AS c FROM pre GROUP BY tok),"
+            " prefrows AS (SELECT sum(c * (c - 1) // 2) AS n_prefix_rows"
+            "  FROM pdf),"
+            " cand AS (SELECT DISTINCT a.doc_id AS doc_a,"
+            "   b.doc_id AS doc_b FROM pre a JOIN pre b"
+            "  ON a.tok = b.tok AND a.doc_id < b.doc_id"
+            "   AND CAST(b.n AS DOUBLE) >= a.n * 0.95 - 1e-9"
+            "   AND CAST(a.n AS DOUBLE) >= b.n * 0.95 - 1e-9),"
+            " nc AS (SELECT count(*) AS n_candidates FROM cand),"
+            " sizes AS (SELECT doc_id, len(t) AS n FROM toks),"
+            " shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            "   count(*) AS s FROM inv a JOIN inv b"
+            "  ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+            " np AS (SELECT count(*) AS n_pairs FROM shared"
+            "  JOIN sizes sa ON sa.doc_id = doc_a"
+            "  JOIN sizes sb ON sb.doc_id = doc_b"
+            "  WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.95)"
+            " SELECT CAST(n_naive_rows AS BIGINT) AS n_naive_rows,"
+            "  CAST(n_prefix_rows AS BIGINT) AS n_prefix_rows,"
+            "  CAST(n_candidates AS BIGINT) AS n_candidates,"
+            "  CAST(n_pairs AS BIGINT) AS n_pairs,"
+            "  round(CAST(n_pairs AS DOUBLE) / n_candidates, 6)"
+            "   AS precision,"
+            "  round(CAST(n_prefix_rows AS DOUBLE) / n_naive_rows, 6)"
+            "   AS row_reduction"
+            " FROM naive, prefrows, nc, np",
+        ),
         "lsh_tuning_curve": (
             D.lsh_tuning_curve,
             "SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b, s,"
@@ -4180,6 +4222,7 @@ _CHECK_FIRST = [
     "lang_bigram_entropy", "source_vocab_overlap",
     "token_freq_spectrum", "lsh_tuning_curve",
     "quality_gate_funnel", "cross_source_neardup_matrix",
+    "jaccard_prefix_filter_stats",
     # (2) never driver-verified (judge-local green r4)
     "dedup_lsh_recall_eval",
     # (3) code paths touched in round 6 (incl. the AllPairs

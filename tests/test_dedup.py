@@ -442,3 +442,20 @@ def test_append_band_index_preserves_bucketing(spark, sf_dir):
         assert "band_id" in desc.get("Bucket Columns", "")
     finally:
         _rm_table(spark, table)
+
+
+def test_jaccard_prefix_filter_stats_consistent(spark, sf_dir):
+    """The audit numbers cohere: candidates never exceed the prefix
+    row bound, true pairs never exceed candidates, and the TRUE pair
+    count equals dedup_ngram_jaccard's output (the filter is exact)."""
+    from flapi_spark.operators.dedup import (
+        dedup_ngram_jaccard, jaccard_prefix_filter_stats,
+    )
+
+    r = jaccard_prefix_filter_stats(spark, sf_dir).collect()[0]
+    assert r.n_prefix_rows < r.n_naive_rows
+    assert r.n_candidates <= r.n_prefix_rows
+    assert r.n_pairs <= r.n_candidates
+    assert r.n_pairs == dedup_ngram_jaccard(spark, sf_dir).count()
+    assert 0.0 < r.precision <= 1.0
+    assert 0.0 < r.row_reduction < 1.0
