@@ -811,3 +811,69 @@ def vocab_drift_stream(
             ).alias("oov_share"),
         )
     )
+
+
+def quality_gate_stream(
+    docs_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming quality-gate monitor: per event-time window, the
+    Gopher-funnel survivor counts over an incoming document stream —
+    the live twin of the batch `quality_gate_funnel` (a falling
+    keep_rate window is the crawl-regression alarm; which cumulative
+    count drops says WHICH gate started biting). Expects (ts, text).
+
+    Shape: the gates are stateless per-document expressions (the batch
+    operators' exact tokenization and thresholds); the only streaming
+    state is ONE watermarked windowed aggregate of 5 sums — no
+    stream-stream joins, no per-key state store growth."""
+    from flapi_spark.operators.text import STOPWORDS
+
+    nt = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+    toks = F.split(nt, " ")
+    n_tokens = F.size(toks)
+    mean_tok_len = (
+        F.length(F.regexp_replace(nt, " ", "")).cast("double") / n_tokens
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_tokens
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    c1 = (n_tokens >= 20) & (n_tokens <= 100000)
+    c2 = c1 & (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0)
+    c3 = c2 & (alpha_ratio >= 0.8)
+    c4 = c3 & (stop_hits >= 2)
+
+    def s(c):
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    gated = docs_stream.withWatermark("ts", watermark).select(
+        "ts", c1.alias("c1"), c2.alias("c2"), c3.alias("c3"),
+        c4.alias("c4"),
+    )
+    return (
+        gated.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            s(F.col("c1")).alias("pass_n_tokens"),
+            s(F.col("c2")).alias("pass_token_len"),
+            s(F.col("c3")).alias("pass_alpha_ratio"),
+            s(F.col("c4")).alias("pass_all"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("pass_n_tokens").cast("long").alias("pass_n_tokens"),
+            F.col("pass_token_len").cast("long").alias("pass_token_len"),
+            F.col("pass_alpha_ratio").cast("long").alias(
+                "pass_alpha_ratio"
+            ),
+            F.col("pass_all").cast("long").alias("pass_all"),
+            F.round(
+                F.col("pass_all").cast("double") / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+        )
+    )

@@ -661,3 +661,68 @@ def test_vocab_drift_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     alien = [r for r in spark.table(name).collect()
              if r.window_start.hour == 2]
     assert alien and alien[0].n_oov == 3 and alien[0].oov_share == 1.0
+
+
+def test_quality_gate_stream_equals_batch_and_gopher(
+    spark, sf_dir, tmp_path_factory
+):
+    """Quality-gate monitor: availableNow over a 2-file landing equals
+    the batch twin window-for-window, and the all-time totals equal
+    text_gopher_filters' per-doc gates aggregated (the stream applies
+    the batch operators' exact thresholds)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.text import text_gopher_filters
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.limit(60).select(
+        F.to_timestamp(
+            F.concat(F.lit("2026-01-01 00:"),
+                     F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                     F.lit(":00"))
+        ).alias("ts"),
+        "text",
+        "doc_id",
+    )
+    d = tmp_path_factory.mktemp("quality_gate_landing")
+    halves = incoming.randomSplit([0.5, 0.5], seed=11)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.select("ts", "text").coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.quality_gate_stream(stream), name, output_mode="complete"
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    expect = {
+        tuple(r)
+        for r in ST.quality_gate_stream(
+            incoming.select("ts", "text")
+        ).collect()
+    }
+    assert got == expect and got
+    # all-time totals equal the per-doc batch gates aggregated
+    gates = text_gopher_filters(spark, sf_dir).join(
+        incoming.select("doc_id"), "doc_id", "left_semi"
+    )
+    tot = gates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pass_n_tokens"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keep"),
+    ).collect()[0]
+    rows = spark.table(name).collect()
+    assert sum(r.n_docs for r in rows) == tot.n
+    assert sum(r.pass_n_tokens for r in rows) == tot.c1
+    assert sum(r.pass_all for r in rows) == tot.keep
