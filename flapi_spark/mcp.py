@@ -250,15 +250,21 @@ class Prompt:
     template: str
     description: str = ""
     arguments: list[str] = field(default_factory=list)
+    # request_fields of the originating EndpointConfig — the reference
+    # resolves a prompt ref back to its endpoint and completes from
+    # these (mcp_route_handlers.cpp:1338-1349), so a YAML mcp-prompt
+    # endpoint with enum-validated fields gets real suggestions
+    request_fields: list = field(default_factory=list)
 
     @classmethod
-    def from_dict(cls, d: dict) -> "Prompt":
+    def from_dict(cls, d: dict, request_fields: list | None = None) -> "Prompt":
         p = d.get("mcp-prompt", d)
         return cls(
             name=p.get("name", ""),
             template=p.get("template", ""),
             description=p.get("description", ""),
             arguments=list(p.get("arguments", []) or []),
+            request_fields=list(request_fields or []),
         )
 
     def render(self, args: dict | None = None) -> str:
@@ -374,9 +380,17 @@ class McpRegistry(McpToolRegistry):
                 f.field_name: f for f in tool.endpoint.request_fields
             }
         elif ref in self._prompts:
-            # prompts declare bare argument names (no validators) —
-            # a known argument completes to the empty set
-            fields = {a: None for a in self._prompts[ref].arguments}
+            # a prompt ref resolves back to its originating endpoint's
+            # request_fields and completes from those enum validators
+            # (reference mcp_route_handlers.cpp:1321-1349 — the same
+            # lookup path as tools); a prompt registered without an
+            # endpoint falls back to its bare argument names, which
+            # complete to the empty set
+            p = self._prompts[ref]
+            if p.request_fields:
+                fields = {f.field_name: f for f in p.request_fields}
+            else:
+                fields = {a: None for a in p.arguments}
         if fields is None:
             raise McpError(f"Reference not found: {ref}")
         if argument not in fields:
@@ -1036,9 +1050,13 @@ def handle_jsonrpc(
             set_mcp_log_level(params["level"])
             return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": {}}
         if method == "completion/complete":
+            # non-string 'value' (e.g. the number 42) is IGNORED, not
+            # coerced to "42" — reference mcp_route_handlers.cpp:1311-
+            # 1316 only extracts the prefix when the param is a string
+            raw_value = params.get("value")
             out = registry.complete(
                 params["ref"], params["argument"],
-                str(params.get("value") or ""),
+                raw_value if isinstance(raw_value, str) else "",
             )
             return {"jsonrpc": JSONRPC_VERSION, "id": rid, "result": out}
         if method == "resources/read":
@@ -1104,6 +1122,8 @@ def register_endpoints(
             counts["resources"] += 1
         pr = ep.mcp_prompt
         if isinstance(pr, dict) and pr.get("name"):
-            registry.register_prompt(Prompt.from_dict(pr))
+            registry.register_prompt(
+                Prompt.from_dict(pr, request_fields=ep.request_fields)
+            )
             counts["prompts"] += 1
     return counts

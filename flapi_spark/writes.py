@@ -441,9 +441,21 @@ class _TxnState:
                     f"ALTER TABLE {ent['keep']} RENAME TO {t}"
                 )
             elif ent["full_bk"]:
-                self.spark.sql(
-                    f"INSERT OVERWRITE {t} SELECT * FROM {ent['full_bk']}"
-                )
+                # pin static overwrite mode: under dynamic mode a
+                # partitioned target only gets partitions present in
+                # the backup overwritten, so a partition first created
+                # by the failed txn would survive the restore (and the
+                # v2 guard below never deletes its files) — breaking
+                # the logical pre-image guarantee.
+                prev = self.spark.conf.get(conf_key, "static")
+                try:
+                    self.spark.conf.set(conf_key, "static")
+                    self.spark.sql(
+                        f"INSERT OVERWRITE {t}"
+                        f" SELECT * FROM {ent['full_bk']}"
+                    )
+                finally:
+                    self.spark.conf.set(conf_key, prev)
             elif ent["delta_bk"]:
                 # restore the touched partitions (re-creates any that
                 # were DROP PARTITION'd by a pruned DELETE)

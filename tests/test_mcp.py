@@ -746,6 +746,64 @@ class TestJsonRpcPromptsPingDispatch:
         )
         assert missing["error"]["code"] == INVALID_PARAMS
 
+    def test_completion_prompt_resolves_endpoint_request_fields(
+        self, spark
+    ):
+        """A prompt registered from a YAML mcp-prompt endpoint keeps
+        the endpoint's request_fields, and completion/complete on the
+        prompt ref runs the same enum-validator path as tools
+        (reference mcp_route_handlers.cpp:1321-1349 resolves the
+        prompt ref back to its EndpointConfig)."""
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.mcp import (
+            McpRegistry, handle_jsonrpc, register_endpoints,
+        )
+
+        reg = McpRegistry(QueryExecutor(spark, None))
+        ep = EndpointConfig.from_dict({
+            "url-path": "/seg-prompt/",
+            "template-text": "SELECT 1 AS x",
+            "with-pagination": False,
+            "request": [{
+                "field-name": "segment",
+                "validators": [{
+                    "type": "enum",
+                    "allowedValues": ["AUTOMOBILE", "BUILDING",
+                                      "FURNITURE", "MACHINERY"],
+                }],
+            }],
+            "mcp-prompt": {
+                "name": "seg_prompt",
+                "template": "Analyze {{segment}}.",
+                "arguments": ["segment"],
+            },
+        })
+        register_endpoints(reg, [ep])
+        out = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 1, "method": "completion/complete",
+             "params": {"ref": "seg_prompt", "argument": "segment",
+                        "value": "B"}},
+        )
+        assert out["result"]["values"] == ["BUILDING"]
+
+    def test_completion_nonstring_value_ignored(self, spark):
+        """A non-string 'value' param (e.g. the number 42) is ignored
+        — empty prefix, all values — not coerced to the prefix "42"
+        (reference only extracts string values)."""
+        from flapi_spark.mcp import handle_jsonrpc
+
+        reg = self._registry(spark)
+        out = handle_jsonrpc(
+            reg,
+            {"jsonrpc": "2.0", "id": 1, "method": "completion/complete",
+             "params": {"ref": "seg_tool", "argument": "segment",
+                        "value": 42}},
+        )
+        assert out["result"]["values"] == [
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"]
+
     def test_completion_cap_and_total(self, spark):
         """50-value cap with hasMore; total counts iterated values
         (reference loop semantics)."""

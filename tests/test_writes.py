@@ -859,6 +859,53 @@ class TestMetadataRollback:
         finally:
             spark.sql("DROP TABLE IF EXISTS txn_v2")
 
+    def test_rollback_v2_partitioned_static_overwrite_under_dynamic_mode(
+        self, spark, monkeypatch
+    ):
+        """The v2 full-backup restore pins partitionOverwriteMode=
+        static: with a site-wide dynamic setting, INSERT OVERWRITE
+        only rewrites partitions PRESENT in the backup, so a partition
+        first created by the failed transaction would survive rollback
+        (and the v2 guard never raw-deletes its files). The restore
+        must remove it regardless of the session mode."""
+        import flapi_spark.writes as W
+
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        _rm(spark, "txn_v2p")
+        spark.sql(
+            "CREATE TABLE txn_v2p (id BIGINT, v STRING)"
+            " USING parquet PARTITIONED BY (p STRING)"
+        )
+        prev_mode = spark.conf.get(conf_key, "static")
+        try:
+            spark.sql(
+                "INSERT INTO txn_v2p VALUES (1,'a','p1'),(2,'b','p1')"
+            )
+            spark.conf.set(conf_key, "dynamic")  # site-wide setting
+            monkeypatch.setattr(
+                W,
+                "_table_supports_row_dml",
+                lambda _s, t: t.strip("`").endswith("txn_v2p"),
+            )
+            with pytest.raises(Exception):
+                W.execute_write_statements(
+                    spark,
+                    [
+                        # creates a BRAND-NEW partition p2
+                        "INSERT INTO txn_v2p VALUES (3,'c','p2')",
+                        "INSERT INTO txn_v2p SELECT * FROM no_such_table",
+                    ],
+                    transaction=True,
+                )
+            rows = {(x.id, x.v, x.p)
+                    for x in spark.table("txn_v2p").collect()}
+            assert rows == {(1, "a", "p1"), (2, "b", "p1")}
+            # session mode untouched after rollback
+            assert spark.conf.get(conf_key) == "dynamic"
+        finally:
+            spark.conf.set(conf_key, prev_mode)
+            spark.sql("DROP TABLE IF EXISTS txn_v2p")
+
     def test_commit_drops_preservation_tables(self, spark):
         from flapi_spark.writes import execute_write_statements
 
