@@ -632,17 +632,13 @@ def dedup_connected_components(
     closure: if A~B and B~C, all three are one group even when A~C
     scored below threshold.
 
-    Algorithm: min-label propagation — every node starts as its own
-    label; each round every node takes the min of its own and its
-    neighbors' labels; converged when no label changes. Each round is
-    one shuffle (edges ⋈ labels, groupBy node); rounds needed = graph
-    diameter, and near-dup clusters are shallow (stars/cliques around
-    a template), so 2-4 rounds in practice. Lineage is truncated per
-    round with localCheckpoint — mandatory for iterative DataFrame
-    algorithms, else the plan doubles every round. For adversarially
-    deep graphs the alternating large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce") converges in
-    O(log n) rounds with the same per-round shape.
+    Algorithm: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    regardless of graph diameter; see label_components. Near-dup
+    clusters are usually shallow (stars/cliques around a template,
+    2-4 rounds either way), but chained/serialized boilerplate
+    produces long-path components where diameter-bound propagation
+    degrades and this does not.
 
     Output: (doc_id, component_id) for every doc in some dup pair;
     singletons are not emitted (they need no dedup decision).
@@ -660,43 +656,111 @@ def dedup_connected_components(
     return label_components(pairs, max_iterations)
 
 
-def label_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Min-label propagation over an arbitrary (doc_a, doc_b) pair
+def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) pair
     stream — compose with any candidate generator (Jaccard, MinHash,
-    SimHash, embedding LSH)."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("u", "v").localCheckpoint()
-    labels = (
-        edges.select(F.col("u").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
+    SimHash, embedding LSH). Labels every node with its component's
+    MINIMUM id (the same fixpoint min-label propagation reaches).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds instead of O(graph diameter), with the identical
+    per-round shape (one groupBy-min + one join per star operation).
+    Min-label propagation needs diameter-many rounds, and near-dup
+    corpora DO produce deep components adversarially: serialized /
+    chained boilerplate (paginated articles, threaded forums) yields
+    long path graphs where each extra round is a full edges⋈labels
+    shuffle. Large-star hangs every node's larger neighbors off the
+    local minimum (halving long paths each round); small-star
+    compacts the smaller neighbors onto it. The edge set converges to
+    a star forest whose roots are the component minima.
+
+    Per round: large-star = symmetrize → groupBy(u).min(closed
+    neighborhood) → join back (one shuffle pair); small-star = the
+    same over the hi→lo-oriented output (large-star output is already
+    oriented, so no second symmetrize). Lineage is truncated per round
+    with localCheckpoint — mandatory for iterative DataFrame
+    algorithms, else the plan doubles every round. Convergence is an
+    exact edge-set comparison (both sides distinct, so subtract +
+    count); a graph that has not converged within max_iterations
+    raises instead of silently emitting truncated (WRONG) labels —
+    30 rounds covers components of ~2^30 nodes.
+
+    Output: (doc_id, component_id) for every node that appears in a
+    pair; singletons are not emitted (they need no dedup decision).
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nbr_comp"))
+    # canonical hi→lo orientation, deduped — star operations below
+    # preserve this invariant, which keeps the convergence comparison
+    # exact (set equality of distinct oriented edges)
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = edges.isEmpty()
+    for _ in range(max_iterations):
+        if converged:
+            break
+        # large-star: every node attaches its strictly-larger
+        # neighbors to the minimum of its closed neighborhood
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = sym.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every node attaches its smaller neighbors (and
+        # itself) to their minimum; large-star output is already
+        # hi→lo oriented (it emits (bigger, closed-min)), so the
+        # smaller-neighbor set of u is exactly its v column
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        converged = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).isEmpty()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("component_id")
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"label_components did not converge in {max_iterations} "
+            "large-star/small-star rounds — the pair graph is deeper "
+            "than 2^{max_iterations} nodes or adversarial; raise "
+            "max_iterations rather than accept truncated labels"
+        )
+    # star forest: every non-root points at its component minimum;
+    # roots (and nothing else) are absent from the u column
+    return (
+        nodes.join(edges, nodes.doc_id == edges.u, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("v"), F.col("doc_id"))
+            .cast("long")
+            .alias("component_id"),
+        )
     )
 
 
@@ -776,13 +840,23 @@ def dedup_minhash_portable(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return _verify_jaccard_md5(docs, cands, threshold)
+
+
+def _verify_jaccard_md5(
+    docs: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set against the
+    md5-hashed shingle sets of the candidate documents — the
+    dedup_minhash_portable verify arm, shared with the persisted-index
+    probe (pairs_from_band_index) so both paths stay bit-identical.
+    The doc semi-join is UNHINTED: candidate volume is data-dependent
+    (see dedup_minhash_lsh) — AQE picks broadcast only while small."""
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # unhinted semi-join: candidate volume is data-dependent (see
-    # dedup_minhash_lsh) — AQE picks broadcast only while small
     cand_texts = docs.join(cand_docs, "doc_id", "left_semi")
     sets = (
         hashed_shingles_from(cand_texts, tok_hash_sql=MD5_TOK_HASH)
@@ -1455,6 +1529,115 @@ def append_band_index(
     band_rows_for(new_docs).write.insertInto(table)
 
 
+def band_rows_portable_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, b0..b{r-1}) ENGINE-PORTABLE band rows: the
+    raw r-row signature tuple of dedup_minhash_portable (md5 universal
+    token hashing, no xxhash64 digest), so a persisted index built
+    from these is reproducible in any engine with md5 and the whole
+    probe chain stays oracle-checkable end-to-end."""
+    sigs = minhash_signatures_from_hashed(
+        hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+    )
+    r = NUM_PERM // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            *[F.col(f"m{band * r + j}").alias(f"b{j}") for j in range(r)],
+        )
+        for band in range(BANDS)
+    ])
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_id",
+        *[F.col(f"b.b{j}").alias(f"b{j}") for j in range(r)],
+    )
+
+
+def _portable_band_keys() -> list[str]:
+    return ["band_id"] + [f"b{j}" for j in range(NUM_PERM // BANDS)]
+
+
+def write_band_index_portable(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str = "neardup_band_index_portable",
+    buckets: int = 16,
+) -> None:
+    """Materialize the PORTABLE band index as a warehouse table
+    bucketed on the full band key (band_id, b0..b{r-1}) — the
+    oracle-checkable sibling of write_band_index. Bucketing
+    pre-co-locates the index on the collision key, so both the
+    steady-state ingest probe AND the full pair-graph self-join read
+    it without an exchange: after bootstrap the index is re-shuffled
+    ZERO times, however many consumers probe it."""
+    keys = _portable_band_keys()
+    (
+        band_rows_portable_for(docs)
+        .write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def pairs_from_band_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str = "neardup_band_index_portable",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The near-dup PAIR STREAM served from the persisted portable
+    band index instead of recomputing the MinHash chain inline: the
+    band-collision arm is a SELF-JOIN of the bucketed table on its
+    own bucket keys — both sides arrive pre-co-located, so the join
+    plans over two bucketed scans with zero exchanges — followed by
+    the shared exact-Jaccard verify (_verify_jaccard_md5, identical
+    arithmetic to dedup_minhash_portable, so the output is
+    bit-identical to the self-contained chain). This is the
+    production shape for every downstream pair-graph consumer
+    (components, pagerank, k-core, cross-source matrix): bootstrap
+    the index once, then each consumer's candidate generation is an
+    exchange-free bucketed read rather than a full corpus re-hash."""
+    ex = spark.table(table)
+    keys = _portable_band_keys()
+    ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
+    cb = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    cands = (
+        ca.join(cb, keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard_md5(docs, cands, threshold)
+
+
+def source_pair_matrix(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Roll an arbitrary (doc_a, doc_b) pair stream up to the
+    unordered source-pair matrix with a cross-source flag — shared by
+    cross_source_neardup_matrix (inline chain) and its persisted-index
+    twin. The doc→source attachment is two doc_id-keyed joins where
+    the pair side is candidate-bounded (AQE broadcasts it while
+    measured-small, unhinted); the agg has ≤ |sources|² groups."""
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "cross_source", F.col("source_a") != F.col("source_b")
+        )
+    )
+
+
 def incremental_pairs_indexed(
     spark: SparkSession,
     all_docs: DataFrame,
@@ -1603,28 +1786,14 @@ def cross_source_neardup_matrix(
     doc→source attachment is two doc_id-keyed joins where the pair
     side is candidate-bounded — AQE broadcasts it while measured-small,
     unhinted (data-dependent size, the r4/r5 de-hinting rule). The
-    matrix agg has ≤ |sources|² groups."""
+    matrix agg has ≤ |sources|² groups. The production twin
+    (neardup_matrix_indexed) serves the pair stream from the
+    persisted bucketed band index instead of re-running this chain —
+    this entry stays self-contained because the oracle must replay
+    the full chain."""
     pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
-    )
-    return (
-        pairs.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .withColumn(
-            "cross_source", F.col("source_a") != F.col("source_b")
-        )
-    )
+    return source_pair_matrix(pairs, docs)
 
 
 def jaccard_prefix_filter_stats(

@@ -160,6 +160,58 @@ def test_embedding_lsh_bucket_cap_bounds_candidates(spark, sf_dir):
     assert loose == full
 
 
+def test_label_components_chain_logn_rounds(spark):
+    """Adversarial deep component: a 500-node path graph (the
+    serialized/chained-boilerplate shape). Min-label propagation
+    needs diameter=499 rounds; large-star/small-star must finish
+    within ~2·log2(n) rounds (18 for n=500) AND produce correct
+    min-labels."""
+    from flapi_spark.operators.dedup import label_components
+
+    n = 500
+    chain = [(i, i + 1) for i in range(1, n)]
+    # a second, disjoint component with a non-trivial min (ids 10_000+)
+    blob = [(10_000 + a, 10_000 + b) for a, b in
+            [(1, 2), (2, 3), (1, 3), (3, 4)]]
+    pairs = spark.createDataFrame(chain + blob, ["doc_a", "doc_b"])
+    out = label_components(pairs, max_iterations=18)
+    labels = {r.doc_id: r.component_id for r in out.collect()}
+    assert len(labels) == n + 4
+    assert all(labels[i] == 1 for i in range(1, n + 1))
+    assert all(labels[10_000 + i] == 10_001 for i in range(1, 5))
+
+
+def test_label_components_nonconvergence_raises(spark):
+    """Truncated labels are WRONG labels: running out of rounds must
+    raise, never silently emit the partial fixpoint."""
+    from flapi_spark.operators.dedup import label_components
+
+    chain = [(i, i + 1) for i in range(1, 200)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_components(pairs, max_iterations=1)
+
+
+def test_label_components_empty_and_reversed_pairs(spark):
+    """Empty pair stream returns an empty (doc_id, component_id)
+    frame; duplicate + reversed + self pairs collapse to the same
+    canonical labeling."""
+    from flapi_spark.operators.dedup import label_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = label_components(empty)
+    assert out.columns == ["doc_id", "component_id"]
+    assert out.count() == 0
+
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 2), (5, 5), (7, 6)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {r.doc_id: r.component_id
+              for r in label_components(messy).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 6, 7: 6}
+
+
 def test_minhash_components_cover_their_pairs(spark, sf_dir):
     """Scale-path clustering: components over the MinHash pair stream
     place both endpoints of every candidate pair in one component."""
@@ -414,6 +466,44 @@ def test_persisted_band_index_flow_matches_self_contained(spark, sf_dir):
         finally:
             lazy_cands.unpersist()
     finally:
+        _rm_table(spark, table)
+
+
+def test_pairs_from_band_index_equals_portable_chain(spark, sf_dir):
+    """Persisted-index-fed pair stream (round 7): the bucketed
+    portable band index self-join + shared verify must be
+    bit-identical to the self-contained dedup_minhash_portable chain,
+    and the candidate join must read BOTH sides as bucketed scans
+    (zero index-side exchange) even with broadcast disabled."""
+    from flapi_spark.operators.dedup import (
+        dedup_minhash_portable, pairs_from_band_index,
+        write_band_index_portable,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    table = "t_bands_portable"
+    _rm_table(spark, table)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_band_index_portable(spark, docs, table)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got_df = pairs_from_band_index(spark, docs, table)
+        got = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in got_df.collect()}
+        expect = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+                  for r in dedup_minhash_portable(spark, sf_dir).collect()}
+        assert got == expect and got
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        # the self-join reads the index twice, both scans bucketed —
+        # no exchange is needed on either side of the candidate join
+        # (the AQE string repeats subtrees across Final/Initial plan
+        # sections, so assert presence, not an exact count)
+        assert plan.count("Bucketed: true") >= 2
+        assert "SelectedBucketsCount: 16 out of 16" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         _rm_table(spark, table)
 
 
