@@ -54,6 +54,10 @@ HEADLINE = [
     # round 6: corpus information-theory + source-pair dedup rollup
     "lang_bigram_entropy",
     "cross_source_neardup_matrix",
+    # round 7: the same rollup served from the persisted bucketed
+    # band index (bootstrap included in the timing — steady-state
+    # probes are cheaper still)
+    "neardup_matrix_indexed",
 ]
 
 

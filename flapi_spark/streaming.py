@@ -695,6 +695,7 @@ def neardup_guard_stream(
     docs_stream: DataFrame,
     corpus_docs: DataFrame,
     threshold: float = 0.5,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time near-dup guard: a stream of incoming documents
     checked against a STATIC reference corpus by MinHash-LSH — the
@@ -717,15 +718,26 @@ def neardup_guard_stream(
     guard stateful. The batch twin (same helpers, batch input +
     distinct) is the equality anchor in tests.
 
-    At 100 TB the corpus band table is a bucketed warehouse table on
-    (band_id, bh) so the per-batch join co-locates without a shuffle
-    of the static side."""
+    At 100 TB the corpus band table is the PERSISTED bucketed index:
+    pass `band_index=spark.table(t)` where `t` was built by
+    dedup.write_band_index (same xxhash64 band arithmetic as the
+    inline path — band_rows_for == band_rows∘rowwise_minhash). The
+    candidate join then reads the index as a bucketed scan with ZERO
+    index-side exchange, re-resolved every micro-batch so
+    append_band_index maintenance between batches is picked up
+    automatically; without it the corpus bands are recomputed from
+    `corpus_docs` inside every micro-batch's static-side plan."""
     from flapi_spark.operators.dedup import band_rows, rowwise_minhash
 
     corpus_sigs = rowwise_minhash(corpus_docs)
-    corpus_bands = band_rows(corpus_sigs).select(
-        F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
-    )
+    if band_index is not None:
+        corpus_bands = band_index.select(
+            F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
+        )
+    else:
+        corpus_bands = band_rows(corpus_sigs).select(
+            F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
+        )
     corpus_sets = corpus_sigs.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
     )

@@ -567,6 +567,70 @@ def test_neardup_guard_stream_equals_batch(spark, sf_dir, tmp_path_factory):
             assert j == 1.0
 
 
+def test_neardup_guard_stream_probes_persisted_band_index(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 7: the guard's static band side is the PERSISTED bucketed
+    index (dedup.write_band_index) — results equal the self-contained
+    guard pair-for-pair, and the micro-batch plan reads the index as
+    a bucketed scan (no index-side exchange before the candidate
+    join), re-resolved per micro-batch so appends are picked up."""
+    import glob as _glob
+
+    from flapi_spark.operators.dedup import write_band_index
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "t_guard_band_index"
+    _rm_table(spark, table)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_band_index(spark, docs, table)
+        incoming = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "text"
+        )
+        d = tmp_path_factory.mktemp("docs_guard_idx")
+        staging = str(d / "_stage")
+        incoming.coalesce(1).write.parquet(staging)
+        shutil.copy(
+            _glob.glob(staging + "/part-*.parquet")[0],
+            str(d / "batch_0.parquet"),
+        )
+        shutil.rmtree(staging)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(str(d))
+        )
+        guarded = ST.neardup_guard_stream(
+            stream, docs, band_index=spark.table(table)
+        )
+        name = _qname()
+        q = (
+            guarded.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+        assert "Bucketed: true" in plan
+        got = {
+            (r.doc_id, r.corpus_doc_id, r.jaccard)
+            for r in spark.table(name).collect()
+        }
+        expect = {
+            (r.doc_id, r.corpus_doc_id, r.jaccard)
+            for r in ST.neardup_guard_stream(incoming, docs).collect()
+        }
+        assert got == expect and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        _rm_table(spark, table)
+
+
 def test_neardup_guard_plan_has_no_stream_stream_join(spark, sf_dir):
     """The guard must stay stateless: its streaming plan may contain
     stream-static joins only — a stream-stream self-join would retain
