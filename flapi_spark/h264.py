@@ -1,0 +1,1481 @@
+"""Pure-stdlib H.264/AVC baseline-profile I-frame codec (round 7).
+
+Closes the last gated media path (multimodal.py previously raised for
+codec frame decode of avc1 tracks): a real Annex-B NAL parser,
+SPS/PPS/slice-header decode, and full I-slice macroblock
+reconstruction — I_PCM, Intra_4x4 (all 9 prediction modes),
+Intra_16x16 (all 4 modes), chroma prediction (all 4 modes), CAVLC
+residual entropy decoding, dequantisation and the 4x4 inverse integer
+transform (plus the luma-DC 4x4 and chroma-DC 2x2 Hadamard paths) per
+ISO/IEC 14496-10 / ITU-T H.264 (public spec). The companion encoder
+emits spec-layout IDR access units (I_PCM for lossless round-trips;
+Intra_16x16-DC + CAVLC residuals for the entropy path), which is what
+the tests drive.
+
+Reference parity note: the reference (flapi) ships no video codec at
+all — this module exists for the training-data pipeline brief
+(multimodal decode as first-class lane), in the same spirit as the
+pure-stdlib JPEG codec (flapi_spark/jpeg.py).
+
+Honest scope statement (mirrors the repo's codec-gating policy):
+  * Supported: baseline CAVLC I slices (IDR), frame_mbs_only, 4:2:0,
+    8-bit, one slice per picture, deblocking disabled in-stream
+    (disable_deblocking_filter_idc == 1).
+  * Gated with NotImplementedError: CABAC, inter prediction (P/B),
+    multiple slices/slice groups (FMO), fields/MBAFF, in-loop
+    deblocking, high-profile transforms.
+  * Verification: this container has no external H.264 decoder, so
+    conformance is established structurally — every VLC table is
+    asserted prefix-free AND complete (Kraft sum == 1, catching
+    recall/typo errors in table entry lengths), encode→decode
+    round-trips randomized residuals through every table family, and
+    closed-form cases (flat predictions + DC-only residuals produce
+    hand-computable uniform blocks) pin the prediction/transform
+    arithmetic.
+
+Scale shape: decoding runs inside the Arrow-batched mapInPandas lane
+(multimodal.decode_batch) — embarrassingly parallel per payload, no
+shuffle; the decoded output is metadata + plane statistics, so heavy
+pixel buffers never cross a stage boundary.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class BitReader:
+    """MSB-first bit reader over an RBSP (emulation bytes removed)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # absolute bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("h264: invalid exp-golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def more_rbsp_data(self) -> bool:
+        """True while bits remain before the rbsp_stop_one_bit (the
+        last set bit of the RBSP)."""
+        i = len(self.d) - 1
+        while i >= 0 and self.d[i] == 0:
+            i -= 1
+        if i < 0:
+            return False
+        b = self.d[i]
+        stop = i * 8 + 7 - ((b & -b).bit_length() - 1)
+        return self.pos < stop
+
+
+class BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put(self, code: str) -> None:
+        for c in code:
+            self.bits.append(1 if c == "1" else 0)
+
+    def ue(self, v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def rbsp_trailing(self) -> None:
+        self.bits.append(1)
+        self.align_zero()
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            chunk = self.bits[i : i + 8]
+            for b in chunk:
+                byte = (byte << 1) | b
+            byte <<= 8 - len(chunk)
+            out.append(byte)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# NAL plumbing
+# ---------------------------------------------------------------------------
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Split an Annex-B byte stream into NAL units (start-code
+    delimited), with emulation-prevention bytes removed (00 00 03 xx
+    -> 00 00 xx for xx in {00,01,02,03})."""
+    i, n = 0, len(data)
+    starts: list[int] = []
+    while i + 2 < n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    nals: list[bytes] = []
+    for k, s in enumerate(starts):
+        if k + 1 < len(starts):
+            e = starts[k + 1] - 3
+            # a 4-byte start code leaves one extra zero before it
+            if e - 1 >= s and data[e - 1] == 0:
+                e -= 1
+        else:
+            e = n
+        nals.append(_unescape_rbsp(data[s:e]))
+    return nals
+
+
+def _unescape_rbsp(nal: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(nal):
+        b = nal[i]
+        if zeros >= 2 and b == 3 and i + 1 < len(nal) and nal[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + _escape_rbsp(rbsp)
+
+
+# ---------------------------------------------------------------------------
+# parameter sets
+# ---------------------------------------------------------------------------
+
+
+class SPS:
+    def __init__(self, r: BitReader):
+        self.profile_idc = r.u(8)
+        r.u(8)  # constraint flags + reserved
+        self.level_idc = r.u(8)
+        self.sps_id = r.ue()
+        if self.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+            raise NotImplementedError("h264: high-profile SPS not supported")
+        self.log2_max_frame_num = r.ue() + 4
+        self.poc_type = r.ue()
+        if self.poc_type == 0:
+            self.log2_max_poc_lsb = r.ue() + 4
+        elif self.poc_type == 1:
+            raise NotImplementedError("h264: poc_type 1 not supported")
+        self.max_num_ref_frames = r.ue()
+        r.u(1)  # gaps_in_frame_num_value_allowed
+        self.pic_width_in_mbs = r.ue() + 1
+        self.pic_height_in_map_units = r.ue() + 1
+        self.frame_mbs_only = r.u(1)
+        if not self.frame_mbs_only:
+            raise NotImplementedError("h264: interlaced (fields) not supported")
+        r.u(1)  # direct_8x8_inference
+        self.crop = (0, 0, 0, 0)
+        if r.u(1):  # frame_cropping_flag
+            self.crop = (r.ue(), r.ue(), r.ue(), r.ue())
+        # vui ignored
+        self.width = self.pic_width_in_mbs * 16 - 2 * (self.crop[0] + self.crop[1])
+        self.height = self.pic_height_in_map_units * 16 - 2 * (
+            self.crop[2] + self.crop[3]
+        )
+
+
+class PPS:
+    def __init__(self, r: BitReader):
+        self.pps_id = r.ue()
+        self.sps_id = r.ue()
+        self.entropy_coding_mode = r.u(1)
+        if self.entropy_coding_mode:
+            raise NotImplementedError("h264: CABAC not supported (CAVLC only)")
+        r.u(1)  # bottom_field_pic_order_in_frame_present
+        if r.ue() != 0:  # num_slice_groups_minus1
+            raise NotImplementedError("h264: slice groups (FMO) not supported")
+        r.ue()  # num_ref_idx_l0_default_active_minus1
+        r.ue()  # num_ref_idx_l1_default_active_minus1
+        r.u(1)  # weighted_pred_flag
+        r.u(2)  # weighted_bipred_idc
+        self.pic_init_qp = r.se() + 26
+        r.se()  # pic_init_qs
+        self.chroma_qp_index_offset = r.se()
+        self.deblocking_filter_control_present = r.u(1)
+        self.constrained_intra_pred = r.u(1)
+        r.u(1)  # redundant_pic_cnt_present
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (ITU-T H.264 Table 9-5, 9-7, 9-8, 9-9, 9-10)
+# Every table is asserted prefix-free and Kraft-complete in tests.
+# ---------------------------------------------------------------------------
+
+# coeff_token: {code: (trailing_ones, total_coeff)} per nC class
+COEFF_TOKEN_NC_0_2 = {
+    "1": (0, 0),
+    "000101": (0, 1), "01": (1, 1),
+    "00000111": (0, 2), "000100": (1, 2), "001": (2, 2),
+    "000000111": (0, 3), "00000110": (1, 3), "0000101": (2, 3),
+    "00011": (3, 3),
+    "0000000111": (0, 4), "000000110": (1, 4), "00000101": (2, 4),
+    "000011": (3, 4),
+    "00000000111": (0, 5), "0000000110": (1, 5), "000000101": (2, 5),
+    "0000100": (3, 5),
+    "0000000001111": (0, 6), "00000000110": (1, 6), "0000000101": (2, 6),
+    "00000100": (3, 6),
+    "0000000001011": (0, 7), "0000000001110": (1, 7),
+    "00000000101": (2, 7), "000000100": (3, 7),
+    "0000000001000": (0, 8), "0000000001010": (1, 8),
+    "0000000001101": (2, 8), "0000000100": (3, 8),
+    "00000000001111": (0, 9), "00000000001110": (1, 9),
+    "0000000001001": (2, 9), "00000000100": (3, 9),
+    "00000000001011": (0, 10), "00000000001010": (1, 10),
+    "00000000001101": (2, 10), "0000000001100": (3, 10),
+    "000000000001111": (0, 11), "000000000001110": (1, 11),
+    "00000000001001": (2, 11), "00000000001100": (3, 11),
+    "000000000001011": (0, 12), "000000000001010": (1, 12),
+    "000000000001101": (2, 12), "00000000001000": (3, 12),
+    "0000000000001111": (0, 13), "000000000000001": (1, 13),
+    "000000000001001": (2, 13), "000000000001100": (3, 13),
+    "0000000000001011": (0, 14), "0000000000001110": (1, 14),
+    "0000000000001101": (2, 14), "000000000001000": (3, 14),
+    "0000000000000111": (0, 15), "0000000000001010": (1, 15),
+    "0000000000001001": (2, 15), "0000000000001100": (3, 15),
+    "0000000000000100": (0, 16), "0000000000000110": (1, 16),
+    "0000000000000101": (2, 16), "0000000000001000": (3, 16),
+}
+
+COEFF_TOKEN_NC_2_4 = {
+    "11": (0, 0),
+    "001011": (0, 1), "10": (1, 1),
+    "000111": (0, 2), "00111": (1, 2), "011": (2, 2),
+    "0000111": (0, 3), "001010": (1, 3), "001001": (2, 3), "0101": (3, 3),
+    "00000111": (0, 4), "000110": (1, 4), "000101": (2, 4), "0100": (3, 4),
+    "00000100": (0, 5), "0000110": (1, 5), "0000101": (2, 5),
+    "00110": (3, 5),
+    "000000111": (0, 6), "00000110": (1, 6), "00000101": (2, 6),
+    "001000": (3, 6),
+    "00000001111": (0, 7), "000000110": (1, 7), "000000101": (2, 7),
+    "000100": (3, 7),
+    "00000001011": (0, 8), "00000001110": (1, 8), "00000001101": (2, 8),
+    "0000100": (3, 8),
+    "000000001111": (0, 9), "00000001010": (1, 9), "00000001001": (2, 9),
+    "000000100": (3, 9),
+    "000000001011": (0, 10), "000000001110": (1, 10),
+    "000000001101": (2, 10), "00000001100": (3, 10),
+    "000000001000": (0, 11), "000000001010": (1, 11),
+    "000000001001": (2, 11), "00000001000": (3, 11),
+    "0000000001111": (0, 12), "0000000001110": (1, 12),
+    "0000000001101": (2, 12), "000000001100": (3, 12),
+    "0000000001011": (0, 13), "0000000001010": (1, 13),
+    "0000000001001": (2, 13), "0000000001100": (3, 13),
+    "0000000000111": (0, 14), "00000000001011": (1, 14),
+    "0000000000110": (2, 14), "0000000001000": (3, 14),
+    "00000000001001": (0, 15), "00000000001000": (1, 15),
+    "00000000001010": (2, 15), "0000000000001": (3, 15),
+    "00000000000111": (0, 16), "00000000000110": (1, 16),
+    "00000000000101": (2, 16), "00000000000100": (3, 16),
+}
+
+COEFF_TOKEN_NC_4_8 = {
+    "1111": (0, 0),
+    "001111": (0, 1), "1110": (1, 1),
+    "001011": (0, 2), "01111": (1, 2), "1101": (2, 2),
+    "001000": (0, 3), "01100": (1, 3), "01110": (2, 3), "1100": (3, 3),
+    "0001111": (0, 4), "01010": (1, 4), "01011": (2, 4), "1011": (3, 4),
+    "0001011": (0, 5), "01000": (1, 5), "01001": (2, 5), "1010": (3, 5),
+    "0001001": (0, 6), "001110": (1, 6), "001101": (2, 6), "1001": (3, 6),
+    "0001000": (0, 7), "001010": (1, 7), "001001": (2, 7), "1000": (3, 7),
+    "00001111": (0, 8), "0001110": (1, 8), "0001101": (2, 8),
+    "01101": (3, 8),
+    "00001011": (0, 9), "00001110": (1, 9), "0001010": (2, 9),
+    "001100": (3, 9),
+    "000001111": (0, 10), "00001010": (1, 10), "00001101": (2, 10),
+    "0001100": (3, 10),
+    "000001011": (0, 11), "000001110": (1, 11), "00001001": (2, 11),
+    "00001100": (3, 11),
+    "000001000": (0, 12), "000001010": (1, 12), "000001101": (2, 12),
+    "00001000": (3, 12),
+    "0000001101": (0, 13), "000000111": (1, 13), "000001001": (2, 13),
+    "000001100": (3, 13),
+    "0000001001": (0, 14), "0000001100": (1, 14), "0000001011": (2, 14),
+    "0000001010": (3, 14),
+    "0000000101": (0, 15), "0000001000": (1, 15), "0000000111": (2, 15),
+    "0000000110": (3, 15),
+    "0000000001": (0, 16), "0000000100": (1, 16), "0000000011": (2, 16),
+    "0000000010": (3, 16),
+}
+
+# chroma DC (4:2:0), nC == -1 — Kraft-verified complete
+COEFF_TOKEN_CHROMA_DC = {
+    "01": (0, 0),
+    "000111": (0, 1), "1": (1, 1),
+    "000100": (0, 2), "000110": (1, 2), "001": (2, 2),
+    "000011": (0, 3), "0000011": (1, 3), "0000010": (2, 3),
+    "000101": (3, 3),
+    "000010": (0, 4), "00000011": (1, 4), "00000010": (2, 4),
+    "0000000": (3, 4),
+}
+
+
+def _fixed_nc8_table() -> dict:
+    """nC >= 8 uses 6-bit fixed-length codes: 000011 -> (0,0);
+    otherwise code = ((total_coeff-1) << 2) | trailing_ones."""
+    t = {"000011": (0, 0)}
+    for tc in range(1, 17):
+        for t1 in range(0, min(tc, 3) + 1):
+            code = ((tc - 1) << 2) | t1
+            t[format(code, "06b")] = (t1, tc)
+    return t
+
+
+COEFF_TOKEN_NC_8 = _fixed_nc8_table()
+
+# total_zeros, 4x4 blocks (Table 9-7/9-8): TOTAL_ZEROS_4x4[tc][tz]
+TOTAL_ZEROS_4X4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011",
+        "0010", "00011", "00010", "000011", "000010", "000001",
+        "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011",
+        "011", "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011",
+        "0010", "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# total_zeros, chroma DC 2x2 (Table 9-9a)
+TOTAL_ZEROS_CHROMA_DC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
+# run_before (Table 9-10): RUN_BEFORE[min(zeros_left,7)][run]
+RUN_BEFORE = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001",
+        "00001", "000001", "0000001", "00000001", "000000001",
+        "0000000001", "00000000001"],
+}
+
+
+def _invert(table_list: list[str]) -> dict:
+    return {code: i for i, code in enumerate(table_list)}
+
+
+def _read_vlc(r: BitReader, table: dict):
+    code = ""
+    for _ in range(20):
+        code += "1" if r.u(1) else "0"
+        if code in table:
+            return table[code]
+    raise ValueError(f"h264: invalid VLC code {code!r}")
+
+
+def coeff_token_table(nc: int) -> dict:
+    if nc == -1:
+        return COEFF_TOKEN_CHROMA_DC
+    if nc < 2:
+        return COEFF_TOKEN_NC_0_2
+    if nc < 4:
+        return COEFF_TOKEN_NC_2_4
+    if nc < 8:
+        return COEFF_TOKEN_NC_4_8
+    return COEFF_TOKEN_NC_8
+
+
+# zig-zag scan for 4x4 blocks
+ZIGZAG_4X4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+
+def residual_block_cavlc(
+    r: BitReader, nc: int, max_coeffs: int
+) -> tuple[list[int], int]:
+    """Decode one CAVLC residual block -> (coeff levels in decoding
+    order, total_coeff). Levels are returned in scan order (lowest
+    frequency first), length == max_coeffs."""
+    t1s, total = _read_vlc(r, coeff_token_table(nc))
+    levels_rev: list[int] = []
+    if total:
+        suffix_len = 1 if (total > 10 and t1s < 3) else 0
+        for i in range(total):
+            if i < t1s:
+                levels_rev.append(1 - 2 * r.u(1))
+                continue
+            # level_prefix
+            prefix = 0
+            while r.u(1) == 0:
+                prefix += 1
+                if prefix > 32:
+                    raise ValueError("h264: level_prefix overflow")
+            level_code = min(15, prefix) << suffix_len
+            if suffix_len > 0 or prefix >= 14:
+                if prefix == 14 and suffix_len == 0:
+                    size = 4
+                elif prefix >= 15:
+                    size = prefix - 3
+                else:
+                    size = suffix_len
+                if size:
+                    level_code += r.u(size)
+            if prefix >= 15 and suffix_len == 0:
+                level_code += 15
+            if prefix >= 16:
+                level_code += (1 << (prefix - 3)) - 4096
+            if i == t1s and t1s < 3:
+                level_code += 2
+            if level_code & 1:
+                level = -((level_code + 1) >> 1)
+            else:
+                level = (level_code + 2) >> 1
+            levels_rev.append(level)
+            if suffix_len == 0:
+                suffix_len = 1
+            if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+                suffix_len += 1
+        # total_zeros
+        if total < max_coeffs:
+            if max_coeffs == 4:
+                tz_tab = _invert(TOTAL_ZEROS_CHROMA_DC[total])
+            else:
+                tz_tab = _invert(TOTAL_ZEROS_4X4[total])
+            total_zeros = _read_vlc(r, tz_tab)
+        else:
+            total_zeros = 0
+        # run_before
+        runs = [0] * total
+        zeros_left = total_zeros
+        for i in range(total - 1):
+            if zeros_left > 0:
+                rb_tab = _invert(RUN_BEFORE[min(zeros_left, 7)])
+                runs[i] = _read_vlc(r, rb_tab)
+                zeros_left -= runs[i]
+            else:
+                runs[i] = 0
+        runs[total - 1] = zeros_left
+        # place coefficients: levels_rev[0] is the HIGHEST-frequency
+        # coefficient; walk down inserting run_before zeros
+        coeffs = [0] * max_coeffs
+        idx = total_zeros + total - 1
+        for i in range(total):
+            coeffs[idx] = levels_rev[i]
+            idx -= 1 + runs[i]
+        return coeffs, total
+    return [0] * max_coeffs, 0
+
+
+def write_residual_block_cavlc(
+    w: BitWriter, coeffs: list[int], nc: int, max_coeffs: int
+) -> int:
+    """CAVLC-encode one residual block (scan-order coefficients).
+    Shares the decoder's tables; returns total_coeff. Only encodes
+    blocks whose trailing ones fit the (T1<=3, |T1 levels|==1)
+    constraint — callers (the test encoder) keep levels small."""
+    nz = [(i, c) for i, c in enumerate(coeffs[:max_coeffs]) if c != 0]
+    total = len(nz)
+    # trailing ones: up to 3 highest-frequency coefficients with |c|==1
+    t1s = 0
+    for _, c in reversed(nz):
+        if abs(c) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    table = coeff_token_table(nc)
+    inv = {v: k for k, v in table.items()}
+    if (t1s, total) not in inv:
+        raise ValueError("h264: unencodable (t1s,total)")
+    w.put(inv[(t1s, total)])
+    if total == 0:
+        return 0
+    # levels, highest frequency first
+    suffix_len = 1 if (total > 10 and t1s < 3) else 0
+    seq = list(reversed(nz))
+    for i, (_, level) in enumerate(seq):
+        if i < t1s:
+            w.u(0 if level > 0 else 1, 1)
+            continue
+        if level > 0:
+            level_code = (level << 1) - 2
+        else:
+            level_code = -(level << 1) - 1
+        if i == t1s and t1s < 3:
+            level_code -= 2
+        if suffix_len == 0:
+            if level_code < 14:
+                w.u(1, level_code + 1)  # prefix zeros then 1
+                # (w.u writes level_code zeros then the stop 1)
+            elif level_code < 30:
+                w.u(0, 14)
+                w.u(1, 1)
+                w.u(level_code - 14, 4)
+            else:
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(level_code - 30, 12)
+        else:
+            prefix = level_code >> suffix_len
+            if prefix < 15:
+                w.u(0, prefix)
+                w.u(1, 1)
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                # escape: prefix 15, 12-bit suffix (decoder computes
+                # levelCode = (15 << sl) + suffix for prefix == 15)
+                rem = level_code - (15 << suffix_len)
+                if rem >= (1 << 12):
+                    raise ValueError("h264: encoder level overflow")
+                w.u(0, 15)
+                w.u(1, 1)
+                w.u(rem, 12)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    highest = seq[0][0]
+    total_zeros = highest + 1 - total
+    if total < max_coeffs:
+        if max_coeffs == 4:
+            w.put(TOTAL_ZEROS_CHROMA_DC[total][total_zeros])
+        else:
+            w.put(TOTAL_ZEROS_4X4[total][total_zeros])
+    # run_before
+    zeros_left = total_zeros
+    positions = [i for i, _ in seq]
+    for i in range(total - 1):
+        run = positions[i] - positions[i + 1] - 1
+        if zeros_left > 0:
+            w.put(RUN_BEFORE[min(zeros_left, 7)][run])
+            zeros_left -= run
+    return total
+
+
+# ---------------------------------------------------------------------------
+# transforms & quantisation
+# ---------------------------------------------------------------------------
+
+_V = [
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+]
+
+
+def _level_scale(qp: int, i: int, j: int) -> int:
+    v0, v1, v2 = _V[qp % 6]
+    if (i % 2 == 0) and (j % 2 == 0):
+        return v0
+    if (i % 2 == 1) and (j % 2 == 1):
+        return v1
+    return v2
+
+
+def inverse_transform_4x4(block: list[int]) -> list[int]:
+    """H.264 4x4 inverse integer transform (8.5.12.2), input scaled
+    coefficients, output residual (before clipping), row-major."""
+    d = [block[i] for i in range(16)]
+    # horizontal (rows)
+    e = [0] * 16
+    for i in range(4):
+        o = i * 4
+        e0 = d[o] + d[o + 2]
+        e1 = d[o] - d[o + 2]
+        e2 = (d[o + 1] >> 1) - d[o + 3]
+        e3 = d[o + 1] + (d[o + 3] >> 1)
+        e[o], e[o + 1], e[o + 2], e[o + 3] = e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    # vertical (cols)
+    out = [0] * 16
+    for j in range(4):
+        f0 = e[j] + e[8 + j]
+        f1 = e[j] - e[8 + j]
+        f2 = (e[4 + j] >> 1) - e[12 + j]
+        f3 = e[4 + j] + (e[12 + j] >> 1)
+        out[j] = (f0 + f3 + 32) >> 6
+        out[4 + j] = (f1 + f2 + 32) >> 6
+        out[8 + j] = (f1 - f2 + 32) >> 6
+        out[12 + j] = (f0 - f3 + 32) >> 6
+    return out
+
+
+def dequant_4x4(coeffs: list[int], qp: int, skip_dc: bool = False) -> list[int]:
+    out = [0] * 16
+    shift = qp // 6
+    for idx in range(16):
+        if idx == 0 and skip_dc:
+            out[0] = coeffs[0]
+            continue
+        i, j = idx // 4, idx % 4
+        out[idx] = (coeffs[idx] * _level_scale(qp, i, j)) << shift
+    return out
+
+
+def hadamard_4x4_inverse(dc: list[int], qp: int) -> list[int]:
+    """Luma DC path for Intra_16x16 (8.5.10): inverse Hadamard then
+    DC-specific scaling."""
+    e = [0] * 16
+    for i in range(4):
+        o = i * 4
+        a = dc[o] + dc[o + 2]
+        b = dc[o] - dc[o + 2]
+        c = dc[o + 1] + dc[o + 3]
+        d = dc[o + 1] - dc[o + 3]
+        e[o], e[o + 1], e[o + 2], e[o + 3] = a + c, b + d, b - d, a - c
+    f = [0] * 16
+    for j in range(4):
+        a = e[j] + e[8 + j]
+        b = e[j] - e[8 + j]
+        c = e[4 + j] + e[12 + j]
+        d = e[4 + j] - e[12 + j]
+        f[j], f[4 + j], f[8 + j], f[12 + j] = a + c, b + d, b - d, a - c
+    scale = _level_scale(qp, 0, 0)
+    out = [0] * 16
+    if qp >= 36:  # 8-252/8-253: net normalization is >>6
+        sh = qp // 6 - 6
+        for k in range(16):
+            out[k] = (f[k] * scale) << sh
+    else:
+        sh = 6 - qp // 6
+        add = 1 << (5 - qp // 6)
+        for k in range(16):
+            out[k] = (f[k] * scale + add) >> sh
+    return out
+
+
+def chroma_dc_inverse(dc: list[int], qpc: int) -> list[int]:
+    a, b, c, d = dc
+    f = [a + b + c + d, a - b + c - d, a + b - c - d, a - b - c + d]
+    scale = _level_scale(qpc, 0, 0)
+    return [((x * scale) << (qpc // 6)) >> 5 for x in f]
+
+
+CHROMA_QP_TABLE = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37,
+                   37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+
+def chroma_qp(qp: int, offset: int) -> int:
+    qpi = max(0, min(51, qp + offset))
+    return qpi if qpi < 30 else CHROMA_QP_TABLE[qpi - 30]
+
+
+def _clip8(x: int) -> int:
+    return 0 if x < 0 else 255 if x > 255 else x
+
+
+# ---------------------------------------------------------------------------
+# frame decoder
+# ---------------------------------------------------------------------------
+
+
+class _Plane:
+    def __init__(self, w: int, h: int, fill: int = 0):
+        self.w, self.h = w, h
+        self.px = bytearray([fill]) * (w * h)
+
+    def get(self, x: int, y: int) -> int:
+        return self.px[y * self.w + x]
+
+    def put(self, x: int, y: int, v: int) -> None:
+        self.px[y * self.w + x] = v
+
+
+class H264Decoder:
+    """Decode the first IDR access unit of an Annex-B baseline
+    stream. Returns dict(width, height, y, cb, cr, mean_level)."""
+
+    def __init__(self) -> None:
+        self.sps: SPS | None = None
+        self.pps: PPS | None = None
+
+    def decode(self, data: bytes) -> dict:
+        frame = None
+        for nal in split_annexb(data):
+            if not nal:
+                continue
+            nal_type = nal[0] & 0x1F
+            r = BitReader(nal[1:])
+            if nal_type == 7:
+                self.sps = SPS(r)
+            elif nal_type == 8:
+                self.pps = PPS(r)
+            elif nal_type == 5:
+                if self.sps is None or self.pps is None:
+                    raise ValueError("h264: slice before SPS/PPS")
+                frame = self._decode_slice(r, True)
+                break
+            elif nal_type == 1:
+                raise NotImplementedError(
+                    "h264: non-IDR slices (inter prediction) not supported"
+                )
+        if frame is None:
+            raise ValueError("h264: no decodable slice found")
+        return frame
+
+    # --- slice ------------------------------------------------------------
+
+    def _decode_slice(self, r: BitReader, is_idr: bool) -> dict:
+        sps, pps = self.sps, self.pps
+        first_mb = r.ue()
+        if first_mb != 0:
+            raise NotImplementedError("h264: multi-slice pictures not supported")
+        slice_type = r.ue()
+        if slice_type % 5 != 2:
+            raise NotImplementedError("h264: only I slices supported")
+        r.ue()  # pps_id
+        r.u(sps.log2_max_frame_num)  # frame_num
+        if is_idr:
+            r.ue()  # idr_pic_id
+        if sps.poc_type == 0:
+            r.u(sps.log2_max_poc_lsb)
+        if is_idr:
+            r.u(1)  # no_output_of_prior_pics
+            r.u(1)  # long_term_reference
+        qp = pps.pic_init_qp + r.se()
+        if pps.deblocking_filter_control_present:
+            idc = r.ue()
+            if idc != 1:
+                raise NotImplementedError(
+                    "h264: in-loop deblocking not implemented "
+                    "(disable_deblocking_filter_idc must be 1)"
+                )
+        else:
+            raise NotImplementedError(
+                "h264: streams with deblocking enabled are not supported"
+            )
+
+        wmb, hmb = sps.pic_width_in_mbs, sps.pic_height_in_map_units
+        y = _Plane(wmb * 16, hmb * 16)
+        cb = _Plane(wmb * 8, hmb * 8)
+        cr = _Plane(wmb * 8, hmb * 8)
+        # per-4x4-block nonzero-coefficient counts for nC derivation
+        self._nz_y = [[-1] * (wmb * 4) for _ in range(hmb * 4)]
+        self._nz_cb = [[-1] * (wmb * 2) for _ in range(hmb * 2)]
+        self._nz_cr = [[-1] * (wmb * 2) for _ in range(hmb * 2)]
+        # intra 4x4 pred modes for "most probable mode" derivation
+        self._i4m = [[-1] * (wmb * 4) for _ in range(hmb * 4)]
+        self._mb_types: list[str] = []
+
+        for mb in range(wmb * hmb):
+            mbx, mby = mb % wmb, mb // wmb
+            qp = self._decode_mb(r, mbx, mby, qp, y, cb, cr)
+        total = sum(y.px) + sum(cb.px) + sum(cr.px)
+        n = len(y.px) + len(cb.px) + len(cr.px)
+        return {
+            "width": sps.width,
+            "height": sps.height,
+            "y": bytes(y.px),
+            "cb": bytes(cb.px),
+            "cr": bytes(cr.px),
+            "mb_types": self._mb_types,
+            "mean_level": total / n,
+        }
+
+    # --- macroblocks ------------------------------------------------------
+
+    def _decode_mb(self, r, mbx, mby, qp, y, cb, cr) -> int:
+        pps = self.pps
+        mb_type = r.ue()
+        if mb_type == 25:  # I_PCM
+            self._mb_types.append("I_PCM")
+            r.align()
+            for j in range(16):
+                for i in range(16):
+                    y.put(mbx * 16 + i, mby * 16 + j, r.u(8))
+            for plane in (cb, cr):
+                for j in range(8):
+                    for i in range(8):
+                        plane.put(mbx * 8 + i, mby * 8 + j, r.u(8))
+            # PCM marks all blocks as "16 coefficients" for nC
+            for j in range(4):
+                for i in range(4):
+                    self._nz_y[mby * 4 + j][mbx * 4 + i] = 16
+            for j in range(2):
+                for i in range(2):
+                    self._nz_cb[mby * 2 + j][mbx * 2 + i] = 16
+                    self._nz_cr[mby * 2 + j][mbx * 2 + i] = 16
+            for j in range(4):
+                for i in range(4):
+                    self._i4m[mby * 4 + j][mbx * 4 + i] = 2  # DC
+            return qp
+        if mb_type == 0:
+            self._mb_types.append("I_4x4")
+            return self._decode_i4x4_mb(r, mbx, mby, qp, y, cb, cr)
+        if 1 <= mb_type <= 24:
+            self._mb_types.append("I_16x16")
+            return self._decode_i16_mb(r, mb_type - 1, mbx, mby, qp, y, cb, cr)
+        raise NotImplementedError(f"h264: mb_type {mb_type} in I slice")
+
+    # nC derivation: average of left and top block coefficient counts
+    def _nc(self, grid, bx, by) -> int:
+        left = grid[by][bx - 1] if bx > 0 else -1
+        top = grid[by - 1][bx] if by > 0 else -1
+        if left >= 0 and top >= 0:
+            return (left + top + 1) >> 1
+        if left >= 0:
+            return left
+        if top >= 0:
+            return top
+        return 0
+
+    # --- Intra_16x16 ------------------------------------------------------
+
+    def _decode_i16_mb(self, r, code, mbx, mby, qp, y, cb, cr) -> int:
+        pred_mode = code % 4
+        cbp_chroma = (code // 4) % 3
+        cbp_luma = 15 if code >= 12 else 0
+        chroma_mode = r.ue()
+        qp += r.se()
+        qp = max(0, min(51, qp))
+
+        # luma DC block: nC from neighbouring luma blocks at (0,0)
+        nc = self._nc(self._nz_y, mbx * 4, mby * 4)
+        dc_scan, _ = residual_block_cavlc(r, nc, 16)
+        dc_raster = [0] * 16
+        for k in range(16):
+            dc_raster[ZIGZAG_4X4[k]] = dc_scan[k]
+        dc = hadamard_4x4_inverse(dc_raster, qp)
+
+        # AC blocks (in 8x8-then-4x4 raster order used by the spec)
+        resid = [[0] * 16 for _ in range(16)]
+        for b8 in range(4):
+            for b4 in range(4):
+                blk = (b8 // 2) * 8 + (b8 % 2) * 2 + (b4 // 2) * 4 + (b4 % 2)
+                bx, by = blk % 4, blk // 4
+                if cbp_luma:
+                    nc = self._nc(self._nz_y, mbx * 4 + bx, mby * 4 + by)
+                    ac_scan, tot = residual_block_cavlc(r, nc, 15)
+                    self._nz_y[mby * 4 + by][mbx * 4 + bx] = tot
+                    coeffs = [0] * 16
+                    for k in range(15):
+                        coeffs[ZIGZAG_4X4[k + 1]] = ac_scan[k]
+                else:
+                    self._nz_y[mby * 4 + by][mbx * 4 + bx] = 0
+                    coeffs = [0] * 16
+                dq = dequant_4x4(coeffs, qp, skip_dc=True)
+                dq[0] = dc[by * 4 + bx]
+                res = inverse_transform_4x4(dq)
+                for j in range(4):
+                    for i in range(4):
+                        resid[by * 4 + j][bx * 4 + i] = res[j * 4 + i]
+
+        pred = self._pred16(y, mbx, mby, pred_mode)
+        for j in range(16):
+            for i in range(16):
+                y.put(mbx * 16 + i, mby * 16 + j,
+                      _clip8(pred[j][i] + resid[j][i]))
+        for j in range(4):
+            for i in range(4):
+                self._i4m[mby * 4 + j][mbx * 4 + i] = 2
+        self._decode_chroma(r, mbx, mby, qp, cb, cr, cbp_chroma, chroma_mode)
+        return qp
+
+    # --- Intra_4x4 --------------------------------------------------------
+
+    def _decode_i4x4_mb(self, r, mbx, mby, qp, y, cb, cr) -> int:
+        modes = [0] * 16
+        for blk in range(16):
+            b8, b4 = blk // 4, blk % 4
+            bx = (b8 % 2) * 2 + (b4 % 2)
+            by = (b8 // 2) * 2 + (b4 // 2)
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            left = self._i4m[gy][gx - 1] if gx > 0 else -1
+            top = self._i4m[gy - 1][gx] if gy > 0 else -1
+            mpm = 2 if (left < 0 or top < 0) else min(left, top)
+            if r.u(1):
+                mode = mpm
+            else:
+                rem = r.u(3)
+                mode = rem if rem < mpm else rem + 1
+            modes[by * 4 + bx] = mode
+            self._i4m[gy][gx] = mode
+        chroma_mode = r.ue()
+        cbp = _MAP_CBP_INTRA[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp += r.se()
+            qp = max(0, min(51, qp))
+        for b8 in range(4):
+            for b4 in range(4):
+                bx = (b8 % 2) * 2 + (b4 % 2)
+                by = (b8 // 2) * 2 + (b4 // 2)
+                gx, gy = mbx * 4 + bx, mby * 4 + by
+                if cbp_luma & (1 << b8):
+                    nc = self._nc(self._nz_y, gx, gy)
+                    scan, tot = residual_block_cavlc(r, nc, 16)
+                    self._nz_y[gy][gx] = tot
+                    coeffs = [0] * 16
+                    for k in range(16):
+                        coeffs[ZIGZAG_4X4[k]] = scan[k]
+                    res = inverse_transform_4x4(dequant_4x4(coeffs, qp))
+                else:
+                    self._nz_y[gy][gx] = 0
+                    res = [0] * 16
+                pred = self._pred4(y, mbx * 16 + bx * 4, mby * 16 + by * 4,
+                                   modes[by * 4 + bx], mbx, mby, bx, by)
+                for j in range(4):
+                    for i in range(4):
+                        y.put(mbx * 16 + bx * 4 + i, mby * 16 + by * 4 + j,
+                              _clip8(pred[j][i] + res[j * 4 + i]))
+        self._decode_chroma(r, mbx, mby, qp, cb, cr, cbp_chroma, chroma_mode)
+        return qp
+
+    # --- chroma -----------------------------------------------------------
+
+    def _decode_chroma(self, r, mbx, mby, qp, cb, cr, cbp_chroma, mode):
+        qpc = chroma_qp(qp, self.pps.chroma_qp_index_offset)
+        # residual order (7.3.5.3.1): ChromaDCLevel for Cb then Cr,
+        # THEN the AC blocks for Cb then Cr
+        dcs: dict[int, list[int]] = {}
+        for pi, _plane in enumerate((cb, cr)):
+            if cbp_chroma:
+                scan, _ = residual_block_cavlc(r, -1, 4)
+                dcs[pi] = chroma_dc_inverse(scan, qpc)
+            else:
+                dcs[pi] = [0, 0, 0, 0]
+        for pi, (plane, nzgrid) in enumerate(
+            ((cb, self._nz_cb), (cr, self._nz_cr))
+        ):
+            resid = [[0] * 8 for _ in range(8)]
+            dc = dcs[pi]
+            for blk in range(4):
+                bx, by = blk % 2, blk // 2
+                if cbp_chroma == 2:
+                    nc = self._nc(nzgrid, mbx * 2 + bx, mby * 2 + by)
+                    scan, tot = residual_block_cavlc(r, nc, 15)
+                    nzgrid[mby * 2 + by][mbx * 2 + bx] = tot
+                    coeffs = [0] * 16
+                    for k in range(15):
+                        coeffs[ZIGZAG_4X4[k + 1]] = scan[k]
+                else:
+                    nzgrid[mby * 2 + by][mbx * 2 + bx] = 0
+                    coeffs = [0] * 16
+                dq = dequant_4x4(coeffs, qpc, skip_dc=True)
+                dq[0] = dc[blk]
+                res = inverse_transform_4x4(dq)
+                for j in range(4):
+                    for i in range(4):
+                        resid[by * 4 + j][bx * 4 + i] = res[j * 4 + i]
+            pred = self._pred_chroma(plane, mbx, mby, mode)
+            for j in range(8):
+                for i in range(8):
+                    plane.put(mbx * 8 + i, mby * 8 + j,
+                              _clip8(pred[j][i] + resid[j][i]))
+
+    # --- prediction -------------------------------------------------------
+
+    def _pred16(self, y: _Plane, mbx: int, mby: int, mode: int):
+        x0, y0 = mbx * 16, mby * 16
+        has_left, has_top = x0 > 0, y0 > 0
+        if mode == 0:  # vertical
+            if not has_top:
+                raise ValueError("h264: V pred without top neighbour")
+            top = [y.get(x0 + i, y0 - 1) for i in range(16)]
+            return [top[:] for _ in range(16)]
+        if mode == 1:  # horizontal
+            if not has_left:
+                raise ValueError("h264: H pred without left neighbour")
+            return [[y.get(x0 - 1, y0 + j)] * 16 for j in range(16)]
+        if mode == 2:  # DC
+            s, n = 0, 0
+            if has_top:
+                s += sum(y.get(x0 + i, y0 - 1) for i in range(16))
+                n += 16
+            if has_left:
+                s += sum(y.get(x0 - 1, y0 + j) for j in range(16))
+                n += 16
+            dc = (s + n // 2) // n if n else 128
+            return [[dc] * 16 for _ in range(16)]
+        if mode == 3:  # plane
+            if not (has_left and has_top):
+                raise ValueError("h264: plane pred needs both neighbours")
+            h = sum((i + 1) * (y.get(x0 + 8 + i, y0 - 1)
+                               - y.get(x0 + 6 - i, y0 - 1)) for i in range(8))
+            v = sum((j + 1) * (y.get(x0 - 1, y0 + 8 + j)
+                               - y.get(x0 - 1, y0 + 6 - j)) for j in range(8))
+            bfield = (5 * h + 32) >> 6
+            cfield = (5 * v + 32) >> 6
+            a = 16 * (y.get(x0 + 15, y0 - 1) + y.get(x0 - 1, y0 + 15))
+            return [
+                [_clip8((a + bfield * (i - 7) + cfield * (j - 7) + 16) >> 5)
+                 for i in range(16)]
+                for j in range(16)
+            ]
+        raise ValueError(f"h264: bad intra16 mode {mode}")
+
+    def _pred_chroma(self, p: _Plane, mbx: int, mby: int, mode: int):
+        x0, y0 = mbx * 8, mby * 8
+        has_left, has_top = x0 > 0, y0 > 0
+        if mode == 0:  # DC, per 4x4 quadrant
+            out = [[0] * 8 for _ in range(8)]
+            for qy in range(2):
+                for qx in range(2):
+                    tops = [p.get(x0 + qx * 4 + i, y0 - 1) for i in range(4)] \
+                        if has_top else []
+                    lefts = [p.get(x0 - 1, y0 + qy * 4 + j) for j in range(4)] \
+                        if has_left else []
+                    if qx == qy:
+                        use = tops + lefts
+                    elif qx == 1:
+                        use = tops if has_top else lefts
+                    else:
+                        use = lefts if has_left else tops
+                    dc = (sum(use) + len(use) // 2) // len(use) if use else 128
+                    for j in range(4):
+                        for i in range(4):
+                            out[qy * 4 + j][qx * 4 + i] = dc
+            return out
+        if mode == 1:  # horizontal
+            if not has_left:
+                raise ValueError("h264: chroma H pred without left")
+            return [[p.get(x0 - 1, y0 + j)] * 8 for j in range(8)]
+        if mode == 2:  # vertical
+            if not has_top:
+                raise ValueError("h264: chroma V pred without top")
+            top = [p.get(x0 + i, y0 - 1) for i in range(8)]
+            return [top[:] for _ in range(8)]
+        if mode == 3:  # plane
+            if not (has_left and has_top):
+                raise ValueError("h264: chroma plane needs both neighbours")
+            h = sum((i + 1) * (p.get(x0 + 4 + i, y0 - 1)
+                               - p.get(x0 + 2 - i, y0 - 1)) for i in range(4))
+            v = sum((j + 1) * (p.get(x0 - 1, y0 + 4 + j)
+                               - p.get(x0 - 1, y0 + 2 - j)) for j in range(4))
+            bfield = (17 * h + 16) >> 5
+            cfield = (17 * v + 16) >> 5
+            a = 16 * (p.get(x0 + 7, y0 - 1) + p.get(x0 - 1, y0 + 7))
+            return [
+                [_clip8((a + bfield * (i - 3) + cfield * (j - 3) + 16) >> 5)
+                 for i in range(8)]
+                for j in range(8)
+            ]
+        raise ValueError(f"h264: bad chroma mode {mode}")
+
+    def _pred4(self, y: _Plane, px: int, py: int, mode: int,
+               mbx: int, mby: int, bx: int, by: int):
+        """Intra 4x4 prediction at pixel origin (px,py), spec
+        8.3.1.2.1-8.3.1.2.9 with p[x,-1]=top row (x=0..7), p[-1,y]=
+        left column, p[-1,-1]=corner. Top-right samples p[4..7,-1]
+        substitute p[3,-1] when the up-right block is not yet decoded
+        (8.3.1.2: sample substitution)."""
+        has_left = px > 0
+        has_top = py > 0
+        wmb = y.w // 16
+        # up-right availability in raster single-slice decode order:
+        # by==0 -> pixels come from the MB above(-right); by>0 ->
+        # within-MB block (bx+1, by-1), undecoded for bx==3 and for
+        # block (1,3) (zig order decodes (2,2) after (1,3))
+        if by == 0:
+            has_tr = mby > 0 and (bx < 3 or mbx < wmb - 1)
+        else:
+            has_tr = bx != 3 and not (bx == 1 and by == 3)
+        A = [y.get(px + i, py - 1) for i in range(4)] if has_top else [0] * 4
+        if has_top and has_tr:
+            T = [y.get(px + 4 + i, py - 1) for i in range(4)]
+        else:
+            T = [A[3]] * 4
+        L = [y.get(px - 1, py + j) for j in range(4)] if has_left else [0] * 4
+        X = y.get(px - 1, py - 1) if (has_left and has_top) else 0
+        top8 = A + T               # p[0..7, -1]
+        topx = [X] + top8          # topx[k] == p[k-1, -1]
+        leftx = [X] + L            # leftx[k] == p[-1, k-1]
+
+        def out(f):
+            return [[_clip8(f(i, j)) for i in range(4)] for j in range(4)]
+
+        if mode == 0:  # vertical
+            if not has_top:
+                raise ValueError("h264: i4 V pred without top")
+            return out(lambda i, j: A[i])
+        if mode == 1:  # horizontal
+            if not has_left:
+                raise ValueError("h264: i4 H pred without left")
+            return out(lambda i, j: L[j])
+        if mode == 2:  # DC
+            if has_top and has_left:
+                dc = (sum(A) + sum(L) + 4) >> 3
+            elif has_top:
+                dc = (sum(A) + 2) >> 2
+            elif has_left:
+                dc = (sum(L) + 2) >> 2
+            else:
+                dc = 128
+            return out(lambda i, j: dc)
+        if mode == 3:  # diagonal down-left (8.3.1.2.4)
+            if not has_top:
+                raise ValueError("h264: i4 DDL without top")
+
+            def ddl(i, j):
+                if i == 3 and j == 3:
+                    return (top8[6] + 3 * top8[7] + 2) >> 2
+                k = i + j
+                return (top8[k] + 2 * top8[k + 1] + top8[k + 2] + 2) >> 2
+            return out(ddl)
+        if mode == 4:  # diagonal down-right (8.3.1.2.5)
+            if not (has_top and has_left):
+                raise ValueError("h264: i4 DDR needs both")
+
+            def ddr(i, j):
+                if i > j:
+                    d = i - j  # uses p[d-2..d, -1] == topx[d-1..d+1]
+                    return (topx[d - 1] + 2 * topx[d] + topx[d + 1] + 2) >> 2
+                if i < j:
+                    e = j - i
+                    return (leftx[e - 1] + 2 * leftx[e] + leftx[e + 1] + 2) >> 2
+                return (A[0] + 2 * X + L[0] + 2) >> 2
+            return out(ddr)
+        if mode == 5:  # vertical-right (8.3.1.2.6)
+            if not (has_top and has_left):
+                raise ValueError("h264: i4 VR needs both")
+
+            def vr(i, j):
+                z = 2 * i - j
+                k = i - (j >> 1)  # p[k-1,-1]... via topx[k]
+                if z >= 0 and z % 2 == 0:
+                    return (topx[k] + topx[k + 1] + 1) >> 1
+                if z >= 0:
+                    return (topx[k - 1] + 2 * topx[k] + topx[k + 1] + 2) >> 2
+                if z == -1:
+                    return (L[0] + 2 * X + A[0] + 2) >> 2
+                # z < -1: (p[-1,j-2i-1] + 2p[-1,j-2i-2] + p[-1,j-2i-3])
+                e = j - 2 * i
+                return (leftx[e] + 2 * leftx[e - 1] + leftx[e - 2] + 2) >> 2
+            return out(vr)
+        if mode == 6:  # horizontal-down (8.3.1.2.7)
+            if not (has_top and has_left):
+                raise ValueError("h264: i4 HD needs both")
+
+            def hd(i, j):
+                z = 2 * j - i
+                k = j - (i >> 1)
+                if z >= 0 and z % 2 == 0:
+                    return (leftx[k] + leftx[k + 1] + 1) >> 1
+                if z >= 0:
+                    return (leftx[k - 1] + 2 * leftx[k] + leftx[k + 1] + 2) >> 2
+                if z == -1:
+                    return (A[0] + 2 * X + L[0] + 2) >> 2
+                # z < -1: (p[i-2j-1,-1] + 2p[i-2j-2,-1] + p[i-2j-3,-1])
+                d = i - 2 * j
+                return (topx[d] + 2 * topx[d - 1] + topx[d - 2] + 2) >> 2
+            return out(hd)
+        if mode == 7:  # vertical-left (8.3.1.2.8)
+            if not has_top:
+                raise ValueError("h264: i4 VL without top")
+
+            def vl(i, j):
+                k = i + (j >> 1)
+                if j % 2 == 0:
+                    return (top8[k] + top8[k + 1] + 1) >> 1
+                return (top8[k] + 2 * top8[k + 1] + top8[k + 2] + 2) >> 2
+            return out(vl)
+        if mode == 8:  # horizontal-up (8.3.1.2.9)
+            if not has_left:
+                raise ValueError("h264: i4 HU without left")
+
+            def hu(i, j):
+                z = i + 2 * j
+                if z > 5:
+                    return L[3]
+                if z == 5:
+                    return (L[2] + 3 * L[3] + 2) >> 2
+                k = j + (i >> 1)
+                if z % 2 == 0:
+                    return (L[k] + L[k + 1] + 1) >> 1
+                return (L[k] + 2 * L[k + 1] + L[k + 2] + 2) >> 2
+            return out(hu)
+        raise ValueError(f"h264: bad intra4 mode {mode}")
+
+
+# coded_block_pattern mapping for Intra_NxN (Table 9-4, intra column)
+_MAP_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+
+
+# ---------------------------------------------------------------------------
+# encoder (test vehicle: spec-layout IDR access units)
+# ---------------------------------------------------------------------------
+
+
+def _write_sps(wmb: int, hmb: int) -> bytes:
+    w = BitWriter()
+    w.u(66, 8)   # baseline profile
+    w.u(0xC0, 8)  # constraint_set0/1
+    w.u(10, 8)   # level 1.0
+    w.ue(0)      # sps_id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # poc_type 2
+    w.ue(0)      # max_num_ref_frames
+    w.u(0, 1)    # gaps_in_frame_num
+    w.ue(wmb - 1)
+    w.ue(hmb - 1)
+    w.u(1, 1)    # frame_mbs_only
+    w.u(0, 1)    # direct_8x8
+    w.u(0, 1)    # no cropping
+    w.u(0, 1)    # no vui
+    w.rbsp_trailing()
+    return _nal(7, w.to_bytes())
+
+
+def _write_pps() -> bytes:
+    w = BitWriter()
+    w.ue(0)      # pps_id
+    w.ue(0)      # sps_id
+    w.u(0, 1)    # CAVLC
+    w.u(0, 1)    # bottom_field_pic_order
+    w.ue(0)      # one slice group
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)    # weighted_pred
+    w.u(0, 2)
+    w.se(0)      # pic_init_qp = 26
+    w.se(0)
+    w.se(0)      # chroma_qp_index_offset
+    w.u(1, 1)    # deblocking control PRESENT (so idc can say "off")
+    w.u(0, 1)    # constrained_intra_pred
+    w.u(0, 1)
+    w.rbsp_trailing()
+    return _nal(8, w.to_bytes())
+
+
+def _slice_header(w: BitWriter, qp_delta: int = 0) -> None:
+    w.ue(0)      # first_mb_in_slice
+    w.ue(7)      # slice_type I (all slices)
+    w.ue(0)      # pps_id
+    w.u(0, 4)    # frame_num (log2_max_frame_num == 4)
+    w.ue(0)      # idr_pic_id
+    w.u(1, 1)    # no_output_of_prior_pics
+    w.u(0, 1)    # long_term_reference
+    w.se(qp_delta)
+    w.ue(1)      # disable_deblocking_filter_idc = 1 (off)
+
+
+def encode_ipcm(y: bytes, cb: bytes, cr: bytes, width: int, height: int) -> bytes:
+    """Lossless spec-layout IDR access unit: every macroblock I_PCM.
+    Planes are row-major 8-bit, width/height multiples of 16."""
+    if width % 16 or height % 16:
+        raise ValueError("h264: I_PCM encoder needs MB-aligned dims")
+    wmb, hmb = width // 16, height // 16
+    w = BitWriter()
+    _slice_header(w)
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        w.ue(25)  # I_PCM
+        w.align_zero()
+        for j in range(16):
+            for i in range(16):
+                w.u(y[(mby * 16 + j) * width + mbx * 16 + i], 8)
+        cw = width // 2
+        for plane in (cb, cr):
+            for j in range(8):
+                for i in range(8):
+                    w.u(plane[(mby * 8 + j) * cw + mbx * 8 + i], 8)
+    w.rbsp_trailing()
+    return _write_sps(wmb, hmb) + _write_pps() + _nal(5, w.to_bytes())
+
+
+def encode_i16_dc(
+    width: int,
+    height: int,
+    luma_dc: list[int] | None = None,
+    qp_delta: int = 0,
+) -> bytes:
+    """Spec-layout IDR where every macroblock is Intra_16x16 DC-mode
+    with an optional luma-DC-only residual (one scaled coefficient per
+    macroblock; chroma residual empty). Exercises the CAVLC luma-DC
+    path + Hadamard + prediction propagation; reconstruction is
+    closed-form (uniform blocks), asserted in tests."""
+    wmb, hmb = width // 16, height // 16
+    if width % 16 or height % 16:
+        raise ValueError("h264: encoder needs MB-aligned dims")
+    n_mb = wmb * hmb
+    dcs = luma_dc or [0] * n_mb
+    w = BitWriter()
+    _slice_header(w, qp_delta)
+    nz_prev: dict = {}
+    for mb in range(n_mb):
+        mbx, mby = mb % wmb, mb // wmb
+        # mb_type: Intra_16x16, pred DC(2), cbp_chroma 0, cbp_luma 0
+        w.ue(1 + 2)  # code 2 -> pred_mode 2, cbp 0
+        w.ue(0)      # intra_chroma_pred_mode DC
+        w.se(0)      # mb_qp_delta
+        # luma DC residual block: nC from neighbours (all our blocks
+        # report total_coeff of their own DC block = 0 or 1)
+        left = nz_prev.get((mbx - 1, mby), -1)
+        top = nz_prev.get((mbx, mby - 1), -1)
+        if left >= 0 and top >= 0:
+            nc = (left + top + 1) >> 1
+        elif left >= 0:
+            nc = left
+        elif top >= 0:
+            nc = top
+        else:
+            nc = 0
+        coeffs = [0] * 16
+        if dcs[mb]:
+            coeffs[0] = dcs[mb]
+        total = write_residual_block_cavlc(w, coeffs, nc, 16)
+        nz_prev[(mbx, mby)] = total
+    w.rbsp_trailing()
+    return _write_sps(wmb, hmb) + _write_pps() + _nal(5, w.to_bytes())
+
+
+def encode_mixed(mbs: list[dict], wmb: int, hmb: int) -> bytes:
+    """General test-vehicle encoder: one IDR where each macroblock is
+    described by a dict —
+      {"type": "pcm", "y": 256B, "cb": 64B, "cr": 64B}
+      {"type": "i16", "mode": 0..3, "dc": int, "chroma_mode": 0..3}
+      {"type": "i4", "modes": [16 ints 0..8], "chroma_mode": 0..3}
+    i16/i4 carry no AC residual (cbp 0 except the i16 DC path), so
+    reconstruction is pure prediction — the tests pick pixel content
+    whose predictions are closed-form. MPM bookkeeping mirrors the
+    decoder (PCM/I16 neighbours count as mode 2/DC)."""
+    if len(mbs) != wmb * hmb:
+        raise ValueError("h264: mb list does not match dimensions")
+    w = BitWriter()
+    _slice_header(w)
+    i4m = [[-1] * (wmb * 4) for _ in range(hmb * 4)]
+    nz = [[-1] * (wmb * 4) for _ in range(hmb * 4)]
+    for mb_i, mb in enumerate(mbs):
+        mbx, mby = mb_i % wmb, mb_i // wmb
+        kind = mb["type"]
+        if kind == "pcm":
+            w.ue(25)
+            w.align_zero()
+            for b in mb["y"]:
+                w.u(b, 8)
+            for b in mb["cb"]:
+                w.u(b, 8)
+            for b in mb["cr"]:
+                w.u(b, 8)
+            for j in range(4):
+                for i in range(4):
+                    i4m[mby * 4 + j][mbx * 4 + i] = 2
+                    nz[mby * 4 + j][mbx * 4 + i] = 16
+            continue
+        if kind == "i16":
+            mode, dc = mb.get("mode", 2), mb.get("dc", 0)
+            cmode = mb.get("chroma_mode", 0)
+            w.ue(1 + mode)  # cbp_luma 0, cbp_chroma 0
+            w.ue(cmode)
+            w.se(0)  # mb_qp_delta
+            # luma DC block, nC from neighbour AC totals
+            left = nz[mby * 4][mbx * 4 - 1] if mbx > 0 else -1
+            top = nz[mby * 4 - 1][mbx * 4] if mby > 0 else -1
+            if left >= 0 and top >= 0:
+                nc = (left + top + 1) >> 1
+            elif left >= 0:
+                nc = left
+            elif top >= 0:
+                nc = top
+            else:
+                nc = 0
+            coeffs = [0] * 16
+            coeffs[0] = dc
+            write_residual_block_cavlc(w, coeffs, nc, 16)
+            for j in range(4):
+                for i in range(4):
+                    i4m[mby * 4 + j][mbx * 4 + i] = 2
+                    nz[mby * 4 + j][mbx * 4 + i] = 0
+            continue
+        if kind == "i4":
+            modes = mb["modes"]
+            cmode = mb.get("chroma_mode", 0)
+            w.ue(0)  # I_NxN
+            for blk in range(16):
+                b8, b4 = blk // 4, blk % 4
+                bx = (b8 % 2) * 2 + (b4 % 2)
+                by = (b8 // 2) * 2 + (b4 // 2)
+                gx, gy = mbx * 4 + bx, mby * 4 + by
+                left = i4m[gy][gx - 1] if gx > 0 else -1
+                top = i4m[gy - 1][gx] if gy > 0 else -1
+                mpm = 2 if (left < 0 or top < 0) else min(left, top)
+                mode = modes[by * 4 + bx]
+                if mode == mpm:
+                    w.u(1, 1)
+                else:
+                    w.u(0, 1)
+                    w.u(mode if mode < mpm else mode - 1, 3)
+                i4m[gy][gx] = mode
+            w.ue(cmode)
+            w.ue(_MAP_CBP_INTRA.index(0))  # cbp == 0 -> no residual
+            for j in range(4):
+                for i in range(4):
+                    nz[mby * 4 + j][mbx * 4 + i] = 0
+            continue
+        raise ValueError(f"h264: unknown mb kind {kind}")
+    w.rbsp_trailing()
+    return _write_sps(wmb, hmb) + _write_pps() + _nal(5, w.to_bytes())
+
+
+def h264_decode(payload: bytes) -> dict:
+    """Decode the first IDR frame of an Annex-B stream; returns
+    width/height/planes/mean_level (multimodal decode contract)."""
+    return H264Decoder().decode(payload)

@@ -11,11 +11,13 @@ Decode: PNG and WAV are decoded FOR REAL with pure-stdlib parsing
 channel stats; `_wav_decode`: RIFF/fmt/data walk + PCM RMS) — no
 media libraries needed. MP4 gets a real ISO-BMFF container parse
 (`_mp4_decode`, round 5: box walk per ISO/IEC 14496-12 —
-duration/width/height/frame count/audio params), and Motion-JPEG
+duration/width/height/frame count/audio params), Motion-JPEG
 tracks (round 6) get REAL frame decode through the pure-stdlib
-baseline-JPEG codec (each sample is a standalone JPEG image); only
-inter-frame codec decode (H.264 entropy decoding) remains behind the
-honest NotImplementedError gate in `decode_real`. Matching
+baseline-JPEG codec (each sample is a standalone JPEG image), and
+avc1 tracks with Annex-B I-frame samples (round 7) decode through the
+pure-stdlib H.264 baseline codec (flapi_spark/h264.py — CAVLC + intra
+prediction + integer transforms); only inter-predicted frames and
+CABAC remain behind the honest gate. Matching
 pure-stdlib encoders (incl. `mp4_encode`) exist so pipelines (and
 tests) can synthesize genuine payloads; `decode_auto` dispatches on
 magic bytes.
@@ -548,6 +550,27 @@ def _mp4_decode(payload: bytes) -> dict:
         if frames:
             levels = [jpeg_decode(fr)["mean_level"] for fr in frames]
             mean_level = float(sum(levels) / len(levels))
+    elif video_codec == b"avc1" and n_frames:
+        # round 7: REAL H.264 baseline I-frame decode (flapi_spark/
+        # h264.py). Only samples that are Annex-B byte streams are
+        # decodable (self-contained SPS/PPS+IDR per sample — the shape
+        # our encoder and many capture pipelines emit); avc1 tracks
+        # with opaque/avcC-framed samples keep the honest None gate.
+        # Inter-predicted (non-IDR) samples raise NotImplementedError
+        # inside the decoder and stay gated likewise.
+        from flapi_spark.h264 import h264_decode
+
+        frames = mp4_samples(payload)
+        annexb = [
+            fr for fr in frames
+            if fr[:4] == b"\x00\x00\x00\x01" or fr[:3] == b"\x00\x00\x01"
+        ]
+        if annexb and len(annexb) == len(frames):
+            try:
+                levels = [h264_decode(fr)["mean_level"] for fr in annexb]
+                mean_level = float(sum(levels) / len(levels))
+            except NotImplementedError:
+                mean_level = None  # CABAC / inter frames: honest gate
     return {
         "width": width,
         "height": height,

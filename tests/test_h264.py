@@ -1,0 +1,491 @@
+"""H.264 baseline I-frame codec (flapi_spark/h264.py).
+
+No external H.264 decoder exists in this container, so conformance is
+established structurally (see the module docstring): VLC tables are
+prefix-free and Kraft-complete, encode->decode round-trips cover every
+table family, and reconstruction is asserted against closed-form
+arithmetic (uniform blocks from flat predictions + DC-only residuals).
+"""
+
+import random
+
+import pytest
+
+from flapi_spark import h264 as H
+
+
+# ---------------------------------------------------------------------------
+# VLC table structure
+# ---------------------------------------------------------------------------
+
+
+def _assert_prefix_free(codes, complete=True, name=""):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes), f"{name}: duplicate codes"
+    for a in codes:
+        for b in codes:
+            if a is not b and b.startswith(a):
+                raise AssertionError(f"{name}: {a!r} is a prefix of {b!r}")
+    kraft = sum(2.0 ** -len(c) for c in codes)
+    if complete:
+        assert abs(kraft - 1.0) < 1e-12, f"{name}: Kraft sum {kraft}"
+    else:
+        assert kraft <= 1.0 + 1e-12, f"{name}: Kraft sum {kraft} > 1"
+
+
+def _uncovered_prefixes(codes):
+    """Minimal bit strings not covered by any codeword (holes in the
+    prefix tree)."""
+    out = []
+
+    def rec(p):
+        if p in codes:
+            return
+        if any(c.startswith(p) for c in codes):
+            rec(p + "0")
+            rec(p + "1")
+        elif any(p.startswith(c) for c in codes):
+            return
+        else:
+            out.append(p)
+
+    rec("")
+    return out
+
+
+def test_coeff_token_tables_prefix_free_and_complete():
+    for name, tab in (
+        ("nc_0_2", H.COEFF_TOKEN_NC_0_2),
+        ("nc_2_4", H.COEFF_TOKEN_NC_2_4),
+        ("nc_4_8", H.COEFF_TOKEN_NC_4_8),
+        ("chroma_dc", H.COEFF_TOKEN_CHROMA_DC),
+        ("nc_8", H.COEFF_TOKEN_NC_8),
+    ):
+        # the ranged tables leave exactly ONE hole: the all-zeros
+        # codeword (Table 9-5 assigns no meaning to it; the decoder
+        # raises). chroma_dc is fully complete. The nC>=8 FLC leaves
+        # exactly the two slots whose (t1s,tc) would be invalid
+        # (t1s>tc): 000010 and 000111 -> 2 six-bit holes.
+        if name == "chroma_dc":
+            _assert_prefix_free(tab.keys(), complete=True, name=name)
+        elif name == "nc_8":
+            _assert_prefix_free(tab.keys(), complete=False, name=name)
+            holes = _uncovered_prefixes(set(tab.keys()))
+            assert sorted(holes) == ["000010", "000111"], holes
+        else:
+            _assert_prefix_free(tab.keys(), complete=False, name=name)
+            holes = _uncovered_prefixes(set(tab.keys()))
+            assert len(holes) == 1 and set(holes[0]) == {"0"}, (name, holes)
+        # value sets: every (t1s<=3, t1s<=tc<=16) combination exactly once
+        vals = sorted(tab.values())
+        maxtc = 4 if name == "chroma_dc" else 16
+        expect = sorted(
+            (t1, tc)
+            for tc in range(0, maxtc + 1)
+            for t1 in range(0, min(tc, 3) + 1)
+            if tc > 0 or t1 == 0
+        )
+        assert vals == expect, f"{name}: value set mismatch"
+
+
+def test_total_zeros_tables_structure():
+    for tc, codes in H.TOTAL_ZEROS_4X4.items():
+        # total_zeros ranges 0..16-tc inclusive; the tc=1 row of
+        # Table 9-7 leaves its all-zeros 9-bit code unassigned
+        assert len(codes) == 17 - tc, f"4x4 tc={tc}: wrong arity"
+        if tc == 1:
+            _assert_prefix_free(codes, complete=False, name="tz4x4[1]")
+            assert _uncovered_prefixes(set(codes)) == ["000000000"]
+        else:
+            _assert_prefix_free(codes, complete=True, name=f"tz4x4[{tc}]")
+    for tc, codes in H.TOTAL_ZEROS_CHROMA_DC.items():
+        assert len(codes) == 5 - tc, f"chroma tc={tc}: wrong arity"
+        _assert_prefix_free(codes, complete=True, name=f"tzchroma[{tc}]")
+
+
+def test_run_before_tables_structure():
+    for zl in range(1, 7):
+        codes = H.RUN_BEFORE[zl]
+        assert len(codes) == zl + 1
+        _assert_prefix_free(codes, complete=True, name=f"run[{zl}]")
+    # the >6 table covers runs 0..14 and is intentionally incomplete
+    _assert_prefix_free(H.RUN_BEFORE[7], complete=False, name="run[>6]")
+    assert len(H.RUN_BEFORE[7]) == 15
+
+
+def test_cbp_intra_mapping_is_permutation():
+    assert sorted(H._MAP_CBP_INTRA) == list(range(48))
+
+
+def test_exp_golomb_roundtrip():
+    w = H.BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 254, 255, 1023]
+    svals = [0, 1, -1, 2, -2, 17, -17, 511, -511]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.rbsp_trailing()
+    r = H.BitReader(w.to_bytes())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_rbsp_escape_roundtrip():
+    raw = bytes([0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 255, 0, 0])
+    esc = H._escape_rbsp(raw)
+    assert b"\x00\x00\x00" not in esc and b"\x00\x00\x01" not in esc
+    assert H._unescape_rbsp(esc) == raw
+
+
+# ---------------------------------------------------------------------------
+# CAVLC round-trip (encoder and decoder share tables; the round-trip
+# proves the bit-level algorithms of 9.2.2-9.2.4 are mutually exact)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_block(coeffs, nc, max_coeffs):
+    w = H.BitWriter()
+    H.write_residual_block_cavlc(w, coeffs, nc, max_coeffs)
+    w.rbsp_trailing()
+    r = H.BitReader(w.to_bytes())
+    got, total = H.residual_block_cavlc(r, nc, max_coeffs)
+    assert got == list(coeffs[:max_coeffs]), (coeffs, got)
+    assert total == sum(1 for c in coeffs[:max_coeffs] if c)
+
+
+def test_cavlc_roundtrip_exhaustive_small():
+    # every single-coefficient block, all positions, several levels
+    for nc in (0, 1, 2, 4, 8):
+        for pos in range(16):
+            for level in (1, -1, 2, -2, 7, -31, 500, -2048):
+                coeffs = [0] * 16
+                coeffs[pos] = level
+                _roundtrip_block(coeffs, nc, 16)
+
+
+def test_cavlc_roundtrip_random():
+    rng = random.Random(42)
+    for trial in range(400):
+        nc = rng.choice([0, 1, 2, 3, 4, 5, 6, 7, 8, 20])
+        n = rng.randint(0, 16)
+        coeffs = [0] * 16
+        pos = rng.sample(range(16), n)
+        for p in pos:
+            coeffs[p] = rng.choice(
+                [1, -1, 1, -1, 2, -2, 3, -3, 9, -9, 40, -40, 900]
+            )
+        _roundtrip_block(coeffs, nc, 16)
+
+
+def test_cavlc_roundtrip_chroma_dc():
+    rng = random.Random(7)
+    for trial in range(100):
+        coeffs = [0, 0, 0, 0]
+        for p in rng.sample(range(4), rng.randint(0, 4)):
+            coeffs[p] = rng.choice([1, -1, 2, -2, 5, -17])
+        _roundtrip_block(coeffs, -1, 4)
+
+
+def test_cavlc_roundtrip_15_coeff_ac_blocks():
+    rng = random.Random(11)
+    for trial in range(100):
+        coeffs = [0] * 15
+        for p in rng.sample(range(15), rng.randint(0, 15)):
+            coeffs[p] = rng.choice([1, -1, 2, -2, 3, -3, 12])
+        _roundtrip_block(coeffs, rng.choice([0, 1, 2, 4, 8]), 15)
+
+
+# ---------------------------------------------------------------------------
+# I_PCM: full-plumbing lossless round trip
+# ---------------------------------------------------------------------------
+
+
+def test_ipcm_roundtrip_lossless():
+    rng = random.Random(3)
+    w, h = 32, 16  # 2x1 macroblocks
+    y = bytes(rng.randrange(256) for _ in range(w * h))
+    cb = bytes(rng.randrange(256) for _ in range((w // 2) * (h // 2)))
+    cr = bytes(rng.randrange(256) for _ in range((w // 2) * (h // 2)))
+    stream = H.encode_ipcm(y, cb, cr, w, h)
+    out = H.h264_decode(stream)
+    assert out["width"] == w and out["height"] == h
+    assert out["y"] == y and out["cb"] == cb and out["cr"] == cr
+    assert out["mb_types"] == ["I_PCM", "I_PCM"]
+    expect_mean = (sum(y) + sum(cb) + sum(cr)) / (len(y) + len(cb) + len(cr))
+    assert abs(out["mean_level"] - expect_mean) < 1e-9
+
+
+def test_ipcm_roundtrip_adversarial_zero_runs():
+    """All-zero planes force maximal emulation-prevention activity."""
+    w, h = 16, 16
+    y, cb, cr = bytes(256), bytes(64), bytes(64)
+    stream = H.encode_ipcm(y, cb, cr, w, h)
+    assert b"\x00\x00\x00\x00" not in stream.split(b"\x00\x00\x00\x01", 1)[1]
+    out = H.h264_decode(stream)
+    assert out["y"] == y and out["cb"] == cb and out["cr"] == cr
+
+
+# ---------------------------------------------------------------------------
+# Intra_16x16 DC + CAVLC: closed-form reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _expected_dc_recon(c, qp=26):
+    """Closed form for a DC-only Intra_16x16 MB with no neighbours:
+    inverse Hadamard of [c,0..0] is flat c; DC dequant (8-253) then
+    DC-only IDCT adds a uniform (dcY+32)>>6 to the 128 DC pred."""
+    v0 = H._V[qp % 6][0]
+    if qp >= 36:
+        dcy = (c * v0) << (qp // 6 - 6)
+    else:
+        dcy = (c * v0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    res = (dcy + 32) >> 6
+    return max(0, min(255, 128 + res))
+
+
+def test_i16_dc_flat_frame_no_residual():
+    stream = H.encode_i16_dc(16, 16)
+    out = H.h264_decode(stream)
+    assert out["mb_types"] == ["I_16x16"]
+    assert set(out["y"]) == {128}
+    assert set(out["cb"]) == {128} and set(out["cr"]) == {128}
+
+
+@pytest.mark.parametrize("c", [1, -1, 2, 5, -5, 17, -17, 60])
+def test_i16_dc_single_mb_closed_form(c):
+    stream = H.encode_i16_dc(16, 16, luma_dc=[c])
+    out = H.h264_decode(stream)
+    expect = _expected_dc_recon(c)
+    assert set(out["y"]) == {expect}, (c, set(out["y"]), expect)
+    assert set(out["cb"]) == {128}
+
+
+def test_i16_dc_multi_mb_propagation_closed_form():
+    """2x2 MBs with distinct DC residuals: each MB's DC prediction is
+    the rounded mean of its available neighbour edges (all uniform),
+    so the whole frame stays closed-form computable."""
+    dcs = [10, -8, 25, 3]
+    stream = H.encode_i16_dc(32, 32, luma_dc=dcs)
+    out = H.h264_decode(stream)
+
+    def resid(c, qp=26):
+        v0 = H._V[qp % 6][0]
+        dcy = (c * v0 + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+        return (dcy + 32) >> 6
+
+    # MB0 (no neighbours): pred 128
+    v0 = max(0, min(255, 128 + resid(dcs[0])))
+    # MB1 (left only): pred = v0
+    v1 = max(0, min(255, v0 + resid(dcs[1])))
+    # MB2 (top only): pred = v0
+    v2 = max(0, min(255, v0 + resid(dcs[2])))
+    # MB3 (left v2, top v1): pred = (16*v2 + 16*v1 + 16) >> 5
+    p3 = (16 * v2 + 16 * v1 + 16) >> 5
+    v3 = max(0, min(255, p3 + resid(dcs[3])))
+    y = out["y"]
+    got = {
+        (0, 0): y[0], (0, 1): y[16], (1, 0): y[16 * 32], (1, 1): y[16 * 32 + 16],
+    }
+    assert got == {(0, 0): v0, (0, 1): v1, (1, 0): v2, (1, 1): v3}
+    # uniformity inside each MB
+    for mby in range(2):
+        for mbx in range(2):
+            vals = {
+                y[(mby * 16 + j) * 32 + mbx * 16 + i]
+                for j in range(16) for i in range(16)
+            }
+            assert len(vals) == 1
+
+
+def test_i16_dc_qp_delta_changes_scale():
+    s1 = H.encode_i16_dc(16, 16, luma_dc=[10], qp_delta=0)
+    s2 = H.encode_i16_dc(16, 16, luma_dc=[10], qp_delta=10)
+    v1 = set(H.h264_decode(s1)["y"]).pop()
+    v2 = set(H.h264_decode(s2)["y"]).pop()
+    assert v2 > v1 > 128  # coarser QP -> larger reconstruction step
+
+
+# ---------------------------------------------------------------------------
+# prediction modes, closed-form (neighbour content from I_PCM MBs)
+# ---------------------------------------------------------------------------
+
+
+def _pcm(y_fn, c_fn=None):
+    """Build a PCM macroblock dict from pixel functions (i,j)->value."""
+    y = bytes(y_fn(i, j) for j in range(16) for i in range(16))
+    cfn = c_fn or (lambda i, j: 128)
+    c = bytes(cfn(i, j) for j in range(8) for i in range(8))
+    return {"type": "pcm", "y": y, "cb": c, "cr": c}
+
+
+def test_i4_vertical_replicates_row_above():
+    """PCM MB on top with a distinct bottom row; all-V Intra_4x4 MB
+    below must replicate that row through all 16 of its rows."""
+    row = [(i * 13 + 7) % 256 for i in range(16)]
+    crow = [(i * 31 + 3) % 256 for i in range(8)]
+    mbs = [
+        _pcm(lambda i, j: row[i] if j == 15 else (i + j) % 256,
+             lambda i, j: crow[i] if j == 7 else 11),
+        {"type": "i4", "modes": [0] * 16, "chroma_mode": 2},
+    ]
+    out = H.h264_decode(H.encode_mixed(mbs, 1, 2))
+    y = out["y"]
+    for j in range(16, 32):
+        assert [y[j * 16 + i] for i in range(16)] == row, j
+    cbp = out["cb"]
+    for j in range(8, 16):
+        assert [cbp[j * 8 + i] for i in range(8)] == crow, j
+
+
+def test_i4_horizontal_replicates_left_column():
+    col = [(j * 17 + 5) % 256 for j in range(16)]
+    ccol = [(j * 29 + 1) % 256 for j in range(8)]
+    mbs = [
+        _pcm(lambda i, j: col[j] if i == 15 else (3 * i + j) % 256,
+             lambda i, j: ccol[j] if i == 7 else 200),
+        {"type": "i4", "modes": [1] * 16, "chroma_mode": 1},
+    ]
+    out = H.h264_decode(H.encode_mixed(mbs, 2, 1))
+    y = out["y"]
+    for j in range(16):
+        for i in range(16, 32):
+            assert y[j * 32 + i] == col[j], (i, j)
+    cbp = out["cb"]
+    for j in range(8):
+        for i in range(8, 16):
+            assert cbp[j * 16 + i] == ccol[j], (i, j)
+
+
+def test_i16_vertical_and_horizontal_ramps():
+    row = [(i * 11 + 2) % 256 for i in range(16)]
+    mbs = [
+        _pcm(lambda i, j: row[i] if j == 15 else 50),
+        {"type": "i16", "mode": 0, "chroma_mode": 2},  # V
+    ]
+    y = H.h264_decode(H.encode_mixed(mbs, 1, 2))["y"]
+    for j in range(16, 32):
+        assert [y[j * 16 + i] for i in range(16)] == row
+    col = [(j * 19 + 9) % 256 for j in range(16)]
+    mbs = [
+        _pcm(lambda i, j: col[j] if i == 15 else 50),
+        {"type": "i16", "mode": 1, "chroma_mode": 1},  # H
+    ]
+    y = H.h264_decode(H.encode_mixed(mbs, 2, 1))["y"]
+    for j in range(16):
+        for i in range(16, 32):
+            assert y[j * 32 + i] == col[j]
+
+
+def test_all_directional_modes_preserve_flat_field():
+    """On a flat 77 frame every prediction formula must return 77 —
+    any index slip raises or breaks flatness."""
+    flat = _pcm(lambda i, j: 77, lambda i, j: 77)
+    mixed_modes = [2, 0, 1, 3,   # DC, V, H, DDL (top row of blocks)
+                   4, 5, 6, 7,   # DDR, VR, HD, VL
+                   8, 4, 5, 6,   # HU, ...
+                   1, 7, 8, 2]
+    mbs = [flat, flat, flat,
+           {"type": "i4", "modes": mixed_modes, "chroma_mode": 3}]
+    out = H.h264_decode(H.encode_mixed(mbs, 2, 2))
+    assert set(out["y"]) == {77}
+    assert set(out["cb"]) == {77} and set(out["cr"]) == {77}
+    # I16 plane mode on the same flat field
+    mbs = [flat, flat, flat, {"type": "i16", "mode": 3, "chroma_mode": 3}]
+    out = H.h264_decode(H.encode_mixed(mbs, 2, 2))
+    assert set(out["y"]) == {77}
+
+
+def test_i4_ddr_reproduces_diagonal_field_exactly():
+    """f(x,y) = 100 + 5*(x - y) is constant along down-right
+    diagonals; DDR's 3-tap filters reproduce a linear sequence
+    exactly, so the predicted MB must continue the field bit-exactly
+    (this pins the topx/leftx index arithmetic)."""
+    def f(x, y):  # global frame coordinates
+        return max(0, min(255, 100 + 5 * (x - y)))
+
+    mbs = [
+        _pcm(lambda i, j: f(i, j)),           # (0,0)
+        _pcm(lambda i, j: f(16 + i, j)),      # (1,0)
+        _pcm(lambda i, j: f(i, 16 + j)),      # (0,1)
+        {"type": "i4", "modes": [4] * 16},    # (1,1) all DDR
+    ]
+    y = H.h264_decode(H.encode_mixed(mbs, 2, 2))["y"]
+    for j in range(16, 32):
+        for i in range(16, 32):
+            assert y[j * 32 + i] == f(i, j), (i, j, y[j * 32 + i], f(i, j))
+
+
+def test_i16_plane_reproduces_linear_ramp():
+    """Plane prediction of an exactly linear field stays within 1 of
+    the field (integer rounding) and is monotone along the ramp."""
+    def f(x, y):
+        return 60 + 4 * x + 2 * y
+
+    mbs = [
+        _pcm(lambda i, j: f(i, j)),
+        _pcm(lambda i, j: f(16 + i, j)),
+        _pcm(lambda i, j: f(i, 16 + j)),
+        {"type": "i16", "mode": 3},
+    ]
+    y = H.h264_decode(H.encode_mixed(mbs, 2, 2))["y"]
+    for j in range(16, 32):
+        for i in range(16, 32):
+            assert abs(y[j * 32 + i] - f(i, j)) <= 1, (i, j)
+
+
+# ---------------------------------------------------------------------------
+# transforms: hand-checked identities
+# ---------------------------------------------------------------------------
+
+
+def test_inverse_transform_dc_only_uniform():
+    for d in (-1000, -64, 0, 64, 999):
+        out = H.inverse_transform_4x4([d] + [0] * 15)
+        assert set(out) == {(d + 32) >> 6}
+
+
+def test_hadamard_flat_input():
+    # flat input c -> only f00 = 16c survives the double transform
+    qp = 26
+    out = H.hadamard_4x4_inverse([5] + [0] * 15, qp)
+    assert len(set(out)) == 1  # flat spectrum -> flat DCs
+
+
+def test_chroma_qp_table_monotone():
+    prev = -1
+    for qp in range(52):
+        v = H.chroma_qp(qp, 0)
+        assert v >= prev
+        prev = v
+    assert H.chroma_qp(51, 0) == 39
+    assert H.chroma_qp(29, 0) == 29
+
+
+# ---------------------------------------------------------------------------
+# gates stay honest
+# ---------------------------------------------------------------------------
+
+
+def test_unsupported_features_raise():
+    # CABAC PPS
+    w = H.BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        H.PPS(H.BitReader(w.to_bytes()))
+    # non-IDR slice NAL
+    sps_pps = H.encode_i16_dc(16, 16)[: -len(H.encode_i16_dc(16, 16))]
+    stream = H.encode_i16_dc(16, 16)
+    # rewrite the IDR NAL type (5) to non-IDR (1)
+    idx = stream.rfind(b"\x00\x00\x00\x01")
+    hacked = stream[: idx + 4] + bytes([(3 << 5) | 1]) + stream[idx + 5 :]
+    with pytest.raises(NotImplementedError, match="non-IDR"):
+        H.h264_decode(hacked)
+
+
+def test_garbage_raises_not_crashes():
+    with pytest.raises(Exception):
+        H.h264_decode(b"\x00\x00\x00\x01" + bytes(range(40)))
+    with pytest.raises(Exception):
+        H.h264_decode(b"not a stream at all")

@@ -365,6 +365,22 @@ class TestMp4Container:
                                     codec=b"avc1"))
         assert d2["mean_level"] is None
 
+    def test_avc1_annexb_iframes_decode_for_real(self):
+        """Round 7: avc1 tracks whose samples are self-contained
+        Annex-B IDR access units decode through the pure-stdlib H.264
+        baseline codec — mean_level is real; opaque avc1 samples (the
+        previous test) and inter-frame streams keep the None gate."""
+        from flapi_spark import h264 as H
+        from flapi_spark.multimodal import _mp4_decode, mp4_encode
+
+        f1 = H.encode_ipcm(bytes([40]) * 256, bytes([40]) * 64,
+                           bytes([40]) * 64, 16, 16)
+        f2 = H.encode_i16_dc(16, 16)  # flat 128 everywhere
+        p = mp4_encode([f1, f2], width=16, height=16, codec=b"avc1")
+        d = _mp4_decode(p)
+        assert d["n_frames"] == 2
+        assert d["mean_level"] == pytest.approx((40.0 + 128.0) / 2)
+
     def test_corrupt_box_size_rejected(self):
         import struct
 
