@@ -1448,6 +1448,9 @@ def encode_mixed(mbs: list[dict], wmb: int, hmb: int) -> bytes:
         if kind == "i4":
             modes = mb["modes"]
             cmode = mb.get("chroma_mode", 0)
+            # optional luma residuals: 16 blocks (raster order) x 16
+            # scan-order coefficients -> cbp_luma = 15
+            resid = mb.get("resid")
             w.ue(0)  # I_NxN
             for blk in range(16):
                 b8, b4 = blk // 4, blk % 4
@@ -1465,10 +1468,32 @@ def encode_mixed(mbs: list[dict], wmb: int, hmb: int) -> bytes:
                     w.u(mode if mode < mpm else mode - 1, 3)
                 i4m[gy][gx] = mode
             w.ue(cmode)
-            w.ue(_MAP_CBP_INTRA.index(0))  # cbp == 0 -> no residual
-            for j in range(4):
-                for i in range(4):
-                    nz[mby * 4 + j][mbx * 4 + i] = 0
+            cbp = 15 if resid else 0
+            w.ue(_MAP_CBP_INTRA.index(cbp))
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            for b8 in range(4):
+                for b4 in range(4):
+                    bx = (b8 % 2) * 2 + (b4 % 2)
+                    by = (b8 // 2) * 2 + (b4 // 2)
+                    gx, gy = mbx * 4 + bx, mby * 4 + by
+                    if not resid:
+                        nz[gy][gx] = 0
+                        continue
+                    left = nz[gy][gx - 1] if gx > 0 else -1
+                    top = nz[gy - 1][gx] if gy > 0 else -1
+                    if left >= 0 and top >= 0:
+                        nc = (left + top + 1) >> 1
+                    elif left >= 0:
+                        nc = left
+                    elif top >= 0:
+                        nc = top
+                    else:
+                        nc = 0
+                    coeffs = resid[by * 4 + bx]
+                    nz[gy][gx] = write_residual_block_cavlc(
+                        w, coeffs, nc, 16
+                    )
             continue
         raise ValueError(f"h264: unknown mb kind {kind}")
     w.rbsp_trailing()

@@ -765,6 +765,43 @@ def neardup_guard_stream(
     ).where(F.col("jaccard") >= threshold)
 
 
+def band_index_maintainer(table: str, marker_dir: str):
+    """Streaming maintenance of the persisted LSH band index (round
+    7): a ``writeStream.foreachBatch`` callable that appends each
+    micro-batch's band rows to the bucketed ``write_band_index``
+    table via ``append_band_index`` (insertInto preserves the bucket
+    spec, so appended files land in the right buckets and every
+    consumer's probe stays exchange-free). Combined with
+    ``neardup_guard_stream(band_index=...)`` this closes the loop the
+    module docstrings promise: new docs are guarded against the
+    corpus AND folded into the index, batch by batch, with the index
+    never re-shuffled.
+
+    Replay semantics: foreachBatch is at-least-once, so committed
+    batch ids are tracked with the same ``_SUCCESS``-marker pattern
+    as ``sinks.idempotent_batch_writer`` — a replayed batch_id is
+    skipped. The marker is written AFTER the append commits, so a
+    crash inside the window leaves a duplicated batch in the index;
+    that is deliberate: band rows are candidate-generation input and
+    every consumer dedups candidates (``.distinct()``), so duplicates
+    cost work, never correctness — the alternative (marker first)
+    would LOSE documents from the index, a recall hole."""
+    import os
+
+    from flapi_spark.operators.dedup import append_band_index
+
+    def _append(batch_df, batch_id: int) -> None:
+        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # replayed batch — already folded into the index
+        append_band_index(batch_df.sparkSession, batch_df, table)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+
+    return _append
+
+
 def vocab_drift_stream(
     docs_stream: DataFrame,
     vocab: DataFrame,

@@ -434,6 +434,55 @@ def test_i16_plane_reproduces_linear_ramp():
             assert abs(y[j * 32 + i] - f(i, j)) <= 1, (i, j)
 
 
+def test_i4_cavlc_residuals_in_mb_context():
+    """Intra_4x4 with dense CAVLC luma residuals: exercises the nC
+    propagation chain (left/top TotalCoeff averages push later blocks
+    into the 2<=nC<4 and 4<=nC<8 coeff_token tables IN CONTEXT) and
+    the LumaLevel4x4 16-coefficient path. Expected reconstruction =
+    flat-77 DC prediction + the module's own dequant/IDCT of the same
+    coefficients (transform itself is pinned by the closed-form tests
+    above)."""
+    rng = random.Random(99)
+    flat = _pcm(lambda i, j: 77, lambda i, j: 77)
+    resid = []
+    for blk in range(16):
+        coeffs = [0] * 16
+        n = rng.randint(4, 10)  # dense -> totals drive nC upward
+        for p in rng.sample(range(16), n):
+            coeffs[p] = rng.choice([1, -1, 2, -2, 3, -3])
+        resid.append(coeffs)
+    mbs = [flat, flat, flat,
+           {"type": "i4", "modes": [2] * 16, "resid": resid}]
+    out = H.h264_decode(H.encode_mixed(mbs, 2, 2))
+    y = out["y"]
+    qp = 26
+    # build the expected canvas progressively: DC prediction of each
+    # block reads RECONSTRUCTED neighbours (earlier blocks carry
+    # residuals), so blocks must be evaluated in decode (zig) order
+    canvas = [[77] * 32 for _ in range(32)]
+    for b8 in range(4):
+        for b4 in range(4):
+            bx = (b8 % 2) * 2 + (b4 % 2)
+            by = (b8 // 2) * 2 + (b4 // 2)
+            blk = by * 4 + bx
+            raster = [0] * 16
+            for k in range(16):
+                raster[H.ZIGZAG_4X4[k]] = resid[blk][k]
+            res = H.inverse_transform_4x4(H.dequant_4x4(raster, qp))
+            x0, y0 = 16 + bx * 4, 16 + by * 4
+            a = [canvas[y0 - 1][x0 + i] for i in range(4)]
+            lft = [canvas[y0 + j][x0 - 1] for j in range(4)]
+            dc = (sum(a) + sum(lft) + 4) >> 3
+            for j in range(4):
+                for i in range(4):
+                    canvas[y0 + j][x0 + i] = max(
+                        0, min(255, dc + res[j * 4 + i])
+                    )
+    for j in range(16, 32):
+        for i in range(16, 32):
+            assert y[j * 32 + i] == canvas[j][i], (i, j)
+
+
 # ---------------------------------------------------------------------------
 # transforms: hand-checked identities
 # ---------------------------------------------------------------------------

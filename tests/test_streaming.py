@@ -631,6 +631,68 @@ def test_neardup_guard_stream_probes_persisted_band_index(
         _rm_table(spark, table)
 
 
+def test_band_index_maintainer_stream_appends_and_dedups_replays(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 7: streaming index maintenance — bootstrap the bucketed
+    band index on half the corpus, stream the other half through the
+    foreachBatch maintainer, and the final index must equal the
+    batch-built index over the FULL corpus (row set and bucket spec).
+    A replayed batch_id is a no-op (idempotent marker)."""
+    import glob as _glob
+
+    from flapi_spark.operators.dedup import band_rows_for, write_band_index
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    table = "t_band_index_stream"
+    _rm_table(spark, table)
+    d = tmp_path_factory.mktemp("band_index_landing")
+    markers = str(tmp_path_factory.mktemp("band_index_markers"))
+    try:
+        write_band_index(spark, old, table)
+        halves = new.randomSplit([0.5, 0.5], seed=5)
+        for i, part in enumerate(halves):
+            staging = str(d / f"_stage_{i}")
+            part.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / f"batch_{i}.parquet"),
+            )
+            shutil.rmtree(staging)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        writer = ST.band_index_maintainer(table, markers)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(d / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r.doc_id, r.band_id, r.bh)
+               for r in spark.table(table).collect()}
+        expect = {(r.doc_id, r.band_id, r.bh)
+                  for r in band_rows_for(docs).collect()}
+        assert got == expect and got
+        # replaying a committed batch id must not duplicate rows
+        n_before = spark.table(table).count()
+        writer(new.limit(50), 0)
+        assert spark.table(table).count() == n_before
+        # bucket spec survives the appends
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        txt = "\n".join(str(r) for r in desc)
+        assert "band_id" in txt and "bh" in txt
+    finally:
+        _rm_table(spark, table)
+
+
 def test_neardup_guard_plan_has_no_stream_stream_join(spark, sf_dir):
     """The guard must stay stateless: its streaming plan may contain
     stream-static joins only — a stream-stream self-join would retain
