@@ -847,6 +847,28 @@ def _text_to_mp4(text: str) -> bytes:
     return mp4_encode(frames, width=w, height=h, frame_duration=40)
 
 
+def _text_to_avc1_mp4(text: str) -> bytes:
+    """Deterministic avc1 MP4 whose samples are REAL H.264 baseline
+    IDR access units (round 7): each frame is an I_PCM-coded 16x16
+    picture whose pixels derive from the text hash, so `_mp4_decode`
+    exercises the full pure-stdlib H.264 decode path (NAL parse,
+    slice/MB layer, lossless PCM reconstruction, mean_level)."""
+    from flapi_spark.h264 import encode_ipcm
+
+    seed = hashlib.sha256(text.encode()).digest()
+    n = 1 + seed[0] % 3
+    frames, stream = [], seed
+    for _ in range(n):
+        plane = b""
+        while len(plane) < 256 + 64 + 64:
+            stream = hashlib.sha256(stream).digest()
+            plane += stream
+        frames.append(
+            encode_ipcm(plane[:256], plane[256:320], plane[320:384], 16, 16)
+        )
+    return mp4_encode(frames, width=16, height=16, frame_duration=40)
+
+
 def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine media payloads from `documents`: doc_id%4==0 → real PNG,
     %4==1 → real WAV, %4==2 → real baseline JPEG, else a real MP4
@@ -871,6 +893,13 @@ def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif m == 2:
                     payloads.append(_text_to_jpeg(text))
                     types.append("image/jpeg")
+                elif int(doc_id) % 8 == 3:
+                    # round 7: half the MP4 class carries REAL H.264
+                    # I-frame samples (decoded end-to-end, mean_level
+                    # real); the other half keeps opaque samples (the
+                    # container-only path + honest codec gate)
+                    payloads.append(_text_to_avc1_mp4(text))
+                    types.append("video/mp4")
                 else:
                     payloads.append(_text_to_mp4(text))
                     types.append("video/mp4")

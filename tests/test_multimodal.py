@@ -414,10 +414,16 @@ class TestMp4Container:
 
         out = mm_real_decoded(spark, sf_dir)
         mp4_rows = out.where("media_type = 'video/mp4'")
-        got = mp4_rows.limit(5).collect()
+        got = mp4_rows.limit(20).collect()
         assert got
         for r in got:
             # real container metadata, not stub hash-derived dims
             assert r.width % 16 == 0 and 16 <= r.width <= 64
             assert r.n_frames >= 1
             assert r.duration_ms == r.n_frames * 40
+            if r.doc_id % 8 == 3:
+                # round 7: avc1 H.264 I-frame samples decode for real
+                assert r.mean_level is not None
+                assert 0.0 <= r.mean_level <= 255.0
+            else:
+                assert r.mean_level is None  # opaque samples stay gated
