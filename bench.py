@@ -54,10 +54,11 @@ HEADLINE = [
     # round 6: corpus information-theory + source-pair dedup rollup
     "lang_bigram_entropy",
     "cross_source_neardup_matrix",
-    # round 7: the same rollup served from the persisted bucketed
-    # band index (bootstrap included in the timing — steady-state
-    # probes are cheaper still)
+    # round 7: the source-pair rollup and the O(log n) clustering
+    # served from the persisted bucketed band index (first call pays
+    # the bootstrap; min-of-runs reports the steady-state probe)
     "neardup_matrix_indexed",
+    "dedup_components_indexed",
 ]
 
 

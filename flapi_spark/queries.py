@@ -4211,25 +4211,22 @@ QUERIES.update(
 _NEARDUP_IDX_BUILT: set[str] = set()
 
 
-def _neardup_matrix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cross_source_neardup_matrix served from the PERSISTED portable
+def _portable_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair stream served from the PERSISTED portable
     band index (round 7): bootstrap write_band_index_portable once
-    per session, then the pair stream is a zero-exchange self-join of
-    the bucketed index (pairs_from_band_index) instead of an inline
-    re-run of the whole MinHash chain — the production shape for
-    every pair-graph consumer at 100 TB (pattern:
-    bucketed_revenue_by_segment). The oracle is the SAME
-    chain-replaying SQL as the self-contained entry: the persisted
-    index must change the physical strategy, never the rows. The
-    bench's min-of-runs therefore reports the steady-state probe
-    (first call pays the one-time bootstrap, exactly as production
-    would)."""
+    per session, then every consumer's candidate generation is a
+    zero-exchange self-join of the bucketed index
+    (pairs_from_band_index) instead of an inline re-run of the whole
+    MinHash chain — the production shape for every pair-graph
+    consumer at 100 TB (pattern: bucketed_revenue_by_segment). Output
+    is bit-identical to dedup_minhash_portable (shared verify arm),
+    so indexed twins reuse the self-contained entries' oracles: the
+    index changes the physical strategy, never the rows."""
     import os
     import shutil
 
     from flapi_spark.operators.dedup import (
-        pairs_from_band_index, source_pair_matrix,
-        write_band_index_portable,
+        pairs_from_band_index, write_band_index_portable,
     )
     from flapi_spark.session import load_table
 
@@ -4248,10 +4245,32 @@ def _neardup_matrix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.join(wpath, table), ignore_errors=True)
         write_band_index_portable(spark, docs, table)
         _NEARDUP_IDX_BUILT.add(key)
-    pairs = pairs_from_band_index(spark, docs, table).select(
+    return pairs_from_band_index(spark, docs, table).select(
         "doc_a", "doc_b"
     )
-    return source_pair_matrix(pairs, docs.select("doc_id", "source"))
+
+
+def _neardup_matrix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_source_neardup_matrix served from the persisted index
+    (see _portable_index_pairs). The bench's min-of-runs reports the
+    steady-state probe (first call pays the one-time bootstrap,
+    exactly as production would)."""
+    from flapi_spark.operators.dedup import source_pair_matrix
+    from flapi_spark.session import load_table
+
+    pairs = _portable_index_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_pair_matrix(pairs, docs)
+
+
+def _dedup_components_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_components served from the persisted index: the
+    O(log n) large-star/small-star clustering over the zero-exchange
+    indexed pair stream — the full production clustering path
+    (bootstrap once, probe + cluster thereafter), oracle-checked
+    against the same recursive-CTE transitive closure as the
+    self-contained twin."""
+    return D.label_components(_portable_index_pairs(spark, sf_dir))
 
 
 QUERIES.update(
@@ -4261,6 +4280,10 @@ QUERIES.update(
             # identical oracle to the self-contained chain — the index
             # changes the plan, not the rows
             QUERIES["cross_source_neardup_matrix"][1],
+        ),
+        "dedup_components_indexed": (
+            _dedup_components_indexed,
+            QUERIES["dedup_minhash_components"][1],
         ),
     }
 )
@@ -4280,8 +4303,8 @@ QUERIES.update(
 # verdict is still round 1-2 (the r4-r6 de-hinting changed several of
 # their physical plans without a re-pin since).
 _CHECK_FIRST = [
-    # (1) new round-7 entry (first driver look)
-    "neardup_matrix_indexed",
+    # (1) new round-7 entries (first driver look)
+    "neardup_matrix_indexed", "dedup_components_indexed",
     # (2) code paths touched in round 7 (label_components rewrite;
     # _verify_jaccard_md5 refactor; source_pair_matrix refactor)
     "dedup_connected_components", "dedup_minhash_components",
@@ -4308,7 +4331,7 @@ _CHECK_FIRST = [
     "text_token_count", "text_fingerprint", "text_winnow_fingerprint",
     "text_pii_redact", "vocab_top_tokens",
     "distinct_users", "approx_distinct_users",
-    "mm_binary_meta", "src_csv_roundtrip",
+    "mm_binary_meta",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {
