@@ -1128,12 +1128,14 @@ class H264Decoder:
         wmb = y.w // 16
         # up-right availability in raster single-slice decode order:
         # by==0 -> pixels come from the MB above(-right); by>0 ->
-        # within-MB block (bx+1, by-1), undecoded for bx==3 and for
-        # block (1,3) (zig order decodes (2,2) after (1,3))
+        # within-MB block (bx+1, by-1), undecoded exactly for
+        # luma4x4BlkIdx {3,7,11,13,15} = (bx,by) in
+        # {(1,1),(3,1),(1,3),(3,2),(3,3)} (zig order decodes (2,0)
+        # after (1,1) and (2,2) after (1,3))
         if by == 0:
             has_tr = mby > 0 and (bx < 3 or mbx < wmb - 1)
         else:
-            has_tr = bx != 3 and not (bx == 1 and by == 3)
+            has_tr = bx != 3 and not (bx == 1 and by in (1, 3))
         A = [y.get(px + i, py - 1) for i in range(4)] if has_top else [0] * 4
         if has_top and has_tr:
             T = [y.get(px + 4 + i, py - 1) for i in range(4)]

@@ -255,6 +255,12 @@ class Prompt:
     # these (mcp_route_handlers.cpp:1338-1349), so a YAML mcp-prompt
     # endpoint with enum-validated fields gets real suggestions
     request_fields: list = field(default_factory=list)
+    # True when the prompt was registered from an endpoint: the
+    # reference then completes ONLY against request_fields — an
+    # endpoint prompt whose endpoint declares no request_fields gets
+    # 'Argument not found' for every argument (mcp_route_handlers.cpp
+    # ~1349), never the bare-argument fallback
+    has_endpoint: bool = False
 
     @classmethod
     def from_dict(cls, d: dict, request_fields: list | None = None) -> "Prompt":
@@ -265,6 +271,7 @@ class Prompt:
             description=p.get("description", ""),
             arguments=list(p.get("arguments", []) or []),
             request_fields=list(request_fields or []),
+            has_endpoint=request_fields is not None,
         )
 
     def render(self, args: dict | None = None) -> str:
@@ -383,11 +390,13 @@ class McpRegistry(McpToolRegistry):
             # a prompt ref resolves back to its originating endpoint's
             # request_fields and completes from those enum validators
             # (reference mcp_route_handlers.cpp:1321-1349 — the same
-            # lookup path as tools); a prompt registered without an
-            # endpoint falls back to its bare argument names, which
-            # complete to the empty set
+            # lookup path as tools): an endpoint prompt completes ONLY
+            # against its request_fields, so an empty list means every
+            # argument is 'Argument not found'; only a prompt
+            # registered WITHOUT an endpoint falls back to its bare
+            # argument names, which complete to the empty set
             p = self._prompts[ref]
-            if p.request_fields:
+            if p.has_endpoint:
                 fields = {f.field_name: f for f in p.request_fields}
             else:
                 fields = {a: None for a in p.arguments}

@@ -748,7 +748,7 @@ def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
         raise RuntimeError(
             f"label_components did not converge in {max_iterations} "
             "large-star/small-star rounds — the pair graph is deeper "
-            "than 2^{max_iterations} nodes or adversarial; raise "
+            f"than 2^{max_iterations} nodes or adversarial; raise "
             "max_iterations rather than accept truncated labels"
         )
     # star forest: every non-root points at its component minimum;

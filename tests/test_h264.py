@@ -483,6 +483,29 @@ def test_i4_cavlc_residuals_in_mb_context():
             assert y[j * 32 + i] == canvas[j][i], (i, j)
 
 
+@pytest.mark.parametrize("mode", [3, 7])  # DDL, VL
+def test_i4_topright_substitution_at_block_1_1(mode):
+    """luma4x4BlkIdx 3 = block (bx=1, by=1): its up-right neighbour
+    (2,0) is decoded LATER in zig order (blkIdx 4), so spec 8.3.1.2
+    sample substitution requires p[4..7,-1] := p[3,-1]. In a single-MB
+    stream all earlier blocks are DC-128, so DDL/VL at (1,1) must also
+    come out uniform 128 — reading the undecoded (2,0) pixels instead
+    produces a descending junk ramp (regression test for the has_tr
+    within-MB unavailable set {3,7,11,13,15})."""
+    modes = [2] * 16
+    modes[1 * 4 + 1] = mode  # raster index by*4+bx
+    out = H.h264_decode(H.encode_mixed(
+        [{"type": "i4", "modes": modes, "chroma_mode": 0}], 1, 1))
+    assert set(out["y"]) == {128}
+    # same substitution rule at the other within-MB unavailable spots
+    for bx, by in ((3, 1), (1, 3), (3, 2), (3, 3)):
+        modes = [2] * 16
+        modes[by * 4 + bx] = mode
+        out = H.h264_decode(H.encode_mixed(
+            [{"type": "i4", "modes": modes, "chroma_mode": 0}], 1, 1))
+        assert set(out["y"]) == {128}, (bx, by)
+
+
 # ---------------------------------------------------------------------------
 # transforms: hand-checked identities
 # ---------------------------------------------------------------------------

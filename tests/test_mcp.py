@@ -788,6 +788,43 @@ class TestJsonRpcPromptsPingDispatch:
         )
         assert out["result"]["values"] == ["BUILDING"]
 
+    def test_completion_endpoint_prompt_empty_request_fields(self, spark):
+        """An endpoint-registered prompt whose endpoint declares NO
+        request_fields completes ONLY against that (empty) set: every
+        argument is 'Argument not found' (reference
+        mcp_route_handlers.cpp ~1349), never the bare-argument
+        empty-set fallback reserved for endpoint-less prompts."""
+        import pytest
+
+        from flapi_spark.config import EndpointConfig
+        from flapi_spark.executor import QueryExecutor
+        from flapi_spark.mcp import (
+            McpError, McpRegistry, Prompt, register_endpoints,
+        )
+
+        reg = McpRegistry(QueryExecutor(spark, None))
+        ep = EndpointConfig.from_dict({
+            "url-path": "/nofields-prompt/",
+            "template-text": "SELECT 1 AS x",
+            "mcp-prompt": {
+                "name": "nofields_prompt",
+                "template": "Analyze {{topic}}.",
+                "arguments": ["topic"],
+            },
+        })
+        register_endpoints(reg, [ep])
+        with pytest.raises(McpError, match="Argument not found"):
+            reg.complete("nofields_prompt", "topic")
+        # an endpoint-LESS prompt with the same shape keeps the
+        # bare-argument empty-set fallback
+        reg.register_prompt(Prompt.from_dict({
+            "name": "bare_prompt",
+            "template": "Analyze {{topic}}.",
+            "arguments": ["topic"],
+        }))
+        out = reg.complete("bare_prompt", "topic")
+        assert out["values"] == []
+
     def test_completion_nonstring_value_ignored(self, spark):
         """A non-string 'value' param (e.g. the number 42) is ignored
         — empty prefix, all values — not coerced to the prefix "42"
