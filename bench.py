@@ -59,7 +59,18 @@ HEADLINE = [
     # the bootstrap; min-of-runs reports the steady-state probe)
     "neardup_matrix_indexed",
     "dedup_components_indexed",
+    # round 8: the two most expensive graph queries served from the
+    # persisted band index (zero-exchange candidate generation)
+    "pagerank_indexed",
+    "kcore_indexed",
 ]
+
+# Like-for-like marker (r7 ADVICE): cross-round totals are only
+# comparable over a FROZEN query set — this is the round-7 bench list.
+# New rounds append to HEADLINE, never to STABLE_SUBSET; the JSON line
+# carries both the full total and the stable subtotal.
+STABLE_SUBSET = HEADLINE[:38]
+assert STABLE_SUBSET[-1] == "dedup_components_indexed"
 
 
 def main() -> None:
@@ -108,12 +119,18 @@ def main() -> None:
         total += best
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    stable = [n for n in STABLE_SUBSET if n in timings]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n_queries": len(timings),
+                "stable_n": len(stable),
+                "stable_subtotal": round(
+                    sum(timings[n] for n in stable), 3
+                ),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -502,6 +502,12 @@ def _pair_cosine() -> F.Column:
     return dot / (F.col("norm_a") * F.col("norm_b"))
 
 
+# block count for the exact all-pairs equi-join rewrite: fixed (not
+# data-dependent) so the plan is stable; 64 keys keep every core busy
+# on local[32] and hash-spread evenly at any corpus size
+EXACT_PAIR_BLOCKS = 64
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
@@ -511,15 +517,32 @@ def dedup_embedding_cosine(
     but O(n²) compares; the 100 TB path buckets by random-hyperplane
     LSH first (dedup_embedding_lsh) so only bucket-cohabitant pairs
     are scored. Dot products run as codegen'd scalar chains (see
-    _unpacked_embeddings)."""
+    _unpacked_embeddings).
+
+    The all-pairs schedule is a BLOCK-REPLICATED EQUI-JOIN, not a
+    broadcast nested loop (r7 verdict: the previous pinned
+    F.broadcast hard-aborted past Spark's 8 GB broadcast limit
+    instead of degrading): the b side is bucketed by vec_id into
+    EXACT_PAIR_BLOCKS blocks, the a side replicated once per block,
+    and the join is an ordinary shuffled equi-join on the block id
+    with vec_a < vec_b as a residual predicate. Replication costs
+    O(n·B) rows against the O(n²) compares the operator inherently
+    performs; no broadcast, no cartesian product, and work spreads
+    over B keys regardless of corpus size."""
+    B = EXACT_PAIR_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings")
-    a = _unpacked_embeddings(emb, "a")
-    b = _unpacked_embeddings(emb, "b")
-    # non-equi pair join → nested-loop; broadcasting the build side
-    # keeps it one streamed task per stream partition instead of a
-    # partition-pair cartesian schedule (32×32 tiny tasks)
+    a = _unpacked_embeddings(emb, "a").withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    )
+    b = _unpacked_embeddings(emb, "b").withColumn(
+        "blk_b", F.pmod(F.col("vec_b"), F.lit(B)).cast("int")
+    )
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -2460,16 +2460,19 @@ def _bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_sql(pairs_sql: str | None = None) -> str:
     """Chained-CTE DuckDB replication of the fixed-point integer
     PageRank (operators/graph.py): identical BIGINT floor-division
-    arithmetic per iteration, so the ranks match bit-for-bit."""
+    arithmetic per iteration, so the ranks match bit-for-bit.
+    `pairs_sql` swaps the pair-stream CTE (default: the exact-Jaccard
+    chain; the indexed twin passes the portable-MinHash stream)."""
     from flapi_spark.operators import graph as G
 
     P, DN, DD = G.PR_SCALE, G.PR_DAMP_NUM, G.PR_DAMP_DEN
     base = f"(({P} * {DD - DN} // {DD}) // (SELECT n FROM nn))"
     sql = (
-        "WITH pairs AS (" + _JACCARD_PAIRS + "),"
+        "WITH pairs AS MATERIALIZED ("
+        + (pairs_sql or _JACCARD_PAIRS) + "),"
         " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),"
         " deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),"
@@ -2645,16 +2648,19 @@ def _cache_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_sql(k: int = 2, rounds: int = 20) -> str:
+def _kcore_sql(k: int = 2, rounds: int = 20,
+               pairs_sql: str | None = None) -> str:
     """Chained-CTE replication of kcore_decompose: `rounds` fixed peel
     rounds (degree filter + edge restriction). The peel reaches its
     fixpoint in diameter-ish rounds; additional rounds are identities,
-    so the fixed-depth SQL equals Spark's converge-and-stop loop."""
+    so the fixed-depth SQL equals Spark's converge-and-stop loop.
+    `pairs_sql` swaps the pair-stream CTE (see _pagerank_sql)."""
     # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round
     # references its predecessor twice — unmaterialized, the plan
     # doubles per round (2^rounds scans, file-handle exhaustion)
     sql = (
-        "WITH pairs AS MATERIALIZED (" + _JACCARD_PAIRS + "),"
+        "WITH pairs AS MATERIALIZED ("
+        + (pairs_sql or _JACCARD_PAIRS) + "),"
         " e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),"
     )
@@ -4273,6 +4279,33 @@ def _dedup_components_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.label_components(_portable_index_pairs(spark, sf_dir))
 
 
+def _pagerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pagerank_neardup_graph's production shape (round 8): the
+    fixed-point integer PageRank fed from the persisted bucketed band
+    index (zero-exchange candidate generation) instead of rebuilding
+    the exact-Jaccard pair chain inline. Oracle: the SAME chained-CTE
+    iteration arithmetic as the inline entry, over the
+    portable-MinHash pair stream the index serves."""
+    from flapi_spark.operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(_portable_index_pairs(spark, sf_dir))
+
+
+def _kcore_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kcore_neardup_graph's production shape (round 8): the 2-core
+    peel fed from the persisted bucketed band index (see
+    _pagerank_indexed)."""
+    from flapi_spark.operators.graph import kcore_decompose
+
+    return kcore_decompose(_portable_index_pairs(spark, sf_dir))
+
+
+# the pair stream the persisted portable index serves — bit-identical
+# to dedup_minhash_portable's verified pairs (shared verify arm)
+_MINHASH_PAIRS_SQL = (
+    "SELECT doc_a, doc_b FROM (" + _minhash_portable_sql() + ") z"
+)
+
 QUERIES.update(
     {
         "neardup_matrix_indexed": (
@@ -4285,6 +4318,17 @@ QUERIES.update(
             _dedup_components_indexed,
             QUERIES["dedup_minhash_components"][1],
         ),
+        # round 8: the two most expensive bench queries get their
+        # persisted-index twins — same iteration CTEs, pair stream
+        # swapped to the one the index materializes
+        "pagerank_indexed": (
+            _pagerank_indexed,
+            _pagerank_sql(pairs_sql=_MINHASH_PAIRS_SQL),
+        ),
+        "kcore_indexed": (
+            _kcore_indexed,
+            _kcore_sql(pairs_sql=_MINHASH_PAIRS_SQL),
+        ),
     }
 )
 
@@ -4294,44 +4338,38 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-7 ROTATION: r6 left zero genuine failures, so this window
-# front-loads (1) the one NEW round-7 entry (the persisted-index-fed
-# pair-graph twin), (2) every entry whose code path changed this
-# round — the large-star/small-star connected-components rewrite and
-# the shared md5-verify refactor behind the portable MinHash chain —
-# then (3) the oldest-verdict cohort: entries whose latest driver
-# verdict is still round 1-2 (the r4-r6 de-hinting changed several of
-# their physical plans without a re-pin since).
+# ROUND-8 ROTATION: r7 left zero genuine failures; this window
+# front-loads (1) the two NEW round-8 entries (the persisted-index
+# pagerank/kcore twins), (2) the two inline graph entries (the
+# pagerank oracle CTE gained AS MATERIALIZED this round; kcore is its
+# plan-adjacent sibling), then (3) the stalest cohort: all 46 entries
+# whose latest driver verdict is round 1-3.
 _CHECK_FIRST = [
-    # (1) new round-7 entries (first driver look)
-    "neardup_matrix_indexed", "dedup_components_indexed",
-    # (2) code paths touched in round 7 (label_components rewrite;
-    # _verify_jaccard_md5 refactor; source_pair_matrix refactor)
-    "dedup_connected_components", "dedup_minhash_components",
-    "dedup_keep_best_survivors", "dedup_family_summary",
-    "neardup_pair_evidence", "dedup_minhash_portable",
-    "cross_source_neardup_matrix",
-    # (3) oldest-verdict cohort (latest driver verdict r1-r2)
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q10_returned_items",
-    "q13_customer_order_counts", "q15_top_supplier",
-    "q21_sole_late_supplier",
-    "top_customers_window", "running_revenue_window",
-    "customer_order_gaps", "rollup_revenue",
-    "events_sessionize", "events_tumbling_agg", "events_hopping_agg",
-    "events_gapfill", "events_props_json",
-    "asof_join_events_orders", "range_join_error_purchase",
-    "range_join_value_bands", "lapsed_customer_keys",
-    "cache_upsert_latest",
-    "dedup_exact", "dedup_exact_survivors",
-    "dedup_simhash", "dedup_simhash_portable",
-    "ann_bruteforce_topk", "embedding_quantize_error",
-    "text_quality_score", "text_gopher_filters", "text_langid",
-    "text_token_count", "text_fingerprint", "text_winnow_fingerprint",
-    "text_pii_redact", "vocab_top_tokens",
-    "distinct_users", "approx_distinct_users",
-    "mm_binary_meta",
+    # (1) new round-8 entries (first driver look)
+    "pagerank_indexed", "kcore_indexed",
+    # (2) oracle/plan-adjacent this round
+    "pagerank_neardup_graph", "kcore_neardup_graph",
+    # (3) stalest cohort (latest driver verdict r1-r3)
+    "anomaly_zscore_daily", "approx_percentile_order_values",
+    "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
+    "cache_time_travel", "cohort_retention", "corr_matrix_lineitem",
+    "cube_revenue", "domain_mixture_sample", "dq_orders_expectations",
+    "event_transition_matrix", "events_linear_interp",
+    "events_props_variant", "events_session_window_agg",
+    "ewma_daily_revenue", "funnel_conversion", "fuzzy_part_name_pairs",
+    "grouping_sets_revenue", "histogram_order_values",
+    "lineitem_measures_unpivot", "mm_decoded_features",
+    "mode_priority_by_segment", "pivot_priority_by_segment",
+    "q11_important_parts", "q12_priority_by_status", "q18_large_orders",
+    "q20_volume_share_suppliers", "q22_idle_customers",
+    "repeat_customers_intersect", "rfm_segmentation",
+    "rolling_distinct_customers_7d", "rolling_median_order_value_7d",
+    "rolling_revenue_7d", "sample_stratified_by_lang",
+    "scd2_order_priority_history", "skew_profile_orders",
+    "split_train_holdout", "src_csv_roundtrip", "src_json_roundtrip",
+    "src_multifile_provenance", "src_python_datasource",
+    "supplier_balance_by_nation", "text_repetition_filters",
+    "text_script_detect", "twa_event_value", "zorder_locality_stats",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

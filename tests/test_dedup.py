@@ -507,6 +507,49 @@ def test_pairs_from_band_index_equals_portable_chain(spark, sf_dir):
         _rm_table(spark, table)
 
 
+def test_pagerank_kcore_indexed_twins_match_chain(spark, sf_dir):
+    """Round-8 twins: pagerank_indexed / kcore_indexed (registry) fed
+    from the persisted band index must return exactly the rows of the
+    same algorithms fed from the self-contained portable-MinHash
+    chain, and the pair source must plan as bucketed scans (the index
+    changes the physical strategy, never the rows)."""
+    from flapi_spark.operators.dedup import (
+        dedup_minhash_portable, pairs_from_band_index,
+        write_band_index_portable,
+    )
+    from flapi_spark.operators.graph import (
+        kcore_decompose, pagerank_fixed_point,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    table = "t_bands_portable_graph"
+    _rm_table(spark, table)
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_band_index_portable(spark, docs, table)
+        idx_pairs = pairs_from_band_index(spark, docs, table).select(
+            "doc_a", "doc_b"
+        )
+        plan = idx_pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") >= 2
+        chain_pairs = dedup_minhash_portable(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        got_pr = {(r.doc_id, r.pr_scaled)
+                  for r in pagerank_fixed_point(idx_pairs).collect()}
+        exp_pr = {(r.doc_id, r.pr_scaled)
+                  for r in pagerank_fixed_point(chain_pairs).collect()}
+        assert got_pr == exp_pr and got_pr
+        got_kc = {(r.doc_id, r.core_degree)
+                  for r in kcore_decompose(idx_pairs).collect()}
+        exp_kc = {(r.doc_id, r.core_degree)
+                  for r in kcore_decompose(chain_pairs).collect()}
+        assert got_kc == exp_kc and got_kc
+    finally:
+        _rm_table(spark, table)
+
+
 def test_append_band_index_preserves_bucketing(spark, sf_dir):
     from flapi_spark.operators.dedup import (
         append_band_index, write_band_index,

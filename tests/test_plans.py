@@ -265,6 +265,25 @@ def test_dedup_candidate_joins_survive_without_broadcast(spark, sf_dir, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_embedding_cosine_no_pinned_broadcast(spark, sf_dir):
+    """The exact all-pairs cosine baseline (round 8 rewrite): the
+    block-replicated EQUI-join must survive with broadcast disabled —
+    a shuffle join over the block key, never a pinned broadcast (8 GB
+    hard abort past the limit) and never a cartesian/loop join."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fn, _ = QUERIES["dedup_embedding_cosine"]
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" not in plan  # nothing pinned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_vocab_oov_vocab_broadcasts(spark, sf_dir):
     plan = _plan(spark, "vocab_oov_rate", sf_dir)
     # top-k vocab is broadcast against the exploded token stream
