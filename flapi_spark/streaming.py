@@ -693,9 +693,10 @@ def session_window_agg_stream(
 
 def neardup_guard_stream(
     docs_stream: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
     threshold: float = 0.5,
     band_index: DataFrame | None = None,
+    shingle_store: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time near-dup guard: a stream of incoming documents
     checked against a STATIC reference corpus by MinHash-LSH — the
@@ -723,13 +724,34 @@ def neardup_guard_stream(
     dedup.write_band_index (same xxhash64 band arithmetic as the
     inline path — band_rows_for == band_rows∘rowwise_minhash). The
     candidate join then reads the index as a bucketed scan with ZERO
-    index-side exchange, re-resolved every micro-batch so
-    append_band_index maintenance between batches is picked up
-    automatically; without it the corpus bands are recomputed from
-    `corpus_docs` inside every micro-batch's static-side plan."""
+    index-side exchange. Static-side FRESHNESS (round-8 correction,
+    found by scripts/continuous_dedup_demo.py's equality anchor): a
+    V1 file-source static side snapshots its FILE LISTING when the
+    DataFrame is analyzed — appends by band_index_maintainer are NOT
+    picked up by a long-running query or a restarted plan built from
+    a stale DataFrame. To consume maintenance, rebuild the guard from
+    a fresh spark.table() per availableNow run (the maintainer
+    refreshTable's after each append so the fresh lookup re-lists) —
+    the periodic-incremental pattern the demo script measures.
+    Without band_index the corpus bands are recomputed from
+    `corpus_docs` inside every micro-batch's static-side plan.
+
+    `shingle_store` (round 8) is the verify-side analogue: the
+    persisted (doc_id, hs) table from dedup.write_shingle_store.
+    Without it the exact-Jaccard arm re-hashes the WHOLE corpus from
+    raw text inside every micro-batch (re-resolved static side); with
+    it the verify join reads a bucketed scan, so per-batch work is
+    delta-proportional — the 100 TB steady-state ingest shape. With
+    BOTH indexes supplied `corpus_docs` is unused and may be None."""
     from flapi_spark.operators.dedup import band_rows, rowwise_minhash
 
-    corpus_sigs = rowwise_minhash(corpus_docs)
+    if band_index is None or shingle_store is None:
+        if corpus_docs is None:
+            raise ValueError(
+                "neardup_guard_stream: corpus_docs is required unless "
+                "both band_index and shingle_store are supplied"
+            )
+        corpus_sigs = rowwise_minhash(corpus_docs)
     if band_index is not None:
         corpus_bands = band_index.select(
             F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
@@ -738,9 +760,16 @@ def neardup_guard_stream(
         corpus_bands = band_rows(corpus_sigs).select(
             F.col("doc_id").alias("corpus_doc_id"), "band_id", "bh"
         )
-    corpus_sets = corpus_sigs.select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
-    )
+    if shingle_store is not None:
+        corpus_sets = shingle_store.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("hs").alias("corpus_hs"),
+        )
+    else:
+        corpus_sets = corpus_sigs.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("hs").alias("corpus_hs"),
+        )
     s = rowwise_minhash(docs_stream)
     # hs rides THROUGH the band explode (band_rows keep=) — joining
     # the candidates back to the signature stream would be a
@@ -765,7 +794,8 @@ def neardup_guard_stream(
     ).where(F.col("jaccard") >= threshold)
 
 
-def band_index_maintainer(table: str, marker_dir: str):
+def band_index_maintainer(table: str, marker_dir: str,
+                          shingle_table: str | None = None):
     """Streaming maintenance of the persisted LSH band index (round
     7): a ``writeStream.foreachBatch`` callable that appends each
     micro-batch's band rows to the bucketed ``write_band_index``
@@ -785,16 +815,41 @@ def band_index_maintainer(table: str, marker_dir: str):
     that is deliberate: band rows are candidate-generation input and
     every consumer dedups candidates (``.distinct()``), so duplicates
     cost work, never correctness — the alternative (marker first)
-    would LOSE documents from the index, a recall hole."""
+    would LOSE documents from the index, a recall hole.
+
+    `shingle_table` (round 8): also fold the batch's hashed shingle
+    sets into the persisted verify-side store
+    (dedup.write_shingle_store), under the same replay marker — one
+    marker covers both appends, and a crash between them duplicates
+    at most one batch in one table (same candidate-dedup argument)."""
     import os
 
-    from flapi_spark.operators.dedup import append_band_index
+    from flapi_spark.operators.dedup import (
+        append_band_index, append_shingle_store,
+    )
+
+    # foreachBatch runs on a CLONED session: its insertInto does not
+    # invalidate the caller's catalog relation cache, so a guard
+    # (re)started from the ORIGINAL session keeps probing the
+    # pre-append file listing and silently misses every
+    # batch-vs-earlier-batch pair (found by
+    # scripts/continuous_dedup_demo.py's equality anchor, round 8).
+    # Capture the constructing session and refresh BOTH it and the
+    # micro-batch clone after each append.
+    origin = SparkSession.getActiveSession()
 
     def _append(batch_df, batch_id: int) -> None:
         dst = os.path.join(marker_dir, f"batch_id={batch_id}")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             return  # replayed batch — already folded into the index
-        append_band_index(batch_df.sparkSession, batch_df, table)
+        spark = batch_df.sparkSession
+        append_band_index(spark, batch_df, table)
+        if shingle_table is not None:
+            append_shingle_store(spark, batch_df, shingle_table)
+        for s in {spark, origin} - {None}:
+            s.catalog.refreshTable(table)
+            if shingle_table is not None:
+                s.catalog.refreshTable(shingle_table)
         os.makedirs(dst, exist_ok=True)
         with open(os.path.join(dst, "_SUCCESS"), "w"):
             pass

@@ -631,6 +631,148 @@ def test_neardup_guard_stream_probes_persisted_band_index(
         _rm_table(spark, table)
 
 
+def test_neardup_guard_fully_indexed_no_corpus_rehash(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 8: with BOTH persisted sides (band index + shingle
+    store) the guard needs no corpus_docs at all — results equal the
+    self-contained guard pair-for-pair, the micro-batch plan reads
+    both tables as bucketed scans, and the raw documents parquet is
+    absent from the plan (zero corpus re-hash per batch)."""
+    import glob as _glob
+
+    from flapi_spark.operators.dedup import (
+        write_band_index, write_shingle_store,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    btable, stable_ = "t_guard_band_idx8", "t_guard_shingles8"
+    for t in (btable, stable_):
+        _rm_table(spark, t)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_band_index(spark, docs, btable)
+        write_shingle_store(spark, docs, stable_)
+        incoming = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "text"
+        )
+        d = tmp_path_factory.mktemp("docs_guard_full_idx")
+        staging = str(d / "_stage")
+        incoming.coalesce(1).write.parquet(staging)
+        shutil.copy(
+            _glob.glob(staging + "/part-*.parquet")[0],
+            str(d / "batch_0.parquet"),
+        )
+        shutil.rmtree(staging)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(str(d))
+        )
+        guarded = ST.neardup_guard_stream(
+            stream,
+            corpus_docs=None,
+            band_index=spark.table(btable),
+            shingle_store=spark.table(stable_),
+        )
+        name = _qname()
+        q = (
+            guarded.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+        assert plan.count("Bucketed: true") >= 2
+        assert "documents.parquet" not in plan  # no raw-corpus rehash
+        got = {
+            (r.doc_id, r.corpus_doc_id, r.jaccard)
+            for r in spark.table(name).collect()
+        }
+        expect = {
+            (r.doc_id, r.corpus_doc_id, r.jaccard)
+            for r in ST.neardup_guard_stream(incoming, docs).collect()
+        }
+        assert got == expect and got
+        # corpus_docs required when either side is missing
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="corpus_docs"):
+            ST.neardup_guard_stream(
+                incoming, band_index=spark.table(btable)
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (btable, stable_):
+            _rm_table(spark, t)
+
+
+def test_band_index_maintainer_also_maintains_shingle_store(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 8: the maintainer's shingle_table arg folds each batch's
+    (doc_id, hs) rows into the persisted verify store under the SAME
+    replay marker as the band append — final stores equal the
+    batch-built ones over the full corpus; a replayed batch_id
+    duplicates neither table."""
+    import glob as _glob
+
+    from flapi_spark.operators.dedup import (
+        rowwise_minhash, write_band_index, write_shingle_store,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    btable, stable_ = "t_band_idx_maint8", "t_shingles_maint8"
+    for t in (btable, stable_):
+        _rm_table(spark, t)
+    d = tmp_path_factory.mktemp("maint8_landing")
+    markers = str(tmp_path_factory.mktemp("maint8_markers"))
+    try:
+        write_band_index(spark, old, btable)
+        write_shingle_store(spark, old, stable_)
+        staging = str(d / "_stage")
+        new.coalesce(1).write.parquet(staging)
+        shutil.copy(
+            _glob.glob(staging + "/part-*.parquet")[0],
+            str(d / "batch_0.parquet"),
+        )
+        shutil.rmtree(staging)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(str(d))
+        )
+        writer = ST.band_index_maintainer(
+            btable, markers, shingle_table=stable_
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(d / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {(r.doc_id, tuple(sorted(r.hs)))
+               for r in spark.table(stable_).collect()}
+        expect = {(r.doc_id, tuple(sorted(r.hs)))
+                  for r in rowwise_minhash(docs).select(
+                      "doc_id", "hs").collect()}
+        assert got == expect and got
+        nb, ns = spark.table(btable).count(), spark.table(stable_).count()
+        writer(new.limit(50), 0)  # replay: marker makes it a no-op
+        assert spark.table(btable).count() == nb
+        assert spark.table(stable_).count() == ns
+    finally:
+        for t in (btable, stable_):
+            _rm_table(spark, t)
+
+
 def test_band_index_maintainer_stream_appends_and_dedups_replays(
     spark, sf_dir, tmp_path_factory
 ):
