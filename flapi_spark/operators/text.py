@@ -1678,9 +1678,15 @@ def lang_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("lang", "b.w1", "b.w2")
+    # materialize the bigram counts ONCE: c1, n, and the final join
+    # all derive from c2, and Catalyst does not reuse the (lang,w1,w2)
+    # exchange across the three branches — without this the corpus is
+    # scanned and the bigram stream exploded 3x (measured: the r7-r8
+    # bench drift on this entry was exactly that re-compute cost).
+    # c2 is vocab-grain (distinct bigrams), tiny relative to corpus.
     c2 = pairs.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
-    )
+    ).localCheckpoint()
     c1 = c2.groupBy("lang", "w1").agg(F.sum("c2").alias("c1"))
     n = c2.groupBy("lang").agg(F.sum("c2").alias("n"))
     term = (

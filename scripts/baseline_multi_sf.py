@@ -138,12 +138,20 @@ def main() -> None:
     queries = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark(app_name="baseline_multi_sf")
     spark.sparkContext.setLogLevel("ERROR")
-    rep_dir = build_replica(spark, "/root/testdata/sf0.1", 8)
+    # SPARK_GRAFT_REP_FACTOR widens the top scale point (round 8:
+    # factor 24 = "sf2.4-rep" measures the crossover queries past the
+    # sf0.8-rep grid); SPARK_GRAFT_REP_ONLY=1 skips the small points
+    # already covered by the full grid in BASELINE.md
+    factor = int(os.environ.get("SPARK_GRAFT_REP_FACTOR", "8"))
+    rep_dir = build_replica(spark, "/root/testdata/sf0.1", factor)
+    rep_label = f"sf{factor / 10:g}-rep"
     points = {
         "sf0.01": "/root/testdata/sf0.01",
         "sf0.1": "/root/testdata/sf0.1",
-        "sf0.8-rep": rep_dir,
+        rep_label: rep_dir,
     }
+    if os.environ.get("SPARK_GRAFT_REP_ONLY") == "1":
+        points = {rep_label: rep_dir}
     out: dict[str, dict] = {}
     for label, sf_dir in points.items():
         con = duck_connect(sf_dir)
