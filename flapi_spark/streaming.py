@@ -641,9 +641,17 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join — the standard streaming pattern
     still missing from this suite: each micro-batch joins the static
     dimension (broadcast by Catalyst: stateless, no streaming state at
-    all, the dim is re-resolvable per batch so slowly-changing dims
-    pick up updates between batches). Keyed user_id -> c_custkey;
-    projecting the segment onto the event stream.
+    all). Keyed user_id -> c_custkey; projecting the segment onto the
+    event stream.
+
+    Slowly-changing-dim freshness (round-8 correction, see
+    neardup_guard_stream): a V1 file-source static side snapshots its
+    FILE LISTING when the plan is analyzed — per-micro-batch
+    re-execution re-reads the same files, it does not discover new
+    ones. Dim updates are picked up by restarting the query with a
+    freshly-resolved dim DataFrame (the availableNow periodic
+    pattern), or by backing the dim with a format whose snapshot is
+    resolved per batch.
 
     At 100 TB the dim side must stay broadcast-sized (or become a
     stream-stream join with watermarks, already covered by
@@ -708,9 +716,9 @@ def neardup_guard_stream(
     band explode (generator), stream-static equi-join on the band
     bucket, then the exact-Jaccard verify as another stream-static
     join against the corpus shingle sets with a per-row
-    array_intersect. Spark re-resolves the static side per
-    micro-batch, so a corpus refresh between batches is picked up
-    automatically.
+    array_intersect. A corpus refresh is picked up at query
+    (re)start from a freshly-resolved static DataFrame — see the
+    freshness paragraph below.
 
     Emission is AT-LEAST-ONCE per (incoming, corpus) pair — a pair
     matching in k bands emits k rows (band_id included as evidence);
@@ -873,10 +881,12 @@ def vocab_drift_stream(
 
     Shape: stateless tokenize/explode (whitespace-normalized, the
     batch operators' tokenization), stream-static LEFT join against
-    the vocab table (re-resolved every micro-batch — a vocab refresh
-    is picked up automatically; broadcast-small or bucketed on tok at
-    scale), then ONE watermarked windowed aggregate — the only
-    streaming state is the window counters. Expects (ts, text)."""
+    the vocab table (broadcast-small or bucketed on tok at scale; a
+    vocab refresh is picked up at query restart from a fresh
+    DataFrame — V1 static sides snapshot their file listing at plan
+    analysis, see neardup_guard_stream), then ONE watermarked
+    windowed aggregate — the only streaming state is the window
+    counters. Expects (ts, text)."""
     toks = (
         docs_stream.withWatermark("ts", watermark)
         .select(
