@@ -123,6 +123,14 @@ def time_duckdb(con, sql: str) -> float | str:
 
 
 def time_spark(spark, fn, sf_dir: str) -> float:
+    # SPARK_GRAFT_WARM=1: one untimed pass first — indexed entries pay
+    # a one-time per-SF bootstrap (persisted index build) plus codegen
+    # inside their first call, which the >10 s short-circuit would
+    # otherwise freeze into the grid cell (the cross_source artifact
+    # documented in BASELINE.md); warm cells measure the steady-state
+    # probe, which is the number the index exists to provide
+    if os.environ.get("SPARK_GRAFT_WARM") == "1":
+        fn(spark, sf_dir).count()
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
