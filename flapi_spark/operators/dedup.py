@@ -866,6 +866,25 @@ def dedup_minhash_portable(
     return _verify_jaccard_md5(docs, cands, threshold)
 
 
+def _verify_jaccard_sets(
+    sets: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against
+    pre-computed (doc_id, hs) shingle sets — the arithmetic shared by
+    the inline md5 verify arm and the persisted shingle-store probe,
+    so every pair source stays bit-identical."""
+    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    union = F.size(F.array_union("ha", "hb"))
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _verify_jaccard_md5(
     docs: DataFrame, cands: DataFrame, threshold: float
 ) -> DataFrame:
@@ -886,16 +905,7 @@ def _verify_jaccard_md5(
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
     )
-    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
-    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
-    union = F.size(F.array_union("ha", "hb"))
-    return (
-        cands.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard_sets(sets, cands, threshold)
 
 
 def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1637,11 +1647,54 @@ def write_band_index_portable(
     )
 
 
-def pairs_from_band_index(
+def write_shingle_store_portable(
     spark: SparkSession,
     docs: DataFrame,
+    table: str = "neardup_shingle_store_portable",
+    buckets: int = 16,
+) -> None:
+    """Persist the md5-hashed shingle sets (doc_id, hs) as a bucketed
+    warehouse table — the PORTABLE verify-side sibling of
+    write_band_index_portable (round 8). With it the persisted-index
+    pair stream (pairs_from_band_index) needs NO raw documents at
+    all: candidate generation reads the band index, verification
+    reads this store — every indexed consumer becomes fully
+    index-resident (zero corpus scans, zero re-hashing). The sets are
+    exactly what the inline verify arm computes, so rows (and the
+    DuckDB oracles) are unchanged. Bucketed+sorted by doc_id, the
+    verify join key."""
+    (
+        hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(table)
+    )
+
+
+def append_shingle_store_portable(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "neardup_shingle_store_portable",
+) -> None:
+    """Per-batch portable shingle-store maintenance (insertInto keeps
+    the bucket spec; same contract as append_band_index)."""
+    (
+        hashed_shingles_from(new_docs, tok_hash_sql=MD5_TOK_HASH)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .write.insertInto(table)
+    )
+
+
+def pairs_from_band_index(
+    spark: SparkSession,
+    docs: DataFrame | None = None,
     table: str = "neardup_band_index_portable",
     threshold: float = 0.5,
+    shingle_store: str | None = None,
 ) -> DataFrame:
     """The near-dup PAIR STREAM served from the persisted portable
     band index instead of recomputing the MinHash chain inline: the
@@ -1654,7 +1707,13 @@ def pairs_from_band_index(
     production shape for every downstream pair-graph consumer
     (components, pagerank, k-core, cross-source matrix): bootstrap
     the index once, then each consumer's candidate generation is an
-    exchange-free bucketed read rather than a full corpus re-hash."""
+    exchange-free bucketed read rather than a full corpus re-hash.
+
+    With `shingle_store` (a write_shingle_store_portable table, round
+    8) the VERIFY side reads the persisted sets too — `docs` is
+    unused (may be None) and the whole pair stream is index-resident:
+    no documents scan, no shingle re-hash, candidates-bounded joins
+    against two bucketed tables."""
     ex = spark.table(table)
     keys = _portable_band_keys()
     ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
@@ -1665,6 +1724,15 @@ def pairs_from_band_index(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if shingle_store is not None:
+        return _verify_jaccard_sets(
+            spark.table(shingle_store), cands, threshold
+        )
+    if docs is None:
+        raise ValueError(
+            "pairs_from_band_index: docs is required unless a "
+            "shingle_store table is supplied"
+        )
     return _verify_jaccard_md5(docs, cands, threshold)
 
 

@@ -4233,27 +4233,33 @@ def _portable_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flapi_spark.operators.dedup import (
         pairs_from_band_index, write_band_index_portable,
+        write_shingle_store_portable,
     )
     from flapi_spark.session import load_table
 
     suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     table = f"neardup_bands_portable_{suffix}"
-    docs = load_table(spark, sf_dir, "documents")
+    store = f"neardup_shingles_portable_{suffix}"
     key = f"{spark.sparkContext.applicationId}:{table}"
     if key not in _NEARDUP_IDX_BUILT:
+        docs = load_table(spark, sf_dir, "documents")
         # a stale warehouse dir from an earlier session blocks
         # saveAsTable — drop both layers before writing
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         )
         wpath = warehouse.removeprefix("file:")
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(os.path.join(wpath, table), ignore_errors=True)
+        for t in (table, store):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
         write_band_index_portable(spark, docs, table)
+        write_shingle_store_portable(spark, docs, store)
         _NEARDUP_IDX_BUILT.add(key)
-    return pairs_from_band_index(spark, docs, table).select(
-        "doc_a", "doc_b"
-    )
+    # round 8: verify reads the persisted shingle store — the pair
+    # stream is fully index-resident (no documents scan at all)
+    return pairs_from_band_index(
+        spark, None, table, shingle_store=store
+    ).select("doc_a", "doc_b")
 
 
 def _neardup_matrix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -507,6 +507,54 @@ def test_pairs_from_band_index_equals_portable_chain(spark, sf_dir):
         _rm_table(spark, table)
 
 
+def test_pairs_fully_index_resident_with_shingle_store(spark, sf_dir):
+    """Round 8: with the portable shingle store the persisted-index
+    pair stream touches NO raw documents — rows stay bit-identical to
+    the self-contained chain, the plan reads three bucketed scans
+    (band index twice + store) and documents.parquet never appears;
+    appends keep store and chain in lockstep."""
+    from flapi_spark.operators.dedup import (
+        append_shingle_store_portable, dedup_minhash_portable,
+        pairs_from_band_index, write_band_index_portable,
+        write_shingle_store_portable,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    btable, stable_ = "t_bands_p8", "t_shingles_p8"
+    for t in (btable, stable_):
+        _rm_table(spark, t)
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_band_index_portable(spark, docs, btable)
+        # bootstrap the store on HALF the corpus, append the rest —
+        # exercises the insertInto maintenance path in the same run
+        write_shingle_store_portable(
+            spark, docs.where("doc_id % 2 = 0"), stable_
+        )
+        append_shingle_store_portable(
+            spark, docs.where("doc_id % 2 = 1"), stable_
+        )
+        got_df = pairs_from_band_index(
+            spark, None, btable, shingle_store=stable_
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan  # index-resident
+        assert plan.count("Bucketed: true") >= 2
+        got = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in got_df.collect()}
+        expect = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+                  for r in dedup_minhash_portable(spark, sf_dir).collect()}
+        assert got == expect and got
+        # docs required when no store given
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="docs is required"):
+            pairs_from_band_index(spark, None, btable)
+    finally:
+        for t in (btable, stable_):
+            _rm_table(spark, t)
+
+
 def test_pagerank_kcore_indexed_twins_match_chain(spark, sf_dir):
     """Round-8 twins: pagerank_indexed / kcore_indexed (registry) fed
     from the persisted band index must return exactly the rows of the
