@@ -1689,6 +1689,18 @@ def append_shingle_store_portable(
     )
 
 
+def append_band_index_portable(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index_portable",
+) -> None:
+    """Per-batch PORTABLE band-index maintenance (round 8): append the
+    new docs' raw-signature band rows; insertInto preserves the full
+    band-key bucket spec, so pairs_from_band_index's self-join stays
+    exchange-free after any number of ingest batches."""
+    band_rows_portable_for(new_docs).write.insertInto(table)
+
+
 def pairs_from_band_index(
     spark: SparkSession,
     docs: DataFrame | None = None,

@@ -865,6 +865,45 @@ def band_index_maintainer(table: str, marker_dir: str,
     return _append
 
 
+def portable_index_maintainer(
+    band_table: str, shingle_table: str, marker_dir: str
+):
+    """Streaming maintenance of the PORTABLE (oracle-checkable) index
+    pair: a foreachBatch callable folding each micro-batch's raw-
+    signature band rows (append_band_index_portable) AND md5 shingle
+    sets (append_shingle_store_portable) under one idempotent replay
+    marker — the write half of the fully index-resident pair stream
+    (pairs_from_band_index(shingle_store=)) that every indexed
+    registry twin consumes. Same replay/refresh semantics as
+    band_index_maintainer: marker after commit (duplicates cost
+    candidate work, never correctness — consumers .distinct()), both
+    sessions refreshTable'd so consumers re-list on their next
+    freshly-resolved read."""
+    import os
+
+    from flapi_spark.operators.dedup import (
+        append_band_index_portable, append_shingle_store_portable,
+    )
+
+    origin = SparkSession.getActiveSession()
+
+    def _append(batch_df, batch_id: int) -> None:
+        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return
+        spark = batch_df.sparkSession
+        append_band_index_portable(spark, batch_df, band_table)
+        append_shingle_store_portable(spark, batch_df, shingle_table)
+        for s in {spark, origin} - {None}:
+            s.catalog.refreshTable(band_table)
+            s.catalog.refreshTable(shingle_table)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+
+    return _append
+
+
 def vocab_drift_stream(
     docs_stream: DataFrame,
     vocab: DataFrame,

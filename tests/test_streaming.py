@@ -773,6 +773,74 @@ def test_band_index_maintainer_also_maintains_shingle_store(
             _rm_table(spark, t)
 
 
+def test_portable_index_maintainer_feeds_index_resident_pairs(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 8: the PORTABLE maintainer closes the oracle-checkable
+    loop — bootstrap both persisted sides on half the corpus, stream
+    the other half through portable_index_maintainer, and the fully
+    index-resident pair stream (pairs_from_band_index with
+    shingle_store, no raw docs) must equal the self-contained
+    dedup_minhash_portable chain over the FULL corpus. Replays
+    no-op on both tables."""
+    import glob as _glob
+
+    from flapi_spark.operators.dedup import (
+        dedup_minhash_portable, pairs_from_band_index,
+        write_band_index_portable, write_shingle_store_portable,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    btable, stable_ = "t_pband_maint8", "t_pshingles_maint8"
+    for t in (btable, stable_):
+        _rm_table(spark, t)
+    d = tmp_path_factory.mktemp("pmaint8_landing")
+    markers = str(tmp_path_factory.mktemp("pmaint8_markers"))
+    try:
+        write_band_index_portable(spark, old, btable)
+        write_shingle_store_portable(spark, old, stable_)
+        staging = str(d / "_stage")
+        new.coalesce(1).write.parquet(staging)
+        shutil.copy(
+            _glob.glob(staging + "/part-*.parquet")[0],
+            str(d / "batch_0.parquet"),
+        )
+        shutil.rmtree(staging)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(str(d))
+        )
+        writer = ST.portable_index_maintainer(btable, stable_, markers)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(d / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got_df = pairs_from_band_index(
+            spark, None, btable, shingle_store=stable_
+        )
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan
+        got = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+               for r in got_df.collect()}
+        expect = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+                  for r in dedup_minhash_portable(spark, sf_dir).collect()}
+        assert got == expect and got
+        nb, ns = spark.table(btable).count(), spark.table(stable_).count()
+        writer(new.limit(50), 0)  # replayed batch id — no-op
+        assert spark.table(btable).count() == nb
+        assert spark.table(stable_).count() == ns
+    finally:
+        for t in (btable, stable_):
+            _rm_table(spark, t)
+
+
 def test_band_index_maintainer_stream_appends_and_dedups_replays(
     spark, sf_dir, tmp_path_factory
 ):
