@@ -306,7 +306,16 @@ def dedup_minhash_lsh(
     hashes from the page-cached scan measures the same as caching the
     exploded stream locally, and at 100 TB materializing the exploded
     stream (10-100× the corpus bytes) is exactly the wrong trade —
-    lineage recompute keeps the memory footprint bounded by the scan."""
+    lineage recompute keeps the memory footprint bounded by the scan.
+    The SIGNATURE table double-compute is also deliberate (round 8,
+    measured): the band self-join recomputes the scan→hash→64-perm
+    chain on both aliases, but that is embarrassingly-parallel map
+    work over a page-cached scan — materializing the signatures first
+    (localCheckpoint) measured 1.5x SLOWER at sf0.1 (2.7 s vs 1.7 s;
+    store+reread beats recompute only when the corpus no longer fits
+    page cache). The hash-ONCE production path is the persisted band
+    index (write_band_index*/pairs_from_band_index), not an in-query
+    materialization."""
     hashed = hashed_shingles(spark, sf_dir)
     sigs = minhash_signatures_from_hashed(hashed)
     cands = lsh_candidate_pairs(sigs).persist()
@@ -841,6 +850,10 @@ def dedup_minhash_portable(
     scale shape (linear shuffles, candidate-bounded verify)."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
+    # the band self-join recomputes the signature chain on both
+    # aliases — deliberate: measured cheaper than materializing at
+    # bench scale, and the hash-once path is the persisted index
+    # (see dedup_minhash_lsh's docstring, round 8)
     sigs = minhash_signatures_from_hashed(hashed)
     r = NUM_PERM // BANDS
     bands = F.array(*[
