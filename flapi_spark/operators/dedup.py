@@ -1791,10 +1791,11 @@ def source_pair_matrix(pairs: DataFrame, docs: DataFrame) -> DataFrame:
 
 def incremental_pairs_indexed(
     spark: SparkSession,
-    all_docs: DataFrame,
+    all_docs: DataFrame | None,
     new_docs: DataFrame,
     table: str = "neardup_band_index",
     threshold: float = 0.5,
+    shingle_store: str | None = None,
 ) -> DataFrame:
     """dedup_incremental_pairs against the PERSISTED band index: new
     docs' bands (delta-sized) probe the bucketed index for candidates;
@@ -1811,9 +1812,13 @@ def incremental_pairs_indexed(
     localCheckpoint and the cache released in a finally — a per-batch
     maintenance function that leaked one cached pair-set per ingest
     batch would exhaust executor storage over a long-running flow
-    (r5 ADVICE)."""
+    (r5 ADVICE).
+
+    `shingle_store` (round 8): with the persisted verify-side store
+    the corpus never appears in the plan at all — see
+    _incremental_pairs_indexed_plan."""
     result, cands = _incremental_pairs_indexed_plan(
-        spark, all_docs, new_docs, table, threshold
+        spark, all_docs, new_docs, table, threshold, shingle_store
     )
     try:
         # eager: severs the returned plan's lineage from the cached
@@ -1825,14 +1830,22 @@ def incremental_pairs_indexed(
 
 def _incremental_pairs_indexed_plan(
     spark: SparkSession,
-    all_docs: DataFrame,
+    all_docs: DataFrame | None,
     new_docs: DataFrame,
     table: str = "neardup_band_index",
     threshold: float = 0.5,
+    shingle_store: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lazy plan for incremental_pairs_indexed: returns (result,
     persisted candidate set). The CALLER owns the cache lifecycle —
-    plan tests inspect the un-checkpointed query here."""
+    plan tests inspect the un-checkpointed query here.
+
+    With `shingle_store` (a write_shingle_store table covering the
+    CORPUS side, round 8) the verify arm is index-resident for corpus
+    candidates — their (doc_id, hs) rows come from the bucketed store
+    while the batch docs' sets are computed delta-sized and unioned
+    in; `all_docs` is then unused (may be None) and per-batch work is
+    fully O(delta): no corpus scan anywhere in the plan."""
     new_bands = band_rows_for(new_docs)
     index = spark.table(table)
 
@@ -1869,12 +1882,36 @@ def _incremental_pairs_indexed_plan(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_texts = all_docs.join(cand_docs, "doc_id", "left_semi")
-    sets = (
-        hashed_shingles_from(cand_texts)
+    new_sets = (
+        hashed_shingles_from(new_docs)
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("hs"))
     )
+    if shingle_store is not None:
+        # corpus-side sets from the bucketed store, candidate-bounded
+        # by a semi-join; batch docs may not be in the store yet
+        # (probe-before-append), so their delta-sized sets are unioned
+        # in — the anti-join avoids duplicate doc_id rows after an
+        # append (both copies carry identical sets, so precedence
+        # cannot matter)
+        store_sets = (
+            spark.table(shingle_store)
+            .join(cand_docs, "doc_id", "left_semi")
+            .join(new_docs.select("doc_id"), "doc_id", "left_anti")
+        )
+        sets = store_sets.unionByName(new_sets)
+    else:
+        if all_docs is None:
+            raise ValueError(
+                "incremental_pairs_indexed: all_docs is required "
+                "unless a shingle_store table is supplied"
+            )
+        cand_texts = all_docs.join(cand_docs, "doc_id", "left_semi")
+        sets = (
+            hashed_shingles_from(cand_texts)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"))
+        )
     wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb")).cast("double")

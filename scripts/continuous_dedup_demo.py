@@ -165,11 +165,13 @@ def main() -> int:
         flagged = spark.read.parquet(out_dir)
         n_flagged = flagged.count()
 
-        # 4. indexed consumers over the final index state
+        # 4. indexed consumers over the final index state — the
+        # store-backed probe: the corpus appears nowhere in the plan
         t0 = time.perf_counter()
         last_batch = incoming.where(F.expr(f"int((doc_id div 6) % {N_BATCHES})") == N_BATCHES - 1)
         probe_pairs = incremental_pairs_indexed(
-            spark, docs, last_batch, BAND_TABLE
+            spark, None, last_batch, BAND_TABLE,
+            shingle_store=SHINGLE_TABLE,
         )
         n_probe = probe_pairs.count()
         consume_sec = round(time.perf_counter() - t0, 3)

@@ -507,6 +507,71 @@ def test_pairs_from_band_index_equals_portable_chain(spark, sf_dir):
         _rm_table(spark, table)
 
 
+def test_incremental_pairs_store_backed_verify(spark, sf_dir):
+    """Round 8: incremental_pairs_indexed(shingle_store=) — the
+    corpus appears NOWHERE in the per-batch plan (bands from the
+    bucketed index, corpus verify sets from the bucketed store, batch
+    sets delta-sized); pairs equal the self-contained recompute both
+    before and after the maintenance appends."""
+    from flapi_spark.operators.dedup import (
+        append_band_index, append_shingle_store,
+        dedup_incremental_pairs, incremental_pairs_indexed,
+        write_band_index, write_shingle_store,
+        _incremental_pairs_indexed_plan,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where("doc_id % 10 != 0")
+    batch = docs.where("doc_id % 10 = 0")
+    btable, stable_ = "t_band_idx_sv8", "t_shingles_sv8"
+    for t in (btable, stable_):
+        _rm_table(spark, t)
+    try:
+        write_band_index(spark, existing, btable)
+        write_shingle_store(spark, existing, stable_)
+        expect = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup_incremental_pairs(
+                spark, existing, batch
+            ).collect()
+        }
+        # probe BEFORE append
+        pre = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in incremental_pairs_indexed(
+                spark, None, batch, btable, shingle_store=stable_
+            ).collect()
+        }
+        assert pre == expect and pre
+        # plan: zero corpus presence
+        lazy_df, lazy_cands = _incremental_pairs_indexed_plan(
+            spark, None, batch, btable, shingle_store=stable_
+        )
+        try:
+            plan = lazy_df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Bucketed: true") >= 1
+        finally:
+            lazy_cands.unpersist()
+        # probe AFTER both appends — anti-join dedups the store rows
+        append_band_index(spark, batch, btable)
+        append_shingle_store(spark, batch, stable_)
+        post = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in incremental_pairs_indexed(
+                spark, None, batch, btable, shingle_store=stable_
+            ).collect()
+        }
+        assert post == expect
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="all_docs is required"):
+            incremental_pairs_indexed(spark, None, batch, btable)
+    finally:
+        for t in (btable, stable_):
+            _rm_table(spark, t)
+
+
 def test_pairs_fully_index_resident_with_shingle_store(spark, sf_dir):
     """Round 8: with the portable shingle store the persisted-index
     pair stream touches NO raw documents — rows stay bit-identical to
