@@ -291,3 +291,69 @@ def ntile_band(rank: "F.Column", n_rows: "F.Column", k: int) -> "F.Column":
     ).otherwise(
         rem + (rank - 1 - big_span) / F.greatest(small, F.lit(1))
     ).cast("long") + 1
+
+
+def compact_bucketed_table(
+    spark: "SparkSession", table: str, stage_suffix: str = "__compact"
+) -> dict:
+    """Small-files compaction for a BUCKETED warehouse table, bucket
+    spec preserved (round 8). Every `insertInto` append (band index /
+    shingle store maintenance, bucketed fact appends) lands one file
+    per bucket per writing task, so a long-running ingest multiplies
+    per-bucket file counts and probes pay per-file open/footer costs.
+    `sinks.compact_parquet` cannot serve here: a plain-parquet rewrite
+    drops the metastore bucket spec, silently demoting every
+    zero-exchange probe back to a shuffle.
+
+    Mechanics: DESCRIBE the live table for its bucket/sort spec,
+    rewrite into a staging table with the SAME spec (one shuffle into
+    n_buckets writer tasks → exactly one file per bucket), then
+    RENAME-swap (stage → table, the writes.py pattern — a metadata +
+    directory move, never an in-place overwrite readers might be
+    scanning). Consumers re-list on their next freshly-resolved read
+    (refreshTable'd here, same contract as the maintainers).
+
+    Returns {"files_before", "files_after", "rows"}."""
+    import glob as _glob
+    import re as _re
+
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    n_buckets = int(desc["Num Buckets"])
+    cols = _re.findall(r"`([^`]+)`", desc["Bucket Columns"])
+    sort_cols = _re.findall(r"`([^`]+)`", desc.get("Sort Columns", ""))
+    loc = desc["Location"].removeprefix("file:")
+    files_before = len(_glob.glob(f"{loc}/**/*.parquet", recursive=True))
+    df = spark.table(table)
+    rows = df.count()
+    stage = f"{table}{stage_suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    # repartition onto the bucket columns so each writer task holds
+    # whole buckets -> exactly one output file per bucket
+    w = df.repartition(n_buckets, *cols).write.mode("overwrite")
+    w = w.bucketBy(n_buckets, *cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(stage)
+    old = f"{table}__precompact"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")  # restore
+        raise
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table)
+    new_loc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }["Location"].removeprefix("file:")
+    files_after = len(_glob.glob(f"{new_loc}/**/*.parquet", recursive=True))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

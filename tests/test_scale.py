@@ -205,3 +205,53 @@ def test_global_ordered_prefix_double_sum_works(spark):
     exp = df.withColumn("cum", F.sum("x").over(w))
     joined = exp.alias("e").join(got.alias("g"), "id")
     assert joined.where("abs(e.cum - g.cum) > 1e-9").count() == 0
+
+
+def test_compact_bucketed_table_preserves_spec_and_plan(spark, sf_dir):
+    """Round 8: after N appends multiply per-bucket files, compaction
+    rewrites to one file per bucket, the bucket/sort spec survives the
+    RENAME-swap (zero-exchange probe still plans as a bucketed scan),
+    and the row set is unchanged."""
+    from flapi_spark.operators.dedup import (
+        append_band_index, pairs_from_band_index, write_band_index_portable,
+        append_band_index_portable,
+    )
+    from flapi_spark.operators.scale import compact_bucketed_table
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "t_compact_band_idx"
+    _rm_table(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}__precompact")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+    try:
+        write_band_index_portable(spark, docs.where("doc_id % 4 = 0"), table)
+        for m in (1, 2, 3):  # three appends -> files multiply
+            append_band_index_portable(
+                spark, docs.where(f"doc_id % 4 = {m}"), table
+            )
+        before = {tuple(r) for r in spark.table(table).collect()}
+        stats = compact_bucketed_table(spark, table)
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["rows"] == len(before)
+        after = {tuple(r) for r in spark.table(table).collect()}
+        assert after == before
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert "band_id" in desc["Bucket Columns"]
+        # the zero-exchange probe still plans bucketed post-swap
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = pairs_from_band_index(spark, docs, table)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Bucketed: true") >= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        _rm_table(spark, table)
+        spark.sql(f"DROP TABLE IF EXISTS {table}__precompact")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
