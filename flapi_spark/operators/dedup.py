@@ -318,7 +318,14 @@ def dedup_minhash_lsh(
     materialization."""
     hashed = hashed_shingles(spark, sf_dir)
     sigs = minhash_signatures_from_hashed(hashed)
-    cands = lsh_candidate_pairs(sigs).persist()
+    # candidates materialized ONCE via eager localCheckpoint, not
+    # persist(): the pair set is read twice (semi-join arm + final
+    # join) but a persist pinned one cached candidate set PER CALL
+    # forever (the r5 cache-lifecycle rule the incremental op was
+    # fixed for; round 8 closes the same leak here) — checkpoint
+    # blocks are released by the ContextCleaner when the plan is
+    # GC'd, so repeated invocations cannot accumulate storage
+    cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
