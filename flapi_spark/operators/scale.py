@@ -294,7 +294,8 @@ def ntile_band(rank: "F.Column", n_rows: "F.Column", k: int) -> "F.Column":
 
 
 def compact_bucketed_table(
-    spark: "SparkSession", table: str, stage_suffix: str = "__compact"
+    spark: "SparkSession", table: str, stage_suffix: str = "__compact",
+    writer_tasks: int = 1,
 ) -> dict:
     """Small-files compaction for a BUCKETED warehouse table, bucket
     spec preserved (round 8). Every `insertInto` append (band index /
@@ -330,9 +331,15 @@ def compact_bucketed_table(
     rows = df.count()
     stage = f"{table}{stage_suffix}"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    # repartition onto the bucket columns so each writer task holds
-    # whole buckets -> exactly one output file per bucket
-    w = df.repartition(n_buckets, *cols).write.mode("overwrite")
+    # coalesce, not repartition: the V1 bucketed-write path strips a
+    # user repartition (measured: repartition(n_buckets, cols) still
+    # ran one writer task per INPUT split, 450 files; coalesce(1)
+    # wrote exactly n_buckets). Each writer task emits one file per
+    # bucket it holds, so files_after == writer_tasks * n_buckets —
+    # keep writer_tasks=1 for index-sized tables; raise it for tables
+    # where single-task write throughput is the bottleneck (the
+    # files-per-bucket trade is still ~appends-fold better)
+    w = df.coalesce(max(1, writer_tasks)).write.mode("overwrite")
     w = w.bucketBy(n_buckets, *cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

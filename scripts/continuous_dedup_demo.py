@@ -165,6 +165,16 @@ def main() -> int:
         flagged = spark.read.parquet(out_dir)
         n_flagged = flagged.count()
 
+        # 3b. periodic maintenance: N insertInto appends multiplied
+        # per-bucket files; compact both indexes back to one file per
+        # bucket (spec-preserving rename-swap) — probes stay bucketed
+        from flapi_spark.operators.scale import compact_bucketed_table
+
+        compact_stats = {
+            t: compact_bucketed_table(spark, t)
+            for t in (BAND_TABLE, SHINGLE_TABLE)
+        }
+
         # 4. indexed consumers over the final index state — the
         # store-backed probe: the corpus appears nowhere in the plan
         t0 = time.perf_counter()
@@ -236,6 +246,10 @@ def main() -> int:
             "consume_sec": consume_sec,
             "component_rows": n_comp_rows,
             "cluster_sec": cluster_sec,
+            "compaction": {
+                t: f"{s['files_before']}->{s['files_after']} files"
+                for t, s in compact_stats.items()
+            },
         }))
         return 0
     finally:
