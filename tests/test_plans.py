@@ -473,3 +473,32 @@ def test_containment_pairs_equi_keyed(spark, sf_dir):
     plan = _plan(spark, "dedup_containment_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,table,budget",
+    [
+        # derived-marginal entries (round 8): the w1-marginal/totals
+        # come from the counts table, never a second corpus explode —
+        # a regression re-adding a corpus-grain aggregate bumps the
+        # scan count past the budget
+        ("text_bigram_lm_score", "documents", 4),
+        ("text_quality_score", "documents", 1),
+        ("dedup_exact", "documents", 1),
+        ("events_sessionize", "events", 1),
+        ("psi_order_value_drift", "orders", 1),
+        # index-resident entries: the corpus must NOT appear at all
+        ("pagerank_indexed", "documents", 0),
+        ("kcore_indexed", "documents", 0),
+        ("dedup_components_indexed", "documents", 0),
+    ],
+)
+def test_corpus_scan_budget(spark, sf_dir, name, table, budget):
+    """Round-8 scan-audit regression guard: each entry's executed plan
+    may scan its fact table at most `budget` times (0 for the
+    index-resident family — their pair stream reads only the persisted
+    bucketed tables)."""
+    plan = _plan(spark, name, sf_dir)
+    assert plan.count(f"{table}.parquet") <= budget, (
+        f"{name}: {plan.count(f'{table}.parquet')} scans of {table}"
+    )
