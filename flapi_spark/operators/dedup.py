@@ -928,7 +928,9 @@ def _verify_jaccard_md5(
     return _verify_jaccard_sets(sets, cands, threshold)
 
 
-def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best_survivors(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Quality-aware survivor selection over near-dup clusters: label
     every document with its MinHash-LSH connected component (portable
     pipeline — exact-oracle-replayable end to end), then keep ONE doc
@@ -937,6 +939,11 @@ def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     own singleton component and survive. This is the keep/drop
     decision layer a production dedup actually ships: cluster, pick
     the best exemplar, drop the rest.
+
+    `pairs` (round 8) overrides the pair source — production passes
+    the persisted-index stream (pairs_from_band_index with a shingle
+    store: identical rows, zero corpus re-hash); default rebuilds the
+    self-contained portable chain, which is what the oracle replays.
 
     Scale shape: adds one broadcast-sized join (component labels cover
     only docs in some dup pair) and one per-component window over the
@@ -947,7 +954,10 @@ def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.operators.text import _tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_portable(spark, sf_dir).select("doc_a", "doc_b")
+    if pairs is None:
+        pairs = dedup_minhash_portable(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
     comps = label_components(pairs)
     base = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
