@@ -115,7 +115,11 @@ def main() -> int:
             .where("keep").select("doc_id"),
             "doc_id", "left_semi").localCheckpoint()
 
-    keep = stage("near_dedup", _near_dedup)
+    try:
+        keep = stage("near_dedup", _near_dedup)
+    finally:
+        for t in (band, store):
+            _rm_table(spark, t)
 
     # 5. decontamination — drop any training doc sharing eval n-grams
     keep = stage("decontam", lambda: keep.join(
