@@ -39,19 +39,29 @@ TABLES = (
     "region nation customer supplier part orders lineitem events"
     " documents embeddings"
 ).split()
-# tables the default queries actually scan, with the key columns that
-# must stay distinct across replicas; the rest link to sf0.1.
-# events also offsets user_id (the scale-up models MORE USERS, not 8×
-# longer per-user histories, which would superlinearly distort
-# session/trigram shapes); documents suffix every WORD with the
-# replica id, so replicas share ZERO tokens/shingles — the near-dup
-# pair set scales linearly (8× the original pairs). Plain replication
-# would make each doc an 8-clique of exact dups and densify the graph
-# quadratically in replicas — an artifact, not scale signal.
+# Key columns offset per replica by a UNIFORM constant (round 8
+# correction — the original scheme offset each table's keys by its own
+# ROW COUNT, which breaks referential integrity across joined tables:
+# orders replica i pointed at customer keys that only replica 0
+# carried, so multi-table queries at "sf0.8-rep" measured skewed
+# semi-matched joins; and lineitem/customer/part/supplier were not
+# replicated at all, so their grid rows re-measured sf0.1-sized
+# inputs). With one KEY_OFFSET for every key column, every join edge
+# (o_custkey→c_custkey, l_orderkey→o_orderkey, l_partkey→p_partkey,
+# l_suppkey→s_suppkey, events.user_id) lands on the matching replica
+# — the scale-up models MORE customers/orders/users, dims
+# (nation/region) shared. documents suffix every WORD and part
+# suffixes p_name with the replica id, so text-similarity pair sets
+# scale linearly instead of forming cross-replica exact-dup cliques.
+KEY_OFFSET = 10**10
 REPLICATED = {
     "documents": ("doc_id",),
     "events": ("event_id", "user_id"),
-    "orders": ("o_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
 }
 BUDGET_S = float(os.environ.get("BASELINE_QUERY_BUDGET_S", "120"))
 
@@ -59,7 +69,10 @@ BUDGET_S = float(os.environ.get("BASELINE_QUERY_BUDGET_S", "120"))
 def build_replica(spark, base: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
-    out_root = f"/tmp/flapi_spark_baseline_{factor}x"
+    # v2 suffix: replicas built under the round-8 uniform-offset
+    # scheme land in a fresh root so stale row-count-offset builds
+    # from earlier rounds are never reused
+    out_root = f"/tmp/flapi_spark_baseline_{factor}x_v2"
     os.makedirs(out_root, exist_ok=True)
     for t in TABLES:
         dst = os.path.join(out_root, f"{t}.parquet")
@@ -68,12 +81,13 @@ def build_replica(spark, base: str, factor: int) -> str:
                 continue  # reuse a previous build
             src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
             keys = REPLICATED[t]
-            n = src.count()
             parts = []
             for i in range(factor):
                 p = src
                 for key in keys:
-                    p = p.withColumn(key, F.col(key) + F.lit(i * n))
+                    p = p.withColumn(
+                        key, F.col(key) + F.lit(i * KEY_OFFSET)
+                    )
                 if t == "documents" and i > 0:
                     p = p.withColumn(
                         "text",
@@ -81,6 +95,13 @@ def build_replica(spark, base: str, factor: int) -> str:
                             "array_join(transform(split(text, ' '),"
                             f" x -> concat(x, '{i}')), ' ')"
                         ),
+                    )
+                if t == "part" and i > 0:
+                    # keep replica p_names disjoint: the fuzzy-match
+                    # blocking key is the last word, so a suffix keeps
+                    # cross-replica pairs out (linear pair growth)
+                    p = p.withColumn(
+                        "p_name", F.expr(f"concat(p_name, ' r{i}')")
                     )
                 parts.append(p)
             u = parts[0]
