@@ -25,6 +25,14 @@ Prints one JSON line with per-stage {rows, sec}.
 
 Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python
      scripts/pipeline_demo.py
+
+Scale-measurement caveat: the word-suffixed replica corpora built by
+baseline_multi_sf.py are NOT usable here — suffixed words ("the1")
+fail the stopword/Gopher gates by construction, so quality filters
+every replica but the original and downstream stages measure sf0.1
+again. The dedup-only loop (continuous_dedup_demo.py) is
+suffix-compatible; composed-pipeline scaling needs plain replicas or
+a real corpus.
 """
 import json
 import os
