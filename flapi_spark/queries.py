@@ -2460,6 +2460,35 @@ def _bucketed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_sql(pairs_sql: str | None = None) -> str:
+    """DuckDB replication of triangle_counts (a<b<c oriented 3-way
+    self-join + degree + 6dp clustering coefficient); `pairs_sql`
+    swaps the pair-stream CTE (see _pagerank_sql)."""
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + (pairs_sql or _JACCARD_PAIRS) + "),"
+            " p AS (SELECT DISTINCT CAST(doc_a AS BIGINT) AS a,"
+            "  CAST(doc_b AS BIGINT) AS b FROM pairs),"
+            " tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            "  FROM p e1 JOIN p e2 ON e2.a = e1.b"
+            "  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),"
+            " mem AS (SELECT x AS doc_id FROM tris"
+            "  UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),"
+            " tc AS (SELECT doc_id, count(*) AS n FROM mem GROUP BY doc_id),"
+            " deg AS (SELECT doc_id, count(*) AS degree FROM"
+            "  (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p) dd"
+            "  GROUP BY doc_id)"
+            " SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,"
+            "  CAST(degree AS BIGINT) AS degree,"
+            "  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_triangles,"
+            "  CASE WHEN degree >= 2 THEN"
+            "   round((2.0 * coalesce(tc.n, 0))"
+            "    / (degree * (degree - 1)), 6)"
+            "  ELSE 0.0 END AS clustering"
+            " FROM deg LEFT JOIN tc ON tc.doc_id = deg.doc_id"
+    )
+
+
 def _pagerank_sql(pairs_sql: str | None = None) -> str:
     """Chained-CTE DuckDB replication of the fixed-point integer
     PageRank (operators/graph.py): identical BIGINT floor-division
@@ -2515,26 +2544,7 @@ QUERIES.update(
         ),
         "triangle_count_neardup": (
             _triangle_count_neardup,
-            "WITH pairs AS (" + _JACCARD_PAIRS + "),"
-            " p AS (SELECT DISTINCT CAST(doc_a AS BIGINT) AS a,"
-            "  CAST(doc_b AS BIGINT) AS b FROM pairs),"
-            " tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
-            "  FROM p e1 JOIN p e2 ON e2.a = e1.b"
-            "  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),"
-            " mem AS (SELECT x AS doc_id FROM tris"
-            "  UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris),"
-            " tc AS (SELECT doc_id, count(*) AS n FROM mem GROUP BY doc_id),"
-            " deg AS (SELECT doc_id, count(*) AS degree FROM"
-            "  (SELECT a AS doc_id FROM p UNION ALL SELECT b FROM p) dd"
-            "  GROUP BY doc_id)"
-            " SELECT CAST(deg.doc_id AS BIGINT) AS doc_id,"
-            "  CAST(degree AS BIGINT) AS degree,"
-            "  CAST(coalesce(tc.n, 0) AS BIGINT) AS n_triangles,"
-            "  CASE WHEN degree >= 2 THEN"
-            "   round((2.0 * coalesce(tc.n, 0))"
-            "    / (degree * (degree - 1)), 6)"
-            "  ELSE 0.0 END AS clustering"
-            " FROM deg LEFT JOIN tc ON tc.doc_id = deg.doc_id",
+            _triangle_sql(),
         ),
         "dedup_substring_spans": (
             D.dedup_substring_spans,
@@ -4306,6 +4316,17 @@ def _kcore_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_decompose(_portable_index_pairs(spark, sf_dir))
 
 
+def _triangle_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """triangle_count_neardup's production shape (round 8): triangle
+    counts / clustering coefficients over the fully index-resident
+    pair stream — completes the indexed graph family
+    (components/pagerank/kcore/triangles all served from the
+    persisted band index + shingle store)."""
+    from flapi_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_portable_index_pairs(spark, sf_dir))
+
+
 # the pair stream the persisted portable index serves — bit-identical
 # to dedup_minhash_portable's verified pairs (shared verify arm)
 _MINHASH_PAIRS_SQL = (
@@ -4335,6 +4356,10 @@ QUERIES.update(
             _kcore_indexed,
             _kcore_sql(pairs_sql=_MINHASH_PAIRS_SQL),
         ),
+        "triangle_indexed": (
+            _triangle_indexed,
+            _triangle_sql(pairs_sql=_MINHASH_PAIRS_SQL),
+        ),
     }
 )
 
@@ -4351,8 +4376,10 @@ QUERIES.update(
 # plan-adjacent sibling), then (3) the stalest cohort: all 46 entries
 # whose latest driver verdict is round 1-3.
 _CHECK_FIRST = [
-    # (1) new round-8 entries (first driver look)
-    "pagerank_indexed", "kcore_indexed",
+    # (1) new round-8 entries (first driver look; triangle_indexed
+    # displaced zorder_locality_stats — the least-stale r3 entry —
+    # to keep the window at 50)
+    "pagerank_indexed", "kcore_indexed", "triangle_indexed",
     # (2) oracle/plan-adjacent this round
     "pagerank_neardup_graph", "kcore_neardup_graph",
     # (3) stalest cohort (latest driver verdict r1-r3)
@@ -4375,7 +4402,7 @@ _CHECK_FIRST = [
     "split_train_holdout", "src_csv_roundtrip", "src_json_roundtrip",
     "src_multifile_provenance", "src_python_datasource",
     "supplier_balance_by_nation", "text_repetition_filters",
-    "text_script_detect", "twa_event_value", "zorder_locality_stats",
+    "text_script_detect", "twa_event_value",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {
