@@ -322,6 +322,13 @@ def compact_bucketed_table(
         r.col_name: r.data_type
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
     }
+    if "Num Buckets" not in desc:
+        raise ValueError(
+            f"compact_bucketed_table: {table} is not bucketed — use "
+            "sinks.compact_parquet for plain datasets (a bucket-less "
+            "rewrite here would silently drop nothing, but the point "
+            "of this operator is preserving the bucket spec)"
+        )
     n_buckets = int(desc["Num Buckets"])
     cols = _re.findall(r"`([^`]+)`", desc["Bucket Columns"])
     sort_cols = _re.findall(r"`([^`]+)`", desc.get("Sort Columns", ""))

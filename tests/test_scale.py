@@ -255,3 +255,19 @@ def test_compact_bucketed_table_preserves_spec_and_plan(spark, sf_dir):
         _rm_table(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}__precompact")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+
+
+def test_compact_bucketed_table_rejects_unbucketed(spark):
+    from flapi_spark.operators.scale import compact_bucketed_table
+    from flapi_spark.writes import _rm_table
+
+    import pytest as _pytest
+
+    t = "t_compact_plain"
+    _rm_table(spark, t)
+    try:
+        spark.range(10).write.saveAsTable(t)
+        with _pytest.raises(ValueError, match="not bucketed"):
+            compact_bucketed_table(spark, t)
+    finally:
+        _rm_table(spark, t)
