@@ -132,7 +132,11 @@ def _pairs_index_resident(spark, sf_dir):
     """Round 8: the fully index-resident pair stream (candidates from
     the bucketed band index, verify from the bucketed shingle store,
     zero corpus access) — the steady-state probe every indexed
-    consumer pays."""
+    consumer pays. Run portable_index_bootstrap FIRST (as in
+    `python scripts/scale_smoke.py portable_index_bootstrap
+    pairs_index_resident`) so each factor's cell measures the probe;
+    standalone, the first timing per factor would fold the one-time
+    build in."""
     from flapi_spark.operators.dedup import pairs_from_band_index
 
     band, store = _ensure_portable_index(spark, sf_dir)
