@@ -71,8 +71,10 @@ def build_replica(spark, base: str, factor: int) -> str:
 
     # v2 suffix: replicas built under the round-8 uniform-offset
     # scheme land in a fresh root so stale row-count-offset builds
-    # from earlier rounds are never reused
-    out_root = f"/tmp/flapi_spark_baseline_{factor}x_v2"
+    # from earlier rounds are never reused; base-keyed so builds from
+    # different SF dirs never collide in the cache
+    stem = os.path.basename(base.rstrip("/"))
+    out_root = f"/tmp/flapi_spark_baseline_{stem}_{factor}x_v2"
     os.makedirs(out_root, exist_ok=True)
     for t in TABLES:
         dst = os.path.join(out_root, f"{t}.parquet")
