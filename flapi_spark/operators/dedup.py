@@ -315,7 +315,17 @@ def dedup_minhash_lsh(
     store+reread beats recompute only when the corpus no longer fits
     page cache). The hash-ONCE production path is the persisted band
     index (write_band_index*/pairs_from_band_index), not an in-query
-    materialization."""
+    materialization.
+
+    SIDE EFFECT (round-9 ADVICE note): the candidate materialization
+    below is an EAGER localCheckpoint, so merely CONSTRUCTING this
+    DataFrame runs the candidate-generation job — explain-only
+    callers pay it too. Checkpoint blocks are also unreplicated;
+    executor loss mid-query fails the run (fine in this single-JVM
+    framework; a multi-executor deploy would pass
+    `spark.checkpoint.dir` and use reliable checkpoints here). Both
+    are the accepted price of leak-free candidate reuse — see the
+    inline comment."""
     hashed = hashed_shingles(spark, sf_dir)
     sigs = minhash_signatures_from_hashed(hashed)
     # candidates materialized ONCE via eager localCheckpoint, not

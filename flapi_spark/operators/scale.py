@@ -314,9 +314,24 @@ def compact_bucketed_table(
     scanning). Consumers re-list on their next freshly-resolved read
     (refreshTable'd here, same contract as the maintainers).
 
+    CRASH/CONCURRENCY CONTRACT (round-9 ADVICE): the two renames are
+    not one atomic step — a process crash between them leaves no
+    `{table}` but a complete `{table}__precompact`, and a reader
+    resolving the name inside that window sees table-not-found. The
+    recovery check below makes a RERUN heal that state (rename the
+    precompact snapshot back before proceeding), so the operator is
+    idempotent across crashes; run it single-writer in a maintenance
+    window, like the maintainers it serves.
+
     Returns {"files_before", "files_after", "rows"}."""
     import glob as _glob
     import re as _re
+
+    old = f"{table}__precompact"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(old):
+        # crashed mid-swap on a prior run: the live table was renamed
+        # away but the stage never took its place — restore it first
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
 
     desc = {
         r.col_name: r.data_type
@@ -351,7 +366,6 @@ def compact_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(stage)
-    old = f"{table}__precompact"
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     try:

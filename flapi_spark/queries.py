@@ -4369,40 +4369,39 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-8 ROTATION: r7 left zero genuine failures; this window
-# front-loads (1) the two NEW round-8 entries (the persisted-index
-# pagerank/kcore twins), (2) the two inline graph entries (the
-# pagerank oracle CTE gained AS MATERIALIZED this round; kcore is its
-# plan-adjacent sibling), then (3) the stalest cohort: all 46 entries
-# whose latest driver verdict is round 1-3.
+# ROUND-9 ROTATION: r8 left zero genuine failures (47/50 full pass,
+# 3 rows-only by design), so this window is pure staleness drain:
+# the stalest cohort — the single remaining r3-latest entry plus all
+# 42 entries whose latest driver verdict is round 4 — then the
+# earliest round-5 entries to fill to 50. (The r8 window's 50 are now
+# the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
-    # (1) new round-8 entries (first driver look; triangle_indexed
-    # displaced zorder_locality_stats — the least-stale r3 entry —
-    # to keep the window at 50)
-    "pagerank_indexed", "kcore_indexed", "triangle_indexed",
-    # (2) oracle/plan-adjacent this round
-    "pagerank_neardup_graph", "kcore_neardup_graph",
-    # (3) stalest cohort (latest driver verdict r1-r3)
-    "anomaly_zscore_daily", "approx_percentile_order_values",
-    "asof_join_events_orders_forward", "asof_join_events_orders_nearest",
-    "cache_time_travel", "cohort_retention", "corr_matrix_lineitem",
-    "cube_revenue", "domain_mixture_sample", "dq_orders_expectations",
-    "event_transition_matrix", "events_linear_interp",
-    "events_props_variant", "events_session_window_agg",
-    "ewma_daily_revenue", "funnel_conversion", "fuzzy_part_name_pairs",
-    "grouping_sets_revenue", "histogram_order_values",
-    "lineitem_measures_unpivot", "mm_decoded_features",
-    "mode_priority_by_segment", "pivot_priority_by_segment",
-    "q11_important_parts", "q12_priority_by_status", "q18_large_orders",
-    "q20_volume_share_suppliers", "q22_idle_customers",
-    "repeat_customers_intersect", "rfm_segmentation",
-    "rolling_distinct_customers_7d", "rolling_median_order_value_7d",
-    "rolling_revenue_7d", "sample_stratified_by_lang",
-    "scd2_order_priority_history", "skew_profile_orders",
-    "split_train_holdout", "src_csv_roundtrip", "src_json_roundtrip",
-    "src_multifile_provenance", "src_python_datasource",
-    "supplier_balance_by_nation", "text_repetition_filters",
-    "text_script_detect", "twa_event_value",
+    # stalest: latest driver verdict r3
+    "zorder_locality_stats",
+    # latest driver verdict r4 (all 42)
+    "abc_classification", "bucketed_revenue_by_segment",
+    "cohort_ltv_curves", "corpus_shard_assign", "counter_rate_events",
+    "customer_concentration_topn", "customer_value_trends",
+    "cusum_changepoint", "daily_top_order", "dedup_rate_by_source",
+    "dim_profile_part", "discount_band_effects", "embedding_norm_stats",
+    "events_burstiness", "events_error_rate_sla",
+    "events_interarrival_percentiles", "events_value_boxplot",
+    "events_weekday_hour_heatmap", "gram_novelty_rate",
+    "holt_linear_daily_revenue", "k_anonymity_orders",
+    "langid_confusion_matrix", "m4_downsample_events",
+    "ma_crossover_signals", "mau_dau_stickiness",
+    "new_vs_returning_monthly", "order_line_count_distribution",
+    "order_to_ship_latency_percentiles", "order_value_outliers_iqr",
+    "order_weekday_seasonality", "orderpriority_status_concat",
+    "region_nation_revenue_shares", "repeat_rate_by_segment",
+    "revenue_growth_rates", "sample_weighted_quality",
+    "src_orc_roundtrip", "tables_row_counts", "text_ttr_diversity",
+    "trimmed_mean_order_values", "udtf_ngram_profile",
+    "user_behavior_entropy", "vocab_oov_rate",
+    # earliest r5 fillers to reach 50
+    "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
+    "customer_activity_full_outer", "forecast_seasonal_naive",
+    "funnel_time_to_convert", "gini_customer_revenue",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

@@ -109,7 +109,14 @@ def _ensure_portable_index(spark, sf_dir):
     from flapi_spark.writes import _rm_table
 
     if sf_dir not in _IDX_BUILT:
-        suffix = abs(hash(sf_dir)) % 10**8
+        # deterministic digest, NOT hash(): builtin str hash is salted
+        # per process (PYTHONHASHSEED), so a hash()-derived name minted
+        # fresh tables every run and stale ones accumulated in the
+        # shared warehouse forever (round-9 ADVICE fix) — a stable name
+        # is overwritten in place by the bootstrap below instead
+        import hashlib
+
+        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         band, store = f"smoke_bands_{suffix}", f"smoke_shingles_{suffix}"
         for t in (band, store):
             _rm_table(spark, t)

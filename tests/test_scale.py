@@ -271,3 +271,39 @@ def test_compact_bucketed_table_rejects_unbucketed(spark):
             compact_bucketed_table(spark, t)
     finally:
         _rm_table(spark, t)
+
+
+def test_compact_bucketed_table_recovers_from_crashed_swap(spark, sf_dir):
+    """Round 9 (ADVICE): the rename-swap is not atomic — simulate a
+    crash between the two renames (live table renamed away, stage
+    never promoted) and assert a RERUN heals the orphaned
+    __precompact snapshot and completes the compaction."""
+    from flapi_spark.operators.dedup import (
+        append_band_index_portable, write_band_index_portable,
+    )
+    from flapi_spark.operators.scale import compact_bucketed_table
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = "t_compact_crash"
+    for t in (table, f"{table}__precompact", f"{table}__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_band_index_portable(spark, docs.where("doc_id % 2 = 0"), table)
+        append_band_index_portable(spark, docs.where("doc_id % 2 = 1"), table)
+        before = {tuple(r) for r in spark.table(table).collect()}
+        # crash window: first rename committed, second never ran
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__precompact")
+        assert not spark.catalog.tableExists(table)
+        stats = compact_bucketed_table(spark, table)
+        assert stats["rows"] == len(before)
+        assert {tuple(r) for r in spark.table(table).collect()} == before
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert "band_id" in desc["Bucket Columns"]
+    finally:
+        for t in (table, f"{table}__precompact", f"{table}__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
