@@ -140,10 +140,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_decode(payload: bytes) -> dict:
-    """Full PNG decode: chunk walk (CRC-checked IHDR), zlib inflate,
-    per-scanline unfilter (all 5 filter types), channel mean over the
-    reconstructed pixels. 8-bit depth; interlace unsupported."""
+def _png_raster(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """Shared PNG parse + unfilter core: (width, height, channels,
+    top-down scanlines of reconstructed channel bytes). `_png_decode`
+    sums it for stats; `png_pixels` reshapes it into a pixel array."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
@@ -176,7 +176,7 @@ def _png_decode(payload: bytes) -> dict:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
-    total = 0
+    lines: list[bytearray] = []
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
@@ -197,9 +197,29 @@ def _png_decode(payload: bytes) -> dict:
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter {ftype}")
-        total += sum(line)
+        lines.append(line)
         prev = line
-    n_values = height * stride
+    return width, height, channels, lines
+
+
+def png_pixels(payload: bytes):
+    """Reconstructed pixel array (h, w, channels) uint8 — the PNG
+    pixel hook for perceptual hashing (round 9), same parse/unfilter
+    core as `_png_decode`."""
+    import numpy as np
+
+    width, height, channels, lines = _png_raster(payload)
+    arr = np.frombuffer(b"".join(lines), dtype=np.uint8)
+    return arr.reshape(height, width, channels)
+
+
+def _png_decode(payload: bytes) -> dict:
+    """Full PNG decode: chunk walk (CRC-checked IHDR), zlib inflate,
+    per-scanline unfilter (all 5 filter types), channel mean over the
+    reconstructed pixels. 8-bit depth; interlace unsupported."""
+    width, height, channels, lines = _png_raster(payload)
+    total = sum(sum(line) for line in lines)
+    n_values = height * width * channels
     return {
         "width": int(width),
         "height": int(height),
@@ -292,10 +312,10 @@ def bmp_encode(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     return header + info + body
 
 
-def _bmp_decode(payload: bytes) -> dict:
-    """24-bit uncompressed BMP decode: header walk, bottom-up BGR rows
-    with 4-byte padding, per-channel means (same stats contract as
-    _png_decode)."""
+def _bmp_raster(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Shared BMP parse core: (width, height, TOP-DOWN rows of raw
+    BGR bytes) — `_bmp_decode` sums them for stats; `bmp_pixels`
+    reorders the channels into an RGB array."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
     (offset,) = struct.unpack("<I", payload[10:14])
@@ -308,17 +328,41 @@ def _bmp_decode(payload: bytes) -> dict:
     h = abs(h)
     row_bytes = w * 3
     pad = (4 - row_bytes % 4) % 4
-    sums = [0, 0, 0]
+    rows: list[bytes] = []
     pos = offset
     for _ in range(h):
         row = payload[pos : pos + row_bytes]
         if len(row) < row_bytes:
             raise ValueError("BMP pixel data truncated")
+        rows.append(row)
+        pos += row_bytes + pad
+    if bottom_up:
+        rows.reverse()
+    return w, h, rows
+
+
+def bmp_pixels(payload: bytes):
+    """Reconstructed pixel array (h, w, 3) uint8 RGB — the BMP pixel
+    hook for perceptual hashing (round 9)."""
+    import numpy as np
+
+    w, h, rows = _bmp_raster(payload)
+    bgr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 3)
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _bmp_decode(payload: bytes) -> dict:
+    """24-bit uncompressed BMP decode: header walk, bottom-up BGR rows
+    with 4-byte padding, per-channel means (same stats contract as
+    _png_decode)."""
+    w, h, rows = _bmp_raster(payload)
+    row_bytes = w * 3
+    sums = [0, 0, 0]
+    for row in rows:
         for i in range(0, row_bytes, 3):
             sums[2] += row[i]       # B
             sums[1] += row[i + 1]   # G
             sums[0] += row[i + 2]   # R
-        pos += row_bytes + pad
     n_px = w * h
     means = [s / n_px for s in sums] if n_px else [0.0, 0.0, 0.0]
     return {
@@ -705,6 +749,264 @@ def decode_auto(payload: bytes, media_type: str) -> dict:
     ):
         return decode_real(payload, media_type)
     return decode_stub(payload, media_type)
+
+
+# --- image perceptual hashing (round 9) ------------------------------------
+#
+# dHash/aHash give the dedup family its missing IMAGE lane (text has
+# MinHash/SimHash, embeddings have cosine/LSH): 64-bit fingerprints
+# from an 8x8 luma downsample, robust to re-encoding and uniform
+# brightness shifts, compared by Hamming distance. Candidate pairs
+# reuse the SimHash 16-bit-band machinery (operators/dedup.py
+# _simhash_pairs) — banded equi-join, never all-pairs.
+
+
+def image_luma(payload: bytes):
+    """Integer luma plane (h, w) int64 from any supported still-image
+    payload (PNG / BMP / baseline JPEG), ITU-R BT.601 integer weights
+    (299·R + 587·G + 114·B) // 1000 — deterministic across platforms
+    (no float path). Grayscale sources use the gray channel directly
+    (alpha ignored)."""
+    import numpy as np
+
+    if payload[:8] == PNG_SIG:
+        px = png_pixels(payload)
+    elif payload[:2] == b"BM":
+        px = bmp_pixels(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from flapi_spark.jpeg import decoded_pixels
+
+        px = np.rint(decoded_pixels(payload))
+    else:
+        raise ValueError("image_luma: not a PNG/BMP/baseline-JPEG payload")
+    px = np.asarray(px, dtype=np.int64)
+    if px.ndim == 2:
+        return px
+    if px.shape[2] == 1:  # gray
+        return px[:, :, 0]
+    if px.shape[2] == 2:  # gray + alpha
+        return px[:, :, 0]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _luma_grid(luma, rows: int, cols: int):
+    """Integer box-mean downsample of a luma plane to rows x cols.
+    Cell (r, c) averages source rows [r·h//rows, (r+1)·h//rows) —
+    clamped to at least one row/col so images SMALLER than the grid
+    replicate pixels instead of failing. Pure integer (sum // count):
+    bit-stable across numpy versions."""
+    import numpy as np
+
+    h, w = luma.shape
+    out = np.empty((rows, cols), dtype=np.int64)
+    for r in range(rows):
+        r0 = r * h // rows
+        r1 = max(r0 + 1, (r + 1) * h // rows)
+        for c in range(cols):
+            c0 = c * w // cols
+            c1 = max(c0 + 1, (c + 1) * w // cols)
+            cell = luma[r0:r1, c0:c1]
+            out[r, c] = int(cell.sum()) // cell.size
+    return out
+
+
+def dhash64(luma) -> int:
+    """64-bit difference hash: 8x9 luma grid, bit r·8+c set iff
+    cell[r][c+1] > cell[r][c] (horizontal gradient sign). Invariant
+    to uniform brightness/contrast shifts; near-dup images differ in
+    a few bits (Hamming)."""
+    grid = _luma_grid(luma, 8, 9)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c + 1] > grid[r][c]:
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+def ahash64(luma) -> int:
+    """64-bit average hash: 8x8 luma grid, bit r·8+c set iff the cell
+    exceeds the grid mean (compared as cell·64 > total — exact
+    integer, no float mean)."""
+    grid = _luma_grid(luma, 8, 8)
+    total = int(grid.sum())
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if int(grid[r][c]) * 64 > total:
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+IMAGE_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        # 64-bit hashes carried as two unsigned-32 halves in longs —
+        # the fingerprint shape dedup._simhash_pairs bands on
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def image_hash_batch(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over image payloads
+    (mapInPandas, same lane as decode_batch): PNG/BMP/JPEG rows decode
+    to a luma plane and emit dHash + aHash as (hi, lo) unsigned-32
+    halves; non-image rows are dropped. The heavy binary column stays
+    inside the stage — downstream pair generation shuffles only
+    8-byte fingerprints."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["media_type"].str.startswith("image")
+            pdf = pdf[mask]
+            ids, mts, ws, hs = [], [], [], []
+            dhi, dlo, ahi, alo = [], [], [], []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                luma = image_luma(payload)
+                d, a = dhash64(luma), ahash64(luma)
+                ids.append(doc_id)
+                mts.append(mt)
+                hs.append(luma.shape[0])
+                ws.append(luma.shape[1])
+                dhi.append(d >> 32)
+                dlo.append(d & 0xFFFFFFFF)
+                ahi.append(a >> 32)
+                alo.append(a & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "media_type": mts,
+                    "width": ws, "height": hs,
+                    "dhash_hi": dhi, "dhash_lo": dlo,
+                    "ahash_hi": ahi, "ahash_lo": alo,
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=IMAGE_HASH_SCHEMA)
+
+
+IMG_GROUP = 4  # docs per synthetic near-dup image cluster
+
+
+def _base_image_pixels(leader: int) -> list[list[tuple[int, int, int]]]:
+    """Deterministic base image for a near-dup cluster: pixel values
+    hash-chained from the leader id, scaled into [16, 239] so the
+    brightness variant below never clips (clipping would break the
+    shift-invariance the tests pin)."""
+    seed = hashlib.sha256(f"img:{leader}".encode()).digest()
+    w = 16 + seed[0] % 9
+    h = 16 + seed[1] % 9
+    stream = hashlib.sha256(seed).digest()
+    need = w * h * 3
+    while len(stream) < need:
+        stream += hashlib.sha256(stream[-32:]).digest()
+    it = iter(stream)
+    return [
+        [
+            tuple(16 + next(it) * 224 // 256 for _ in range(3))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+
+
+def synthesize_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image corpus with KNOWN near-dup structure: every IMG_GROUP
+    consecutive doc_ids share one base image, published as the
+    variants a real crawl yields — the original PNG, a +8 brightness
+    shift, a lossy JPEG re-encode, and a PNG with ~1.5% hash-noise
+    pixels. Cross-cluster images are independent hash noise (expected
+    dHash Hamming ≈ 32), so within-cluster pairs are the only
+    near-dups — exact ground truth for mm_phash_pairs' tests. Same
+    Arrow-batched synthesis lane as synthesize_real_media."""
+    from flapi_spark.jpeg import jpeg_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _one(doc_id: int) -> tuple[bytes, str]:
+        leader = doc_id - doc_id % IMG_GROUP
+        pixels = _base_image_pixels(leader)
+        m = doc_id % IMG_GROUP
+        if m == 1:  # uniform brightness shift (never clips: base <= 239)
+            pixels = [
+                [tuple(v + 8 for v in px) for px in row] for row in pixels
+            ]
+        elif m == 2:  # lossy re-encode
+            return jpeg_encode(pixels), "image/jpeg"
+        elif m == 3:  # sparse pixel noise (~1.5% of pixels replaced)
+            noisy = []
+            for y, row in enumerate(pixels):
+                out_row = []
+                for x, px in enumerate(row):
+                    tag = hashlib.sha256(
+                        f"noise:{leader}:{y}:{x}".encode()
+                    ).digest()
+                    if tag[0] < 4:  # 4/256 ≈ 1.5%
+                        px = (tag[1], tag[2], tag[3])
+                    out_row.append(px)
+                noisy.append(out_row)
+            pixels = noisy
+        return png_encode(pixels), "image/png"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id in pdf["doc_id"]:
+                p, t = _one(int(doc_id))
+                payloads.append(p)
+                types.append(t)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": types,
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def mm_phash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10
+) -> DataFrame:
+    """Image near-dup pairs by dHash (round 9): synthesize genuine
+    PNG/JPEG payloads with known near-dup structure
+    (synthesize_image_corpus), perceptual-hash them in the Arrow
+    decode lane, then generate candidates with the SimHash band
+    equi-join (8 bands of 8 bits here) and verify full-64-bit Hamming
+    ≤ max_hamming — the image lane of the dedup family (text:
+    MinHash/SimHash; embeddings: cosine/LSH). Rows-only check (binary
+    synthesis + pixel decode are not SQL-expressible); golden hash
+    equality, variant robustness, and cluster recovery are pinned in
+    tests/test_multimodal.py.
+
+    Scale shape: hashing is linear map work over the media scan
+    (fingerprints shuffle, payload bytes never do); the pair stream
+    is the same banded-join plan as dedup_simhash — at 100 TB the
+    band buckets shard the corpus and no all-pairs product ever
+    forms."""
+    from flapi_spark.operators.dedup import _simhash_pairs
+
+    media = synthesize_image_corpus(spark, sf_dir)
+    fps = image_hash_batch(media).select(
+        "doc_id",
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    # 8 bands of 8 bits: pigeonhole-complete recall for hamming <= 7
+    # (and measured complete on the synthetic ground truth at <= 10);
+    # the text lane keeps its oracle-pinned 4x16 default
+    return _simhash_pairs(fps, max_hamming, n_bands=8)
 
 
 def decode_batch(media: DataFrame, decoder=decode_stub) -> DataFrame:

@@ -419,24 +419,30 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _simhash_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+def _simhash_pairs(
+    fps: DataFrame, max_hamming: int, n_bands: int = 4
+) -> DataFrame:
     """Banded SimHash pair generation + Hamming verify over (doc_id,
-    hi, lo) fingerprints: block on any equal 16-bit band (4 bands),
-    verify Hamming distance over the full 64 bits."""
+    hi, lo) fingerprints: block on any equal (64/n_bands)-bit band,
+    verify Hamming distance over the full 64 bits. Default 4 bands of
+    16 bits (the oracle-pinned text-SimHash shape); the image lane
+    (multimodal.mm_phash_pairs) uses 8 bands of 8 bits — pigeonhole
+    guarantees a matching band whenever hamming < n_bands, so wider
+    verify radii need more (narrower) bands: recall vs bucket-size
+    trade, same dial as MinHash-LSH's band count."""
+    bpb = 64 // n_bands
+    mask = F.lit((1 << bpb) - 1)
+
+    def band(i: int) -> F.Column:
+        src = F.col("lo") if i * bpb < 32 else F.col("hi")
+        return F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(src, (i * bpb) % 32).bitwiseAND(mask).alias("bv"),
+        )
+
     banded = fps.select(
         "doc_id", "hi", "lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_id"),
-                         F.col("lo").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
-                F.struct(F.lit(1).alias("band_id"),
-                         F.shiftright("lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
-                F.struct(F.lit(2).alias("band_id"),
-                         F.col("hi").bitwiseAND(F.lit(0xFFFF)).alias("bv")),
-                F.struct(F.lit(3).alias("band_id"),
-                         F.shiftright("hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("bv")),
-            )
-        ).alias("b"),
+        F.explode(F.array(*[band(i) for i in range(n_bands)])).alias("b"),
     ).select("doc_id", "hi", "lo", "b.band_id", "b.bv")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(

@@ -1077,6 +1077,12 @@ def _mm_real_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_real_decoded(spark, sf_dir)
 
 
+def _mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_phash_pairs
+
+    return mm_phash_pairs(spark, sf_dir)
+
+
 def _lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
@@ -1293,6 +1299,10 @@ QUERIES.update(
         "mm_decoded_features": (_mm_decoded_features, None),  # rows-only: stub decode
         # real PNG/WAV parse over genuine synthesized payloads
         "mm_real_decoded": (_mm_real_decoded, None),  # rows-only: binary synthesis
+        # round 9: image near-dup pairs by dHash over the decode lane
+        # (rows-only: pixel synthesis/decode not SQL-expressible;
+        # golden hashes + cluster recovery pinned in tests)
+        "mm_phash_pairs": (_mm_phash_pairs, None),
         # -- non-parquet source formats / provenance
         "src_multifile_provenance": (
             src_multifile_provenance,
@@ -4376,6 +4386,9 @@ QUERIES.update(
 # earliest round-5 entries to fill to 50. (The r8 window's 50 are now
 # the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
+    # NEW round-9 entry (first driver look; displaces the last r5
+    # filler to keep the window at 50)
+    "mm_phash_pairs",
     # stalest: latest driver verdict r3
     "zorder_locality_stats",
     # latest driver verdict r4 (all 42)
@@ -4401,7 +4414,7 @@ _CHECK_FIRST = [
     # earliest r5 fillers to reach 50
     "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
     "customer_activity_full_outer", "forecast_seasonal_naive",
-    "funnel_time_to_convert", "gini_customer_revenue",
+    "funnel_time_to_convert",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

@@ -427,3 +427,153 @@ class TestMp4Container:
                 assert 0.0 <= r.mean_level <= 255.0
             else:
                 assert r.mean_level is None  # opaque samples stay gated
+
+
+class TestPerceptualHash:
+    """Round 9: image perceptual hashing (dHash/aHash) + the banded
+    near-dup pair stream over the synthetic image corpus."""
+
+    def _luma(self, w=16, h=12, seed=b"px"):
+        import hashlib
+
+        import numpy as np
+
+        stream = hashlib.sha256(seed).digest()
+        while len(stream) < w * h:
+            stream += hashlib.sha256(stream[-32:]).digest()
+        return np.frombuffer(stream[: w * h], dtype=np.uint8).astype(
+            np.int64
+        ).reshape(h, w)
+
+    def test_dhash_golden_against_naive(self):
+        """Pin dhash64 to an independent naive implementation (no
+        shared helpers: explicit per-cell loops)."""
+        luma = self._luma()
+        h, w = luma.shape
+        grid = [[0] * 9 for _ in range(8)]
+        for r in range(8):
+            for c in range(9):
+                r0, r1 = r * h // 8, max(r * h // 8 + 1, (r + 1) * h // 8)
+                c0, c1 = c * w // 9, max(c * w // 9 + 1, (c + 1) * w // 9)
+                vals = [luma[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+                grid[r][c] = sum(int(v) for v in vals) // len(vals)
+        expect = 0
+        for r in range(8):
+            for c in range(8):
+                if grid[r][c + 1] > grid[r][c]:
+                    expect |= 1 << (r * 8 + c)
+        assert M.dhash64(luma) == expect
+
+    def test_ahash_golden_against_naive(self):
+        luma = self._luma(seed=b"ahash")
+        h, w = luma.shape
+        cells, total = [], 0
+        for r in range(8):
+            for c in range(8):
+                r0, r1 = r * h // 8, max(r * h // 8 + 1, (r + 1) * h // 8)
+                c0, c1 = c * w // 8, max(c * w // 8 + 1, (c + 1) * w // 8)
+                vals = [luma[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+                cells.append(sum(int(v) for v in vals) // len(vals))
+        total = sum(cells)
+        expect = 0
+        for i, cell in enumerate(cells):
+            if cell * 64 > total:
+                expect |= 1 << i
+        assert M.ahash64(luma) == expect
+
+    def test_brightness_shift_invariance(self):
+        luma = self._luma(seed=b"bright")
+        assert M.dhash64(luma) == M.dhash64(luma + 9)
+        assert M.ahash64(luma) == M.ahash64(luma + 9)
+
+    def test_small_perturbation_small_hamming(self):
+        luma = self._luma(seed=b"perturb")
+        bumped = luma.copy()
+        bumped[2, 3] += 4
+        d = bin(M.dhash64(luma) ^ M.dhash64(bumped)).count("1")
+        assert d <= 2
+
+    def test_pixel_roundtrips_and_luma_consistency(self):
+        """png_pixels/bmp_pixels reconstruct the encoded pixels
+        exactly, and both containers yield the SAME luma plane."""
+        import numpy as np
+
+        rng = __import__("random").Random(31)
+        px = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(11)]
+            for _ in range(7)
+        ]
+        p, b = M.png_encode(px), M.bmp_encode(px)
+        pa, ba = M.png_pixels(p), M.bmp_pixels(b)
+        assert pa.shape == (7, 11, 3) and (pa == ba).all()
+        assert all(
+            tuple(pa[y][x]) == px[y][x] for y in range(7) for x in range(11)
+        )
+        assert (M.image_luma(p) == M.image_luma(b)).all()
+        # BT.601 integer luma, spot pixel
+        r, g, bl = px[0][0]
+        assert M.image_luma(p)[0][0] == (299 * r + 587 * g + 114 * bl) // 1000
+
+    def test_luma_smaller_than_grid(self):
+        import numpy as np
+
+        tiny = np.arange(12, dtype=np.int64).reshape(3, 4)
+        # cells replicate pixels; both hashes still defined
+        assert 0 <= M.dhash64(tiny) < 1 << 64
+        assert 0 <= M.ahash64(tiny) < 1 << 64
+
+    def test_image_corpus_cluster_recovery(self, spark, sf_dir):
+        """mm_phash_pairs over the synthetic corpus: perfect precision
+        (every pair within one IMG_GROUP cluster — cross-cluster
+        images are independent noise, measured Hamming >= 18) and
+        measured-complete recall of the ground-truth pairs at
+        sf0.001."""
+        pairs = M.mm_phash_pairs(spark, sf_dir).collect()
+        assert pairs
+        got = {(r.doc_a, r.doc_b) for r in pairs}
+        for r in pairs:
+            assert r.doc_a < r.doc_b
+            assert r.hamming <= 10
+            # precision: same cluster
+            assert r.doc_a // M.IMG_GROUP == r.doc_b // M.IMG_GROUP
+        # recall: ground truth = within-cluster pairs whose true
+        # hamming <= 10, computed by hashing the same payloads locally
+        media = M.synthesize_image_corpus(spark, sf_dir).collect()
+        hashes = {
+            r.doc_id: M.dhash64(M.image_luma(bytes(r.payload))) for r in media
+        }
+        expected = set()
+        for a in hashes:
+            for b in hashes:
+                if a < b and a // M.IMG_GROUP == b // M.IMG_GROUP:
+                    if bin(hashes[a] ^ hashes[b]).count("1") <= 10:
+                        expected.add((a, b))
+        assert got == expected
+        # the corpus really contains near-dups (not a vacuous pass)
+        assert len(expected) >= 100
+
+    def test_image_hash_batch_drops_payload_and_nonimages(self, spark, sf_dir):
+        media = M.synthesize_real_media(spark, sf_dir)
+        out = M.image_hash_batch(media)
+        assert "payload" not in out.columns
+        rows = out.collect()
+        assert rows and all(m.startswith("image") for m in
+                            {r.media_type for r in rows})
+        for r in rows[:10]:
+            for half in (r.dhash_hi, r.dhash_lo, r.ahash_hi, r.ahash_lo):
+                assert 0 <= half <= 0xFFFFFFFF
+
+    def test_phash_pair_plan_is_banded_join(self, spark, sf_dir):
+        """No cartesian/BNLJ even with broadcast disabled: candidates
+        come from the band equi-join."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                M.mm_phash_pairs(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoop" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
