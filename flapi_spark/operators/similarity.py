@@ -162,6 +162,64 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> Dat
     )
 
 
+def rowwise_ivf_assign(
+    vectors: DataFrame, centroid_rows: list, nprobe: int = 1
+) -> DataFrame:
+    """STATELESS per-row IVF assignment (round 9): same cell choice as
+    `ivf_assign`, but computed entirely inside one projection — the
+    centroid set rides along as an array-of-structs LITERAL and each
+    vector scores/sorts/slices it per row. No groupBy, no window, so
+    the expression is legal on an append-mode STREAM (ivf_assign's
+    row_number window is not) — the embedding twin of
+    dedup.rowwise_minhash.
+
+    `centroid_rows` is the collect()ed frozen centroid table (the
+    `<table>__centroids` sidecar) — bounded by design: centroids are
+    the broadcast-sized summary (see ivf_centroids), and freezing
+    them driver-side here is the same contract as the broadcast in
+    ivf_assign. Arithmetic parity: the dot/norm folds below mirror
+    cosine_col's aggregate(zip_with(...)) element order exactly, and
+    the (desc sim, asc cell_id) tie-break is reproduced by an
+    ascending struct sort on (-sim, cell_id) — equality with
+    ivf_assign is asserted bit-for-bit in tests."""
+
+    def _dot(a, b) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cell_id)).cast("long").alias("cell_id"),
+                F.lit([float(v) for v in r.centroid]).alias("centroid"),
+            )
+            for r in centroid_rows
+        ]
+    )
+    emb = F.col("embedding")
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (
+                -(
+                    _dot(emb, c["centroid"])
+                    / (F.sqrt(_dot(emb, emb)) * F.sqrt(_dot(c["centroid"], c["centroid"])))
+                )
+            ).alias("neg_sim"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    probed = F.slice(F.sort_array(scored), 1, nprobe)
+    return vectors.select(
+        "vec_id", "embedding", F.explode(probed).alias("pc")
+    ).select("vec_id", "embedding", F.col("pc.cell_id").alias("cell_id"))
+
+
 def ivf_assignments(
     spark: SparkSession, emb: DataFrame, nprobe: int = 1
 ) -> tuple[DataFrame, DataFrame]:

@@ -802,6 +802,116 @@ def neardup_guard_stream(
     ).where(F.col("jaccard") >= threshold)
 
 
+def embedding_guard_stream(
+    vec_stream: DataFrame,
+    index: DataFrame,
+    centroid_rows: list,
+    threshold: float = 0.4,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Ingestion-time near-dup guard for the EMBEDDING lane (round 9,
+    the mirror of neardup_guard_stream for text): a stream of incoming
+    vectors is checked against the persisted bucketed IVF index —
+    "is this new embedding already (near-)present in my corpus?" —
+    before it lands.
+
+    Every stage is stateless (append-mode safe, zero streaming
+    state): per-row cell assignment against the FROZEN bootstrap
+    centroids (similarity.rowwise_ivf_assign — the centroid set is a
+    driver-side literal, same bounded-summary contract as the
+    broadcast in ivf_assign; never re-derive centroids from a grown
+    corpus), then a stream-static equi-join on cell_id against the
+    bucketed index (similarity.write_ivf_index) — the index side
+    reads as a bucketed scan with ZERO exchange — then the exact
+    per-candidate cosine verify. Work per micro-batch is
+    O(delta x cell-cohabitants), independent of corpus size; the
+    corpus embedding parquet is absent from the per-batch plan
+    entirely (plan-asserted in tests).
+
+    Recall follows IVF semantics: a corpus vector is found iff its
+    (nprobe=1) cell is among the query's nprobe probed cells — the
+    same dial as ann_ivf_probe_indexed; raise nprobe for recall, at
+    linear candidate cost. Pairs emit at most once per (query,
+    corpus) vector: corpus vectors live in exactly one cell.
+
+    Static-side FRESHNESS: same V1 file-source contract as
+    neardup_guard_stream — appends by ivf_index_maintainer are seen
+    by a guard (re)built from a fresh spark.table() per availableNow
+    run (the maintainer refreshTable's after each append)."""
+    from flapi_spark.operators.dedup import cosine_col
+    from flapi_spark.operators.similarity import rowwise_ivf_assign
+
+    assigned = rowwise_ivf_assign(vec_stream, centroid_rows, nprobe)
+    corpus = index.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").alias("corpus_embedding"),
+    )
+    cands = assigned.join(corpus, "cell_id").where(
+        F.col("vec_id") != F.col("corpus_vec_id")
+    )
+    return cands.select(
+        "vec_id",
+        "corpus_vec_id",
+        "cell_id",
+        F.round(cosine_col("embedding", "corpus_embedding"), 6).alias(
+            "cosine"
+        ),
+    ).where(F.col("cosine") >= threshold)
+
+
+def embedding_guard_batch(
+    vectors: DataFrame,
+    index: DataFrame,
+    centroid_rows: list,
+    threshold: float = 0.4,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Batch twin of embedding_guard_stream — same helpers, batch
+    input; the window-for-window equality anchor in tests."""
+    return embedding_guard_stream(
+        vectors, index, centroid_rows, threshold=threshold, nprobe=nprobe
+    )
+
+
+def ivf_index_maintainer(table: str, marker_dir: str):
+    """Streaming maintenance of the persisted IVF index (round 9): a
+    ``writeStream.foreachBatch`` callable folding each micro-batch's
+    vectors into the bucketed index via similarity.append_ivf_index —
+    assignment is against the FROZEN ``<table>__centroids`` sidecar,
+    so cell identity stays stable and probes stay exchange-free.
+    Completes the continuous-ingest loop for the embedding lane the
+    way band_index_maintainer does for text: guard the batch against
+    the corpus, then fold it in.
+
+    Same replay/refresh semantics as band_index_maintainer: committed
+    batch ids tracked with _SUCCESS markers written AFTER the append
+    commits (a crash in the window duplicates one batch in the index;
+    duplicates cost verify work, never correctness — consumers rank
+    or threshold per pair), and both the micro-batch clone session
+    and the constructing session are refreshTable'd so a guard
+    rebuilt from a fresh spark.table() re-lists."""
+    import os
+
+    from flapi_spark.operators.similarity import append_ivf_index
+
+    origin = SparkSession.getActiveSession()
+
+    def _append(batch_df, batch_id: int) -> None:
+        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # replayed batch — already folded into the index
+        spark = batch_df.sparkSession
+        append_ivf_index(spark, batch_df, table)
+        for s in {spark, origin} - {None}:
+            s.catalog.refreshTable(table)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+
+    return _append
+
+
 def band_index_maintainer(table: str, marker_dir: str,
                           shingle_table: str | None = None):
     """Streaming maintenance of the persisted LSH band index (round

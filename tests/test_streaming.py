@@ -1062,3 +1062,244 @@ def test_quality_gate_stream_equals_batch_and_gopher(
     assert sum(r.n_docs for r in rows) == tot.n
     assert sum(r.pass_n_tokens for r in rows) == tot.c1
     assert sum(r.pass_all for r in rows) == tot.keep
+
+
+class TestEmbeddingGuard:
+    """Round 9: streaming embedding-ingest guard over the persisted
+    bucketed IVF index — the embedding-lane mirror of the text
+    neardup guard."""
+
+    def _setup_index(self, spark, sf_dir, table):
+        from flapi_spark.operators.similarity import write_ivf_index
+        from flapi_spark.session import load_table
+        from flapi_spark.writes import _rm_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _rm_table(spark, table)
+        _rm_table(spark, f"{table}__centroids")
+        write_ivf_index(spark, emb, table)
+        return emb, spark.table(f"{table}__centroids").collect()
+
+    def _teardown(self, spark, table):
+        from flapi_spark.writes import _rm_table
+
+        _rm_table(spark, table)
+        _rm_table(spark, f"{table}__centroids")
+
+    def test_rowwise_assign_equals_windowed(self, spark, sf_dir):
+        """rowwise_ivf_assign (stateless, stream-legal) must pick the
+        SAME cells as ivf_assign (window-ranked) bit-for-bit — same
+        cosine fold order, same (desc sim, asc cell_id) tie-break."""
+        from flapi_spark.operators.similarity import (
+            ivf_assign, ivf_centroids, rowwise_ivf_assign,
+        )
+        from flapi_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = ivf_centroids(emb)
+        rows = cent.collect()
+        for nprobe in (1, 3):
+            a = {(r.vec_id, r.cell_id)
+                 for r in ivf_assign(emb, cent, nprobe).collect()}
+            b = {(r.vec_id, r.cell_id)
+                 for r in rowwise_ivf_assign(emb, rows, nprobe).collect()}
+            assert a == b and len(a) == emb.count() * nprobe
+
+    def test_stream_equals_batch_and_plan_is_index_resident(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """availableNow run over a landed vector batch == the batch
+        twin pair-for-pair; the micro-batch plan reads the index as a
+        bucketed scan (zero index-side exchange) and never touches
+        the corpus embedding parquet."""
+        import glob as _glob
+
+        table = "t_eguard_ivf"
+        emb, cent = self._setup_index(spark, sf_dir, table)
+        d = tmp_path_factory.mktemp("eguard_landing")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            incoming = emb.where(F.col("vec_id") % 7 == 0)
+            staging = str(d / "_stage")
+            incoming.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / "batch_0.parquet"),
+            )
+            shutil.rmtree(staging)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            stream = spark.readStream.schema(
+                "vec_id BIGINT, embedding ARRAY<FLOAT>"
+            ).parquet(str(d))
+            guarded = ST.embedding_guard_stream(
+                stream, spark.table(table), cent
+            )
+            name = _qname()
+            q = (
+                guarded.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            plan = q._jsq.explainInternal(True)
+            assert "Bucketed: true" in plan
+            assert "embeddings.parquet" not in plan
+            got = {
+                (r.vec_id, r.corpus_vec_id, r.cell_id, r.cosine)
+                for r in spark.table(name).collect()
+            }
+            expect = {
+                (r.vec_id, r.corpus_vec_id, r.cell_id, r.cosine)
+                for r in ST.embedding_guard_batch(
+                    incoming, spark.table(table), cent
+                ).collect()
+            }
+            assert got == expect and got
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            self._teardown(spark, table)
+
+    def test_guard_matches_bruteforce_within_probed_cells(
+        self, spark, sf_dir
+    ):
+        """IVF recall semantics, anchored to an INDEPENDENT path:
+        guard pairs == brute-force cosine-threshold pairs restricted
+        to (query, corpus) vectors sharing a probed cell, where the
+        restriction is computed with the WINDOWED ivf_assign."""
+        from flapi_spark.operators.dedup import cosine_col
+        from flapi_spark.operators.similarity import ivf_assign
+        from flapi_spark.session import load_table
+
+        table = "t_eguard_recall"
+        emb, cent = self._setup_index(spark, sf_dir, table)
+        try:
+            incoming = emb.where(F.col("vec_id") % 7 == 0)
+            got = {
+                (r.vec_id, r.corpus_vec_id)
+                for r in ST.embedding_guard_batch(
+                    incoming, spark.table(table), cent, nprobe=3
+                ).collect()
+            }
+            cent_df = spark.createDataFrame(cent)
+            qcells = ivf_assign(incoming, cent_df, nprobe=3)
+            ccells = ivf_assign(emb, cent_df, nprobe=1)
+            q = incoming.join(qcells, "vec_id").select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("eq"), "cell_id",
+            )
+            c = emb.join(ccells, "vec_id").select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("ec"), "cell_id",
+            )
+            expect = {
+                (r.qid, r.cid)
+                for r in q.join(c, "cell_id")
+                .where(F.col("qid") != F.col("cid"))
+                .select(
+                    "qid", "cid",
+                    F.round(cosine_col("eq", "ec"), 6).alias("cos"),
+                )
+                .where(F.col("cos") >= 0.4)
+                .collect()
+            }
+            assert got == expect and got
+        finally:
+            self._teardown(spark, table)
+
+    def test_ivf_index_maintainer_folds_batches(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Bootstrap the index on half the vectors, stream the other
+        half through the maintainer: final index row set == batch
+        build over the full set (modulo cell assignment against the
+        SAME frozen centroids), replays are no-ops, and a fresh guard
+        sees stream-vs-earlier-stream pairs."""
+        import glob as _glob
+
+        from flapi_spark.operators.similarity import write_ivf_index
+        from flapi_spark.session import load_table
+        from flapi_spark.writes import _rm_table
+
+        table = "t_eguard_maint"
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.where("vec_id % 2 = 0")
+        new = emb.where("vec_id % 2 = 1")
+        _rm_table(spark, table)
+        _rm_table(spark, f"{table}__centroids")
+        d = tmp_path_factory.mktemp("eguard_maint_landing")
+        markers = str(tmp_path_factory.mktemp("eguard_maint_markers"))
+        try:
+            write_ivf_index(spark, old, table)
+            halves = new.randomSplit([0.5, 0.5], seed=9)
+            for i, part in enumerate(halves):
+                staging = str(d / f"_stage_{i}")
+                part.coalesce(1).write.parquet(staging)
+                shutil.copy(
+                    _glob.glob(staging + "/part-*.parquet")[0],
+                    str(d / f"batch_{i}.parquet"),
+                )
+                shutil.rmtree(staging)
+            stream = (
+                spark.readStream.schema(
+                    "vec_id BIGINT, embedding ARRAY<FLOAT>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            writer = ST.ivf_index_maintainer(table, markers)
+            q = (
+                stream.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", str(d / "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            assert spark.table(table).count() == emb.count()
+            # every vector filed under its frozen-centroid cell
+            from flapi_spark.operators.similarity import rowwise_ivf_assign
+
+            cent = spark.table(f"{table}__centroids").collect()
+            expect = {
+                (r.cell_id, r.vec_id)
+                for r in rowwise_ivf_assign(emb, cent, 1).collect()
+            }
+            got = {
+                (r.cell_id, r.vec_id) for r in spark.table(table).collect()
+            }
+            assert got == expect
+            # replay is a no-op
+            n = spark.table(table).count()
+            writer(new.limit(20), 0)
+            assert spark.table(table).count() == n
+            # a fresh guard over already-folded vectors finds their
+            # own index rows' neighbors (self excluded)
+            probe = new.limit(5)
+            pairs = ST.embedding_guard_batch(
+                probe, spark.table(table), cent, threshold=0.2
+            ).collect()
+            assert all(r.vec_id != r.corpus_vec_id for r in pairs)
+        finally:
+            _rm_table(spark, table)
+            _rm_table(spark, f"{table}__centroids")
+
+    def test_guard_plan_has_no_stream_stream_join(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        table = "t_eguard_plan"
+        emb, cent = self._setup_index(spark, sf_dir, table)
+        d = tmp_path_factory.mktemp("eguard_plan_landing")
+        emb.limit(1).write.mode("overwrite").parquet(str(d / "seed"))
+        try:
+            stream = spark.readStream.schema(
+                "vec_id BIGINT, embedding ARRAY<FLOAT>"
+            ).parquet(str(d / "seed"))
+            guarded = ST.embedding_guard_stream(
+                stream, spark.table(table), cent
+            )
+            plan = guarded._jdf.queryExecution().logical().toString()
+            assert "Join" in plan  # stream-static candidate join
+            assert guarded.isStreaming
+        finally:
+            self._teardown(spark, table)
