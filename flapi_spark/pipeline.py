@@ -1,0 +1,231 @@
+"""Composable training-data curation pipeline (round 9).
+
+`curate()` promotes scripts/pipeline_demo.py's stage chain —
+quality gates → language ID → exact dedup → near-dup keep-best →
+decontamination → (optional) split — from a script to a library API
+an endpoint/config can invoke: the stage list is DATA (names or
+{"stage": ..., params} dicts), each stage is the production operator
+from the registry, and the result carries the surviving keep-set
+plus a per-stage attrition funnel (the quality_gate_funnel shape:
+which stage bites, and how hard).
+
+Scale contract (the demo's, now enforced in one place): the keep-set
+flows stage to stage as a doc_id column joined semi-style — at
+100 TB the intermediate keep-sets are id-grain, never copied text —
+and each stage's result is eagerly localCheckpoint'ed (GC-managed,
+the round-8 cache-lifecycle rule) so downstream stages re-read a
+materialized id set instead of replaying the whole upstream chain
+per action.
+
+Reference parity: the reference has no pipeline composer — this is
+brief-driven LLM-data-pipeline surface (SURVEY §2.3), composing the
+operators the reference's users would chain by hand.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from time import perf_counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.session import load_table
+
+
+def _quality(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
+    """Gopher gates: keep docs passing ALL gates."""
+    from flapi_spark.operators.text import text_gopher_filters
+
+    return keep.join(
+        text_gopher_filters(spark, sf_dir).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def _langid(
+    spark: SparkSession, sf_dir: str, keep: DataFrame, langs: list | None = None
+) -> DataFrame:
+    """Language ID: keep confidently-identified docs; `langs`
+    restricts to an allow-list (default: anything but 'unknown')."""
+    from flapi_spark.operators.text import text_langid
+
+    ids = text_langid(spark, sf_dir)
+    cond = (
+        F.col("predicted_lang").isin([str(x) for x in langs])
+        if langs
+        else F.col("predicted_lang") != "unknown"
+    )
+    return keep.join(
+        ids.where(cond).select("doc_id"), "doc_id", "left_semi"
+    )
+
+
+def _exact_dedup(
+    spark: SparkSession, sf_dir: str, keep: DataFrame
+) -> DataFrame:
+    """One survivor per md5 fingerprint (corpus-wide survivor choice,
+    intersected with the current keep-set — the demo's semantics)."""
+    from flapi_spark.operators.dedup import dedup_exact_survivors
+
+    return keep.join(
+        dedup_exact_survivors(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def _near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    pairs: DataFrame | None = None,
+    band_table: str | None = None,
+    shingle_store: str | None = None,
+) -> DataFrame:
+    """Quality-aware exemplar per near-dup cluster. Pair source, in
+    precedence order: explicit `pairs`; the persisted portable index
+    (`band_table` + `shingle_store` — the zero-rehash production
+    path); else the inline MinHash-LSH chain."""
+    from flapi_spark.operators.dedup import (
+        dedup_keep_best_survivors, pairs_from_band_index,
+    )
+
+    if pairs is None and band_table is not None:
+        pairs = pairs_from_band_index(
+            spark, None, band_table, shingle_store=shingle_store
+        ).select("doc_a", "doc_b")
+    return keep.join(
+        dedup_keep_best_survivors(spark, sf_dir, pairs=pairs)
+        .where("keep")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def _decontam(
+    spark: SparkSession, sf_dir: str, keep: DataFrame
+) -> DataFrame:
+    """Drop training docs sharing n-grams with the eval split."""
+    from flapi_spark.operators.text import contamination_ngram_overlap
+
+    return keep.join(
+        contamination_ngram_overlap(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def _train_split(
+    spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
+) -> DataFrame:
+    """Deterministic md5 split; keep one side."""
+    from flapi_spark.operators.text import split_train_holdout
+
+    return keep.join(
+        split_train_holdout(spark, sf_dir)
+        .where(F.col("split") == split)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+STAGES = {
+    "quality": _quality,
+    "langid": _langid,
+    "exact_dedup": _exact_dedup,
+    "near_dedup": _near_dedup,
+    "decontam": _decontam,
+    "train_split": _train_split,
+}
+
+DEFAULT_STAGES = [
+    "quality", "langid", "exact_dedup", "near_dedup", "decontam",
+]
+
+_FUNNEL_SCHEMA = (
+    "stage BIGINT, stage_name STRING, n_in BIGINT, n_out BIGINT,"
+    " n_dropped BIGINT"
+)
+
+
+@dataclass
+class CurationReport:
+    """Result of curate(): the surviving keep-set + the attrition
+    funnel (list of per-stage dicts incl. wall seconds) and its
+    deterministic DataFrame form (counts only — `sec` excluded so the
+    funnel is oracle-comparable)."""
+
+    keep: DataFrame
+    stages: list[dict] = field(default_factory=list)
+
+    @property
+    def funnel_df(self) -> DataFrame:
+        rows = [
+            (i + 1, s["stage"], s["n_in"], s["n_out"], s["n_in"] - s["n_out"])
+            for i, s in enumerate(self.stages)
+        ]
+        return self.keep.sparkSession.createDataFrame(
+            rows, schema=_FUNNEL_SCHEMA
+        )
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: list | None = None,
+    checkpoint: bool = True,
+) -> CurationReport:
+    """Run the curation chain over `documents` at `sf_dir`.
+
+    `stages` is a config-shaped list: each element a stage name from
+    STAGES or a dict {"stage": <name>, <param>: <value>, ...} whose
+    extra keys pass through to the stage builder (e.g.
+    {"stage": "langid", "langs": ["en"]} or {"stage": "near_dedup",
+    "band_table": ..., "shingle_store": ...}). Attrition is monotone
+    by construction (every stage only narrows the keep-set) and
+    asserted.
+
+    Returns a CurationReport; report.keep is the surviving doc_id
+    DataFrame, report.stages the per-stage attrition (+ wall
+    seconds), report.funnel_df the deterministic funnel."""
+    spec = []
+    for s in stages if stages is not None else DEFAULT_STAGES:
+        if isinstance(s, str):
+            name, params = s, {}
+        else:
+            params = dict(s)
+            name = params.pop("stage")
+        if name not in STAGES:
+            raise ValueError(
+                f"curate: unknown stage {name!r}"
+                f" (available: {sorted(STAGES)})"
+            )
+        spec.append((name, params))
+
+    keep = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_prev = keep.count()
+    report = CurationReport(keep=keep)
+    for name, params in spec:
+        t0 = perf_counter()
+        keep = STAGES[name](spark, sf_dir, keep, **params)
+        if checkpoint:
+            keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        report.stages.append(
+            {
+                "stage": name,
+                "n_in": n_prev,
+                "n_out": n,
+                "sec": round(perf_counter() - t0, 3),
+            }
+        )
+        assert n <= n_prev, (name, n, n_prev)
+        n_prev = n
+    report.keep = keep
+    return report

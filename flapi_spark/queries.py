@@ -4374,6 +4374,66 @@ QUERIES.update(
 )
 
 
+# --- round 9: the composed curation pipeline as a library API ---------------
+
+
+def _pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flapi_spark.pipeline.curate with the default stage chain
+    (quality → langid → exact dedup → near-dup keep-best → decontam):
+    the per-stage attrition funnel. Every stage is an already-oracled
+    registry operator; the oracle below chains those same SQL bodies
+    as keep-set CTEs."""
+    from flapi_spark.pipeline import curate
+
+    return curate(spark, sf_dir).funnel_df
+
+
+def _curation_funnel_sql() -> str:
+    g = QUERIES["text_gopher_filters"][1]
+    l = QUERIES["text_langid"][1]
+    e = QUERIES["dedup_exact_survivors"][1]
+    kb = QUERIES["dedup_keep_best_survivors"][1]
+    c = QUERIES["contamination_ngram_overlap"][1]
+    cnt = "SELECT count(*) FROM k{}"
+    rows = " UNION ALL ".join(
+        f"SELECT {i}, '{name}', ({cnt.format(i - 1)}), ({cnt.format(i)}),"
+        f" ({cnt.format(i - 1)}) - ({cnt.format(i)})"
+        for i, name in (
+            (2, "langid"), (3, "exact_dedup"), (4, "near_dedup"),
+            (5, "decontam"),
+        )
+    )
+    return (
+        "WITH k0 AS (SELECT doc_id FROM documents),"
+        f" k1 AS (SELECT doc_id FROM k0 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({g}) g WHERE keep)),"
+        f" k2 AS (SELECT doc_id FROM k1 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({l}) l WHERE predicted_lang <> 'unknown')),"
+        f" k3 AS (SELECT doc_id FROM k2 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({e}) e)),"
+        f" k4 AS (SELECT doc_id FROM k3 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({kb}) kb WHERE keep)),"
+        f" k5 AS (SELECT doc_id FROM k4 WHERE doc_id NOT IN"
+        f"  (SELECT DISTINCT train_doc FROM ({c}) c))"
+        " SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,"
+        " CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_in,"
+        " CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_out,"
+        " CAST((SELECT count(*) FROM k0) - (SELECT count(*) FROM k1)"
+        "  AS BIGINT) AS n_dropped"
+        f" UNION ALL {rows}"
+    )
+
+
+QUERIES.update(
+    {
+        "pipeline_curation_funnel": (
+            _pipeline_curation_funnel,
+            _curation_funnel_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -4386,9 +4446,9 @@ QUERIES.update(
 # earliest round-5 entries to fill to 50. (The r8 window's 50 are now
 # the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
-    # NEW round-9 entry (first driver look; displaces the last r5
-    # filler to keep the window at 50)
-    "mm_phash_pairs",
+    # NEW round-9 entries (first driver look; displace the last two
+    # r5 fillers to keep the window at 50)
+    "mm_phash_pairs", "pipeline_curation_funnel",
     # stalest: latest driver verdict r3
     "zorder_locality_stats",
     # latest driver verdict r4 (all 42)
@@ -4414,7 +4474,6 @@ _CHECK_FIRST = [
     # earliest r5 fillers to reach 50
     "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
     "customer_activity_full_outer", "forecast_seasonal_naive",
-    "funnel_time_to_convert",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

@@ -1,0 +1,119 @@
+"""Round 9: the composed curation pipeline as a library API
+(flapi_spark.pipeline.curate) — config-driven stage lists, monotone
+attrition, persisted-index parity, and the funnel shape the registry
+entry exposes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flapi_spark.pipeline import DEFAULT_STAGES, STAGES, curate
+
+
+def test_default_chain_monotone_and_reported(spark, sf_dir):
+    rep = curate(spark, sf_dir)
+    names = [s["stage"] for s in rep.stages]
+    assert names == DEFAULT_STAGES
+    counts = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+    assert rep.keep.count() == counts[-1]
+    # chaining is consistent: each stage's n_in == previous n_out
+    for prev, cur in zip(rep.stages, rep.stages[1:]):
+        assert cur["n_in"] == prev["n_out"]
+
+
+def test_funnel_df_matches_report(spark, sf_dir):
+    rep = curate(spark, sf_dir, stages=["quality", "exact_dedup"])
+    rows = {r.stage_name: r for r in rep.funnel_df.collect()}
+    assert set(rows) == {"quality", "exact_dedup"}
+    for s in rep.stages:
+        r = rows[s["stage"]]
+        assert (r.n_in, r.n_out, r.n_dropped) == (
+            s["n_in"], s["n_out"], s["n_in"] - s["n_out"]
+        )
+
+
+def test_config_driven_stage_params(spark, sf_dir):
+    """Dict-shaped stages pass params through: a language allow-list
+    restricts the langid keep-set, and a split param flips which side
+    train_split keeps."""
+    broad = curate(spark, sf_dir, stages=["langid"]).keep
+    en = curate(
+        spark, sf_dir, stages=[{"stage": "langid", "langs": ["en"]}]
+    ).keep
+    # allow-list keep is a subset of the non-unknown keep (equal at
+    # this SF: the n-gram heuristic predicts 'en' for every
+    # confidently-identified doc in the tiny corpus)
+    assert en.join(broad, "doc_id", "left_anti").count() == 0
+    assert en.count() > 0
+    train = curate(spark, sf_dir, stages=["train_split"]).keep
+    hold = curate(
+        spark, sf_dir, stages=[{"stage": "train_split", "split": "holdout"}]
+    ).keep
+    n_train, n_hold = train.count(), hold.count()
+    assert n_train > 0 and n_hold > 0
+    assert train.join(hold, "doc_id", "inner").count() == 0  # disjoint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_train + n_hold == docs.count()
+
+
+def test_near_dedup_indexed_pair_source_parity(spark, sf_dir):
+    """near_dedup served from the persisted portable index (band
+    table + shingle store) keeps the SAME docs as the inline chain —
+    the demo's zero-rehash production path, now a stage param."""
+    from flapi_spark.operators.dedup import (
+        write_band_index_portable, write_shingle_store_portable,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    band, store = "t_pipe_bands", "t_pipe_shingles"
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (band, store):
+        _rm_table(spark, t)
+    try:
+        write_band_index_portable(spark, docs, band)
+        write_shingle_store_portable(spark, docs, store)
+        inline = curate(spark, sf_dir, stages=["near_dedup"]).keep
+        indexed = curate(
+            spark,
+            sf_dir,
+            stages=[
+                {
+                    "stage": "near_dedup",
+                    "band_table": band,
+                    "shingle_store": store,
+                }
+            ],
+        ).keep
+        a = {r.doc_id for r in inline.collect()}
+        b = {r.doc_id for r in indexed.collect()}
+        assert a == b and a
+    finally:
+        for t in (band, store):
+            _rm_table(spark, t)
+
+
+def test_unknown_stage_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown stage"):
+        curate(spark, sf_dir, stages=["quality", "nope"])
+
+
+def test_train_split_stage(spark, sf_dir):
+    from flapi_spark.operators.text import split_train_holdout
+
+    rep = curate(spark, sf_dir, stages=["train_split"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    want = {
+        r.doc_id
+        for r in split_train_holdout(spark, sf_dir)
+        .where(F.col("split") == "train")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stage_registry_covers_demo_chain(spark):
+    # the demo's keep/drop chain is expressible purely from STAGES
+    assert {"quality", "langid", "exact_dedup", "near_dedup",
+            "decontam", "train_split"} <= set(STAGES)
