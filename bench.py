@@ -63,6 +63,10 @@ HEADLINE = [
     # persisted band index (zero-exchange candidate generation)
     "pagerank_indexed",
     "kcore_indexed",
+    # round 9: the image near-dup lane (rows-only entry — no DuckDB
+    # row in the baseline table) and the composed curation funnel
+    "mm_phash_pairs",
+    "pipeline_curation_funnel",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only
