@@ -930,7 +930,14 @@ def synthesize_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched synthesis lane as synthesize_real_media."""
     from flapi_spark.jpeg import jpeg_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # documents.parquet is a single row-group at bench SFs → one input
+    # split; without a spread the whole Python encode/decode lane runs
+    # on ONE core (measured 28 s → 3 s at sf0.1 on local[32])
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def _one(doc_id: int) -> tuple[bytes, str]:
         leader = doc_id - doc_id % IMG_GROUP
@@ -1002,7 +1009,14 @@ def mm_phash_pairs(
         "doc_id",
         F.col("dhash_hi").alias("hi"),
         F.col("dhash_lo").alias("lo"),
-    )
+    ).localCheckpoint(eager=True)
+    # fingerprints materialized ONCE (GC-managed checkpoint, the
+    # dedup_minhash_lsh convention): the banded self-join evaluates
+    # both aliases, and unlike the text lane's cheap JVM hash chain,
+    # re-evaluating HERE means a second full Python decode pass over
+    # the corpus (measured 2x wall). 16 bytes/doc — at 100 TB this is
+    # the persisted fingerprint table, hashed once at ingest.
+    #
     # 8 bands of 8 bits: pigeonhole-complete recall for hamming <= 7
     # (and measured complete on the synthetic ground truth at <= 10);
     # the text lane keeps its oracle-pinned 4x16 default
@@ -1179,7 +1193,13 @@ def synthesize_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is deterministic. Runs as an Arrow-batched mapInPandas
     stage — per-row imperative encode work streams through executors,
     no driver loop."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the single-split documents scan so the Python codec lane
+    # uses every core (see synthesize_image_corpus)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -33,6 +33,21 @@ Prints one JSON line:
 
 Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python
      scripts/continuous_dedup_demo.py
+
+Corpus-scale mode (round 9): SPARK_GRAFT_BOOTSTRAP_DIR points the
+BOOTSTRAP corpus at a different (bigger) documents dir — e.g. the
+8x word-suffixed replica built by baseline_multi_sf.build_replica —
+while the incoming batches stay sf0.1-sized. This measures the
+actual 100 TB claim: per-batch guard/maintain latency independent of
+corpus size (the index is probed via bucketed scans, never
+re-shuffled; the verify arm reads the shingle store, never the
+corpus). Replica docs carry word suffixes, so incoming base docs
+only pair against the replica-0 originals — the flagged pair set
+matches the sf0.1 run while the index is 8x bigger. The per-batch
+batch-recompute equality anchor is SKIPPED in this mode: it
+recomputes the inline O(corpus) chain per batch (exactly the cost
+the indexed path exists to avoid) and its equality is already pinned
+by the same-dir run + tests.
 """
 import glob
 import json
@@ -81,9 +96,18 @@ def main() -> int:
     spark = get_spark(app_name="continuous_dedup_demo")
     spark.sparkContext.setLogLevel("ERROR")
 
+    corpus_dir = os.environ.get("SPARK_GRAFT_BOOTSTRAP_DIR", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bootstrap = docs.where(F.col("doc_id") % 6 != 0)
+    corpus = (
+        docs
+        if corpus_dir == sf_dir
+        else load_table(spark, corpus_dir, "documents").select(
+            "doc_id", "text"
+        )
+    )
+    bootstrap = corpus.where(F.col("doc_id") % 6 != 0)
     incoming = docs.where(F.col("doc_id") % 6 == 0)
+    check_anchor = corpus_dir == sf_dir  # see module docstring
 
     work = tempfile.mkdtemp(prefix="cont_dedup_demo_")
     landing = os.path.join(work, "landing")
@@ -204,7 +228,7 @@ def main() -> int:
             F.greatest("doc_id", "corpus_doc_id").alias("doc_b"),
         ).distinct().collect()}
         expect = set()
-        for i in range(N_BATCHES):
+        for i in range(N_BATCHES if check_anchor else 0):
             b = incoming.where(
                 F.expr(f"int((doc_id div 6) % {N_BATCHES})") == i)
             seen = bootstrap.unionByName(
@@ -225,13 +249,17 @@ def main() -> int:
                       "doc_b", "left_anti")
                 .collect()
             }
-        assert got == expect, (
-            f"guard pairs diverge: {len(got)} streamed vs "
-            f"{len(expect)} batch-recomputed"
-        )
+        if check_anchor:
+            assert got == expect, (
+                f"guard pairs diverge: {len(got)} streamed vs "
+                f"{len(expect)} batch-recomputed"
+            )
 
         print(json.dumps({
             "sf_dir": sf_dir,
+            "corpus_dir": corpus_dir,
+            "bootstrap_docs": bootstrap.count(),
+            "anchor_checked": check_anchor,
             "n_batches": N_BATCHES,
             "bootstrap_sec": bootstrap_sec,
             "guard_sec": guard_sec,
