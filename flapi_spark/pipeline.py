@@ -120,6 +120,28 @@ def _decontam(
     )
 
 
+def _image_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """IMAGE near-dup clusters (round 9): dHash pairs from the
+    multimodal lane (mm_phash_pairs), connected components, keep the
+    min-doc_id exemplar per cluster — the image sibling of
+    near_dedup. Docs without an image variant (or with a unique one)
+    survive untouched."""
+    from flapi_spark.multimodal import mm_phash_pairs
+    from flapi_spark.operators.dedup import label_components
+
+    pairs = mm_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
+    comps = label_components(pairs.select("doc_a", "doc_b"))
+    dropped = comps.where(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    return keep.join(dropped, "doc_id", "left_anti")
+
+
 def _train_split(
     spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
 ) -> DataFrame:
@@ -140,6 +162,7 @@ STAGES = {
     "langid": _langid,
     "exact_dedup": _exact_dedup,
     "near_dedup": _near_dedup,
+    "image_near_dedup": _image_near_dedup,
     "decontam": _decontam,
     "train_split": _train_split,
 }

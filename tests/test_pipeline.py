@@ -117,3 +117,26 @@ def test_stage_registry_covers_demo_chain(spark):
     # the demo's keep/drop chain is expressible purely from STAGES
     assert {"quality", "langid", "exact_dedup", "near_dedup",
             "decontam", "train_split"} <= set(STAGES)
+
+
+def test_image_near_dedup_stage(spark, sf_dir):
+    """The image lane inside curate(): per dHash cluster exactly the
+    min-doc_id exemplar survives; docs outside any cluster are
+    untouched."""
+    from flapi_spark.multimodal import mm_phash_pairs
+    from flapi_spark.operators.dedup import label_components
+
+    rep = curate(spark, sf_dir, stages=["image_near_dedup"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    comps = label_components(
+        mm_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ).collect()
+    clustered = {r.doc_id for r in comps}
+    exemplars = {r.doc_id for r in comps if r.doc_id == r.component_id}
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    }
+    assert got == (docs - clustered) | exemplars
+    assert len(got) < len(docs)  # the corpus has image near-dups
