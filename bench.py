@@ -63,9 +63,10 @@ HEADLINE = [
     # persisted band index (zero-exchange candidate generation)
     "pagerank_indexed",
     "kcore_indexed",
-    # round 9: the image near-dup lane (rows-only entry — no DuckDB
-    # row in the baseline table) and the composed curation funnel
+    # round 9: the image + audio near-dup lanes (rows-only entries —
+    # no DuckDB rows in the baseline table) and the composed funnel
     "mm_phash_pairs",
+    "mm_audio_fingerprint_pairs",
     "pipeline_curation_funnel",
 ]
 

@@ -198,6 +198,33 @@ class CurationReport:
         )
 
 
+def curate_from_config(
+    spark: SparkSession, sf_dir: str, config_path: str
+) -> CurationReport:
+    """Run curate() from a YAML pipeline config — the endpoint-style
+    entry point (an operator chain is config DATA, like an endpoint's
+    SQL template). Schema:
+
+        stages:
+          - quality
+          - stage: langid
+            langs: [en]
+          - near_dedup
+
+    i.e. the same list shape curate(stages=) takes, in YAML."""
+    import yaml
+
+    with open(config_path) as f:
+        doc = yaml.safe_load(f) or {}
+    stages = doc.get("stages")
+    if not isinstance(stages, list) or not stages:
+        raise ValueError(
+            f"pipeline config {config_path}: requires a non-empty"
+            " 'stages' list"
+        )
+    return curate(spark, sf_dir, stages=stages)
+
+
 def curate(
     spark: SparkSession,
     sf_dir: str,

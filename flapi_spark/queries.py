@@ -1083,6 +1083,12 @@ def _mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_phash_pairs(spark, sf_dir)
 
 
+def _mm_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_audio_fingerprint_pairs
+
+    return mm_audio_fingerprint_pairs(spark, sf_dir)
+
+
 def _lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
@@ -1303,6 +1309,10 @@ QUERIES.update(
         # (rows-only: pixel synthesis/decode not SQL-expressible;
         # golden hashes + cluster recovery pinned in tests)
         "mm_phash_pairs": (_mm_phash_pairs, None),
+        # round 9: audio near-dup pairs by envelope hash (rows-only:
+        # PCM synthesis/decode not SQL-expressible; golden + cluster
+        # tests)
+        "mm_audio_fingerprint_pairs": (_mm_audio_fingerprint_pairs, None),
         # -- non-parquet source formats / provenance
         "src_multifile_provenance": (
             src_multifile_provenance,
@@ -4446,9 +4456,10 @@ QUERIES.update(
 # earliest round-5 entries to fill to 50. (The r8 window's 50 are now
 # the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
-    # NEW round-9 entries (first driver look; displace the last two
+    # NEW round-9 entries (first driver look; displace the last three
     # r5 fillers to keep the window at 50)
     "mm_phash_pairs", "pipeline_curation_funnel",
+    "mm_audio_fingerprint_pairs",
     # stalest: latest driver verdict r3
     "zorder_locality_stats",
     # latest driver verdict r4 (all 42)
@@ -4473,7 +4484,7 @@ _CHECK_FIRST = [
     "user_behavior_entropy", "vocab_oov_rate",
     # earliest r5 fillers to reach 50
     "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
-    "customer_activity_full_outer", "forecast_seasonal_naive",
+    "customer_activity_full_outer",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

@@ -577,3 +577,89 @@ class TestPerceptualHash:
             assert "BroadcastNestedLoop" not in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestAudioFingerprint:
+    """Round 9: audio envelope-hash near-dup lane."""
+
+    def test_envelope_hash_golden_against_naive(self):
+        import hashlib
+        import struct
+
+        samples = []
+        stream = hashlib.sha256(b"golden-audio").digest()
+        while len(samples) < 300:
+            stream = hashlib.sha256(stream).digest()
+            for i in range(0, 32, 2):
+                samples.append(struct.unpack("<h", stream[i:i + 2])[0])
+        samples = samples[:300]
+        n = len(samples)
+        env = []
+        for w in range(65):
+            a = w * n // 65
+            b = max(a + 1, (w + 1) * n // 65)
+            seg = samples[a:b]
+            env.append(sum(abs(s) for s in seg) // len(seg))
+        expect = 0
+        for i in range(64):
+            if env[i + 1] > env[i]:
+                expect |= 1 << i
+        assert M.audio_envelope_hash(samples) == expect
+
+    def test_volume_invariance_and_noise_robustness(self):
+        base = M._base_audio_samples(12)
+        h0 = M.audio_envelope_hash(base)
+        # positive gain preserves every envelope comparison modulo
+        # integer rounding — measured <= 4 bits across the corpus
+        half = M.audio_envelope_hash([s // 2 for s in base])
+        dbl = M.audio_envelope_hash(
+            [max(-32768, min(32767, s * 2)) for s in base]
+        )
+        assert bin(h0 ^ half).count("1") <= 6
+        assert bin(h0 ^ dbl).count("1") <= 6
+        # distinct signals are far apart
+        other = M.audio_envelope_hash(M._base_audio_samples(16))
+        assert bin(h0 ^ other).count("1") >= 15
+
+    def test_wav_roundtrip_samples(self):
+        base = M._base_audio_samples(8)[:500]
+        payload = M.wav_encode(base, sample_rate=8000, channels=1)
+        samples, channels, rate = M.wav_samples(payload)
+        assert samples == base and channels == 1 and rate == 8000
+        assert M.wav_envelope_hash(payload) == M.audio_envelope_hash(base)
+
+    def test_audio_corpus_cluster_recovery(self, spark, sf_dir):
+        """Perfect precision (cross-cluster signals measured Hamming
+        >= 18) and measured-complete recall vs locally recomputed
+        ground truth."""
+        pairs = M.mm_audio_fingerprint_pairs(spark, sf_dir).collect()
+        assert pairs
+        got = {(r.doc_a, r.doc_b) for r in pairs}
+        for r in pairs:
+            assert r.doc_a < r.doc_b and r.hamming <= 10
+            assert r.doc_a // M.AUD_GROUP == r.doc_b // M.AUD_GROUP
+        media = M.synthesize_audio_corpus(spark, sf_dir).collect()
+        hashes = {
+            r.doc_id: M.wav_envelope_hash(bytes(r.payload)) for r in media
+        }
+        expected = {
+            (a, b)
+            for a in hashes
+            for b in hashes
+            if a < b and a // M.AUD_GROUP == b // M.AUD_GROUP
+            and bin(hashes[a] ^ hashes[b]).count("1") <= 10
+        }
+        assert got == expected and len(expected) >= 100
+
+    def test_audio_pair_plan_is_banded_join(self, spark, sf_dir):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                M.mm_audio_fingerprint_pairs(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoop" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

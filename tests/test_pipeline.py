@@ -140,3 +140,38 @@ def test_image_near_dedup_stage(spark, sf_dir):
     }
     assert got == (docs - clustered) | exemplars
     assert len(got) < len(docs)  # the corpus has image near-dups
+
+
+def test_curate_from_yaml_config(spark, sf_dir, tmp_path):
+    from flapi_spark.pipeline import curate_from_config
+
+    cfg = tmp_path / "pipeline.yaml"
+    cfg.write_text(
+        "stages:\n"
+        "  - quality\n"
+        "  - stage: langid\n"
+        "    langs: [en]\n"
+        "  - exact_dedup\n"
+    )
+    rep = curate_from_config(spark, sf_dir, str(cfg))
+    assert [s["stage"] for s in rep.stages] == [
+        "quality", "langid", "exact_dedup"
+    ]
+    # equal to the same chain invoked programmatically
+    want = curate(
+        spark, sf_dir,
+        stages=["quality", {"stage": "langid", "langs": ["en"]},
+                "exact_dedup"],
+    )
+    assert {r.doc_id for r in rep.keep.collect()} == {
+        r.doc_id for r in want.keep.collect()
+    }
+
+
+def test_curate_from_config_rejects_missing_stages(spark, sf_dir, tmp_path):
+    from flapi_spark.pipeline import curate_from_config
+
+    cfg = tmp_path / "empty.yaml"
+    cfg.write_text("name: nothing\n")
+    with pytest.raises(ValueError, match="non-empty 'stages'"):
+        curate_from_config(spark, sf_dir, str(cfg))
