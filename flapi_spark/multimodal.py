@@ -1188,6 +1188,136 @@ def synthesize_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+PHASH_BANDS = 8  # 8x8-bit bands: pigeonhole recall for hamming < 8
+
+
+def write_phash_index(
+    spark: SparkSession,
+    fps: DataFrame,
+    table: str = "neardup_phash_index",
+    buckets: int = 16,
+) -> None:
+    """Materialize a 64-bit-fingerprint band index as a BUCKETED
+    warehouse table on (band_id, bv) — the persisted structure the
+    image/audio ingest guards probe per batch (the fingerprint
+    sibling of dedup.write_band_index). `fps` is a (doc_id, hi, lo)
+    fingerprint table (image_hash_batch / audio_hash_batch output
+    renamed). Unlike the text index, the VERIFY side needs no second
+    store: the full fingerprint rides in the band rows (hi, lo), so a
+    probe is one join + one bit_count — fully index-resident by
+    construction. At 100 TB the index shuffles zero times after
+    bootstrap; appends land bucket-preserving; compact with
+    scale.compact_bucketed_table."""
+    from flapi_spark.operators.dedup import hamming_band_rows
+
+    (
+        hamming_band_rows(fps, PHASH_BANDS)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band_id", "bv")
+        .sortBy("band_id", "bv")
+        .saveAsTable(table)
+    )
+
+
+def append_phash_index(
+    spark: SparkSession,
+    fps: DataFrame,
+    table: str = "neardup_phash_index",
+) -> None:
+    """Per-batch fingerprint-index maintenance: insertInto preserves
+    the bucket spec (same contract as dedup.append_band_index)."""
+    from flapi_spark.operators.dedup import hamming_band_rows
+
+    hamming_band_rows(fps, PHASH_BANDS).write.insertInto(table)
+
+
+def image_guard_stream(
+    media_stream: DataFrame,
+    phash_index: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Ingestion-time near-dup guard for the IMAGE lane (round 9,
+    completing the modality triple with neardup_guard_stream and
+    embedding_guard_stream): a stream of incoming media rows
+    (doc_id, media_type, payload) is perceptual-hashed in the Arrow
+    lane and checked against the persisted fingerprint index BEFORE
+    it lands — "is this image already in my training set, possibly
+    re-encoded or re-brightened?".
+
+    Every stage is stateless (append-mode safe, zero streaming
+    state): mapInPandas dHash per row, band explode (generator), ONE
+    stream-static equi-join on (band_id, bv) against the bucketed
+    index, and the full-64-bit Hamming verify computed inline from
+    the carried fingerprints — no second join, no corpus access of
+    any kind: the index IS the verify side. Emission is
+    AT-LEAST-ONCE per matching band (band_id included as evidence) —
+    dedup at the sink, same contract as the text guard. Same V1
+    static-side freshness contract: rebuild from a fresh
+    spark.table() per availableNow run to see maintainer appends."""
+    from flapi_spark.operators.dedup import hamming_band_rows, hamming_col
+
+    fps = image_hash_batch(media_stream).select(
+        "doc_id",
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    bands = hamming_band_rows(fps, PHASH_BANDS)
+    corpus = phash_index.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("hi").alias("corpus_hi"),
+        F.col("lo").alias("corpus_lo"),
+        "band_id",
+        "bv",
+    )
+    return (
+        bands.join(corpus, ["band_id", "bv"])
+        .where(F.col("doc_id") != F.col("corpus_doc_id"))
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            "band_id",
+            hamming_col("hi", "lo", "corpus_hi", "corpus_lo").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_index_maintainer(table: str, marker_dir: str):
+    """Streaming maintenance of the persisted fingerprint index: a
+    ``writeStream.foreachBatch`` callable hashing each micro-batch's
+    image payloads and appending their band rows via
+    append_phash_index. Same replay/refresh semantics as
+    dedup's band_index_maintainer: _SUCCESS markers written AFTER the
+    append commits (a crash in the window duplicates one batch —
+    consumers dedup pairs, never correctness), both sessions
+    refreshTable'd so a guard rebuilt from a fresh spark.table()
+    re-lists."""
+    import os
+
+    origin = SparkSession.getActiveSession()
+
+    def _append(batch_df, batch_id: int) -> None:
+        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return
+        spark = batch_df.sparkSession
+        fps = image_hash_batch(batch_df).select(
+            "doc_id",
+            F.col("dhash_hi").alias("hi"),
+            F.col("dhash_lo").alias("lo"),
+        )
+        append_phash_index(spark, fps, table)
+        for s in {spark, origin} - {None}:
+            s.catalog.refreshTable(table)
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass
+
+    return _append
+
+
 def mm_phash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 10
 ) -> DataFrame:

@@ -419,17 +419,12 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _simhash_pairs(
-    fps: DataFrame, max_hamming: int, n_bands: int = 4
-) -> DataFrame:
-    """Banded SimHash pair generation + Hamming verify over (doc_id,
-    hi, lo) fingerprints: block on any equal (64/n_bands)-bit band,
-    verify Hamming distance over the full 64 bits. Default 4 bands of
-    16 bits (the oracle-pinned text-SimHash shape); the image lane
-    (multimodal.mm_phash_pairs) uses 8 bands of 8 bits — pigeonhole
-    guarantees a matching band whenever hamming < n_bands, so wider
-    verify radii need more (narrower) bands: recall vs bucket-size
-    trade, same dial as MinHash-LSH's band count."""
+def hamming_band_rows(fps: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(doc_id, hi, lo, band_id, bv) exploded band rows over (doc_id,
+    hi, lo) 64-bit fingerprints — the blocking key stream shared by
+    the in-query pair generators (_simhash_pairs) and the persisted
+    fingerprint index (multimodal.write_phash_index). Stateless per
+    row, so legal on streams."""
     bpb = 64 // n_bands
     mask = F.lit((1 << bpb) - 1)
 
@@ -440,10 +435,34 @@ def _simhash_pairs(
             F.shiftright(src, (i * bpb) % 32).bitwiseAND(mask).alias("bv"),
         )
 
-    banded = fps.select(
+    return fps.select(
         "doc_id", "hi", "lo",
         F.explode(F.array(*[band(i) for i in range(n_bands)])).alias("b"),
     ).select("doc_id", "hi", "lo", "b.band_id", "b.bv")
+
+
+def hamming_col(a_hi: str, a_lo: str, b_hi: str, b_lo: str) -> F.Column:
+    """Full-64-bit Hamming distance between two (hi, lo) fingerprint
+    pairs, as BIGINT (the oracles' bit_count arithmetic)."""
+    return (
+        F.bit_count(F.col(a_hi).bitwiseXOR(F.col(b_hi)))
+        + F.bit_count(F.col(a_lo).bitwiseXOR(F.col(b_lo)))
+    ).cast("long")
+
+
+def _simhash_pairs(
+    fps: DataFrame, max_hamming: int, n_bands: int = 4
+) -> DataFrame:
+    """Banded SimHash pair generation + Hamming verify over (doc_id,
+    hi, lo) fingerprints: block on any equal (64/n_bands)-bit band,
+    verify Hamming distance over the full 64 bits. Default 4 bands of
+    16 bits (the oracle-pinned text-SimHash shape); the image/audio
+    lanes (multimodal.mm_phash_pairs / mm_audio_fingerprint_pairs)
+    use 8 bands of 8 bits — pigeonhole guarantees a matching band
+    whenever hamming < n_bands, so wider verify radii need more
+    (narrower) bands: recall vs bucket-size trade, same dial as
+    MinHash-LSH's band count."""
+    banded = hamming_band_rows(fps, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.hi").bitwiseXOR(F.col("b.hi"))

@@ -142,6 +142,26 @@ def _image_near_dedup(
     return keep.join(dropped, "doc_id", "left_anti")
 
 
+def _audio_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """AUDIO near-dup clusters (round 9): envelope-hash pairs from the
+    multimodal lane, connected components, min-doc_id exemplar — the
+    audio sibling of image_near_dedup."""
+    from flapi_spark.multimodal import mm_audio_fingerprint_pairs
+    from flapi_spark.operators.dedup import label_components
+
+    pairs = mm_audio_fingerprint_pairs(spark, sf_dir, max_hamming=max_hamming)
+    comps = label_components(pairs.select("doc_a", "doc_b"))
+    dropped = comps.where(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    return keep.join(dropped, "doc_id", "left_anti")
+
+
 def _train_split(
     spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
 ) -> DataFrame:
@@ -163,6 +183,7 @@ STAGES = {
     "exact_dedup": _exact_dedup,
     "near_dedup": _near_dedup,
     "image_near_dedup": _image_near_dedup,
+    "audio_near_dedup": _audio_near_dedup,
     "decontam": _decontam,
     "train_split": _train_split,
 }

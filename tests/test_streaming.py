@@ -1303,3 +1303,159 @@ class TestEmbeddingGuard:
             assert guarded.isStreaming
         finally:
             self._teardown(spark, table)
+
+
+class TestImageGuard:
+    """Round 9: streaming image-ingest guard over the persisted
+    fingerprint index — the image member of the guard triple."""
+
+    def _setup_index(self, spark, sf_dir, table):
+        from flapi_spark import multimodal as M
+        from flapi_spark.writes import _rm_table
+
+        _rm_table(spark, table)
+        corpus = M.synthesize_image_corpus(spark, sf_dir)
+        fps = M.image_hash_batch(corpus).select(
+            "doc_id",
+            F.col("dhash_hi").alias("hi"),
+            F.col("dhash_lo").alias("lo"),
+        )
+        M.write_phash_index(spark, fps, table)
+        return corpus
+
+    def test_stream_equals_batch_and_index_resident(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        import glob as _glob
+
+        from flapi_spark import multimodal as M
+        from flapi_spark.writes import _rm_table
+
+        table = "t_img_guard_idx"
+        corpus = self._setup_index(spark, sf_dir, table)
+        d = tmp_path_factory.mktemp("img_guard_landing")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # incoming = the noise variants (m==3) re-presented as a
+            # crawl batch: each should match its own cluster
+            incoming = corpus.where(F.col("doc_id") % M.IMG_GROUP == 3)
+            staging = str(d / "_stage")
+            incoming.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / "batch_0.parquet"),
+            )
+            shutil.rmtree(staging)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            stream = spark.readStream.schema(
+                "doc_id BIGINT, media_type STRING, payload BINARY,"
+                " n_bytes BIGINT"
+            ).parquet(str(d))
+            guarded = M.image_guard_stream(stream, spark.table(table))
+            name = _qname()
+            q = (
+                guarded.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            plan = q._jsq.explainInternal(True)
+            assert "Bucketed: true" in plan
+            assert "documents.parquet" not in plan
+            got = {
+                (r.doc_id, r.corpus_doc_id, r.hamming)
+                for r in spark.table(name).collect()
+            }
+            expect = {
+                (r.doc_id, r.corpus_doc_id, r.hamming)
+                for r in M.image_guard_stream(
+                    incoming, spark.table(table)
+                ).collect()
+            }
+            assert got == expect and got
+            # precision: every flagged corpus doc is in the incoming
+            # doc's own cluster (cross-cluster hamming >= 18)
+            for doc_id, corpus_doc_id, hamming in got:
+                assert doc_id // M.IMG_GROUP == corpus_doc_id // M.IMG_GROUP
+                assert hamming <= 10
+            # recall: every incoming doc matched its cluster leader
+            flagged = {doc_id for doc_id, _, _ in got}
+            assert flagged == {
+                r.doc_id for r in incoming.select("doc_id").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            _rm_table(spark, table)
+
+    def test_maintainer_folds_batches_and_guard_sees_them(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        import glob as _glob
+
+        from flapi_spark import multimodal as M
+        from flapi_spark.operators.dedup import hamming_band_rows
+        from flapi_spark.writes import _rm_table
+
+        table = "t_img_guard_maint"
+        _rm_table(spark, table)
+        d = tmp_path_factory.mktemp("img_maint_landing")
+        markers = str(tmp_path_factory.mktemp("img_maint_markers"))
+        try:
+            corpus = M.synthesize_image_corpus(spark, sf_dir)
+            old = corpus.where("doc_id % 2 = 0")
+            new = corpus.where("doc_id % 2 = 1")
+            fps_old = M.image_hash_batch(old).select(
+                "doc_id",
+                F.col("dhash_hi").alias("hi"),
+                F.col("dhash_lo").alias("lo"),
+            )
+            M.write_phash_index(spark, fps_old, table)
+            halves = new.randomSplit([0.5, 0.5], seed=3)
+            for i, part in enumerate(halves):
+                staging = str(d / f"_stage_{i}")
+                part.coalesce(1).write.parquet(staging)
+                shutil.copy(
+                    _glob.glob(staging + "/part-*.parquet")[0],
+                    str(d / f"batch_{i}.parquet"),
+                )
+                shutil.rmtree(staging)
+            stream = (
+                spark.readStream.schema(
+                    "doc_id BIGINT, media_type STRING, payload BINARY,"
+                    " n_bytes BIGINT"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(d))
+            )
+            writer = M.phash_index_maintainer(table, markers)
+            q = (
+                stream.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", str(d / "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # final index == batch build over the full corpus
+            fps_all = M.image_hash_batch(corpus).select(
+                "doc_id",
+                F.col("dhash_hi").alias("hi"),
+                F.col("dhash_lo").alias("lo"),
+            )
+            expect = {
+                tuple(r)
+                for r in hamming_band_rows(fps_all, M.PHASH_BANDS).collect()
+            }
+            got = {tuple(r) for r in spark.table(table).collect()}
+            assert got == expect and got
+            # replay is a no-op
+            n = spark.table(table).count()
+            writer(new.limit(8), 0)
+            assert spark.table(table).count() == n
+            # bucket spec survived the appends
+            desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            txt = "\n".join(str(r) for r in desc)
+            assert "band_id" in txt and "bv" in txt
+        finally:
+            _rm_table(spark, table)
