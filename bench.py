@@ -67,6 +67,7 @@ HEADLINE = [
     # no DuckDB rows in the baseline table) and the composed funnel
     "mm_phash_pairs",
     "mm_audio_fingerprint_pairs",
+    "mm_video_phash_pairs",
     "pipeline_curation_funnel",
 ]
 

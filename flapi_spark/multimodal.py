@@ -887,6 +887,191 @@ IMAGE_HASH_SCHEMA = StructType(
 )
 
 
+VID_GROUP = 4  # docs per synthetic near-dup video cluster
+VID_FRAMES = 3
+
+
+def _base_video_frames(leader: int, w: int = 16, h: int = 16):
+    """Deterministic per-cluster frame pixels (each frame its own
+    hash chain; values clamped to [16, 239] so the brightness variant
+    never clips)."""
+    frames = []
+    for f in range(VID_FRAMES):
+        seed = hashlib.sha256(f"vid:{leader}:{f}".encode()).digest()
+        stream = seed
+        while len(stream) < w * h * 3:
+            stream += hashlib.sha256(stream[-32:]).digest()
+        it = iter(stream)
+        frames.append(
+            [
+                [
+                    tuple(16 + next(it) * 224 // 256 for _ in range(3))
+                    for _ in range(w)
+                ]
+                for _ in range(h)
+            ]
+        )
+    return frames
+
+
+def synthesize_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video corpus with KNOWN near-dup structure: every VID_GROUP
+    consecutive doc_ids share one 3-frame base clip, published as
+    real Motion-JPEG MP4s (each sample a standalone baseline JPEG) in
+    the variants a pipeline sees — the original, a +8 brightness
+    shift, a TRIMMED copy (last frame dropped), and ~1.5% pixel
+    noise. Cross-cluster best frame-pair Hamming measured ≥ 18,
+    within-cluster ≤ 5. Same Arrow-batched lane as the image
+    corpus."""
+    from flapi_spark.jpeg import jpeg_encode
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def _one(doc_id: int) -> bytes:
+        leader = doc_id - doc_id % VID_GROUP
+        frames = _base_video_frames(leader)
+        m = doc_id % VID_GROUP
+        if m == 1:  # uniform brightness shift
+            frames = [
+                [[tuple(v + 8 for v in px) for px in row] for row in fr]
+                for fr in frames
+            ]
+        elif m == 2:  # trimmed clip
+            frames = frames[:-1]
+        elif m == 3:  # sparse pixel noise
+            noisy = []
+            for fi, fr in enumerate(frames):
+                nf = []
+                for y, row in enumerate(fr):
+                    nr = []
+                    for x, px in enumerate(row):
+                        tag = hashlib.sha256(
+                            f"vn:{leader}:{fi}:{y}:{x}".encode()
+                        ).digest()
+                        if tag[0] < 4:
+                            px = (tag[1], tag[2], tag[3])
+                        nr.append(px)
+                    nf.append(nr)
+                noisy.append(nf)
+            frames = noisy
+        return mp4_encode(
+            [jpeg_encode(fr) for fr in frames],
+            width=16, height=16, codec=b"MJPG",
+        )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_one(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video/mp4"] * len(payloads),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def video_frame_hash_batch(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-FRAME perceptual hashing over video payloads
+    (mapInPandas): demux MP4 samples, decode each Motion-JPEG frame,
+    dHash its luma. One media row fans out to n_frames fingerprint
+    rows; payload bytes stay inside the stage."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"].str.startswith("video")]
+            ids, nos, hi, lo = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_no, sample in enumerate(mp4_samples(bytes(payload))):
+                    h = dhash64(image_luma(sample))
+                    ids.append(doc_id)
+                    nos.append(frame_no)
+                    hi.append(h >> 32)
+                    lo.append(h & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "frame_no": nos,
+                    "dhash_hi": hi, "dhash_lo": lo,
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=FRAME_HASH_SCHEMA)
+
+
+def mm_video_phash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10
+) -> DataFrame:
+    """VIDEO near-dup pairs by per-frame dHash (round 9, the last
+    modality of the dedup family): synthesize genuine Motion-JPEG
+    MP4s with known near-dup structure, hash every decoded frame,
+    band-join FRAME fingerprints across documents (8×8-bit bands),
+    verify full-64-bit Hamming per frame pair, and roll up to the
+    document grain: (doc_a, doc_b, n_frame_matches, min_hamming).
+    Two clips near-dup if ANY frame pair matches — robust to
+    trimming/reordering by construction. Rows-only check (container
+    synthesis + frame decode not SQL-expressible); cluster recovery
+    incl. the trimmed variant pinned in tests.
+
+    Scale shape: frame hashing is linear map work; the pair stream is
+    a banded equi-join over (band_id, bv) — frames shard the buckets,
+    no all-pairs product; fingerprints materialized once (the image
+    lane's Python-decode-recompute rule)."""
+    from flapi_spark.operators.dedup import hamming_band_rows, hamming_col
+
+    media = synthesize_video_corpus(spark, sf_dir)
+    fps = video_frame_hash_batch(media).localCheckpoint(eager=True)
+    # composite frame key so the band machinery can tell frames apart;
+    # VID_FRAMES << 4096 so the packing is collision-free
+    keyed = fps.select(
+        (F.col("doc_id") * 4096 + F.col("frame_no")).alias("doc_id"),
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    banded = hamming_band_rows(keyed, PHASH_BANDS)
+    a, b = banded.alias("a"), banded.alias("b")
+    frame_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            # cross-DOCUMENT only: strictly increasing doc part
+            # (integer div — float division would let same-doc frame
+            # pairs through on the fractional part)
+            & (F.expr("a.doc_id div 4096") < F.expr("b.doc_id div 4096")),
+        )
+        .select(
+            F.expr("a.doc_id div 4096").alias("doc_a"),
+            F.expr("b.doc_id div 4096").alias("doc_b"),
+            F.col("a.doc_id").alias("fa"),
+            F.col("b.doc_id").alias("fb"),
+            hamming_col("a.hi", "a.lo", "b.hi", "b.lo").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return frame_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frame_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
 def image_hash_batch(media: DataFrame) -> DataFrame:
     """Arrow-batched perceptual hashing over image payloads
     (mapInPandas, same lane as decode_batch): PNG/BMP/JPEG rows decode

@@ -1089,6 +1089,12 @@ def _mm_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_audio_fingerprint_pairs(spark, sf_dir)
 
 
+def _mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.multimodal import mm_video_phash_pairs
+
+    return mm_video_phash_pairs(spark, sf_dir)
+
+
 def _lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT)"
@@ -1313,6 +1319,8 @@ QUERIES.update(
         # PCM synthesis/decode not SQL-expressible; golden + cluster
         # tests)
         "mm_audio_fingerprint_pairs": (_mm_audio_fingerprint_pairs, None),
+        # round 9: video near-dup pairs by per-frame dHash (rows-only)
+        "mm_video_phash_pairs": (_mm_video_phash_pairs, None),
         # -- non-parquet source formats / provenance
         "src_multifile_provenance": (
             src_multifile_provenance,
@@ -4459,7 +4467,7 @@ _CHECK_FIRST = [
     # NEW round-9 entries (first driver look; displace the last three
     # r5 fillers to keep the window at 50)
     "mm_phash_pairs", "pipeline_curation_funnel",
-    "mm_audio_fingerprint_pairs",
+    "mm_audio_fingerprint_pairs", "mm_video_phash_pairs",
     # stalest: latest driver verdict r3
     "zorder_locality_stats",
     # latest driver verdict r4 (all 42)
@@ -4484,7 +4492,6 @@ _CHECK_FIRST = [
     "user_behavior_entropy", "vocab_oov_rate",
     # earliest r5 fillers to reach 50
     "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
-    "customer_activity_full_outer",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 QUERIES = {

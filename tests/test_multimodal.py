@@ -663,3 +663,72 @@ class TestAudioFingerprint:
             assert "BroadcastNestedLoop" not in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestVideoPhash:
+    """Round 9: per-frame dHash video near-dup lane."""
+
+    def test_frame_hash_batch_fans_out(self, spark, sf_dir):
+        media = M.synthesize_video_corpus(spark, sf_dir).limit(8)
+        rows = M.video_frame_hash_batch(media).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_no)
+        for doc_id, frames in by_doc.items():
+            expect = (
+                M.VID_FRAMES - 1
+                if doc_id % M.VID_GROUP == 2  # trimmed variant
+                else M.VID_FRAMES
+            )
+            assert sorted(frames) == list(range(expect))
+
+    def test_video_cluster_recovery(self, spark, sf_dir):
+        """Precision 1 (cross-cluster frames >= 18 hamming), the
+        trimmed variant still pairs (any-frame-match semantics), and
+        the doc-level rollup matches a local frame-hash recompute."""
+        pairs = M.mm_video_phash_pairs(spark, sf_dir).collect()
+        assert pairs
+        got = {(r.doc_a, r.doc_b): r for r in pairs}
+        for (a, b), r in got.items():
+            assert a < b and a // M.VID_GROUP == b // M.VID_GROUP
+            assert r.min_hamming <= 10 and r.n_frame_matches >= 1
+        # local ground truth over the same payloads
+        media = M.synthesize_video_corpus(spark, sf_dir).collect()
+        fh = {
+            r.doc_id: [
+                M.dhash64(M.image_luma(s))
+                for s in M.mp4_samples(bytes(r.payload))
+            ]
+            for r in media
+        }
+        expected = {}
+        for a in fh:
+            for b in fh:
+                if a < b and a // M.VID_GROUP == b // M.VID_GROUP:
+                    ms = [
+                        bin(x ^ y).count("1")
+                        for x in fh[a]
+                        for y in fh[b]
+                        if bin(x ^ y).count("1") <= 10
+                    ]
+                    if ms:
+                        expected[(a, b)] = (len(ms), min(ms))
+        assert {
+            k: (r.n_frame_matches, r.min_hamming) for k, r in got.items()
+        } == expected
+        # every cluster fully recovered (6 pairs per group of 4 —
+        # trimming drops a frame, not the match)
+        assert len(expected) == len({d // M.VID_GROUP for d in fh}) * 6
+
+    def test_video_pair_plan_is_banded_join(self, spark, sf_dir):
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                M.mm_video_phash_pairs(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoop" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
