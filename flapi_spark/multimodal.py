@@ -1416,37 +1416,24 @@ def append_phash_index(
     hamming_band_rows(fps, PHASH_BANDS).write.insertInto(table)
 
 
-def image_guard_stream(
-    media_stream: DataFrame,
+def fingerprint_guard_stream(
+    fps_stream: DataFrame,
     phash_index: DataFrame,
     max_hamming: int = 10,
 ) -> DataFrame:
-    """Ingestion-time near-dup guard for the IMAGE lane (round 9,
-    completing the modality triple with neardup_guard_stream and
-    embedding_guard_stream): a stream of incoming media rows
-    (doc_id, media_type, payload) is perceptual-hashed in the Arrow
-    lane and checked against the persisted fingerprint index BEFORE
-    it lands — "is this image already in my training set, possibly
-    re-encoded or re-brightened?".
-
-    Every stage is stateless (append-mode safe, zero streaming
-    state): mapInPandas dHash per row, band explode (generator), ONE
+    """Modality-generic fingerprint ingest guard core: a stream of
+    (doc_id, hi, lo) 64-bit fingerprints checked against a persisted
+    write_phash_index table. Stateless: band explode per row, ONE
     stream-static equi-join on (band_id, bv) against the bucketed
-    index, and the full-64-bit Hamming verify computed inline from
-    the carried fingerprints — no second join, no corpus access of
-    any kind: the index IS the verify side. Emission is
-    AT-LEAST-ONCE per matching band (band_id included as evidence) —
-    dedup at the sink, same contract as the text guard. Same V1
-    static-side freshness contract: rebuild from a fresh
-    spark.table() per availableNow run to see maintainer appends."""
+    index, full-64-bit Hamming verify computed inline from the
+    carried fingerprints — no second join, no corpus access: the
+    index IS the verify side. Emission is AT-LEAST-ONCE per matching
+    band (band_id as evidence) — dedup at the sink, same contract as
+    the text guard. Same V1 static-side freshness contract: rebuild
+    from a fresh spark.table() per availableNow run."""
     from flapi_spark.operators.dedup import hamming_band_rows, hamming_col
 
-    fps = image_hash_batch(media_stream).select(
-        "doc_id",
-        F.col("dhash_hi").alias("hi"),
-        F.col("dhash_lo").alias("lo"),
-    )
-    bands = hamming_band_rows(fps, PHASH_BANDS)
+    bands = hamming_band_rows(fps_stream, PHASH_BANDS)
     corpus = phash_index.select(
         F.col("doc_id").alias("corpus_doc_id"),
         F.col("hi").alias("corpus_hi"),
@@ -1467,6 +1454,45 @@ def image_guard_stream(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def image_guard_stream(
+    media_stream: DataFrame,
+    phash_index: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Ingestion-time near-dup guard for the IMAGE lane (round 9,
+    completing the modality set with neardup_guard_stream and
+    embedding_guard_stream): a stream of incoming media rows
+    (doc_id, media_type, payload) is dHashed in the Arrow lane and
+    probed against the persisted fingerprint index BEFORE it lands —
+    "is this image already in my training set, possibly re-encoded
+    or re-brightened?". See fingerprint_guard_stream for the plan
+    shape and delivery/freshness contracts."""
+    fps = image_hash_batch(media_stream).select(
+        "doc_id",
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+    return fingerprint_guard_stream(fps, phash_index, max_hamming)
+
+
+def audio_guard_stream(
+    media_stream: DataFrame,
+    phash_index: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Ingestion-time near-dup guard for the AUDIO lane: envelope
+    hashes probed against a write_phash_index table built from
+    audio_hash_batch fingerprints — the fingerprint index is
+    modality-generic, so this is the image guard with the hash stage
+    swapped. See fingerprint_guard_stream for contracts."""
+    fps = audio_hash_batch(media_stream).select(
+        "doc_id",
+        F.col("fp_hi").alias("hi"),
+        F.col("fp_lo").alias("lo"),
+    )
+    return fingerprint_guard_stream(fps, phash_index, max_hamming)
 
 
 def phash_index_maintainer(table: str, marker_dir: str):

@@ -1459,3 +1459,64 @@ class TestImageGuard:
             assert "band_id" in txt and "bv" in txt
         finally:
             _rm_table(spark, table)
+
+    def test_audio_guard_stream_equals_batch(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """The fingerprint index is modality-generic: the audio guard
+        is the image guard with the hash stage swapped — stream ==
+        batch twin, clusters recovered."""
+        import glob as _glob
+
+        from flapi_spark import multimodal as M
+        from flapi_spark.writes import _rm_table
+
+        table = "t_aud_guard_idx"
+        _rm_table(spark, table)
+        try:
+            corpus = M.synthesize_audio_corpus(spark, sf_dir)
+            fps = M.audio_hash_batch(corpus).select(
+                "doc_id",
+                F.col("fp_hi").alias("hi"),
+                F.col("fp_lo").alias("lo"),
+            )
+            M.write_phash_index(spark, fps, table)
+            incoming = corpus.where(F.col("doc_id") % M.AUD_GROUP == 3)
+            d = tmp_path_factory.mktemp("aud_guard_landing")
+            staging = str(d / "_stage")
+            incoming.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / "batch_0.parquet"),
+            )
+            shutil.rmtree(staging)
+            stream = spark.readStream.schema(
+                "doc_id BIGINT, media_type STRING, payload BINARY,"
+                " n_bytes BIGINT"
+            ).parquet(str(d))
+            guarded = M.audio_guard_stream(stream, spark.table(table))
+            name = _qname()
+            q = (
+                guarded.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                (r.doc_id, r.corpus_doc_id, r.hamming)
+                for r in spark.table(name).collect()
+            }
+            expect = {
+                (r.doc_id, r.corpus_doc_id, r.hamming)
+                for r in M.audio_guard_stream(
+                    incoming, spark.table(table)
+                ).collect()
+            }
+            assert got == expect and got
+            for doc_id, corpus_doc_id, hamming in got:
+                assert doc_id // M.AUD_GROUP == corpus_doc_id // M.AUD_GROUP
+                assert hamming <= 10
+        finally:
+            _rm_table(spark, table)
