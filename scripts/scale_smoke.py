@@ -56,7 +56,11 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "ntile_value_bands", "ann_recall_eval", "minhash_estimate_error",
        # round-5 operators (documents-based)
        "bloom_token_filter", "tokens_zipf_fit", "token_coverage_curve",
-       "text_char_entropy", "dedup_containment_pairs"]
+       "text_char_entropy", "dedup_containment_pairs",
+       # round-9 perceptual near-dup lanes (documents-derived corpora;
+       # replicated doc_ids mint NEW clusters -> linear pair growth)
+       "mm_phash_pairs", "mm_audio_fingerprint_pairs",
+       "mm_video_phash_pairs"]
 FACTORS = [1, 2, 4, 8]
 
 
