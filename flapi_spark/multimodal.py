@@ -1469,12 +1469,9 @@ def image_guard_stream(
     "is this image already in my training set, possibly re-encoded
     or re-brightened?". See fingerprint_guard_stream for the plan
     shape and delivery/freshness contracts."""
-    fps = image_hash_batch(media_stream).select(
-        "doc_id",
-        F.col("dhash_hi").alias("hi"),
-        F.col("dhash_lo").alias("lo"),
+    return fingerprint_guard_stream(
+        _image_fps(media_stream), phash_index, max_hamming
     )
-    return fingerprint_guard_stream(fps, phash_index, max_hamming)
 
 
 def audio_guard_stream(
@@ -1487,24 +1484,38 @@ def audio_guard_stream(
     audio_hash_batch fingerprints — the fingerprint index is
     modality-generic, so this is the image guard with the hash stage
     swapped. See fingerprint_guard_stream for contracts."""
-    fps = audio_hash_batch(media_stream).select(
+    return fingerprint_guard_stream(
+        _audio_fps(media_stream), phash_index, max_hamming
+    )
+
+
+def _image_fps(media: DataFrame) -> DataFrame:
+    return image_hash_batch(media).select(
+        "doc_id",
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+
+
+def _audio_fps(media: DataFrame) -> DataFrame:
+    return audio_hash_batch(media).select(
         "doc_id",
         F.col("fp_hi").alias("hi"),
         F.col("fp_lo").alias("lo"),
     )
-    return fingerprint_guard_stream(fps, phash_index, max_hamming)
 
 
-def phash_index_maintainer(table: str, marker_dir: str):
+def phash_index_maintainer(table: str, marker_dir: str, fps_of=_image_fps):
     """Streaming maintenance of the persisted fingerprint index: a
     ``writeStream.foreachBatch`` callable hashing each micro-batch's
-    image payloads and appending their band rows via
-    append_phash_index. Same replay/refresh semantics as
-    dedup's band_index_maintainer: _SUCCESS markers written AFTER the
-    append commits (a crash in the window duplicates one batch —
-    consumers dedup pairs, never correctness), both sessions
-    refreshTable'd so a guard rebuilt from a fresh spark.table()
-    re-lists."""
+    media payloads (default: image dHash; pass ``fps_of=_audio_fps``
+    for the audio lane — the index is modality-generic) and appending
+    their band rows via append_phash_index. Same replay/refresh
+    semantics as dedup's band_index_maintainer: _SUCCESS markers
+    written AFTER the append commits (a crash in the window
+    duplicates one batch — consumers dedup pairs, never correctness),
+    both sessions refreshTable'd so a guard rebuilt from a fresh
+    spark.table() re-lists."""
     import os
 
     origin = SparkSession.getActiveSession()
@@ -1514,12 +1525,7 @@ def phash_index_maintainer(table: str, marker_dir: str):
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             return
         spark = batch_df.sparkSession
-        fps = image_hash_batch(batch_df).select(
-            "doc_id",
-            F.col("dhash_hi").alias("hi"),
-            F.col("dhash_lo").alias("lo"),
-        )
-        append_phash_index(spark, fps, table)
+        append_phash_index(spark, fps_of(batch_df), table)
         for s in {spark, origin} - {None}:
             s.catalog.refreshTable(table)
         os.makedirs(dst, exist_ok=True)

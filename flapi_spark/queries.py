@@ -4494,6 +4494,7 @@ _CHECK_FIRST = [
     "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
+assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window
 QUERIES = {
     **{n: QUERIES[n] for n in _CHECK_FIRST},
     **{n: q for n, q in QUERIES.items() if n not in _CHECK_FIRST},
