@@ -1505,6 +1505,47 @@ def _audio_fps(media: DataFrame) -> DataFrame:
     )
 
 
+def _video_fps(media: DataFrame) -> DataFrame:
+    """Composite-keyed (doc·4096+frame, hi, lo) frame fingerprints —
+    the video lane's fingerprint shape for the generic index/guard
+    (VID_FRAMES << 4096, collision-free)."""
+    return video_frame_hash_batch(media).select(
+        (F.col("doc_id") * 4096 + F.col("frame_no")).alias("doc_id"),
+        F.col("dhash_hi").alias("hi"),
+        F.col("dhash_lo").alias("lo"),
+    )
+
+
+def video_guard_stream(
+    media_stream: DataFrame,
+    phash_index: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Ingestion-time near-dup guard for the VIDEO lane: every
+    incoming clip's frames are dHashed and probed against a
+    write_phash_index table built from composite-keyed corpus frame
+    fingerprints (_video_fps) — "is any frame of this clip already in
+    my training set?", which catches trimmed and re-encoded copies by
+    the any-frame-match semantics of mm_video_phash_pairs. Emits one
+    evidence row per matching (frame, corpus frame, band):
+    (doc_id, frame_no, corpus_doc_id, corpus_frame_no, hamming);
+    at-least-once, dedup/rollup at the sink. Stateless — see
+    fingerprint_guard_stream."""
+    hits = fingerprint_guard_stream(
+        _video_fps(media_stream), phash_index, max_hamming
+    )
+    return hits.select(
+        F.expr("doc_id div 4096").alias("doc_id"),
+        F.expr("doc_id % 4096").cast("int").alias("frame_no"),
+        F.expr("corpus_doc_id div 4096").alias("corpus_doc_id"),
+        F.expr("corpus_doc_id % 4096").cast("int").alias(
+            "corpus_frame_no"
+        ),
+        "band_id",
+        "hamming",
+    ).where(F.col("doc_id") != F.col("corpus_doc_id"))
+
+
 def phash_index_maintainer(table: str, marker_dir: str, fps_of=_image_fps):
     """Streaming maintenance of the persisted fingerprint index: a
     ``writeStream.foreachBatch`` callable hashing each micro-batch's

@@ -1520,3 +1520,72 @@ class TestImageGuard:
                 assert hamming <= 10
         finally:
             _rm_table(spark, table)
+
+    def test_video_guard_stream_equals_batch(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        """Frame-grain guard over composite-keyed fingerprints: the
+        noise variants re-presented as a crawl batch match their own
+        clusters, stream == batch twin, trimmed corpus members still
+        matchable (any-frame semantics)."""
+        import glob as _glob
+
+        from flapi_spark import multimodal as M
+        from flapi_spark.writes import _rm_table
+
+        table = "t_vid_guard_idx"
+        _rm_table(spark, table)
+        try:
+            corpus = M.synthesize_video_corpus(spark, sf_dir)
+            M.write_phash_index(spark, M._video_fps(corpus), table)
+            incoming = corpus.where(F.col("doc_id") % M.VID_GROUP == 3)
+            d = tmp_path_factory.mktemp("vid_guard_landing")
+            staging = str(d / "_stage")
+            incoming.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / "batch_0.parquet"),
+            )
+            shutil.rmtree(staging)
+            stream = spark.readStream.schema(
+                "doc_id BIGINT, media_type STRING, payload BINARY,"
+                " n_bytes BIGINT"
+            ).parquet(str(d))
+            guarded = M.video_guard_stream(stream, spark.table(table))
+            name = _qname()
+            q = (
+                guarded.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                (r.doc_id, r.frame_no, r.corpus_doc_id,
+                 r.corpus_frame_no, r.hamming)
+                for r in spark.table(name).collect()
+            }
+            expect = {
+                (r.doc_id, r.frame_no, r.corpus_doc_id,
+                 r.corpus_frame_no, r.hamming)
+                for r in M.video_guard_stream(
+                    incoming, spark.table(table)
+                ).collect()
+            }
+            assert got == expect and got
+            flagged = set()
+            for doc_id, _f, corpus_doc_id, _cf, hamming in got:
+                assert doc_id // M.VID_GROUP == corpus_doc_id // M.VID_GROUP
+                assert hamming <= 10
+                flagged.add(doc_id)
+            # every incoming clip matched something in its cluster
+            assert flagged == {
+                r.doc_id for r in incoming.select("doc_id").collect()
+            }
+            # the TRIMMED corpus member (m==2) is still matchable
+            assert any(
+                c % M.VID_GROUP == 2 for _d, _f, c, _cf, _h in got
+            )
+        finally:
+            _rm_table(spark, table)
