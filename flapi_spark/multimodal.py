@@ -1032,7 +1032,13 @@ def mm_video_phash_pairs(
     Scale shape: frame hashing is linear map work; the pair stream is
     a banded equi-join over (band_id, bv) — frames shard the buckets,
     no all-pairs product; fingerprints materialized once (the image
-    lane's Python-decode-recompute rule)."""
+    lane's Python-decode-recompute rule).
+
+    SIDE EFFECT: the fingerprint materialization is an EAGER
+    localCheckpoint — constructing this DataFrame runs the
+    synthesize+decode+hash job (the dedup_minhash_lsh convention;
+    without it the banded self-join re-runs the full Python decode
+    pass per alias, measured 2x wall)."""
     from flapi_spark.operators.dedup import hamming_band_rows, hamming_col
 
     media = synthesize_video_corpus(spark, sf_dir)
@@ -1272,7 +1278,8 @@ def mm_audio_fingerprint_pairs(
     equality, volume/noise robustness, and cluster recovery pinned in
     tests/test_multimodal.py. Same scale shape as mm_phash_pairs:
     linear map work over the media scan, banded equi-join pairs,
-    fingerprints materialized once."""
+    fingerprints materialized once (EAGER localCheckpoint — plan-only
+    callers pay the hash job; see mm_video_phash_pairs)."""
     from flapi_spark.operators.dedup import _simhash_pairs
 
     media = synthesize_audio_corpus(spark, sf_dir)
@@ -1392,7 +1399,13 @@ def write_phash_index(
     probe is one join + one bit_count — fully index-resident by
     construction. At 100 TB the index shuffles zero times after
     bootstrap; appends land bucket-preserving; compact with
-    scale.compact_bucketed_table."""
+    scale.compact_bucketed_table.
+
+    Use ONE table per modality/hash function (image dHash, audio
+    envelope, video composite-key frames): fingerprints from
+    different hash functions are incomparable, and mixing them in one
+    index would emit cross-modality "matches" that are pure bit
+    coincidence."""
     from flapi_spark.operators.dedup import hamming_band_rows
 
     (
@@ -1603,8 +1616,9 @@ def mm_phash_pairs(
         F.col("dhash_hi").alias("hi"),
         F.col("dhash_lo").alias("lo"),
     ).localCheckpoint(eager=True)
-    # fingerprints materialized ONCE (GC-managed checkpoint, the
-    # dedup_minhash_lsh convention): the banded self-join evaluates
+    # fingerprints materialized ONCE (GC-managed EAGER checkpoint, the
+    # dedup_minhash_lsh convention — construction runs the decode job;
+    # plan-only callers pay it too): the banded self-join evaluates
     # both aliases, and unlike the text lane's cheap JVM hash chain,
     # re-evaluating HERE means a second full Python decode pass over
     # the corpus (measured 2x wall). 16 bytes/doc — at 100 TB this is
