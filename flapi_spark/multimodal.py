@@ -250,32 +250,11 @@ def wav_encode(samples: list[int], sample_rate: int = 8000, channels: int = 1) -
 
 
 def _wav_decode(payload: bytes) -> dict:
-    """RIFF walk: fmt (format/channels/rate/bits) + data; RMS level
-    over PCM16 samples."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV (bad RIFF header)")
-    pos = 12
-    channels = sample_rate = bits = None
-    data = b""
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + length]
-        if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
-                "<HHIIHH", body[:16]
-            )
-            if audio_fmt != 1:
-                raise ValueError(f"only PCM WAV supported (fmt {audio_fmt})")
-        elif tag == b"data":
-            data = body
-        pos += 8 + length + (length & 1)  # chunks are word-aligned
-    if channels is None or not data:
-        raise ValueError("WAV missing fmt or data chunk")
-    if bits != 16:
-        raise ValueError("only 16-bit PCM supported")
-    n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    """RIFF walk (shared core: wav_samples) + RMS level over the PCM16
+    samples — the stats sibling of the sample hook, same split as
+    _png_raster/_png_decode."""
+    samples, channels, sample_rate = wav_samples(payload)
+    n = len(samples)
     n_frames = n // channels
     rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
     return {
@@ -284,7 +263,7 @@ def _wav_decode(payload: bytes) -> dict:
         "n_frames": int(n_frames),
         "checksum": hashlib.md5(payload).hexdigest(),
         "n_channels": int(channels),
-        "bit_depth": int(bits),
+        "bit_depth": 16,  # wav_samples rejects everything else
         "sample_rate": int(sample_rate),
         "duration_ms": int(n_frames * 1000 / sample_rate) if sample_rate else None,
         "mean_level": float(rms),
@@ -802,6 +781,15 @@ def image_luma(payload: bytes):
     import numpy as np
 
     if payload[:8] == PNG_SIG:
+        # palette PNGs (color type 3) decode to palette INDICES — no
+        # PLTE lookup here, so their "luma" would be meaningless index
+        # noise and near-dups vs truecolor re-encodes silently missed;
+        # fail loudly like the 8-bit/interlace gates
+        if len(payload) > 25 and payload[25] == 3:
+            raise ValueError(
+                "image_luma: palette PNG (color type 3) unsupported —"
+                " indices are not luma; convert to truecolor first"
+            )
         px = png_pixels(payload)
     elif payload[:2] == b"BM":
         px = bmp_pixels(payload)
@@ -1069,8 +1057,12 @@ def mm_video_phash_pairs(
             F.col("b.doc_id").alias("fb"),
             hamming_col("a.hi", "a.lo", "b.hi", "b.lo").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: hamming is a function of
+        # (fa, fb), so the result is identical but the dedup shuffle
+        # carries only surviving near-dup frame pairs instead of every
+        # cross-cluster band coincidence (expected hamming ~32 >> 10)
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return frame_pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_frame_matches"),
@@ -1570,23 +1562,12 @@ def phash_index_maintainer(table: str, marker_dir: str, fps_of=_image_fps):
     duplicates one batch — consumers dedup pairs, never correctness),
     both sessions refreshTable'd so a guard rebuilt from a fresh
     spark.table() re-lists."""
-    import os
+    from flapi_spark.streaming import replay_maintainer
 
-    origin = SparkSession.getActiveSession()
-
-    def _append(batch_df, batch_id: int) -> None:
-        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            return
-        spark = batch_df.sparkSession
+    def _do(spark, batch_df):
         append_phash_index(spark, fps_of(batch_df), table)
-        for s in {spark, origin} - {None}:
-            s.catalog.refreshTable(table)
-        os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
 
-    return _append
+    return replay_maintainer(marker_dir, _do, (table,))
 
 
 def mm_phash_pairs(

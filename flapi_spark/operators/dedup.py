@@ -424,7 +424,18 @@ def hamming_band_rows(fps: DataFrame, n_bands: int = 4) -> DataFrame:
     hi, lo) 64-bit fingerprints — the blocking key stream shared by
     the in-query pair generators (_simhash_pairs) and the persisted
     fingerprint index (multimodal.write_phash_index). Stateless per
-    row, so legal on streams."""
+    row, so legal on streams.
+
+    n_bands must split the two 32-bit halves evenly (2/4/8/16/32):
+    any other count would silently skip fingerprint bits at the hi/lo
+    boundary (e.g. 3 bands of 21 bits cover bits 0-20, 21-31-zeropad,
+    32-52 — bits 53-63 in NO band), turning the pigeonhole recall
+    guarantee into quiet misses."""
+    if n_bands not in (2, 4, 8, 16, 32):
+        raise ValueError(
+            f"hamming_band_rows: n_bands must be one of 2/4/8/16/32,"
+            f" got {n_bands}"
+        )
     bpb = 64 // n_bands
     mask = F.lit((1 << bpb) - 1)
 
@@ -475,8 +486,12 @@ def _simhash_pairs(
                 F.col("b.doc_id").alias("doc_b"),
                 # long: the oracle's bit_count arithmetic is BIGINT
                 hamming.cast("long").alias("hamming"))
-        .distinct()
+        # filter BEFORE the distinct (round 9): hamming is a function
+        # of the pair, so rows are identical either way but the dedup
+        # shuffle carries only surviving pairs, not every band
+        # coincidence
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -183,6 +183,8 @@ def rowwise_ivf_assign(
     ascending struct sort on (-sim, cell_id) — equality with
     ivf_assign is asserted bit-for-bit in tests."""
 
+    import math
+
     def _dot(a, b) -> F.Column:
         return F.aggregate(
             F.zip_with(
@@ -192,32 +194,46 @@ def rowwise_ivf_assign(
             lambda acc, v: acc + v,
         )
 
+    def _norm(values: list) -> float:
+        # the SAME IEEE op sequence as sqrt(_dot(v, v)): left fold of
+        # x*x from 0.0, then a correctly-rounded sqrt — bit-identical
+        # to the engine-side computation, hoisted to the driver once
+        # per frozen centroid instead of once per streamed row
+        acc = 0.0
+        for x in values:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     cents = F.array(
         *[
             F.struct(
                 F.lit(int(r.cell_id)).cast("long").alias("cell_id"),
                 F.lit([float(v) for v in r.centroid]).alias("centroid"),
+                F.lit(_norm([float(v) for v in r.centroid])).alias("norm"),
             )
             for r in centroid_rows
         ]
     )
     emb = F.col("embedding")
+    # query norm computed ONCE per row (it is constant across the
+    # centroid transform; inlining it re-ran the O(dim) fold once per
+    # centroid — review finding, round 9)
+    qn = F.sqrt(_dot(emb, emb))
     scored = F.transform(
         cents,
         lambda c: F.struct(
-            (
-                -(
-                    _dot(emb, c["centroid"])
-                    / (F.sqrt(_dot(emb, emb)) * F.sqrt(_dot(c["centroid"], c["centroid"])))
-                )
-            ).alias("neg_sim"),
+            (-(_dot(emb, c["centroid"]) / (F.col("_qn") * c["norm"]))).alias(
+                "neg_sim"
+            ),
             c["cell_id"].alias("cell_id"),
         ),
     )
     probed = F.slice(F.sort_array(scored), 1, nprobe)
-    return vectors.select(
-        "vec_id", "embedding", F.explode(probed).alias("pc")
-    ).select("vec_id", "embedding", F.col("pc.cell_id").alias("cell_id"))
+    return (
+        vectors.withColumn("_qn", qn)
+        .select("vec_id", "embedding", F.explode(probed).alias("pc"))
+        .select("vec_id", "embedding", F.col("pc.cell_id").alias("cell_id"))
+    )
 
 
 def ivf_assignments(

@@ -120,6 +120,19 @@ def _decontam(
     )
 
 
+def _drop_cluster_non_exemplars(keep: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared exemplar policy for the perceptual-lane dedup stages:
+    connected components over the pair stream, keep the min-doc_id
+    exemplar per cluster, docs outside any cluster untouched."""
+    from flapi_spark.operators.dedup import label_components
+
+    comps = label_components(pairs.select("doc_a", "doc_b"))
+    dropped = comps.where(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    return keep.join(dropped, "doc_id", "left_anti")
+
+
 def _image_near_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -127,19 +140,13 @@ def _image_near_dedup(
     max_hamming: int = 10,
 ) -> DataFrame:
     """IMAGE near-dup clusters (round 9): dHash pairs from the
-    multimodal lane (mm_phash_pairs), connected components, keep the
-    min-doc_id exemplar per cluster — the image sibling of
-    near_dedup. Docs without an image variant (or with a unique one)
-    survive untouched."""
+    multimodal lane (mm_phash_pairs) through the shared exemplar
+    policy — the image sibling of near_dedup."""
     from flapi_spark.multimodal import mm_phash_pairs
-    from flapi_spark.operators.dedup import label_components
 
-    pairs = mm_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
-    comps = label_components(pairs.select("doc_a", "doc_b"))
-    dropped = comps.where(
-        F.col("doc_id") != F.col("component_id")
-    ).select("doc_id")
-    return keep.join(dropped, "doc_id", "left_anti")
+    return _drop_cluster_non_exemplars(
+        keep, mm_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
+    )
 
 
 def _audio_near_dedup(
@@ -148,18 +155,14 @@ def _audio_near_dedup(
     keep: DataFrame,
     max_hamming: int = 10,
 ) -> DataFrame:
-    """AUDIO near-dup clusters (round 9): envelope-hash pairs from the
-    multimodal lane, connected components, min-doc_id exemplar — the
-    audio sibling of image_near_dedup."""
+    """AUDIO near-dup clusters (round 9): envelope-hash pairs through
+    the shared exemplar policy — the audio sibling of
+    image_near_dedup."""
     from flapi_spark.multimodal import mm_audio_fingerprint_pairs
-    from flapi_spark.operators.dedup import label_components
 
-    pairs = mm_audio_fingerprint_pairs(spark, sf_dir, max_hamming=max_hamming)
-    comps = label_components(pairs.select("doc_a", "doc_b"))
-    dropped = comps.where(
-        F.col("doc_id") != F.col("component_id")
-    ).select("doc_id")
-    return keep.join(dropped, "doc_id", "left_anti")
+    return _drop_cluster_non_exemplars(
+        keep, mm_audio_fingerprint_pairs(spark, sf_dir, max_hamming=max_hamming)
+    )
 
 
 def _train_split(
@@ -271,6 +274,11 @@ def curate(
             name, params = s, {}
         else:
             params = dict(s)
+            if "stage" not in params:
+                raise ValueError(
+                    f"curate: dict-shaped stage {s!r} is missing the"
+                    " 'stage' key"
+                )
             name = params.pop("stage")
         if name not in STAGES:
             raise ValueError(

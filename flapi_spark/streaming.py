@@ -891,9 +891,26 @@ def ivf_index_maintainer(table: str, marker_dir: str):
     or threshold per pair), and both the micro-batch clone session
     and the constructing session are refreshTable'd so a guard
     rebuilt from a fresh spark.table() re-lists."""
-    import os
-
     from flapi_spark.operators.similarity import append_ivf_index
+
+    def _do(spark, batch_df):
+        append_ivf_index(spark, batch_df, table)
+
+    return replay_maintainer(marker_dir, _do, (table,))
+
+
+def replay_maintainer(marker_dir: str, append_fn, tables: tuple):
+    """Shared foreachBatch scaffold for every persisted-index
+    maintainer (round-9 factoring — band/portable/IVF/fingerprint
+    lanes previously carried verbatim copies): idempotent
+    _SUCCESS-marker replay skip, `append_fn(spark, batch_df)` for the
+    lane-specific appends, then refreshTable on BOTH the micro-batch
+    clone session and the constructing session for every maintained
+    table (the round-8 V1 relation-cache finding), marker written
+    AFTER the appends commit (a crash in the window duplicates at
+    most one batch — consumers dedup candidates, never
+    correctness)."""
+    import os
 
     origin = SparkSession.getActiveSession()
 
@@ -902,9 +919,10 @@ def ivf_index_maintainer(table: str, marker_dir: str):
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             return  # replayed batch — already folded into the index
         spark = batch_df.sparkSession
-        append_ivf_index(spark, batch_df, table)
+        append_fn(spark, batch_df)
         for s in {spark, origin} - {None}:
-            s.catalog.refreshTable(table)
+            for t in tables:
+                s.catalog.refreshTable(t)
         os.makedirs(dst, exist_ok=True)
         with open(os.path.join(dst, "_SUCCESS"), "w"):
             pass
@@ -939,40 +957,21 @@ def band_index_maintainer(table: str, marker_dir: str,
     sets into the persisted verify-side store
     (dedup.write_shingle_store), under the same replay marker — one
     marker covers both appends, and a crash between them duplicates
-    at most one batch in one table (same candidate-dedup argument)."""
-    import os
+    at most one batch in one table (same candidate-dedup argument).
 
+    Replay-skip/refresh mechanics live in replay_maintainer (the
+    cloned-session relation-cache finding is documented there)."""
     from flapi_spark.operators.dedup import (
         append_band_index, append_shingle_store,
     )
 
-    # foreachBatch runs on a CLONED session: its insertInto does not
-    # invalidate the caller's catalog relation cache, so a guard
-    # (re)started from the ORIGINAL session keeps probing the
-    # pre-append file listing and silently misses every
-    # batch-vs-earlier-batch pair (found by
-    # scripts/continuous_dedup_demo.py's equality anchor, round 8).
-    # Capture the constructing session and refresh BOTH it and the
-    # micro-batch clone after each append.
-    origin = SparkSession.getActiveSession()
-
-    def _append(batch_df, batch_id: int) -> None:
-        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            return  # replayed batch — already folded into the index
-        spark = batch_df.sparkSession
+    def _do(spark, batch_df):
         append_band_index(spark, batch_df, table)
         if shingle_table is not None:
             append_shingle_store(spark, batch_df, shingle_table)
-        for s in {spark, origin} - {None}:
-            s.catalog.refreshTable(table)
-            if shingle_table is not None:
-                s.catalog.refreshTable(shingle_table)
-        os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
 
-    return _append
+    tables = (table,) if shingle_table is None else (table, shingle_table)
+    return replay_maintainer(marker_dir, _do, tables)
 
 
 def portable_index_maintainer(
@@ -989,29 +988,15 @@ def portable_index_maintainer(
     candidate work, never correctness — consumers .distinct()), both
     sessions refreshTable'd so consumers re-list on their next
     freshly-resolved read."""
-    import os
-
     from flapi_spark.operators.dedup import (
         append_band_index_portable, append_shingle_store_portable,
     )
 
-    origin = SparkSession.getActiveSession()
-
-    def _append(batch_df, batch_id: int) -> None:
-        dst = os.path.join(marker_dir, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            return
-        spark = batch_df.sparkSession
+    def _do(spark, batch_df):
         append_band_index_portable(spark, batch_df, band_table)
         append_shingle_store_portable(spark, batch_df, shingle_table)
-        for s in {spark, origin} - {None}:
-            s.catalog.refreshTable(band_table)
-            s.catalog.refreshTable(shingle_table)
-        os.makedirs(dst, exist_ok=True)
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
 
-    return _append
+    return replay_maintainer(marker_dir, _do, (band_table, shingle_table))
 
 
 def vocab_drift_stream(
