@@ -175,3 +175,21 @@ def test_curate_from_config_rejects_missing_stages(spark, sf_dir, tmp_path):
     cfg.write_text("name: nothing\n")
     with pytest.raises(ValueError, match="non-empty 'stages'"):
         curate_from_config(spark, sf_dir, str(cfg))
+
+
+def test_example_curation_config_loads(spark, sf_dir):
+    """The shipped example config is runnable as-is."""
+    import os
+
+    from flapi_spark.pipeline import curate_from_config
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "project",
+        "pipelines", "curation.yaml",
+    )
+    rep = curate_from_config(spark, sf_dir, path)
+    assert [s["stage"] for s in rep.stages] == [
+        "quality", "langid", "exact_dedup", "near_dedup", "decontam",
+        "train_split",
+    ]
+    assert rep.keep.count() > 0
