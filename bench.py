@@ -69,6 +69,10 @@ HEADLINE = [
     "mm_audio_fingerprint_pairs",
     "mm_video_phash_pairs",
     "pipeline_curation_funnel",
+    # round 10: HTML main-text extraction (the first gate a web-crawl
+    # page hits) and the FULL curation chain with it in front
+    "text_html_extract",
+    "pipeline_curation_funnel_html",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

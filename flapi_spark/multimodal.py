@@ -975,19 +975,43 @@ FRAME_HASH_SCHEMA = StructType(
     ]
 )
 
+# Composite frame key span: video lanes pack (doc_id, frame_no) as
+# doc_id*SPAN + frame_no so the modality-generic 64-bit band machinery
+# can key individual frames. video_frame_hash_batch REJECTS clips with
+# >= SPAN frames (~2.7 min at 25 fps) — overflow would silently
+# re-attribute frames to the next doc_id. Longer clips must be
+# pre-split into segments (each segment its own doc_id).
+VID_FRAME_KEY_SPAN = 4096
+
 
 def video_frame_hash_batch(media: DataFrame) -> DataFrame:
     """Arrow-batched per-FRAME perceptual hashing over video payloads
     (mapInPandas): demux MP4 samples, decode each Motion-JPEG frame,
     dHash its luma. One media row fans out to n_frames fingerprint
-    rows; payload bytes stay inside the stage."""
+    rows; payload bytes stay inside the stage. Clips with more than
+    VID_FRAME_KEY_SPAN frames are REJECTED (ValueError) — downstream
+    composite frame keys would overflow into the next doc_id."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["media_type"].str.startswith("video")]
             ids, nos, hi, lo = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for frame_no, sample in enumerate(mp4_samples(bytes(payload))):
+                samples = mp4_samples(bytes(payload))
+                if len(samples) > VID_FRAME_KEY_SPAN:
+                    # the composite frame key downstream packs
+                    # doc_id*SPAN+frame_no — frame SPAN of doc N would
+                    # silently alias to frame 0 of doc N+1, corrupting
+                    # match attribution. Fail loudly BEFORE any decode
+                    # work (round-10 ADVICE fix).
+                    raise ValueError(
+                        f"video doc {doc_id}: {len(samples)} frames >"
+                        f" composite-key span {VID_FRAME_KEY_SPAN} —"
+                        " clip too long for the packed frame key;"
+                        " pre-split long clips into <="
+                        f"{VID_FRAME_KEY_SPAN}-frame segments"
+                    )
+                for frame_no, sample in enumerate(samples):
                     h = dhash64(image_luma(sample))
                     ids.append(doc_id)
                     nos.append(frame_no)
@@ -1032,9 +1056,9 @@ def mm_video_phash_pairs(
     media = synthesize_video_corpus(spark, sf_dir)
     fps = video_frame_hash_batch(media).localCheckpoint(eager=True)
     # composite frame key so the band machinery can tell frames apart;
-    # VID_FRAMES << 4096 so the packing is collision-free
+    # collision-free by the VID_FRAME_KEY_SPAN guard in the hash stage
     keyed = fps.select(
-        (F.col("doc_id") * 4096 + F.col("frame_no")).alias("doc_id"),
+        (F.col("doc_id") * VID_FRAME_KEY_SPAN + F.col("frame_no")).alias("doc_id"),
         F.col("dhash_hi").alias("hi"),
         F.col("dhash_lo").alias("lo"),
     )
@@ -1048,11 +1072,14 @@ def mm_video_phash_pairs(
             # cross-DOCUMENT only: strictly increasing doc part
             # (integer div — float division would let same-doc frame
             # pairs through on the fractional part)
-            & (F.expr("a.doc_id div 4096") < F.expr("b.doc_id div 4096")),
+            & (
+                F.expr(f"a.doc_id div {VID_FRAME_KEY_SPAN}")
+                < F.expr(f"b.doc_id div {VID_FRAME_KEY_SPAN}")
+            ),
         )
         .select(
-            F.expr("a.doc_id div 4096").alias("doc_a"),
-            F.expr("b.doc_id div 4096").alias("doc_b"),
+            F.expr(f"a.doc_id div {VID_FRAME_KEY_SPAN}").alias("doc_a"),
+            F.expr(f"b.doc_id div {VID_FRAME_KEY_SPAN}").alias("doc_b"),
             F.col("a.doc_id").alias("fa"),
             F.col("b.doc_id").alias("fb"),
             hamming_col("a.hi", "a.lo", "b.hi", "b.lo").alias("hamming"),
@@ -1378,7 +1405,7 @@ PHASH_BANDS = 8  # 8x8-bit bands: pigeonhole recall for hamming < 8
 def write_phash_index(
     spark: SparkSession,
     fps: DataFrame,
-    table: str = "neardup_phash_index",
+    table: str,
     buckets: int = 16,
 ) -> None:
     """Materialize a 64-bit-fingerprint band index as a BUCKETED
@@ -1397,7 +1424,10 @@ def write_phash_index(
     envelope, video composite-key frames): fingerprints from
     different hash functions are incomparable, and mixing them in one
     index would emit cross-modality "matches" that are pure bit
-    coincidence."""
+    coincidence — which is why `table` has NO default (round-10
+    ADVICE fix: a shared default name made the documented misuse the
+    path of least resistance). Name indexes per modality, e.g.
+    neardup_phash_index_image / _audio / _video."""
     from flapi_spark.operators.dedup import hamming_band_rows
 
     (
@@ -1412,10 +1442,12 @@ def write_phash_index(
 def append_phash_index(
     spark: SparkSession,
     fps: DataFrame,
-    table: str = "neardup_phash_index",
+    table: str,
 ) -> None:
     """Per-batch fingerprint-index maintenance: insertInto preserves
-    the bucket spec (same contract as dedup.append_band_index)."""
+    the bucket spec (same contract as dedup.append_band_index).
+    `table` is required — one index per modality/hash function, see
+    write_phash_index."""
     from flapi_spark.operators.dedup import hamming_band_rows
 
     hamming_band_rows(fps, PHASH_BANDS).write.insertInto(table)
@@ -1511,11 +1543,12 @@ def _audio_fps(media: DataFrame) -> DataFrame:
 
 
 def _video_fps(media: DataFrame) -> DataFrame:
-    """Composite-keyed (doc·4096+frame, hi, lo) frame fingerprints —
+    """Composite-keyed (doc·SPAN+frame, hi, lo) frame fingerprints —
     the video lane's fingerprint shape for the generic index/guard
-    (VID_FRAMES << 4096, collision-free)."""
+    (collision-free: the hash stage rejects frame_no >=
+    VID_FRAME_KEY_SPAN)."""
     return video_frame_hash_batch(media).select(
-        (F.col("doc_id") * 4096 + F.col("frame_no")).alias("doc_id"),
+        (F.col("doc_id") * VID_FRAME_KEY_SPAN + F.col("frame_no")).alias("doc_id"),
         F.col("dhash_hi").alias("hi"),
         F.col("dhash_lo").alias("lo"),
     )
@@ -1540,10 +1573,12 @@ def video_guard_stream(
         _video_fps(media_stream), phash_index, max_hamming
     )
     return hits.select(
-        F.expr("doc_id div 4096").alias("doc_id"),
-        F.expr("doc_id % 4096").cast("int").alias("frame_no"),
-        F.expr("corpus_doc_id div 4096").alias("corpus_doc_id"),
-        F.expr("corpus_doc_id % 4096").cast("int").alias(
+        F.expr(f"doc_id div {VID_FRAME_KEY_SPAN}").alias("doc_id"),
+        F.expr(f"doc_id % {VID_FRAME_KEY_SPAN}").cast("int").alias("frame_no"),
+        F.expr(f"corpus_doc_id div {VID_FRAME_KEY_SPAN}").alias(
+            "corpus_doc_id"
+        ),
+        F.expr(f"corpus_doc_id % {VID_FRAME_KEY_SPAN}").cast("int").alias(
             "corpus_frame_no"
         ),
         "band_id",

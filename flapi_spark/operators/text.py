@@ -1871,3 +1871,117 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_rate"),
     )
+
+
+# --- round 10: HTML / markup main-text extraction ---------------------------
+#
+# The synthetic corpus is plain text, so (the text_pii_redact pattern)
+# each doc is first wrapped in deterministic doc_id-derived markup —
+# head/title/style/script, a variable-width nav, two ad divs, a body
+# script, a footer — and the operator then runs the extraction a
+# web-crawl pipeline runs on real pages: drop head + script blocks,
+# strip known boilerplate containers, strip remaining tags, collapse
+# whitespace, and gate on text density (the trafilatura/jusText-style
+# keep decision). Every regex below is valid and means the same thing
+# in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences; lazy quantifiers never cross a newline because the
+# injected markup is single-line.
+HTML_HEAD_RE = "<head>.*?</head>"
+HTML_SCRIPT_RE = "<script[^>]*>.*?</script>"
+HTML_NAV_RE = "<nav>.*?</nav>"
+HTML_FOOTER_RE = "<footer>.*?</footer>"
+HTML_AD_RE = "<div class=\"ad\">.*?</div>"
+HTML_TAG_RE = "<[^>]+>"
+HTML_LINK_RE = "<a [^>]*>"
+
+
+def _html_wrapped() -> F.Column:
+    """The deterministic markup-injection column (shared with the
+    oracle SQL in queries.py — same pieces, same order)."""
+    return F.concat(
+        F.format_string(
+            '<html><head><title>doc %d</title>'
+            '<style>body{margin:%dpx}</style>'
+            '<script>var id=%d;track("p%d");</script></head><body><nav>',
+            F.col("doc_id"), F.col("doc_id") % 7, F.col("doc_id"),
+            F.col("doc_id") % 13,
+        ),
+        F.repeat(
+            F.lit('<a href="/c">c</a>'),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+        ),
+        F.format_string(
+            '<a href="/about">about</a></nav>'
+            '<div class="ad">buy now offer %d</div>'
+            '<script>var t="%d";</script><article><p>',
+            F.col("doc_id") % 97, F.col("doc_id") % 31,
+        ),
+        F.col("text"),
+        F.format_string(
+            '</p></article><div class="ad">subscribe %d</div>'
+            '<footer>copyright 2026 site%d</footer></body></html>',
+            F.col("doc_id") % 43, F.col("doc_id") % 13,
+        ),
+    )
+
+
+def text_html_extract(
+    spark: SparkSession, sf_dir: str,
+    min_density: float = 0.4, min_text_len: int = 80,
+) -> DataFrame:
+    """HTML main-text extraction + boilerplate-page gate (round 10 —
+    the highest-frequency LLM-pipeline operator a web-crawl corpus
+    hits before any other text stage): per document, strip markup
+    down to the main text and decide keep/drop by text density.
+
+    Extraction order IS the contract (each step feeds the next, and
+    the oracle replays it verbatim): (1) drop the <head> block
+    (title/style/head scripts), (2) drop remaining <script> blocks,
+    (3) strip <nav>, (4) <footer>, (5) <div class="ad"> boilerplate
+    containers, (6) strip every remaining tag to a space, (7)
+    collapse runs of spaces and trim. On the injected markup this
+    provably recovers the original text byte-for-byte (pinned in
+    tests), so main_md5 doubles as an end-to-end extraction check.
+
+    The keep decision gates on ROUNDED text_density (the output
+    column itself, so the gate replays identically cross-engine) and
+    a minimum extracted length — short texts drown in boilerplate
+    (density ~L/(L+330) here), which is exactly the page shape a real
+    crawl drops.
+
+    100 TB shape: one scan, pure regexp_replace/length/md5
+    projections — JVM-side whole-stage codegen, embarrassingly
+    parallel, no shuffle, no Python. Reference parity: the reference
+    ships no markup extraction; this is brief-driven LLM-pipeline
+    surface (SURVEY §2.3), VERDICT r9 next-round item 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = _html_wrapped()
+    h = F.regexp_replace(html, HTML_HEAD_RE, " ")
+    h = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
+    h = F.regexp_replace(h, HTML_NAV_RE, " ")
+    h = F.regexp_replace(h, HTML_FOOTER_RE, " ")
+    h = F.regexp_replace(h, HTML_AD_RE, " ")
+    h = F.regexp_replace(h, HTML_TAG_RE, " ")
+    main = F.trim(F.regexp_replace(h, " +", " "))
+    out = docs.select(
+        "doc_id",
+        F.length(html).cast("long").alias("html_len"),
+        F.length(main).cast("long").alias("text_len"),
+        F.regexp_count(html, F.lit(HTML_LINK_RE)).cast("long").alias(
+            "n_links"
+        ),
+        F.md5(main).alias("main_md5"),
+    ).withColumn(
+        "text_density",
+        F.round(
+            F.col("text_len").cast("double") / F.col("html_len"), 6
+        ),
+    )
+    return out.select(
+        "doc_id", "html_len", "text_len", "text_density", "n_links",
+        "main_md5",
+        (
+            (F.col("text_density") >= F.lit(float(min_density)))
+            & (F.col("text_len") >= F.lit(int(min_text_len)))
+        ).alias("keep"),
+    )

@@ -33,6 +33,27 @@ from pyspark.sql import functions as F
 from flapi_spark.session import load_table
 
 
+def _html_extract(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    min_density: float = 0.4, min_text_len: int = 80,
+) -> DataFrame:
+    """HTML main-text extraction gate (round 10): keep docs whose
+    extracted main text clears the text-density and length floors —
+    the boilerplate-heavy-page drop a web-crawl pipeline runs BEFORE
+    quality scoring (trafilatura/jusText-style decision, re-expressed
+    as exact regex extraction over the markup)."""
+    from flapi_spark.operators.text import text_html_extract
+
+    return keep.join(
+        text_html_extract(
+            spark, sf_dir, min_density=min_density,
+            min_text_len=min_text_len,
+        ).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _quality(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
     """Gopher gates: keep docs passing ALL gates."""
     from flapi_spark.operators.text import text_gopher_filters
@@ -66,7 +87,12 @@ def _exact_dedup(
     spark: SparkSession, sf_dir: str, keep: DataFrame
 ) -> DataFrame:
     """One survivor per md5 fingerprint (corpus-wide survivor choice,
-    intersected with the current keep-set — the demo's semantics)."""
+    intersected with the current keep-set — the demo's semantics).
+
+    CORPUS-WIDE SURVIVOR HAZARD (shared by every dedup stage — see
+    curate()): if an EARLIER stage already dropped a group's chosen
+    survivor, the other group members are still dropped here, so the
+    whole fingerprint group can vanish from the curated output."""
     from flapi_spark.operators.dedup import dedup_exact_survivors
 
     return keep.join(
@@ -87,7 +113,12 @@ def _near_dedup(
     """Quality-aware exemplar per near-dup cluster. Pair source, in
     precedence order: explicit `pairs`; the persisted portable index
     (`band_table` + `shingle_store` — the zero-rehash production
-    path); else the inline MinHash-LSH chain."""
+    path); else the inline MinHash-LSH chain.
+
+    CORPUS-WIDE SURVIVOR HAZARD (see curate()): the exemplar is
+    chosen over the FULL corpus, then intersected with the current
+    keep-set — a cluster whose exemplar an earlier stage dropped
+    loses all its members."""
     from flapi_spark.operators.dedup import (
         dedup_keep_best_survivors, pairs_from_band_index,
     )
@@ -123,7 +154,12 @@ def _decontam(
 def _drop_cluster_non_exemplars(keep: DataFrame, pairs: DataFrame) -> DataFrame:
     """Shared exemplar policy for the perceptual-lane dedup stages:
     connected components over the pair stream, keep the min-doc_id
-    exemplar per cluster, docs outside any cluster untouched."""
+    exemplar per cluster, docs outside any cluster untouched.
+
+    CORPUS-WIDE SURVIVOR HAZARD (see curate()): clusters and
+    exemplars are computed over the full corpus — if an earlier stage
+    dropped a cluster's exemplar, the intersection removes the whole
+    cluster."""
     from flapi_spark.operators.dedup import label_components
 
     comps = label_components(pairs.select("doc_a", "doc_b"))
@@ -165,6 +201,24 @@ def _audio_near_dedup(
     )
 
 
+def _video_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """VIDEO near-dup clusters (round 10, closing the modality set in
+    the pipeline: VERDICT r9 item 3): any-frame-match doc pairs from
+    the video lane's doc-grain rollup (mm_video_phash_pairs) through
+    the shared exemplar policy — trim/reorder-robust by the lane's
+    construction."""
+    from flapi_spark.multimodal import mm_video_phash_pairs
+
+    return _drop_cluster_non_exemplars(
+        keep, mm_video_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
+    )
+
+
 def _train_split(
     spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
 ) -> DataFrame:
@@ -181,12 +235,14 @@ def _train_split(
 
 
 STAGES = {
+    "html_extract": _html_extract,
     "quality": _quality,
     "langid": _langid,
     "exact_dedup": _exact_dedup,
     "near_dedup": _near_dedup,
     "image_near_dedup": _image_near_dedup,
     "audio_near_dedup": _audio_near_dedup,
+    "video_near_dedup": _video_near_dedup,
     "decontam": _decontam,
     "train_split": _train_split,
 }
@@ -263,7 +319,20 @@ def curate(
     {"stage": "langid", "langs": ["en"]} or {"stage": "near_dedup",
     "band_table": ..., "shingle_store": ...}). Attrition is monotone
     by construction (every stage only narrows the keep-set) and
-    asserted.
+    enforced at runtime.
+
+    CORPUS-WIDE SURVIVOR SEMANTICS (all dedup stages — exact_dedup,
+    near_dedup, image/audio/video_near_dedup): each stage picks
+    survivors/exemplars over the FULL corpus, then intersects with
+    the current keep-set. This keeps the survivor choice a stable
+    corpus-level property (the persisted production indexes compute
+    it once at build time, independent of any one pipeline's stage
+    order) — but it means a cluster whose chosen survivor an EARLIER
+    stage already dropped loses ALL its members: the cluster
+    disappears from the curated output rather than electing a new
+    exemplar among the survivors. Order dedup stages before lossy
+    gates (or accept the stricter drop) if that matters for your
+    corpus.
 
     Returns a CurationReport; report.keep is the surviving doc_id
     DataFrame, report.stages the per-stage attrition (+ wall
@@ -304,7 +373,13 @@ def curate(
                 "sec": round(perf_counter() - t0, 3),
             }
         )
-        assert n <= n_prev, (name, n, n_prev)
+        if n > n_prev:
+            # explicit raise, not assert: the monotone-attrition
+            # invariant must survive `python -O` (round-10 ADVICE fix)
+            raise RuntimeError(
+                f"curate: stage {name!r} widened the keep-set"
+                f" ({n_prev} -> {n}) — stages must only narrow it"
+            )
         n_prev = n
     report.keep = keep
     return report

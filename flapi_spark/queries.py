@@ -4452,6 +4452,124 @@ QUERIES.update(
 )
 
 
+# --- round 10: HTML main-text extraction + the full curation chain ----------
+
+
+def _html_extract_sql(min_density: float = 0.4, min_text_len: int = 80) -> str:
+    """Exact replay of operators/text.text_html_extract: identical
+    injected markup (same pieces, same order), identical regex
+    constants, identical extraction order, keep gate on the ROUNDED
+    density output."""
+    inject = (
+        "'<html><head><title>doc ' || doc_id || '</title>"
+        "<style>body{margin:' || (doc_id % 7) || 'px}</style>"
+        "<script>var id=' || doc_id || ';track(\"p' || (doc_id % 13)"
+        " || '\");</script></head><body><nav>'"
+        " || repeat('<a href=\"/c\">c</a>', CAST(1 + doc_id % 3 AS INT))"
+        " || '<a href=\"/about\">about</a></nav>"
+        "<div class=\"ad\">buy now offer ' || (doc_id % 97) || '</div>"
+        "<script>var t=\"' || (doc_id % 31) || '\";</script>"
+        "<article><p>' || text || '</p></article>"
+        "<div class=\"ad\">subscribe ' || (doc_id % 43) || '</div>"
+        "<footer>copyright 2026 site' || (doc_id % 13)"
+        " || '</footer></body></html>'"
+    )
+    strip = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"html, '{T.HTML_HEAD_RE}', ' ', 'g'),"
+        f" '{T.HTML_SCRIPT_RE}', ' ', 'g'),"
+        f" '{T.HTML_NAV_RE}', ' ', 'g'),"
+        f" '{T.HTML_FOOTER_RE}', ' ', 'g'),"
+        f" '{T.HTML_AD_RE}', ' ', 'g'),"
+        f" '{T.HTML_TAG_RE}', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, {inject} AS html FROM documents),"
+        f" m AS (SELECT doc_id, html, {strip} AS main FROM h)"
+        " SELECT doc_id,"
+        " CAST(len(html) AS BIGINT) AS html_len,"
+        " CAST(len(main) AS BIGINT) AS text_len,"
+        " round(CAST(len(main) AS DOUBLE) / len(html), 6) AS text_density,"
+        f" CAST(len(regexp_extract_all(html, '{T.HTML_LINK_RE}')) AS BIGINT)"
+        "  AS n_links,"
+        " md5(main) AS main_md5,"
+        " (round(CAST(len(main) AS DOUBLE) / len(html), 6)"
+        f"  >= {min_density} AND len(main) >= {min_text_len}) AS keep"
+        " FROM m"
+    )
+
+
+def _pipeline_curation_funnel_html(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL text curation chain (round 10): html_extract in front
+    of the default stages — the shape a web-crawl corpus actually
+    runs (markup stripping is the first gate a page hits). Oracle:
+    the same chained-CTE funnel with the html keep-set as k1."""
+    from flapi_spark.pipeline import DEFAULT_STAGES, curate
+
+    return curate(
+        spark, sf_dir, stages=["html_extract", *DEFAULT_STAGES]
+    ).funnel_df
+
+
+def _curation_funnel_html_sql(
+    lang_cond: str = "predicted_lang <> 'unknown'",
+) -> str:
+    """`lang_cond` parameterizes the langid keep condition so the
+    YAML-pipeline oracle test can replay an allow-list config
+    (e.g. "predicted_lang = 'en'") with the same chained CTEs."""
+    g = QUERIES["text_gopher_filters"][1]
+    l = QUERIES["text_langid"][1]
+    e = QUERIES["dedup_exact_survivors"][1]
+    kb = QUERIES["dedup_keep_best_survivors"][1]
+    c = QUERIES["contamination_ngram_overlap"][1]
+    h = _html_extract_sql()
+    cnt = "SELECT count(*) FROM k{}"
+    rows = " UNION ALL ".join(
+        f"SELECT {i}, '{name}', ({cnt.format(i - 1)}), ({cnt.format(i)}),"
+        f" ({cnt.format(i - 1)}) - ({cnt.format(i)})"
+        for i, name in (
+            (2, "quality"), (3, "langid"), (4, "exact_dedup"),
+            (5, "near_dedup"), (6, "decontam"),
+        )
+    )
+    return (
+        "WITH k0 AS (SELECT doc_id FROM documents),"
+        f" k1 AS (SELECT doc_id FROM k0 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({h}) h WHERE keep)),"
+        f" k2 AS (SELECT doc_id FROM k1 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({g}) g WHERE keep)),"
+        f" k3 AS (SELECT doc_id FROM k2 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({l}) l WHERE {lang_cond})),"
+        f" k4 AS (SELECT doc_id FROM k3 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({e}) e)),"
+        f" k5 AS (SELECT doc_id FROM k4 WHERE doc_id IN"
+        f"  (SELECT doc_id FROM ({kb}) kb WHERE keep)),"
+        f" k6 AS (SELECT doc_id FROM k5 WHERE doc_id NOT IN"
+        f"  (SELECT DISTINCT train_doc FROM ({c}) c))"
+        " SELECT CAST(1 AS BIGINT) AS stage, 'html_extract' AS stage_name,"
+        " CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_in,"
+        " CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_out,"
+        " CAST((SELECT count(*) FROM k0) - (SELECT count(*) FROM k1)"
+        "  AS BIGINT) AS n_dropped"
+        f" UNION ALL {rows}"
+    )
+
+
+QUERIES.update(
+    {
+        "text_html_extract": (T.text_html_extract, _html_extract_sql()),
+        "pipeline_curation_funnel_html": (
+            _pipeline_curation_funnel_html,
+            _curation_funnel_html_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -4464,34 +4582,35 @@ QUERIES.update(
 # earliest round-5 entries to fill to 50. (The r8 window's 50 are now
 # the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
-    # NEW round-9 entries (first driver look; displace the last three
-    # r5 fillers to keep the window at 50)
-    "mm_phash_pairs", "pipeline_curation_funnel",
-    "mm_audio_fingerprint_pairs", "mm_video_phash_pairs",
-    # stalest: latest driver verdict r3
-    "zorder_locality_stats",
-    # latest driver verdict r4 (all 42)
-    "abc_classification", "bucketed_revenue_by_segment",
-    "cohort_ltv_curves", "corpus_shard_assign", "counter_rate_events",
-    "customer_concentration_topn", "customer_value_trends",
-    "cusum_changepoint", "daily_top_order", "dedup_rate_by_source",
-    "dim_profile_part", "discount_band_effects", "embedding_norm_stats",
-    "events_burstiness", "events_error_rate_sla",
-    "events_interarrival_percentiles", "events_value_boxplot",
-    "events_weekday_hour_heatmap", "gram_novelty_rate",
-    "holt_linear_daily_revenue", "k_anonymity_orders",
-    "langid_confusion_matrix", "m4_downsample_events",
-    "ma_crossover_signals", "mau_dau_stickiness",
-    "new_vs_returning_monthly", "order_line_count_distribution",
-    "order_to_ship_latency_percentiles", "order_value_outliers_iqr",
-    "order_weekday_seasonality", "orderpriority_status_concat",
-    "region_nation_revenue_shares", "repeat_rate_by_segment",
-    "revenue_growth_rates", "sample_weighted_quality",
-    "src_orc_roundtrip", "tables_row_counts", "text_ttr_diversity",
-    "trimmed_mean_order_values", "udtf_ngram_profile",
-    "user_behavior_entropy", "vocab_oov_rate",
-    # earliest r5 fillers to reach 50
-    "benford_leading_digit", "cache_snapshot_diff", "chi2_lang_source",
+    # NEW round-10 entries (first driver look)
+    "text_html_extract", "pipeline_curation_funnel_html",
+    # stalest: every entry whose latest driver verdict is r5 (the
+    # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
+    # re-drive was 8/8 bit-exact — this makes the driver confirm)
+    "customer_activity_full_outer", "forecast_seasonal_naive",
+    "funnel_time_to_convert", "gini_customer_revenue",
+    "hhi_market_concentration", "kaplan_meier_order_gaps",
+    "lorenz_deciles", "market_basket_brand_pairs",
+    "ols_quantity_on_price", "paginate_orders",
+    "paginate_orders_keyset", "part_type_share",
+    "percentile_order_values", "q14_promo_revenue_share",
+    "q16_part_supplier_counts", "q17_small_qty_revenue",
+    "q19_bracket_revenue", "q2_min_price_parts", "q8_market_share",
+    "q9_profit_by_nation_year", "session_path_trigrams",
+    "shape_redact_customers", "src_duckdb_query",
+    "tax_burden_by_brand", "text_readability_flesch",
+    "tpl_customers_all", "tpl_customers_by_segment",
+    "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
+    # oldest r6 cohort, oracle-backed entries first (rows-only r6
+    # entries keep their golden-test coverage and rotate next round)
+    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
+    "ann_recall_eval", "bloom_token_filter", "bm25_search",
+    "ccnet_perplexity_buckets", "contamination_ngram_overlap",
+    "countmin_token_freq", "dedup_chunk_boilerplate",
+    "dedup_containment_pairs", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_lsh_recall_eval",
+    "dedup_ngram_jaccard", "dedup_substring_spans",
+    "dsir_importance_weights", "embedding_pc_removal_stats",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -732,3 +732,33 @@ class TestVideoPhash:
             assert "BroadcastNestedLoop" not in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestFrameKeySpanGuard:
+    """Round 10 (r9 ADVICE): clips with more frames than the packed
+    composite key can address must fail LOUDLY, not alias the
+    overflow frames onto the next doc_id."""
+
+    def test_long_clip_rejected(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import PythonException
+
+        n = M.VID_FRAME_KEY_SPAN + 1
+        payload = M.mp4_encode([b"\x00"] * n, width=16, height=16)
+        media = spark.createDataFrame(
+            [(1, "video/mp4", payload, len(payload))],
+            schema="doc_id LONG, media_type STRING, payload BINARY,"
+            " n_bytes LONG",
+        )
+        with pytest.raises(
+            (PythonException, Py4JJavaError), match="composite-key span"
+        ):
+            M.video_frame_hash_batch(media).count()
+
+    def test_guard_boundary_checks_count_not_index(self):
+        """mp4_samples-level sanity: an exactly-SPAN-frame clip demuxes
+        to SPAN samples (frame_no max SPAN-1 — representable), one
+        more crosses the guard."""
+        n = M.VID_FRAME_KEY_SPAN
+        p_ok = M.mp4_encode([b"\x00"] * n, width=16, height=16)
+        assert len(M.mp4_samples(p_ok)) == n

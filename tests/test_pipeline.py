@@ -189,7 +189,94 @@ def test_example_curation_config_loads(spark, sf_dir):
     )
     rep = curate_from_config(spark, sf_dir, path)
     assert [s["stage"] for s in rep.stages] == [
-        "quality", "langid", "exact_dedup", "near_dedup", "decontam",
-        "train_split",
+        "html_extract", "quality", "langid", "exact_dedup",
+        "near_dedup", "decontam", "train_split",
     ]
     assert rep.keep.count() > 0
+
+
+def test_shipped_yaml_funnel_matches_oracle(spark):
+    """VERDICT r9 item 7: the SHIPPED curation.yaml, run end-to-end at
+    sf0.01, produces the exact funnel the chained-CTE DuckDB oracle
+    computes (lang allow-list replayed via the parameterized oracle
+    builder); the trailing train_split stage is checked for chain
+    consistency."""
+    import os
+
+    import duckdb
+
+    from flapi_spark.pipeline import curate_from_config
+    from flapi_spark.queries import _curation_funnel_html_sql
+
+    sf01 = "/root/testdata/sf0.01"
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "project",
+        "pipelines", "curation.yaml",
+    )
+    rep = curate_from_config(spark, sf01, path)
+    got = {
+        r.stage: (r.stage_name, r.n_in, r.n_out, r.n_dropped)
+        for r in rep.funnel_df.collect()
+    }
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf01}/{t}.parquet'"
+        )
+    want = con.execute(
+        _curation_funnel_html_sql(lang_cond="predicted_lang = 'en'")
+    ).fetchall()
+    con.close()
+    assert len(got) == 7  # 6 oracle-checked stages + train_split
+    for stage, name, n_in, n_out, n_drop in want:
+        assert got[stage] == (name, n_in, n_out, n_drop)
+    # train_split chains off decontam's survivors and narrows
+    name, n_in, n_out, n_drop = got[7]
+    assert name == "train_split"
+    assert n_in == got[6][2] and 0 < n_out <= n_in
+    assert n_drop == n_in - n_out
+
+
+def test_video_near_dedup_stage(spark, sf_dir):
+    """The video lane inside curate() (round 10): per any-frame-match
+    cluster exactly the min-doc_id exemplar survives; docs outside
+    any cluster untouched — the image-stage contract over the video
+    pair rollup."""
+    from flapi_spark.multimodal import mm_video_phash_pairs
+    from flapi_spark.operators.dedup import label_components
+
+    rep = curate(spark, sf_dir, stages=["video_near_dedup"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    comps = label_components(
+        mm_video_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ).collect()
+    clustered = {r.doc_id for r in comps}
+    exemplars = {r.doc_id for r in comps if r.doc_id == r.component_id}
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    }
+    assert got == (docs - clustered) | exemplars
+    assert len(got) < len(docs)  # the corpus has video near-dups
+
+
+def test_html_extract_stage_parity(spark, sf_dir):
+    """The html_extract stage keeps exactly the operator's keep=true
+    docs, and custom thresholds pass through as stage params."""
+    from flapi_spark.operators.text import text_html_extract
+
+    rep = curate(spark, sf_dir, stages=["html_extract"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    want = {
+        r.doc_id
+        for r in text_html_extract(spark, sf_dir).where("keep").collect()
+    }
+    assert got == want and 0 < len(got)
+    keep_all = curate(
+        spark, sf_dir,
+        stages=[{"stage": "html_extract", "min_density": 0.0,
+                 "min_text_len": 0}],
+    ).keep
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert keep_all.count() == n_docs

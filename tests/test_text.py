@@ -490,3 +490,61 @@ class TestRound6CorpusDials:
         for r in rows:
             assert r.source_a <= r.source_b
             assert r.cross_source == (r.source_a != r.source_b)
+
+
+class TestHtmlExtract:
+    """Round 10: HTML main-text extraction (text_html_extract)."""
+
+    def test_extraction_recovers_original_text(self, spark, sf_dir):
+        """The full strip chain recovers the wrapped text
+        byte-for-byte: main_md5 equals md5 of the raw text for EVERY
+        document (the end-to-end extraction check the docstring
+        promises)."""
+        from pyspark.sql import functions as F
+
+        from flapi_spark.operators.text import text_html_extract
+        from flapi_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("want_md5"),
+            F.length("text").cast("long").alias("want_len"),
+        )
+        got = text_html_extract(spark, sf_dir).join(docs, "doc_id")
+        assert got.where(
+            (F.col("main_md5") != F.col("want_md5"))
+            | (F.col("text_len") != F.col("want_len"))
+        ).count() == 0
+
+    def test_link_count_and_density_bounds(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flapi_spark.operators.text import text_html_extract
+
+        out = text_html_extract(spark, sf_dir)
+        # nav carries 1 + doc_id%3 category links plus the about link
+        assert out.where(
+            F.col("n_links") != (F.lit(2) + F.col("doc_id") % 3)
+        ).count() == 0
+        rows = out.collect()
+        assert all(0.0 < r.text_density < 1.0 for r in rows)
+        assert all(r.html_len > r.text_len for r in rows)
+
+    def test_keep_gate_splits_corpus_and_replays(self, spark, sf_dir):
+        """The density gate drops boilerplate-dominated (short) docs,
+        keeps long ones, and is exactly the rounded-density/length
+        predicate on the output columns."""
+        from flapi_spark.operators.text import text_html_extract
+
+        rows = text_html_extract(
+            spark, sf_dir, min_density=0.4, min_text_len=80
+        ).collect()
+        kept = [r for r in rows if r.keep]
+        assert 0 < len(kept) < len(rows)
+        for r in rows:
+            assert r.keep == (
+                r.text_density >= 0.4 and r.text_len >= 80
+            )
+        # threshold variation shifts the cut monotonically
+        loose = text_html_extract(spark, sf_dir, min_density=0.0,
+                                  min_text_len=0)
+        assert all(r.keep for r in loose.collect())
