@@ -69,8 +69,9 @@ HEADLINE = [
     "mm_audio_fingerprint_pairs",
     "mm_video_phash_pairs",
     "pipeline_curation_funnel",
-    # round 10: HTML main-text extraction (the first gate a web-crawl
-    # page hits) and the FULL curation chain with it in front
+    # round 10: the crawl-side gates — URL filtering (stage 0), HTML
+    # main-text extraction, and the FULL curation chain led by it
+    "text_url_filter",
     "text_html_extract",
     "pipeline_curation_funnel_html",
 ]

@@ -1985,3 +1985,71 @@ def text_html_extract(
             & (F.col("text_len") >= F.lit(int(min_text_len)))
         ).alias("keep"),
     )
+
+
+# --- round 10: URL filtering (the stage-0 crawl gate) ------------------------
+#
+# The corpus carries no URLs, so (the markup-injection pattern above)
+# each doc mints a deterministic doc_id-derived URL first; the
+# operator then applies the UT1-blocklist-style rules a crawl
+# pipeline runs before it even fetches: domain blocklist, URL-keyword
+# rules, and tracking-parameter normalization.
+URL_DOMAINS = (
+    "news.example.com", "blog.example.org", "ads.tracker.net",
+    "docs.example.com", "spam.casino.bet", "shop.example.com",
+    "adult.bad.site", "forum.example.org",
+)
+URL_BLOCKED_DOMAINS = ("ads.tracker.net", "spam.casino.bet", "adult.bad.site")
+URL_KEYWORD_RE = "casino|lottery|xxx"
+URL_QUERY_RE = "[?].*"
+
+
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL filtering — the first gate of a crawl curation pipeline
+    (UT1 blocklist / RefinedWeb §3.1 shape): per document, a
+    deterministic synthetic URL (domain from an 8-way doc_id ring —
+    3 of the 8 blocklisted; a /casino-bonus path segment on the
+    doc_id%11 ring; tracking params on the doc_id%5 ring), then:
+
+    1. `url_norm`: strip the query string (tracking params never
+       reach the dedup key — two fetches of the same page with
+       different utm_source are the same page);
+    2. `block_reason`: 'domain' if the host is blocklisted (checked
+       FIRST — cheapest rule, and a blocked host is blocked whatever
+       the path says), else 'keyword' if the normalized URL matches
+       the keyword rule, else 'none';
+    3. `keep` = no rule fired.
+
+    100 TB shape: pure string/regex projections over the id column —
+    codegen, zero shuffle; the blocklist is a literal IN (at real
+    scale: a broadcast join against the UT1 domain table, same
+    plan class as the DQ-reference joins). Exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    domain = F.element_at(
+        F.array(*[F.lit(d) for d in URL_DOMAINS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), domain,
+        F.format_string("/page%d", F.col("doc_id") % 1000),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino-bonus"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string("?utm_source=feed&ref=%d", F.col("doc_id") % 17),
+        ).otherwise(F.lit("")),
+    )
+    url_norm = F.regexp_replace(url, URL_QUERY_RE, "")
+    reason = (
+        F.when(domain.isin(*URL_BLOCKED_DOMAINS), F.lit("domain"))
+        .when(url_norm.rlike(URL_KEYWORD_RE), F.lit("keyword"))
+        .otherwise(F.lit("none"))
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        domain.alias("domain"),
+        url_norm.alias("url_norm"),
+        reason.alias("block_reason"),
+        (reason == "none").alias("keep"),
+    )

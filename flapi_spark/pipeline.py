@@ -33,6 +33,19 @@ from pyspark.sql import functions as F
 from flapi_spark.session import load_table
 
 
+def _url_filter(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
+    """URL filtering gate (round 10): keep docs whose URL clears the
+    domain blocklist + keyword rules — the stage-0 gate a crawl
+    pipeline runs before fetching, ahead of html_extract."""
+    from flapi_spark.operators.text import text_url_filter
+
+    return keep.join(
+        text_url_filter(spark, sf_dir).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _html_extract(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
     min_density: float = 0.4, min_text_len: int = 80,
@@ -235,6 +248,7 @@ def _train_split(
 
 
 STAGES = {
+    "url_filter": _url_filter,
     "html_extract": _html_extract,
     "quality": _quality,
     "langid": _langid,

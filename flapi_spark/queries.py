@@ -4559,6 +4559,33 @@ def _curation_funnel_html_sql(
     )
 
 
+def _url_filter_sql() -> str:
+    """Exact replay of operators/text.text_url_filter."""
+    doms = ", ".join(f"'{d}'" for d in T.URL_DOMAINS)
+    blocked = ", ".join(f"'{d}'" for d in T.URL_BLOCKED_DOMAINS)
+    return (
+        f"WITH d AS (SELECT doc_id, ([{doms}])"
+        "  [CAST(doc_id % 8 AS INT) + 1] AS domain FROM documents),"
+        " u AS (SELECT doc_id, domain,"
+        "  'https://' || domain || '/page' || (doc_id % 1000)"
+        "  || (CASE WHEN doc_id % 11 = 0 THEN '/casino-bonus'"
+        "      ELSE '' END)"
+        "  || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref='"
+        "      || (doc_id % 17) ELSE '' END) AS url"
+        "  FROM d),"
+        " n AS (SELECT doc_id, domain, url,"
+        f"  regexp_replace(url, '{T.URL_QUERY_RE}', '') AS url_norm"
+        "  FROM u),"
+        " r AS (SELECT doc_id, url, domain, url_norm,"
+        f"  CASE WHEN domain IN ({blocked}) THEN 'domain'"
+        f"   WHEN regexp_matches(url_norm, '{T.URL_KEYWORD_RE}')"
+        "    THEN 'keyword' ELSE 'none' END AS block_reason"
+        "  FROM n)"
+        " SELECT doc_id, url, domain, url_norm, block_reason,"
+        "  (block_reason = 'none') AS keep FROM r"
+    )
+
+
 QUERIES.update(
     {
         "text_html_extract": (T.text_html_extract, _html_extract_sql()),
@@ -4566,6 +4593,7 @@ QUERIES.update(
             _pipeline_curation_funnel_html,
             _curation_funnel_html_sql(),
         ),
+        "text_url_filter": (T.text_url_filter, _url_filter_sql()),
     }
 )
 
@@ -4584,6 +4612,7 @@ QUERIES.update(
 _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
     "text_html_extract", "pipeline_curation_funnel_html",
+    "text_url_filter",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4610,7 +4639,7 @@ _CHECK_FIRST = [
     "dedup_containment_pairs", "dedup_embedding_cosine",
     "dedup_embedding_lsh", "dedup_lsh_recall_eval",
     "dedup_ngram_jaccard", "dedup_substring_spans",
-    "dsir_importance_weights", "embedding_pc_removal_stats",
+    "dsir_importance_weights",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -548,3 +548,64 @@ class TestHtmlExtract:
         loose = text_html_extract(spark, sf_dir, min_density=0.0,
                                   min_text_len=0)
         assert all(r.keep for r in loose.collect())
+
+
+class TestUrlFilter:
+    """Round 10: URL filtering (text_url_filter) — the stage-0 crawl
+    gate."""
+
+    def test_rules_replay_locally(self, spark, sf_dir):
+        import re
+
+        from flapi_spark.operators.text import (
+            URL_BLOCKED_DOMAINS, URL_DOMAINS, URL_KEYWORD_RE,
+            text_url_filter,
+        )
+
+        rows = text_url_filter(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            want_domain = URL_DOMAINS[r.doc_id % 8]
+            assert r.domain == want_domain
+            assert r.url.startswith(f"https://{want_domain}/page")
+            assert r.url_norm == r.url.split("?")[0]
+            if r.doc_id % 5 == 0:
+                assert "?utm_source=feed&ref=" in r.url
+            else:
+                assert "?" not in r.url
+            if want_domain in URL_BLOCKED_DOMAINS:
+                want = "domain"
+            elif re.search(URL_KEYWORD_RE, r.url_norm):
+                want = "keyword"
+            else:
+                want = "none"
+            assert r.block_reason == want
+            assert r.keep == (want == "none")
+        reasons = {r.block_reason for r in rows}
+        assert reasons == {"domain", "keyword", "none"}
+
+    def test_normalization_strips_tracking_only(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flapi_spark.operators.text import text_url_filter
+
+        out = text_url_filter(spark, sf_dir)
+        assert out.where(F.col("url_norm").contains("?")).count() == 0
+        # the keyword rule fires on the NORMALIZED url: a tracking
+        # param could never smuggle a blocked keyword past the gate
+        assert out.where(
+            (F.col("block_reason") == "keyword")
+            & ~F.col("url_norm").rlike("casino|lottery|xxx")
+        ).count() == 0
+
+    def test_curate_stage_parity(self, spark, sf_dir):
+        from flapi_spark.operators.text import text_url_filter
+        from flapi_spark.pipeline import curate
+
+        rep = curate(spark, sf_dir, stages=["url_filter"])
+        got = {r.doc_id for r in rep.keep.collect()}
+        want = {
+            r.doc_id
+            for r in text_url_filter(spark, sf_dir).where("keep").collect()
+        }
+        assert got == want and 0 < len(got) < 500
