@@ -1925,6 +1925,20 @@ def _html_wrapped() -> F.Column:
     )
 
 
+def _html_main(html: F.Column) -> F.Column:
+    """The extraction chain (order IS the contract — see
+    text_html_extract): head → scripts → nav → footer → ad containers
+    → remaining tags → whitespace collapse. Shared with the streaming
+    crawl-gate monitor."""
+    h = F.regexp_replace(html, HTML_HEAD_RE, " ")
+    h = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
+    h = F.regexp_replace(h, HTML_NAV_RE, " ")
+    h = F.regexp_replace(h, HTML_FOOTER_RE, " ")
+    h = F.regexp_replace(h, HTML_AD_RE, " ")
+    h = F.regexp_replace(h, HTML_TAG_RE, " ")
+    return F.trim(F.regexp_replace(h, " +", " "))
+
+
 def text_html_extract(
     spark: SparkSession, sf_dir: str,
     min_density: float = 0.4, min_text_len: int = 80,
@@ -1956,13 +1970,7 @@ def text_html_extract(
     surface (SURVEY §2.3), VERDICT r9 next-round item 2."""
     docs = load_table(spark, sf_dir, "documents")
     html = _html_wrapped()
-    h = F.regexp_replace(html, HTML_HEAD_RE, " ")
-    h = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
-    h = F.regexp_replace(h, HTML_NAV_RE, " ")
-    h = F.regexp_replace(h, HTML_FOOTER_RE, " ")
-    h = F.regexp_replace(h, HTML_AD_RE, " ")
-    h = F.regexp_replace(h, HTML_TAG_RE, " ")
-    main = F.trim(F.regexp_replace(h, " +", " "))
+    main = _html_main(html)
     out = docs.select(
         "doc_id",
         F.length(html).cast("long").alias("html_len"),
@@ -2004,6 +2012,33 @@ URL_KEYWORD_RE = "casino|lottery|xxx"
 URL_QUERY_RE = "[?].*"
 
 
+def _url_cols() -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """(domain, url, url_norm, block_reason) column builders over a
+    doc_id column — shared by text_url_filter and the streaming
+    crawl-gate monitor."""
+    domain = F.element_at(
+        F.array(*[F.lit(d) for d in URL_DOMAINS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), domain,
+        F.format_string("/page%d", F.col("doc_id") % 1000),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino-bonus"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.format_string("?utm_source=feed&ref=%d", F.col("doc_id") % 17),
+        ).otherwise(F.lit("")),
+    )
+    url_norm = F.regexp_replace(url, URL_QUERY_RE, "")
+    reason = (
+        F.when(domain.isin(*URL_BLOCKED_DOMAINS), F.lit("domain"))
+        .when(url_norm.rlike(URL_KEYWORD_RE), F.lit("keyword"))
+        .otherwise(F.lit("none"))
+    )
+    return domain, url, url_norm, reason
+
+
 def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL filtering — the first gate of a crawl curation pipeline
     (UT1 blocklist / RefinedWeb §3.1 shape): per document, a
@@ -2025,26 +2060,7 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: a broadcast join against the UT1 domain table, same
     plan class as the DQ-reference joins). Exact DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    domain = F.element_at(
-        F.array(*[F.lit(d) for d in URL_DOMAINS]),
-        (F.col("doc_id") % 8 + 1).cast("int"),
-    )
-    url = F.concat(
-        F.lit("https://"), domain,
-        F.format_string("/page%d", F.col("doc_id") % 1000),
-        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino-bonus"))
-        .otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.format_string("?utm_source=feed&ref=%d", F.col("doc_id") % 17),
-        ).otherwise(F.lit("")),
-    )
-    url_norm = F.regexp_replace(url, URL_QUERY_RE, "")
-    reason = (
-        F.when(domain.isin(*URL_BLOCKED_DOMAINS), F.lit("domain"))
-        .when(url_norm.rlike(URL_KEYWORD_RE), F.lit("keyword"))
-        .otherwise(F.lit("none"))
-    )
+    domain, url, url_norm, reason = _url_cols()
     return docs.select(
         "doc_id",
         url.alias("url"),

@@ -1125,3 +1125,67 @@ def quality_gate_stream(
             ).alias("keep_rate"),
         )
     )
+
+
+def crawl_gate_stream(
+    docs_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+    min_density: float = 0.4,
+    min_text_len: int = 80,
+) -> DataFrame:
+    """Streaming crawl-gate monitor (round 10): per event-time
+    window, the stage-0 funnel over an incoming crawl stream — URL
+    gate (domain blocklist + keyword rule, text_url_filter's exact
+    columns) then HTML text-density gate (text_html_extract's exact
+    extraction chain and ROUNDED-density predicate) — the live twin
+    of the url_filter → html_extract front of the curation pipeline.
+    A falling keep_rate window is the crawl-regression alarm; whether
+    pass_url or pass_density drops says which gate started biting.
+    Expects (ts, doc_id, text).
+
+    Shape (the quality_gate_stream contract): both gates are
+    STATELESS per-document expressions — JVM regex/string projections
+    inside the stream's map stage; the only streaming state is one
+    watermarked windowed aggregate of three sums. No stream-stream
+    joins, no per-key state store, no Python."""
+    from flapi_spark.operators.text import (
+        _html_main, _html_wrapped, _url_cols,
+    )
+
+    _domain, _url, _norm, reason = _url_cols()
+    html = _html_wrapped()
+    main = _html_main(html)
+    density = F.round(
+        F.length(main).cast("double") / F.length(html), 6
+    )
+    pass_url = reason == "none"
+    pass_density = pass_url & (
+        (density >= F.lit(float(min_density)))
+        & (F.length(main) >= F.lit(int(min_text_len)))
+    )
+
+    def s(c):
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    gated = docs_stream.withWatermark("ts", watermark).select(
+        "ts", pass_url.alias("c1"), pass_density.alias("c2")
+    )
+    return (
+        gated.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            s(F.col("c1")).alias("pass_url"),
+            s(F.col("c2")).alias("pass_all"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("pass_url").cast("long").alias("pass_url"),
+            F.col("pass_all").cast("long").alias("pass_all"),
+            F.round(
+                F.col("pass_all").cast("double") / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+        )
+    )

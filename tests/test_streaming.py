@@ -1589,3 +1589,71 @@ class TestImageGuard:
             )
         finally:
             _rm_table(spark, table)
+
+
+def test_crawl_gate_stream_equals_batch_and_operators(
+    spark, sf_dir, tmp_path_factory
+):
+    """Round 10: the crawl-gate monitor over an availableNow 2-file
+    landing equals its batch twin window-for-window, and the all-time
+    totals equal the batch operators (text_url_filter keep count;
+    url-AND-density keep from text_url_filter x text_html_extract)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.text import (
+        text_html_extract, text_url_filter,
+    )
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.limit(80).select(
+        F.to_timestamp(
+            F.concat(F.lit("2026-01-01 00:"),
+                     F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                     F.lit(":00"))
+        ).alias("ts"),
+        "doc_id",
+        "text",
+    )
+    d = tmp_path_factory.mktemp("crawl_gate_landing")
+    halves = incoming.randomSplit([0.5, 0.5], seed=7)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.crawl_gate_stream(stream), name, output_mode="complete"
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    expect = {
+        tuple(r) for r in ST.crawl_gate_stream(incoming).collect()
+    }
+    assert got == expect and got
+    # all-time totals == the batch operators joined on the sample
+    ids = incoming.select("doc_id")
+    url_keep = text_url_filter(spark, sf_dir).where("keep").join(
+        ids, "doc_id", "left_semi"
+    )
+    both_keep = url_keep.join(
+        text_html_extract(spark, sf_dir).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    rows = spark.table(name).collect()
+    assert sum(r.n_docs for r in rows) == 80
+    assert sum(r.pass_url for r in rows) == url_keep.count()
+    assert sum(r.pass_all for r in rows) == both_keep.count()
+    # the sample is chosen to exercise both gates
+    assert sum(r.pass_url for r in rows) < 80
+    assert sum(r.pass_all for r in rows) < sum(r.pass_url for r in rows)
