@@ -2018,7 +2018,7 @@ def _url_cols() -> tuple[F.Column, F.Column, F.Column, F.Column]:
     crawl-gate monitor."""
     domain = F.element_at(
         F.array(*[F.lit(d) for d in URL_DOMAINS]),
-        (F.col("doc_id") % 8 + 1).cast("int"),
+        (F.col("doc_id") % len(URL_DOMAINS) + 1).cast("int"),
     )
     url = F.concat(
         F.lit("https://"), domain,

@@ -4565,7 +4565,8 @@ def _url_filter_sql() -> str:
     blocked = ", ".join(f"'{d}'" for d in T.URL_BLOCKED_DOMAINS)
     return (
         f"WITH d AS (SELECT doc_id, ([{doms}])"
-        "  [CAST(doc_id % 8 AS INT) + 1] AS domain FROM documents),"
+        f"  [CAST(doc_id % {len(T.URL_DOMAINS)} AS INT) + 1] AS domain"
+        "  FROM documents),"
         " u AS (SELECT doc_id, domain,"
         "  'https://' || domain || '/page' || (doc_id % 1000)"
         "  || (CASE WHEN doc_id % 11 = 0 THEN '/casino-bonus'"

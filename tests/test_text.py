@@ -565,7 +565,7 @@ class TestUrlFilter:
         rows = text_url_filter(spark, sf_dir).collect()
         assert rows
         for r in rows:
-            want_domain = URL_DOMAINS[r.doc_id % 8]
+            want_domain = URL_DOMAINS[r.doc_id % len(URL_DOMAINS)]
             assert r.domain == want_domain
             assert r.url.startswith(f"https://{want_domain}/page")
             assert r.url_norm == r.url.split("?")[0]
