@@ -502,3 +502,23 @@ def test_corpus_scan_budget(spark, sf_dir, name, table, budget):
     assert plan.count(f"{table}.parquet") <= budget, (
         f"{name}: {plan.count(f'{table}.parquet')} scans of {table}"
     )
+
+
+def test_html_extract_is_shuffle_free_projection(spark, sf_dir):
+    """Round 10: markup injection + extraction must stay a single
+    codegen'd projection over a 2-column pruned scan (the
+    text_pii_redact contract)."""
+    plan = _plan(spark, "text_html_extract", sf_dir)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" in read and "source" not in read
+
+
+def test_url_filter_is_shuffle_free_projection(spark, sf_dir):
+    """Round 10: the URL gate is pure string/regex projection work —
+    the blocklist is a literal IN, never a join at this shape."""
+    plan = _plan(spark, "text_url_filter", sf_dir)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "Join" not in plan
