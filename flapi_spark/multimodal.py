@@ -978,9 +978,10 @@ FRAME_HASH_SCHEMA = StructType(
 # Composite frame key span: video lanes pack (doc_id, frame_no) as
 # doc_id*SPAN + frame_no so the modality-generic 64-bit band machinery
 # can key individual frames. video_frame_hash_batch REJECTS clips with
-# >= SPAN frames (~2.7 min at 25 fps) — overflow would silently
-# re-attribute frames to the next doc_id. Longer clips must be
-# pre-split into segments (each segment its own doc_id).
+# MORE THAN SPAN frames (exactly SPAN is fine: frame_no max SPAN-1;
+# ~2.7 min at 25 fps) — overflow would silently re-attribute frames to
+# the next doc_id. Longer clips must be pre-split into segments (each
+# segment its own doc_id).
 VID_FRAME_KEY_SPAN = 4096
 
 

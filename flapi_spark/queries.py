@@ -4406,40 +4406,64 @@ def _pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(spark, sf_dir).funnel_df
 
 
-def _curation_funnel_sql() -> str:
+def _curation_funnel_chain_sql(
+    with_html: bool,
+    lang_cond: str = "predicted_lang <> 'unknown'",
+) -> str:
+    """ONE chained-CTE funnel builder for both curation-funnel
+    oracles (round 10 — the html variant was a hand-shifted copy):
+    the stage list is data, each stage a (name, keep-predicate) pair
+    applied as k{i} over k{i-1}; the html gate optionally fronts the
+    chain and `lang_cond` parameterizes the langid keep condition
+    (allow-list replay for the YAML-config test)."""
     g = QUERIES["text_gopher_filters"][1]
     l = QUERIES["text_langid"][1]
     e = QUERIES["dedup_exact_survivors"][1]
     kb = QUERIES["dedup_keep_best_survivors"][1]
     c = QUERIES["contamination_ngram_overlap"][1]
+    stages: list[tuple[str, str]] = []
+    if with_html:
+        stages.append((
+            "html_extract",
+            "doc_id IN"
+            f"  (SELECT doc_id FROM ({_html_extract_sql()}) h WHERE keep)",
+        ))
+    stages += [
+        ("quality",
+         f"doc_id IN  (SELECT doc_id FROM ({g}) g WHERE keep)"),
+        ("langid",
+         f"doc_id IN  (SELECT doc_id FROM ({l}) l WHERE {lang_cond})"),
+        ("exact_dedup",
+         f"doc_id IN  (SELECT doc_id FROM ({e}) e)"),
+        ("near_dedup",
+         f"doc_id IN  (SELECT doc_id FROM ({kb}) kb WHERE keep)"),
+        ("decontam",
+         f"doc_id NOT IN  (SELECT DISTINCT train_doc FROM ({c}) c)"),
+    ]
+    ctes = ["k0 AS (SELECT doc_id FROM documents)"] + [
+        f"k{i} AS (SELECT doc_id FROM k{i - 1} WHERE {pred})"
+        for i, (_name, pred) in enumerate(stages, 1)
+    ]
     cnt = "SELECT count(*) FROM k{}"
     rows = " UNION ALL ".join(
         f"SELECT {i}, '{name}', ({cnt.format(i - 1)}), ({cnt.format(i)}),"
         f" ({cnt.format(i - 1)}) - ({cnt.format(i)})"
-        for i, name in (
-            (2, "langid"), (3, "exact_dedup"), (4, "near_dedup"),
-            (5, "decontam"),
-        )
+        for i, (name, _pred) in list(enumerate(stages, 1))[1:]
     )
     return (
-        "WITH k0 AS (SELECT doc_id FROM documents),"
-        f" k1 AS (SELECT doc_id FROM k0 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({g}) g WHERE keep)),"
-        f" k2 AS (SELECT doc_id FROM k1 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({l}) l WHERE predicted_lang <> 'unknown')),"
-        f" k3 AS (SELECT doc_id FROM k2 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({e}) e)),"
-        f" k4 AS (SELECT doc_id FROM k3 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({kb}) kb WHERE keep)),"
-        f" k5 AS (SELECT doc_id FROM k4 WHERE doc_id NOT IN"
-        f"  (SELECT DISTINCT train_doc FROM ({c}) c))"
-        " SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,"
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CAST(1 AS BIGINT) AS stage, '{stages[0][0]}'"
+        " AS stage_name,"
         " CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_in,"
         " CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_out,"
         " CAST((SELECT count(*) FROM k0) - (SELECT count(*) FROM k1)"
         "  AS BIGINT) AS n_dropped"
         f" UNION ALL {rows}"
     )
+
+
+def _curation_funnel_sql() -> str:
+    return _curation_funnel_chain_sql(with_html=False)
 
 
 QUERIES.update(
@@ -4518,45 +4542,11 @@ def _pipeline_curation_funnel_html(
 def _curation_funnel_html_sql(
     lang_cond: str = "predicted_lang <> 'unknown'",
 ) -> str:
-    """`lang_cond` parameterizes the langid keep condition so the
-    YAML-pipeline oracle test can replay an allow-list config
-    (e.g. "predicted_lang = 'en'") with the same chained CTEs."""
-    g = QUERIES["text_gopher_filters"][1]
-    l = QUERIES["text_langid"][1]
-    e = QUERIES["dedup_exact_survivors"][1]
-    kb = QUERIES["dedup_keep_best_survivors"][1]
-    c = QUERIES["contamination_ngram_overlap"][1]
-    h = _html_extract_sql()
-    cnt = "SELECT count(*) FROM k{}"
-    rows = " UNION ALL ".join(
-        f"SELECT {i}, '{name}', ({cnt.format(i - 1)}), ({cnt.format(i)}),"
-        f" ({cnt.format(i - 1)}) - ({cnt.format(i)})"
-        for i, name in (
-            (2, "quality"), (3, "langid"), (4, "exact_dedup"),
-            (5, "near_dedup"), (6, "decontam"),
-        )
-    )
-    return (
-        "WITH k0 AS (SELECT doc_id FROM documents),"
-        f" k1 AS (SELECT doc_id FROM k0 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({h}) h WHERE keep)),"
-        f" k2 AS (SELECT doc_id FROM k1 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({g}) g WHERE keep)),"
-        f" k3 AS (SELECT doc_id FROM k2 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({l}) l WHERE {lang_cond})),"
-        f" k4 AS (SELECT doc_id FROM k3 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({e}) e)),"
-        f" k5 AS (SELECT doc_id FROM k4 WHERE doc_id IN"
-        f"  (SELECT doc_id FROM ({kb}) kb WHERE keep)),"
-        f" k6 AS (SELECT doc_id FROM k5 WHERE doc_id NOT IN"
-        f"  (SELECT DISTINCT train_doc FROM ({c}) c))"
-        " SELECT CAST(1 AS BIGINT) AS stage, 'html_extract' AS stage_name,"
-        " CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_in,"
-        " CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_out,"
-        " CAST((SELECT count(*) FROM k0) - (SELECT count(*) FROM k1)"
-        "  AS BIGINT) AS n_dropped"
-        f" UNION ALL {rows}"
-    )
+    """The full-chain funnel oracle (html_extract fronting the
+    default stages); `lang_cond` parameterizes the langid keep
+    condition so the YAML-pipeline oracle test can replay an
+    allow-list config (e.g. "predicted_lang = 'en'")."""
+    return _curation_funnel_chain_sql(with_html=True, lang_cond=lang_cond)
 
 
 def _url_filter_sql() -> str:

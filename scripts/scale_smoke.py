@@ -66,10 +66,12 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
 # derived, so plain doc_id-offset replication mints NEW clusters and
 # the expected growth is linear)
-FACTORS = [
+FACTORS = sorted(
     int(x)
     for x in os.environ.get("SPARK_GRAFT_SMOKE_FACTORS", "1,2,4,8").split(",")
-]
+)
+if FACTORS[0] < 1:
+    raise SystemExit(f"SPARK_GRAFT_SMOKE_FACTORS must be >= 1: {FACTORS}")
 
 
 def _embedding_lsh_capped(spark, sf_dir):
@@ -203,7 +205,7 @@ def main() -> None:
 
     for op in ops:
         fn = EXTRA_OPS[op] if op in EXTRA_OPS else QUERIES[op][0]
-        fn(spark, dirs[1]).count()  # warm compile
+        fn(spark, dirs[FACTORS[0]]).count()  # warm compile (smallest)
         times = []
         for f in FACTORS:
             t0 = time.perf_counter()
