@@ -280,3 +280,32 @@ def test_html_extract_stage_parity(spark, sf_dir):
     ).keep
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert keep_all.count() == n_docs
+
+
+def test_full_multimodal_chain(spark, sf_dir):
+    """Round 10: the COMPLETE curation chain — crawl gates (url,
+    html), text gates (quality, langid), every dedup modality (exact,
+    text near-dup, image, audio, video), decontamination — composes
+    in one curate() run: monotone funnel, every stage present, and
+    the gate families each bite at this SF."""
+    stages = [
+        "url_filter", "html_extract", "quality", "langid",
+        "exact_dedup", "near_dedup", "image_near_dedup",
+        "audio_near_dedup", "video_near_dedup", "decontam",
+    ]
+    rep = curate(spark, sf_dir, stages=stages)
+    assert [s["stage"] for s in rep.stages] == stages
+    counts = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+    dropped = {s["stage"]: s["n_in"] - s["n_out"] for s in rep.stages}
+    # each gate family bites somewhere on this corpus
+    assert dropped["url_filter"] > 0
+    assert dropped["html_extract"] > 0
+    assert dropped["quality"] + dropped["langid"] >= 0
+    assert dropped["exact_dedup"] + dropped["near_dedup"] > 0
+    assert (
+        dropped["image_near_dedup"] + dropped["audio_near_dedup"]
+        + dropped["video_near_dedup"] > 0
+    )
+    assert rep.keep.count() == counts[-1]
