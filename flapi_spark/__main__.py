@@ -252,6 +252,45 @@ def _cmd_bundle_info(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """Run a YAML curation pipeline end-to-end and print the
+    attrition funnel (round 10): the CLI surface for
+    flapi_spark.pipeline.curate_from_config — a data-curation run is
+    an operational action exactly like `run`, so it gets a verb, not
+    just a library call. `--json` emits one JSON object per stage
+    (machine-readable, incl. wall seconds); default is an aligned
+    TSV funnel."""
+    import json as _json
+
+    from flapi_spark.pipeline import curate_from_config
+    from flapi_spark.session import get_spark
+
+    spark = get_spark(app_name="flapi_spark_curate")
+    if args.log_level != "debug":
+        spark.sparkContext.setLogLevel("ERROR")
+    rep = curate_from_config(spark, args.data, args.pipeline)
+    if args.json:
+        for i, s in enumerate(rep.stages, 1):
+            print(_json.dumps({
+                "stage": i, "name": s["stage"], "n_in": s["n_in"],
+                "n_out": s["n_out"],
+                "n_dropped": s["n_in"] - s["n_out"], "sec": s["sec"],
+            }))
+    else:
+        print("stage\tname\tn_in\tn_out\tn_dropped\tsec")
+        for i, s in enumerate(rep.stages, 1):
+            print(
+                f"{i}\t{s['stage']}\t{s['n_in']}\t{s['n_out']}"
+                f"\t{s['n_in'] - s['n_out']}\t{s['sec']}"
+            )
+    if args.output:
+        # id-grain keep-set; partitioning left to the session default
+        # (a 100 TB keep-set is still billions of rows — never
+        # coalesce(1) an output on principle)
+        rep.keep.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
 VALID_LOG_LEVELS = ("debug", "info", "warning", "error")
 
 
@@ -347,6 +386,19 @@ def main(argv: list[str] | None = None) -> int:
     rbp.add_argument("-u", "--url-path", required=True)
     rbp.add_argument("-p", "--param", action="append", metavar="k=v")
     rbp.set_defaults(fn=_cmd_run_bundle)
+    cup = sub.add_parser("curate")
+    cup.add_argument(
+        "--pipeline", required=True, help="pipeline YAML (stages list)"
+    )
+    cup.add_argument(
+        "--data", required=True, help="table dir (parquet per table)"
+    )
+    cup.add_argument(
+        "-o", "--output", default=None,
+        help="write the surviving doc_id keep-set as parquet",
+    )
+    cup.add_argument("--json", action="store_true")
+    cup.set_defaults(fn=_cmd_curate)
 
     args = ap.parse_args(argv)
     if args.cmd == "bundle-info":

@@ -410,3 +410,47 @@ def test_run_bundle_include_directive_gets_clear_error(
     rc = main(["run-bundle", "-b", str(out), "-u", "/inc"])
     assert rc == 1
     assert "include" in capsys.readouterr().err
+
+
+def test_curate_verb_runs_pipeline_and_writes_keepset(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Round 10: `flapi_spark curate` runs a YAML pipeline end-to-end,
+    prints the funnel (TSV and --json forms agree), and -o writes the
+    surviving keep-set as parquet matching the funnel's final
+    count."""
+    import json as _json
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text("stages:\n  - url_filter\n  - quality\n")
+    out = str(tmp_path / "keep.parquet")
+    assert main([
+        "curate", "--pipeline", str(cfg), "--data", sf_dir, "-o", out,
+    ]) == 0
+    tsv = capsys.readouterr().out.strip().splitlines()
+    assert tsv[0].startswith("stage\tname")
+    rows = [line.split("\t") for line in tsv[1:]]
+    assert [r[1] for r in rows] == ["url_filter", "quality"]
+    n_final = int(rows[-1][3])
+    assert spark.read.parquet(out).count() == n_final
+
+    assert main([
+        "curate", "--pipeline", str(cfg), "--data", sf_dir, "--json",
+    ]) == 0
+    jrows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [j["stage"] for j in jrows] == [1, 2]
+    assert [(j["n_in"], j["n_out"]) for j in jrows] == [
+        (int(r[2]), int(r[3])) for r in rows
+    ]
+
+
+def test_curate_verb_rejects_bad_config(sf_dir, tmp_path, capsys):
+    cfg = tmp_path / "empty.yaml"
+    cfg.write_text("name: nothing\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty 'stages'"):
+        main(["curate", "--pipeline", str(cfg), "--data", sf_dir])
