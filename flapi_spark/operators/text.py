@@ -1925,17 +1925,30 @@ def _html_wrapped() -> F.Column:
     )
 
 
+# Entity decode table, applied AFTER tag-stripping (decoding first
+# would turn '&lt;script&gt;' text into a fake tag the stripper eats)
+# and with '&amp;' LAST (so '&amp;lt;' decodes to the literal text
+# '&lt;', exactly once — the standard double-escape rule). Literal
+# string replaces, identical in Spark replace() and DuckDB replace().
+HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+)
+
+
 def _html_main(html: F.Column) -> F.Column:
     """The extraction chain (order IS the contract — see
     text_html_extract): head → scripts → nav → footer → ad containers
-    → remaining tags → whitespace collapse. Shared with the streaming
-    crawl-gate monitor."""
+    → remaining tags → entity decode → whitespace collapse. Shared
+    with the streaming crawl-gate monitor."""
     h = F.regexp_replace(html, HTML_HEAD_RE, " ")
     h = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
     h = F.regexp_replace(h, HTML_NAV_RE, " ")
     h = F.regexp_replace(h, HTML_FOOTER_RE, " ")
     h = F.regexp_replace(h, HTML_AD_RE, " ")
     h = F.regexp_replace(h, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        h = F.replace(h, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(h, " +", " "))
 
 

@@ -4498,17 +4498,20 @@ def _html_extract_sql(min_density: float = 0.4, min_text_len: int = 80) -> str:
         "<footer>copyright 2026 site' || (doc_id % 13)"
         " || '</footer></body></html>'"
     )
-    strip = (
-        "trim(regexp_replace(regexp_replace(regexp_replace("
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    stripped = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace(regexp_replace("
         f"html, '{T.HTML_HEAD_RE}', ' ', 'g'),"
         f" '{T.HTML_SCRIPT_RE}', ' ', 'g'),"
         f" '{T.HTML_NAV_RE}', ' ', 'g'),"
         f" '{T.HTML_FOOTER_RE}', ' ', 'g'),"
         f" '{T.HTML_AD_RE}', ' ', 'g'),"
-        f" '{T.HTML_TAG_RE}', ' ', 'g'),"
-        " ' +', ' ', 'g'))"
+        f" '{T.HTML_TAG_RE}', ' ', 'g')"
     )
+    for ent, ch in T.HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        stripped = f"replace({stripped}, '{ent}', '{ch_sql}')"
+    strip = f"trim(regexp_replace({stripped}, ' +', ' ', 'g'))"
     return (
         f"WITH h AS (SELECT doc_id, {inject} AS html FROM documents),"
         f" m AS (SELECT doc_id, html, {strip} AS main FROM h)"

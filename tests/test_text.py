@@ -609,3 +609,44 @@ class TestUrlFilter:
             for r in text_url_filter(spark, sf_dir).where("keep").collect()
         }
         assert got == want and 0 < len(got) < 500
+
+
+class TestHtmlMainOnRealMarkup:
+    """Round 10 follow-up: _html_main on HAND-WRITTEN HTML (not the
+    synthetic injection) — entity decoding, nested boilerplate,
+    multiple scripts. The injected-markup oracle path has no entities,
+    so these pin the real-page behavior the chain claims."""
+
+    def _extract(self, spark, html: str) -> str:
+        from pyspark.sql import functions as F
+
+        from flapi_spark.operators.text import _html_main
+
+        df = spark.createDataFrame([(html,)], "html STRING")
+        return df.select(_html_main(F.col("html")).alias("m")).collect()[0].m
+
+    def test_entities_decode_after_tag_strip(self, spark):
+        got = self._extract(
+            spark,
+            '<html><head><title>t</title></head><body>'
+            '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;tag&gt;'
+            ' caf&#39;e&nbsp;menu</p></body></html>',
+        )
+        # &lt;tag&gt; decodes to literal text AFTER stripping, so it
+        # survives as text instead of being eaten as a fake tag
+        assert got == 'Tom & Jerry say "hi" <tag> caf\'e menu'
+
+    def test_double_escape_decodes_once(self, spark):
+        got = self._extract(spark, "<body><p>&amp;lt;не tag&amp;gt;</p></body>")
+        assert got == "&lt;не tag&gt;"
+
+    def test_boilerplate_blocks_and_scripts_dropped(self, spark):
+        got = self._extract(
+            spark,
+            '<html><head><style>p{x:1}</style><script>a()</script></head>'
+            '<body><nav><a href="/">home</a></nav>'
+            '<script type="text/javascript">var x = "<p>not text</p>";'
+            "</script><article><p>real   content</p></article>"
+            '<div class="ad">BUY</div><footer>(c)</footer></body></html>',
+        )
+        assert got == "real content"
