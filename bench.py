@@ -74,6 +74,11 @@ HEADLINE = [
     "text_url_filter",
     "text_html_extract",
     "pipeline_curation_funnel_html",
+    # round 10b: the model-based quality gate (NB log-odds score +
+    # rank cut) and the distributed LR trainer
+    "quality_classifier_score",
+    "quality_classifier_train",
+    "corpus_report",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

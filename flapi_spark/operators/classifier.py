@@ -1,0 +1,481 @@
+"""Linear quality classifiers over hashed token features (round 10).
+
+Every production LLM-data pipeline gates documents with a cheap
+linear text classifier: GPT-3's WebText-vs-CommonCrawl logistic
+regression (Brown et al. 2020, Appendix A), CCNet's fastText filter
+(Wenzek et al. 2020), FineWeb-Edu's linear scorer. The reference
+(flAPI) serves the FEATURES for such models through SQL endpoints
+but has no classifier itself — this module is brief-driven
+LLM-pipeline surface (SURVEY §2.3), two Spark-first forms:
+
+- `quality_classifier_score` / `quality_classifier_eval`: a
+  Naive-Bayes log-odds linear model over engine-portable hashed
+  unigram buckets. "Training" is closed-form (two tiny bucket-grain
+  aggregates, broadcast back), so scoring AND the learned weights
+  are exactly SQL-expressible — both entries carry exact DuckDB
+  oracles. This is the production-cheap gate shape: one scan, one
+  broadcast join, per-doc sorted-fold sum.
+- `quality_classifier_train`: full-batch logistic-regression
+  gradient descent, distributed: features live as a (doc, bucket)
+  tf table computed once and cached; each iteration is one doc-grain
+  fold (margins) + one bucket-grain fold (gradient); the B+1-float
+  weight vector is the only thing the driver ever collects (bounded
+  scalar collect, the BPE-argmax pattern). Iterative float training
+  is not SQL-expressible → rows-only entry, pinned by a pure-Python
+  golden twin that replays the same sorted-fold arithmetic
+  (tests/test_classifier.py).
+
+Determinism discipline (the DSIR/holt idiom, operators/text.py:592):
+the token→bucket hash is the engine-portable md5-prefix fold; NB
+probability ratios are exact integer products (< 2^53 up to ~2^22
+tokens per bucket per class — beyond that, split the ln) before a
+single ln(); every float sum runs over a sort_array'd list so the
+result is independent of partitioning; final outputs round to 6
+decimals.
+
+Scale shape: bucket stats are two aggregates over B rows broadcast
+back — the scan is one pass however large the corpus; LR training
+adds 2 linear shuffles per iteration over a cached tf table whose
+size is ≤ corpus tokens. Positive class = lang == target_lang (the
+target-domain classifier, same target DSIR resamples toward, so the
+two compose: DSIR picks the target, the classifier gates toward it).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.operators.text import _tokens
+from flapi_spark.session import load_table
+
+# NB gate bucket count. Production would use 2^18+; 256 keeps the
+# sf0.01 oracle cheap while exercising real collisions (vocab ≈ 200).
+NB_BUCKETS = 256
+
+# LR training bucket count — small enough that the per-iteration
+# weight map stays a compact column literal and the golden twin is
+# quick; the plan shape is bucket-count-independent.
+LR_BUCKETS = 64
+
+
+def _bucket(col, n_buckets: int) -> F.Column:
+    """Engine-portable token→bucket hash: fold the first 15 hex chars
+    of md5 into a bigint, mod n_buckets (same fold as the portable
+    MinHash / DSIR — replicates anywhere md5 exists)."""
+    return F.expr(
+        f"pmod(cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint),"
+        f" {n_buckets})"
+    )
+
+
+def _nb_bucket_stats(
+    toks: DataFrame, target_lang: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, lw) NB log-odds weights from a (lang, bucket) token
+    stream: w[b] = ln( P(b|pos) / P(b|neg) ), add-1 smoothed, formed
+    from exact integer products before the single ln(). Two tiny
+    bucket-grain aggregates — this IS the model build."""
+    pos = toks.where(F.col("lang") == target_lang)
+    neg = toks.where(F.col("lang") != target_lang)
+    cp = pos.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    cn = neg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cn"))
+    np_ = pos.agg(F.count(F.lit(1)).alias("n_p"))
+    nn = neg.agg(F.count(F.lit(1)).alias("n_n"))
+    return (
+        cp.join(cn, "bucket", "full")
+        .na.fill({"cp": 0, "cn": 0})
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("cp") + 1) * (F.col("n_n") + F.lit(n_buckets)))
+                .cast("double")
+                / ((F.col("cn") + 1) * (F.col("n_p") + F.lit(n_buckets)))
+                .cast("double")
+            ).alias("lw"),
+        )
+    )
+
+
+def _nb_scored(
+    spark: SparkSession, sf_dir: str, target_lang: str, n_buckets: int,
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Per-doc NB log-odds score + label — shared by the score and
+    eval entries. Columns: doc_id, n_tokens, score, pred, label, keep.
+
+    Two gate forms, because they answer different questions:
+    - `pred` is the raw NB argmax (score > 0) — imbalance- and
+      length-sensitive (smoothing shifts shared-vocab buckets
+      slightly negative, so long mixed-vocab docs drift negative).
+    - `keep` is the production gate: the top `keep_frac` of the
+      corpus by score (CCNet head/middle cut, FineWeb-Edu threshold
+      sweep) with a deterministic (score desc, doc_id asc) tiebreak.
+      Expressed here as one global row_number window — at 100 TB
+      swap in the distributed rank (operators/scale.py global-rank
+      prefix bins) for the same boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    ).withColumn("bucket", _bucket("tok", n_buckets))
+    stats = _nb_bucket_stats(toks, target_lang, n_buckets)
+    # doc-count prior: bias = ln(n_pos_docs / n_neg_docs), exact ints
+    prior = (
+        docs.agg(
+            F.sum((F.col("lang") == target_lang).cast("long")).alias("dp"),
+            F.sum((F.col("lang") != target_lang).cast("long")).alias("dn"),
+        )
+        .select(F.log(F.col("dp").cast("double") / F.col("dn")).alias("bias"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sort_array(F.collect_list("lw")).alias("lws"))
+    )
+    fold = F.expr("aggregate(lws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    scored = per_doc.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        F.size("lws").cast("long").alias("n_tokens"),
+        F.round(fold + F.col("bias"), 6).alias("score"),
+        (F.round(fold + F.col("bias"), 6) > 0).alias("pred"),
+        (F.col("lang") == target_lang).alias("label"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    n_w = Window.partitionBy()
+    return scored.select(
+        "doc_id", "n_tokens", "score", "pred", "label",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(n_w) * F.lit(keep_frac))
+        ).alias("keep"),
+    )
+
+
+def quality_classifier_score(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = NB_BUCKETS,
+) -> DataFrame:
+    """Per-document linear quality-gate score: Naive-Bayes log-odds
+    of the target domain (lang == target_lang) over hashed unigram
+    buckets, plus the raw NB decision (pred = score > 0), the
+    production rank-gate decision (keep = top half by score), and
+    the true label. The cheap linear gate every crawl pipeline runs;
+    exact DuckDB oracle (closed-form weights)."""
+    return _nb_scored(spark, sf_dir, target_lang, n_buckets)
+
+
+def quality_classifier_eval(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = NB_BUCKETS,
+) -> DataFrame:
+    """Confusion matrix of the production gate (top-keep_frac rank
+    cut) vs the true domain label — the held-in eval a pipeline reads
+    before trusting the gate (label × keep cells, per-cell doc
+    counts)."""
+    return (
+        _nb_scored(spark, sf_dir, target_lang, n_buckets)
+        .groupBy("label", "keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lr_features(
+    spark: SparkSession, sf_dir: str, target_lang: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket, x, y): L1-normalized hashed-unigram counts
+    (x = tf/n_tokens — fastText's mean-of-bucket-embeddings analogue)
+    and the binary domain label."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).cast("double").alias("y"),
+        F.size(_tokens()).alias("n_toks"),
+        F.explode(_tokens()).alias("tok"),
+    ).withColumn("bucket", _bucket("tok", n_buckets))
+    return toks.groupBy("doc_id", "y", "n_toks", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).select(
+        "doc_id", "bucket", "y",
+        (F.col("tf").cast("double") / F.col("n_toks")).alias("x"),
+    )
+
+
+def train_logreg(
+    feats: DataFrame, n_buckets: int, iters: int = 12, lr: float = 20.0,
+    lr_bias: float = 2.0,
+) -> tuple[list[float], float]:
+    """Full-batch logistic-regression GD over a (doc_id, bucket, x, y)
+    feature table. Returns (weights[n_buckets], bias).
+
+    Distribution contract: `feats` collapses ONCE into a per-doc
+    sparse feature row (bucket-sorted array, persisted); after that
+    each iteration is ONE job with ONE bucket-grain shuffle — the
+    margin is a per-row JVM fold against the broadcast weight-map
+    literal (no join, no doc-grain shuffle), the gradient a
+    bucket-grain sorted fold with the bias gradient riding the same
+    aggregate as bucket -1; only the B+1-float gradient vector
+    reaches the driver per iteration (bounded scalar collect).
+    Sorted folds make every float sum partitioning-independent, so
+    the learned weights are deterministic and the pure-Python golden
+    twin can replay them (tests/test_classifier.py)."""
+    w = [0.0] * n_buckets
+    bias = 0.0
+    # one row per doc with its bucket-SORTED sparse feature vector:
+    # built once, so each iteration's margin is a per-row JVM fold
+    # (no join, no doc-grain shuffle) and the only shuffle left per
+    # iteration is the bucket-grain gradient aggregate
+    docfeats = (
+        feats.groupBy("doc_id", "y")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "x"))
+            ).alias("fs")
+        )
+        .persist()
+    )
+    try:
+        n_docs = docfeats.count()
+        for _ in range(iters):
+            wmap = F.create_map(
+                *[F.lit(v) for b in range(n_buckets) for v in (b, w[b])]
+            )
+            # margin per doc: fold w[bucket]*x in bucket order (each
+            # (doc,bucket) appears once, so the struct sort is total);
+            # same op order as the original join+fold, bit-equal
+            m = F.aggregate(
+                "fs",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["x"] * F.element_at(wmap, s["bucket"]),
+            )
+            r = (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
+                - F.col("y")
+            )
+            # gradient per bucket: fold (p - y) * x in doc_id order;
+            # the bias gradient rides the SAME aggregate as bucket -1
+            # (its feature is the constant 1, so g = r) — ONE action
+            # and ONE shuffle per iteration
+            grad_rows = (
+                docfeats.select(
+                    "doc_id", r.alias("r"), F.explode("fs").alias("f")
+                )
+                .select(
+                    F.col("f.bucket").alias("bucket"), "doc_id",
+                    (F.col("r") * F.col("f.x")).alias("g"),
+                )
+                .unionByName(
+                    docfeats.select(
+                        F.lit(-1).alias("bucket"), "doc_id",
+                        r.alias("g"),
+                    )
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "g"))
+                    ).alias("gs")
+                )
+                .select(
+                    "bucket",
+                    F.expr(
+                        "aggregate(gs, CAST(0.0 AS DOUBLE),"
+                        " (acc, s) -> acc + s.g)"
+                    ).alias("g"),
+                )
+                .collect()
+            )
+            for row in grad_rows:
+                if row["bucket"] == -1:
+                    # the bias takes its own (smaller) step: its
+                    # gradient is the mean residual — O(1) per doc,
+                    # ~n_tokens× the L1-normalized feature gradients —
+                    # so sharing `lr` makes it oscillate
+                    bias -= lr_bias * (row["g"] / n_docs)
+                else:
+                    w[row["bucket"]] -= lr * (row["g"] / n_docs)
+    finally:
+        docfeats.unpersist()
+    return w, bias
+
+
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = LR_BUCKETS, iters: int = 12, lr: float = 20.0,
+    lr_bias: float = 2.0,
+) -> DataFrame:
+    """Distributed full-batch logistic regression for the domain gate
+    (GPT-3 WebText-classifier shape): hashed-unigram features, fixed
+    iteration count, deterministic sorted-fold arithmetic. Returns
+    the learned model as rows — (bucket, weight) for each feature
+    plus the bias as bucket = -1 — rounded to 6 decimals. Rows-only
+    entry (iterative float training is not SQL-expressible); pinned
+    by the pure-Python golden twin in tests/test_classifier.py."""
+    feats = _lr_features(spark, sf_dir, target_lang, n_buckets)
+    feats.persist()
+    try:
+        w, bias = train_logreg(
+            feats, n_buckets, iters=iters, lr=lr, lr_bias=lr_bias
+        )
+    finally:
+        feats.unpersist()
+    rows = [(-1, round(bias, 6))] + [
+        (b, round(w[b], 6)) for b in range(n_buckets)
+    ]
+    return spark.createDataFrame(rows, schema="bucket BIGINT, weight DOUBLE")
+
+
+def classifier_gate_keep(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = NB_BUCKETS, keep_frac: float = 0.5,
+) -> DataFrame:
+    """doc_id keep-set of the production gate (top keep_frac of the
+    corpus by NB score) — the curate() stage body (pipeline.py
+    `classifier_gate`)."""
+    return (
+        _nb_scored(spark, sf_dir, target_lang, n_buckets, keep_frac)
+        .where("keep")
+        .select("doc_id")
+    )
+
+
+# --- persisted model + ingest-guard scoring (batch/stream shared) ----------
+
+
+def _score_cols(
+    tokens, weights: dict, bias: float, default_lw: float, n_buckets: int
+):
+    """(n_tokens, score) column pair for a token-array column —
+    STATELESS per-row scoring against a driver-resident weight map
+    (the deploy-time shape: calibrate in batch, apply as a pure
+    projection at ingest). Bit-equal to _nb_scored's join+fold path:
+    the per-token lws are array_sort'ed before the fold, so the sum
+    runs over the same ascending order the batch path uses. Unseen
+    buckets (tokens absent from the build corpus) take `default_lw`
+    = the add-1-smoothed zero-count weight ln((n_n+B)/(n_p+B))."""
+    wmap = F.create_map(
+        *[F.lit(v) for b, lw in sorted(weights.items()) for v in (b, lw)]
+    )
+    lws = F.array_sort(
+        F.transform(
+            tokens,
+            lambda t: F.coalesce(
+                F.element_at(
+                    wmap,
+                    F.pmod(
+                        F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                        .cast("bigint"),
+                        F.lit(n_buckets),
+                    ),
+                ),
+                F.lit(default_lw),
+            ),
+        )
+    )
+    score = F.round(
+        F.aggregate(lws, F.lit(0.0), lambda a, x: a + x) + F.lit(bias), 6
+    )
+    return F.size(tokens).cast("long"), score
+
+
+def write_classifier_stats(
+    spark: SparkSession, sf_dir: str, table: str,
+    target_lang: str = "en", n_buckets: int = NB_BUCKETS,
+    keep_frac: float = 0.5,
+) -> None:
+    """Persist the NB gate as warehouse tables: `table` holds the
+    per-bucket log-odds weights (bucket, lw); `<table>__model` is a
+    one-row sidecar (bias, default_lw, threshold, n_buckets,
+    target_lang) — the frozen-sidecar contract of the IVF
+    `__centroids` table (similarity.write_ivf_index): the deployed
+    model NEVER re-derives from a grown corpus.
+
+    `threshold` is calibrated here as the minimum score the batch
+    rank cut keeps (top keep_frac) — the batch gate picks the
+    threshold, the stream gate applies it; that split is exactly how
+    production classifier gates deploy. Boundary note: the batch cut
+    breaks score ties by doc_id, the deployed `score >= threshold`
+    cannot — with 6-decimal scores ties are rare, and the guard is
+    the (slightly) more permissive side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    ).withColumn("bucket", _bucket("tok", n_buckets))
+    pos_n, neg_n = (
+        toks.agg(
+            F.sum((F.col("lang") == target_lang).cast("long")),
+            F.sum((F.col("lang") != target_lang).cast("long")),
+        ).collect()[0]
+    )
+    dp, dn = (
+        docs.agg(
+            F.sum((F.col("lang") == target_lang).cast("long")),
+            F.sum((F.col("lang") != target_lang).cast("long")),
+        ).collect()[0]
+    )
+    scored = _nb_scored(spark, sf_dir, target_lang, n_buckets, keep_frac)
+    threshold = scored.where("keep").agg(F.min("score")).collect()[0][0]
+    stats = _nb_bucket_stats(toks, target_lang, n_buckets)
+    # _rm_table: drops catalog entry AND any orphaned warehouse dir
+    # left by a crashed session (LOCATION_ALREADY_EXISTS otherwise)
+    from flapi_spark.writes import _rm_table
+
+    _rm_table(spark, table)
+    _rm_table(spark, f"{table}__model")
+    stats.write.saveAsTable(table)
+    spark.createDataFrame(
+        [(
+            math.log(dp / dn),
+            math.log((neg_n + n_buckets) / (pos_n + n_buckets)),
+            float(threshold),
+            n_buckets,
+            target_lang,
+        )],
+        schema=(
+            "bias DOUBLE, default_lw DOUBLE, threshold DOUBLE,"
+            " n_buckets BIGINT, target_lang STRING"
+        ),
+    ).write.saveAsTable(f"{table}__model")
+
+
+def load_classifier_model(spark: SparkSession, table: str) -> dict:
+    """Load a persisted NB gate (write_classifier_stats) into the
+    driver-resident dict the guards consume: weights are ≤ n_buckets
+    rows — a bounded scalar collect, never corpus-sized."""
+    weights = {
+        int(r["bucket"]): float(r["lw"])
+        for r in spark.table(table).collect()
+    }
+    m = spark.table(f"{table}__model").collect()[0]
+    return {
+        "weights": weights,
+        "bias": float(m["bias"]),
+        "default_lw": float(m["default_lw"]),
+        "threshold": float(m["threshold"]),
+        "n_buckets": int(m["n_buckets"]),
+        "target_lang": m["target_lang"],
+    }
+
+
+def classifier_guard_batch(docs: DataFrame, model: dict) -> DataFrame:
+    """Batch twin of streaming.classifier_guard_stream: score a
+    (doc_id, text) DataFrame against a loaded model — (doc_id,
+    n_tokens, score, keep). Shares _score_cols with the stream so
+    the equality anchor is the same expression tree."""
+    n_tokens, score = _score_cols(
+        _tokens(), model["weights"], model["bias"],
+        model["default_lw"], model["n_buckets"],
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+        (score >= model["threshold"]).alias("keep"),
+    )

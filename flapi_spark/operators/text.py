@@ -2082,3 +2082,69 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("block_reason"),
         (reason == "none").alias("keep"),
     )
+
+
+def corpus_report(
+    spark: SparkSession, sf_dir: str, quality_threshold: float = 0.5
+) -> DataFrame:
+    """Per-source corpus DATA CARD — the one-call datasheet rollup a
+    dataset release ships (Datasheets for Datasets, Gebru et al.
+    2021; Dolma/FineWeb dataset reports): per source, the volume
+    (docs, token mass, mean doc length), language mix (distinct
+    langs + modal lang with a deterministic count-desc/lang-asc
+    tiebreak), exact-duplicate rate (1 - distinct md5 fingerprints /
+    docs — the dedup_exact signal at report grain), and the
+    quality-gate pass rate (text_quality_score composite >=
+    `quality_threshold`).
+
+    Composes two already-oracled operators (text_quality_score, the
+    dedup_exact fingerprint) rather than restating their formulas;
+    the DuckDB oracle chains the same SQL bodies (the funnel-builder
+    pattern, queries.py).
+
+    100 TB shape: everything rides ONE documents scan — per-doc
+    signals are narrow projections, then two linear source-grain
+    aggregates (sources are few: the modal-lang window partitions by
+    source over a lang-count rollup that is |sources|×|langs| rows,
+    driver-small however big the corpus)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    base = docs.select(
+        "source", "lang", "doc_id",
+        F.size(_tokens()).alias("n_toks"),
+        F.md5(norm_text()).alias("fp"),
+    ).join(q, "doc_id")
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("fp").alias("n_fp"),
+        F.sum(
+            (F.col("quality_score") >= quality_threshold).cast("long")
+        ).alias("nq"),
+    )
+    lm = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lm.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(top, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        F.round(
+            F.lit(1.0) - F.col("n_fp").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.col("nq").cast("double") / F.col("n_docs"), 6
+        ).alias("quality_pass_rate"),
+    )

@@ -67,6 +67,26 @@ def _html_extract(
     )
 
 
+def _classifier_gate(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    target_lang: str = "en", keep_frac: float = 0.5,
+) -> DataFrame:
+    """Model-based quality gate (round 10): keep the top `keep_frac`
+    of the corpus by the NB log-odds domain score — the CCNet/
+    FineWeb-Edu classifier cut, after the heuristic gates. Like the
+    dedup stages the rank cut is corpus-wide, then intersected with
+    the current keep-set."""
+    from flapi_spark.operators.classifier import classifier_gate_keep
+
+    return keep.join(
+        classifier_gate_keep(
+            spark, sf_dir, target_lang=target_lang, keep_frac=keep_frac
+        ),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _quality(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
     """Gopher gates: keep docs passing ALL gates."""
     from flapi_spark.operators.text import text_gopher_filters
@@ -251,6 +271,7 @@ STAGES = {
     "url_filter": _url_filter,
     "html_extract": _html_extract,
     "quality": _quality,
+    "classifier_gate": _classifier_gate,
     "langid": _langid,
     "exact_dedup": _exact_dedup,
     "near_dedup": _near_dedup,

@@ -4592,6 +4592,108 @@ QUERIES.update(
 )
 
 
+# --- round 10b: linear quality classifiers (hashed-feature gate) ------------
+
+from flapi_spark.operators import classifier as CL  # noqa: E402
+
+
+def _nb_score_sql(n_buckets: int = CL.NB_BUCKETS) -> str:
+    """Exact replay of operators/classifier._nb_scored: same portable
+    md5 bucket fold, same exact-integer smoothed ratios, same sorted
+    per-doc fold, rounded to 6 before the gate compare."""
+    return (
+        f"WITH tk AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok"
+        "  FROM documents),"
+        " tb AS (SELECT doc_id, lang,"
+        "  ((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT))"
+        f"   % {n_buckets}) AS bucket FROM tk),"
+        " cp AS (SELECT bucket, count(*) AS cp FROM tb"
+        "  WHERE lang = 'en' GROUP BY 1),"
+        " cn AS (SELECT bucket, count(*) AS cn FROM tb"
+        "  WHERE lang <> 'en' GROUP BY 1),"
+        " np AS (SELECT count(*) AS n_p FROM tb WHERE lang = 'en'),"
+        " nn AS (SELECT count(*) AS n_n FROM tb WHERE lang <> 'en'),"
+        " st AS (SELECT coalesce(cp.bucket, cn.bucket) AS bucket,"
+        "  ln(CAST((coalesce(cp.cp, 0) + 1)"
+        f"     * (nn.n_n + {n_buckets}) AS DOUBLE)"
+        "   / CAST((coalesce(cn.cn, 0) + 1)"
+        f"     * (np.n_p + {n_buckets}) AS DOUBLE)) AS lw"
+        "  FROM cp FULL JOIN cn ON cp.bucket = cn.bucket"
+        "  CROSS JOIN np CROSS JOIN nn),"
+        " pr AS (SELECT ln("
+        "   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)"
+        "   / sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) AS bias"
+        "  FROM documents),"
+        " d AS (SELECT tb.doc_id, tb.lang, list(st.lw ORDER BY st.lw)"
+        "   AS lws FROM tb JOIN st USING (bucket) GROUP BY 1, 2),"
+        " sc AS (SELECT doc_id, CAST(len(lws) AS BIGINT) AS n_tokens,"
+        "  round(list_reduce(lws, (a, b) -> a + b) + pr.bias, 6) AS score,"
+        "  (round(list_reduce(lws, (a, b) -> a + b) + pr.bias, 6) > 0)"
+        "   AS pred,"
+        "  (lang = 'en') AS label"
+        " FROM d CROSS JOIN pr)"
+        " SELECT doc_id, n_tokens, score, pred, label,"
+        "  ((row_number() OVER (ORDER BY score DESC, doc_id ASC))"
+        "   <= ceil((count(*) OVER ()) * 0.5)) AS keep"
+        " FROM sc"
+    )
+
+
+QUERIES.update(
+    {
+        "quality_classifier_score": (
+            CL.quality_classifier_score, _nb_score_sql(),
+        ),
+        "quality_classifier_eval": (
+            CL.quality_classifier_eval,
+            "SELECT label, keep, count(*) AS n_docs FROM ("
+            + _nb_score_sql() + ") s GROUP BY 1, 2",
+        ),
+        # iterative float GD is not SQL-expressible: rows-only, pinned
+        # by the pure-Python golden twin (tests/test_classifier.py)
+        "quality_classifier_train": (CL.quality_classifier_train, None),
+    }
+)
+
+
+def _corpus_report_sql(quality_threshold: float = 0.5) -> str:
+    """Per-source data-card oracle: chains the text_quality_score SQL
+    body (the funnel-builder composition pattern) instead of
+    restating the composite-score formula."""
+    qs = QUERIES["text_quality_score"][1]
+    return (
+        f"WITH q AS (SELECT doc_id, quality_score FROM ({qs}) z),"
+        f" b AS (SELECT d.source, d.lang, d.doc_id,"
+        f"  len({_TOKS}) AS n_toks, md5({_NORM}) AS fp, q.quality_score"
+        "  FROM documents d JOIN q USING (doc_id)),"
+        " agg AS (SELECT source, count(*) AS n_docs,"
+        "  sum(n_toks) AS total_tokens,"
+        "  count(DISTINCT lang) AS n_langs, count(DISTINCT fp) AS n_fp,"
+        "  sum(CASE WHEN quality_score >="
+        f"   {quality_threshold} THEN 1 ELSE 0 END) AS nq"
+        "  FROM b GROUP BY 1),"
+        " lm AS (SELECT source, lang, count(*) AS c FROM b GROUP BY 1, 2),"
+        " top AS (SELECT source, lang AS top_lang FROM"
+        "  (SELECT source, lang, row_number() OVER (PARTITION BY source"
+        "    ORDER BY c DESC, lang ASC) AS rn FROM lm) r WHERE rn = 1)"
+        " SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs,"
+        "  CAST(total_tokens AS BIGINT) AS total_tokens,"
+        "  round(CAST(total_tokens AS DOUBLE) / n_docs, 6)"
+        "   AS avg_doc_tokens,"
+        "  CAST(n_langs AS BIGINT) AS n_langs, top.top_lang,"
+        "  round(1.0 - CAST(n_fp AS DOUBLE) / n_docs, 6) AS dup_rate,"
+        "  round(CAST(nq AS DOUBLE) / n_docs, 6) AS quality_pass_rate"
+        " FROM agg JOIN top ON agg.source = top.source"
+    )
+
+
+QUERIES.update(
+    {
+        "corpus_report": (T.corpus_report, _corpus_report_sql()),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -4607,6 +4709,8 @@ _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
+    "quality_classifier_score", "quality_classifier_eval",
+    "quality_classifier_train", "corpus_report",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4631,9 +4735,7 @@ _CHECK_FIRST = [
     "ccnet_perplexity_buckets", "contamination_ngram_overlap",
     "countmin_token_freq", "dedup_chunk_boilerplate",
     "dedup_containment_pairs", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_lsh_recall_eval",
-    "dedup_ngram_jaccard", "dedup_substring_spans",
-    "dsir_importance_weights",
+    "dedup_embedding_lsh",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

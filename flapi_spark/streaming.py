@@ -1189,3 +1189,36 @@ def crawl_gate_stream(
             ).alias("keep_rate"),
         )
     )
+
+
+def classifier_guard_stream(docs_stream: DataFrame, model: dict) -> DataFrame:
+    """Model-gate ingest guard (round 10b): score an incoming
+    (doc_id, text) crawl stream against a PERSISTED NB gate
+    (classifier.write_classifier_stats → load_classifier_model) and
+    emit (doc_id, n_tokens, score, keep) per document — the deployed
+    form of the classifier_gate curate() stage: the batch build
+    calibrates the rank-cut threshold once; ingest applies it as
+    `score >= threshold`.
+
+    Shape: completely STATELESS — not even a stream-static join: the
+    ≤ n_buckets weights ride the plan as a literal map inside one
+    codegen'd projection (array_sort'ed fold, bit-equal to the batch
+    scorer — classifier_guard_batch is the equality anchor). At a
+    production bucket count (2^18+) swap the map literal for a
+    broadcast stream-static join against the stats table — same
+    columns, same output contract. Unseen tokens take the sidecar's
+    default_lw, so novel-vocabulary drift degrades gracefully toward
+    the smoothed prior instead of erroring."""
+    from flapi_spark.operators.classifier import _score_cols
+    from flapi_spark.operators.text import _tokens
+
+    n_tokens, score = _score_cols(
+        _tokens(), model["weights"], model["bias"],
+        model["default_lw"], model["n_buckets"],
+    )
+    return docs_stream.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+        (score >= model["threshold"]).alias("keep"),
+    )

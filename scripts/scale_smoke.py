@@ -60,7 +60,10 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # round-9 perceptual near-dup lanes (documents-derived corpora;
        # replicated doc_ids mint NEW clusters -> linear pair growth)
        "mm_phash_pairs", "mm_audio_fingerprint_pairs",
-       "mm_video_phash_pairs"]
+       "mm_video_phash_pairs",
+       # round-10b: the model gate (one scan + broadcast stats + a
+       # global rank over doc-grain scores) and the data-card rollup
+       "quality_classifier_score", "corpus_report"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
