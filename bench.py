@@ -79,6 +79,9 @@ HEADLINE = [
     "quality_classifier_score",
     "quality_classifier_train",
     "corpus_report",
+    # the COMPLETE seven-stage chain with the model gate deployed
+    # (html -> quality -> classifier -> langid -> dedups -> decontam)
+    "pipeline_curation_funnel_gated",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

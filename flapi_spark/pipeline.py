@@ -291,6 +291,11 @@ _FUNNEL_SCHEMA = (
     " n_dropped BIGINT"
 )
 
+_TOKEN_FUNNEL_SCHEMA = (
+    "stage BIGINT, stage_name STRING, tokens_in BIGINT,"
+    " tokens_out BIGINT, tokens_dropped BIGINT"
+)
+
 
 @dataclass
 class CurationReport:
@@ -310,6 +315,27 @@ class CurationReport:
         ]
         return self.keep.sparkSession.createDataFrame(
             rows, schema=_FUNNEL_SCHEMA
+        )
+
+    @property
+    def token_funnel_df(self) -> DataFrame:
+        """Token-grain attrition (requires curate(token_counts=True)):
+        what production curation reports actually publish — an
+        aggressive stage that drops 2% of DOCS can still drop 40% of
+        TOKENS if it bites the long documents."""
+        if not self.stages or "tokens_out" not in self.stages[0]:
+            raise ValueError(
+                "token_funnel_df requires curate(token_counts=True)"
+            )
+        rows = [
+            (
+                i + 1, s["stage"], s["tokens_in"], s["tokens_out"],
+                s["tokens_in"] - s["tokens_out"],
+            )
+            for i, s in enumerate(self.stages)
+        ]
+        return self.keep.sparkSession.createDataFrame(
+            rows, schema=_TOKEN_FUNNEL_SCHEMA
         )
 
 
@@ -345,6 +371,7 @@ def curate(
     sf_dir: str,
     stages: list | None = None,
     checkpoint: bool = True,
+    token_counts: bool = False,
 ) -> CurationReport:
     """Run the curation chain over `documents` at `sf_dir`.
 
@@ -368,6 +395,11 @@ def curate(
     exemplar among the survivors. Order dedup stages before lossy
     gates (or accept the stricter drop) if that matters for your
     corpus.
+
+    `token_counts=True` additionally measures TOKEN attrition per
+    stage (one extra sum over the keep-set joined to a persisted
+    doc→token-count map — the id-grain contract holds: the map is
+    (doc_id, n_toks), never text) and enables report.token_funnel_df.
 
     Returns a CurationReport; report.keep is the surviving doc_id
     DataFrame, report.stages the per-stage attrition (+ wall
@@ -393,28 +425,59 @@ def curate(
 
     keep = load_table(spark, sf_dir, "documents").select("doc_id")
     n_prev = keep.count()
+    tokmap = None
+    tok_prev = None
+    if token_counts:
+        from flapi_spark.operators.text import _tokens
+
+        tokmap = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(_tokens()).alias("n_toks"))
+            .persist()
+        )
+        tok_prev = _token_sum(tokmap, keep)
     report = CurationReport(keep=keep)
-    for name, params in spec:
-        t0 = perf_counter()
-        keep = STAGES[name](spark, sf_dir, keep, **params)
-        if checkpoint:
-            keep = keep.localCheckpoint(eager=True)
-        n = keep.count()
-        report.stages.append(
-            {
+    try:
+        for name, params in spec:
+            t0 = perf_counter()
+            keep = STAGES[name](spark, sf_dir, keep, **params)
+            if checkpoint:
+                keep = keep.localCheckpoint(eager=True)
+            n = keep.count()
+            entry = {
                 "stage": name,
                 "n_in": n_prev,
                 "n_out": n,
                 "sec": round(perf_counter() - t0, 3),
             }
-        )
-        if n > n_prev:
-            # explicit raise, not assert: the monotone-attrition
-            # invariant must survive `python -O` (round-10 ADVICE fix)
-            raise RuntimeError(
-                f"curate: stage {name!r} widened the keep-set"
-                f" ({n_prev} -> {n}) — stages must only narrow it"
-            )
-        n_prev = n
+            if token_counts:
+                tok = _token_sum(tokmap, keep)
+                entry["tokens_in"] = tok_prev
+                entry["tokens_out"] = tok
+                tok_prev = tok
+            report.stages.append(entry)
+            if n > n_prev:
+                # explicit raise, not assert: the monotone-attrition
+                # invariant must survive `python -O` (round-10 ADVICE
+                # fix)
+                raise RuntimeError(
+                    f"curate: stage {name!r} widened the keep-set"
+                    f" ({n_prev} -> {n}) — stages must only narrow it"
+                )
+            n_prev = n
+    finally:
+        if tokmap is not None:
+            tokmap.unpersist()
     report.keep = keep
     return report
+
+
+def _token_sum(tokmap: DataFrame, keep: DataFrame) -> int:
+    """Total tokens across a keep-set: id-grain semi-join against the
+    persisted doc→token-count map, one scalar out."""
+    row = (
+        tokmap.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .agg(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("t"))
+        .collect()[0]
+    )
+    return int(row["t"])

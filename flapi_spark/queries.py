@@ -4409,13 +4409,18 @@ def _pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_funnel_chain_sql(
     with_html: bool,
     lang_cond: str = "predicted_lang <> 'unknown'",
+    with_classifier: bool = False,
+    measure: str = "docs",
 ) -> str:
-    """ONE chained-CTE funnel builder for both curation-funnel
+    """ONE chained-CTE funnel builder for all curation-funnel
     oracles (round 10 — the html variant was a hand-shifted copy):
     the stage list is data, each stage a (name, keep-predicate) pair
     applied as k{i} over k{i-1}; the html gate optionally fronts the
-    chain and `lang_cond` parameterizes the langid keep condition
-    (allow-list replay for the YAML-config test)."""
+    chain, `with_classifier` inserts the model gate after the
+    heuristic quality gates (round 10b — its keep-set is corpus-wide
+    like the dedup survivor choices, so the IN-subquery replicates
+    the stage exactly), and `lang_cond` parameterizes the langid
+    keep condition (allow-list replay for the YAML-config test)."""
     g = QUERIES["text_gopher_filters"][1]
     l = QUERIES["text_langid"][1]
     e = QUERIES["dedup_exact_survivors"][1]
@@ -4431,6 +4436,14 @@ def _curation_funnel_chain_sql(
     stages += [
         ("quality",
          f"doc_id IN  (SELECT doc_id FROM ({g}) g WHERE keep)"),
+    ]
+    if with_classifier:
+        stages.append((
+            "classifier_gate",
+            "doc_id IN"
+            f"  (SELECT doc_id FROM ({_nb_score_sql()}) cg WHERE keep)",
+        ))
+    stages += [
         ("langid",
          f"doc_id IN  (SELECT doc_id FROM ({l}) l WHERE {lang_cond})"),
         ("exact_dedup",
@@ -4444,22 +4457,34 @@ def _curation_funnel_chain_sql(
         f"k{i} AS (SELECT doc_id FROM k{i - 1} WHERE {pred})"
         for i, (_name, pred) in enumerate(stages, 1)
     ]
-    cnt = "SELECT count(*) FROM k{}"
+    if measure == "docs":
+        cnt = "SELECT count(*) FROM k{i}"
+        cols = ("n_in", "n_out", "n_dropped")
+    else:  # token-grain attrition (round 10b)
+        cnt = (
+            f"SELECT coalesce(sum(len({_TOKS})), 0) FROM documents"
+            " WHERE doc_id IN (SELECT doc_id FROM k{i})"
+        )
+        cols = ("tokens_in", "tokens_out", "tokens_dropped")
+    # each level's measure lands in its own m{i} CTE, computed ONCE —
+    # repeating the scalar subquery per funnel row re-evaluated the
+    # whole upstream keep-chain (incl. the recursive keep-best
+    # closure) up to 3x per level in DuckDB (round 10b fix); the
+    # CASTs also pin the union's columns to BIGINT in both modes
+    # (token sums come back HUGEINT otherwise)
+    ctes += [
+        f"m{i} AS (SELECT CAST(({cnt.format(i=i)}) AS BIGINT) AS c)"
+        for i in range(len(stages) + 1)
+    ]
     rows = " UNION ALL ".join(
-        f"SELECT {i}, '{name}', ({cnt.format(i - 1)}), ({cnt.format(i)}),"
-        f" ({cnt.format(i - 1)}) - ({cnt.format(i)})"
-        for i, (name, _pred) in list(enumerate(stages, 1))[1:]
+        f"SELECT CAST({i} AS BIGINT) AS stage,"
+        f" '{name}' AS stage_name,"
+        f" m{i - 1}.c AS {cols[0]}, m{i}.c AS {cols[1]},"
+        f" m{i - 1}.c - m{i}.c AS {cols[2]}"
+        f" FROM m{i - 1}, m{i}"
+        for i, (name, _pred) in enumerate(stages, 1)
     )
-    return (
-        "WITH " + ", ".join(ctes)
-        + f" SELECT CAST(1 AS BIGINT) AS stage, '{stages[0][0]}'"
-        " AS stage_name,"
-        " CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_in,"
-        " CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_out,"
-        " CAST((SELECT count(*) FROM k0) - (SELECT count(*) FROM k1)"
-        "  AS BIGINT) AS n_dropped"
-        f" UNION ALL {rows}"
-    )
+    return "WITH " + ", ".join(ctes) + " " + rows
 
 
 def _curation_funnel_sql() -> str:
@@ -4687,9 +4712,53 @@ def _corpus_report_sql(quality_threshold: float = 0.5) -> str:
     )
 
 
+def _pipeline_curation_funnel_gated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE text curation chain (round 10b): html_extract →
+    heuristic quality gates → MODEL gate (NB rank cut) → langid →
+    exact dedup → near-dup keep-best → decontam — the seven-stage
+    shape a production web-crawl corpus actually runs, with the
+    classifier gate in its deployed position (after the cheap
+    heuristics, before the expensive dedup). Oracle: the same
+    chained-CTE funnel with the rank-cut keep-set spliced in after
+    quality."""
+    from flapi_spark.pipeline import curate
+
+    return curate(
+        spark, sf_dir,
+        stages=[
+            "html_extract", "quality", "classifier_gate", "langid",
+            "exact_dedup", "near_dedup", "decontam",
+        ],
+    ).funnel_df
+
+
+def _pipeline_token_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-grain attrition of the default curation chain (round
+    10b): what a production curation report publishes next to the
+    doc funnel — a stage dropping 2% of docs can still drop 40% of
+    tokens if it bites the long documents. Same keep-set chain as
+    pipeline_curation_funnel; the measure swaps to token sums
+    (curate(token_counts=True), id-grain map join)."""
+    from flapi_spark.pipeline import curate
+
+    return curate(spark, sf_dir, token_counts=True).token_funnel_df
+
+
 QUERIES.update(
     {
         "corpus_report": (T.corpus_report, _corpus_report_sql()),
+        "pipeline_curation_funnel_gated": (
+            _pipeline_curation_funnel_gated,
+            _curation_funnel_chain_sql(
+                with_html=True, with_classifier=True
+            ),
+        ),
+        "pipeline_token_funnel": (
+            _pipeline_token_funnel,
+            _curation_funnel_chain_sql(with_html=False, measure="tokens"),
+        ),
     }
 )
 
@@ -4711,6 +4780,7 @@ _CHECK_FIRST = [
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
+    "pipeline_curation_funnel_gated", "pipeline_token_funnel",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4734,8 +4804,7 @@ _CHECK_FIRST = [
     "ann_recall_eval", "bloom_token_filter", "bm25_search",
     "ccnet_perplexity_buckets", "contamination_ngram_overlap",
     "countmin_token_freq", "dedup_chunk_boilerplate",
-    "dedup_containment_pairs", "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    "dedup_containment_pairs",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window
