@@ -892,6 +892,70 @@ def dedup_chunk_boilerplate(
     )
 
 
+def boilerplate_share(
+    spark: SparkSession, sf_dir: str, chunk: int = 5, min_docs: int = 2,
+    max_share: float = 0.3,
+) -> DataFrame:
+    """Per-document CORPUS-boilerplate share (round 10b) — the gate
+    form of dedup_chunk_boilerplate: tile each doc into
+    non-overlapping `chunk`-token spans (same tiling), mark spans
+    appearing in >= `min_docs` distinct docs corpus-wide, and report
+    each doc's duplicated-tile fraction plus the keep verdict
+    (share <= max_share on the ROUNDED value). This is the
+    RefinedWeb line-dedup / C4 duplicated-span document gate: a doc
+    that is mostly corpus-boilerplate (headers, footers, templated
+    text) gets dropped even when its Gopher-style WITHIN-doc
+    repetition stats look clean. Docs shorter than one tile carry
+    share 0.0 (nothing measurable, keep).
+
+    100 TB shape: tiling is a linear explode; the duplicated-span
+    set aggregates with map-side combine (shuffle bounded by
+    DISTINCT chunk count); the share join is equi on the chunk text.
+    Exact DuckDB oracle in flapi_spark/queries.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(norm_text(), " ").alias("t")
+    ).where(F.size("t") >= chunk)
+    tiles = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
+        ).alias("chunk"),
+    )
+    dup = (
+        tiles.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("chunk", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        tiles.join(dup, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("nd"),
+        )
+    )
+    share = F.when(
+        F.coalesce(F.col("n_tiles"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("nd").cast("double") / F.col("n_tiles")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tiles"), F.lit(0)).cast("long").alias("n_tiles"),
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("n_dup_tiles"),
+        F.round(share, 6).alias("boilerplate_share"),
+        (F.round(share, 6) <= max_share).alias("keep"),
+    )
+
+
 def dedup_minhash_portable(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:

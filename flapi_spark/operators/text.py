@@ -2085,7 +2085,8 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_report(
-    spark: SparkSession, sf_dir: str, quality_threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, quality_threshold: float = 0.5,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source corpus DATA CARD — the one-call datasheet rollup a
     dataset release ships (Datasheets for Datasets, Gebru et al.
@@ -2102,6 +2103,12 @@ def corpus_report(
     the DuckDB oracle chains the same SQL bodies (the funnel-builder
     pattern, queries.py).
 
+    `keep` restricts the report to a doc_id keep-set (id-grain
+    semi-join before any aggregate) — the post-curation data card a
+    release ships for the SURVIVING corpus (pipeline_curated_report
+    composes this with curate().keep); a source whose docs were all
+    dropped disappears from the report.
+
     100 TB shape: everything rides ONE documents scan — per-doc
     signals are narrow projections, then two linear source-grain
     aggregates (sources are few: the modal-lang window partitions by
@@ -2116,6 +2123,8 @@ def corpus_report(
         F.size(_tokens()).alias("n_toks"),
         F.md5(norm_text()).alias("fp"),
     ).join(q, "doc_id")
+    if keep is not None:
+        base = base.join(keep.select("doc_id"), "doc_id", "left_semi")
     agg = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),

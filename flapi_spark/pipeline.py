@@ -87,6 +87,28 @@ def _classifier_gate(
     )
 
 
+def _boilerplate_gate(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    chunk: int = 5, min_docs: int = 2, max_share: float = 0.3,
+) -> DataFrame:
+    """Corpus-boilerplate gate (round 10b): drop docs whose
+    duplicated-span share exceeds max_share — the RefinedWeb
+    line-dedup / C4 span gate, catching templated pages the
+    WITHIN-doc repetition stats miss. Like the dedup stages the
+    duplicated-span set is computed corpus-wide, then intersected
+    with the current keep-set."""
+    from flapi_spark.operators.dedup import boilerplate_share
+
+    return keep.join(
+        boilerplate_share(
+            spark, sf_dir, chunk=chunk, min_docs=min_docs,
+            max_share=max_share,
+        ).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _quality(spark: SparkSession, sf_dir: str, keep: DataFrame) -> DataFrame:
     """Gopher gates: keep docs passing ALL gates."""
     from flapi_spark.operators.text import text_gopher_filters
@@ -271,6 +293,7 @@ STAGES = {
     "url_filter": _url_filter,
     "html_extract": _html_extract,
     "quality": _quality,
+    "boilerplate_gate": _boilerplate_gate,
     "classifier_gate": _classifier_gate,
     "langid": _langid,
     "exact_dedup": _exact_dedup,

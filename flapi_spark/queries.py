@@ -4406,21 +4406,14 @@ def _pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(spark, sf_dir).funnel_df
 
 
-def _curation_funnel_chain_sql(
+def _keep_chain(
     with_html: bool,
     lang_cond: str = "predicted_lang <> 'unknown'",
     with_classifier: bool = False,
-    measure: str = "docs",
-) -> str:
-    """ONE chained-CTE funnel builder for all curation-funnel
-    oracles (round 10 — the html variant was a hand-shifted copy):
-    the stage list is data, each stage a (name, keep-predicate) pair
-    applied as k{i} over k{i-1}; the html gate optionally fronts the
-    chain, `with_classifier` inserts the model gate after the
-    heuristic quality gates (round 10b — its keep-set is corpus-wide
-    like the dedup survivor choices, so the IN-subquery replicates
-    the stage exactly), and `lang_cond` parameterizes the langid
-    keep condition (allow-list replay for the YAML-config test)."""
+) -> tuple[list[str], list[tuple[str, str]]]:
+    """The curation keep-chain as (ctes, stages): k{i} CTEs each
+    narrowing k{i-1} by one stage's keep-predicate — shared by the
+    funnel oracles AND the curated-report oracle (round 10b)."""
     g = QUERIES["text_gopher_filters"][1]
     l = QUERIES["text_langid"][1]
     e = QUERIES["dedup_exact_survivors"][1]
@@ -4457,6 +4450,26 @@ def _curation_funnel_chain_sql(
         f"k{i} AS (SELECT doc_id FROM k{i - 1} WHERE {pred})"
         for i, (_name, pred) in enumerate(stages, 1)
     ]
+    return ctes, stages
+
+
+def _curation_funnel_chain_sql(
+    with_html: bool,
+    lang_cond: str = "predicted_lang <> 'unknown'",
+    with_classifier: bool = False,
+    measure: str = "docs",
+) -> str:
+    """ONE chained-CTE funnel builder for all curation-funnel
+    oracles (round 10 — the html variant was a hand-shifted copy):
+    the stage list is data (see _keep_chain); the html gate
+    optionally fronts the chain, `with_classifier` inserts the model
+    gate after the heuristic quality gates (round 10b — its keep-set
+    is corpus-wide like the dedup survivor choices, so the
+    IN-subquery replicates the stage exactly), `lang_cond`
+    parameterizes the langid keep condition (allow-list replay for
+    the YAML-config test), and `measure` picks doc counts or token
+    sums."""
+    ctes, stages = _keep_chain(with_html, lang_cond, with_classifier)
     if measure == "docs":
         cnt = "SELECT count(*) FROM k{i}"
         cols = ("n_in", "n_out", "n_dropped")
@@ -4681,16 +4694,26 @@ QUERIES.update(
 )
 
 
-def _corpus_report_sql(quality_threshold: float = 0.5) -> str:
+def _corpus_report_sql(
+    quality_threshold: float = 0.5, keep_sql: str | None = None
+) -> str:
     """Per-source data-card oracle: chains the text_quality_score SQL
     body (the funnel-builder composition pattern) instead of
-    restating the composite-score formula."""
+    restating the composite-score formula. `keep_sql` — extra CTEs +
+    a keep-set name as (ctes, name) rendered upstream — restricts
+    the report to a curated keep-set (the curated-report entry)."""
     qs = QUERIES["text_quality_score"][1]
+    prefix, flt = "", ""
+    if keep_sql is not None:
+        ctes, last = keep_sql
+        prefix = ", ".join(ctes) + ","
+        flt = f" WHERE d.doc_id IN (SELECT doc_id FROM {last})"
     return (
-        f"WITH q AS (SELECT doc_id, quality_score FROM ({qs}) z),"
+        f"WITH {prefix}"
+        f" q AS (SELECT doc_id, quality_score FROM ({qs}) z),"
         f" b AS (SELECT d.source, d.lang, d.doc_id,"
         f"  len({_TOKS}) AS n_toks, md5({_NORM}) AS fp, q.quality_score"
-        "  FROM documents d JOIN q USING (doc_id)),"
+        f"  FROM documents d JOIN q USING (doc_id){flt}),"
         " agg AS (SELECT source, count(*) AS n_docs,"
         "  sum(n_toks) AS total_tokens,"
         "  count(DISTINCT lang) AS n_langs, count(DISTINCT fp) AS n_fp,"
@@ -4734,6 +4757,52 @@ def _pipeline_curation_funnel_gated(
     ).funnel_df
 
 
+def _boilerplate_share_sql(
+    chunk: int = 5, min_docs: int = 2, max_share: float = 0.3
+) -> str:
+    """Exact replay of dedup.boilerplate_share: the
+    dedup_chunk_boilerplate tiling, the duplicated-span set, and the
+    per-doc rounded share + gate."""
+    c = chunk
+    share = (
+        "CASE WHEN coalesce(pd.n_tiles, 0) = 0 THEN 0.0"
+        " ELSE CAST(pd.nd AS DOUBLE) / pd.n_tiles END"
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+        " ch AS (SELECT doc_id,"
+        f"   array_to_string(t[(i * {c} + 1):(i * {c} + {c})], ' ')"
+        "    AS chunk"
+        "  FROM toks CROSS JOIN (SELECT unnest(range(0, 10000)) AS i)"
+        f"  WHERE (i + 1) * {c} <= len(t)),"
+        " dup AS (SELECT chunk FROM ch GROUP BY chunk"
+        f"  HAVING count(DISTINCT doc_id) >= {min_docs}),"
+        " pd AS (SELECT ch.doc_id, count(*) AS n_tiles,"
+        "   sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END) AS nd"
+        "  FROM ch LEFT JOIN dup USING (chunk) GROUP BY 1)"
+        " SELECT d.doc_id,"
+        " CAST(coalesce(pd.n_tiles, 0) AS BIGINT) AS n_tiles,"
+        " CAST(coalesce(pd.nd, 0) AS BIGINT) AS n_dup_tiles,"
+        f" round({share}, 6) AS boilerplate_share,"
+        f" (round({share}, 6) <= {max_share}) AS keep"
+        " FROM documents d LEFT JOIN pd USING (doc_id)"
+    )
+
+
+def _pipeline_curated_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data card of the CURATED corpus (round 10b): corpus_report
+    restricted to the default chain's surviving keep-set — the
+    release datasheet a pipeline publishes for what actually ships,
+    not the raw crawl. Oracle: the report SQL with the keep-chain
+    CTEs prefixed and the b scan filtered to the last keep level."""
+    from flapi_spark.operators.text import corpus_report
+    from flapi_spark.pipeline import curate
+
+    return corpus_report(
+        spark, sf_dir, keep=curate(spark, sf_dir).keep
+    )
+
+
 def _pipeline_token_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-grain attrition of the default curation chain (round
     10b): what a production curation report publishes next to the
@@ -4759,6 +4828,18 @@ QUERIES.update(
             _pipeline_token_funnel,
             _curation_funnel_chain_sql(with_html=False, measure="tokens"),
         ),
+        "pipeline_curated_report": (
+            _pipeline_curated_report,
+            _corpus_report_sql(
+                keep_sql=(
+                    _keep_chain(with_html=False)[0],
+                    f"k{len(_keep_chain(with_html=False)[1])}",
+                )
+            ),
+        ),
+        "text_boilerplate_share": (
+            D.boilerplate_share, _boilerplate_share_sql(),
+        ),
     }
 )
 
@@ -4781,6 +4862,7 @@ _CHECK_FIRST = [
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
+    "pipeline_curated_report", "text_boilerplate_share",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4803,8 +4885,7 @@ _CHECK_FIRST = [
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
     "ann_recall_eval", "bloom_token_filter", "bm25_search",
     "ccnet_perplexity_buckets", "contamination_ngram_overlap",
-    "countmin_token_freq", "dedup_chunk_boilerplate",
-    "dedup_containment_pairs",
+    "countmin_token_freq",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

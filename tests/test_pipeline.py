@@ -309,3 +309,36 @@ def test_full_multimodal_chain(spark, sf_dir):
         + dropped["video_near_dedup"] > 0
     )
     assert rep.keep.count() == counts[-1]
+
+
+def test_boilerplate_gate_stage(spark, sf_dir):
+    """round 10b: boilerplate_gate drops exactly the docs whose
+    corpus-duplicated-span share exceeds the threshold."""
+    from flapi_spark.operators.dedup import boilerplate_share
+    from flapi_spark.pipeline import curate
+
+    rep = curate(spark, sf_dir, stages=["boilerplate_gate"])
+    direct = boilerplate_share(spark, sf_dir).where("keep")
+    kept = {r["doc_id"] for r in rep.keep.collect()}
+    assert kept == {r["doc_id"] for r in direct.collect()}
+    assert rep.stages[-1]["n_out"] <= rep.stages[-1]["n_in"]
+
+
+def test_token_funnel_matches_doc_funnel_chain(spark, sf_dir):
+    """token_counts=True: same keep-chain, token measure — the doc
+    funnel and token funnel agree on stage names/order, tokens are
+    monotone non-increasing, and the final keep-set is identical to
+    a token-less run."""
+    from flapi_spark.pipeline import curate
+
+    with_t = curate(spark, sf_dir, token_counts=True)
+    rows = with_t.token_funnel_df.collect()
+    assert [r["stage_name"] for r in rows] == [
+        s["stage"] for s in with_t.stages
+    ]
+    toks = [rows[0]["tokens_in"]] + [r["tokens_out"] for r in rows]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    plain = curate(spark, sf_dir)
+    assert {r["doc_id"] for r in with_t.keep.collect()} == {
+        r["doc_id"] for r in plain.keep.collect()
+    }
