@@ -2157,3 +2157,110 @@ def corpus_report(
             F.col("nq").cast("double") / F.col("n_docs"), 6
         ).alias("quality_pass_rate"),
     )
+
+
+MIX_PPM_SCALE = 1_000_000
+
+
+def mixture_token_plan(
+    spark: SparkSession, sf_dir: str,
+    weights_ppm: dict[str, int] | None = None,
+    budget_ppm: int = 500_000,
+) -> DataFrame:
+    """Token-budget mixture PLAN across sources (the Pile/DoReMi-style
+    planning step a training run does before sampling): given target
+    mixture weights and a token budget (budget_ppm of the total
+    corpus token mass), allocate tokens per source by a two-round
+    waterfall — round 1 gives each source floor(weight * budget)
+    capped at its available mass; round 2 redistributes the leftover
+    across the sources that still have capacity, proportional to
+    their weights. Remaining un-allocated budget (only when nearly
+    everything is exhausted) is visible as budget_share summing
+    below 1.
+
+    Weights are integer PARTS-PER-MILLION (default: uniform
+    1e6 // n_sources) and every allocation step is integer
+    arithmetic (floor division) — bit-identical cross-engine, no
+    float thresholds anywhere; the two ratio columns are 6-decimal
+    presentation only. Products use the split form
+    floor(x*p/q) = (x DIV q)*p + ((x%q)*p) DIV q (exactly equal for
+    integers), so nothing overflows int64 for ANY int64 token mass
+    (p <= q <= 1e6 throughout). Exact DuckDB oracle in queries.py.
+
+    100 TB shape: one documents scan to source-grain token masses
+    (linear, map-side combine); everything after is arithmetic over
+    |sources| rows with two broadcast scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("long").alias("avail")
+    )
+    n_src = avail.agg(F.count(F.lit(1)).alias("n"))
+    total = avail.agg(F.sum("avail").cast("long").alias("total"))
+    base = avail.crossJoin(F.broadcast(n_src)).crossJoin(F.broadcast(total))
+    if weights_ppm is None:
+        w = F.expr(f"CAST({MIX_PPM_SCALE} DIV n AS BIGINT)")
+    else:
+        pairs = [
+            x for s, p in sorted(weights_ppm.items()) for x in (s, int(p))
+        ]
+        w = F.element_at(
+            F.create_map(*[F.lit(v) for v in pairs]), F.col("source")
+        ).cast("bigint")
+    r1 = base.select(
+        "source", "avail", "total",
+        w.alias("w_ppm"),
+        F.expr(
+            f"CAST(total DIV {MIX_PPM_SCALE} * {budget_ppm}"
+            f" + (total % {MIX_PPM_SCALE}) * {budget_ppm}"
+            f" DIV {MIX_PPM_SCALE} AS BIGINT)"
+        ).alias("budget"),
+    ).select(
+        "source", "avail", "w_ppm", "budget",
+        F.least(
+            F.col("avail"),
+            F.expr(
+                f"CAST(budget DIV {MIX_PPM_SCALE} * w_ppm"
+                f" + (budget % {MIX_PPM_SCALE}) * w_ppm"
+                f" DIV {MIX_PPM_SCALE} AS BIGINT)"
+            ),
+        ).alias("a1"),
+    )
+    # leftover + capacity-weighted round 2 (both scalar aggregates
+    # broadcast back; rows stay |sources|-sized)
+    agg2 = r1.agg(
+        F.sum("a1").cast("long").alias("used"),
+        F.sum(
+            F.when(F.col("avail") > F.col("a1"), F.col("w_ppm"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("wcap"),
+    )
+    out = (
+        r1.crossJoin(F.broadcast(agg2))
+        .select(
+            "source", "avail", "w_ppm", "budget", "a1",
+            F.when(
+                (F.col("avail") > F.col("a1")) & (F.col("wcap") > 0),
+                F.least(
+                    F.col("avail") - F.col("a1"),
+                    F.expr(
+                        "CAST((budget - used) DIV wcap * w_ppm"
+                        " + ((budget - used) % wcap) * w_ppm"
+                        " DIV wcap AS BIGINT)"
+                    ),
+                ),
+            ).otherwise(F.lit(0)).alias("a2"),
+        )
+    )
+    return out.select(
+        "source",
+        F.col("w_ppm").alias("weight_ppm"),
+        F.col("avail").alias("available_tokens"),
+        (F.col("a1") + F.col("a2")).cast("long").alias("allocated_tokens"),
+        F.round(
+            (F.col("a1") + F.col("a2")).cast("double") / F.col("avail"), 6
+        ).alias("fill_rate"),
+        F.round(
+            (F.col("a1") + F.col("a2")).cast("double") / F.col("budget"), 6
+        ).alias("budget_share"),
+        (F.col("a1") + F.col("a2") >= F.col("avail")).alias("exhausted"),
+    )

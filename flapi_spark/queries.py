@@ -4789,6 +4789,44 @@ def _boilerplate_share_sql(
     )
 
 
+def _mixture_token_plan_sql(budget_ppm: int = 500_000) -> str:
+    """Exact replay of text.mixture_token_plan: same uniform-ppm
+    default, same two-round integer waterfall in the overflow-safe
+    split form floor(x*p/q) = (x//q)*p + ((x%q)*p)//q."""
+    S = T.MIX_PPM_SCALE
+    return (
+        f"WITH a AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT)"
+        "   AS avail FROM documents GROUP BY 1),"
+        " n AS (SELECT count(*) AS n FROM a),"
+        " t AS (SELECT CAST(sum(avail) AS BIGINT) AS total FROM a),"
+        " r1 AS (SELECT a.source, a.avail,"
+        f"  CAST({S} // n.n AS BIGINT) AS w_ppm,"
+        f"  CAST(t.total // {S} * {budget_ppm}"
+        f"   + (t.total % {S}) * {budget_ppm} // {S} AS BIGINT) AS budget"
+        "  FROM a CROSS JOIN n CROSS JOIN t),"
+        " r2 AS (SELECT source, avail, w_ppm, budget,"
+        f"  least(avail, CAST(budget // {S} * w_ppm"
+        f"   + (budget % {S}) * w_ppm // {S} AS BIGINT)) AS a1 FROM r1),"
+        " g AS (SELECT CAST(sum(a1) AS BIGINT) AS used,"
+        "  CAST(sum(CASE WHEN avail > a1 THEN w_ppm ELSE 0 END)"
+        "   AS BIGINT) AS wcap FROM r2),"
+        " o AS (SELECT r2.source, r2.avail, r2.w_ppm, r2.budget, r2.a1,"
+        "  CASE WHEN r2.avail > r2.a1 AND g.wcap > 0"
+        "   THEN least(r2.avail - r2.a1,"
+        "    CAST((r2.budget - g.used) // g.wcap * r2.w_ppm"
+        "     + ((r2.budget - g.used) % g.wcap) * r2.w_ppm // g.wcap"
+        "     AS BIGINT))"
+        "   ELSE 0 END AS a2"
+        "  FROM r2 CROSS JOIN g)"
+        " SELECT source, w_ppm AS weight_ppm, avail AS available_tokens,"
+        " CAST(a1 + a2 AS BIGINT) AS allocated_tokens,"
+        " round(CAST(a1 + a2 AS DOUBLE) / avail, 6) AS fill_rate,"
+        " round(CAST(a1 + a2 AS DOUBLE) / budget, 6) AS budget_share,"
+        " (a1 + a2 >= avail) AS exhausted"
+        " FROM o"
+    )
+
+
 def _pipeline_curated_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data card of the CURATED corpus (round 10b): corpus_report
     restricted to the default chain's surviving keep-set — the
@@ -4840,6 +4878,9 @@ QUERIES.update(
         "text_boilerplate_share": (
             D.boilerplate_share, _boilerplate_share_sql(),
         ),
+        "mixture_token_plan": (
+            T.mixture_token_plan, _mixture_token_plan_sql(),
+        ),
     }
 )
 
@@ -4863,6 +4904,7 @@ _CHECK_FIRST = [
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
     "pipeline_curated_report", "text_boilerplate_share",
+    "mixture_token_plan",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4885,7 +4927,6 @@ _CHECK_FIRST = [
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
     "ann_recall_eval", "bloom_token_filter", "bm25_search",
     "ccnet_perplexity_buckets", "contamination_ngram_overlap",
-    "countmin_token_freq",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

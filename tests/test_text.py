@@ -650,3 +650,35 @@ class TestHtmlMainOnRealMarkup:
             '<div class="ad">BUY</div><footer>(c)</footer></body></html>',
         )
         assert got == "real content"
+
+
+def test_mixture_token_plan_invariants(spark, sf_dir):
+    """round 10b: integer-waterfall invariants — per-source cap,
+    budget cap, exhausted flag consistency, and a skewed-weight run
+    allocating more to the heavier source."""
+    from flapi_spark.operators.text import mixture_token_plan
+
+    rows = mixture_token_plan(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["available_tokens"] for r in rows)
+    budget = total * 500_000 // 1_000_000
+    alloc = sum(r["allocated_tokens"] for r in rows)
+    assert alloc <= budget
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["available_tokens"]
+        assert r["exhausted"] == (
+            r["allocated_tokens"] >= r["available_tokens"]
+        )
+    # skewed weights: src0 gets 10x the ppm of the rest
+    srcs = sorted(r["source"] for r in rows)
+    ppm_rest = 1_000_000 // (len(srcs) + 9)
+    weights = {s: ppm_rest for s in srcs}
+    weights[srcs[0]] = 10 * ppm_rest
+    skew = {
+        r["source"]: r["allocated_tokens"]
+        for r in mixture_token_plan(
+            spark, sf_dir, weights_ppm=weights
+        ).collect()
+    }
+    flat = {r["source"]: r["allocated_tokens"] for r in rows}
+    assert skew[srcs[0]] >= flat[srcs[0]]
