@@ -71,6 +71,14 @@ def _bucket(col, n_buckets: int) -> F.Column:
     )
 
 
+def _doc_token_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, lang, tok, bucket) token stream — the shared input of
+    the bucket stats, the scorer, and the persisted-model build."""
+    return docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    ).withColumn("bucket", _bucket("tok", n_buckets))
+
+
 def _nb_bucket_stats(
     toks: DataFrame, target_lang: str, n_buckets: int
 ) -> DataFrame:
@@ -104,6 +112,7 @@ def _nb_bucket_stats(
 def _nb_scored(
     spark: SparkSession, sf_dir: str, target_lang: str, n_buckets: int,
     keep_frac: float = 0.5,
+    toks: DataFrame | None = None, stats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc NB log-odds score + label — shared by the score and
     eval entries. Columns: doc_id, n_tokens, score, pred, label, keep.
@@ -117,19 +126,36 @@ def _nb_scored(
       sweep) with a deterministic (score desc, doc_id asc) tiebreak.
       Expressed here as one global row_number window — at 100 TB
       swap in the distributed rank (operators/scale.py global-rank
-      prefix bins) for the same boundary."""
+      prefix bins) for the same boundary.
+
+    `toks`/`stats` let write_classifier_stats pass in its persisted
+    copies instead of re-deriving the token explode + bucket stats.
+    A corpus where either class is EMPTY (e.g. classifier_gate
+    placed after a langid allow-list) raises at execution instead of
+    silently NULLing every score into a doc_id-ordered half-cut."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("tok")
-    ).withColumn("bucket", _bucket("tok", n_buckets))
-    stats = _nb_bucket_stats(toks, target_lang, n_buckets)
+    if toks is None:
+        toks = _doc_token_buckets(docs, n_buckets)
+    if stats is None:
+        stats = _nb_bucket_stats(toks, target_lang, n_buckets)
     # doc-count prior: bias = ln(n_pos_docs / n_neg_docs), exact ints
     prior = (
         docs.agg(
             F.sum((F.col("lang") == target_lang).cast("long")).alias("dp"),
             F.sum((F.col("lang") != target_lang).cast("long")).alias("dn"),
         )
-        .select(F.log(F.col("dp").cast("double") / F.col("dn")).alias("bias"))
+        .select(
+            F.when(
+                (F.col("dp") == 0) | (F.col("dn") == 0),
+                F.raise_error(F.lit(
+                    "quality_classifier: one language class is empty"
+                    " (no target-vs-rest contrast) — the NB gate is"
+                    " undefined; gate BEFORE any language allow-list"
+                )),
+            ).otherwise(
+                F.log(F.col("dp").cast("double") / F.col("dn"))
+            ).alias("bias")
+        )
     )
     per_doc = (
         toks.join(F.broadcast(stats), "bucket")
@@ -405,31 +431,51 @@ def write_classifier_stats(
     cannot — with 6-decimal scores ties are rare, and the guard is
     the (slightly) more permissive side."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("tok")
-    ).withColumn("bucket", _bucket("tok", n_buckets))
-    pos_n, neg_n = (
-        toks.agg(
-            F.sum((F.col("lang") == target_lang).cast("long")),
-            F.sum((F.col("lang") != target_lang).cast("long")),
-        ).collect()[0]
-    )
-    dp, dn = (
-        docs.agg(
-            F.sum((F.col("lang") == target_lang).cast("long")),
-            F.sum((F.col("lang") != target_lang).cast("long")),
-        ).collect()[0]
-    )
-    scored = _nb_scored(spark, sf_dir, target_lang, n_buckets, keep_frac)
-    threshold = scored.where("keep").agg(F.min("score")).collect()[0][0]
-    stats = _nb_bucket_stats(toks, target_lang, n_buckets)
-    # _rm_table: drops catalog entry AND any orphaned warehouse dir
-    # left by a crashed session (LOCATION_ALREADY_EXISTS otherwise)
-    from flapi_spark.writes import _rm_table
+    # the token explode and the bucket stats feed THREE consumers
+    # (token-class counts, the calibration scoring pass, the
+    # persisted weights) — persist both so the build is one explode
+    # scan + one stats aggregate, not three of each
+    toks = _doc_token_buckets(docs, n_buckets).persist()
+    stats = None
+    try:
+        stats = _nb_bucket_stats(toks, target_lang, n_buckets).persist()
+        pos_n, neg_n = (
+            toks.agg(
+                F.sum((F.col("lang") == target_lang).cast("long")),
+                F.sum((F.col("lang") != target_lang).cast("long")),
+            ).collect()[0]
+        )
+        dp, dn = (
+            docs.agg(
+                F.sum((F.col("lang") == target_lang).cast("long")),
+                F.sum((F.col("lang") != target_lang).cast("long")),
+            ).collect()[0]
+        )
+        if not dp or not dn:
+            raise ValueError(
+                "write_classifier_stats: one language class is empty"
+                f" (target {dp or 0} / rest {dn or 0} docs) — the NB"
+                " gate needs a target-vs-rest contrast"
+            )
+        scored = _nb_scored(
+            spark, sf_dir, target_lang, n_buckets, keep_frac,
+            toks=toks, stats=stats,
+        )
+        threshold = (
+            scored.where("keep").agg(F.min("score")).collect()[0][0]
+        )
+        # _rm_table: drops catalog entry AND any orphaned warehouse
+        # dir left by a crashed session (LOCATION_ALREADY_EXISTS
+        # otherwise)
+        from flapi_spark.writes import _rm_table
 
-    _rm_table(spark, table)
-    _rm_table(spark, f"{table}__model")
-    stats.write.saveAsTable(table)
+        _rm_table(spark, table)
+        _rm_table(spark, f"{table}__model")
+        stats.write.saveAsTable(table)
+    finally:
+        toks.unpersist()
+        if stats is not None:
+            stats.unpersist()
     spark.createDataFrame(
         [(
             math.log(dp / dn),

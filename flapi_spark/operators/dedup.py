@@ -853,6 +853,29 @@ def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
     )
 
 
+def _doc_tiles(docs: DataFrame, chunk: int) -> DataFrame:
+    """(doc_id, chunk) non-overlapping `chunk`-token tiles — the ONE
+    tiling shared by dedup_chunk_boilerplate and boilerplate_share
+    (and mirrored verbatim in both oracles): docs shorter than one
+    tile contribute nothing (the size guard also keeps
+    F.sequence(0, -1) from descending)."""
+    t = docs.select(
+        "doc_id", F.split(norm_text(), " ").alias("t")
+    ).where(F.size("t") >= chunk)
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
+        ).alias("chunk"),
+    )
+
+
 def dedup_chunk_boilerplate(
     spark: SparkSession, sf_dir: str, chunk: int = 5, min_docs: int = 2
 ) -> DataFrame:
@@ -867,21 +890,7 @@ def dedup_chunk_boilerplate(
     volume is bounded by DISTINCT chunk count, not corpus size.
     Exact DuckDB oracle in flapi_spark/queries.py."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.split(norm_text(), " ").alias("t")
-    ).where(F.size("t") >= chunk)
-    chunks = t.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        F.array_join(
-            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
-        ).alias("chunk"),
-    )
+    chunks = _doc_tiles(docs, chunk)
     return (
         chunks.groupBy("chunk")
         .agg(
@@ -913,21 +922,7 @@ def boilerplate_share(
     DISTINCT chunk count); the share join is equi on the chunk text.
     Exact DuckDB oracle in flapi_spark/queries.py."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.split(norm_text(), " ").alias("t")
-    ).where(F.size("t") >= chunk)
-    tiles = t.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), (F.size("t") / chunk).cast("int") - 1)
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        F.array_join(
-            F.slice("t", F.col("i") * chunk + 1, F.lit(chunk)), " "
-        ).alias("chunk"),
-    )
+    tiles = _doc_tiles(docs, chunk)
     dup = (
         tiles.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("nd"))

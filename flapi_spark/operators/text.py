@@ -2200,12 +2200,33 @@ def mixture_token_plan(
     if weights_ppm is None:
         w = F.expr(f"CAST({MIX_PPM_SCALE} DIV n AS BIGINT)")
     else:
+        # validate eagerly where possible (sum/positivity are pure
+        # Python); a source MISSING from the dict would otherwise
+        # flow through as NULL allocations, and weights summing over
+        # the scale would make round 2 redistribute a NEGATIVE
+        # leftover — both fail loudly instead
+        if any(int(p) <= 0 for p in weights_ppm.values()):
+            raise ValueError(
+                "mixture_token_plan: weights_ppm must be positive"
+            )
+        if sum(int(p) for p in weights_ppm.values()) > MIX_PPM_SCALE:
+            raise ValueError(
+                "mixture_token_plan: weights_ppm sum exceeds"
+                f" {MIX_PPM_SCALE} (parts-per-million)"
+            )
         pairs = [
             x for s, p in sorted(weights_ppm.items()) for x in (s, int(p))
         ]
-        w = F.element_at(
+        lookup = F.element_at(
             F.create_map(*[F.lit(v) for v in pairs]), F.col("source")
         ).cast("bigint")
+        w = F.when(
+            lookup.isNull(),
+            F.raise_error(F.concat(
+                F.lit("mixture_token_plan: source missing from"
+                      " weights_ppm: "), F.col("source")
+            )),
+        ).otherwise(lookup)
     r1 = base.select(
         "source", "avail", "total",
         w.alias("w_ppm"),

@@ -4770,11 +4770,13 @@ def _boilerplate_share_sql(
     )
     return (
         f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+        # per-row range unnest, NOT the bounded cross-join idiom the
+        # older tiling oracles use — no silent 10000-tile cap, so
+        # arbitrarily long docs tile identically to the Spark side
         " ch AS (SELECT doc_id,"
         f"   array_to_string(t[(i * {c} + 1):(i * {c} + {c})], ' ')"
-        "    AS chunk"
-        "  FROM toks CROSS JOIN (SELECT unnest(range(0, 10000)) AS i)"
-        f"  WHERE (i + 1) * {c} <= len(t)),"
+        "    AS chunk FROM (SELECT doc_id, t,"
+        f"   unnest(range(0, len(t) // {c})) AS i FROM toks) z),"
         " dup AS (SELECT chunk FROM ch GROUP BY chunk"
         f"  HAVING count(DISTINCT doc_id) >= {min_docs}),"
         " pd AS (SELECT ch.doc_id, count(*) AS n_tiles,"

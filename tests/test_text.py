@@ -682,3 +682,25 @@ def test_mixture_token_plan_invariants(spark, sf_dir):
     }
     flat = {r["source"]: r["allocated_tokens"] for r in rows}
     assert skew[srcs[0]] >= flat[srcs[0]]
+
+
+def test_mixture_token_plan_weight_validation(spark, sf_dir):
+    """round-10b review pins: bad weights fail loudly — non-positive
+    or over-scale eagerly; a source missing from the dict at
+    execution (raise_error in the plan), never NULL allocations."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from flapi_spark.operators.text import mixture_token_plan
+
+    with pytest.raises(ValueError, match="positive"):
+        mixture_token_plan(spark, sf_dir, weights_ppm={"src0": 0})
+    with pytest.raises(ValueError, match="sum exceeds"):
+        mixture_token_plan(
+            spark, sf_dir, weights_ppm={"a": 800_000, "b": 800_000}
+        )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        mixture_token_plan(
+            spark, sf_dir, weights_ppm={"src0": 500_000}
+        ).collect()
