@@ -1133,6 +1133,7 @@ def crawl_gate_stream(
     watermark: str = "2 hours",
     min_density: float = 0.4,
     min_text_len: int = 80,
+    model: dict | None = None,
 ) -> DataFrame:
     """Streaming crawl-gate monitor (round 10): per event-time
     window, the stage-0 funnel over an incoming crawl stream — URL
@@ -1144,11 +1145,20 @@ def crawl_gate_stream(
     pass_url or pass_density drops says which gate started biting.
     Expects (ts, doc_id, text).
 
-    Shape (the quality_gate_stream contract): both gates are
-    STATELESS per-document expressions — JVM regex/string projections
-    inside the stream's map stage; the only streaming state is one
-    watermarked windowed aggregate of three sums. No stream-stream
-    joins, no per-key state store, no Python."""
+    `model` (round 10b) extends the funnel with the DEPLOYED
+    classifier gate (classifier.load_classifier_model): pass_model
+    counts docs clearing url AND density AND `score >= threshold`
+    on the extracted document text, and keep_rate moves to the
+    model-gated count — the monitor then watches the exact
+    three-gate front the ingest path runs.
+
+    Shape (the quality_gate_stream contract): all gates are
+    STATELESS per-document expressions — JVM regex/string/fold
+    projections inside the stream's map stage (the model rides as a
+    literal weight map, classifier_guard_stream's contract); the
+    only streaming state is one watermarked windowed aggregate of
+    sums. No stream-stream joins, no per-key state store, no
+    Python."""
     from flapi_spark.operators.text import (
         _html_main, _html_wrapped, _url_cols,
     )
@@ -1164,28 +1174,41 @@ def crawl_gate_stream(
         (density >= F.lit(float(min_density)))
         & (F.length(main) >= F.lit(int(min_text_len)))
     )
+    conds = [pass_url.alias("c1"), pass_density.alias("c2")]
+    sums = [("pass_url", "c1"), ("pass_all", "c2")]
+    if model is not None:
+        from flapi_spark.operators.classifier import _score_cols
+        from flapi_spark.operators.text import _tokens
+
+        _n, score = _score_cols(
+            _tokens(), model["weights"], model["bias"],
+            model["default_lw"], model["n_buckets"],
+        )
+        conds.append(
+            (pass_density & (score >= model["threshold"])).alias("c3")
+        )
+        sums.append(("pass_model", "c3"))
 
     def s(c):
         return F.sum(F.when(c, 1).otherwise(0))
 
     gated = docs_stream.withWatermark("ts", watermark).select(
-        "ts", pass_url.alias("c1"), pass_density.alias("c2")
+        "ts", *conds
     )
+    last = sums[-1][0]
     return (
         gated.groupBy(F.window("ts", window).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            s(F.col("c1")).alias("pass_url"),
-            s(F.col("c2")).alias("pass_all"),
+            *[s(F.col(c)).alias(name) for name, c in sums],
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("pass_url").cast("long").alias("pass_url"),
-            F.col("pass_all").cast("long").alias("pass_all"),
+            *[F.col(name).cast("long").alias(name) for name, _c in sums],
             F.round(
-                F.col("pass_all").cast("double") / F.col("n_docs"), 6
+                F.col(last).cast("double") / F.col("n_docs"), 6
             ).alias("keep_rate"),
         )
     )

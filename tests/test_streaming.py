@@ -1657,3 +1657,88 @@ def test_crawl_gate_stream_equals_batch_and_operators(
     # the sample is chosen to exercise both gates
     assert sum(r.pass_url for r in rows) < 80
     assert sum(r.pass_all for r in rows) < sum(r.pass_url for r in rows)
+
+
+def test_crawl_gate_stream_with_model_gate(spark, sf_dir, tmp_path_factory):
+    """round 10b: the three-gate crawl monitor (url -> density ->
+    deployed classifier) — stream equals batch window-for-window,
+    pass_model <= pass_all <= pass_url, and pass_model equals the
+    batch guard composed with the two crawl gates."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.classifier import (
+        classifier_guard_batch, load_classifier_model,
+        write_classifier_stats,
+    )
+    from flapi_spark.operators.text import (
+        text_html_extract, text_url_filter,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    table = "t_cls_stats_crawl"
+    try:
+        write_classifier_stats(spark, sf_dir, table)
+        model = load_classifier_model(spark, table)
+        docs = load_table(spark, sf_dir, "documents")
+        incoming = docs.limit(80).select(
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2026-01-01 00:"),
+                    F.lpad((F.col("doc_id") % 50).cast("string"), 2, "0"),
+                    F.lit(":00"),
+                )
+            ).alias("ts"),
+            "doc_id",
+            "text",
+        )
+        d = tmp_path_factory.mktemp("crawl_model_landing")
+        halves = incoming.randomSplit([0.5, 0.5], seed=7)
+        for i, part in enumerate(halves):
+            staging = str(d / f"_stage_{i}")
+            part.coalesce(1).write.parquet(staging)
+            src = _glob.glob(staging + "/part-*.parquet")[0]
+            shutil.copy(src, str(d / f"batch_{i}.parquet"))
+            shutil.rmtree(staging)
+        name = _qname()
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        ST.run_stream_to_memory(
+            ST.crawl_gate_stream(stream, model=model), name,
+            output_mode="complete",
+        )
+        got = {tuple(r) for r in spark.table(name).collect()}
+        expect = {
+            tuple(r)
+            for r in ST.crawl_gate_stream(incoming, model=model).collect()
+        }
+        assert got == expect and got
+        rows = spark.table(name).collect()
+        p_url = sum(r.pass_url for r in rows)
+        p_all = sum(r.pass_all for r in rows)
+        p_model = sum(r.pass_model for r in rows)
+        assert p_model <= p_all <= p_url <= 80
+        # all-time pass_model == batch operators composed
+        ids = incoming.select("doc_id")
+        both = (
+            text_url_filter(spark, sf_dir).where("keep")
+            .join(ids, "doc_id", "left_semi")
+            .join(
+                text_html_extract(spark, sf_dir).where("keep")
+                .select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        )
+        model_keep = classifier_guard_batch(docs, model).where("keep")
+        want = both.join(
+            model_keep.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+        assert p_model == want
+    finally:
+        _rm_table(spark, table)
+        _rm_table(spark, f"{table}__model")
