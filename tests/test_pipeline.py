@@ -342,3 +342,26 @@ def test_token_funnel_matches_doc_funnel_chain(spark, sf_dir):
     assert {r["doc_id"] for r in with_t.keep.collect()} == {
         r["doc_id"] for r in plain.keep.collect()
     }
+
+
+def test_shipped_full_chain_yaml_runs_monotone(spark, sf_dir):
+    """round 10b: the shipped curation_full.yaml (every text gate in
+    deployed order, incl. boilerplate_gate and classifier_gate with
+    a keep_frac param) runs end-to-end; the funnel is monotone and
+    every stage name matches the file's order."""
+    import os
+
+    from flapi_spark.pipeline import curate_from_config
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "project",
+        "pipelines", "curation_full.yaml",
+    )
+    rep = curate_from_config(spark, sf_dir, path)
+    assert [s["stage"] for s in rep.stages] == [
+        "url_filter", "html_extract", "quality", "boilerplate_gate",
+        "classifier_gate", "exact_dedup", "near_dedup", "decontam",
+    ]
+    ns = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert rep.stages[-1]["n_out"] > 0
