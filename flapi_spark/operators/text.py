@@ -2285,3 +2285,47 @@ def mixture_token_plan(
         ).alias("budget_share"),
         (F.col("a1") + F.col("a2") >= F.col("avail")).alias("exhausted"),
     )
+
+
+def mixture_sample_keepset(
+    spark: SparkSession, sf_dir: str,
+    weights_ppm: dict[str, int] | None = None,
+    budget_ppm: int = 500_000,
+) -> DataFrame:
+    """MATERIALIZE the mixture plan (round 10b): per source, take
+    documents in deterministic md5(doc_id) order until the
+    cumulative token count reaches the source's allocated_tokens
+    from mixture_token_plan — the sampling pass that turns the plan
+    into an actual training keep-set. A doc is kept iff its
+    cumulative sum (inclusive) fits the allocation, so per-source
+    kept tokens never exceed the plan and the first excluded doc is
+    exactly the one that would overflow it.
+
+    Deterministic: the md5-rank order (tiebreak doc_id) and exact
+    integer cumulative sums replicate cross-engine. Scale shape: one
+    per-source ordered cumulative window — sources are few, so at
+    100 TB a single source's partition is huge; swap in the
+    frozen-bin distributed prefix sum (operators/scale.py
+    global_ordered_prefix) per source for the same boundary, exactly
+    as the classifier rank cut documents. Exact DuckDB oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_token_plan(
+        spark, sf_dir, weights_ppm=weights_ppm, budget_ppm=budget_ppm
+    ).select("source", "allocated_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_toks")
+    ).withColumn("cum_tokens", F.sum("n_toks").over(w).cast("long"))
+    return toks.join(plan, "source").select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("allocated_tokens")).alias("keep"),
+    )

@@ -274,6 +274,28 @@ def _video_near_dedup(
     )
 
 
+def _mixture_cap(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    weights_ppm: dict | None = None, budget_ppm: int = 500_000,
+) -> DataFrame:
+    """Mixture/token-budget cap (round 10b): keep each source's
+    md5-ordered document prefix up to its mixture_token_plan
+    allocation — materializes the mixture as the LAST narrowing
+    stage before the split. Corpus-wide like the dedup stages: the
+    plan and the per-source prefix are computed over the full
+    corpus, then intersected with the current keep-set."""
+    from flapi_spark.operators.text import mixture_sample_keepset
+
+    return keep.join(
+        mixture_sample_keepset(
+            spark, sf_dir, weights_ppm=weights_ppm,
+            budget_ppm=budget_ppm,
+        ).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _train_split(
     spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
 ) -> DataFrame:
@@ -302,6 +324,7 @@ STAGES = {
     "audio_near_dedup": _audio_near_dedup,
     "video_near_dedup": _video_near_dedup,
     "decontam": _decontam,
+    "mixture_cap": _mixture_cap,
     "train_split": _train_split,
 }
 

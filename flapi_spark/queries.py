@@ -4883,6 +4883,24 @@ QUERIES.update(
         "mixture_token_plan": (
             T.mixture_token_plan, _mixture_token_plan_sql(),
         ),
+        "mixture_sample_keepset": (
+            T.mixture_sample_keepset,
+            # the plan SQL feeds a per-source md5-ordered cumulative
+            # window — doc kept iff its inclusive cumsum fits the
+            # source's allocation
+            "WITH plan AS (SELECT source, allocated_tokens FROM ("
+            + _mixture_token_plan_sql() + ") p),"
+            f" tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT)"
+            "   AS n_toks FROM documents),"
+            " c AS (SELECT doc_id, source, n_toks,"
+            "  CAST(sum(n_toks) OVER (PARTITION BY source"
+            "   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   AS BIGINT) AS cum_tokens FROM tk)"
+            " SELECT c.doc_id, c.source, c.n_toks, c.cum_tokens,"
+            "  (c.cum_tokens <= plan.allocated_tokens) AS keep"
+            " FROM c JOIN plan USING (source)",
+        ),
     }
 )
 
@@ -4906,7 +4924,7 @@ _CHECK_FIRST = [
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
     "pipeline_curated_report", "text_boilerplate_share",
-    "mixture_token_plan",
+    "mixture_token_plan", "mixture_sample_keepset",
     # stalest: every entry whose latest driver verdict is r5 (the
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
@@ -4928,7 +4946,7 @@ _CHECK_FIRST = [
     # entries keep their golden-test coverage and rotate next round)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
     "ann_recall_eval", "bloom_token_filter", "bm25_search",
-    "ccnet_perplexity_buckets", "contamination_ngram_overlap",
+    "ccnet_perplexity_buckets",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -64,7 +64,8 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # round-10b: the model gate (one scan + broadcast stats + a
        # global rank over doc-grain scores) and the data-card rollup
        "quality_classifier_score", "corpus_report",
-       "text_boilerplate_share", "mixture_token_plan"]
+       "text_boilerplate_share", "mixture_token_plan",
+       "mixture_sample_keepset"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-

@@ -365,3 +365,19 @@ def test_shipped_full_chain_yaml_runs_monotone(spark, sf_dir):
     ns = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
     assert rep.stages[-1]["n_out"] > 0
+
+
+def test_mixture_cap_stage(spark, sf_dir):
+    """round 10b: mixture_cap narrows to exactly the plan's keepset
+    when it is the only stage."""
+    from flapi_spark.operators.text import mixture_sample_keepset
+    from flapi_spark.pipeline import curate
+
+    rep = curate(spark, sf_dir, stages=["mixture_cap"])
+    want = {
+        r["doc_id"]
+        for r in mixture_sample_keepset(spark, sf_dir)
+        .where("keep").collect()
+    }
+    assert {r["doc_id"] for r in rep.keep.collect()} == want
+    assert rep.stages[-1]["n_out"] < rep.stages[-1]["n_in"]

@@ -704,3 +704,33 @@ def test_mixture_token_plan_weight_validation(spark, sf_dir):
         mixture_token_plan(
             spark, sf_dir, weights_ppm={"src0": 500_000}
         ).collect()
+
+
+def test_mixture_sample_keepset_prefix_property(spark, sf_dir):
+    """round 10b: per source, kept tokens fit the plan allocation,
+    and the FIRST excluded doc in md5 order is exactly the overflow
+    doc (prefix property — no doc skipped mid-prefix)."""
+    from flapi_spark.operators.text import (
+        mixture_sample_keepset, mixture_token_plan,
+    )
+
+    alloc = {
+        r["source"]: r["allocated_tokens"]
+        for r in mixture_token_plan(spark, sf_dir).collect()
+    }
+    rows = mixture_sample_keepset(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(alloc)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["cum_tokens"])
+        kept = [r for r in rs if r["keep"]]
+        assert sum(r["n_toks"] for r in kept) <= alloc[src]
+        # prefix: keeps are exactly the leading run in cumsum order
+        flags = [r["keep"] for r in rs]
+        assert flags == sorted(flags, reverse=True)
+        if len(kept) < len(rs):  # first excluded doc would overflow
+            nxt = rs[len(kept)]
+            assert kept == rs[: len(kept)]
+            assert nxt["cum_tokens"] > alloc[src]
