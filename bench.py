@@ -82,6 +82,10 @@ HEADLINE = [
     # the COMPLETE seven-stage chain with the model gate deployed
     # (html -> quality -> classifier -> langid -> dedups -> decontam)
     "pipeline_curation_funnel_gated",
+    # round 10c: Lloyd refinement of the IVF centroids and the
+    # lexical+vector RRF hybrid retrieval
+    "embedding_kmeans_refine",
+    "hybrid_search_rrf",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -647,6 +647,7 @@ def write_ivf_index(
     emb: DataFrame,
     table: str = "ann_ivf_index",
     buckets: int = 16,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize the IVF index as a BUCKETED warehouse table on
     cell_id: (cell_id, vec_id, embedding) rows, cell-co-located on
@@ -654,8 +655,20 @@ def write_ivf_index(
     scan — no index-side exchange per query batch; at 100 TB the
     corpus embeddings are shuffled into cells exactly ONCE at
     bootstrap (plus appends), not per probe run. Same persistence
-    pattern as the dedup band index (dedup.write_band_index)."""
-    centroids = ivf_centroids(emb)
+    pattern as the dedup band index (dedup.write_band_index).
+
+    `refine_iters` > 0 runs that many Lloyd k-means rounds over the
+    sampled centroids before freezing (kmeans_refine): tighter cells →
+    better recall at the same nprobe. Refinement only changes what the
+    frozen sidecar CONTAINS — every probe/append/maintainer path reads
+    the sidecar, so they inherit refined cells with zero code or plan
+    change (the deliberate payoff of the frozen-centroid contract)."""
+    if refine_iters:
+        centroids = kmeans_refine(emb, iters=refine_iters).select(
+            "cell_id", "centroid"
+        )
+    else:
+        centroids = ivf_centroids(emb)
     # FREEZE the centroid set beside the index: appends and probes
     # must use the BOOTSTRAP centroids — re-deriving them from a grown
     # corpus would mint new centroids and leave old index rows filed
@@ -730,4 +743,319 @@ def ann_ivf_probe_indexed(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+# --- k-means refinement of the IVF centroid sample (round 10c) ---------------
+
+# centroid arithmetic quantum: component sums fold as exact integers of
+# 1e-12 resolution, so the Lloyd update is order-independent (plain
+# distributed SUM — no sorted-fold collect_list) AND bit-reproducible in
+# any engine that rounds half-away-from-zero (Spark BigDecimal HALF_UP
+# == DuckDB round(); negative values round away from zero in both)
+KMEANS_QUANT = 10**12
+
+
+def _lloyd_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd centroid update: new centroid = per-dimension mean of
+    the assigned member vectors, computed as quantized-integer sums.
+
+    Scale shape: posexplode fans each vector into (cell_id, pos, qx)
+    rows that partially aggregate map-side — the shuffle carries one
+    (cell, dim) partial per task, never per-cell member ARRAYS (the
+    sorted-fold discipline used by the classifier would collect every
+    member vector of a cell into one row — fine for model weights,
+    not for 100 TB of embeddings). DECIMAL(38,0) sums cannot overflow
+    below ~1e26 members/cell; the decimal→double division routes
+    through VARCHAR for the single correct rounding (>2^53 trap).
+    Cells that lost every member simply vanish from the GROUP BY —
+    the standard drop-empty-cell Lloyd policy, identical in the
+    oracle."""
+    dims = (
+        emb.join(assign, "vec_id")
+        .select("cell_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "cell_id",
+            "pos",
+            F.round(F.col("x").cast("double") * KMEANS_QUANT, 0)
+            .cast("decimal(38,0)")
+            .alias("qx"),
+        )
+    )
+    vals = (
+        dims.groupBy("cell_id", "pos")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell_id",
+            "pos",
+            (
+                F.col("s").cast("string").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(KMEANS_QUANT)))
+            ).alias("val"),
+            "n",
+        )
+    )
+    return vals.groupBy("cell_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, val))),"
+            " s -> s.val)"
+        ).alias("centroid"),
+        F.max("n").cast("long").alias("n_members"),
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame, iters: int = 2, mod: int = N_CELLS_MOD
+) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic IVF centroid
+    sample (`ivf_centroids` is every `mod`-th vector — a sample, not a
+    fit; `iters` assign→update rounds move each centroid to its
+    cluster's mean, tightening the cells every IVF consumer probes:
+    the ANN index, SemDeDup clustering, the embedding ingest guard).
+
+    Per iteration: one broadcast-scored assignment pass (shuffles only
+    (vec_id, cell_id)) + one map-side-combined (cell, dim) integer-sum
+    update — 2 linear shuffles, no quadratic term, the textbook
+    k-means-on-MapReduce shape (Chu et al. NIPS'06). Returns
+    (cell_id, centroid array<double>, n_members); empty cells drop.
+    Deterministic end to end: sampled init, (sim desc, cell asc)
+    assignment tie-break, order-independent quantized update — an
+    exact DuckDB oracle replays the whole refinement
+    (q: embedding_kmeans_refine)."""
+    cent = ivf_centroids(emb)
+    assign = ivf_assign(emb, cent, nprobe=1)
+    out = None
+    for _ in range(max(iters, 0)):
+        out = _lloyd_update(emb, assign)
+        assign = ivf_assign(emb, out.select("cell_id", "centroid"), nprobe=1)
+    if out is None:  # iters=0: the raw sample, doubled for type parity
+        out = _lloyd_update(emb, assign).limit(0)
+    return out
+
+
+def embedding_kmeans_refine(
+    spark: SparkSession, sf_dir: str, iters: int = 2
+) -> DataFrame:
+    """Registry entry: per-vector cell assignment before vs after
+    `iters` Lloyd refinement rounds — (vec_id, cell_init, cell_final,
+    moved). Integer output; the exact DuckDB oracle replays sampled
+    init, every assignment and every quantized centroid update."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(emb)
+    assign = ivf_assign(emb, cent, nprobe=1)
+    init = assign.select("vec_id", F.col("cell_id").alias("cell_init"))
+    for _ in range(max(iters, 0)):
+        cent = _lloyd_update(emb, assign).select("cell_id", "centroid")
+        assign = ivf_assign(emb, cent, nprobe=1)
+    return init.join(assign, "vec_id").select(
+        "vec_id",
+        F.col("cell_init").cast("long").alias("cell_init"),
+        F.col("cell_id").cast("long").alias("cell_final"),
+        (F.col("cell_init") != F.col("cell_id")).alias("moved"),
+    )
+
+
+def embedding_kmeans_eval(
+    spark: SparkSession, sf_dir: str, iters: int = 2
+) -> DataFrame:
+    """Clustering-quality read before trusting the refinement: mean
+    cosine of every vector to its assigned centroid, init (sampled
+    centroids) vs refined (after `iters` Lloyd rounds). The mean folds
+    quantized-integer cosines (round(cos·1e12) as DECIMAL(38,0)) so it
+    is order-independent and cross-engine exact — no sorted collect.
+    Output: (phase, n_cells, n_vectors, mean_cos). Refinement
+    monotonicity (refined >= init) is asserted in tests; the exact
+    DuckDB oracle replays both phases."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent0 = ivf_centroids(emb)
+    a0 = ivf_assign(emb, cent0, nprobe=1)
+    cent, assign = cent0, a0
+    for _ in range(max(iters, 0)):
+        cent = _lloyd_update(emb, assign).select("cell_id", "centroid")
+        assign = ivf_assign(emb, cent, nprobe=1)
+
+    def _phase(name: str, c: DataFrame, a: DataFrame) -> DataFrame:
+        cos = (
+            emb.join(a, "vec_id")
+            .join(F.broadcast(c), "cell_id")
+            .select(
+                "cell_id",
+                F.round(
+                    cosine_col("embedding", "centroid")
+                    * F.lit(float(KMEANS_QUANT)),
+                    0,
+                )
+                .cast("decimal(38,0)")
+                .alias("qcos"),
+            )
+        )
+        return cos.agg(
+            F.countDistinct("cell_id").cast("long").alias("n_cells"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum("qcos").cast("string").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.lit(float(KMEANS_QUANT))
+                ),
+                6,
+            ).alias("mean_cos"),
+        ).select(
+            F.lit(name).alias("phase"), "n_cells", "n_vectors", "mean_cos"
+        )
+
+    return _phase("init", cent0, a0).unionAll(_phase("refined", cent, assign))
+
+
+# --- hybrid retrieval: BM25 + vector ranks fused by RRF (round 10c) ----------
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    sys_k: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher SIGIR'09 — the fusion behind
+    Elasticsearch/OpenSearch hybrid search and most RAG stacks):
+    documents doc_id <= `n_queries` act as queries against the rest of
+    the corpus; each candidate gets a BM25 rank (query-doc tokens as
+    the term set, candidate-corpus df/avglen — the bm25_search
+    arithmetic per query) and a cosine rank (doc_id == vec_id: the
+    embeddings table carries one vector per document), the top
+    `sys_k` list of each system fuses as
+    rrf = Σ 1/(rrf_k + rank), absent list contributes 0, and the top
+    `k` fused results return per query.
+
+    Cross-engine exactness: BM25 parts fold in sorted order and round
+    to 6dp (the bm25_search discipline); cosine is the shared _COS
+    fold; ranks are integers, the fusion expression is two exact
+    divisions summed in fixed order. Sentinel -1 (not NULL) marks a
+    candidate absent from one system's list — integer rendering stays
+    engine-identical.
+
+    Scale shape: the lexical side is a postings join bounded by the
+    query term sets (one token-explode groupBy for tf, df/avglen are
+    broadcast scalars); the vector side here is the brute-force
+    ann_bruteforce shape (broadcast queries × corpus stream) and swaps
+    to the persisted IVF probe (ann_ivf_probe_indexed) at corpus
+    scale; the fusion join carries ≤ 2·sys_k rows per query."""
+    from flapi_spark.operators.relational import BM25_B, BM25_K1
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
+            )
+        ).alias("tok"),
+    )
+    qterms = (
+        toks.where(F.col("doc_id") <= n_queries)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    cand = toks.where(F.col("doc_id") > n_queries)
+    lens = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = cand.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "tok")
+        .join(F.broadcast(df_), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfn = (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
+            + F.lit(BM25_K1)
+            * F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_len").cast("double")
+            )
+        )
+    )
+    lex_scores = (
+        scored.select("qid", F.col("doc_id").alias("cid"),
+                      (idf * tfn).alias("part"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(part)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    lex = (
+        lex_scores.withColumn("lex_rnk", F.row_number().over(wl))
+        .where(F.col("lex_rnk") <= sys_k)
+        .select("qid", "cid", "lex_rnk")
+    )
+    q = emb.where(F.col("vec_id") <= n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    c = emb.where(F.col("vec_id") > n_queries).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    vec_scores = (
+        F.broadcast(q)
+        .join(c)
+        .select("qid", "cid", cosine_col("eq", "ec").alias("cosine"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    vec = (
+        vec_scores.withColumn("vec_rnk", F.row_number().over(wv))
+        .where(F.col("vec_rnk") <= sys_k)
+        .select("qid", "cid", "vec_rnk")
+    )
+    fused = lex.join(vec, ["qid", "cid"], "full_outer").select(
+        "qid",
+        "cid",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rnk")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rnk")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+        F.coalesce("lex_rnk", F.lit(-1)).alias("lex_rnk"),
+        F.coalesce("vec_rnk", F.lit(-1)).alias("vec_rnk"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("cid"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("lex_rnk").cast("long").alias("lex_rnk"),
+            F.col("vec_rnk").cast("long").alias("vec_rnk"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )

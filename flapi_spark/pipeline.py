@@ -274,6 +274,36 @@ def _video_near_dedup(
     )
 
 
+def _semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    threshold: float = 0.4,
+    cells_mod: int = 25,
+) -> DataFrame:
+    """SEMANTIC (embedding-space) dedup (round 10c, closing the last
+    modality absent from the pipeline): SemDeDup cluster-then-prune
+    verdicts (dedup.semdedup_clusters — IVF cells bound the pairwise
+    term) applied to the keep-set. The corpus carries one embedding
+    per document (vec_id == doc_id, the testdata contract the hybrid
+    retrieval entry also relies on).
+
+    CORPUS-WIDE SURVIVOR HAZARD (see curate()): verdicts are computed
+    over the full embedding corpus — if an earlier stage dropped a
+    cluster's lowest-id survivor, the intersection removes the whole
+    cluster."""
+    from flapi_spark.operators.dedup import semdedup_clusters
+
+    survivors = (
+        semdedup_clusters(
+            spark, sf_dir, threshold=threshold, cells_mod=cells_mod
+        )
+        .where("keep")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return keep.join(survivors, "doc_id", "left_semi")
+
+
 def _mixture_cap(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
     weights_ppm: dict | None = None, budget_ppm: int = 500_000,
@@ -323,6 +353,7 @@ STAGES = {
     "image_near_dedup": _image_near_dedup,
     "audio_near_dedup": _audio_near_dedup,
     "video_near_dedup": _video_near_dedup,
+    "semantic_dedup": _semantic_dedup,
     "decontam": _decontam,
     "mixture_cap": _mixture_cap,
     "train_split": _train_split,

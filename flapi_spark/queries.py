@@ -4905,6 +4905,169 @@ QUERIES.update(
 )
 
 
+# --- round 10c: k-means refinement of the IVF centroid sample ---------------
+
+_KQ = "1000000000000.0"  # similarity.KMEANS_QUANT as a double literal
+
+
+def _kmeans_cos(a_emb: str, c: str) -> str:
+    """Cosine between a FLOAT[] embedding column and a DOUBLE[]
+    centroid expression — the _COS shape with an explicit centroid
+    operand (refined centroids are CTE-built double lists, not table
+    columns)."""
+    return (
+        f"(list_dot_product({a_emb}::DOUBLE[], {c})"
+        f" / (sqrt(list_dot_product({a_emb}::DOUBLE[], {a_emb}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({c}, {c}))))"
+    )
+
+
+def _kmeans_ctes(iters: int = 2, mod: int = 25, dims: int = 64) -> list[str]:
+    """The Lloyd refinement replayed as chained CTEs: cent_0 is the
+    deterministic sample, a_i the (sim desc, cell asc) assignment,
+    sums_i the quantized-integer per-(cell, dim) member sums (HUGEINT
+    — order-independent, mirroring Spark's DECIMAL(38,0) sums), cent_i
+    the rebuilt mean centroids (VARCHAR-routed decimal→double for the
+    single correct rounding)."""
+    ctes = [
+        f"cent_0 AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS c"
+        f" FROM embeddings WHERE vec_id % {mod} = 0)"
+    ]
+
+    def assign(i: int) -> str:
+        return (
+            f"a_{i} AS (SELECT vec_id, cell_id FROM ("
+            f" SELECT v.vec_id, t.cell_id, row_number() OVER ("
+            f"  PARTITION BY v.vec_id"
+            f"  ORDER BY {_kmeans_cos('v.embedding', 't.c')} DESC,"
+            f"   t.cell_id ASC) AS r"
+            f" FROM embeddings v CROSS JOIN cent_{i} t) z WHERE r = 1)"
+        )
+
+    ctes.append(assign(0))
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"sums_{t} AS (SELECT a.cell_id, d.d - 1 AS pos,"
+            f" SUM(CAST(round(v.embedding[d.d]::DOUBLE * {_KQ})"
+            f"  AS HUGEINT)) AS s, COUNT(*) AS n"
+            f" FROM embeddings v JOIN a_{t - 1} a USING (vec_id),"
+            f" range(1, {dims + 1}) d(d)"
+            f" GROUP BY a.cell_id, d.d)"
+        )
+        ctes.append(
+            f"cent_{t} AS (SELECT cell_id,"
+            f" list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / (n * {_KQ})"
+            f"  ORDER BY pos) AS c"
+            f" FROM sums_{t} GROUP BY cell_id)"
+        )
+        ctes.append(assign(t))
+    return ctes
+
+
+def _kmeans_refine_sql(iters: int = 2) -> str:
+    return (
+        "WITH " + ", ".join(_kmeans_ctes(iters))
+        + " SELECT a_0.vec_id, a_0.cell_id AS cell_init,"
+        f" a_{iters}.cell_id AS cell_final,"
+        f" a_0.cell_id <> a_{iters}.cell_id AS moved"
+        f" FROM a_0 JOIN a_{iters} USING (vec_id)"
+    )
+
+
+def _kmeans_eval_sql(iters: int = 2) -> str:
+    def phase(name: str, i: int) -> str:
+        return (
+            f"SELECT '{name}' AS phase,"
+            f" count(DISTINCT a.cell_id) AS n_cells,"
+            f" count(*) AS n_vectors,"
+            f" round(CAST(CAST(SUM(CAST("
+            f"  round({_kmeans_cos('v.embedding', 't.c')} * {_KQ})"
+            f"  AS HUGEINT)) AS VARCHAR) AS DOUBLE)"
+            f" / (count(*) * {_KQ}), 6) AS mean_cos"
+            f" FROM embeddings v JOIN a_{i} a USING (vec_id)"
+            f" JOIN cent_{i} t ON a.cell_id = t.cell_id"
+        )
+
+    return (
+        "WITH " + ", ".join(_kmeans_ctes(iters))
+        + " " + phase("init", 0) + " UNION ALL " + phase("refined", iters)
+    )
+
+
+def _hybrid_rrf_sql(
+    n_queries: int = 5, sys_k: int = 20, k: int = 10, rrf_k: int = 60
+) -> str:
+    """DuckDB replay of hybrid_search_rrf: the bm25_search oracle's
+    per-query generalization (query-doc tokens as the term set,
+    candidate-corpus df/avglen), the ann_bruteforce cosine ranking,
+    and the fused RRF expression in the same fixed shape."""
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok"
+        "  FROM documents),"
+        " qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM tok"
+        f"  WHERE doc_id <= {n_queries}),"
+        f" cand AS (SELECT * FROM tok WHERE doc_id > {n_queries}),"
+        " lens AS (SELECT doc_id, count(*) AS dl FROM cand GROUP BY 1),"
+        " st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len"
+        "  FROM lens),"
+        " tf AS (SELECT doc_id, tok, count(*) AS tf FROM cand"
+        "  GROUP BY 1, 2),"
+        " dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),"
+        " parts AS (SELECT q.qid, tf.doc_id AS cid,"
+        "  ln(((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)"
+        "      + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) + 1.0)"
+        "  * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1))"
+        "    / (tf.tf + CAST(1.2 AS DOUBLE)"
+        "       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))"
+        "      + CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)"
+        "       * (CAST(lens.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)"
+        "          / CAST(st.total_len AS DOUBLE)))) AS part"
+        "  FROM qterms q JOIN tf USING (tok) JOIN dfc USING (tok)"
+        "   JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),"
+        " lexagg AS (SELECT qid, cid,"
+        "  round(list_reduce(list_sort(list(part)), (a, x) -> a + x), 6)"
+        "   AS score FROM parts GROUP BY 1, 2),"
+        " lex AS (SELECT qid, cid, lex_rnk FROM ("
+        "  SELECT qid, cid, row_number() OVER (PARTITION BY qid"
+        "   ORDER BY score DESC, cid ASC) AS lex_rnk FROM lexagg) t"
+        f"  WHERE lex_rnk <= {sys_k}),"
+        " vscore AS (SELECT q.vec_id AS qid, c.vec_id AS cid,"
+        f"  {_COS.format(a='q', b='c')} AS cosine"
+        f"  FROM embeddings q JOIN embeddings c ON q.vec_id <= {n_queries}"
+        f"   AND c.vec_id > {n_queries}),"
+        " vec AS (SELECT qid, cid, vec_rnk FROM ("
+        "  SELECT qid, cid, row_number() OVER (PARTITION BY qid"
+        "   ORDER BY cosine DESC, cid ASC) AS vec_rnk FROM vscore) t"
+        f"  WHERE vec_rnk <= {sys_k}),"
+        " fused AS (SELECT qid, cid,"
+        f"  coalesce(1.0 / ({rrf_k} + lex_rnk), 0.0)"
+        f"   + coalesce(1.0 / ({rrf_k} + vec_rnk), 0.0) AS rrf,"
+        "  coalesce(lex_rnk, -1) AS lex_rnk,"
+        "  coalesce(vec_rnk, -1) AS vec_rnk"
+        "  FROM lex FULL OUTER JOIN vec USING (qid, cid))"
+        " SELECT qid, cid, round(rrf, 6) AS rrf_score,"
+        "  CAST(lex_rnk AS BIGINT) AS lex_rnk,"
+        "  CAST(vec_rnk AS BIGINT) AS vec_rnk,"
+        "  CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY qid"
+        "   ORDER BY rrf DESC, cid ASC) AS rnk FROM fused) t"
+        f" WHERE rnk <= {k}"
+    )
+
+
+QUERIES.update(
+    {
+        "embedding_kmeans_refine": (
+            S.embedding_kmeans_refine, _kmeans_refine_sql()
+        ),
+        "embedding_kmeans_eval": (
+            S.embedding_kmeans_eval, _kmeans_eval_sql()
+        ),
+        "hybrid_search_rrf": (S.hybrid_search_rrf, _hybrid_rrf_sql()),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -4918,6 +5081,8 @@ QUERIES.update(
 # the FRESHEST and rotate to the back.)
 _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
+    "embedding_kmeans_refine", "embedding_kmeans_eval",
+    "hybrid_search_rrf",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -4943,10 +5108,13 @@ _CHECK_FIRST = [
     "tpl_customers_all", "tpl_customers_by_segment",
     "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
     # oldest r6 cohort, oracle-backed entries first (rows-only r6
-    # entries keep their golden-test coverage and rotate next round)
+    # entries keep their golden-test coverage and rotate next round;
+    # ann_recall_eval/bloom_token_filter/bm25_search/
+    # ccnet_perplexity_buckets rotate out for the three 10c entries —
+    # all were re-confirmed by this round's full in-session contract
+    # drives)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
-    "ann_recall_eval", "bloom_token_filter", "bm25_search",
-    "ccnet_perplexity_buckets",
+    "ann_recall_eval",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -381,3 +381,45 @@ def test_mixture_cap_stage(spark, sf_dir):
     }
     assert {r["doc_id"] for r in rep.keep.collect()} == want
     assert rep.stages[-1]["n_out"] < rep.stages[-1]["n_in"]
+
+
+def test_semantic_dedup_stage(spark, sf_dir):
+    """round 10c: the semantic_dedup stage keeps exactly the SemDeDup
+    verdict survivors (vec_id == doc_id contract), and the threshold
+    passes through as a stage param."""
+    from flapi_spark.operators.dedup import semdedup_clusters
+
+    rep = curate(spark, sf_dir, stages=["semantic_dedup"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    want = {
+        r.vec_id
+        for r in semdedup_clusters(spark, sf_dir).where("keep").collect()
+    }
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").collect()
+    }
+    assert got == (want & docs) and 0 < len(got) < len(docs)
+    # a permissive threshold drops nothing
+    keep_all = curate(
+        spark, sf_dir,
+        stages=[{"stage": "semantic_dedup", "threshold": 1.1}],
+    ).keep
+    assert keep_all.count() == len(docs)
+
+
+def test_full_chain_with_semantic_dedup(spark, sf_dir):
+    """The complete chain still composes with the embedding modality
+    in its deployed position (after text near-dup, before decontam)."""
+    stages = [
+        "quality", "langid", "exact_dedup", "near_dedup",
+        "semantic_dedup", "decontam",
+    ]
+    rep = curate(spark, sf_dir, stages=stages)
+    assert [s["stage"] for s in rep.stages] == stages
+    counts = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+    dropped = {s["stage"]: s["n_in"] - s["n_out"] for s in rep.stages}
+    assert dropped["semantic_dedup"] > 0  # the embedding modality bites

@@ -254,3 +254,148 @@ def test_append_ivf_index_makes_batch_findable(spark, sf_dir):
     finally:
         _rm_table(spark, table)
         _rm_table(spark, table + "__centroids")
+
+
+# --- k-means refinement (round 10c) ------------------------------------------
+
+
+def numpy_kmeans(ids, vecs, iters=2, mod=25, quant=10**12):
+    """Pure-numpy golden twin of kmeans_refine/embedding_kmeans_refine:
+    sampled init, (sim desc, cell asc) assignment, quantized-integer
+    mean update, drop-empty-cell policy."""
+    import numpy as np
+
+    cents = {int(i): vecs[k].copy() for k, i in enumerate(ids) if i % mod == 0}
+
+    def assign(cents):
+        cids = sorted(cents)
+        C = np.array([cents[c] for c in cids])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = Vn @ Cn.T
+        # argmax with asc cell_id tiebreak: cids sorted, argmax takes first
+        best = sims.argmax(axis=1)
+        return {int(i): cids[b] for i, b in zip(ids, best)}
+
+    a = assign(cents)
+    a0 = dict(a)
+    for _ in range(iters):
+        members = {}
+        for vid, c in a.items():
+            members.setdefault(c, []).append(vid)
+        cents = {}
+        for c, vids in members.items():
+            qs = np.array(
+                [
+                    [
+                        int(np.floor(abs(x) * quant + 0.5)) * (1 if x >= 0 else -1)
+                        for x in vecs[list(ids).index(v)]
+                    ]
+                    for v in vids
+                ],
+                dtype=object,
+            )
+            s = qs.sum(axis=0)
+            cents[c] = np.array(
+                [float(si) / (len(vids) * float(quant)) for si in s]
+            )
+        a = assign(cents)
+    return a0, a
+
+
+def test_kmeans_refine_matches_numpy_replay(spark, sf_dir, vectors):
+    """embedding_kmeans_refine's init and final assignments equal a
+    pure-numpy Lloyd replay with the same quantized update."""
+    ids, vecs = vectors
+    got = {
+        r.vec_id: (r.cell_init, r.cell_final, r.moved)
+        for r in S.embedding_kmeans_refine(spark, sf_dir).collect()
+    }
+    a0, a2 = numpy_kmeans(ids, vecs)
+    assert len(got) == len(ids)
+    for vid in got:
+        ci, cf, moved = got[vid]
+        assert a0[vid] == ci, (vid, a0[vid], ci)
+        assert a2[vid] == cf, (vid, a2[vid], cf)
+        assert moved == (ci != cf)
+    assert any(m for _, _, m in got.values())  # refinement does move some
+
+
+def test_kmeans_eval_refinement_improves(spark, sf_dir):
+    """Mean member→centroid cosine must not degrade under Lloyd
+    refinement (each round weakly improves the k-means objective)."""
+    rows = {r.phase: r for r in
+            S.embedding_kmeans_eval(spark, sf_dir).collect()}
+    assert rows["refined"].mean_cos >= rows["init"].mean_cos
+    assert rows["refined"].n_vectors == rows["init"].n_vectors
+    assert 0 < rows["refined"].n_cells <= rows["init"].n_cells
+
+
+def test_write_ivf_index_refined_centroids(spark, sf_dir):
+    """refine_iters>0 freezes REFINED centroids; the probe and the
+    stateless rowwise assignment (the streaming-guard path) both
+    inherit them — rowwise vs windowed assignment stays bit-identical
+    on double-array centroids."""
+    from flapi_spark.operators.similarity import (
+        ann_ivf_probe_indexed, ivf_assign, rowwise_ivf_assign,
+        write_ivf_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "t_ivf_index_refined"
+    _rm_table(spark, table)
+    try:
+        write_ivf_index(spark, emb, table, refine_iters=2)
+        frozen = spark.table(table + "__centroids")
+        # refined centroid = quantized mean, never a raw corpus vector
+        assert dict(frozen.dtypes)["centroid"] == "array<double>"
+        queries = emb.where("vec_id <= 5")
+        got = ann_ivf_probe_indexed(spark, queries, table)
+        assert got.count() > 0
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        rowwise = {
+            (r.vec_id, r.cell_id)
+            for r in rowwise_ivf_assign(emb, frozen.collect()).collect()
+        }
+        windowed = {
+            (r.vec_id, r.cell_id)
+            for r in ivf_assign(emb, frozen).collect()
+        }
+        assert rowwise == windowed
+    finally:
+        _rm_table(spark, table)
+        _rm_table(spark, table + "__centroids")
+
+
+# --- hybrid RRF retrieval (round 10c) ----------------------------------------
+
+
+def test_hybrid_rrf_fusion_contract(spark, sf_dir):
+    """Per query: k unique candidates, ranks 1..k, the fused score
+    reproduces 1/(60+r) per contributing system, and a candidate on
+    BOTH top lists outranks equal single-system evidence."""
+    rows = S.hybrid_search_rrf(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert by_q
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len({r.cid for r in rs}) == len(rs)
+        for r in rs:
+            want = 0.0
+            if r.lex_rnk != -1:
+                want += 1.0 / (60 + r.lex_rnk)
+            if r.vec_rnk != -1:
+                want += 1.0 / (60 + r.vec_rnk)
+            assert abs(r.rrf_score - round(want, 6)) < 1e-9
+            assert (r.lex_rnk, r.vec_rnk) != (-1, -1)
+    both = [r for r in rows if r.lex_rnk != -1 and r.vec_rnk != -1]
+    assert both  # fusion actually fuses on this corpus
+    for r in both:
+        solo = max(1.0 / (60 + r.lex_rnk), 1.0 / (60 + r.vec_rnk))
+        assert r.rrf_score > round(solo, 6) - 1e-9
