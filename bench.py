@@ -82,10 +82,11 @@ HEADLINE = [
     # the COMPLETE seven-stage chain with the model gate deployed
     # (html -> quality -> classifier -> langid -> dedups -> decontam)
     "pipeline_curation_funnel_gated",
-    # round 10c: Lloyd refinement of the IVF centroids and the
-    # lexical+vector RRF hybrid retrieval
+    # round 10c: Lloyd refinement of the IVF centroids, the
+    # lexical+vector RRF hybrid retrieval, and the MMR diversifier
     "embedding_kmeans_refine",
     "hybrid_search_rrf",
+    "retrieval_mmr_diversify",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -1059,3 +1059,107 @@ def hybrid_search_rrf(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --- MMR diversification over a retrieval pool (round 10c) -------------------
+
+
+def retrieval_mmr_diversify(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98 — the standard diversity pass over a retrieval pool
+    before stuffing a RAG context window): from each query's cosine
+    top-`pool_k` pool, greedily select `k` results maximizing
+    lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s) — relevance
+    traded against redundancy with what is already picked.
+
+    The greedy recurrence is inherently sequential in `k`, but every
+    step is a BOUNDED dataframe op (pool is pool_k rows per query, the
+    pairwise term ≤ pool_k·k rows) — the loop unrolls into one
+    declarative plan, no driver collect; at corpus scale the pool
+    build is the retrieval system (hybrid_search_rrf / the IVF probe)
+    and MMR cost stays queries×pool_k², independent of corpus size.
+    Deterministic: cosine folds are the shared _COS shape, max-sim is
+    order-independent, ties break on cid asc; lam defaults to 0.5 so
+    both engines' (1−lam) literal is exact. The exact DuckDB oracle
+    unrolls the k steps as chained CTEs.
+
+    Output: (qid, cid, step, mmr_score) — step 1 scores plain
+    relevance (nothing is selected yet), later steps the MMR value at
+    selection time, rounded to 6dp for rendering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") <= n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    c = emb.where(F.col("vec_id") > n_queries).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c)
+        .select("qid", "cid", "ec", cosine_col("eq", "ec").alias("rel"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= pool_k)
+        .select("qid", "cid", "ec", "rel")
+    )
+    # the pool is queries×pool_k rows — checkpoint it so the k-step
+    # unrolled plan re-reads a materialized pool instead of replaying
+    # the corpus-wide scoring pass per step
+    pool = pool.localCheckpoint(eager=True)
+    sel = (
+        pool.withColumn("r", F.row_number().over(w.orderBy(
+            F.desc("rel"), F.asc("cid"))))
+        .where(F.col("r") == 1)
+        .select(
+            "qid", "cid", F.lit(1).alias("step"),
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_e = sel.join(
+            pool.select("qid", "cid", F.col("ec").alias("es")),
+            ["qid", "cid"],
+        ).select("qid", F.col("cid").alias("sid"), "es")
+        cand = pool.join(sel.select("qid", "cid"), ["qid", "cid"],
+                         "left_anti")
+        ms = (
+            cand.join(sel_e, "qid")
+            .select(
+                "qid", "cid", "rel",
+                cosine_col("ec", "es").alias("sim"),
+            )
+            .groupBy("qid", "cid")
+            .agg(F.max("sim").alias("maxsim"), F.max("rel").alias("rel"))
+        )
+        mmr = ms.select(
+            "qid", "cid",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("maxsim")
+            ).alias("score"),
+        )
+        wp = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("cid")
+        )
+        pick = (
+            mmr.withColumn("r", F.row_number().over(wp))
+            .where(F.col("r") == 1)
+            .select(
+                "qid", "cid", F.lit(step).alias("step"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        "qid", "cid", F.col("step").cast("long").alias("step"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

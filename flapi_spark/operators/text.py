@@ -2329,3 +2329,46 @@ def mixture_sample_keepset(
         "cum_tokens",
         (F.col("cum_tokens") <= F.col("allocated_tokens")).alias("keep"),
     )
+
+
+def text_chunk_windows(
+    spark: SparkSession, sf_dir: str, size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/long-context
+    splitting pass (LangChain/LlamaIndex recursive splitters, the
+    retrieval-side twin of the training-side `pack_sequences`): each
+    document emits windows of `size` tokens every `stride` tokens
+    (overlap = size − stride) with full provenance (start offset,
+    window length, chunk ordinal, doc token count) so downstream
+    embedding/indexing stages can map hits back to character-exact
+    document regions.
+
+    Pure codegen projections: tokenize once, explode a
+    sequence(0, n−1, stride) of starts, slice the token array per
+    start — zero shuffles, linear in corpus tokens, embarrassingly
+    parallel at 100 TB. Window starts stay < n so every token is
+    covered and trailing windows shorten rather than pad. Exact
+    DuckDB oracle replays tokenization, starts and slices."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens().alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n_toks")
+    )
+    starts = t.select(
+        "doc_id", "t", "n_toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.col("n_toks") - 1, F.lit(stride)
+            )
+        ).alias("chunk_id", "start_tok"),
+    )
+    chunk = F.slice("t", F.col("start_tok") + 1, F.lit(size))
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.col("n_toks").cast("long").alias("n_toks"),
+    )

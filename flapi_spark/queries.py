@@ -5055,6 +5055,80 @@ def _hybrid_rrf_sql(
     )
 
 
+def _mmr_sql(
+    n_queries: int = 5, pool_k: int = 20, k: int = 5, lam: float = 0.5
+) -> str:
+    """DuckDB replay of retrieval_mmr_diversify: the greedy selection
+    unrolled as chained CTEs — sel_i = sel_{i-1} plus the argmax of
+    lam·rel − (1−lam)·max-sim-to-selected over the not-yet-picked
+    pool. lam literals are emitted via repr so both engines compute
+    the identical doubles (1−lam is exact at the 0.5 default)."""
+    cos_qc = _kmeans_cos("q.embedding", "c.embedding::DOUBLE[]")
+    cos_cs = _kmeans_cos("ec.embedding", "es.embedding::DOUBLE[]")
+    ctes = [
+        "pool AS (SELECT qid, cid, rel FROM ("
+        " SELECT q.vec_id AS qid, c.vec_id AS cid,"
+        f" {cos_qc} AS rel,"
+        " row_number() OVER (PARTITION BY q.vec_id"
+        f"  ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk"
+        f" FROM embeddings q JOIN embeddings c ON q.vec_id <= {n_queries}"
+        f"  AND c.vec_id > {n_queries}) t"
+        f" WHERE rnk <= {pool_k})",
+        "s_1 AS (SELECT qid, cid, 1 AS step, rel AS score FROM ("
+        " SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid"
+        "  ORDER BY rel DESC, cid ASC) AS r FROM pool) t WHERE r = 1)",
+        "sel_1 AS (SELECT qid, cid, step, score FROM s_1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"ms_{i} AS (SELECT c.qid, c.cid, max(c.rel) AS rel,"
+            f" max({cos_cs}) AS maxsim"
+            f" FROM pool c JOIN sel_{p} s ON c.qid = s.qid"
+            f" JOIN embeddings ec ON ec.vec_id = c.cid"
+            f" JOIN embeddings es ON es.vec_id = s.cid"
+            f" WHERE NOT EXISTS (SELECT 1 FROM sel_{p} x"
+            f"  WHERE x.qid = c.qid AND x.cid = c.cid)"
+            f" GROUP BY c.qid, c.cid)"
+        )
+        ctes.append(
+            f"s_{i} AS (SELECT qid, cid, {i} AS step, score FROM ("
+            f" SELECT qid, cid, ({lam!r} * rel - {1.0 - lam!r} * maxsim)"
+            f"  AS score, row_number() OVER (PARTITION BY qid"
+            f"  ORDER BY ({lam!r} * rel - {1.0 - lam!r} * maxsim) DESC,"
+            f"   cid ASC) AS r FROM ms_{i}) t WHERE r = 1)"
+        )
+        ctes.append(
+            f"sel_{i} AS (SELECT * FROM sel_{p} UNION ALL"
+            f" SELECT * FROM s_{i})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT qid, cid, CAST(step AS BIGINT) AS step,"
+        f" round(score, 6) AS mmr_score FROM sel_{k}"
+    )
+
+
+def _chunk_windows_sql(size: int = 32, stride: int = 24) -> str:
+    """DuckDB replay of text_chunk_windows: identical tokenization,
+    range() starts (< n, matching Spark's sequence(0, n−1, stride)),
+    1-based list slices."""
+    return (
+        f"WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+        " st AS (SELECT doc_id, t, len(t) AS n_toks,"
+        f"  unnest(range(0, len(t), {stride})) AS start_tok FROM tk)"
+        f" SELECT doc_id, CAST(start_tok // {stride} AS BIGINT)"
+        "  AS chunk_id,"
+        " CAST(start_tok AS BIGINT) AS start_tok,"
+        f" CAST(len(list_slice(t, start_tok + 1, start_tok + {size}))"
+        "  AS BIGINT) AS n_chunk_toks,"
+        f" array_to_string(list_slice(t, start_tok + 1,"
+        f"  start_tok + {size}), ' ') AS chunk_text,"
+        " CAST(n_toks AS BIGINT) AS n_toks"
+        " FROM st"
+    )
+
+
 QUERIES.update(
     {
         "embedding_kmeans_refine": (
@@ -5064,6 +5138,10 @@ QUERIES.update(
             S.embedding_kmeans_eval, _kmeans_eval_sql()
         ),
         "hybrid_search_rrf": (S.hybrid_search_rrf, _hybrid_rrf_sql()),
+        "retrieval_mmr_diversify": (
+            S.retrieval_mmr_diversify, _mmr_sql()
+        ),
+        "text_chunk_windows": (T.text_chunk_windows, _chunk_windows_sql()),
     }
 )
 
@@ -5082,7 +5160,8 @@ QUERIES.update(
 _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
-    "hybrid_search_rrf",
+    "hybrid_search_rrf", "retrieval_mmr_diversify",
+    "text_chunk_windows",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5109,12 +5188,9 @@ _CHECK_FIRST = [
     "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
     # oldest r6 cohort, oracle-backed entries first (rows-only r6
     # entries keep their golden-test coverage and rotate next round;
-    # ann_recall_eval/bloom_token_filter/bm25_search/
-    # ccnet_perplexity_buckets rotate out for the three 10c entries —
-    # all were re-confirmed by this round's full in-session contract
-    # drives)
-    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk",
-    "ann_recall_eval",
+    # six r6 entries rotate out for the five 10c entries — all were
+    # re-confirmed by this round's full in-session contract drives)
+    "ann_ivf_topk", "ann_pq_adc_topk",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -399,3 +399,36 @@ def test_hybrid_rrf_fusion_contract(spark, sf_dir):
     for r in both:
         solo = max(1.0 / (60 + r.lex_rnk), 1.0 / (60 + r.vec_rnk))
         assert r.rrf_score > round(solo, 6) - 1e-9
+
+
+def test_mmr_matches_greedy_replay(spark, sf_dir, vectors):
+    """retrieval_mmr_diversify equals a pure-numpy greedy MMR replay
+    over the same cosine pool, and actually diversifies (the MMR pick
+    set differs from the plain top-k by relevance for some query)."""
+    import numpy as np
+
+    ids, vecs = vectors
+    got = {}
+    for r in S.retrieval_mmr_diversify(spark, sf_dir).collect():
+        got.setdefault(r.qid, []).append((r.step, r.cid))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    byid = {int(i): norm[k] for k, i in enumerate(ids)}
+    diversified = 0
+    for qid, picks in got.items():
+        picks = [cid for _, cid in sorted(picks)]
+        rel = {
+            int(i): float(byid[qid] @ byid[int(i)])
+            for i in ids if i > 5
+        }
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:20]
+        sel = [min(pool, key=lambda c: (-rel[c], c))]
+        while len(sel) < 5:
+            rest = [c for c in pool if c not in sel]
+            def score(c):
+                ms = max(float(byid[c] @ byid[s]) for s in sel)
+                return 0.5 * rel[c] - 0.5 * ms
+            sel.append(min(rest, key=lambda c: (-score(c), c)))
+        assert picks == sel, (qid, picks, sel)
+        if picks != pool[:5]:
+            diversified += 1
+    assert got and diversified > 0

@@ -734,3 +734,59 @@ def test_mixture_sample_keepset_prefix_property(spark, sf_dir):
             nxt = rs[len(kept)]
             assert kept == rs[: len(kept)]
             assert nxt["cum_tokens"] > alloc[src]
+
+
+def test_chunk_windows_cover_and_reconstruct(spark, sf_dir):
+    """round 10c: every token lands in some window, middle windows are
+    exactly `size` tokens with `size - stride` overlap, and stitching
+    the non-overlapping prefixes reconstructs the normalized text."""
+    from flapi_spark.operators.text import text_chunk_windows
+
+    rows = text_chunk_windows(spark, sf_dir, size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    docs = {
+        r.doc_id: " ".join(r.text.strip().lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    multi = 0
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[0].n_toks
+        assert [c.start_tok for c in chunks] == [
+            i * 24 for i in range(len(chunks))
+        ]
+        # coverage: last window reaches the end of the doc
+        last = chunks[-1]
+        assert last.start_tok + last.n_chunk_toks == n
+        for c in chunks[:-1]:
+            assert c.n_chunk_toks == min(32, n - c.start_tok)
+        # reconstruct from each chunk's stride-sized prefix
+        parts = []
+        for c in chunks:
+            toks = c.chunk_text.split(" ")
+            assert len(toks) == c.n_chunk_toks
+            parts.extend(toks[:24])
+        full = docs[doc_id].split(" ")
+        assert parts[:n] == full[: len(parts[:n])] and len(parts) >= n
+        if len(chunks) > 1:
+            multi += 1
+            # adjacent windows overlap by size - stride tokens
+            a, b = chunks[0], chunks[1]
+            assert a.chunk_text.split(" ")[24:] == b.chunk_text.split(
+                " "
+            )[: a.n_chunk_toks - 24]
+    assert multi > 0  # the corpus has docs longer than one window
+
+
+def test_chunk_windows_validates_params(spark, sf_dir):
+    import pytest
+
+    from flapi_spark.operators.text import text_chunk_windows
+
+    with pytest.raises(ValueError):
+        text_chunk_windows(spark, sf_dir, size=0)
+    with pytest.raises(ValueError):
+        text_chunk_windows(spark, sf_dir, stride=0)
