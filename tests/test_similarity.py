@@ -432,3 +432,15 @@ def test_mmr_matches_greedy_replay(spark, sf_dir, vectors):
         if picks != pool[:5]:
             diversified += 1
     assert got and diversified > 0
+
+
+def test_ivf_recall_eval_refinement_pays(spark, sf_dir):
+    """ann_recall_eval_ivf: refined centroids must not lose recall vs
+    the raw sample at the same nprobe (and do gain at this SF)."""
+    rows = S.ann_recall_eval_ivf(spark, sf_dir).collect()
+    mean = {}
+    for v in ("sampled", "refined"):
+        rs = [r for r in rows if r.variant == v]
+        assert rs and all(r.n_true == 10 for r in rs)
+        mean[v] = sum(r.n_hits for r in rs) / sum(r.n_true for r in rs)
+    assert mean["refined"] >= mean["sampled"]
