@@ -1094,7 +1094,7 @@ def dedup_keep_best_survivors(
 
 def semdedup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
-    cells_mod: int = 25,
+    cells_mod: int = 25, refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1105,18 +1105,24 @@ def semdedup_clusters(
     quadratic term is bounded by the largest cluster, not the corpus.
 
     Cluster assignment reuses the IVF machinery (deterministic sampled
-    centroids — a k-means refinement slots in without changing this
-    plan): centroids broadcast, each vector scored once, shuffle
-    carries only (vec_id, cell_id). The within-cluster self-join is
-    equi-keyed on cell_id. Output: one row per vector with its cluster
-    and keep/drop verdict (exact DuckDB oracle replays assignment,
-    pairing, and verdict bit-for-bit)."""
+    centroids; `refine_iters` > 0 swaps in the Lloyd-refined centroids
+    — similarity.kmeans_refine — without changing this plan): centroids
+    broadcast, each vector scored once, shuffle carries only
+    (vec_id, cell_id). The within-cluster self-join is equi-keyed on
+    cell_id. Output: one row per vector with its cluster and keep/drop
+    verdict (exact DuckDB oracle replays assignment, pairing, and
+    verdict bit-for-bit at the refine_iters=0 registry default)."""
     from flapi_spark.operators.similarity import (
-        cosine_col, ivf_assign, ivf_centroids,
+        cosine_col, ivf_assign, ivf_centroids, kmeans_refine,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf_centroids(emb, mod=cells_mod)
+    if refine_iters:
+        centroids = kmeans_refine(
+            emb, iters=refine_iters, mod=cells_mod
+        ).select("cell_id", "centroid")
+    else:
+        centroids = ivf_centroids(emb, mod=cells_mod)
     assign = ivf_assign(emb, centroids, nprobe=1)
     tagged = emb.join(assign, "vec_id")
     a = tagged.select(
@@ -2198,4 +2204,56 @@ def jaccard_prefix_filter_stats(
                 6,
             ).alias("row_reduction"),
         )
+    )
+
+
+def scrub_duplicated_spans(
+    spark: SparkSession, sf_dir: str, chunk: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """APPLY the substring-dedup cut list (round 10c): drop every
+    token inside a dedup_substring_spans interval and re-emit the
+    scrubbed document — the second half of Lee et al. 2021's
+    exact-substring deduplication (the span view finds the duplicated
+    regions; this pass actually removes them, keeping the document's
+    unique remainder instead of dropping the whole doc like
+    keep-best dedup would).
+
+    Scale shape: spans aggregate to a per-doc cut list at doc grain
+    (spans are disjoint maximal islands, few per doc), joined back in
+    ONE doc-keyed join; the scrub itself is an in-array filter —
+    tokens never explode into rows, so the pass adds no token-grain
+    shuffle on top of the span computation. Exact DuckDB oracle
+    replays spans and scrub (positional explode + ordered re-agg —
+    same kept sequence).
+
+    Output: (doc_id, n_toks, n_cut_tokens, scrubbed_n_toks,
+    scrubbed_text)."""
+    spans = dedup_substring_spans(spark, sf_dir, chunk, min_docs)
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_token", "end_token")).alias("cuts"),
+        F.sum(
+            F.col("end_token") - F.col("start_token") + 1
+        ).alias("n_cut"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split(norm_text(), " ").alias("t"))
+    j = t.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        "n_cut",
+        F.expr(
+            "transform(filter(transform(t, (x, i) ->"
+            " struct(x AS tok, i AS pos)),"
+            " s -> cuts IS NULL OR NOT exists(cuts,"
+            "  c -> s.pos >= c.start_token AND s.pos <= c.end_token)),"
+            " s -> s.tok)"
+        ).alias("kept"),
+    )
+    return j.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("t").cast("long").alias("n_toks"),
+        F.coalesce(F.col("n_cut"), F.lit(0)).cast("long")
+        .alias("n_cut_tokens"),
+        F.size("kept").cast("long").alias("scrubbed_n_toks"),
+        F.array_join("kept", " ").alias("scrubbed_text"),
     )

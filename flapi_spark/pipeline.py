@@ -280,6 +280,7 @@ def _semantic_dedup(
     keep: DataFrame,
     threshold: float = 0.4,
     cells_mod: int = 25,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SEMANTIC (embedding-space) dedup (round 10c, closing the last
     modality absent from the pipeline): SemDeDup cluster-then-prune
@@ -296,7 +297,8 @@ def _semantic_dedup(
 
     survivors = (
         semdedup_clusters(
-            spark, sf_dir, threshold=threshold, cells_mod=cells_mod
+            spark, sf_dir, threshold=threshold, cells_mod=cells_mod,
+            refine_iters=refine_iters,
         )
         .where("keep")
         .select(F.col("vec_id").alias("doc_id"))

@@ -5209,6 +5209,45 @@ QUERIES.update(
             S.retrieval_mmr_diversify, _mmr_sql()
         ),
         "text_chunk_windows": (T.text_chunk_windows, _chunk_windows_sql()),
+        "scrub_duplicated_spans": (
+            D.scrub_duplicated_spans,
+            # replay of the dedup_substring_spans oracle (per-row range
+            # unnest — no tile cap) + the scrub: positional explode,
+            # NOT-EXISTS against the span intervals, ordered re-agg
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),"
+            " ch AS (SELECT doc_id, t, unnest(range(0, len(t) // 5))"
+            "   AS i FROM toks),"
+            " tiles AS (SELECT doc_id, i,"
+            "  array_to_string(t[(i * 5 + 1):(i * 5 + 5)], ' ')"
+            "   AS chunk FROM ch),"
+            " dup AS (SELECT chunk FROM tiles GROUP BY chunk"
+            "  HAVING count(DISTINCT doc_id) >= 2),"
+            " fl AS (SELECT c.doc_id, c.i FROM tiles c"
+            "  JOIN dup d ON d.chunk = c.chunk),"
+            " isl AS (SELECT doc_id, i, i - row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY i) AS island FROM fl),"
+            " spans AS (SELECT doc_id,"
+            "  min(i) * 5 AS start_token,"
+            "  (max(i) + 1) * 5 - 1 AS end_token"
+            "  FROM isl GROUP BY doc_id, island),"
+            " cut AS (SELECT doc_id,"
+            "  sum(end_token - start_token + 1) AS n_cut"
+            "  FROM spans GROUP BY doc_id),"
+            " pos AS (SELECT doc_id, unnest(t) AS tok,"
+            "  generate_subscripts(t, 1) - 1 AS p FROM toks),"
+            " keptp AS (SELECT pos.* FROM pos WHERE NOT EXISTS ("
+            "  SELECT 1 FROM spans s WHERE s.doc_id = pos.doc_id"
+            "   AND pos.p BETWEEN s.start_token AND s.end_token)),"
+            " agg AS (SELECT doc_id, count(*) AS kn,"
+            "  string_agg(tok, ' ' ORDER BY p) AS ktext"
+            "  FROM keptp GROUP BY doc_id)"
+            " SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_toks,"
+            "  CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut_tokens,"
+            "  CAST(coalesce(a.kn, 0) AS BIGINT) AS scrubbed_n_toks,"
+            "  coalesce(a.ktext, '') AS scrubbed_text"
+            " FROM toks t LEFT JOIN cut c USING (doc_id)"
+            " LEFT JOIN agg a USING (doc_id)",
+        ),
     }
 )
 
@@ -5229,6 +5268,7 @@ _CHECK_FIRST = [
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
+    "scrub_duplicated_spans",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5253,11 +5293,9 @@ _CHECK_FIRST = [
     "tax_burden_by_brand", "text_readability_flesch",
     "tpl_customers_all", "tpl_customers_by_segment",
     "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
-    # oldest r6 cohort, oracle-backed entries first (rows-only r6
-    # entries keep their golden-test coverage and rotate next round;
-    # seven r6 entries rotate out for the six 10c entries — all were
-    # re-confirmed by this round's full in-session contract drives)
-    "ann_ivf_topk",
+    # (the whole r6 cohort rotates out for the seven 10c entries — all
+    # were re-confirmed by this round's full in-session contract
+    # drives; rows-only r6 entries keep their golden-test coverage)
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

@@ -705,3 +705,56 @@ def test_jaccard_prefix_filter_stats_consistent(spark, sf_dir):
     assert r.n_pairs == dedup_ngram_jaccard(spark, sf_dir).count()
     assert 0.0 < r.precision <= 1.0
     assert 0.0 < r.row_reduction < 1.0
+
+
+def test_scrub_duplicated_spans_applies_cut_list(spark, sf_dir):
+    """round 10c: the scrub output equals a python replay of cutting
+    the span intervals out of the token stream, doc by doc."""
+    from flapi_spark.operators.dedup import (
+        dedup_substring_spans, scrub_duplicated_spans,
+    )
+
+    spans = {}
+    for r in dedup_substring_spans(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.start_token, r.end_token))
+    docs = {
+        r.doc_id: " ".join(r.text.strip().lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    got = {r.doc_id: r for r in
+           scrub_duplicated_spans(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    scrubbed_docs = 0
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        cuts = spans.get(doc_id, [])
+        kept = [
+            t for p, t in enumerate(toks)
+            if not any(a <= p <= b for a, b in cuts)
+        ]
+        r = got[doc_id]
+        assert r.n_toks == len(toks)
+        assert r.n_cut_tokens == sum(b - a + 1 for a, b in cuts)
+        assert r.scrubbed_n_toks == len(kept)
+        assert r.scrubbed_text == " ".join(kept)
+        assert r.n_toks - r.n_cut_tokens == r.scrubbed_n_toks
+        if cuts:
+            scrubbed_docs += 1
+    assert scrubbed_docs > 0  # the corpus has duplicated spans
+
+
+def test_semdedup_refined_centroids_parity(spark, sf_dir):
+    """semdedup_clusters(refine_iters=2) clusters on exactly the
+    refined cells embedding_kmeans_refine reports."""
+    from flapi_spark.operators.dedup import semdedup_clusters
+    from flapi_spark.operators.similarity import embedding_kmeans_refine
+
+    got = {
+        r.vec_id: r.cell_id
+        for r in semdedup_clusters(spark, sf_dir, refine_iters=2).collect()
+    }
+    want = {
+        r.vec_id: r.cell_final
+        for r in embedding_kmeans_refine(spark, sf_dir, iters=2).collect()
+    }
+    assert got == want
