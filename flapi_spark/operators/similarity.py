@@ -843,14 +843,18 @@ def kmeans_refine(
 
 
 def embedding_kmeans_refine(
-    spark: SparkSession, sf_dir: str, iters: int = 2
+    spark: SparkSession, sf_dir: str, iters: int = 2,
+    mod: int = N_CELLS_MOD,
 ) -> DataFrame:
     """Registry entry: per-vector cell assignment before vs after
     `iters` Lloyd refinement rounds — (vec_id, cell_init, cell_final,
     moved). Integer output; the exact DuckDB oracle replays sampled
-    init, every assignment and every quantized centroid update."""
+    init, every assignment and every quantized centroid update.
+    `mod` is the sampling modulus (raise with corpus size to hold the
+    centroid count — and with it the per-vector scoring cost —
+    fixed; the registry default is exact-oracle plumbing)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_centroids(emb)
+    cent = ivf_centroids(emb, mod=mod)
     assign = ivf_assign(emb, cent, nprobe=1)
     init = assign.select("vec_id", F.col("cell_id").alias("cell_init"))
     for _ in range(max(iters, 0)):

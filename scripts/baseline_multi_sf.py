@@ -56,6 +56,13 @@ TABLES = (
 KEY_OFFSET = 10**10
 REPLICATED = {
     "documents": ("doc_id",),
+    # round 10c: vec_id-offset EXACT vector copies (queries stay in
+    # replica 0, candidate corpus grows) — right for the fixed-query
+    # retrieval/k-means grid rows; do NOT grid pairwise embedding
+    # dedup entries over this build (exact copies mint cross-replica
+    # duplicate cliques, the same artifact word-suffixing avoids for
+    # documents)
+    "embeddings": ("vec_id",),
     "events": ("event_id", "user_id"),
     "orders": ("o_orderkey", "o_custkey"),
     "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),

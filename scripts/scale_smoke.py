@@ -65,7 +65,14 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # global rank over doc-grain scores) and the data-card rollup
        "quality_classifier_score", "corpus_report",
        "text_boilerplate_share", "mixture_token_plan",
-       "mixture_sample_keepset"]
+       "mixture_sample_keepset",
+       # round-10c: retrieval + scrub family (hybrid/MMR vector sides
+       # are fixed-query linear scans; chunking/scrub are projections
+       # over the span machinery already smoked above); k-means rides
+       # the fixed-cell-count contract like semdedup_fixed_cells
+       "hybrid_search_rrf", "retrieval_mmr_diversify",
+       "text_chunk_windows", "scrub_duplicated_spans",
+       "kmeans_refine_fixed_cells"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
@@ -169,9 +176,23 @@ def _pairs_index_resident(spark, sf_dir):
     return pairs_from_band_index(spark, None, band, shingle_store=store)
 
 
+def _kmeans_refine_fixed_cells(spark, sf_dir):
+    """Lloyd refinement with the centroid COUNT held fixed (the 100 TB
+    contract, as _semdedup_fixed_cells): per iteration one linear
+    broadcast-scored assignment + one map-side-combined update at
+    every replication factor. The registry's %25 sample is
+    exact-oracle plumbing whose centroid count grows with the corpus
+    (assignment would look quadratic here by construction)."""
+    from flapi_spark.operators.similarity import embedding_kmeans_refine
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    return embedding_kmeans_refine(spark, sf_dir, mod=max(25, n // 200))
+
+
 EXTRA_OPS = {
     "dedup_embedding_lsh_capped": _embedding_lsh_capped,
     "semdedup_fixed_cells": _semdedup_fixed_cells,
+    "kmeans_refine_fixed_cells": _kmeans_refine_fixed_cells,
     "pagerank_minhash_pairs": _pagerank_minhash_pairs,
     "triangle_minhash_pairs": _triangle_minhash_pairs,
     "portable_index_bootstrap": _portable_index_bootstrap,
