@@ -923,43 +923,16 @@ def embedding_kmeans_eval(
 # --- hybrid retrieval: BM25 + vector ranks fused by RRF (round 10c) ----------
 
 
-def hybrid_search_rrf(
-    spark: SparkSession,
-    sf_dir: str,
-    n_queries: int = 5,
-    sys_k: int = 20,
-    k: int = 10,
-    rrf_k: int = 60,
+def _lex_ranks(
+    spark: SparkSession, sf_dir: str, n_queries: int, sys_k: int
 ) -> DataFrame:
-    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
-    (Cormack, Clarke & Buettcher SIGIR'09 — the fusion behind
-    Elasticsearch/OpenSearch hybrid search and most RAG stacks):
-    documents doc_id <= `n_queries` act as queries against the rest of
-    the corpus; each candidate gets a BM25 rank (query-doc tokens as
-    the term set, candidate-corpus df/avglen — the bm25_search
-    arithmetic per query) and a cosine rank (doc_id == vec_id: the
-    embeddings table carries one vector per document), the top
-    `sys_k` list of each system fuses as
-    rrf = Σ 1/(rrf_k + rank), absent list contributes 0, and the top
-    `k` fused results return per query.
-
-    Cross-engine exactness: BM25 parts fold in sorted order and round
-    to 6dp (the bm25_search discipline); cosine is the shared _COS
-    fold; ranks are integers, the fusion expression is two exact
-    divisions summed in fixed order. Sentinel -1 (not NULL) marks a
-    candidate absent from one system's list — integer rendering stays
-    engine-identical.
-
-    Scale shape: the lexical side is a postings join bounded by the
-    query term sets (one token-explode groupBy for tf, df/avglen are
-    broadcast scalars); the vector side here is the brute-force
-    ann_bruteforce shape (broadcast queries × corpus stream) and swaps
-    to the persisted IVF probe (ann_ivf_probe_indexed) at corpus
-    scale; the fusion join carries ≤ 2·sys_k rows per query."""
+    """Per-query BM25 ranking (query-doc tokens as the term set,
+    candidate-corpus df/avglen — the bm25_search arithmetic
+    generalized per query): (qid, cid, lex_rnk <= sys_k). Shared by
+    hybrid_search_rrf and the rank-metric eval."""
     from flapi_spark.operators.relational import BM25_B, BM25_K1
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1023,11 +996,20 @@ def hybrid_search_rrf(
         )
     )
     wl = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    lex = (
+    return (
         lex_scores.withColumn("lex_rnk", F.row_number().over(wl))
         .where(F.col("lex_rnk") <= sys_k)
         .select("qid", "cid", "lex_rnk")
     )
+
+
+def _vec_ranks(
+    spark: SparkSession, sf_dir: str, n_queries: int, sys_k: int
+) -> DataFrame:
+    """Brute-force cosine ranking: (qid, cid, vec_rnk <= sys_k); swaps
+    to the persisted IVF probe at corpus scale. Shared by
+    hybrid_search_rrf and the rank-metric eval."""
+    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") <= n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
     )
@@ -1040,11 +1022,48 @@ def hybrid_search_rrf(
         .select("qid", "cid", cosine_col("eq", "ec").alias("cosine"))
     )
     wv = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    vec = (
+    return (
         vec_scores.withColumn("vec_rnk", F.row_number().over(wv))
         .where(F.col("vec_rnk") <= sys_k)
         .select("qid", "cid", "vec_rnk")
     )
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    sys_k: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher SIGIR'09 — the fusion behind
+    Elasticsearch/OpenSearch hybrid search and most RAG stacks):
+    documents doc_id <= `n_queries` act as queries against the rest of
+    the corpus; each candidate gets a BM25 rank (query-doc tokens as
+    the term set, candidate-corpus df/avglen — the bm25_search
+    arithmetic per query) and a cosine rank (doc_id == vec_id: the
+    embeddings table carries one vector per document), the top
+    `sys_k` list of each system fuses as
+    rrf = Σ 1/(rrf_k + rank), absent list contributes 0, and the top
+    `k` fused results return per query.
+
+    Cross-engine exactness: BM25 parts fold in sorted order and round
+    to 6dp (the bm25_search discipline); cosine is the shared _COS
+    fold; ranks are integers, the fusion expression is two exact
+    divisions summed in fixed order. Sentinel -1 (not NULL) marks a
+    candidate absent from one system's list — integer rendering stays
+    engine-identical.
+
+    Scale shape: the lexical side is a postings join bounded by the
+    query term sets (one token-explode groupBy for tf, df/avglen are
+    broadcast scalars); the vector side here is the brute-force
+    ann_bruteforce shape (broadcast queries × corpus stream) and swaps
+    to the persisted IVF probe (ann_ivf_probe_indexed) at corpus
+    scale; the fusion join carries ≤ 2·sys_k rows per query."""
+    lex = _lex_ranks(spark, sf_dir, n_queries, sys_k)
+    vec = _vec_ranks(spark, sf_dir, n_queries, sys_k)
     fused = lex.join(vec, ["qid", "cid"], "full_outer").select(
         "qid",
         "cid",
@@ -1231,6 +1250,72 @@ def ann_recall_eval_ivf(
             )
             .select(F.lit(name).alias("variant"), "qid", "n_true",
                     "n_hits", "recall")
+        )
+        out = r if out is None else out.unionAll(r)
+    return out
+
+
+def retrieval_eval_rankmetrics(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """IR rank-quality metrics for the retrieval family — binary-
+    relevance nDCG@k and MRR of each system against brute-force cosine
+    ground truth (the measurement a hybrid deployment tunes rrf_k /
+    sys_k with): `vector` (the truth's own ranking — the nDCG=1 sanity
+    anchor), `lexical` (per-query BM25 — how much of the semantic
+    truth lexical evidence alone recovers), `hybrid` (RRF fusion).
+
+    DCG terms 1/log2(rank+1) fold in sorted order and the final
+    ndcg/mrr round to 6dp (the bm25 ln discipline — log2 via the same
+    mirrored libm shape in the oracle). All list joins carry ≤ k rows
+    per (system, query). Output: (system, qid, n_hits, mrr, ndcg)."""
+    truth = ann_bruteforce_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    t = truth.select("qid", F.col("cid").alias("tcid"))
+    idcg = truth.groupBy("qid").agg(
+        F.expr(
+            "aggregate(transform(sequence(1, count(1)),"
+            " i -> CAST(1.0 AS DOUBLE) / log2(i + 1)),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("idcg")
+    )
+    systems = (
+        ("vector",
+         _vec_ranks(spark, sf_dir, n_queries, k)
+         .select("qid", "cid", F.col("vec_rnk").alias("rnk"))),
+        ("lexical",
+         _lex_ranks(spark, sf_dir, n_queries, k)
+         .select("qid", "cid", F.col("lex_rnk").alias("rnk"))),
+        ("hybrid",
+         hybrid_search_rrf(spark, sf_dir, n_queries=n_queries, k=k)
+         .select("qid", "cid", "rnk")),
+    )
+    out = None
+    for name, ranked in systems:
+        hits = ranked.join(
+            t, (ranked.qid == t.qid) & (ranked.cid == t.tcid), "left_semi"
+        )
+        per_q = hits.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.lit(1.0) / F.min("rnk"), 6).alias("mrr"),
+            F.expr(
+                "aggregate(sort_array(collect_list("
+                " CAST(1.0 AS DOUBLE) / log2(rnk + 1))),"
+                " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("dcg"),
+        )
+        r = (
+            idcg.join(per_q, "qid", "left")
+            .select(
+                F.lit(name).alias("system"),
+                "qid",
+                F.coalesce("n_hits", F.lit(0)).cast("long")
+                .alias("n_hits"),
+                F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+                F.round(
+                    F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)),
+                    6,
+                ).alias("ndcg"),
+            )
         )
         out = r if out is None else out.unionAll(r)
     return out

@@ -4994,15 +4994,13 @@ def _kmeans_eval_sql(iters: int = 2) -> str:
     )
 
 
-def _hybrid_rrf_sql(
-    n_queries: int = 5, sys_k: int = 20, k: int = 10, rrf_k: int = 60
-) -> str:
-    """DuckDB replay of hybrid_search_rrf: the bm25_search oracle's
-    per-query generalization (query-doc tokens as the term set,
-    candidate-corpus df/avglen), the ann_bruteforce cosine ranking,
-    and the fused RRF expression in the same fixed shape."""
+def _retrieval_ctes(n_queries: int = 5, sys_k: int = 20) -> str:
+    """Shared CTE chain for the retrieval-family oracles
+    (hybrid_search_rrf, retrieval_eval_rankmetrics): per-query BM25
+    postings → lex ranks, brute-force cosine → vec ranks, both capped
+    at sys_k."""
     return (
-        f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok"
+        f"tok AS (SELECT doc_id, unnest({_TOKS}) AS tok"
         "  FROM documents),"
         " qterms AS (SELECT DISTINCT doc_id AS qid, tok FROM tok"
         f"  WHERE doc_id <= {n_queries}),"
@@ -5038,21 +5036,83 @@ def _hybrid_rrf_sql(
         " vec AS (SELECT qid, cid, vec_rnk FROM ("
         "  SELECT qid, cid, row_number() OVER (PARTITION BY qid"
         "   ORDER BY cosine DESC, cid ASC) AS vec_rnk FROM vscore) t"
-        f"  WHERE vec_rnk <= {sys_k}),"
-        " fused AS (SELECT qid, cid,"
+        f"  WHERE vec_rnk <= {sys_k})"
+    )
+
+
+def _hybrid_fused_ctes(k: int = 10, rrf_k: int = 60) -> str:
+    """RRF fusion + final rank over the shared lex/vec CTEs: hyb is
+    the hybrid_search_rrf output shape."""
+    return (
+        "fused AS (SELECT qid, cid,"
         f"  coalesce(1.0 / ({rrf_k} + lex_rnk), 0.0)"
         f"   + coalesce(1.0 / ({rrf_k} + vec_rnk), 0.0) AS rrf,"
         "  coalesce(lex_rnk, -1) AS lex_rnk,"
         "  coalesce(vec_rnk, -1) AS vec_rnk"
-        "  FROM lex FULL OUTER JOIN vec USING (qid, cid))"
-        " SELECT qid, cid, round(rrf, 6) AS rrf_score,"
-        "  CAST(lex_rnk AS BIGINT) AS lex_rnk,"
-        "  CAST(vec_rnk AS BIGINT) AS vec_rnk,"
-        "  CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  FROM lex FULL OUTER JOIN vec USING (qid, cid)),"
+        " hyb AS (SELECT qid, cid, rrf, lex_rnk, vec_rnk, rnk FROM ("
         "  SELECT *, row_number() OVER (PARTITION BY qid"
         "   ORDER BY rrf DESC, cid ASC) AS rnk FROM fused) t"
-        f" WHERE rnk <= {k}"
+        f"  WHERE rnk <= {k})"
     )
+
+
+def _hybrid_rrf_sql(
+    n_queries: int = 5, sys_k: int = 20, k: int = 10, rrf_k: int = 60
+) -> str:
+    """DuckDB replay of hybrid_search_rrf: the bm25_search oracle's
+    per-query generalization (query-doc tokens as the term set,
+    candidate-corpus df/avglen), the ann_bruteforce cosine ranking,
+    and the fused RRF expression in the same fixed shape."""
+    return (
+        "WITH " + _retrieval_ctes(n_queries, sys_k) + ","
+        + _hybrid_fused_ctes(k, rrf_k)
+        + " SELECT qid, cid, round(rrf, 6) AS rrf_score,"
+        "  CAST(lex_rnk AS BIGINT) AS lex_rnk,"
+        "  CAST(vec_rnk AS BIGINT) AS vec_rnk,"
+        "  CAST(rnk AS BIGINT) AS rnk FROM hyb"
+    )
+
+
+def _rankmetrics_sql(n_queries: int = 5, k: int = 10) -> str:
+    """DuckDB replay of retrieval_eval_rankmetrics: truth = the vec
+    ranking's top-k (brute-force cosine IS the ground truth), idcg
+    folds positionally, dcg folds sorted (mirroring Spark's
+    sort_array fold), log2 in the same libm shape, 6dp rounds."""
+    systems = (
+        ("vector", f"(SELECT qid, cid, vec_rnk AS rnk FROM vec"
+                   f" WHERE vec_rnk <= {k})"),
+        ("lexical", f"(SELECT qid, cid, lex_rnk AS rnk FROM lex"
+                    f" WHERE lex_rnk <= {k})"),
+        ("hybrid", "(SELECT qid, cid, rnk FROM hyb)"),
+    )
+    ctes = [
+        _retrieval_ctes(n_queries, sys_k=20),
+        _hybrid_fused_ctes(k=k),
+        f"truth AS (SELECT qid, cid FROM vec WHERE vec_rnk <= {k})",
+        "g AS (SELECT qid,"
+        " list_reduce(list_transform(range(1, count(*) + 1),"
+        "  i -> 1.0 / log2(i + 1)), (a, x) -> a + x) AS idcg"
+        " FROM truth GROUP BY qid)",
+    ]
+    rows = []
+    for name, ranked in systems:
+        ctes.append(
+            f"ev_{name} AS (SELECT r.qid, count(*) AS n_hits,"
+            " round(1.0 / min(r.rnk), 6) AS mrr,"
+            " list_reduce(list_sort(list(1.0 / log2(r.rnk + 1))),"
+            "  (a, x) -> a + x) AS dcg"
+            f" FROM {ranked} r JOIN truth t"
+            "  ON r.qid = t.qid AND r.cid = t.cid GROUP BY r.qid)"
+        )
+        rows.append(
+            f"SELECT '{name}' AS system, g.qid,"
+            " CAST(coalesce(e.n_hits, 0) AS BIGINT) AS n_hits,"
+            " coalesce(e.mrr, 0.0) AS mrr,"
+            " round(coalesce(e.dcg / g.idcg, 0.0), 6) AS ndcg"
+            f" FROM g LEFT JOIN ev_{name} e USING (qid)"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
 
 
 def _mmr_sql(
@@ -5205,6 +5265,9 @@ QUERIES.update(
             S.embedding_kmeans_eval, _kmeans_eval_sql()
         ),
         "hybrid_search_rrf": (S.hybrid_search_rrf, _hybrid_rrf_sql()),
+        "retrieval_eval_rankmetrics": (
+            S.retrieval_eval_rankmetrics, _rankmetrics_sql()
+        ),
         "retrieval_mmr_diversify": (
             S.retrieval_mmr_diversify, _mmr_sql()
         ),
@@ -5268,7 +5331,7 @@ _CHECK_FIRST = [
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
-    "scrub_duplicated_spans",
+    "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5292,7 +5355,11 @@ _CHECK_FIRST = [
     "shape_redact_customers", "src_duckdb_query",
     "tax_burden_by_brand", "text_readability_flesch",
     "tpl_customers_all", "tpl_customers_by_segment",
-    "user_overlap_exact", "user_overlap_hll", "welch_ttest_segments",
+    "user_overlap_exact", "user_overlap_hll",
+    # welch_ttest_segments rotates out for retrieval_eval_rankmetrics:
+    # it was independently re-driven by the r9 judge AND by this
+    # round's full in-session contract drives
+
     # (the whole r6 cohort rotates out for the seven 10c entries — all
     # were re-confirmed by this round's full in-session contract
     # drives; rows-only r6 entries keep their golden-test coverage)

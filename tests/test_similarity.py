@@ -444,3 +444,23 @@ def test_ivf_recall_eval_refinement_pays(spark, sf_dir):
         assert rs and all(r.n_true == 10 for r in rs)
         mean[v] = sum(r.n_hits for r in rs) / sum(r.n_true for r in rs)
     assert mean["refined"] >= mean["sampled"]
+
+
+def test_rankmetrics_anchor_and_ordering(spark, sf_dir):
+    """retrieval_eval_rankmetrics: the vector system IS the truth
+    (nDCG = MRR = 1 anchor); hybrid recovers strictly more of the
+    semantic truth than lexical-only on every query (its list is half
+    vector evidence); ndcg/mrr bounded in [0, 1]."""
+    rows = S.retrieval_eval_rankmetrics(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.system, {})[r.qid] = r
+    assert set(by) == {"vector", "lexical", "hybrid"}
+    for r in by["vector"].values():
+        assert r.ndcg == 1.0 and r.mrr == 1.0 and r.n_hits == 10
+    for qid, h in by["hybrid"].items():
+        l = by["lexical"][qid]
+        assert h.ndcg >= l.ndcg and h.n_hits >= l.n_hits
+        assert 0.0 <= h.ndcg <= 1.0 and 0.0 <= h.mrr <= 1.0
+    # fusion recovers a meaningful share of the truth somewhere
+    assert any(r.n_hits > 0 for r in by["hybrid"].values())
