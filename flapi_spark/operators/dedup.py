@@ -2257,3 +2257,36 @@ def scrub_duplicated_spans(
         F.size("kept").cast("long").alias("scrubbed_n_toks"),
         F.array_join("kept", " ").alias("scrubbed_text"),
     )
+
+
+def incremental_components(
+    labels: DataFrame, new_pairs: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Incremental connected-component maintenance (round 10c): merge
+    a DELTA pair batch into an existing labeling without re-deriving
+    the historical pair stream — the component-level completion of the
+    continuous-dedup story (the persisted band index already makes
+    pair GENERATION delta-proportional; this makes the cluster labels
+    delta-proportional too).
+
+    An existing component is replayed as its STAR FOREST (member →
+    root edges from the labeling — diameter 1 by construction), so
+    label_components runs over |old labels| + |delta| edges instead of
+    the full historical pair stream, and the star inputs converge in
+    the first large-star round. Correctness: the star forest of CC(E1)
+    has exactly CC(E1)'s connectivity and preserves every member id,
+    so CC(star(CC(E1)) ∪ E2) == CC(E1 ∪ E2) — both as a partition and
+    in min-id labels; equality with the full recompute is
+    oracle-checked (q: dedup_components_incremental) and pytest-pinned.
+
+    `labels` is (doc_id, component_id); `new_pairs` is (doc_a, doc_b).
+    Output: (doc_id, component_id) over every labeled or delta-touched
+    node."""
+    star = labels.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("component_id").alias("doc_b"),
+    )
+    return label_components(
+        star.unionAll(new_pairs.select("doc_a", "doc_b")),
+        max_iterations=max_iterations,
+    )

@@ -1371,6 +1371,28 @@ def _dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.label_components(pairs)
 
 
+def _dedup_components_incremental(
+    spark: SparkSession, sf_dir: str, split: int = 400
+) -> DataFrame:
+    """Incremental component maintenance end to end (round 10c):
+    bootstrap labels from the portable-MinHash pairs among doc_id <
+    `split`, then merge the delta pairs (those touching doc_id >=
+    split) via incremental_components — star-forest replay, no
+    historical pair re-derivation. The band join and Jaccard verify
+    are strictly pairwise, so filtering the full pair stream by the
+    split IS the bootstrap/delta partition, and the oracle is the
+    plain full-recompute transitive closure (the equality the
+    star-forest argument guarantees)."""
+    pairs = (
+        D.dedup_minhash_portable(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    both_old = (F.col("doc_a") < split) & (F.col("doc_b") < split)
+    labels = D.label_components(pairs.where(both_old))
+    return D.incremental_components(labels, pairs.where(~both_old))
+
+
 QUERIES.update(
     {
         # -- pipeline extensions (round 2): clustering, quality gates,
@@ -1393,6 +1415,24 @@ QUERIES.update(
         "dedup_minhash_components": (
             _dedup_minhash_components,
             # transitive closure over the portable-MinHash pair stream
+            "WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ("
+            + _minhash_portable_sql() + ") z),"
+            " edges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
+            "  UNION SELECT doc_b, doc_a FROM mp),"
+            " reach(u, v) AS ("
+            "  SELECT u, v FROM edges"
+            "  UNION"
+            "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)"
+            " SELECT u AS doc_id,"
+            "  CAST(least(u, min(v)) AS BIGINT) AS component_id"
+            " FROM reach GROUP BY u",
+        ),
+        "dedup_components_incremental": (
+            _dedup_components_incremental,
+            # the star-forest merge equals the FULL recompute, so the
+            # oracle is the plain transitive closure over the whole
+            # portable-MinHash pair stream (same SQL as
+            # dedup_minhash_components — that equality IS the check)
             "WITH RECURSIVE mp AS (SELECT doc_a, doc_b FROM ("
             + _minhash_portable_sql() + ") z),"
             " edges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
@@ -5332,6 +5372,7 @@ _CHECK_FIRST = [
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
+    "dedup_components_incremental",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5355,10 +5396,11 @@ _CHECK_FIRST = [
     "shape_redact_customers", "src_duckdb_query",
     "tax_burden_by_brand", "text_readability_flesch",
     "tpl_customers_all", "tpl_customers_by_segment",
-    "user_overlap_exact", "user_overlap_hll",
-    # welch_ttest_segments rotates out for retrieval_eval_rankmetrics:
-    # it was independently re-driven by the r9 judge AND by this
-    # round's full in-session contract drives
+    "user_overlap_exact",
+    # welch_ttest_segments + user_overlap_hll rotate out for
+    # retrieval_eval_rankmetrics + dedup_components_incremental:
+    # both were re-driven by this round's full in-session contract
+    # drives (welch also independently by the r9 judge)
 
     # (the whole r6 cohort rotates out for the seven 10c entries — all
     # were re-confirmed by this round's full in-session contract

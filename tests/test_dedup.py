@@ -758,3 +758,47 @@ def test_semdedup_refined_centroids_parity(spark, sf_dir):
         for r in embedding_kmeans_refine(spark, sf_dir, iters=2).collect()
     }
     assert got == want
+
+
+def test_incremental_components_equals_full_recompute(spark, sf_dir):
+    """round 10c: star-forest merge of a delta batch == full CC
+    recompute over the whole pair stream (the oracle equality), and a
+    delta edge BRIDGING two old components merges them."""
+    from pyspark.sql import Row
+
+    from flapi_spark.operators.dedup import (
+        incremental_components, label_components,
+    )
+
+    # synthetic: two old components {1,2,3} and {10,11}, delta bridges
+    # 3-10 and adds a fresh pair 20-21
+    labels = spark.createDataFrame(
+        [Row(doc_id=d, component_id=c)
+         for d, c in [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]]
+    )
+    delta = spark.createDataFrame(
+        [Row(doc_a=3, doc_b=10), Row(doc_a=20, doc_b=21)]
+    )
+    got = {(r.doc_id, r.component_id)
+           for r in incremental_components(labels, delta).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1),
+                   (20, 20), (21, 20)}
+
+    # corpus-scale: bootstrap <400, merge the rest; equals full CC
+    from flapi_spark.operators.dedup import dedup_minhash_portable
+    from pyspark.sql import functions as F
+
+    pairs = (
+        dedup_minhash_portable(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    both_old = (F.col("doc_a") < 400) & (F.col("doc_b") < 400)
+    inc = incremental_components(
+        label_components(pairs.where(both_old)), pairs.where(~both_old)
+    )
+    full = label_components(pairs)
+    assert (
+        {(r.doc_id, r.component_id) for r in inc.collect()}
+        == {(r.doc_id, r.component_id) for r in full.collect()}
+    )
