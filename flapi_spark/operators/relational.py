@@ -4143,3 +4143,111 @@ def daily_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_day"),
         )
     )
+
+
+def write_postings_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str = "bm25_postings_index",
+    buckets: int = 16,
+) -> None:
+    """Persist the BM25 postings as a BUCKETED warehouse table on tok
+    (round 10c — the lexical sibling of the band/IVF/phash index
+    family): (tok, doc_id, tf, dl) rows, term-co-located on disk, plus
+    a one-row `<table>__stats` sidecar freezing the corpus constants
+    (n_docs, total_len). Probes filter tok IN (query terms) against
+    the bucketed scan and aggregate df bucket-locally — zero
+    index-side exchange per query batch; at 100 TB the corpus
+    tokenizes and shuffles into term buckets exactly ONCE at bootstrap
+    (plus appends), not per query. dl rides denormalized in the
+    posting row (the classic posting-list layout) so scoring needs no
+    second doc-length table."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
+            )
+        ).alias("tok"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        lens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(f"{table}__stats")
+    )
+    (
+        tf.join(lens, "doc_id")
+        .select("tok", "doc_id", "tf", "dl")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "tok")
+        .sortBy("tok")
+        .saveAsTable(table)
+    )
+
+
+def bm25_probe_indexed(
+    spark: SparkSession,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    table: str = "bm25_postings_index",
+    k: int = 20,
+) -> DataFrame:
+    """BM25 top-k served from the persisted postings index: the
+    bucketed scan filters tok IN (query terms), df aggregates
+    bucket-locally, idf/tfn read the frozen sidecar constants — the
+    IDENTICAL arithmetic to the self-contained bm25_search (same fold,
+    same 6dp round, same tiebreak), so the indexed twin reuses its
+    oracle: the index changes the physical strategy, never the rows
+    (bit-equality pytest-pinned)."""
+    idx = spark.table(table).where(F.col("tok").isin(*query_terms))
+    stats = spark.table(f"{table}__stats")
+    df_ = idx.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = idx.join(F.broadcast(df_), "tok").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfn = (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
+            + F.lit(BM25_K1)
+            * F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_len").cast("double")
+            )
+        )
+    )
+    per_doc = (
+        scored.select("doc_id", (idf * tfn).alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(part)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score",
+        F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

@@ -1371,6 +1371,39 @@ def _dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.label_components(pairs)
 
 
+def _bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served from the persisted bucketed postings index
+    (round 10c): bootstrap write_postings_index once per session, then
+    every query batch is a term-filtered bucketed scan with
+    bucket-local df aggregation and frozen sidecar constants — zero
+    index-side exchange (the band/IVF/phash persistence pattern,
+    completed for the lexical side). Bit-identical output, so it
+    reuses bm25_search's oracle."""
+    import os
+    import shutil
+
+    from flapi_spark.operators.relational import (
+        bm25_probe_indexed, write_postings_index,
+    )
+    from flapi_spark.session import load_table
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"bm25_postings_{suffix}"
+    key = f"{spark.sparkContext.applicationId}:{table}"
+    if key not in _NEARDUP_IDX_BUILT:
+        docs = load_table(spark, sf_dir, "documents")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        wpath = warehouse.removeprefix("file:")
+        for t in (table, f"{table}__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
+        write_postings_index(spark, docs, table)
+        _NEARDUP_IDX_BUILT.add(key)
+    return bm25_probe_indexed(spark, table=table)
+
+
 def _dedup_components_incremental(
     spark: SparkSession, sf_dir: str, split: int = 400
 ) -> DataFrame:
@@ -5312,6 +5345,11 @@ QUERIES.update(
             S.retrieval_mmr_diversify, _mmr_sql()
         ),
         "text_chunk_windows": (T.text_chunk_windows, _chunk_windows_sql()),
+        # bit-identical to bm25_search (the index changes the physical
+        # strategy, never the rows) — reuses its oracle verbatim
+        "bm25_search_indexed": (
+            _bm25_search_indexed, QUERIES["bm25_search"][1]
+        ),
         "scrub_duplicated_spans": (
             D.scrub_duplicated_spans,
             # replay of the dedup_substring_spans oracle (per-row range
@@ -5372,7 +5410,7 @@ _CHECK_FIRST = [
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
-    "dedup_components_incremental",
+    "dedup_components_incremental", "bm25_search_indexed",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5396,11 +5434,10 @@ _CHECK_FIRST = [
     "shape_redact_customers", "src_duckdb_query",
     "tax_burden_by_brand", "text_readability_flesch",
     "tpl_customers_all", "tpl_customers_by_segment",
-    "user_overlap_exact",
-    # welch_ttest_segments + user_overlap_hll rotate out for
-    # retrieval_eval_rankmetrics + dedup_components_incremental:
-    # both were re-driven by this round's full in-session contract
-    # drives (welch also independently by the r9 judge)
+    # user_overlap_exact/_hll + welch_ttest_segments rotate out for
+    # retrieval_eval_rankmetrics / dedup_components_incremental /
+    # bm25_search_indexed: all were re-driven by this round's full
+    # in-session contract drives (welch also by the r9 judge)
 
     # (the whole r6 cohort rotates out for the seven 10c entries — all
     # were re-confirmed by this round's full in-session contract

@@ -522,3 +522,33 @@ def test_url_filter_is_shuffle_free_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "*(1)" in plan
     assert "Join" not in plan
+
+
+def test_bm25_indexed_probe_bit_equal_and_bucketed(spark, sf_dir):
+    """round 10c: the persisted-postings BM25 probe returns exactly
+    the self-contained ranking, and the index scan is bucketed (no
+    index-side exchange)."""
+    from flapi_spark.operators.relational import (
+        bm25_probe_indexed, bm25_search, write_postings_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    table = "t_bm25_postings"
+    for t in (table, f"{table}__stats"):
+        _rm_table(spark, t)
+    try:
+        write_postings_index(
+            spark, load_table(spark, sf_dir, "documents"), table
+        )
+        got_df = bm25_probe_indexed(spark, table=table)
+        got = [(r.doc_id, r.score, r.n_terms_hit, r.rnk)
+               for r in got_df.collect()]
+        want = [(r.doc_id, r.score, r.n_terms_hit, r.rnk)
+                for r in bm25_search(spark, sf_dir).collect()]
+        assert sorted(got) == sorted(want) and got
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        for t in (table, f"{table}__stats"):
+            _rm_table(spark, t)
