@@ -1319,3 +1319,135 @@ def retrieval_eval_rankmetrics(
         )
         out = r if out is None else out.unionAll(r)
     return out
+
+
+def hybrid_probe_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    postings_table: str,
+    ivf_table: str,
+    n_queries: int = 5,
+    sys_k: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from persisted indexes (round
+    10c — the production serving shape): the lexical side probes the
+    bucketed BM25 postings index (query terms broadcast against the
+    term-bucketed scan, candidate df aggregated bucket-locally, corpus
+    constants from the frozen __stats sidecar), the vector side probes
+    the bucketed IVF index (ann_ivf_probe_indexed — refined centroids
+    from the frozen sidecar), and RRF fuses the two top-sys_k lists.
+    Per query batch NOTHING corpus-scale shuffles: both index scans
+    are bucketed, both probe sides broadcast.
+
+    Semantics vs the self-contained hybrid_search_rrf: idf/avglen
+    read the index's corpus-GLOBAL frozen stats (the standard
+    search-index contract) where the inline twin derives them from
+    the candidate set, and the vector ranks are IVF-approximate
+    rather than brute-force — this entry carries its own exact
+    oracle replaying both."""
+    from flapi_spark.operators.relational import BM25_B, BM25_K1
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = (
+        docs.where(F.col("doc_id") <= n_queries)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.trim(F.regexp_replace("text", "\\s+", " "))
+                    ),
+                    " ",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    matched = (
+        spark.table(postings_table)
+        .join(F.broadcast(qterms.select("tok").distinct()), "tok")
+        .where(F.col("doc_id") > n_queries)
+    )
+    df_ = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.table(f"{postings_table}__stats")
+    scored = (
+        F.broadcast(qterms)
+        .join(matched, "tok")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfn = (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
+            + F.lit(BM25_K1)
+            * F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_len").cast("double")
+            )
+        )
+    )
+    lex_scores = (
+        scored.select("qid", F.col("doc_id").alias("cid"),
+                      (idf * tfn).alias("part"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(part)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    lex = (
+        lex_scores.withColumn("lex_rnk", F.row_number().over(wl))
+        .where(F.col("lex_rnk") <= sys_k)
+        .select("qid", "cid", "lex_rnk")
+    )
+    queries = emb.where(F.col("vec_id") <= n_queries)
+    vec = ann_ivf_probe_indexed(
+        spark, queries, ivf_table, k=sys_k, nprobe=3
+    ).select("qid", "cid", F.col("rnk").alias("vec_rnk"))
+    fused = lex.join(vec, ["qid", "cid"], "full_outer").select(
+        "qid",
+        "cid",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rnk")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rnk")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+        F.coalesce("lex_rnk", F.lit(-1)).alias("lex_rnk"),
+        F.coalesce("vec_rnk", F.lit(-1)).alias("vec_rnk"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("cid"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select(
+            "qid",
+            "cid",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("lex_rnk").cast("long").alias("lex_rnk"),
+            F.col("vec_rnk").cast("long").alias("vec_rnk"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

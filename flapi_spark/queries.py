@@ -5188,6 +5188,104 @@ def _rankmetrics_sql(n_queries: int = 5, k: int = 10) -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
 
 
+def _hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf's production serving shape (round 10c):
+    lexical ranks from the persisted bucketed postings index (shared
+    bootstrap with bm25_search_indexed), vector ranks from a persisted
+    REFINED IVF index (write_ivf_index(refine_iters=2)), RRF fusion —
+    per query batch nothing corpus-scale shuffles."""
+    import os
+    import shutil
+
+    from flapi_spark.operators.relational import write_postings_index
+    from flapi_spark.operators.similarity import (
+        hybrid_probe_indexed, write_ivf_index,
+    )
+    from flapi_spark.session import load_table
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ptable = f"bm25_postings_{suffix}"
+    itable = f"hybrid_ivf_{suffix}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wpath = warehouse.removeprefix("file:")
+    pkey = f"{spark.sparkContext.applicationId}:{ptable}"
+    if pkey not in _NEARDUP_IDX_BUILT:
+        for t in (ptable, f"{ptable}__stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
+        write_postings_index(
+            spark, load_table(spark, sf_dir, "documents"), ptable
+        )
+        _NEARDUP_IDX_BUILT.add(pkey)
+    ikey = f"{spark.sparkContext.applicationId}:{itable}"
+    if ikey not in _NEARDUP_IDX_BUILT:
+        for t in (itable, f"{itable}__centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
+        write_ivf_index(
+            spark, load_table(spark, sf_dir, "embeddings"), itable,
+            refine_iters=2,
+        )
+        _NEARDUP_IDX_BUILT.add(ikey)
+    return hybrid_probe_indexed(spark, sf_dir, ptable, itable)
+
+
+def _hybrid_indexed_sql(
+    n_queries: int = 5, sys_k: int = 20, k: int = 10, rrf_k: int = 60,
+    iters: int = 2, nprobe: int = 3,
+) -> str:
+    """DuckDB replay of hybrid_search_indexed: BM25 over the index's
+    corpus-GLOBAL frozen stats (candidate df only — the bucket-local
+    aggregate), IVF probe over the refined centroids (the kmeans CTEs
+    + the shared probe builder), then the shared fusion CTEs."""
+    lex_ctes = (
+        f"tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),"
+        " qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tok"
+        f"  WHERE doc_id <= {n_queries}),"
+        " lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),"
+        " st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len"
+        "  FROM lens),"
+        " tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok"
+        "  GROUP BY 1, 2),"
+        " matched AS (SELECT tf.* FROM tf"
+        "  JOIN (SELECT DISTINCT tok FROM qt) q USING (tok)"
+        f"  WHERE tf.doc_id > {n_queries}),"
+        " dfc AS (SELECT tok, count(*) AS df FROM matched GROUP BY 1),"
+        " parts AS (SELECT q.qid, m.doc_id AS cid,"
+        "  ln(((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)"
+        "      + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) + 1.0)"
+        "  * ((m.tf * (CAST(1.2 AS DOUBLE) + 1))"
+        "    / (m.tf + CAST(1.2 AS DOUBLE)"
+        "       * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))"
+        "      + CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)"
+        "       * (CAST(lens.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)"
+        "          / CAST(st.total_len AS DOUBLE)))) AS part"
+        "  FROM qt q JOIN matched m USING (tok) JOIN dfc USING (tok)"
+        "   JOIN lens ON m.doc_id = lens.doc_id CROSS JOIN st),"
+        " lexagg AS (SELECT qid, cid,"
+        "  round(list_reduce(list_sort(list(part)), (a, x) -> a + x), 6)"
+        "   AS score FROM parts GROUP BY 1, 2),"
+        " lex AS (SELECT qid, cid, lex_rnk FROM ("
+        "  SELECT qid, cid, row_number() OVER (PARTITION BY qid"
+        "   ORDER BY score DESC, cid ASC) AS lex_rnk FROM lexagg) t"
+        f"  WHERE lex_rnk <= {sys_k})"
+    )
+    ctes = (
+        [lex_ctes]
+        + list(_kmeans_ctes(iters))
+        + _ivf_probe_ctes("h", iters, n_queries, sys_k, nprobe)
+        + ["vec AS (SELECT qid, cid, rnk AS vec_rnk FROM tk_h)",
+           _hybrid_fused_ctes(k, rrf_k)]
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT qid, cid, round(rrf, 6) AS rrf_score,"
+        "  CAST(lex_rnk AS BIGINT) AS lex_rnk,"
+        "  CAST(vec_rnk AS BIGINT) AS vec_rnk,"
+        "  CAST(rnk AS BIGINT) AS rnk FROM hyb"
+    )
+
+
 def _mmr_sql(
     n_queries: int = 5, pool_k: int = 20, k: int = 5, lam: float = 0.5
 ) -> str:
@@ -5262,14 +5360,44 @@ def _chunk_windows_sql(size: int = 32, stride: int = 24) -> str:
     )
 
 
+def _ivf_probe_ctes(
+    tag: str, i: int, n_queries: int, k: int, nprobe: int
+) -> list[str]:
+    """IVF probe over the kmeans CTEs' centroid table cent_{i} and
+    corpus assignment a_{i}: query-side nprobe assignment (qa_{tag}),
+    cell-cohabitant scoring (sc_{tag}), per-query top-k (tk_{tag} —
+    rnk kept for fusion consumers). Shared by the recall eval and the
+    fully-indexed hybrid oracle."""
+    return [
+        f"qa_{tag} AS (SELECT vec_id, cell_id FROM ("
+        " SELECT v.vec_id, t.cell_id, row_number() OVER ("
+        "  PARTITION BY v.vec_id"
+        f"  ORDER BY {_kmeans_cos('v.embedding', 't.c')} DESC,"
+        f"   t.cell_id ASC) AS r"
+        f" FROM embeddings v CROSS JOIN cent_{i} t"
+        f" WHERE v.vec_id <= {n_queries}) z WHERE r <= {nprobe})",
+        f"sc_{tag} AS (SELECT DISTINCT qa.vec_id AS qid,"
+        " ca.vec_id AS cid,"
+        f" {_kmeans_cos('qe.embedding', 'ce.embedding::DOUBLE[]')}"
+        "  AS cosine"
+        f" FROM qa_{tag} qa JOIN a_{i} ca ON qa.cell_id = ca.cell_id"
+        f"  AND ca.vec_id > {n_queries}"
+        " JOIN embeddings qe ON qe.vec_id = qa.vec_id"
+        " JOIN embeddings ce ON ce.vec_id = ca.vec_id)",
+        f"tk_{tag} AS (SELECT qid, cid, rnk FROM ("
+        " SELECT qid, cid, row_number() OVER (PARTITION BY qid"
+        "  ORDER BY cosine DESC, cid ASC) AS rnk"
+        f" FROM sc_{tag}) t WHERE rnk <= {k})",
+    ]
+
+
 def _ivf_recall_sql(
     iters: int = 2, n_queries: int = 5, k: int = 10, nprobe: int = 3
 ) -> str:
     """DuckDB replay of ann_recall_eval_ivf: the kmeans CTEs provide
     both variants' centroid tables AND corpus assignments (a_0 =
-    sampled cells, a_iters = refined cells); each variant adds a
-    query-side nprobe assignment, the cell-cohabitant scoring and the
-    top-k; recall joins against the brute-force CTE."""
+    sampled cells, a_iters = refined cells); each variant adds the
+    shared IVF probe CTEs; recall joins against the brute-force CTE."""
     ctes = list(_kmeans_ctes(iters))
     cos_vb = _kmeans_cos("a.embedding", "b.embedding::DOUBLE[]")
     ctes.append(
@@ -5281,31 +5409,7 @@ def _ivf_recall_sql(
         f"  AND b.vec_id > {n_queries}) t WHERE rnk <= {k})"
     )
     for tag, i in (("s", 0), ("r", iters)):
-        ctes.append(
-            f"qa_{tag} AS (SELECT vec_id, cell_id FROM ("
-            " SELECT v.vec_id, t.cell_id, row_number() OVER ("
-            "  PARTITION BY v.vec_id"
-            f"  ORDER BY {_kmeans_cos('v.embedding', 't.c')} DESC,"
-            f"   t.cell_id ASC) AS r"
-            f" FROM embeddings v CROSS JOIN cent_{i} t"
-            f" WHERE v.vec_id <= {n_queries}) z WHERE r <= {nprobe})"
-        )
-        ctes.append(
-            f"sc_{tag} AS (SELECT DISTINCT qa.vec_id AS qid,"
-            " ca.vec_id AS cid,"
-            f" {_kmeans_cos('qe.embedding', 'ce.embedding::DOUBLE[]')}"
-            "  AS cosine"
-            f" FROM qa_{tag} qa JOIN a_{i} ca ON qa.cell_id = ca.cell_id"
-            f"  AND ca.vec_id > {n_queries}"
-            " JOIN embeddings qe ON qe.vec_id = qa.vec_id"
-            " JOIN embeddings ce ON ce.vec_id = ca.vec_id)"
-        )
-        ctes.append(
-            f"tk_{tag} AS (SELECT qid, cid FROM ("
-            " SELECT qid, cid, row_number() OVER (PARTITION BY qid"
-            "  ORDER BY cosine DESC, cid ASC) AS rnk"
-            f" FROM sc_{tag}) t WHERE rnk <= {k})"
-        )
+        ctes.extend(_ivf_probe_ctes(tag, i, n_queries, k, nprobe))
 
     def recall(name: str, tag: str) -> str:
         return (
@@ -5340,6 +5444,9 @@ QUERIES.update(
         "hybrid_search_rrf": (S.hybrid_search_rrf, _hybrid_rrf_sql()),
         "retrieval_eval_rankmetrics": (
             S.retrieval_eval_rankmetrics, _rankmetrics_sql()
+        ),
+        "hybrid_search_indexed": (
+            _hybrid_search_indexed, _hybrid_indexed_sql()
         ),
         "retrieval_mmr_diversify": (
             S.retrieval_mmr_diversify, _mmr_sql()
@@ -5411,6 +5518,7 @@ _CHECK_FIRST = [
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "dedup_components_incremental", "bm25_search_indexed",
+    "hybrid_search_indexed",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5430,7 +5538,10 @@ _CHECK_FIRST = [
     "percentile_order_values", "q14_promo_revenue_share",
     "q16_part_supplier_counts", "q17_small_qty_revenue",
     "q19_bracket_revenue", "q2_min_price_parts", "q8_market_share",
-    "q9_profit_by_nation_year", "session_path_trigrams",
+    "q9_profit_by_nation_year",
+    # session_path_trigrams rotates out for hybrid_search_indexed
+    # (re-driven green by this round's full in-session drives)
+
     "shape_redact_customers", "src_duckdb_query",
     "tax_burden_by_brand", "text_readability_flesch",
     "tpl_customers_all", "tpl_customers_by_segment",

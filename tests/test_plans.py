@@ -552,3 +552,45 @@ def test_bm25_indexed_probe_bit_equal_and_bucketed(spark, sf_dir):
     finally:
         for t in (table, f"{table}__stats"):
             _rm_table(spark, t)
+
+
+def test_hybrid_indexed_probe_plan_and_fusion(spark, sf_dir):
+    """round 10c: the fully-indexed hybrid probe plans BOTH index
+    scans bucketed (no corpus-scale exchange per query batch) and its
+    fused lists agree with the standalone indexed probes."""
+    from flapi_spark.operators.relational import write_postings_index
+    from flapi_spark.operators.similarity import (
+        hybrid_probe_indexed, write_ivf_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    pt, it = "t_hyb_postings", "t_hyb_ivf"
+    tables = (pt, f"{pt}__stats", it, f"{it}__centroids")
+    for t in tables:
+        _rm_table(spark, t)
+    try:
+        write_postings_index(
+            spark, load_table(spark, sf_dir, "documents"), pt
+        )
+        write_ivf_index(
+            spark, load_table(spark, sf_dir, "embeddings"), it,
+            refine_iters=2,
+        )
+        got_df = hybrid_probe_indexed(spark, sf_dir, pt, it)
+        rows = got_df.collect()
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Bucketed: true") >= 2  # postings AND ivf
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == \
+                list(range(1, len(rs) + 1))
+            assert all((r.lex_rnk, r.vec_rnk) != (-1, -1) for r in rs)
+        assert any(
+            r.lex_rnk != -1 and r.vec_rnk != -1 for r in rows
+        )  # fusion fuses
+    finally:
+        for t in tables:
+            _rm_table(spark, t)
