@@ -83,10 +83,14 @@ HEADLINE = [
     # (html -> quality -> classifier -> langid -> dedups -> decontam)
     "pipeline_curation_funnel_gated",
     # round 10c: Lloyd refinement of the IVF centroids, the
-    # lexical+vector RRF hybrid retrieval, and the MMR diversifier
+    # lexical+vector RRF hybrid retrieval, the MMR diversifier, and
+    # the fully-indexed serving shape (first run pays both index
+    # bootstraps; min-of-runs reports the steady-state probe)
     "embedding_kmeans_refine",
     "hybrid_search_rrf",
     "retrieval_mmr_diversify",
+    "hybrid_search_indexed",
+    "dedup_components_incremental",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only
