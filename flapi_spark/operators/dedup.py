@@ -2286,7 +2286,17 @@ def incremental_components(
         F.col("doc_id").alias("doc_a"),
         F.col("component_id").alias("doc_b"),
     )
-    return label_components(
+    merged = label_components(
         star.unionAll(new_pairs.select("doc_a", "doc_b")),
         max_iterations=max_iterations,
+    )
+    # singleton input components (doc_id == component_id with no other
+    # member) contribute no star edge — re-attach any labeled node the
+    # merge did not touch so the output really covers "every labeled or
+    # delta-touched node" (round-10c review; label_components output
+    # never contains singletons, but this public API must not assume
+    # its input does not)
+    untouched = labels.join(merged.select("doc_id"), "doc_id", "left_anti")
+    return merged.unionAll(
+        untouched.select("doc_id", "component_id")
     )

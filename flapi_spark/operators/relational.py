@@ -1995,6 +1995,37 @@ BM25_B = 0.75
 BM25_QUERY = ("table", "scan", "merge")
 
 
+def bm25_idf_tfn() -> tuple[F.Column, F.Column]:
+    """THE BM25 scoring expressions (round-10c review: four inlined
+    copies), over columns (tf, df, dl, n_docs, total_len):
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) [Lucene's +1 form],
+    tf-norm with the avglen division deferred so every operand derives
+    from exact integers. One expression shape everywhere — the DuckDB
+    oracles mirror this exact arithmetic."""
+    idf = F.log(
+        (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfn = (
+        F.col("tf") * (F.lit(BM25_K1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
+            + F.lit(BM25_K1)
+            * F.lit(BM25_B)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_len").cast("double")
+            )
+        )
+    )
+    return idf, tfn
+
+
 def bm25_search(
     spark: SparkSession, sf_dir: str, k: int = 20
 ) -> DataFrame:
@@ -2012,17 +2043,12 @@ def bm25_search(
     Scale shape: one token-explode groupBy for per-doc tf of the ≤3
     query terms (everything else pre-filters on the tiny query set),
     df/avglen are scalar broadcasts, top-k is a TakeOrdered."""
+    from flapi_spark.operators.text import _tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    # canonical normalization (matches operators/text.py _tokens and
-    # the oracle's _TOKS): collapse whitespace, trim, lower, split
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
-            )
-        ).alias("tok"),
-    )
+    # canonical normalization (operators/text.py _tokens == the
+    # oracle's _TOKS): collapse whitespace, trim, lower, split
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2036,29 +2062,7 @@ def bm25_search(
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        + F.lit(1.0)
-    )
-    # avglen division deferred: k1·(1-b) + k1·b·dl·N/total, all from
-    # exact integers — one expression shape on both engines
-    tfn = (
-        F.col("tf") * (F.lit(BM25_K1) + 1)
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
-            + F.lit(BM25_K1)
-            * F.lit(BM25_B)
-            * (
-                F.col("dl").cast("double")
-                * F.col("n_docs").cast("double")
-                / F.col("total_len").cast("double")
-            )
-        )
-    )
+    idf, tfn = bm25_idf_tfn()
     per_doc = (
         scored.select("doc_id", (idf * tfn).alias("part"))
         .groupBy("doc_id")
@@ -4162,14 +4166,9 @@ def write_postings_index(
     (plus appends), not per query. dl rides denormalized in the
     posting row (the classic posting-list layout) so scoring needs no
     second doc-length table."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
-            )
-        ).alias("tok"),
-    )
+    from flapi_spark.operators.text import _tokens
+
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     (
@@ -4209,27 +4208,7 @@ def bm25_probe_indexed(
     scored = idx.join(F.broadcast(df_), "tok").crossJoin(
         F.broadcast(stats)
     )
-    idf = F.log(
-        (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        + F.lit(1.0)
-    )
-    tfn = (
-        F.col("tf") * (F.lit(BM25_K1) + 1)
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
-            + F.lit(BM25_K1)
-            * F.lit(BM25_B)
-            * (
-                F.col("dl").cast("double")
-                * F.col("n_docs").cast("double")
-                / F.col("total_len").cast("double")
-            )
-        )
-    )
+    idf, tfn = bm25_idf_tfn()
     per_doc = (
         scored.select("doc_id", (idf * tfn).alias("part"))
         .groupBy("doc_id")

@@ -813,6 +813,28 @@ def _lloyd_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_chain(
+    emb: DataFrame, iters: int, mod: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """THE Lloyd assign→update loop, in one place (round-10c review:
+    three hand-rolled copies had already diverged on the `mod`
+    pass-through). Returns (cent0, assign0, cent_final, assign_final)
+    — cent frames are (cell_id, centroid), assigns (vec_id, cell_id).
+    iters must be >= 1: zero rounds has no refined centroid table to
+    return (callers wanting the raw sample use ivf_centroids)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    cent0 = ivf_centroids(emb, mod=mod)
+    a0 = ivf_assign(emb, cent0, nprobe=1)
+    cent, assign = cent0, a0
+    for _ in range(iters):
+        cent = _lloyd_update(emb, assign)
+        assign = ivf_assign(
+            emb, cent.select("cell_id", "centroid"), nprobe=1
+        )
+    return cent0, a0, cent, assign
+
+
 def kmeans_refine(
     emb: DataFrame, iters: int = 2, mod: int = N_CELLS_MOD
 ) -> DataFrame:
@@ -826,20 +848,13 @@ def kmeans_refine(
     (vec_id, cell_id)) + one map-side-combined (cell, dim) integer-sum
     update — 2 linear shuffles, no quadratic term, the textbook
     k-means-on-MapReduce shape (Chu et al. NIPS'06). Returns
-    (cell_id, centroid array<double>, n_members); empty cells drop.
-    Deterministic end to end: sampled init, (sim desc, cell asc)
-    assignment tie-break, order-independent quantized update — an
-    exact DuckDB oracle replays the whole refinement
-    (q: embedding_kmeans_refine)."""
-    cent = ivf_centroids(emb)
-    assign = ivf_assign(emb, cent, nprobe=1)
-    out = None
-    for _ in range(max(iters, 0)):
-        out = _lloyd_update(emb, assign)
-        assign = ivf_assign(emb, out.select("cell_id", "centroid"), nprobe=1)
-    if out is None:  # iters=0: the raw sample, doubled for type parity
-        out = _lloyd_update(emb, assign).limit(0)
-    return out
+    (cell_id, centroid array<double>, n_members); empty cells drop;
+    iters < 1 raises. Deterministic end to end: sampled init,
+    (sim desc, cell asc) assignment tie-break, order-independent
+    quantized update — an exact DuckDB oracle replays the whole
+    refinement (q: embedding_kmeans_refine)."""
+    _cent0, _a0, cent, _assign = _lloyd_chain(emb, iters, mod)
+    return cent
 
 
 def embedding_kmeans_refine(
@@ -854,12 +869,8 @@ def embedding_kmeans_refine(
     centroid count — and with it the per-vector scoring cost —
     fixed; the registry default is exact-oracle plumbing)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_centroids(emb, mod=mod)
-    assign = ivf_assign(emb, cent, nprobe=1)
-    init = assign.select("vec_id", F.col("cell_id").alias("cell_init"))
-    for _ in range(max(iters, 0)):
-        cent = _lloyd_update(emb, assign).select("cell_id", "centroid")
-        assign = ivf_assign(emb, cent, nprobe=1)
+    _cent0, a0, _cent, assign = _lloyd_chain(emb, iters, mod)
+    init = a0.select("vec_id", F.col("cell_id").alias("cell_init"))
     return init.join(assign, "vec_id").select(
         "vec_id",
         F.col("cell_init").cast("long").alias("cell_init"),
@@ -869,7 +880,8 @@ def embedding_kmeans_refine(
 
 
 def embedding_kmeans_eval(
-    spark: SparkSession, sf_dir: str, iters: int = 2
+    spark: SparkSession, sf_dir: str, iters: int = 2,
+    mod: int = N_CELLS_MOD,
 ) -> DataFrame:
     """Clustering-quality read before trusting the refinement: mean
     cosine of every vector to its assigned centroid, init (sampled
@@ -880,12 +892,8 @@ def embedding_kmeans_eval(
     monotonicity (refined >= init) is asserted in tests; the exact
     DuckDB oracle replays both phases."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent0 = ivf_centroids(emb)
-    a0 = ivf_assign(emb, cent0, nprobe=1)
-    cent, assign = cent0, a0
-    for _ in range(max(iters, 0)):
-        cent = _lloyd_update(emb, assign).select("cell_id", "centroid")
-        assign = ivf_assign(emb, cent, nprobe=1)
+    cent0, a0, cent, assign = _lloyd_chain(emb, iters, mod)
+    cent = cent.select("cell_id", "centroid")
 
     def _phase(name: str, c: DataFrame, a: DataFrame) -> DataFrame:
         cos = (
@@ -930,17 +938,11 @@ def _lex_ranks(
     candidate-corpus df/avglen — the bm25_search arithmetic
     generalized per query): (qid, cid, lex_rnk <= sys_k). Shared by
     hybrid_search_rrf and the rank-metric eval."""
-    from flapi_spark.operators.relational import BM25_B, BM25_K1
+    from flapi_spark.operators.relational import bm25_idf_tfn
+    from flapi_spark.operators.text import _tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " "
-            )
-        ).alias("tok"),
-    )
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     qterms = (
         toks.where(F.col("doc_id") <= n_queries)
         .select(F.col("doc_id").alias("qid"), "tok")
@@ -960,27 +962,7 @@ def _lex_ranks(
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        + F.lit(1.0)
-    )
-    tfn = (
-        F.col("tf") * (F.lit(BM25_K1) + 1)
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
-            + F.lit(BM25_K1)
-            * F.lit(BM25_B)
-            * (
-                F.col("dl").cast("double")
-                * F.col("n_docs").cast("double")
-                / F.col("total_len").cast("double")
-            )
-        )
-    )
+    idf, tfn = bm25_idf_tfn()
     lex_scores = (
         scored.select("qid", F.col("doc_id").alias("cid"),
                       (idf * tfn).alias("part"))
@@ -1064,6 +1046,17 @@ def hybrid_search_rrf(
     scale; the fusion join carries ≤ 2·sys_k rows per query."""
     lex = _lex_ranks(spark, sf_dir, n_queries, sys_k)
     vec = _vec_ranks(spark, sf_dir, n_queries, sys_k)
+    return _rrf_fuse(lex, vec, k, rrf_k)
+
+
+def _rrf_fuse(
+    lex: DataFrame, vec: DataFrame, k: int, rrf_k: int
+) -> DataFrame:
+    """THE RRF fusion + final rank (round-10c review: two inlined
+    copies): full-outer join of (qid, cid, lex_rnk) and (qid, cid,
+    vec_rnk), rrf = Σ 1/(rrf_k + rank) with absent lists contributing
+    0, -1 sentinels for single-system candidates, (rrf desc, cid asc)
+    rank capped at k. Output shape = the hybrid_search_rrf contract."""
     fused = lex.join(vec, ["qid", "cid"], "full_outer").select(
         "qid",
         "cid",
@@ -1278,16 +1271,22 @@ def retrieval_eval_rankmetrics(
             " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
         ).alias("idcg")
     )
+    # lex/vec rankings computed ONCE at sys_k=20 (round-10c review:
+    # the standalone systems and the fusion previously each re-ran the
+    # corpus-wide scoring scans): the k-capped system lists and the
+    # RRF fusion all derive from these two frames — rank prefixes are
+    # rank-stable, so filtering <= k equals ranking at k directly
+    lex = _lex_ranks(spark, sf_dir, n_queries, 20)
+    vec = _vec_ranks(spark, sf_dir, n_queries, 20)
     systems = (
         ("vector",
-         _vec_ranks(spark, sf_dir, n_queries, k)
+         vec.where(F.col("vec_rnk") <= k)
          .select("qid", "cid", F.col("vec_rnk").alias("rnk"))),
         ("lexical",
-         _lex_ranks(spark, sf_dir, n_queries, k)
+         lex.where(F.col("lex_rnk") <= k)
          .select("qid", "cid", F.col("lex_rnk").alias("rnk"))),
         ("hybrid",
-         hybrid_search_rrf(spark, sf_dir, n_queries=n_queries, k=k)
-         .select("qid", "cid", "rnk")),
+         _rrf_fuse(lex, vec, k, 60).select("qid", "cid", "rnk")),
     )
     out = None
     for name, ranked in systems:
@@ -1330,6 +1329,7 @@ def hybrid_probe_indexed(
     sys_k: int = 20,
     k: int = 10,
     rrf_k: int = 60,
+    nprobe: int = 3,
 ) -> DataFrame:
     """Hybrid retrieval served ENTIRELY from persisted indexes (round
     10c — the production serving shape): the lexical side probes the
@@ -1337,9 +1337,10 @@ def hybrid_probe_indexed(
     term-bucketed scan, candidate df aggregated bucket-locally, corpus
     constants from the frozen __stats sidecar), the vector side probes
     the bucketed IVF index (ann_ivf_probe_indexed — refined centroids
-    from the frozen sidecar), and RRF fuses the two top-sys_k lists.
-    Per query batch NOTHING corpus-scale shuffles: both index scans
-    are bucketed, both probe sides broadcast.
+    from the frozen sidecar, `nprobe` cells per query), and RRF fuses
+    the two top-sys_k lists. Per query batch NOTHING corpus-scale
+    shuffles: both index scans are bucketed, both probe sides
+    broadcast.
 
     Semantics vs the self-contained hybrid_search_rrf: idf/avglen
     read the index's corpus-GLOBAL frozen stats (the standard
@@ -1347,7 +1348,8 @@ def hybrid_probe_indexed(
     the candidate set, and the vector ranks are IVF-approximate
     rather than brute-force — this entry carries its own exact
     oracle replaying both."""
-    from flapi_spark.operators.relational import BM25_B, BM25_K1
+    from flapi_spark.operators.relational import bm25_idf_tfn
+    from flapi_spark.operators.text import _tokens
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1355,14 +1357,7 @@ def hybrid_probe_indexed(
         docs.where(F.col("doc_id") <= n_queries)
         .select(
             F.col("doc_id").alias("qid"),
-            F.explode(
-                F.split(
-                    F.lower(
-                        F.trim(F.regexp_replace("text", "\\s+", " "))
-                    ),
-                    " ",
-                )
-            ).alias("tok"),
+            F.explode(_tokens()).alias("tok"),
         )
         .distinct()
     )
@@ -1379,27 +1374,7 @@ def hybrid_probe_indexed(
         .join(F.broadcast(df_), "tok")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        + F.lit(1.0)
-    )
-    tfn = (
-        F.col("tf") * (F.lit(BM25_K1) + 1)
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B))
-            + F.lit(BM25_K1)
-            * F.lit(BM25_B)
-            * (
-                F.col("dl").cast("double")
-                * F.col("n_docs").cast("double")
-                / F.col("total_len").cast("double")
-            )
-        )
-    )
+    idf, tfn = bm25_idf_tfn()
     lex_scores = (
         scored.select("qid", F.col("doc_id").alias("cid"),
                       (idf * tfn).alias("part"))
@@ -1422,32 +1397,6 @@ def hybrid_probe_indexed(
     )
     queries = emb.where(F.col("vec_id") <= n_queries)
     vec = ann_ivf_probe_indexed(
-        spark, queries, ivf_table, k=sys_k, nprobe=3
+        spark, queries, ivf_table, k=sys_k, nprobe=nprobe
     ).select("qid", "cid", F.col("rnk").alias("vec_rnk"))
-    fused = lex.join(vec, ["qid", "cid"], "full_outer").select(
-        "qid",
-        "cid",
-        (
-            F.coalesce(
-                F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rnk")), F.lit(0.0)
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rnk")), F.lit(0.0)
-            )
-        ).alias("rrf"),
-        F.coalesce("lex_rnk", F.lit(-1)).alias("lex_rnk"),
-        F.coalesce("vec_rnk", F.lit(-1)).alias("vec_rnk"),
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("cid"))
-    return (
-        fused.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= k)
-        .select(
-            "qid",
-            "cid",
-            F.round("rrf", 6).alias("rrf_score"),
-            F.col("lex_rnk").cast("long").alias("lex_rnk"),
-            F.col("vec_rnk").cast("long").alias("vec_rnk"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
-    )
+    return _rrf_fuse(lex, vec, k, rrf_k)

@@ -2351,6 +2351,13 @@ def text_chunk_windows(
     DuckDB oracle replays tokenization, starts and slices."""
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
+    if stride > size:
+        # gaps: tokens at positions [start+size, start+stride) of every
+        # block would never appear in any chunk — breaks the coverage
+        # guarantee above (round-10c review)
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) leaves token gaps"
+        )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("t")).select(
         "doc_id", "t", F.size("t").alias("n_toks")
