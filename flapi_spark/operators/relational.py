@@ -4230,3 +4230,140 @@ def bm25_probe_indexed(
         F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+def append_postings_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "bm25_postings_index",
+) -> None:
+    """Append a document batch to the persisted postings index
+    (round 10c): tokenize the NEW docs only, insertInto the bucketed
+    postings (bucket spec preserved — appended files land
+    term-bucketed), and roll the __stats sidecar forward by the
+    batch's additive deltas (n_docs, total_len). Unlike the IVF
+    centroid sidecar — which stays FROZEN because cell identity must
+    be stable — BM25's corpus constants are meant to track the corpus:
+    both are plain sums, so the update is one tiny read + overwrite,
+    and an appended index equals a from-scratch rebuild exactly
+    (per-doc posting rows are independent; stats are additive —
+    pytest-pinned)."""
+    from flapi_spark.operators.text import _tokens
+
+    toks = new_docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    delta = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    ).collect()[0]
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.join(lens, "doc_id")
+        .select("tok", "doc_id", "tf", "dl")
+        .write.insertInto(table)
+    )
+    old = spark.table(f"{table}__stats").collect()[0]
+    stats = spark.createDataFrame(
+        [(old.n_docs + delta.n_docs,
+          old.total_len + delta.total_len)],
+        "n_docs BIGINT, total_len BIGINT",
+    )
+    stats.write.mode("overwrite").saveAsTable(f"{table}__stats")
+
+
+def bm25_search_expanded(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    m: int = 5,
+    e: int = 3,
+    weight: float = 0.5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite — Lavrenko
+    & Croft's relevance-model family as Lucene/Anserini ship it): run
+    the base BM25 query, mine the top-`m` documents for the `e`
+    highest-evidence expansion terms (integer token-occurrence mass,
+    stopwords and original terms excluded, deterministic tiebreak),
+    then rescore the corpus against original terms at weight 1.0 plus
+    expansion terms at `weight` — recall recovery for vocabulary
+    mismatch, the classic lexical-retrieval second pass.
+
+    Fully declarative: the top-m and top-e sets stay DataFrames (no
+    driver collect); the second pass reuses the same tf/df/len
+    aggregates as the first. Exactness: expansion evidence is integer,
+    term weights are float-exact literals, weighted parts fold as
+    w · (idf · tfn) in sorted order, 6dp round — exact DuckDB oracle
+    replays both passes. Scale: everything downstream of the one
+    token-explode groupBy is bounded by |query terms| + e postings."""
+    from flapi_spark.operators.text import STOPWORDS, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf_all = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_all = tf_all.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf, tfn = bm25_idf_tfn()
+
+    def _score(parts: DataFrame) -> DataFrame:
+        return parts.groupBy("doc_id").agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(part)),"
+                    " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+                ),
+                6,
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+
+    base_parts = (
+        tf_all.where(F.col("tok").isin(*BM25_QUERY))
+        .join(F.broadcast(df_all), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("part"))
+    )
+    topm = (
+        _score(base_parts)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(m)
+        .select("doc_id")
+    )
+    excluded = tuple(BM25_QUERY) + tuple(STOPWORDS)
+    exp = (
+        toks.join(topm, "doc_id")
+        .where(~F.col("tok").isin(*excluded))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("mass"))
+        .orderBy(F.desc("mass"), F.asc("tok"))
+        .limit(e)
+        .select("tok", F.lit(float(weight)).alias("w"))
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in BM25_QUERY], "tok STRING, w DOUBLE"
+    )
+    terms = orig.unionAll(exp)
+    parts2 = (
+        tf_all.join(F.broadcast(terms), "tok")
+        .join(F.broadcast(df_all), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (F.col("w") * (idf * tfn)).alias("part"))
+    )
+    topk = (
+        _score(parts2)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score",
+        F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

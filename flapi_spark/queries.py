@@ -5286,6 +5286,75 @@ def _hybrid_indexed_sql(
     )
 
 
+_BM25_IDF = (
+    "ln(((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)"
+    "   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) + 1.0)"
+)
+_BM25_TFN = (
+    "((tf.tf * (CAST(1.2 AS DOUBLE) + 1))"
+    " / (tf.tf + CAST(1.2 AS DOUBLE)"
+    "    * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))"
+    "   + CAST(1.2 AS DOUBLE) * CAST(0.75 AS DOUBLE)"
+    "    * (CAST(lens.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)"
+    "       / CAST(st.total_len AS DOUBLE))))"
+)
+
+
+def _bm25_expanded_sql(
+    k: int = 20, m: int = 5, e: int = 3, weight: float = 0.5
+) -> str:
+    """DuckDB replay of bm25_search_expanded: base BM25 pass → top-m
+    docs → integer-mass expansion terms (stopwords + originals
+    excluded) → weighted second pass, w · (idf · tfn) folded sorted."""
+    from flapi_spark.operators.relational import BM25_QUERY
+    from flapi_spark.operators.text import STOPWORDS
+
+    q_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    excl = ", ".join(f"'{t}'" for t in tuple(BM25_QUERY) + tuple(STOPWORDS))
+    fold = (
+        "round(list_reduce(list_sort(list(part)), (a, x) -> a + x), 6)"
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok"
+        "  FROM documents),"
+        " lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),"
+        " st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len"
+        "  FROM lens),"
+        " tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok"
+        "  GROUP BY 1, 2),"
+        " dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),"
+        " bparts AS (SELECT tf.doc_id,"
+        f"  ({_BM25_IDF} * {_BM25_TFN}) AS part"
+        "  FROM tf JOIN dfc USING (tok) JOIN lens"
+        "   ON tf.doc_id = lens.doc_id CROSS JOIN st"
+        f"  WHERE tf.tok IN ({q_list})),"
+        f" bscore AS (SELECT doc_id, {fold} AS score FROM bparts"
+        "  GROUP BY 1),"
+        " topm AS (SELECT doc_id FROM bscore"
+        f"  ORDER BY score DESC, doc_id ASC LIMIT {m}),"
+        " exp AS (SELECT tok,"
+        f"  CAST({weight!r} AS DOUBLE) AS w FROM ("
+        "  SELECT t.tok, count(*) AS mass FROM tok t"
+        "   JOIN topm USING (doc_id)"
+        f"  WHERE t.tok NOT IN ({excl})"
+        f"  GROUP BY t.tok ORDER BY mass DESC, tok ASC LIMIT {e}) z),"
+        f" terms AS (SELECT unnest([{q_list}]) AS tok,"
+        "  CAST(1.0 AS DOUBLE) AS w"
+        "  UNION ALL SELECT tok, w FROM exp),"
+        " parts2 AS (SELECT tf.doc_id,"
+        f"  (t.w * ({_BM25_IDF} * {_BM25_TFN})) AS part"
+        "  FROM tf JOIN terms t USING (tok) JOIN dfc USING (tok)"
+        "   JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN st),"
+        f" agg2 AS (SELECT doc_id, {fold} AS score,"
+        "  CAST(count(*) AS BIGINT) AS n_terms_hit FROM parts2"
+        "  GROUP BY 1)"
+        " SELECT doc_id, score, n_terms_hit,"
+        "  CAST(rnk AS BIGINT) AS rnk FROM ("
+        "  SELECT *, row_number() OVER (ORDER BY score DESC,"
+        f"   doc_id ASC) AS rnk FROM agg2) t WHERE rnk <= {k}"
+    )
+
+
 def _mmr_sql(
     n_queries: int = 5, pool_k: int = 20, k: int = 5, lam: float = 0.5
 ) -> str:
@@ -5457,6 +5526,9 @@ QUERIES.update(
         "bm25_search_indexed": (
             _bm25_search_indexed, QUERIES["bm25_search"][1]
         ),
+        "bm25_search_expanded": (
+            R.bm25_search_expanded, _bm25_expanded_sql()
+        ),
         "scrub_duplicated_spans": (
             D.scrub_duplicated_spans,
             # replay of the dedup_substring_spans oracle (per-row range
@@ -5518,7 +5590,7 @@ _CHECK_FIRST = [
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "dedup_components_incremental", "bm25_search_indexed",
-    "hybrid_search_indexed",
+    "hybrid_search_indexed", "bm25_search_expanded",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5537,7 +5609,9 @@ _CHECK_FIRST = [
     "paginate_orders_keyset", "part_type_share",
     "percentile_order_values", "q14_promo_revenue_share",
     "q16_part_supplier_counts", "q17_small_qty_revenue",
-    "q19_bracket_revenue", "q2_min_price_parts", "q8_market_share",
+    # q19 rotates out for bm25_search_expanded (re-driven green by
+    # this round's full in-session drives)
+    "q2_min_price_parts", "q8_market_share",
     "q9_profit_by_nation_year",
     # session_path_trigrams rotates out for hybrid_search_indexed
     # (re-driven green by this round's full in-session drives)

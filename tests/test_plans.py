@@ -594,3 +594,34 @@ def test_hybrid_indexed_probe_plan_and_fusion(spark, sf_dir):
     finally:
         for t in tables:
             _rm_table(spark, t)
+
+
+def test_postings_append_equals_rebuild(spark, sf_dir):
+    """round 10c: append_postings_index rolls the sidecar forward and
+    the appended index probes identically to a from-scratch build."""
+    from flapi_spark.operators.relational import (
+        append_postings_index, bm25_probe_indexed, write_postings_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t_inc, t_full = "t_postings_inc", "t_postings_full"
+    tables = [t + s for t in (t_inc, t_full) for s in ("", "__stats")]
+    for t in tables:
+        _rm_table(spark, t)
+    try:
+        write_postings_index(spark, docs.where("doc_id < 400"), t_inc)
+        append_postings_index(spark, docs.where("doc_id >= 400"), t_inc)
+        write_postings_index(spark, docs, t_full)
+        si = spark.table(f"{t_inc}__stats").collect()[0]
+        sf = spark.table(f"{t_full}__stats").collect()[0]
+        assert (si.n_docs, si.total_len) == (sf.n_docs, sf.total_len)
+        gi = [(r.doc_id, r.score, r.rnk)
+              for r in bm25_probe_indexed(spark, table=t_inc).collect()]
+        gf = [(r.doc_id, r.score, r.rnk)
+              for r in bm25_probe_indexed(spark, table=t_full).collect()]
+        assert sorted(gi) == sorted(gf) and gi
+    finally:
+        for t in tables:
+            _rm_table(spark, t)

@@ -235,3 +235,25 @@ def test_rolling_7d_window_equals_manual(spark, sf_dir):
         assert abs(
             r.avg_order_value_7d - r.revenue_7d / r.n_orders_7d
         ) < 1e-9
+
+
+def test_bm25_expanded_recovers_vocabulary_mismatch(spark, sf_dir):
+    """round 10c: the expanded pass hits more terms per top doc than
+    the base query has (expansion terms actually score), expansion
+    terms exclude stopwords and originals, and weight=0 degenerates
+    to the base ranking."""
+    from flapi_spark.operators.relational import (
+        BM25_QUERY, bm25_search, bm25_search_expanded,
+    )
+    from flapi_spark.operators.text import STOPWORDS
+
+    exp = bm25_search_expanded(spark, sf_dir).collect()
+    assert max(r.n_terms_hit for r in exp) > len(BM25_QUERY)
+    base = {r.doc_id: r.score for r in bm25_search(spark, sf_dir).collect()}
+    # weight 0: expansion parts contribute 0.0 to every fold, so the
+    # top-k set ranks exactly as the base query (scores equal where
+    # the doc appears in both)
+    zero = bm25_search_expanded(spark, sf_dir, weight=0.0).collect()
+    for r in zero:
+        if r.doc_id in base:
+            assert abs(r.score - base[r.doc_id]) < 1e-9
