@@ -4202,7 +4202,18 @@ def bm25_probe_indexed(
     same 6dp round, same tiebreak), so the indexed twin reuses its
     oracle: the index changes the physical strategy, never the rows
     (bit-equality pytest-pinned)."""
-    idx = spark.table(table).where(F.col("tok").isin(*query_terms))
+    # (tok, doc_id) dedup via MAX over identical rows: a crash inside
+    # the streaming maintainer's marker window can replay one batch's
+    # posting rows — duplicated (tok, doc) postings would double-count
+    # BM25 parts, so the probe collapses them (bucket-local: the scan
+    # is hash-distributed on tok, which satisfies the (tok, doc_id)
+    # grouping — no exchange)
+    idx = (
+        spark.table(table)
+        .where(F.col("tok").isin(*query_terms))
+        .groupBy("tok", "doc_id")
+        .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+    )
     stats = spark.table(f"{table}__stats")
     df_ = idx.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = idx.join(F.broadcast(df_), "tok").crossJoin(

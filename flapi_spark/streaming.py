@@ -1245,3 +1245,26 @@ def classifier_guard_stream(docs_stream: DataFrame, model: dict) -> DataFrame:
         score.alias("score"),
         (score >= model["threshold"]).alias("keep"),
     )
+
+
+def postings_index_maintainer(table: str, marker_dir: str):
+    """Streaming maintenance of the persisted BM25 postings index
+    (round 10c — the lexical lane of the maintainer family): a
+    ``writeStream.foreachBatch`` callable appending each document
+    micro-batch's postings via ``append_postings_index`` (bucket spec
+    preserved; the __stats sidecar rolls forward additively under the
+    same replay marker).
+
+    Replay semantics differ from the candidate-generation lanes:
+    duplicated POSTING rows are collapsed by the probe's (tok, doc_id)
+    MAX dedup, so a crash inside the marker window cannot double-count
+    scores — but the sidecar's n_docs/total_len CAN over-count that
+    one batch's delta (bounded skew of idf/avglen, not a wrong row
+    set); rebuild the index to reconcile after a crash if exact corpus
+    constants matter. Expects micro-batches of (doc_id, text) rows."""
+    from flapi_spark.operators.relational import append_postings_index
+
+    def _do(spark, batch_df):
+        append_postings_index(spark, batch_df, table)
+
+    return replay_maintainer(marker_dir, _do, (table, f"{table}__stats"))

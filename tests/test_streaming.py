@@ -1742,3 +1742,71 @@ def test_crawl_gate_stream_with_model_gate(spark, sf_dir, tmp_path_factory):
     finally:
         _rm_table(spark, table)
         _rm_table(spark, f"{table}__model")
+
+
+def test_postings_maintainer_folds_batches_and_probe_matches(
+    spark, sf_dir, tmp_path_factory
+):
+    """round 10c: bootstrap the postings index on half the corpus,
+    stream the other half through postings_index_maintainer — the
+    probe over the maintained index equals the probe over a batch
+    rebuild of the FULL corpus; a replayed batch id is a no-op on
+    postings AND the stats sidecar."""
+    import glob as _glob
+
+    from flapi_spark.operators.relational import (
+        bm25_probe_indexed, write_postings_index,
+    )
+    from flapi_spark.session import load_table
+    from flapi_spark.writes import _rm_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table, full = "t_postings_stream", "t_postings_stream_full"
+    tables = [t + s for t in (table, full) for s in ("", "__stats")]
+    for t in tables:
+        _rm_table(spark, t)
+    d = tmp_path_factory.mktemp("postings_landing")
+    markers = str(tmp_path_factory.mktemp("postings_markers"))
+    try:
+        write_postings_index(spark, docs.where("doc_id % 2 = 0"), table)
+        new = docs.where("doc_id % 2 = 1")
+        halves = new.randomSplit([0.5, 0.5], seed=5)
+        for i, part in enumerate(halves):
+            staging = str(d / f"_stage_{i}")
+            part.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                _glob.glob(staging + "/part-*.parquet")[0],
+                str(d / f"batch_{i}.parquet"),
+            )
+            shutil.rmtree(staging)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        writer = ST.postings_index_maintainer(table, markers)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(d / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        write_postings_index(spark, docs, full)
+        got = [(r.doc_id, r.score, r.n_terms_hit, r.rnk)
+               for r in bm25_probe_indexed(spark, table=table).collect()]
+        want = [(r.doc_id, r.score, r.n_terms_hit, r.rnk)
+                for r in bm25_probe_indexed(spark, table=full).collect()]
+        assert sorted(got) == sorted(want) and got
+        si = spark.table(f"{table}__stats").collect()[0]
+        sf_ = spark.table(f"{full}__stats").collect()[0]
+        assert (si.n_docs, si.total_len) == (sf_.n_docs, sf_.total_len)
+        # replaying a committed batch id is a no-op on BOTH tables
+        n_post = spark.table(table).count()
+        writer(new.limit(50), 0)
+        assert spark.table(table).count() == n_post
+        s2 = spark.table(f"{table}__stats").collect()[0]
+        assert (s2.n_docs, s2.total_len) == (si.n_docs, si.total_len)
+    finally:
+        for t in tables:
+            _rm_table(spark, t)
