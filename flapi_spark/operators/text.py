@@ -2379,3 +2379,51 @@ def text_chunk_windows(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.col("n_toks").cast("long").alias("n_toks"),
     )
+
+
+def curriculum_order(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 5
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. ICML'09 as data
+    pipelines apply it — easy→hard schedule with in-bucket shuffling):
+    rank documents by the heuristic quality score (high = clean =
+    'easy' first), cut the ranking into `n_buckets` equal difficulty
+    buckets, shuffle WITHIN each bucket by the portable md5 key (the
+    mixture/shard discipline), and emit each document's global
+    training position.
+
+    Both global orderings run through scale.global_rank (frozen-bin
+    distributed ranking — never a single-task window); the bucket cut
+    is exact integer arithmetic ((rank−1)·n_buckets DIV n). Output:
+    (doc_id, quality_rank, bucket, position); exact DuckDB oracle
+    replays score, ranking, cut and shuffle."""
+    from flapi_spark.operators.scale import global_rank
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        (-F.col("quality_score")).alias("neg_score"),
+    )
+    ranked = global_rank(q, ["neg_score", "doc_id"], rank_col="quality_rank")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "quality_rank",
+            F.expr(
+                f"CAST(((quality_rank - 1) * {n_buckets}) DIV n AS LONG)"
+            ).alias("bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("__shuffle"),
+        )
+    )
+    pos = global_rank(
+        b, ["bucket", "__shuffle", "doc_id"], rank_col="position"
+    )
+    return pos.select(
+        "doc_id",
+        F.col("quality_rank").cast("long").alias("quality_rank"),
+        "bucket",
+        F.col("position").cast("long").alias("position"),
+    )

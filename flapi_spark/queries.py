@@ -5529,6 +5529,27 @@ QUERIES.update(
         "bm25_search_expanded": (
             R.bm25_search_expanded, _bm25_expanded_sql()
         ),
+        "curriculum_order": (
+            T.curriculum_order,
+            # composes the text_quality_score oracle body: rank by
+            # score desc (as -score asc, mirroring global_rank's
+            # ascending struct order), integer bucket cut, md5
+            # in-bucket shuffle, global position
+            "WITH q AS (SELECT doc_id, quality_score AS s FROM ("
+            + QUERIES["text_quality_score"][1] + ") z),"
+            " n AS (SELECT count(*) AS n FROM q),"
+            " r AS (SELECT doc_id, row_number() OVER ("
+            "  ORDER BY -s ASC, doc_id ASC) AS qr FROM q),"
+            " b AS (SELECT doc_id, qr,"
+            "  ((qr - 1) * 5) // n.n AS bucket FROM r, n),"
+            " p AS (SELECT doc_id, qr, bucket, row_number() OVER ("
+            "  ORDER BY bucket ASC,"
+            "   md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pos"
+            "  FROM b)"
+            " SELECT doc_id, CAST(qr AS BIGINT) AS quality_rank,"
+            "  CAST(bucket AS BIGINT) AS bucket,"
+            "  CAST(pos AS BIGINT) AS position FROM p",
+        ),
         "scrub_duplicated_spans": (
             D.scrub_duplicated_spans,
             # replay of the dedup_substring_spans oracle (per-row range
@@ -5591,6 +5612,7 @@ _CHECK_FIRST = [
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "dedup_components_incremental", "bm25_search_indexed",
     "hybrid_search_indexed", "bm25_search_expanded",
+    "curriculum_order",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5608,7 +5630,9 @@ _CHECK_FIRST = [
     "ols_quantity_on_price", "paginate_orders",
     "paginate_orders_keyset", "part_type_share",
     "percentile_order_values", "q14_promo_revenue_share",
-    "q16_part_supplier_counts", "q17_small_qty_revenue",
+    # q16 rotates out for curriculum_order (re-driven green by this
+    # round's full in-session drives)
+    "q17_small_qty_revenue",
     # q19 rotates out for bm25_search_expanded (re-driven green by
     # this round's full in-session drives)
     "q2_min_price_parts", "q8_market_share",

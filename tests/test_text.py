@@ -790,3 +790,29 @@ def test_chunk_windows_validates_params(spark, sf_dir):
         text_chunk_windows(spark, sf_dir, size=0)
     with pytest.raises(ValueError):
         text_chunk_windows(spark, sf_dir, stride=0)
+
+
+def test_curriculum_order_properties(spark, sf_dir):
+    """round 10c: positions are a permutation 1..n, buckets are
+    contiguous in position order (the schedule IS easy-bucket-first),
+    bucket sizes balance within 1, and bucket is monotone in the
+    quality rank."""
+    from flapi_spark.operators.text import curriculum_order
+
+    rows = curriculum_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    assert sorted(r.quality_rank for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.position)
+    assert [r.bucket for r in by_pos] == sorted(r.bucket for r in rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_rank = sorted(rows, key=lambda r: r.quality_rank)
+    assert [r.bucket for r in by_rank] == sorted(r.bucket for r in rows)
+    # within a bucket, position order is the md5 shuffle, not rank
+    b0 = [r for r in by_pos if r.bucket == 0]
+    assert [r.quality_rank for r in b0] != sorted(
+        r.quality_rank for r in b0
+    )
