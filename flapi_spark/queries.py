@@ -5598,12 +5598,12 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-9 ROTATION: r8 left zero genuine failures (47/50 full pass,
-# 3 rows-only by design), so this window is pure staleness drain:
-# the stalest cohort — the single remaining r3-latest entry plus all
-# 42 entries whose latest driver verdict is round 4 — then the
-# earliest round-5 entries to fill to 50. (The r8 window's 50 are now
-# the FRESHEST and rotate to the back.)
+# ROUND-10 ROTATION: the 26 never-driven round-10/10b/10c entries
+# front the window (every new entry gets its first driver look), then
+# the stalest r5 cohort fills to 50 (VERDICT r9 item 1). Entries that
+# rotated out mid-round — the whole r6 cohort plus five r5 entries —
+# were each re-confirmed by this round's FULL in-session contract
+# drives (all-entry drive_contract runs, FAILS: [] every time).
 _CHECK_FIRST = [
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
