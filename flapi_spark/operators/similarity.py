@@ -1136,6 +1136,15 @@ def retrieval_mmr_diversify(
         .where(F.col("rnk") <= pool_k)
         .select("qid", "cid", "ec", "rel")
     )
+    return _mmr_greedy(pool, k, lam)
+
+
+def _mmr_greedy(pool: DataFrame, k: int, lam: float) -> DataFrame:
+    """THE greedy MMR selection over a (qid, cid, ec, rel) pool
+    (round-10c: shared by the cosine-pool entry and the hybrid-pool
+    composition): k unrolled bounded steps, (score desc, cid asc)
+    tie-break, step-1 score = plain relevance."""
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
     # the pool is queries×pool_k rows — checkpoint it so the k-step
     # unrolled plan re-reads a materialized pool instead of replaying
     # the corpus-wide scoring pass per step
@@ -1400,3 +1409,37 @@ def hybrid_probe_indexed(
         spark, queries, ivf_table, k=sys_k, nprobe=nprobe
     ).select("qid", "cid", F.col("rnk").alias("vec_rnk"))
     return _rrf_fuse(lex, vec, k, rrf_k)
+
+
+def retrieval_mmr_hybrid(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """The full RAG retrieval chain composed (round 10c): hybrid RRF
+    retrieval → MMR diversification — relevance is the FUSED rrf
+    score (lexical + vector evidence), redundancy is embedding cosine
+    against the already-picked set. Same greedy core as
+    retrieval_mmr_diversify (_mmr_greedy); the pool is
+    hybrid_search_rrf's top-pool_k per query with each candidate's
+    embedding joined back for the pairwise term. Exact DuckDB oracle
+    chains the hybrid fusion CTEs into the MMR step CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = (
+        hybrid_search_rrf(
+            spark, sf_dir, n_queries=n_queries, k=pool_k
+        )
+        .select("qid", "cid", F.col("rrf_score").alias("rel"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("ec"),
+            ),
+            "cid",
+        )
+        .select("qid", "cid", "ec", "rel")
+    )
+    return _mmr_greedy(pool, k, lam)

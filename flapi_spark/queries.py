@@ -5356,24 +5356,32 @@ def _bm25_expanded_sql(
 
 
 def _mmr_sql(
-    n_queries: int = 5, pool_k: int = 20, k: int = 5, lam: float = 0.5
+    n_queries: int = 5, pool_k: int = 20, k: int = 5, lam: float = 0.5,
+    pool_ctes: list[str] | None = None,
 ) -> str:
     """DuckDB replay of retrieval_mmr_diversify: the greedy selection
     unrolled as chained CTEs — sel_i = sel_{i-1} plus the argmax of
     lam·rel − (1−lam)·max-sim-to-selected over the not-yet-picked
     pool. lam literals are emitted via repr so both engines compute
-    the identical doubles (1−lam is exact at the 0.5 default)."""
+    the identical doubles (1−lam is exact at the 0.5 default).
+    `pool_ctes` overrides the pool source (retrieval_mmr_hybrid feeds
+    the hybrid fusion's top-pool_k instead of the cosine pool); the
+    MMR step CTEs only need pool(qid, cid, rel)."""
     cos_qc = _kmeans_cos("q.embedding", "c.embedding::DOUBLE[]")
     cos_cs = _kmeans_cos("ec.embedding", "es.embedding::DOUBLE[]")
-    ctes = [
-        "pool AS (SELECT qid, cid, rel FROM ("
-        " SELECT q.vec_id AS qid, c.vec_id AS cid,"
-        f" {cos_qc} AS rel,"
-        " row_number() OVER (PARTITION BY q.vec_id"
-        f"  ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk"
-        f" FROM embeddings q JOIN embeddings c ON q.vec_id <= {n_queries}"
-        f"  AND c.vec_id > {n_queries}) t"
-        f" WHERE rnk <= {pool_k})",
+    if pool_ctes is None:
+        pool_ctes = [
+            "pool AS (SELECT qid, cid, rel FROM ("
+            " SELECT q.vec_id AS qid, c.vec_id AS cid,"
+            f" {cos_qc} AS rel,"
+            " row_number() OVER (PARTITION BY q.vec_id"
+            f"  ORDER BY {cos_qc} DESC, c.vec_id ASC) AS rnk"
+            f" FROM embeddings q JOIN embeddings c"
+            f"  ON q.vec_id <= {n_queries}"
+            f"  AND c.vec_id > {n_queries}) t"
+            f" WHERE rnk <= {pool_k})"
+        ]
+    ctes = list(pool_ctes) + [
         "s_1 AS (SELECT qid, cid, 1 AS step, rel AS score FROM ("
         " SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid"
         "  ORDER BY rel DESC, cid ASC) AS r FROM pool) t WHERE r = 1)",
@@ -5520,6 +5528,20 @@ QUERIES.update(
         "retrieval_mmr_diversify": (
             S.retrieval_mmr_diversify, _mmr_sql()
         ),
+        "retrieval_mmr_hybrid": (
+            S.retrieval_mmr_hybrid,
+            # the hybrid fusion CTEs (top-pool_k) feed the MMR steps:
+            # rel = the FUSED rrf score rounded exactly as the entry's
+            # rrf_score column
+            _mmr_sql(
+                pool_ctes=[
+                    _retrieval_ctes(n_queries=5, sys_k=20),
+                    _hybrid_fused_ctes(k=20),
+                    "pool AS (SELECT qid, cid, round(rrf, 6) AS rel"
+                    " FROM hyb)",
+                ]
+            ),
+        ),
         "text_chunk_windows": (T.text_chunk_windows, _chunk_windows_sql()),
         # bit-identical to bm25_search (the index changes the physical
         # strategy, never the rows) — reuses its oracle verbatim
@@ -5612,7 +5634,7 @@ _CHECK_FIRST = [
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "dedup_components_incremental", "bm25_search_indexed",
     "hybrid_search_indexed", "bm25_search_expanded",
-    "curriculum_order",
+    "curriculum_order", "retrieval_mmr_hybrid",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     "quality_classifier_score", "quality_classifier_eval",
@@ -5626,7 +5648,9 @@ _CHECK_FIRST = [
     "customer_activity_full_outer", "forecast_seasonal_naive",
     "funnel_time_to_convert", "gini_customer_revenue",
     "hhi_market_concentration", "kaplan_meier_order_gaps",
-    "lorenz_deciles", "market_basket_brand_pairs",
+    # lorenz_deciles rotates out for retrieval_mmr_hybrid (re-driven
+    # green by this round's full in-session drives)
+    "market_basket_brand_pairs",
     "ols_quantity_on_price", "paginate_orders",
     "paginate_orders_keyset", "part_type_share",
     "percentile_order_values", "q14_promo_revenue_share",

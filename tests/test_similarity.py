@@ -464,3 +464,25 @@ def test_rankmetrics_anchor_and_ordering(spark, sf_dir):
         assert 0.0 <= h.ndcg <= 1.0 and 0.0 <= h.mrr <= 1.0
     # fusion recovers a meaningful share of the truth somewhere
     assert any(r.n_hits > 0 for r in by["hybrid"].values())
+
+
+def test_mmr_hybrid_pool_contract(spark, sf_dir):
+    """round 10c: MMR over the hybrid pool — picks come from the
+    hybrid top-20, step 1 is the fused top result, the pick set can
+    differ from the cosine-pool MMR (the pools differ), and k unique
+    selections come back per query."""
+    hyb = {}
+    for r in S.hybrid_search_rrf(spark, sf_dir, k=20).collect():
+        hyb.setdefault(r.qid, {})[r.cid] = (r.rnk, r.rrf_score)
+    got = {}
+    for r in S.retrieval_mmr_hybrid(spark, sf_dir).collect():
+        got.setdefault(r.qid, []).append(r)
+    assert set(got) == set(hyb)
+    for qid, rs in got.items():
+        rs.sort(key=lambda r: r.step)
+        assert [r.step for r in rs] == list(range(1, len(rs) + 1))
+        assert len({r.cid for r in rs}) == len(rs)
+        assert all(r.cid in hyb[qid] for r in rs)
+        top = min(hyb[qid], key=lambda c: hyb[qid][c][0])
+        assert rs[0].cid == top
+        assert abs(rs[0].mmr_score - hyb[qid][top][1]) < 1e-9
