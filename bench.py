@@ -91,6 +91,15 @@ HEADLINE = [
     "retrieval_mmr_diversify",
     "hybrid_search_indexed",
     "dedup_components_incremental",
+    # round 10d: cluster-grain curation (topic card + outlier gate),
+    # per-source KL drift, and LPA communities (inline + index-served)
+    "cluster_topic_card",
+    "embedding_outlier_prune",
+    "source_token_kl",
+    "lpa_communities",
+    "lpa_indexed",
+    "dp_event_counts",
+    "text_unicode_sanitize",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -21,7 +21,7 @@ operators; these extend the training-data pipeline suite the same way
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flapi_spark.operators.dedup import dedup_ngram_jaccard
@@ -236,3 +236,72 @@ def kcore_neardup_graph(
     """2-core of the Jaccard near-dup graph (see kcore_decompose)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select("doc_a", "doc_b")
     return kcore_decompose(pairs, k)
+
+
+# --- label propagation (round 10d) ------------------------------------------
+
+LPA_ITERATIONS = 3
+
+
+def label_propagation(
+    pairs: DataFrame, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair graph — community detection at a finer grain than
+    connected components: a chain A~B~C where A≁C is ONE component but
+    (after propagation) the labels reveal which side each borderline
+    member leans toward, and on dense near-dup families the dominant
+    label converges in 2-3 rounds. Deterministic variant: every node
+    starts as its own label; each round a node adopts the most
+    frequent label among its neighbors plus its own current label
+    (self-vote — damps 2-cycle oscillation on bipartite-ish
+    structures), ties broken toward the SMALLEST label. Fixed
+    iteration count + integer tie-breaks ⇒ the unrolled chained-CTE
+    DuckDB oracle replays every round bit-for-bit.
+
+    Scale shape: per round, one join (edges ⋈ labels on v) + one
+    (node, label) groupBy + one per-node window — the same Pregel
+    message-passing footprint as the integer PageRank, with the window
+    partitioned by node so no partition ever holds more than one
+    node's candidate labels. Lineage truncated every other round."""
+    edges = _undirected_edges(pairs)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("label"))
+    for i in range(iterations):
+        votes = edges.join(labels, edges.v == labels.node).select(
+            "u", "label"
+        ).unionAll(labels.select(F.col("node").alias("u"), "label"))
+        counts = votes.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counts.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+        if i % 2 == 1 or i == iterations - 1:
+            labels = labels.localCheckpoint()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("community"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )
+
+
+def lpa_neardup_graph(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Label-propagation communities over the Jaccard near-dup graph
+    (same pair source as the other inline graph entries, so the
+    oracle shares its pair CTE)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b"
+    )
+    return label_propagation(pairs)

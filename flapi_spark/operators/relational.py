@@ -4378,3 +4378,48 @@ def bm25_search_expanded(
         F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+def dp_event_counts(
+    spark: SparkSession, sf_dir: str, epsilon: float = 0.5
+) -> DataFrame:
+    """Differentially-private release of the per-(event_type, day)
+    event counts: Laplace(1/ε) noise on each count (sensitivity 1 —
+    one user event moves one cell by one), the textbook ε-DP counting
+    query (Dwork et al. 2006). Companion to k_anonymity_orders:
+    k-anonymity suppresses small groups, DP noises every group —
+    together they are the privacy surface an analytics endpoint
+    publishes through. The released frame carries NO true counts.
+
+    The noise is DETERMINISTIC pseudo-randomness (the repo's portable
+    md5 discipline): u ∈ (0,1) from the md5 of the group key via the
+    inverse CDF X = -(1/ε)·sgn(u-½)·ln(1-2|u-½|). Deterministic noise
+    is what makes the release replayable by the exact DuckDB oracle —
+    a production deployment would swap one seed column in (the same
+    swap every portable-hash twin documents) without changing the
+    plan. u is centered on the half-ULP grid ((h+0.5)/2^52), so
+    1-2|u-½| ∈ (0,1] and the ln never sees zero.
+
+    Scale shape: one map-side-combined groupBy, then pure codegen
+    projections; the md5/ln arithmetic is per-GROUP, not per-row."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws(
+        "|", F.col("event_type"), F.date_format("day", "yyyy-MM-dd")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 13))
+    s = u - F.lit(0.5)
+    noise = (
+        -(F.lit(1.0) / F.lit(epsilon))
+        * F.signum(s)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(s))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )

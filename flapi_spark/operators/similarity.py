@@ -1443,3 +1443,177 @@ def retrieval_mmr_hybrid(
         .select("qid", "cid", "ec", "rel")
     )
     return _mmr_greedy(pool, k, lam)
+
+
+# --- cluster-grain curation (round 10d) --------------------------------------
+# Topic cards, prototypicality-capped keep-sets, and centroid-distance
+# outlier pruning over the IVF/k-means cell structure. Reference
+# parity: flAPI has no embedding operators; these extend the
+# training-data curation suite (Sorscher et al. 2022, "Beyond neural
+# scaling laws: beating power law scaling via data pruning" — keep the
+# most prototypical members per cluster; DataComp-style cluster
+# balancing) on top of the same cell machinery SemDeDup and the ANN
+# index already use.
+
+
+def assign_with_sim(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, sim): the `ivf_assign` winner WITH its cosine
+    to the assigned centroid — the prototypicality score the cluster
+    curation family ranks on. Same plan shape as ivf_assign (broadcast
+    centroids, one streamed scoring pass, shuffle carries only the
+    narrow triple), so the 100 TB posture is unchanged: raise the
+    sampling modulus with corpus size to hold the centroid count
+    fixed."""
+    scored = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell_id", cosine_col("embedding", "centroid").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "cell_id", "sim")
+    )
+
+
+def _cell_members(
+    spark: SparkSession, sf_dir: str, mod: int, refine_iters: int = 0
+) -> DataFrame:
+    """Shared loader for the cluster-curation entries: embeddings
+    assigned to sampled (or Lloyd-refined) cells, with the cosine kept.
+    refine_iters=0 is the exact-oracle registry default; > 0 swaps in
+    kmeans_refine centroids without changing any consumer's plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if refine_iters:
+        centroids = kmeans_refine(emb, iters=refine_iters, mod=mod).select(
+            "cell_id", "centroid"
+        )
+    else:
+        centroids = ivf_centroids(emb, mod=mod)
+    return assign_with_sim(emb, centroids)
+
+
+def cluster_topic_card(
+    spark: SparkSession, sf_dir: str, mod: int = 25, refine_iters: int = 0
+) -> DataFrame:
+    """Per-cluster corpus data card: how big each embedding cell is,
+    how source-pure it is, and how long its documents run — the
+    cluster-grain view a mixture/pruning decision reads before acting
+    (the per-source twin is corpus_report; this is its semantic-topic
+    dual). Embeddings carry one vector per document (vec_id == doc_id,
+    the testdata contract semantic_dedup and hybrid retrieval use).
+
+    Output: (cell_id, n_docs, n_sources, top_source, top_source_share,
+    mean_chars) — dominant source by (count desc, source asc), shares
+    and means as single divisions of exact integers (identical doubles
+    in any IEEE engine; exact DuckDB oracle).
+
+    Scale shape: one broadcast-scored assignment pass + one equi-join
+    to documents on the id + two grouped aggregates — all linear, no
+    pairwise term anywhere."""
+    assign = _cell_members(spark, sf_dir, mod, refine_iters)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source", "n_chars"
+    )
+    j = assign.join(docs, "vec_id")
+    per_src = j.groupBy("cell_id", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.desc("n"), F.asc("source")
+    )
+    top = (
+        per_src.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("cell_id", F.col("source").alias("top_source"),
+                F.col("n").alias("n_top"))
+    )
+    tot = j.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return tot.join(top, "cell_id").select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "top_source",
+        F.round(
+            F.col("n_top").cast("double") / F.col("n_docs"), 6
+        ).alias("top_source_share"),
+        F.round(
+            F.col("chars").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_chars"),
+    )
+
+
+def cluster_balanced_keepset(
+    spark: SparkSession, sf_dir: str, per_cell: int = 20, mod: int = 25,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Cluster-balanced selection: cap every embedding cell at its
+    `per_cell` MOST prototypical members (cosine-to-centroid desc,
+    vec_id tiebreak). Bounding each semantic cluster's contribution is
+    the embedding-space dual of the per-source mixture cap
+    (mixture_sample_keepset) — it stops one over-crawled topic from
+    dominating the training mix no matter which sources it arrived
+    from (Sorscher et al. 2022 keep-prototypical policy).
+
+    Output: one row per vector — (vec_id, cell_id, proto_rank, kept).
+    Exact DuckDB oracle (both engines rank the same IEEE cosine with
+    the same integer tiebreak).
+
+    Scale shape: assignment pass + one window over cells — cells are
+    the partition key, so the rank never sees more than a cell's
+    members; per-cell cap keeps the output linear in the corpus."""
+    assign = _cell_members(spark, sf_dir, mod, refine_iters)
+    w = Window.partitionBy("cell_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return assign.withColumn(
+        "proto_rank", F.row_number().over(w)
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col("proto_rank").cast("long").alias("proto_rank"),
+        (F.col("proto_rank") <= per_cell).alias("kept"),
+    )
+
+
+def embedding_outlier_prune(
+    spark: SparkSession, sf_dir: str, frac: float = 0.25, mod: int = 25,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Centroid-distance outlier gate: flag the least-prototypical
+    `frac` of every embedding cell (floor(frac · cell_n) members with
+    the LOWEST cosine to their centroid — mislabeled, off-topic, or
+    noisy points sit at cluster edges; Sorscher et al.'s easy-example
+    pruning inverted for data cleaning). Cells smaller than 1/frac
+    flag nothing (the floor is 0), so tiny clusters are never
+    decimated.
+
+    Output: one row per vector — (vec_id, cell_id, cell_n, outlier).
+    Exact DuckDB oracle; frac enters as one double product of
+    identical operands, so the floor matches cross-engine.
+
+    Scale shape: same as cluster_balanced_keepset — one window per
+    cell, nothing pairwise."""
+    assign = _cell_members(spark, sf_dir, mod, refine_iters)
+    w = Window.partitionBy("cell_id").orderBy(
+        F.asc("sim"), F.desc("vec_id")
+    )
+    wc = Window.partitionBy("cell_id")
+    return (
+        assign.withColumn("bottom_rank", F.row_number().over(w))
+        .withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("cell_n").cast("long").alias("cell_n"),
+            (
+                F.col("bottom_rank")
+                <= F.floor(F.lit(frac) * F.col("cell_n"))
+            ).alias("outlier"),
+        )
+    )

@@ -2427,3 +2427,115 @@ def curriculum_order(
         "bucket",
         F.col("position").cast("long").alias("position"),
     )
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence to the corpus distribution —
+    the mixture-drift dial: D_KL(P_source ‖ P_corpus) over the shared
+    vocabulary says how far each source's token distribution sits from
+    the blend the model will actually train on (0 = identical; a
+    source spiking after a crawl refresh flags a content shift the
+    per-source data card's counts can't see). Companion to
+    source_vocab_overlap (set-grain) and psi_order_value_drift
+    (numeric-grain); reference scope: corpus statistics endpoints.
+
+    Both distributions are add-one smoothed over the corpus vocabulary
+    (p = (c_s + 1)/(len_s + V), q = (c + 1)/(N + V)), so tokens a
+    source never emits still contribute their mass and the divergence
+    is finite term-by-term.
+
+    Scale shape: one (source, tok) groupBy over the exploded stream
+    (map-side combined) — everything after is VOCAB-grain: corpus
+    counts, lengths, and the sources × vocab grid (|sources| is tiny,
+    so the grid is a broadcast fan-out of the vocab, never a second
+    corpus pass). Cross-engine exactness: every term is arithmetic on
+    identical integers (one ln, two divisions — identical IEEE
+    doubles), snapped to the 1e-12 grid and summed as DECIMAL(38,12)
+    (order-independent; the repo's standard double-sum policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_tokens()).alias("tok"))
+    sc = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .localCheckpoint()  # reused 3x (corpus counts, lens, grid)
+    )
+    cc = sc.groupBy("tok").agg(F.sum("c_s").alias("c"))
+    lens = sc.groupBy("source").agg(F.sum("c_s").alias("len_s"))
+    tot = cc.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    grid = (
+        cc.crossJoin(F.broadcast(lens))
+        .join(sc, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "len_s", "v",
+            (
+                (F.coalesce("c_s", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("len_s") + F.col("v")).cast("double")
+            ).alias("p"),
+            (
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ).alias("q"),
+        )
+    )
+    term = F.col("p") * F.log(F.col("p") / F.col("q"))
+    return grid.groupBy("source").agg(
+        F.max("len_s").cast("long").alias("n_tokens"),
+        F.max("v").cast("long").alias("vocab_size"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("kl_to_corpus"),
+    )
+
+
+def text_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/encoding sanitation — the crawl-cleaning pass that runs
+    before any tokenizer sees the bytes: strip C0/DEL control
+    characters, drop U+FFFD replacement characters (the tombstones a
+    lossy charset transcode leaves behind), collapse whitespace, and
+    report how much damage each document carried (an ftfy-style
+    triage signal: a high replacement-char count means the upstream
+    fetch mis-decoded the page and the doc should be re-fetched or
+    gated).
+
+    The synthetic corpus is clean ASCII, so — the text_pii_redact
+    injection pattern — each doc_id % 7 == 3 row first gets a
+    deterministic doc_id-derived damage prefix (1-3 U+FFFD
+    tombstones bracketed by two C0 control bytes); the operator then
+    has real damage to find and the DuckDB oracle (same injection,
+    same regex/replace chain) verifies counts and the md5 of the
+    cleaned text exactly.
+
+    100 TB shape: pure codegen projections (regexp_replace / replace
+    / length), embarrassingly parallel, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tomb = "\ufffd"
+    damaged = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(
+            F.expr("char(1)"),
+            F.expr(
+                "repeat('" + tomb + "', CAST(doc_id % 3 + 1 AS INT))"
+            ),
+            F.expr("char(2)"),
+            F.lit(" broken "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    no_ctrl = F.regexp_replace(
+        damaged, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    no_repl = F.regexp_replace(no_ctrl, tomb, "")
+    clean = F.trim(F.regexp_replace(no_repl, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        (F.length(damaged) - F.length(no_ctrl)).cast("long")
+        .alias("n_ctrl_removed"),
+        (F.length(no_ctrl) - F.length(no_repl)).cast("long")
+        .alias("n_replacement_chars"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -306,6 +306,36 @@ def _semantic_dedup(
     return keep.join(survivors, "doc_id", "left_semi")
 
 
+def _cluster_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    frac: float = 0.25,
+    cells_mod: int = 25,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Embedding-cluster outlier pruning (round 10d): drop the
+    least-prototypical `frac` of every embedding cell
+    (similarity.embedding_outlier_prune — lowest cosine to the
+    assigned centroid; Sorscher et al. 2022 pruning as a cleaning
+    gate). vec_id == doc_id, the same corpus contract as
+    semantic_dedup. Unlike the dedup stages there is NO corpus-wide
+    survivor hazard here: each document's verdict is independent of
+    which other documents earlier stages kept, so intersecting with
+    the keep-set is exact."""
+    from flapi_spark.operators.similarity import embedding_outlier_prune
+
+    survivors = (
+        embedding_outlier_prune(
+            spark, sf_dir, frac=frac, mod=cells_mod,
+            refine_iters=refine_iters,
+        )
+        .where(~F.col("outlier"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return keep.join(survivors, "doc_id", "left_semi")
+
+
 def _mixture_cap(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
     weights_ppm: dict | None = None, budget_ppm: int = 500_000,
@@ -356,6 +386,7 @@ STAGES = {
     "audio_near_dedup": _audio_near_dedup,
     "video_near_dedup": _video_near_dedup,
     "semantic_dedup": _semantic_dedup,
+    "cluster_prune": _cluster_prune,
     "decontam": _decontam,
     "mixture_cap": _mixture_cap,
     "train_split": _train_split,

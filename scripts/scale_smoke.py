@@ -72,7 +72,13 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # the fixed-cell-count contract like semdedup_fixed_cells
        "hybrid_search_rrf", "retrieval_mmr_diversify",
        "text_chunk_windows", "scrub_duplicated_spans",
-       "kmeans_refine_fixed_cells"]
+       "kmeans_refine_fixed_cells",
+       # round-10d: cluster-grain curation rides the fixed-cell-count
+       # contract; KL drift is vocab-grain after one linear groupBy;
+       # LPA follows the graph convention (linear MinHash pair stream)
+       "cluster_card_fixed_cells", "cluster_prune_fixed_cells",
+       "source_token_kl", "lpa_minhash_pairs",
+       "dp_event_counts", "text_unicode_sanitize"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
@@ -189,8 +195,37 @@ def _kmeans_refine_fixed_cells(spark, sf_dir):
     return embedding_kmeans_refine(spark, sf_dir, mod=max(25, n // 200))
 
 
+def _cluster_card_fixed_cells(spark, sf_dir):
+    """Topic card with the centroid COUNT held fixed (the 100 TB
+    contract — see _semdedup_fixed_cells)."""
+    from flapi_spark.operators.similarity import cluster_topic_card
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    return cluster_topic_card(spark, sf_dir, mod=max(25, n // 200))
+
+
+def _cluster_prune_fixed_cells(spark, sf_dir):
+    """Outlier prune with the centroid COUNT held fixed (the 100 TB
+    contract — see _semdedup_fixed_cells)."""
+    from flapi_spark.operators.similarity import embedding_outlier_prune
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    return embedding_outlier_prune(spark, sf_dir, mod=max(25, n // 200))
+
+
+def _lpa_minhash_pairs(spark, sf_dir):
+    from flapi_spark.operators.dedup import dedup_minhash_lsh
+    from flapi_spark.operators.graph import label_propagation
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return label_propagation(pairs)
+
+
 EXTRA_OPS = {
     "dedup_embedding_lsh_capped": _embedding_lsh_capped,
+    "cluster_card_fixed_cells": _cluster_card_fixed_cells,
+    "cluster_prune_fixed_cells": _cluster_prune_fixed_cells,
+    "lpa_minhash_pairs": _lpa_minhash_pairs,
     "semdedup_fixed_cells": _semdedup_fixed_cells,
     "kmeans_refine_fixed_cells": _kmeans_refine_fixed_cells,
     "pagerank_minhash_pairs": _pagerank_minhash_pairs,
