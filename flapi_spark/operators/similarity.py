@@ -229,10 +229,13 @@ def rowwise_ivf_assign(
         ),
     )
     probed = F.slice(F.sort_array(scored), 1, nprobe)
+    # pass-through shape (round 10d): every input column survives —
+    # stream monitors carry event-time columns through the assignment
     return (
         vectors.withColumn("_qn", qn)
-        .select("vec_id", "embedding", F.explode(probed).alias("pc"))
-        .select("vec_id", "embedding", F.col("pc.cell_id").alias("cell_id"))
+        .withColumn("__pc", F.explode(probed))
+        .withColumn("cell_id", F.col("__pc.cell_id"))
+        .drop("_qn", "__pc")
     )
 
 

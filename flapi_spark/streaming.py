@@ -1268,3 +1268,105 @@ def postings_index_maintainer(table: str, marker_dir: str):
         append_postings_index(spark, batch_df, table)
 
     return replay_maintainer(marker_dir, _do, (table, f"{table}__stats"))
+
+
+def topic_ref_shares(emb: DataFrame, centroid_rows: list) -> DataFrame:
+    """Reference topic mix for topic_mix_stream: the per-cell share of
+    a corpus snapshot under the SAME frozen centroids the stream
+    monitor assigns against (cell identity must match or the deltas
+    are meaningless — the `<table>__centroids` sidecar contract).
+    Returns (cell_id, ref_share)."""
+    from flapi_spark.operators.similarity import rowwise_ivf_assign
+
+    assigned = rowwise_ivf_assign(emb, centroid_rows, nprobe=1)
+    counts = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+            "ref_share"
+        ),
+    )
+
+
+def topic_mix_stream(
+    vec_stream: DataFrame,
+    centroid_rows: list,
+    ref_shares: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming topic-mix drift monitor (round 10d): per event-time
+    window, the share of incoming embeddings landing in each IVF cell
+    vs a reference corpus mix — the SEMANTIC twin of
+    vocab_drift_stream (that one catches token-distribution drift;
+    this one catches topic drift a tokenizer never sees: a crawl
+    source pivoting to a new content farm shifts cell shares long
+    before the vocabulary moves). A sustained share_delta spike on
+    one cell is the "re-weight or gate this source" alarm for the
+    mixture planner.
+
+    Shape: stateless per-row cell assignment against the FROZEN
+    centroid sidecar (similarity.rowwise_ivf_assign — bounded
+    driver-side literal, the embedding_guard_stream contract), then
+    ONE watermarked windowed aggregate. Because append-mode streams
+    cannot re-aggregate an aggregate, the per-cell counts pivot WIDE
+    inside that single groupBy (the cell set is the bounded centroid
+    summary, known at plan time) and explode back to rows in a
+    stateless projection; the reference mix joins stream-static.
+    Expects (ts, vec_id, embedding); emits (window_start, window_end,
+    cell_id, n_vectors, share, ref_share, share_delta)."""
+    from flapi_spark.operators.similarity import rowwise_ivf_assign
+
+    assigned = rowwise_ivf_assign(vec_stream, centroid_rows, nprobe=1)
+    cells = sorted(int(r.cell_id) for r in centroid_rows)
+    agg = (
+        assigned.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            *[
+                F.sum(
+                    F.when(F.col("cell_id") == c, 1).otherwise(0)
+                ).alias(f"c_{c}")
+                for c in cells
+            ],
+        )
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("cell_id"),
+                F.col(f"c_{c}").cast("long").alias("n"),
+            )
+            for c in cells
+        ]
+    )
+    rows = agg.select(
+        "w", "n_total", F.explode(pairs).alias("p")
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("p.cell_id").alias("cell_id"),
+        F.col("p.n").alias("n_vectors"),
+        F.round(
+            F.col("p.n").cast("double") / F.col("n_total"), 6
+        ).alias("share"),
+    )
+    return rows.join(
+        F.broadcast(ref_shares.select("cell_id", "ref_share")),
+        "cell_id",
+        "left",
+    ).select(
+        "window_start",
+        "window_end",
+        "cell_id",
+        "n_vectors",
+        "share",
+        F.coalesce("ref_share", F.lit(0.0)).alias("ref_share"),
+        F.round(
+            F.col("share") - F.coalesce("ref_share", F.lit(0.0)), 6
+        ).alias("share_delta"),
+    )

