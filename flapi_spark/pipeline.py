@@ -336,6 +336,37 @@ def _cluster_prune(
     return keep.join(survivors, "doc_id", "left_semi")
 
 
+def _topic_cap(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    per_cell: int = 20,
+    cells_mod: int = 25,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Topic-grain mixture cap (round 10d): keep at most `per_cell`
+    most-prototypical members of every embedding cluster
+    (similarity.cluster_balanced_keepset) — the embedding-space dual
+    of mixture_cap's source-grain budget: an over-crawled topic is
+    bounded no matter which sources it arrived through. Verdicts are
+    computed corpus-wide (rank within the full cell), but each
+    document's verdict does not depend on which other documents
+    earlier stages kept, so the keep-set intersection is exact — no
+    survivor hazard."""
+    from flapi_spark.operators.similarity import cluster_balanced_keepset
+
+    return keep.join(
+        cluster_balanced_keepset(
+            spark, sf_dir, per_cell=per_cell, mod=cells_mod,
+            refine_iters=refine_iters,
+        )
+        .where("kept")
+        .select(F.col("vec_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _mixture_cap(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
     weights_ppm: dict | None = None, budget_ppm: int = 500_000,
@@ -387,6 +418,7 @@ STAGES = {
     "video_near_dedup": _video_near_dedup,
     "semantic_dedup": _semantic_dedup,
     "cluster_prune": _cluster_prune,
+    "topic_cap": _topic_cap,
     "decontam": _decontam,
     "mixture_cap": _mixture_cap,
     "train_split": _train_split,

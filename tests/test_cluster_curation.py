@@ -229,3 +229,32 @@ def test_lpa_entries_match_oracle(spark, views, sf_dir, duck):
 
     fn, sql = QUERIES["lpa_communities"]
     assert_df_matches_oracle(fn(spark, sf_dir), duck, sql)
+
+
+def test_topic_cap_stage(spark, sf_dir):
+    from flapi_spark.operators.similarity import cluster_balanced_keepset
+    from flapi_spark.pipeline import curate
+
+    rep = curate(
+        spark, sf_dir, stages=[{"stage": "topic_cap", "per_cell": 5}]
+    )
+    got = {r.doc_id for r in rep.keep.collect()}
+    want = {
+        r.vec_id
+        for r in cluster_balanced_keepset(spark, sf_dir, per_cell=5)
+        .where("kept")
+        .collect()
+    }
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == (want & docs) and 0 < len(got) < len(docs)
+    # a cap above the largest cell keeps everything
+    keep_all = curate(
+        spark, sf_dir,
+        stages=[{"stage": "topic_cap", "per_cell": 10 ** 6}],
+    ).keep
+    assert keep_all.count() == len(docs)
