@@ -1620,3 +1620,79 @@ def embedding_outlier_prune(
             ).alias("outlier"),
         )
     )
+
+
+def ann_filtered_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    lang: str = "en",
+) -> DataFrame:
+    """Metadata-FILTERED vector search (the pgvector/Milvus serving
+    shape every RAG stack needs: "nearest neighbors among docs
+    matching a predicate"): exact cosine top-k restricted to corpus
+    vectors whose document (vec_id == doc_id) passes a metadata
+    filter. Pre-filtering is the exact strategy — the predicate
+    narrows the corpus BEFORE scoring, so recall is 1.0 by
+    construction (post-filtering an ANN list can starve k); at scale
+    the same narrowing applies to the IVF probe's cell-cohabitant
+    stream without changing this contract.
+
+    Scale shape: the metadata filter is an equi-join to the documents
+    scan (predicate pushes into the parquet scan), queries broadcast,
+    per-query TakeOrdered. Exact DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = load_table(spark, sf_dir, "documents").where(
+        F.col("lang") == lang
+    ).select(F.col("doc_id").alias("cid"))
+    q = emb.where(F.col("vec_id") <= n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    c = (
+        emb.where(F.col("vec_id") > n_queries)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"))
+        .join(meta, "cid")
+    )
+    scored = F.broadcast(q).join(c).select(
+        "qid", "cid", cosine_col("eq", "ec").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def ivf_cell_report(
+    spark: SparkSession, sf_dir: str, mod: int = 25,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF index health report: the cell-size balance numbers an
+    operator reads before trusting probe latency (IVF probe cost is
+    bounded by the cells a query touches — one runaway cell means one
+    runaway tail latency; imbalance = max/mean is the dial, and a
+    high value says re-run the Lloyd refinement or raise the
+    sampling modulus). Single-row output: (n_cells, n_vectors,
+    min_cell, max_cell, mean_cell, imbalance) — divisions of exact
+    integers, identical doubles cross-engine; exact oracle.
+
+    Scale shape: one assignment pass + one (cell) groupBy + one
+    scalar aggregate."""
+    assign = _cell_members(spark, sf_dir, mod, refine_iters)
+    sizes = assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.round(
+            F.sum("n").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_cell"),
+        F.round(
+            F.max("n").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("imbalance"),
+    )

@@ -336,6 +336,31 @@ def _cluster_prune(
     return keep.join(survivors, "doc_id", "left_semi")
 
 
+def _perplexity_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    drop_buckets: tuple = ("tail",),
+) -> DataFrame:
+    """CCNet perplexity gate (round 10d): drop documents whose
+    bigram-LM fluency lands in the given per-language terciles
+    (ccnet_perplexity_buckets; CCNet keeps head, drops or
+    down-weights tail — Wenzek et al. 2020). CORPUS-WIDE verdict
+    hazard is mild but real: the tercile CUT POINTS are computed over
+    the full corpus, not the surviving keep-set, so a heavily
+    pre-filtered keep-set can see slightly more or fewer than a third
+    of its members in each corpus-grain bucket (the cut itself never
+    moves, which is what makes the funnel reproducible)."""
+    from flapi_spark.operators.text import ccnet_perplexity_buckets
+
+    survivors = (
+        ccnet_perplexity_buckets(spark, sf_dir)
+        .where(~F.col("bucket").isin(*list(drop_buckets)))
+        .select("doc_id")
+    )
+    return keep.join(survivors, "doc_id", "left_semi")
+
+
 def _topic_cap(
     spark: SparkSession,
     sf_dir: str,
@@ -410,6 +435,7 @@ STAGES = {
     "quality": _quality,
     "boilerplate_gate": _boilerplate_gate,
     "classifier_gate": _classifier_gate,
+    "perplexity_gate": _perplexity_gate,
     "langid": _langid,
     "exact_dedup": _exact_dedup,
     "near_dedup": _near_dedup,

@@ -5701,6 +5701,10 @@ def _embedding_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_outlier_prune(spark, sf_dir)
 
 
+def _ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_cell_report(spark, sf_dir)
+
+
 QUERIES.update(
     {
         "cluster_topic_card": (
@@ -5767,6 +5771,34 @@ QUERIES.update(
             "  round(CAST(SUM(CAST(round(p * ln(p / q), 12)"
             "   AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_to_corpus"
             " FROM grid GROUP BY source",
+        ),
+        "ann_filtered_topk": (
+            S.ann_filtered_topk,
+            "SELECT qid, cid, cosine, rnk FROM ("
+            " SELECT a.vec_id AS qid, b.vec_id AS cid,"
+            f"  {_COS.format(a='a', b='b')} AS cosine,"
+            "  row_number() OVER (PARTITION BY a.vec_id"
+            f"   ORDER BY {_COS.format(a='a', b='b')} DESC,"
+            "    b.vec_id ASC) AS rnk"
+            " FROM embeddings a"
+            " JOIN embeddings b ON a.vec_id <= 5 AND b.vec_id > 5"
+            " JOIN documents d ON d.doc_id = b.vec_id"
+            "  AND d.lang = 'en'"
+            ") t WHERE rnk <= 10",
+        ),
+        "ivf_cell_report": (
+            _ivf_cell_report,
+            "WITH " + _cluster_assign_ctes()
+            + ", sizes AS (SELECT cell_id, count(*) AS n FROM asg"
+            "  GROUP BY 1)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_cells,"
+            "  CAST(SUM(n) AS BIGINT) AS n_vectors,"
+            "  CAST(MIN(n) AS BIGINT) AS min_cell,"
+            "  CAST(MAX(n) AS BIGINT) AS max_cell,"
+            "  round(CAST(SUM(n) AS DOUBLE) / count(*), 6) AS mean_cell,"
+            "  round(CAST(MAX(n) AS DOUBLE) * count(*)"
+            "   / CAST(SUM(n) AS DOUBLE), 6) AS imbalance"
+            " FROM sizes",
         ),
         "dp_event_counts": (
             R.dp_event_counts,
@@ -5853,6 +5885,7 @@ _CHECK_FIRST = [
     "embedding_outlier_prune", "source_token_kl",
     "lpa_communities", "lpa_indexed",
     "dp_event_counts", "text_unicode_sanitize",
+    "ann_filtered_topk", "ivf_cell_report",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -5862,8 +5895,10 @@ _CHECK_FIRST = [
     # VERDICT r9 item-1 cohort; the builder's 8-entry r9 spot
     # re-drive was 8/8 bit-exact — this makes the driver confirm)
     "customer_activity_full_outer", "forecast_seasonal_naive",
-    "funnel_time_to_convert", "gini_customer_revenue",
-    "hhi_market_concentration",
+    "funnel_time_to_convert",
+    # gini_customer_revenue / hhi_market_concentration rotate out for
+    # ann_filtered_topk / ivf_cell_report (both re-driven green by
+    # this round's full in-session contract drives)
     # kaplan_meier_order_gaps, percentile_order_values,
     # text_readability_flesch, src_duckdb_query, q2_min_price_parts,
     # and q8_market_share rotate out for the six 10d entries: each was

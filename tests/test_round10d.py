@@ -122,3 +122,95 @@ def test_text_unicode_sanitize_idempotent(spark, sf_dir):
     for r in got:
         if r.doc_id % 7 != 3:
             assert r.clean_md5 == want[r.doc_id]
+
+
+def test_ann_filtered_topk_matches_python_filter(spark, sf_dir, duck):
+    """Pre-filter semantics: the filtered top-k equals the full exact
+    ranking filtered to lang='en' docs and re-cut at k."""
+    from flapi_spark.operators.dedup import cosine_col
+    from flapi_spark.operators.similarity import ann_filtered_topk
+    from flapi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    en = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .where("lang = 'en'")
+        .collect()
+    }
+    q = emb.where("vec_id <= 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    c = emb.where("vec_id > 5").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ec")
+    )
+    full = (
+        q.crossJoin(c)
+        .select("qid", "cid", cosine_col("eq", "ec").alias("cos"))
+        .collect()
+    )
+    want = {}
+    for qid in {r.qid for r in full}:
+        ranked = sorted(
+            (r for r in full if r.qid == qid and r.cid in en),
+            key=lambda r: (-r.cos, r.cid),
+        )[:10]
+        want[qid] = [r.cid for r in ranked]
+    got = {}
+    for r in sorted(
+        ann_filtered_topk(spark, sf_dir).collect(),
+        key=lambda r: (r.qid, r.rnk),
+    ):
+        got.setdefault(r.qid, []).append(r.cid)
+        assert r.cid in en  # every hit passes the metadata filter
+    assert got == want
+    from flapi_spark.queries import QUERIES
+
+    assert_df_matches_oracle(
+        ann_filtered_topk(spark, sf_dir), duck,
+        QUERIES["ann_filtered_topk"][1],
+    )
+
+
+def test_ivf_cell_report_invariants(spark, sf_dir, duck):
+    from flapi_spark.operators.similarity import ivf_cell_report
+    from flapi_spark.queries import QUERIES
+    from flapi_spark.session import load_table
+
+    r = ivf_cell_report(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert r.n_vectors == n
+    assert r.min_cell <= r.mean_cell <= r.max_cell
+    assert r.imbalance >= 1.0
+    assert abs(r.mean_cell - round(n / r.n_cells, 6)) < 1e-9
+    assert_df_matches_oracle(
+        ivf_cell_report(spark, sf_dir), duck,
+        QUERIES["ivf_cell_report"][1],
+    )
+
+
+def test_perplexity_gate_stage(spark, sf_dir):
+    from flapi_spark.operators.text import ccnet_perplexity_buckets
+    from flapi_spark.pipeline import curate
+
+    rep = curate(spark, sf_dir, stages=["perplexity_gate"])
+    got = {r.doc_id for r in rep.keep.collect()}
+    want = {
+        r.doc_id
+        for r in ccnet_perplexity_buckets(spark, sf_dir)
+        .where("bucket <> 'tail'")
+        .collect()
+    }
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == (want & docs) and 0 < len(got) < len(docs)
+    # an empty drop set keeps everything
+    keep_all = curate(
+        spark, sf_dir,
+        stages=[{"stage": "perplexity_gate", "drop_buckets": ()}],
+    ).keep
+    assert keep_all.count() == len(docs)
