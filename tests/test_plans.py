@@ -625,3 +625,48 @@ def test_postings_append_equals_rebuild(spark, sf_dir):
     finally:
         for t in tables:
             _rm_table(spark, t)
+
+
+def test_ann_filtered_pushes_lang_to_scan(spark, sf_dir):
+    """round 10d: the metadata pre-filter must reach the documents
+    parquet scan (a filtered-search that reads every doc row is
+    post-filtering in disguise), and the query side must broadcast."""
+    plan = _plan(spark, "ann_filtered_topk", sf_dir)
+    assert "PushedFilters:" in plan
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("lang" in p for p in pushed)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_family_assignment_broadcasts(spark, sf_dir):
+    """round 10d: the cluster-curation family's centroid side is a
+    broadcast (bounded summary) — corpus never shuffles for the
+    assignment; the only wide exchanges key on vec_id/cell_id."""
+    for name in (
+        "cluster_topic_card", "cluster_balanced_keepset",
+        "embedding_outlier_prune", "ivf_cell_report",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" in plan or (
+            "BroadcastExchange" in plan
+        ), name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_unicode_sanitize_shuffle_free(spark, sf_dir):
+    """round 10d: sanitation is a pure per-row projection."""
+    plan = _plan(spark, "text_unicode_sanitize", sf_dir)
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "lang" not in read
+
+
+def test_dp_event_counts_single_shuffle(spark, sf_dir):
+    """round 10d: one grouped aggregate (partial+final), then per-group
+    projections — exactly one exchange."""
+    plan = _plan(spark, "dp_event_counts", sf_dir)
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "CartesianProduct" not in plan
