@@ -4381,7 +4381,8 @@ def bm25_search_expanded(
 
 
 def dp_event_counts(
-    spark: SparkSession, sf_dir: str, epsilon: float = 0.5
+    spark: SparkSession, sf_dir: str, epsilon: float = 0.5,
+    seed: str = "",
 ) -> DataFrame:
     """Differentially-private release of the per-(event_type, day)
     event counts: Laplace(1/ε) noise on each count (sensitivity 1 —
@@ -4391,14 +4392,20 @@ def dp_event_counts(
     together they are the privacy surface an analytics endpoint
     publishes through. The released frame carries NO true counts.
 
-    The noise is DETERMINISTIC pseudo-randomness (the repo's portable
-    md5 discipline): u ∈ (0,1) from the md5 of the group key via the
-    inverse CDF X = -(1/ε)·sgn(u-½)·ln(1-2|u-½|). Deterministic noise
-    is what makes the release replayable by the exact DuckDB oracle —
-    a production deployment would swap one seed column in (the same
-    swap every portable-hash twin documents) without changing the
-    plan. u is centered on the half-ULP grid ((h+0.5)/2^52), so
-    1-2|u-½| ∈ (0,1] and the ln never sees zero.
+    The noise is DETERMINISTIC pseudo-randomness: u ∈ (0,1) from the
+    md5 of seed‖group-key via the inverse CDF
+    X = -(1/ε)·sgn(u-½)·ln(1-2|u-½|), centered on the half-ULP grid
+    ((h+0.5)/2^52) so 1-2|u-½| ∈ (0,1] and the ln never sees zero.
+    PRIVACY CONTRACT: with the registry default seed="" the noise is
+    a public function of the published key — fully invertible, ZERO
+    privacy — which is exactly what makes the release replayable by
+    the exact DuckDB oracle (this entry is arithmetic-verification
+    plumbing, like every portable-hash twin). A real deployment MUST
+    pass a SECRET `seed`: the mechanism is then the standard Laplace
+    release (noise unpredictable without the secret), the plan is
+    unchanged, and the md5→inverse-CDF arithmetic stays identical —
+    only the salt stops being public. Tests pin that distinct seeds
+    decorrelate the noise and that |noise| scales exactly 1/ε.
 
     Scale shape: one map-side-combined groupBy, then pure codegen
     projections; the md5/ln arithmetic is per-GROUP, not per-row."""
@@ -4407,7 +4414,8 @@ def dp_event_counts(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     key = F.concat_ws(
-        "|", F.col("event_type"), F.date_format("day", "yyyy-MM-dd")
+        "|", F.lit(seed), F.col("event_type"),
+        F.date_format("day", "yyyy-MM-dd"),
     )
     h = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 13))

@@ -148,17 +148,12 @@ def ivf_centroids(emb: DataFrame, mod: int = N_CELLS_MOD) -> DataFrame:
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
     """Assign each vector to its top-`nprobe` nearest centroids by
     cosine: one streamed pass (broadcast-scored + per-vector top-nprobe),
-    shuffling only (vec_id, cell_id) pairs."""
-    scored = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    ).crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell_id", cosine_col("embedding", "centroid").alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= nprobe)
-        .select("vec_id", "cell_id")
+    shuffling only (vec_id, cell_id) pairs. THE assignment plan lives
+    in assign_with_sim (round-10d review: a hand-kept copy here would
+    have to stay bit-identical for the oracle contract); this wrapper
+    just drops the score column."""
+    return assign_with_sim(vectors, centroids, nprobe).select(
+        "vec_id", "cell_id"
     )
 
 
@@ -1459,14 +1454,16 @@ def retrieval_mmr_hybrid(
 # index already use.
 
 
-def assign_with_sim(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cell_id, sim): the `ivf_assign` winner WITH its cosine
-    to the assigned centroid — the prototypicality score the cluster
-    curation family ranks on. Same plan shape as ivf_assign (broadcast
-    centroids, one streamed scoring pass, shuffle carries only the
-    narrow triple), so the 100 TB posture is unchanged: raise the
-    sampling modulus with corpus size to hold the centroid count
-    fixed."""
+def assign_with_sim(
+    emb: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """(vec_id, cell_id, sim): top-`nprobe` centroid assignment WITH
+    the cosine kept — THE one assignment plan (ivf_assign is a
+    column-dropping wrapper; the cluster-curation family ranks on the
+    score). Broadcast centroids, one streamed scoring pass, shuffle
+    carries only the narrow triple — raise the sampling modulus with
+    corpus size to hold the centroid count (and so per-vector scoring
+    cost) fixed."""
     scored = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
     ).crossJoin(F.broadcast(centroids)).select(
@@ -1475,7 +1472,7 @@ def assign_with_sim(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     return (
         scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .where(F.col("r") <= nprobe)
         .select("vec_id", "cell_id", "sim")
     )
 

@@ -353,9 +353,23 @@ def _perplexity_gate(
     moves, which is what makes the funnel reproducible)."""
     from flapi_spark.operators.text import ccnet_perplexity_buckets
 
+    # YAML configs naturally write `drop_buckets: tail` (a bare
+    # string) — without this normalization list('tail') would explode
+    # into characters and the gate would silently keep everything
+    if isinstance(drop_buckets, str):
+        drop_buckets = (drop_buckets,)
+    drop = list(drop_buckets)
+    unknown = set(drop) - {"head", "middle", "tail"}
+    if unknown:
+        raise ValueError(
+            f"perplexity_gate: unknown bucket(s) {sorted(unknown)}"
+            " (valid: head, middle, tail)"
+        )
+    if not drop:
+        return keep
     survivors = (
         ccnet_perplexity_buckets(spark, sf_dir)
-        .where(~F.col("bucket").isin(*list(drop_buckets)))
+        .where(~F.col("bucket").isin(*drop))
         .select("doc_id")
     )
     return keep.join(survivors, "doc_id", "left_semi")

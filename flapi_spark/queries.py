@@ -5807,9 +5807,12 @@ QUERIES.update(
             "   AS TIMESTAMP) AS day,"
             "  count(*) AS n FROM events GROUP BY 1, 2),"
             " h AS (SELECT event_type, day, n,"
-            "  (CAST(CAST(concat('0x', substr(md5(concat(event_type,"
-            "   '|', strftime(day, '%Y-%m-%d'))), 1, 13)) AS BIGINT)"
-            "   AS DOUBLE) + 0.5) / 4503599627370496.0 AS u"
+            # leading '|' = the empty registry-default seed rendered
+            # through the same seed|type|day concat the operator uses
+            "  (CAST(CAST(concat('0x', substr(md5(concat('|',"
+            "   event_type, '|', strftime(day, '%Y-%m-%d'))), 1, 13))"
+            "   AS BIGINT) AS DOUBLE) + 0.5)"
+            "   / 4503599627370496.0 AS u"
             "  FROM g)"
             " SELECT event_type, day, CAST(0.5 AS DOUBLE) AS epsilon,"
             "  round(n + (-(1.0 / 0.5) * sign(u - 0.5)"

@@ -14,8 +14,8 @@ def _oracle(name):
     return QUERIES[name][1]
 
 
-def _laplace_noise(key: str, epsilon: float) -> float:
-    h = int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+def _laplace_noise(key: str, epsilon: float, seed: str = "") -> float:
+    h = int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:13], 16)
     u = (h + 0.5) / float(16 ** 13)
     s = u - 0.5
     return -(1.0 / epsilon) * math.copysign(1.0, s) * math.log(
@@ -53,6 +53,23 @@ def test_dp_event_counts_python_replay(spark, sf_dir, duck):
     assert_df_matches_oracle(
         dp_event_counts(spark, sf_dir), duck, _oracle("dp_event_counts")
     )
+    # a SECRET seed decorrelates the noise from the public key (the
+    # deployment contract) without changing the plan or arithmetic
+    seeded = {
+        (r.event_type, r.day): r.noisy_count
+        for r in dp_event_counts(spark, sf_dir, epsilon=eps,
+                                 seed="s3cret").collect()
+    }
+    public = {(r.event_type, r.day): r.noisy_count for r in rows}
+    assert set(seeded) == set(public)
+    assert any(seeded[k] != public[k] for k in seeded)
+    for (et, day), v in seeded.items():
+        want = round(
+            true[(et, day)]
+            + _laplace_noise(f"{et}|{day:%Y-%m-%d}", eps, seed="s3cret"),
+            6,
+        )
+        assert v == want
 
 
 def test_dp_event_counts_epsilon_scales_noise(spark, sf_dir):

@@ -1830,7 +1830,9 @@ def test_topic_mix_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     assert len(centroid_rows) >= 2
     ref = ST.topic_ref_shares(emb, centroid_rows)
 
-    incoming = emb.limit(60).select(
+    # orderBy pins the subset: limit() without an ordering may pick
+    # different rows across the three jobs below (round-10d review)
+    incoming = emb.orderBy("vec_id").limit(60).select(
         F.to_timestamp(
             F.concat(
                 F.lit("2026-01-01 0"),
