@@ -305,3 +305,80 @@ def lpa_neardup_graph(
         "doc_a", "doc_b"
     )
     return label_propagation(pairs)
+
+
+def lpa_modularity(pairs: DataFrame, iterations: int = LPA_ITERATIONS) -> DataFrame:
+    """Newman modularity of the LPA partition — the single number
+    that says whether the propagated communities actually carve the
+    near-dup graph at its joints (Q ≈ 0: no better than random;
+    Q ≳ 0.3: real structure; the eval companion lpa_communities acts
+    on, the way ann_recall_eval grades the ANN index):
+
+        Q = Σ_c [ L_c/m − (d_c / 2m)² ]
+
+    with L_c = intra-community edge count, d_c = community degree
+    sum, m = distinct undirected edges — all exact integers, so every
+    per-community term is one identical IEEE expression cross-engine
+    (snapped to the 1e-12 grid, decimal-summed; exact oracle).
+
+    Scale shape: the label pass is label_propagation; on top, one
+    edge⋈label⋈label intra count + one degree aggregate — linear,
+    keyed shuffles only. `m` is the one driver scalar (the pagerank
+    node-count discipline)."""
+    p = (
+        pairs.select(
+            F.col("doc_a").cast("long").alias("a"),
+            F.col("doc_b").cast("long").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = label_propagation(p.select(F.col("a").alias("doc_a"),
+                                        F.col("b").alias("doc_b")),
+                               iterations).select("doc_id", "community")
+    m = p.count()
+    la = labels.select(F.col("doc_id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        p.join(la, "a").join(lb, "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    deg = (
+        p.select(F.col("a").alias("node"))
+        .union(p.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        labels.join(deg, labels.doc_id == deg.node)
+        .groupBy(F.col("community").alias("c"))
+        .agg(F.sum("d").alias("dsum"))
+    )
+    r = F.col("dsum").cast("double") / F.lit(float(2 * m))
+    term = F.col("lc").cast("double") / F.lit(float(m)) - r * r
+    return (
+        dc.join(intra, "c", "left")
+        .select("c", F.coalesce("lc", F.lit(0)).alias("lc"), "dsum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.lit(m).cast("long").alias("n_edges"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(38,12)"))
+                .cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def lpa_modularity_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Modularity of the LPA communities over the Jaccard near-dup
+    graph (see lpa_modularity)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b"
+    )
+    return lpa_modularity(pairs)

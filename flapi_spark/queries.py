@@ -5618,17 +5618,18 @@ QUERIES.update(
 # --- round 10d: cluster-grain curation + LPA communities + KL drift ---------
 
 
-def _lpa_sql(pairs_sql: str | None = None) -> str:
-    """Chained-CTE DuckDB replication of graph.label_propagation:
-    per unrolled round, neighbor labels + the self-vote, (count desc,
-    label asc) mode — integer arithmetic only, so labels match
-    bit-for-bit. `pairs_sql` swaps the pair-stream CTE (see
-    _pagerank_sql)."""
+def _lpa_ctes(pairs_sql: str | None = None) -> tuple[str, str]:
+    """Chained-CTE DuckDB replication of graph.label_propagation's
+    rounds: per unrolled round, neighbor labels + the self-vote,
+    (count desc, label asc) mode — integer arithmetic only, so labels
+    match bit-for-bit. Returns (cte_chain, final_label_cte_name);
+    `pairs_sql` swaps the pair-stream CTE (see _pagerank_sql).
+    Shared by the communities and modularity oracles."""
     from flapi_spark.operators import graph as G
 
     it = G.LPA_ITERATIONS
     sql = (
-        "WITH pairs AS MATERIALIZED ("
+        "pairs AS MATERIALIZED ("
         + (pairs_sql or _JACCARD_PAIRS) + "),"
         " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),"
@@ -5646,13 +5647,51 @@ def _lpa_sql(pairs_sql: str | None = None) -> str:
             "   ORDER BY n DESC, label ASC) AS r"
             f"  FROM c{k}) t WHERE r = 1),"
         )
-    return sql + (
-        f" sz AS (SELECT label, count(*) AS community_size FROM l{it}"
+    return sql[:-1], f"l{it}"
+
+
+def _lpa_sql(pairs_sql: str | None = None) -> str:
+    ctes, lf = _lpa_ctes(pairs_sql)
+    return (
+        "WITH " + ctes + ","
+        f" sz AS (SELECT label, count(*) AS community_size FROM {lf}"
         "  GROUP BY label)"
         " SELECT CAST(node AS BIGINT) AS doc_id,"
         "  CAST(label AS BIGINT) AS community,"
         "  CAST(community_size AS BIGINT) AS community_size"
-        f" FROM l{it} JOIN sz USING (label)"
+        f" FROM {lf} JOIN sz USING (label)"
+    )
+
+
+def _lpa_modularity_sql(pairs_sql: str | None = None) -> str:
+    """Newman modularity of the LPA partition, replayed exactly:
+    Q = Σ_c [L_c/m − (d_c/2m)²] from exact integers (intra-edge count,
+    degree sum, edge count), one double term per community snapped to
+    the 1e-12 grid and decimal-summed."""
+    ctes, lf = _lpa_ctes(pairs_sql)
+    return (
+        "WITH " + ctes + ","
+        " p2 AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),"
+        " mm AS (SELECT count(*) AS m FROM p2),"
+        " intra AS (SELECT la.label AS c, count(*) AS lc"
+        f"  FROM p2 JOIN {lf} la ON la.node = p2.a"
+        f"  JOIN {lf} lb ON lb.node = p2.b"
+        "  WHERE la.label = lb.label GROUP BY 1),"
+        " deg AS (SELECT u AS node, count(*) AS d FROM edges"
+        "  GROUP BY 1),"
+        " dc AS (SELECT l.label AS c, SUM(d.d) AS dsum"
+        f"  FROM {lf} l JOIN deg d ON d.node = l.node GROUP BY 1),"
+        " terms AS (SELECT dc.c, coalesce(intra.lc, 0) AS lc, dc.dsum,"
+        "  (SELECT m FROM mm) AS m FROM dc"
+        "  LEFT JOIN intra ON intra.c = dc.c)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_communities,"
+        "  CAST(MAX(m) AS BIGINT) AS n_edges,"
+        "  round(CAST(SUM(CAST(round("
+        "   CAST(lc AS DOUBLE) / m"
+        "   - (CAST(dsum AS DOUBLE) / (2 * m))"
+        "     * (CAST(dsum AS DOUBLE) / (2 * m)), 12)"
+        "   AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity"
+        " FROM terms"
     )
 
 
@@ -5669,6 +5708,12 @@ def _lpa_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.operators.graph import label_propagation
 
     return label_propagation(_portable_index_pairs(spark, sf_dir))
+
+
+def _lpa_modularity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flapi_spark.operators.graph import lpa_modularity_neardup
+
+    return lpa_modularity_neardup(spark, sf_dir)
 
 
 def _cluster_assign_ctes(mod: int = 25) -> str:
@@ -5748,6 +5793,10 @@ QUERIES.update(
         "lpa_indexed": (
             _lpa_indexed,
             _lpa_sql(pairs_sql=_MINHASH_PAIRS_SQL),
+        ),
+        "lpa_modularity": (
+            _lpa_modularity_neardup,
+            _lpa_modularity_sql(),
         ),
         "source_token_kl": (
             T.source_token_kl,
@@ -5888,7 +5937,7 @@ _CHECK_FIRST = [
     "embedding_outlier_prune", "source_token_kl",
     "lpa_communities", "lpa_indexed",
     "dp_event_counts", "text_unicode_sanitize",
-    "ann_filtered_topk", "ivf_cell_report",
+    "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -5914,9 +5963,9 @@ _CHECK_FIRST = [
     # by this round's full in-session contract drives
     "ols_quantity_on_price", "paginate_orders",
     "paginate_orders_keyset", "part_type_share",
-    "q14_promo_revenue_share",
-    # q16 rotates out for curriculum_order (re-driven green by this
-    # round's full in-session drives)
+    # q14 rotates out for lpa_modularity (re-driven green by this
+    # round's full in-session drives);
+    # q16 rotates out for curriculum_order (ditto)
     "q17_small_qty_revenue",
     # session_path_trigrams rotates out for hybrid_search_indexed
     # (re-driven green by this round's full in-session drives)

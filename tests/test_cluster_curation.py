@@ -258,3 +258,75 @@ def test_topic_cap_stage(spark, sf_dir):
         stages=[{"stage": "topic_cap", "per_cell": 10 ** 6}],
     ).keep
     assert keep_all.count() == len(docs)
+
+
+def test_label_propagation_random_graphs_match_replay(spark):
+    """Seeded-random graphs (8 draws, mixed density): the distributed
+    LPA equals the pure-python replay on every one — the property
+    version of the golden test."""
+    import random
+
+    from flapi_spark.operators.graph import label_propagation
+
+    rng = random.Random(42)
+    for trial in range(8):
+        n = rng.randint(4, 24)
+        density = rng.choice([0.08, 0.2, 0.5])
+        pairs = sorted(
+            {
+                (a, b)
+                for a in range(1, n)
+                for b in range(a + 1, n + 1)
+                if rng.random() < density
+            }
+        )
+        if not pairs:
+            continue
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.community
+            for r in label_propagation(df).collect()
+        }
+        want = _python_lpa(pairs)
+        assert got == want, f"trial {trial}: {pairs}"
+
+
+def test_lpa_modularity_python_replay(spark):
+    """Modularity replay on the bridged-triangles graph; the
+    partitioned graph scores positive, and a single-community
+    partition of a clique scores 0 (Q of the trivial partition)."""
+    from flapi_spark.operators.graph import lpa_modularity
+
+    pairs = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (4, 5),
+        (5, 6), (6, 7), (5, 7),
+        (10, 11),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    r = lpa_modularity(df).collect()[0]
+    labels = _python_lpa(pairs)
+    m = len(pairs)
+    comms = set(labels.values())
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    q = 0.0
+    for c in comms:
+        members = {n for n, lab in labels.items() if lab == c}
+        lc = sum(1 for a, b in pairs if a in members and b in members)
+        dc = sum(deg[n] for n in members)
+        q += round(lc / m - (dc / (2 * m)) * (dc / (2 * m)), 12)
+    assert r.n_communities == len(comms)
+    assert r.n_edges == m
+    assert r.modularity == round(q, 6)
+    assert r.modularity > 0  # the partition beats random
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rc = lpa_modularity(
+        spark.createDataFrame(clique, "doc_a long, doc_b long")
+    ).collect()[0]
+    # LPA collapses a clique to one community; Q of the whole-graph
+    # partition is m/m - 1 = 0
+    assert rc.n_communities == 1 and rc.modularity == 0.0
