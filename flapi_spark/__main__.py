@@ -288,6 +288,16 @@ def _cmd_curate(args) -> int:
         # (a 100 TB keep-set is still billions of rows — never
         # coalesce(1) an output on principle)
         rep.keep.write.mode("overwrite").parquet(args.output)
+    if args.shards_out:
+        from flapi_spark.pipeline import materialize_training_corpus
+
+        manifest = materialize_training_corpus(
+            spark, args.data, rep.keep, args.shards_out,
+            n_shards=args.n_shards, seed=args.shard_seed,
+        )
+        for r in sorted(manifest.collect(), key=lambda r: r.shard):
+            print(f"shard={r.shard}	n_docs={r.n_docs}"
+                  f"	n_tokens={r.n_tokens}")
     return 0
 
 
@@ -398,6 +408,13 @@ def main(argv: list[str] | None = None) -> int:
         help="write the surviving doc_id keep-set as parquet",
     )
     cup.add_argument("--json", action="store_true")
+    cup.add_argument(
+        "--shards-out", default=None,
+        help="materialize the curated corpus as ordered training"
+             " shards (shard=K/ parquet layout + manifest)",
+    )
+    cup.add_argument("--n-shards", type=int, default=8)
+    cup.add_argument("--shard-seed", default="epoch0")
     cup.set_defaults(fn=_cmd_curate)
 
     args = ap.parse_args(argv)

@@ -663,3 +663,58 @@ def _token_sum(tokmap: DataFrame, keep: DataFrame) -> int:
         .collect()[0]
     )
     return int(row["t"])
+
+
+def materialize_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """The last mile of the curation chain (round 10d): write the
+    surviving corpus as deterministic, training-ready shards and
+    return the shard manifest. Shard identity and within-shard order
+    come from corpus_shard_assign's seeded md5 rank — decorrelated
+    from crawl/source order, reproducible across reruns and engines,
+    re-shuffled per epoch by changing `seed`. Output layout:
+    ``out_dir/shard=K/*.parquet`` rows (doc_id, position, text,
+    source, lang, n_tokens), sorted by position within each shard's
+    files.
+
+    Scale shape: one id-grain semi-join (keep-set, never text,
+    flows), the shard/position projection, then ONE shuffle keyed on
+    shard with `sortWithinPartitions(position)` — each shard writes
+    as one ordered partition; raise n_shards with corpus size so a
+    shard fits an executor (the corpus_shard_assign contract).
+    Overwrite mode makes re-materialization idempotent. The returned
+    manifest (shard, n_docs, n_tokens) is what a trainer's data
+    loader reads first — a shard-count or token-budget mismatch is a
+    pipeline bug surfaced before any GPU spins."""
+    from flapi_spark.operators.text import _tokens, corpus_shard_assign
+
+    assign = corpus_shard_assign(
+        spark, sf_dir, n_shards=n_shards, seed=seed
+    ).select("doc_id", "shard", F.col("pos").alias("position"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .join(keep.select("doc_id"), "doc_id", "left_semi")
+        .join(assign, "doc_id")
+        .select(
+            "doc_id", "shard", "position", "text", "source", "lang",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+        )
+    )
+    (
+        docs.repartition(n_shards, "shard")
+        .sortWithinPartitions("position")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -454,3 +454,26 @@ def test_curate_verb_rejects_bad_config(sf_dir, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="non-empty 'stages'"):
         main(["curate", "--pipeline", str(cfg), "--data", sf_dir])
+
+
+def test_curate_verb_materializes_shards(spark, sf_dir, tmp_path, capsys):
+    """round 10d: --shards-out writes the curated corpus as ordered
+    shard=K parquet and prints the manifest; doc total matches the
+    funnel's final count."""
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text("stages:\n  - quality\n")
+    out = str(tmp_path / "shards")
+    assert main([
+        "curate", "--pipeline", str(cfg), "--data", sf_dir,
+        "--shards-out", out, "--n-shards", "3",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    n_final = int(lines[1].split("\t")[3])
+    manifest = [l for l in lines if l.startswith("shard=")]
+    assert len(manifest) == 3
+    assert sum(int(l.split("\t")[1].split("=")[1]) for l in manifest) \
+        == n_final
+    written = spark.read.parquet(out)
+    assert written.count() == n_final
+    assert {r.shard for r in written.select("shard").distinct().collect()} \
+        == {0, 1, 2}

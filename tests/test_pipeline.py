@@ -424,3 +424,52 @@ def test_full_chain_with_semantic_dedup(spark, sf_dir):
     assert counts[-1] > 0
     dropped = {s["stage"]: s["n_in"] - s["n_out"] for s in rep.stages}
     assert dropped["semantic_dedup"] > 0  # the embedding modality bites
+
+
+def test_materialize_training_corpus(spark, sf_dir, tmp_path):
+    """round 10d: the last-mile writer — kept docs land once each,
+    sharded and ordered by the seeded md5 rank; the manifest matches
+    what was written; re-materialization is idempotent; a new seed
+    reshuffles shard membership but not the doc set."""
+    from flapi_spark.operators.text import corpus_shard_assign
+    from flapi_spark.pipeline import curate, materialize_training_corpus
+
+    rep = curate(spark, sf_dir, stages=["quality"])
+    kept = {r.doc_id for r in rep.keep.collect()}
+    out = str(tmp_path / "shards")
+    manifest = materialize_training_corpus(
+        spark, sf_dir, rep.keep, out, n_shards=4
+    )
+    rows = manifest.collect()
+    assert {r.shard for r in rows} <= set(range(4))
+    assert sum(r.n_docs for r in rows) == len(kept)
+    written = spark.read.parquet(out)
+    assert {r.doc_id for r in written.collect()} == kept
+    # shard+position match the deterministic assignment
+    assign = {
+        r.doc_id: (r.shard, r.position)
+        for r in corpus_shard_assign(spark, sf_dir, n_shards=4,
+                                     seed="epoch0")
+        .select("doc_id", "shard", F.col("pos").alias("position"))
+        .collect()
+    }
+    for r in written.select("doc_id", "shard", "position").collect():
+        assert assign[r.doc_id] == (r.shard, r.position)
+    # idempotent re-run (overwrite), identical manifest
+    manifest2 = materialize_training_corpus(
+        spark, sf_dir, rep.keep, out, n_shards=4
+    )
+    assert sorted(map(tuple, manifest2.collect())) == sorted(
+        map(tuple, rows)
+    )
+    # epoch reshuffle: same docs, different arrangement
+    m3 = materialize_training_corpus(
+        spark, sf_dir, rep.keep, out, n_shards=4, seed="epoch1"
+    )
+    w3 = spark.read.parquet(out)
+    assert {r.doc_id for r in w3.collect()} == kept
+    a3 = {
+        r.doc_id: (r.shard, r.position)
+        for r in w3.select("doc_id", "shard", "position").collect()
+    }
+    assert any(a3[d] != assign[d] for d in kept)
