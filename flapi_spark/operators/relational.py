@@ -4431,3 +4431,60 @@ def dp_event_counts(
         F.lit(float(epsilon)).alias("epsilon"),
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
     )
+
+
+def l_diversity_orders(
+    spark: SparkSession, sf_dir: str, l: int = 3
+) -> DataFrame:
+    """l-diversity over the same quasi-identifier classes as
+    k_anonymity_orders, with the customer's market segment as the
+    sensitive attribute: a class is l-diverse iff it contains ≥ l
+    DISTINCT sensitive values — the attack k-anonymity misses
+    (a class of 50 rows that all share one segment re-identifies the
+    attribute even though no ROW re-identifies; Machanavajjhala et
+    al. 2007). Completes the governance trio: k-anonymity (row
+    linkage), l-diversity (attribute disclosure), dp_event_counts
+    (released aggregates).
+
+    Per class: size, distinct sensitive count, the dominant value's
+    share (homogeneity — 1.0 means full disclosure), violation flag.
+    One join + two grouped aggregates + one per-class argmax window;
+    all shares divide exact integers. Exact oracle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rows = orders.join(cust, "o_custkey").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "c_mktsegment",
+    )
+    per_val = rows.groupBy(
+        "o_orderpriority", "o_orderstatus", "o_year", "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(
+        "o_orderpriority", "o_orderstatus", "o_year"
+    ).orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    return (
+        per_val.withColumn("r", F.row_number().over(w))
+        .groupBy("o_orderpriority", "o_orderstatus", "o_year")
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+            F.max(F.when(F.col("r") == 1, F.col("n"))).alias("top_n"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_year",
+            "class_size",
+            "n_sensitive",
+            F.round(
+                F.col("top_n").cast("double") / F.col("class_size"), 6
+            ).alias("homogeneity"),
+            (F.col("n_sensitive") < l).alias("violates_l"),
+        )
+    )

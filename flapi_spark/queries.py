@@ -5798,6 +5798,26 @@ QUERIES.update(
             _lpa_modularity_neardup,
             _lpa_modularity_sql(),
         ),
+        "l_diversity_orders": (
+            R.l_diversity_orders,
+            "WITH rows_ AS (SELECT o_orderpriority, o_orderstatus,"
+            "  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            "   AS o_year, c_mktsegment"
+            "  FROM orders JOIN customer ON c_custkey = o_custkey),"
+            " per_val AS (SELECT o_orderpriority, o_orderstatus,"
+            "  o_year, c_mktsegment, count(*) AS n FROM rows_"
+            "  GROUP BY 1, 2, 3, 4),"
+            " rk AS (SELECT *, row_number() OVER ("
+            "  PARTITION BY o_orderpriority, o_orderstatus, o_year"
+            "  ORDER BY n DESC, c_mktsegment ASC) AS r FROM per_val)"
+            " SELECT o_orderpriority, o_orderstatus, o_year,"
+            "  CAST(SUM(n) AS BIGINT) AS class_size,"
+            "  CAST(count(*) AS BIGINT) AS n_sensitive,"
+            "  round(CAST(MAX(CASE WHEN r = 1 THEN n END) AS DOUBLE)"
+            "   / SUM(n), 6) AS homogeneity,"
+            "  count(*) < 3 AS violates_l"
+            " FROM rk GROUP BY 1, 2, 3",
+        ),
         "source_token_kl": (
             T.source_token_kl,
             f"WITH toks AS (SELECT source, unnest({_TOKS}) AS tok"
@@ -5938,6 +5958,7 @@ _CHECK_FIRST = [
     "lpa_communities", "lpa_indexed",
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
+    "l_diversity_orders",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -5966,7 +5987,8 @@ _CHECK_FIRST = [
     # q14 rotates out for lpa_modularity (re-driven green by this
     # round's full in-session drives);
     # q16 rotates out for curriculum_order (ditto)
-    "q17_small_qty_revenue",
+    # q17 rotates out for l_diversity_orders (re-driven green by
+    # this round's full in-session drives)
     # session_path_trigrams rotates out for hybrid_search_indexed
     # (re-driven green by this round's full in-session drives)
 

@@ -231,3 +231,30 @@ def test_perplexity_gate_stage(spark, sf_dir):
         stages=[{"stage": "perplexity_gate", "drop_buckets": ()}],
     ).keep
     assert keep_all.count() == len(docs)
+
+
+def test_l_diversity_invariants(spark, sf_dir, duck):
+    from flapi_spark.operators.relational import (
+        k_anonymity_orders, l_diversity_orders,
+    )
+    from flapi_spark.queries import QUERIES
+
+    rows = l_diversity_orders(spark, sf_dir).collect()
+    # same equivalence classes as k-anonymity (shared quasi-identifier)
+    kcls = {
+        (r.o_orderpriority, r.o_orderstatus, r.o_year): r.class_size
+        for r in k_anonymity_orders(spark, sf_dir).collect()
+    }
+    assert {
+        (r.o_orderpriority, r.o_orderstatus, r.o_year): r.class_size
+        for r in rows
+    } == kcls
+    for r in rows:
+        assert 1 <= r.n_sensitive <= min(r.class_size, 5)  # 5 segments
+        assert r.homogeneity >= round(1.0 / r.n_sensitive, 6) - 1e-9
+        assert r.homogeneity <= 1.0
+        assert r.violates_l == (r.n_sensitive < 3)
+    assert_df_matches_oracle(
+        l_diversity_orders(spark, sf_dir), duck,
+        QUERIES["l_diversity_orders"][1],
+    )
