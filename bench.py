@@ -100,6 +100,7 @@ HEADLINE = [
     "lpa_indexed",
     "dp_event_counts",
     "text_unicode_sanitize",
+    "cluster_card_indexed",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

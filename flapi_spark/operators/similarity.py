@@ -1513,10 +1513,20 @@ def cluster_topic_card(
     to documents on the id + two grouped aggregates — all linear, no
     pairwise term anywhere."""
     assign = _cell_members(spark, sf_dir, mod, refine_iters)
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "source", "n_chars"
+    docs = load_table(spark, sf_dir, "documents")
+    return topic_card_rollup(assign, docs)
+
+
+def topic_card_rollup(assign: DataFrame, docs: DataFrame) -> DataFrame:
+    """THE topic-card aggregation over any (vec_id, cell_id)
+    membership frame — shared by the inline entry and the
+    persisted-IVF-index twin (one rollup plan, two membership
+    sources)."""
+    j = assign.select("vec_id", "cell_id").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source",
+                    "n_chars"),
+        "vec_id",
     )
-    j = assign.join(docs, "vec_id")
     per_src = j.groupBy("cell_id", "source").agg(
         F.count(F.lit(1)).alias("n")
     )

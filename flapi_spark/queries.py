@@ -5750,6 +5750,50 @@ def _ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cell_report(spark, sf_dir)
 
 
+def _ensure_cluster_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """One-time bootstrap of the default (sampled-centroid, mod 25)
+    IVF index for the cluster-card indexed twin — the same
+    (applicationId, table) discipline as every persisted-index
+    entry."""
+    import os
+    import shutil
+
+    from flapi_spark.operators.similarity import write_ivf_index
+    from flapi_spark.session import load_table as _lt
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    itable = f"cluster_ivf_{suffix}"
+    key = f"{spark.sparkContext.applicationId}:{itable}"
+    if key not in _NEARDUP_IDX_BUILT:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        wpath = warehouse.removeprefix("file:")
+        for t in (itable, f"{itable}__centroids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
+        write_ivf_index(spark, _lt(spark, sf_dir, "embeddings"), itable)
+        _NEARDUP_IDX_BUILT.add(key)
+    return itable
+
+
+def _cluster_card_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_topic_card's production shape: the per-cell data card
+    served from the PERSISTED bucketed IVF index — cell membership is
+    a bucketed scan (zero assignment scoring, zero index-side
+    exchange on the cell rollup), only the id-grain join to documents
+    touches the corpus. Same rows as the inline entry (the index
+    freezes the same sampled mod-25 assignment), so it reuses that
+    exact oracle — the index changes the plan, not the rows."""
+    from flapi_spark.operators.similarity import topic_card_rollup
+    from flapi_spark.session import load_table as _lt
+
+    itable = _ensure_cluster_ivf(spark, sf_dir)
+    return topic_card_rollup(
+        spark.table(itable), _lt(spark, sf_dir, "documents")
+    )
+
+
 QUERIES.update(
     {
         "cluster_topic_card": (
@@ -5797,6 +5841,12 @@ QUERIES.update(
         "lpa_modularity": (
             _lpa_modularity_neardup,
             _lpa_modularity_sql(),
+        ),
+        "cluster_card_indexed": (
+            _cluster_card_indexed,
+            # identical oracle to the inline entry — the persisted
+            # index changes the plan, not the rows
+            None,  # placeholder replaced just below
         ),
         "l_diversity_orders": (
             R.l_diversity_orders,
@@ -5927,6 +5977,13 @@ QUERIES.update(
         ),
     }
 )
+# the indexed twin freezes the same sampled mod-25 assignment the
+# inline entry derives, so its rows — and hence its oracle — are
+# identical (the round-7 neardup_matrix_indexed convention)
+QUERIES["cluster_card_indexed"] = (
+    _cluster_card_indexed,
+    QUERIES["cluster_topic_card"][1],
+)
 
 
 # --- driver-check ordering -------------------------------------------------
@@ -5958,7 +6015,7 @@ _CHECK_FIRST = [
     "lpa_communities", "lpa_indexed",
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
-    "l_diversity_orders",
+    "l_diversity_orders", "cluster_card_indexed",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -5992,7 +6049,8 @@ _CHECK_FIRST = [
     # session_path_trigrams rotates out for hybrid_search_indexed
     # (re-driven green by this round's full in-session drives)
 
-    "shape_redact_customers",
+    # shape_redact rotates out for cluster_card_indexed (re-driven
+    # green by this round's full in-session drives)
     "tax_burden_by_brand",
     "tpl_customers_all", "tpl_customers_by_segment",
     # user_overlap_exact/_hll + welch_ttest_segments rotate out for

@@ -330,3 +330,23 @@ def test_lpa_modularity_python_replay(spark):
     # LPA collapses a clique to one community; Q of the whole-graph
     # partition is m/m - 1 = 0
     assert rc.n_communities == 1 and rc.modularity == 0.0
+
+
+def test_cluster_card_indexed_matches_inline_and_is_bucketed(
+    spark, sf_dir
+):
+    """round 10d: the persisted-IVF topic card equals the inline
+    entry row-for-row, and its membership side is a bucketed index
+    scan (no cosine scoring in the plan)."""
+    from flapi_spark.queries import QUERIES
+
+    inline = QUERIES["cluster_topic_card"][0](spark, sf_dir)
+    indexed_df = QUERIES["cluster_card_indexed"][0](spark, sf_dir)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, indexed_df.collect())
+    )
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # zero assignment scoring: the index scan replaces the
+    # centroid crossJoin entirely
+    assert "aggregate(" not in plan  # cosine_col's fold is absent
