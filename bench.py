@@ -101,6 +101,8 @@ HEADLINE = [
     "dp_event_counts",
     "text_unicode_sanitize",
     "cluster_card_indexed",
+    # the seven-stage chain with the embedding-space pair deployed
+    "pipeline_curation_funnel_semantic",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -4483,6 +4483,7 @@ def _keep_chain(
     with_html: bool,
     lang_cond: str = "predicted_lang <> 'unknown'",
     with_classifier: bool = False,
+    with_cluster: bool = False,
 ) -> tuple[list[str], list[tuple[str, str]]]:
     """The curation keep-chain as (ctes, stages): k{i} CTEs each
     narrowing k{i-1} by one stage's keep-predicate — shared by the
@@ -4516,6 +4517,22 @@ def _keep_chain(
          f"doc_id IN  (SELECT doc_id FROM ({e}) e)"),
         ("near_dedup",
          f"doc_id IN  (SELECT doc_id FROM ({kb}) kb WHERE keep)"),
+    ]
+    if with_cluster:
+        # the embedding-space pair (round 10d): SemDeDup survivors,
+        # then the centroid-distance outlier gate — both corpus-wide
+        # verdicts on vec_id == doc_id, replicated as IN-subqueries
+        # over those entries' own oracles
+        sd = QUERIES["semdedup_clusters"][1]
+        op = QUERIES["embedding_outlier_prune"][1]
+        stages += [
+            ("semantic_dedup",
+             f"doc_id IN  (SELECT vec_id FROM ({sd}) sd WHERE keep)"),
+            ("cluster_prune",
+             f"doc_id IN  (SELECT vec_id FROM ({op}) op"
+             "  WHERE NOT outlier)"),
+        ]
+    stages += [
         ("decontam",
          f"doc_id NOT IN  (SELECT DISTINCT train_doc FROM ({c}) c)"),
     ]
@@ -4531,6 +4548,7 @@ def _curation_funnel_chain_sql(
     lang_cond: str = "predicted_lang <> 'unknown'",
     with_classifier: bool = False,
     measure: str = "docs",
+    with_cluster: bool = False,
 ) -> str:
     """ONE chained-CTE funnel builder for all curation-funnel
     oracles (round 10 — the html variant was a hand-shifted copy):
@@ -4542,7 +4560,9 @@ def _curation_funnel_chain_sql(
     parameterizes the langid keep condition (allow-list replay for
     the YAML-config test), and `measure` picks doc counts or token
     sums."""
-    ctes, stages = _keep_chain(with_html, lang_cond, with_classifier)
+    ctes, stages = _keep_chain(
+        with_html, lang_cond, with_classifier, with_cluster
+    )
     if measure == "docs":
         cnt = "SELECT count(*) FROM k{i}"
         cols = ("n_in", "n_out", "n_dropped")
@@ -5986,6 +6006,35 @@ QUERIES["cluster_card_indexed"] = (
 )
 
 
+def _pipeline_curation_funnel_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation funnel with the EMBEDDING-SPACE pair deployed
+    (round 10d): quality → langid → exact → near-dup keep-best →
+    semantic_dedup → cluster_prune → decontam. Every stage an
+    already-oracled operator; the oracle chains those same SQL bodies
+    as keep-set CTEs (with_cluster=True in the shared builder)."""
+    from flapi_spark.pipeline import curate
+
+    return curate(
+        spark,
+        sf_dir,
+        stages=[
+            "quality", "langid", "exact_dedup", "near_dedup",
+            "semantic_dedup", "cluster_prune", "decontam",
+        ],
+    ).funnel_df
+
+
+# registered HERE (not in the round-9 funnel block): the with_cluster
+# predicates read the cluster entries' oracles out of QUERIES, which
+# exist only after the round-10d update above
+QUERIES["pipeline_curation_funnel_semantic"] = (
+    _pipeline_curation_funnel_semantic,
+    _curation_funnel_chain_sql(with_html=False, with_cluster=True),
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6016,6 +6065,7 @@ _CHECK_FIRST = [
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
     "l_diversity_orders", "cluster_card_indexed",
+    "pipeline_curation_funnel_semantic",
     "quality_classifier_score", "quality_classifier_eval",
     "quality_classifier_train", "corpus_report",
     "pipeline_curation_funnel_gated", "pipeline_token_funnel",
@@ -6051,7 +6101,8 @@ _CHECK_FIRST = [
 
     # shape_redact rotates out for cluster_card_indexed (re-driven
     # green by this round's full in-session drives)
-    "tax_burden_by_brand",
+    # tax_burden rotates out for pipeline_curation_funnel_semantic
+    # (re-driven green by this round's full in-session drives)
     "tpl_customers_all", "tpl_customers_by_segment",
     # user_overlap_exact/_hll + welch_ttest_segments rotate out for
     # retrieval_eval_rankmetrics / dedup_components_incremental /
