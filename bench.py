@@ -103,6 +103,15 @@ HEADLINE = [
     "cluster_card_indexed",
     # the seven-stage chain with the embedding-space pair deployed
     "pipeline_curation_funnel_semantic",
+    # round 10e: the entity-resolution lane (blocking + levenshtein
+    # verify, O(log n) clustering, golden-record merge; the indexed
+    # twin pays the bootstrap once, min-of-runs reports the probe)
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_golden_record",
+    "er_pairs_indexed",
+    # and the profiling layer (single-scan multi-distinct card)
+    "table_profile_orders",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

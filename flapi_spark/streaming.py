@@ -874,6 +874,55 @@ def embedding_guard_batch(
     )
 
 
+def er_guard_stream(recs_stream: DataFrame, index: DataFrame) -> DataFrame:
+    """Ingestion-time identity guard for the RECORD lane (round 10e,
+    the mirror of neardup_guard_stream for entities): a stream of
+    incoming records (rec_id, name) checked against the persisted
+    bucketed blocking index — "is this customer already in my MDM
+    store under a slightly different spelling?" — before it lands.
+
+    Every stage is stateless (append-mode safe, zero streaming
+    state): per-row affix block keys (a projection + generator
+    explode), a stream-static equi-join on the bucket key (kind, k)
+    — the index side reads as a bucketed scan with ZERO exchange
+    (linkage.write_er_index) — then the row-local length prefilter +
+    levenshtein verify; the name column rides in the index so the
+    verify needs no second join. Work per micro-batch is
+    O(delta x block-cohabitants), independent of corpus size.
+
+    Emission is at-least-once per (record, index) pair (a pair
+    co-blocking under BOTH affix keys emits twice, kind as
+    evidence); dedup belongs to the sink, as in every other guard.
+    Static-side FRESHNESS: same V1 file-source contract — appends by
+    er_index_maintainer are seen by a guard (re)built from a fresh
+    spark.table() per availableNow run."""
+    from flapi_spark.operators.linkage import er_guard_probe
+
+    return er_guard_probe(recs_stream, index)
+
+
+def er_guard_batch(recs: DataFrame, index: DataFrame) -> DataFrame:
+    """Batch twin of er_guard_stream — same helper, batch input; the
+    equality anchor in tests."""
+    from flapi_spark.operators.linkage import er_guard_probe
+
+    return er_guard_probe(recs, index)
+
+
+def er_index_maintainer(table: str, marker_dir: str):
+    """Streaming maintenance of the persisted blocking index: fold
+    each micro-batch's records into the bucketed index via
+    linkage.append_er_index. Same replay/refresh semantics as every
+    maintainer built on replay_maintainer (duplicates cost verify
+    work, never correctness — the guard emits at-least-once anyway)."""
+    from flapi_spark.operators.linkage import append_er_index
+
+    def _do(spark, batch_df):
+        append_er_index(spark, batch_df, table)
+
+    return replay_maintainer(marker_dir, _do, (table,))
+
+
 def ivf_index_maintainer(table: str, marker_dir: str):
     """Streaming maintenance of the persisted IVF index (round 9): a
     ``writeStream.foreachBatch`` callable folding each micro-batch's
