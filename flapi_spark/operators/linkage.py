@@ -26,24 +26,27 @@ bit-for-bit, so each stage has an EXACT oracle:
   threshold by design, so measured recall < 1 and the eval entry has
   a real signal instead of a tautological 1.0
 
-Name tokens are indexed by a portable md5 mix of the custkey (the
-same Spark-conv / DuckDB-'0x' bridge every portable hash in this repo
-uses), NOT by linear modular functions — c_custkey % k indexes would
-all cycle with period lcm(k), giving custkey and custkey+120
-byte-identical record families and collisions that grow SYSTEMATICALLY
-with corpus size. With md5 mixing the 24*24*24*5 = 69,120-combo name
-space collides birthday-randomly: a handful of cross-entity
-exact-duplicate pairs at sf0.01, so measured precision dips below 1
-for real reasons (identical names, different entities) and the eval
-entry reports it instead of a synthesized artifact.
+Name tokens and the zip discriminator are indexed by a portable md5
+mix of the custkey (the same Spark-conv / DuckDB-'0x' bridge every
+portable hash in this repo uses), NOT by linear modular functions —
+c_custkey % k indexes would all cycle with period lcm(k), giving
+custkey and custkey+120 byte-identical record families and collisions
+that grow SYSTEMATICALLY with corpus size. With md5 mixing the
+(24*24*5 names) x (50 zips) identity space collides
+birthday-randomly: a handful of cross-entity (same-name, same-zip)
+pairs at sf0.01, so measured precision dips below 1 for real reasons
+and the eval entry reports it instead of a synthesized artifact.
 
 Scale shape (the 100 TB story):
 - Blocking is the standard ER scalability lever: candidate pairs come
   from a self-equi-join on (key_kind, block_key) — one hash shuffle
-  on the block key, never a cross join. Work is sum(block_size^2);
-  `er_block_stats` is the audit dial that reports exactly that per
-  key kind (max block + implied pair count), which is what you watch
-  before launching the join at scale.
+  on the block key, never a cross join. Work is sum(block_size^2), so
+  the block key must carry enough cardinality to keep block sizes
+  BOUNDED as the corpus grows — that is what the zip discriminator in
+  the key does (see ER_ZIP_MOD for the measured 160s -> sub-second
+  difference at sf0.1). `er_block_stats` is the audit dial that
+  reports exactly that per key kind (max block + implied pair count),
+  which is what you watch before launching the join at scale.
 - The verify predicate is JVM-side end to end: a length prefilter
   (|len_a-len_b| <= threshold, a classic levenshtein lower bound)
   runs before the O(len^2) `levenshtein` — both are Catalyst
@@ -78,14 +81,21 @@ ER_LAST = [
     "materials", "outfitters", "dynamics", "imports", "packaging",
     "surveying", "transport", "ventures", "works",
 ]
-ER_CITY = [
-    "ashford", "brimley", "cartwell", "dovercourt", "eastmere",
-    "fernwick", "graystone", "halbrook", "inverness", "jorvik",
-    "kingsbury", "larkspur", "millbrae", "newholm", "oakden",
-    "pemberton", "quimby", "redcliff", "southgate", "tremont",
-    "umbria", "vantage", "winslow", "yarmouth",
-]
 ER_SUFFIX = ["", " llc", " inc", " co", " gmbh"]
+
+# Blocking discriminator cardinality: every record carries a zip-like
+# attribute derived from the SAME md5 mix (true variants inherit it —
+# they describe the same entity), and the block key is (zip, affix).
+# Single-attribute affix blocking over a bounded name vocabulary is a
+# scale trap: block sizes grow linearly with the corpus, so the
+# candidate join grows QUADRATICALLY (measured: 160 s at sf0.1 vs
+# sub-second with the zip in the key). Multi-attribute blocking is
+# the standard ER answer (Christen 2012, ch. 4); the fixed mod here
+# is exact-oracle plumbing — production grows the discriminator's
+# cardinality with the corpus (real zips have ~40k values), which is
+# the `zip_mod` knob the scale smoke turns, same contract as
+# semdedup_fixed_cells.
+ER_ZIP_MOD = 50
 
 # portable custkey mixer: Spark conv(substr(md5, 1, 15), 16, 10) ==
 # DuckDB CAST('0x' || substr(md5, 1, 15) AS BIGINT) — 60 bits, positive
@@ -109,7 +119,7 @@ def _sql_array(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-def er_records_sql() -> str:
+def er_records_sql(zip_mod: int = ER_ZIP_MOD) -> str:
     """The shared records CTE body (DuckDB dialect) — every linkage
     oracle opens with `WITH ` + this. Mirrors er_records() exactly."""
     return (
@@ -121,38 +131,41 @@ def er_records_sql() -> str:
         "   CAST(h % 24 AS INT) + 1) AS w1,"
         f"  list_extract({_sql_array(ER_LAST)},"
         "   CAST((h // 24) % 24 AS INT) + 1) AS w2,"
-        f"  list_extract({_sql_array(ER_CITY)},"
-        "   CAST((h // 576) % 24 AS INT) + 1) AS city,"
         f"  list_extract({_sql_array(ER_SUFFIX)},"
-        "   CAST((h // 13824) % 5 AS INT) + 1) AS sfx"
+        "   CAST((h // 576) % 5 AS INT) + 1) AS sfx,"
+        f"  CAST((h // 2880) % {zip_mod} AS INT) AS zip"
         "  FROM hashed),"
-        " named AS (SELECT ck, p,"
-        "  w1 || ' ' || w2 || ' ' || city || sfx AS name,"
-        "  w1, w2, city, sfx FROM rec),"
+        " named AS (SELECT ck, p, zip,"
+        "  w1 || ' ' || w2 || sfx AS name,"
+        "  w1, w2, sfx FROM rec),"
         " recs AS ("
-        "  SELECT ck * 10 AS rec_id, 'crm' AS src, name FROM named"
+        "  SELECT ck * 10 AS rec_id, 'crm' AS src, name, zip"
+        "  FROM named"
         "  UNION ALL"
         "  SELECT ck * 10 + 1, 'web',"
-        "   substr(name, 1, p - 1) || substr(name, p + 1)"
+        "   substr(name, 1, p - 1) || substr(name, p + 1), zip"
         "  FROM named WHERE ck % 3 = 1"
         "  UNION ALL"
         "  SELECT ck * 10 + 2, 'app',"
         "   substr(name, 1, p - 1) || substr(name, p + 1, 1)"
-        "    || substr(name, p, 1) || substr(name, p + 2)"
+        "    || substr(name, p, 1) || substr(name, p + 2), zip"
         "  FROM named WHERE ck % 3 = 2"
         "  UNION ALL"
         "  SELECT ck * 10 + 3, 'legacy',"
-        "   w2 || ' ' || w1 || ' ' || city || sfx"
+        "   w2 || ' ' || w1 || sfx, zip"
         "  FROM named WHERE ck % 12 = 0)"
     )
 
 
-def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(rec_id, src, name): the deterministic dirty table.
+def er_records(
+    spark: SparkSession, sf_dir: str, zip_mod: int = ER_ZIP_MOD
+) -> DataFrame:
+    """(rec_id, src, name, zip): the deterministic dirty table.
 
     Pure Catalyst expressions (element_at over literal arrays +
     substring surgery); ~1.9 rows out per customer row in, derived in
-    the scan projection — no shuffle, no Python.
+    the scan projection — no shuffle, no Python. Variants inherit the
+    base record's zip: they are sightings of the same entity.
     """
     c = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -161,21 +174,23 @@ def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = F.array(*[F.lit(w) for w in ER_FIRST])
     last = F.array(*[F.lit(w) for w in ER_LAST])
-    city = F.array(*[F.lit(w) for w in ER_CITY])
     sfx = F.array(*[F.lit(w) for w in ER_SUFFIX])
     named = c.select(
         "ck",
         F.element_at(first, F.expr("cast(h % 24 as int) + 1")).alias("w1"),
         F.element_at(last, F.expr("cast((h div 24) % 24 as int) + 1")).alias("w2"),
-        F.element_at(city, F.expr("cast((h div 576) % 24 as int) + 1")).alias("city"),
-        F.element_at(sfx, F.expr("cast((h div 13824) % 5 as int) + 1")).alias("sfx"),
+        F.element_at(sfx, F.expr("cast((h div 576) % 5 as int) + 1")).alias("sfx"),
+        F.expr(f"cast((h div 2880) % {zip_mod} as int)").alias("zip"),
         (F.lit(3) + F.col("ck") % 2).cast("int").alias("p"),
     ).withColumn(
         "name",
-        F.concat_ws("", F.concat_ws(" ", "w1", "w2", "city"), "sfx"),
+        F.concat_ws("", F.concat_ws(" ", "w1", "w2"), "sfx"),
     )
     orig = named.select(
-        (F.col("ck") * 10).alias("rec_id"), F.lit("crm").alias("src"), "name"
+        (F.col("ck") * 10).alias("rec_id"),
+        F.lit("crm").alias("src"),
+        "name",
+        "zip",
     )
     web = named.filter(F.col("ck") % 3 == 1).select(
         (F.col("ck") * 10 + 1).alias("rec_id"),
@@ -183,6 +198,7 @@ def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "concat(substring(name, 1, p - 1), substring(name, p + 1))"
         ).alias("name"),
+        "zip",
     )
     app = named.filter(F.col("ck") % 3 == 2).select(
         (F.col("ck") * 10 + 2).alias("rec_id"),
@@ -191,13 +207,13 @@ def er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(substring(name, 1, p - 1), substring(name, p + 1, 1),"
             " substring(name, p, 1), substring(name, p + 2))"
         ).alias("name"),
+        "zip",
     )
     legacy = named.filter(F.col("ck") % 12 == 0).select(
         (F.col("ck") * 10 + 3).alias("rec_id"),
         F.lit("legacy").alias("src"),
-        F.concat_ws(
-            "", F.concat_ws(" ", "w2", "w1", "city"), "sfx"
-        ).alias("name"),
+        F.concat_ws("", F.concat_ws(" ", "w2", "w1"), "sfx").alias("name"),
+        "zip",
     )
     return orig.unionByName(web).unionByName(app).unionByName(legacy)
 
@@ -207,10 +223,14 @@ _CORE = r" (llc|inc|co|gmbh)$"
 
 def er_block_keys(recs: DataFrame) -> DataFrame:
     """(rec_id, name, kind, k): two blocking keys per record — the
-    first 3 and last 3 chars of the legal-suffix-stripped core name
-    (standard affix blocking; a single in-word edit can break at most
-    one of the two, so true variant pairs always co-block)."""
+    zip discriminator concatenated with the first 3 / last 3 chars of
+    the legal-suffix-stripped core name (multi-attribute blocking: a
+    single in-word edit can break at most one of the two affixes, and
+    true variant pairs share the zip, so they always co-block; the
+    zip bounds block sizes, which is what keeps the candidate join
+    linear — see ER_ZIP_MOD)."""
     core = F.regexp_replace("name", _CORE, "")
+    zipc = F.col("zip").cast("string")
     return recs.select(
         "rec_id",
         "name",
@@ -218,11 +238,17 @@ def er_block_keys(recs: DataFrame) -> DataFrame:
             F.array(
                 F.struct(
                     F.lit("pre").alias("kind"),
-                    F.substring(core, 1, 3).alias("k"),
+                    F.concat_ws(
+                        ":", zipc, F.substring(core, 1, 3)
+                    ).alias("k"),
                 ),
                 F.struct(
                     F.lit("suf").alias("kind"),
-                    core.substr(F.length(core) - 2, F.lit(3)).alias("k"),
+                    F.concat_ws(
+                        ":",
+                        zipc,
+                        core.substr(F.length(core) - 2, F.lit(3)),
+                    ).alias("k"),
                 ),
             )
         ).alias("bk"),
@@ -232,15 +258,17 @@ def er_block_keys(recs: DataFrame) -> DataFrame:
 def er_block_keys_sql() -> str:
     """keys CTE (append after er_records_sql())."""
     return (
-        " cored AS (SELECT rec_id, name,"
+        " cored AS (SELECT rec_id, name, zip,"
         f"  regexp_replace(name, ' (llc|inc|co|gmbh)$', '') AS core"
         "  FROM recs),"
         " keys AS ("
         "  SELECT rec_id, name, 'pre' AS kind,"
-        "   substr(core, 1, 3) AS k FROM cored"
+        "   CAST(zip AS VARCHAR) || ':' || substr(core, 1, 3) AS k"
+        "  FROM cored"
         "  UNION ALL"
         "  SELECT rec_id, name, 'suf',"
-        "   substr(core, length(core) - 2, 3) FROM cored)"
+        "   CAST(zip AS VARCHAR) || ':'"
+        "    || substr(core, length(core) - 2, 3) FROM cored)"
     )
 
 

@@ -35,7 +35,7 @@ def _py_records(custkeys):
     import hashlib
 
     from flapi_spark.operators.linkage import (
-        ER_CITY, ER_FIRST, ER_LAST, ER_SUFFIX,
+        ER_FIRST, ER_LAST, ER_SUFFIX, ER_ZIP_MOD,
     )
 
     recs = {}
@@ -43,20 +43,21 @@ def _py_records(custkeys):
         h = int(hashlib.md5(f"er:{ck}".encode()).hexdigest()[:15], 16)
         w1 = ER_FIRST[h % 24]
         w2 = ER_LAST[(h // 24) % 24]
-        city = ER_CITY[(h // 576) % 24]
-        sfx = ER_SUFFIX[(h // 13824) % 5]
-        name = f"{w1} {w2} {city}{sfx}"
+        sfx = ER_SUFFIX[(h // 576) % 5]
+        zipc = (h // 2880) % ER_ZIP_MOD
+        name = f"{w1} {w2}{sfx}"
         p = 3 + ck % 2  # 1-based
-        recs[ck * 10] = ("crm", name)
+        recs[ck * 10] = ("crm", name, zipc)
         if ck % 3 == 1:
-            recs[ck * 10 + 1] = ("web", name[: p - 1] + name[p:])
+            recs[ck * 10 + 1] = ("web", name[: p - 1] + name[p:], zipc)
         if ck % 3 == 2:
             recs[ck * 10 + 2] = (
                 "app",
                 name[: p - 1] + name[p] + name[p - 1] + name[p + 1 :],
+                zipc,
             )
         if ck % 12 == 0:
-            recs[ck * 10 + 3] = ("legacy", f"{w2} {w1} {city}{sfx}")
+            recs[ck * 10 + 3] = ("legacy", f"{w2} {w1}{sfx}", zipc)
     return recs
 
 
@@ -65,7 +66,7 @@ def records(spark, sf_dir):
     from flapi_spark.operators.linkage import er_records
 
     return {
-        r.rec_id: (r.src, r.name)
+        r.rec_id: (r.src, r.name, r.zip)
         for r in er_records(spark, sf_dir).collect()
     }
 
@@ -82,7 +83,7 @@ def test_er_records_matches_python_replay(spark, sf_dir, records):
 
 def test_er_damage_classes_have_designed_distances(records):
     by_base = {}
-    for rec_id, (src, name) in records.items():
+    for rec_id, (src, name, _zip) in records.items():
         by_base.setdefault(rec_id // 10, {})[src] = name
     n_web = n_app = n_legacy = 0
     for members in by_base.values():
@@ -111,7 +112,7 @@ def test_er_blocking_recall_on_editable_variants(spark, sf_dir, records):
         (r.rec_a, r.rec_b)
         for r in er_blocked_pairs(spark, sf_dir).collect()
     }
-    for rec_id, (src, name) in records.items():
+    for rec_id, (src, name, _zip) in records.items():
         if src in ("web", "app"):
             base_id = (rec_id // 10) * 10
             if _py_levenshtein(records[base_id][1], name) <= 2:
@@ -253,7 +254,7 @@ def test_er_guard_stream_equals_batch_and_index_resident(
 
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         stream = spark.readStream.schema(
-            "rec_id BIGINT, src STRING, name STRING"
+            "rec_id BIGINT, src STRING, name STRING, zip INT"
         ).parquet(str(d))
         guarded = ST.er_guard_stream(stream, spark.table(table))
         name = "t" + uuid.uuid4().hex[:10]

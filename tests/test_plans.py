@@ -670,3 +670,57 @@ def test_dp_event_counts_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "dp_event_counts", sf_dir)
     assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
     assert "CartesianProduct" not in plan
+
+
+def test_er_records_scan_prunes_to_custkey(spark, sf_dir):
+    """round 10e: the dirty-table synthesis needs ONLY c_custkey —
+    the customer scan must not drag the other four columns along,
+    and record derivation is a pure projection (no exchange)."""
+    from flapi_spark.operators.linkage import er_records
+
+    df = er_records(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read
+    assert "c_name" not in read and "c_acctbal" not in read
+    assert "Exchange" not in plan
+
+
+def test_er_blocked_pairs_shuffles_on_block_key_only(spark, sf_dir):
+    """round 10e: candidate generation is an equi-join on the block
+    key — never a cartesian product — and the levenshtein verify
+    stays in the join's projection (no Python evaluator)."""
+    plan = _plan(spark, "er_blocked_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_er_golden_record_single_entity_shuffle(spark, sf_dir):
+    """round 10e: survivor choice + member/source counts ride ONE
+    window partitioning on entity_id (plus the clustering joins) —
+    no per-metric re-shuffle of the records."""
+    plan = _plan(spark, "er_golden_record", sf_dir)
+    assert plan.count("Window") <= 2  # one window op (+AQE re-read)
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_card_is_single_aggregate(spark, sf_dir):
+    """round 10e: the per-column card is ONE aggregate over ONE scan
+    (the exact multi-distinct Expand is the documented cost); the
+    card pivot is a literal-array explode, not a scan loop."""
+    plan = _plan(spark, "table_profile_orders", sf_dir)
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan  # exact multi-column distinct
+    assert "CartesianProduct" not in plan
+
+
+def test_fd_checks_prune_to_checked_columns(spark, sf_dir):
+    """round 10e: each FD check's scan reads exactly its lhs/rhs."""
+    plan = _plan(spark, "fd_violations", sf_dir)
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    lineitem_reads = [r for r in reads if "l_orderkey" in r or "l_partkey" in r]
+    assert lineitem_reads
+    for r in lineitem_reads:
+        assert "l_extendedprice" not in r and "l_comment" not in r
