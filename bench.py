@@ -112,6 +112,10 @@ HEADLINE = [
     "er_pairs_indexed",
     # and the profiling layer (single-scan multi-distinct card)
     "table_profile_orders",
+    # round 10e: curation observability + decontamination depth
+    # (broadcast-benchmark max-cosine; full-chain drop attribution)
+    "contamination_semantic",
+    "curation_drop_attribution",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

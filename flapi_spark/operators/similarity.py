@@ -1703,3 +1703,67 @@ def ivf_cell_report(
             6,
         ).alias("imbalance"),
     )
+
+
+# deterministic benchmark membership for semantic decontamination:
+# every 37th vector plays the held-out eval suite (~2.7% of the
+# corpus) — the injected-ground-truth pattern the n-gram decontam
+# entry (text.contamination_ngram_overlap) and the recall evals use
+BENCHMARK_MOD = 37
+
+
+def contamination_semantic(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3,
+    bench_mod: int = BENCHMARK_MOD,
+) -> DataFrame:
+    """SEMANTIC decontamination scores: for every non-benchmark
+    corpus embedding, the max cosine against the benchmark set
+    (vec_id % bench_mod == 0) and the contaminated verdict at
+    `threshold` — the embedding-space complement of the n-gram
+    decontam gate (paraphrased eval leakage shares no 8-gram but
+    sits right next to the benchmark in embedding space; see Yang et
+    al. 2023, "Rethinking Benchmark and Contamination"). The default
+    threshold (0.3) is deliberately STRICTER than the near-dup
+    cosine threshold (0.4): decontamination errs toward dropping.
+
+    Output: (vec_id, max_cosine, contaminated) — one row per
+    non-benchmark corpus vector. vec_id == doc_id is the corpus
+    contract (same as semantic_dedup / hybrid retrieval).
+
+    Scale shape (the 100 TB story): benchmark suites are TINY
+    relative to the corpus (thousands of rows), so the benchmark
+    side BROADCASTS — the corpus streams through one
+    BroadcastNestedLoopJoin with zero corpus shuffle for the join,
+    and the per-vector max folds map-side in the (vec_id) partial
+    aggregate before the one id-grain shuffle. Cosines run as the
+    whole-stage-codegen multiply-add chain (_unpacked_embeddings),
+    not interpreted array folds. Cost is O(n·b) compares — inherent
+    to exact max-similarity — spread over every core; for a
+    benchmark too big to broadcast, pre-bucket both sides with the
+    hyperplane LSH (dedup_embedding_lsh's machinery) and verify only
+    cohabitants, trading exactness for recall like the dedup lane.
+
+    Exact DuckDB oracle: same membership rule, same double-chain
+    dot product (list_dot_product bridge), max over identical
+    doubles is order-independent."""
+    from flapi_spark.operators.dedup import (
+        _pair_cosine, _unpacked_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = _unpacked_embeddings(
+        emb.where(F.pmod(F.col("vec_id"), F.lit(bench_mod)) != 0), "a"
+    )
+    bench = _unpacked_embeddings(
+        emb.where(F.pmod(F.col("vec_id"), F.lit(bench_mod)) == 0), "b"
+    )
+    scored = corpus.join(F.broadcast(bench)).select(
+        F.col("vec_a").alias("vec_id"), _pair_cosine().alias("cosine")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cosine").alias("max_cosine")
+    ).select(
+        "vec_id",
+        "max_cosine",
+        (F.col("max_cosine") >= F.lit(threshold)).alias("contaminated"),
+    )

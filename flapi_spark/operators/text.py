@@ -2539,3 +2539,48 @@ def text_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars_clean"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# reputation floor: a source must pass the Gopher gates on at least
+# this percentage of its documents for its remaining docs to be
+# trusted — integer percent so the verdict compares exact integers
+SOURCE_REPUTATION_PCT = 70
+
+
+def source_reputation(
+    spark: SparkSession, sf_dir: str, min_pass_pct: int = SOURCE_REPUTATION_PCT
+) -> DataFrame:
+    """Per-source reputation card: Gopher-gate pass rate aggregated
+    to the SOURCE (domain) grain, with the reputable verdict at
+    `min_pass_pct` — the RefinedWeb/C4 two-level insight that
+    document quality is correlated WITHIN a domain, so a domain whose
+    sample fails the heuristic gates en masse should lose its
+    remaining documents too (cheaper and higher-recall than scoring
+    each doc in isolation; Penedo et al. 2023 §3.1 do this with URL
+    blocklists + host-grain rules).
+
+    Output: (source, n_docs, n_pass, pass_rate, reputable). The
+    verdict compares exact integers (n_pass*100 >= pct*n_docs) —
+    no float threshold hazard; pass_rate is reporting only.
+
+    Scale shape: the doc-grain gate verdicts reduce map-side into
+    one tiny (source) aggregate — one shuffle at domain cardinality
+    (~millions of hosts at crawl scale, trivially partitionable);
+    the expensive part is the gate scan the quality stage already
+    pays. Exact DuckDB oracle chains the gopher SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gates = text_gopher_filters(spark, sf_dir).select("doc_id", "keep")
+    per_src = docs.join(gates, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_pass"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.round(F.col("n_pass").cast("double") / F.col("n_docs"), 6)
+        .alias("pass_rate"),
+        (F.col("n_pass") * 100 >= F.lit(int(min_pass_pct)) * F.col("n_docs"))
+        .alias("reputable"),
+    )

@@ -428,6 +428,53 @@ def _mixture_cap(
     )
 
 
+def _source_gate(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    min_pass_pct: int = 70,
+) -> DataFrame:
+    """Source-reputation gate (round 10e): drop every document from a
+    source whose corpus-wide Gopher pass rate falls below
+    `min_pass_pct` — the RefinedWeb host-grain filter: domain quality
+    is correlated, so a domain that fails the gates en masse loses
+    its remaining docs too. Verdicts are corpus-wide (the reputation
+    is a property of the source, not of the current keep-set) but
+    per-document independent — no survivor hazard. The reputable
+    source list is domain-cardinality tiny and BROADCASTS; the
+    keep-set never shuffles for this stage."""
+    from flapi_spark.operators.text import source_reputation
+
+    good = (
+        source_reputation(spark, sf_dir, min_pass_pct=min_pass_pct)
+        .where("reputable")
+        .select("source")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept_docs = docs.join(F.broadcast(good), "source", "left_semi")
+    return keep.join(kept_docs.select("doc_id"), "doc_id", "left_semi")
+
+
+def _semantic_decontam(
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-space decontamination (round 10e): drop documents
+    whose embedding sits within `threshold` cosine of ANY benchmark
+    vector (contamination_semantic; vec_id == doc_id corpus
+    contract) — catches the paraphrased eval leakage the n-gram
+    decontam stage misses. Benchmark members themselves (vec_id %
+    BENCHMARK_MOD == 0) are also dropped: they ARE the held-out eval
+    data. Verdicts are corpus-wide but per-document independent — no
+    survivor hazard."""
+    from flapi_spark.operators.similarity import contamination_semantic
+
+    survivors = (
+        contamination_semantic(spark, sf_dir, threshold=threshold)
+        .where(~F.col("contaminated"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return keep.join(survivors, "doc_id", "left_semi")
+
+
 def _train_split(
     spark: SparkSession, sf_dir: str, keep: DataFrame, split: str = "train"
 ) -> DataFrame:
@@ -460,6 +507,8 @@ STAGES = {
     "cluster_prune": _cluster_prune,
     "topic_cap": _topic_cap,
     "decontam": _decontam,
+    "source_gate": _source_gate,
+    "semantic_decontam": _semantic_decontam,
     "mixture_cap": _mixture_cap,
     "train_split": _train_split,
 }
@@ -652,6 +701,76 @@ def curate(
             tokmap.unpersist()
     report.keep = keep
     return report
+
+
+def curation_drop_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: list | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-(stage, source) FIRST-DROP attribution (round 10e): for
+    every document, which stage removed it — the observability
+    surface behind the funnel. The funnel says "near_dedup dropped
+    1,200 docs"; this says "90% of them came from src7", which is
+    what turns a mysterious attrition cliff into a data-sourcing
+    decision. Documents surviving the whole chain land in the final
+    'kept' bucket, so the n_docs column sums to the corpus size.
+
+    Output: (stage, stage_name, source, n_docs), one row per
+    (stage, source) with a non-zero count; stage len(stages)+1 is
+    'kept'.
+
+    Scale shape: the chain runs ONCE (same stage operators, same
+    checkpointed id-grain keep-sets as curate()); each stage's drop
+    set is keep_prev ANTI-JOIN keep_new at id grain — never text —
+    and the final attribution is one map-side-combined groupBy at
+    (stage, source) cardinality. Exact DuckDB oracle chains the
+    stage predicates as keep-set CTEs and takes per-stage EXCEPTs."""
+    spec = []
+    for s in stages if stages is not None else DEFAULT_STAGES:
+        if isinstance(s, str):
+            name, params = s, {}
+        else:
+            params = dict(s)
+            name = params.pop("stage")
+        if name not in STAGES:
+            raise ValueError(
+                f"curation_drop_attribution: unknown stage {name!r}"
+                f" (available: {sorted(STAGES)})"
+            )
+        spec.append((name, params))
+
+    keep = load_table(spark, sf_dir, "documents").select("doc_id")
+    tagged = []
+    for i, (name, params) in enumerate(spec, 1):
+        new = STAGES[name](spark, sf_dir, keep, **params)
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        tagged.append(
+            keep.join(new, "doc_id", "left_anti").select(
+                "doc_id",
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(name).alias("stage_name"),
+            )
+        )
+        keep = new
+    tagged.append(
+        keep.select(
+            "doc_id",
+            F.lit(len(spec) + 1).cast("long").alias("stage"),
+            F.lit("kept").alias("stage_name"),
+        )
+    )
+    verdicts = tagged[0]
+    for t in tagged[1:]:
+        verdicts = verdicts.unionByName(t)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        verdicts.join(docs, "doc_id")
+        .groupBy("stage", "stage_name", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
 
 
 def _token_sum(tokmap: DataFrame, keep: DataFrame) -> int:

@@ -6117,6 +6117,106 @@ QUERIES.update(
 )
 
 
+# --- round 10e: curation observability + decontamination depth --------------
+
+
+def _contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.contamination_semantic: max cosine of every
+    non-benchmark embedding against the vec_id%37==0 benchmark set +
+    the contaminated verdict at 0.3 — the embedding-space complement
+    of contamination_ngram_overlap (paraphrased leakage shares no
+    8-gram but sits next to the benchmark in embedding space).
+    Benchmark side broadcasts; corpus never shuffles for the join."""
+    from flapi_spark.operators.similarity import contamination_semantic
+
+    return contamination_semantic(spark, sf_dir)
+
+
+def _source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.source_reputation: Gopher pass rate per SOURCE + the
+    integer-compared reputable verdict at 70% — the RefinedWeb
+    host-grain quality correlate (reference serves doc-grain quality
+    only; domain aggregation is the crawl-pipeline standard)."""
+    from flapi_spark.operators.text import source_reputation
+
+    return source_reputation(spark, sf_dir)
+
+
+def _curation_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.curation_drop_attribution over the default chain:
+    which stage FIRST drops each document, counted per (stage,
+    source) — the funnel's missing 'why' axis."""
+    from flapi_spark.pipeline import curation_drop_attribution
+
+    return curation_drop_attribution(spark, sf_dir)
+
+
+_COS_AB = (
+    "(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))"
+)
+
+
+def _drop_attribution_sql() -> str:
+    """Exact replay of curation_drop_attribution over the default
+    chain: the shared keep-chain CTEs (k0..kn), per-stage drop sets
+    as EXCEPTs, the survivors as the final 'kept' bucket."""
+    ctes, stages = _keep_chain(with_html=False)
+    n = len(stages)
+    parts = [
+        f"SELECT CAST({i} AS BIGINT) AS stage,"
+        f" '{name}' AS stage_name, d.source,"
+        f" CAST(count(*) AS BIGINT) AS n_docs"
+        f" FROM (SELECT doc_id FROM k{i - 1}"
+        f"       EXCEPT SELECT doc_id FROM k{i}) x"
+        f" JOIN documents d ON d.doc_id = x.doc_id"
+        f" GROUP BY d.source"
+        for i, (name, _pred) in enumerate(stages, 1)
+    ]
+    parts.append(
+        f"SELECT CAST({n + 1} AS BIGINT) AS stage,"
+        f" 'kept' AS stage_name, d.source,"
+        f" CAST(count(*) AS BIGINT) AS n_docs"
+        f" FROM k{n} x JOIN documents d ON d.doc_id = x.doc_id"
+        f" GROUP BY d.source"
+    )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+QUERIES.update(
+    {
+        "contamination_semantic": (
+            _contamination_semantic,
+            "SELECT a.vec_id,"
+            f" max({_COS_AB}) AS max_cosine,"
+            f" max({_COS_AB}) >= 0.3 AS contaminated"
+            " FROM embeddings a JOIN embeddings b"
+            " ON b.vec_id % 37 = 0 AND a.vec_id % 37 <> 0"
+            " GROUP BY a.vec_id",
+        ),
+        "source_reputation": (
+            _source_reputation,
+            "WITH g AS (" + QUERIES["text_gopher_filters"][1] + ")"
+            " SELECT d.source,"
+            " CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_pass,"
+            " round(CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END)"
+            "  AS DOUBLE) / count(*), 6) AS pass_rate,"
+            " sum(CASE WHEN g.keep THEN 1 ELSE 0 END) * 100"
+            "  >= 70 * count(*) AS reputable"
+            " FROM documents d JOIN g ON d.doc_id = g.doc_id"
+            " GROUP BY d.source",
+        ),
+        "curation_drop_attribution": (
+            _curation_drop_attribution,
+            _drop_attribution_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6130,10 +6230,12 @@ QUERIES.update(
 # drives (all-entry drive_contract runs, FAILS: [] every time).
 _CHECK_FIRST = [
     # NEW round-10e entries (first driver look): the entity-resolution
-    # lane + the profiling/constraint layer
+    # lane + the profiling/constraint layer + curation observability
     "er_blocked_pairs", "er_block_stats", "er_clusters",
     "er_golden_record", "er_eval", "er_pairs_indexed",
     "table_profile_orders", "fd_candidate_keys", "fd_violations",
+    "contamination_semantic", "source_reputation",
+    "curation_drop_attribution",
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
@@ -6154,10 +6256,16 @@ _CHECK_FIRST = [
     "l_diversity_orders", "cluster_card_indexed",
     "pipeline_curation_funnel_semantic",
     "quality_classifier_score", "quality_classifier_eval",
-    "quality_classifier_train", "corpus_report",
-    "pipeline_curation_funnel_gated", "pipeline_token_funnel",
-    "pipeline_curated_report", "text_boilerplate_share",
+    "corpus_report",
+    "pipeline_curation_funnel_gated", "text_boilerplate_share",
     "mixture_token_plan", "mixture_sample_keepset",
+    # Rotated out for the three 10e observability entries:
+    # quality_classifier_train (rows-only — the driver check is
+    # weaker than its in-repo golden tests), pipeline_token_funnel
+    # and pipeline_curated_report (compositions whose every stage
+    # predicate is an in-window oracle body, and whose siblings
+    # pipeline_curation_funnel_gated/_semantic stay in-window).
+    # All three re-confirmed by this session's full contract drive.
     # The remaining r5-latest cohort (customer_activity_full_outer,
     # forecast_seasonal_naive, funnel_time_to_convert,
     # ols_quantity_on_price, paginate_orders, paginate_orders_keyset,
