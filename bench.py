@@ -113,9 +113,11 @@ HEADLINE = [
     # and the profiling layer (single-scan multi-distinct card)
     "table_profile_orders",
     # round 10e: curation observability + decontamination depth
-    # (broadcast-benchmark max-cosine; full-chain drop attribution)
+    # (broadcast-benchmark max-cosine; full-chain drop attribution;
+    # zero-shuffle rights gate)
     "contamination_semantic",
     "curation_drop_attribution",
+    "text_license_detect",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

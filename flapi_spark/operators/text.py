@@ -2584,3 +2584,84 @@ def source_reputation(
         (F.col("n_pass") * 100 >= F.lit(int(min_pass_pct)) * F.col("n_docs"))
         .alias("reputable"),
     )
+
+
+# license / usage-rights markers (round 10e). The regexes are the
+# detection contract, shared verbatim with the DuckDB oracle; the
+# synthetic corpus carries no rights language, so the registry entry
+# injects deterministic doc_id-derived markers first (the
+# text_pii_redact pattern) and the operator has real matches to find.
+LICENSE_RESTRICTIVE_RE = (
+    "(all rights reserved|copyright [0-9]{4}"
+    "|\\(c\\) [0-9]{4}|proprietary and confidential)"
+)
+LICENSE_PERMISSIVE_RE = (
+    "(creative commons|cc-by|public domain"
+    "|mit license|apache license)"
+)
+
+
+def text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-rights detection: classify each document's license
+    language as restrictive / permissive / none and gate on it — the
+    compliance filter every responsibly-sourced crawl corpus runs
+    (The Stack's license allow-list, C4's terms-of-use removal; the
+    reference serves curated licensed tables, so this surface is
+    brief-driven LLM-pipeline scope, not reference parity).
+
+    Injection classes (deterministic, oracle-replayable): doc_id%13
+    in {0,3} gets a restrictive notice, {7,11} a permissive license
+    line, everything else stays unmarked. Precedence: any restrictive
+    marker dominates (a file that says both 'MIT license' and 'all
+    rights reserved' is a rights conflict — treat as restricted).
+
+    Output: (doc_id, n_restrictive, n_permissive, license_class,
+    keep) with keep = class <> 'restrictive'.
+
+    100 TB shape: pure regexp_count projections over one scan —
+    JVM codegen, no shuffle, embarrassingly parallel; the gate
+    composes with curate() as the `license_gate` stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    marked = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" copyright 2021 example corp"
+                      " proprietary and confidential"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" (c) 2023 acme holdings all rights reserved"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 7,
+            F.concat(F.col("text"), F.lit(" released under the mit license")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 11,
+            F.concat(
+                F.col("text"),
+                F.lit(" licensed under creative commons cc-by 4.0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    n_r = F.regexp_count(marked, F.lit(LICENSE_RESTRICTIVE_RE)).cast("long")
+    n_p = F.regexp_count(marked, F.lit(LICENSE_PERMISSIVE_RE)).cast("long")
+    cls = (
+        F.when(n_r > 0, F.lit("restrictive"))
+        .when(n_p > 0, F.lit("permissive"))
+        .otherwise(F.lit("none"))
+    )
+    return docs.select(
+        "doc_id",
+        n_r.alias("n_restrictive"),
+        n_p.alias("n_permissive"),
+        cls.alias("license_class"),
+        (cls != F.lit("restrictive")).alias("keep"),
+    )

@@ -428,6 +428,23 @@ def _mixture_cap(
     )
 
 
+def _license_gate(
+    spark: SparkSession, sf_dir: str, keep: DataFrame
+) -> DataFrame:
+    """Usage-rights gate (round 10e): drop documents whose detected
+    license language is restrictive (text_license_detect) — the
+    compliance filter a responsibly-sourced corpus runs before any
+    quality consideration. Per-document verdict, no survivor
+    hazard."""
+    from flapi_spark.operators.text import text_license_detect
+
+    return keep.join(
+        text_license_detect(spark, sf_dir).where("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
 def _source_gate(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
     min_pass_pct: int = 70,
@@ -507,6 +524,7 @@ STAGES = {
     "cluster_prune": _cluster_prune,
     "topic_cap": _topic_cap,
     "decontam": _decontam,
+    "license_gate": _license_gate,
     "source_gate": _source_gate,
     "semantic_decontam": _semantic_decontam,
     "mixture_cap": _mixture_cap,

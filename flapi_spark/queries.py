@@ -6151,6 +6151,47 @@ def _curation_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_drop_attribution(spark, sf_dir)
 
 
+def _text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.text_license_detect: usage-rights classification +
+    compliance gate over deterministic injected markers (the
+    text_pii_redact pattern) — The Stack / C4-style license
+    filtering; zero-shuffle codegen projection."""
+    from flapi_spark.operators.text import text_license_detect
+
+    return text_license_detect(spark, sf_dir)
+
+
+def _license_detect_sql() -> str:
+    """Exact replay: identical injected markers, identical regexes
+    (shared constants), identical precedence."""
+    r_re = T.LICENSE_RESTRICTIVE_RE
+    p_re = T.LICENSE_PERMISSIVE_RE
+    return (
+        "WITH m AS (SELECT doc_id, CASE"
+        " WHEN doc_id % 13 = 0 THEN text ||"
+        "  ' copyright 2021 example corp proprietary and confidential'"
+        " WHEN doc_id % 13 = 3 THEN text ||"
+        "  ' (c) 2023 acme holdings all rights reserved'"
+        " WHEN doc_id % 13 = 7 THEN text ||"
+        "  ' released under the mit license'"
+        " WHEN doc_id % 13 = 11 THEN text ||"
+        "  ' licensed under creative commons cc-by 4.0'"
+        " ELSE text END AS t FROM documents)"
+        " SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(t, '{r_re}')) AS BIGINT)"
+        "  AS n_restrictive,"
+        f" CAST(len(regexp_extract_all(t, '{p_re}')) AS BIGINT)"
+        "  AS n_permissive,"
+        f" CASE WHEN len(regexp_extract_all(t, '{r_re}')) > 0"
+        "   THEN 'restrictive'"
+        f"  WHEN len(regexp_extract_all(t, '{p_re}')) > 0"
+        "   THEN 'permissive'"
+        "  ELSE 'none' END AS license_class,"
+        f" len(regexp_extract_all(t, '{r_re}')) = 0 AS keep"
+        " FROM m"
+    )
+
+
 _COS_AB = (
     "(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
@@ -6213,6 +6254,10 @@ QUERIES.update(
             _curation_drop_attribution,
             _drop_attribution_sql(),
         ),
+        "text_license_detect": (
+            _text_license_detect,
+            _license_detect_sql(),
+        ),
     }
 )
 
@@ -6235,7 +6280,7 @@ _CHECK_FIRST = [
     "er_golden_record", "er_eval", "er_pairs_indexed",
     "table_profile_orders", "fd_candidate_keys", "fd_violations",
     "contamination_semantic", "source_reputation",
-    "curation_drop_attribution",
+    "curation_drop_attribution", "text_license_detect",
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
@@ -6258,14 +6303,17 @@ _CHECK_FIRST = [
     "quality_classifier_score", "quality_classifier_eval",
     "corpus_report",
     "pipeline_curation_funnel_gated", "text_boilerplate_share",
-    "mixture_token_plan", "mixture_sample_keepset",
-    # Rotated out for the three 10e observability entries:
+    "mixture_token_plan",
+    # Rotated out for the four 10e observability/compliance entries:
     # quality_classifier_train (rows-only — the driver check is
     # weaker than its in-repo golden tests), pipeline_token_funnel
     # and pipeline_curated_report (compositions whose every stage
     # predicate is an in-window oracle body, and whose siblings
-    # pipeline_curation_funnel_gated/_semantic stay in-window).
-    # All three re-confirmed by this session's full contract drive.
+    # pipeline_curation_funnel_gated/_semantic stay in-window), and
+    # mixture_sample_keepset (its verdict composes mixture_token_plan
+    # — in-window — with the md5 rank ordering corpus_shard_assign
+    # drove green in r9). All four re-confirmed by this session's
+    # full contract drive.
     # The remaining r5-latest cohort (customer_activity_full_outer,
     # forecast_seasonal_naive, funnel_time_to_convert,
     # ols_quantity_on_price, paginate_orders, paginate_orders_keyset,

@@ -78,7 +78,22 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # LPA follows the graph convention (linear MinHash pair stream)
        "cluster_card_fixed_cells", "cluster_prune_fixed_cells",
        "source_token_kl", "lpa_minhash_pairs",
-       "dp_event_counts", "text_unicode_sanitize"]
+       "dp_event_counts", "text_unicode_sanitize",
+       # round-10e: the ER lane rides the discriminator-cardinality
+       # contract (zip_mod grows with the corpus so block sizes stay
+       # bounded — the documented production knob; the registry's
+       # fixed 50 is exact-oracle plumbing whose blocks grow linearly
+       # and whose candidate join would look quadratic here by
+       # construction). Profiling is a single-scan aggregate; source
+       # reputation a gate scan + domain-grain aggregate; semantic
+       # decontam rides the fixed-benchmark-size contract (eval
+       # suites don't grow with the training corpus; the registry's
+       # %37 membership is oracle plumbing that grows the benchmark
+       # with the corpus, making the compare count quadratic by
+       # construction).
+       "er_pairs_scaled_zip", "er_block_stats_scaled_zip",
+       "er_golden_scaled_zip", "profile_documents",
+       "source_reputation", "contamination_fixed_benchmark"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
@@ -221,7 +236,86 @@ def _lpa_minhash_pairs(spark, sf_dir):
     return label_propagation(pairs)
 
 
+def _er_zip_mod(spark, sf_dir) -> int:
+    """Discriminator cardinality scaled with the corpus (the
+    production contract: real zips have ~40k values; block sizes
+    must stay bounded as the corpus grows)."""
+    n = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    return max(50, n // 300)
+
+
+def _er_pairs_scaled_zip(spark, sf_dir):
+    from flapi_spark.operators.linkage import er_matched_pairs, er_records
+
+    return er_matched_pairs(
+        er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
+    )
+
+
+def _er_block_stats_scaled_zip(spark, sf_dir):
+    from flapi_spark.operators.linkage import er_block_keys, er_records
+
+    keys = er_block_keys(
+        er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
+    )
+    sizes = keys.groupBy("kind", "k").agg(F.count("*").alias("s"))
+    return sizes.groupBy("kind").agg(
+        F.max("s").alias("max_block"),
+        F.sum(F.expr("(s * (s - 1)) div 2")).alias("n_candidate_pairs"),
+    )
+
+
+def _er_golden_scaled_zip(spark, sf_dir):
+    """The full chain (block -> match -> cluster -> merge) under the
+    scaled discriminator: the O(log n) labeler rounds plus one
+    entity-grain window on top of the candidate join."""
+    from flapi_spark.operators.dedup import label_components
+    from flapi_spark.operators.linkage import er_matched_pairs, er_records
+    from pyspark.sql import Window
+
+    recs = er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
+    pairs = er_matched_pairs(recs).select(
+        F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
+    )
+    comp = label_components(pairs).select(
+        F.col("doc_id").alias("rec_id"), F.col("component_id").alias("eid")
+    )
+    tagged = recs.join(comp, "rec_id", "left").withColumn(
+        "entity_id", F.coalesce("eid", "rec_id")
+    )
+    w = Window.partitionBy("entity_id").orderBy("rec_id")
+    return tagged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+
+def _profile_documents(spark, sf_dir):
+    """Single-scan per-column card over the replicated documents
+    table (the orders-based registry entry can't ride replicate())."""
+    from flapi_spark.operators.profile import profile_table
+
+    return profile_table(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def _contamination_fixed_benchmark(spark, sf_dir):
+    """Semantic decontam with the benchmark COUNT held fixed (~135
+    vectors, the sf0.1 registry size): the broadcast side stays
+    constant while the corpus grows, so the compare count — and the
+    wall time — grows linearly."""
+    from flapi_spark.operators.similarity import contamination_semantic
+
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    return contamination_semantic(spark, sf_dir, bench_mod=max(37, n // 135))
+
+
 EXTRA_OPS = {
+    "er_pairs_scaled_zip": _er_pairs_scaled_zip,
+    "er_block_stats_scaled_zip": _er_block_stats_scaled_zip,
+    "er_golden_scaled_zip": _er_golden_scaled_zip,
+    "profile_documents": _profile_documents,
+    "contamination_fixed_benchmark": _contamination_fixed_benchmark,
     "dedup_embedding_lsh_capped": _embedding_lsh_capped,
     "cluster_card_fixed_cells": _cluster_card_fixed_cells,
     "cluster_prune_fixed_cells": _cluster_prune_fixed_cells,
@@ -262,6 +356,7 @@ def main() -> None:
         replicate(spark, "documents", f, "doc_id", d)
         replicate(spark, "embeddings", f, "vec_id", d)
         replicate(spark, "events", f, "event_id", d)
+        replicate(spark, "customer", f, "c_custkey", d)
         dirs[f] = d
 
     for op in ops:

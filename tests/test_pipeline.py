@@ -359,10 +359,10 @@ def test_shipped_full_chain_yaml_runs_monotone(spark, sf_dir):
     )
     rep = curate_from_config(spark, sf_dir, path)
     assert [s["stage"] for s in rep.stages] == [
-        "url_filter", "html_extract", "quality", "source_gate",
-        "boilerplate_gate", "classifier_gate", "exact_dedup",
-        "near_dedup", "semantic_dedup", "cluster_prune", "decontam",
-        "semantic_decontam",
+        "url_filter", "license_gate", "html_extract", "quality",
+        "source_gate", "boilerplate_gate", "classifier_gate",
+        "exact_dedup", "near_dedup", "semantic_dedup", "cluster_prune",
+        "decontam", "semantic_decontam",
     ]
     ns = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
     assert all(a >= b for a, b in zip(ns, ns[1:]))

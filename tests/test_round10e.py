@@ -195,3 +195,65 @@ def test_drop_attribution_custom_chain(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     with pytest.raises(ValueError, match="unknown stage"):
         curation_drop_attribution(spark, sf_dir, stages=["nope"])
+
+
+# --- text_license_detect ------------------------------------------------------
+
+
+def test_license_detect_matches_oracle(spark, sf_dir, duck):
+    from flapi_spark.operators.text import text_license_detect
+
+    assert_df_matches_oracle(
+        text_license_detect(spark, sf_dir),
+        duck,
+        _oracle("text_license_detect"),
+    )
+
+
+def test_license_detect_semantics(spark, sf_dir):
+    from flapi_spark.operators.text import text_license_detect
+    from flapi_spark.session import load_table
+
+    rows = text_license_detect(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    for r in rows:
+        if r.doc_id % 13 in (0, 3):
+            assert r.license_class == "restrictive" and not r.keep
+            assert r.n_restrictive >= 1
+        elif r.doc_id % 13 in (7, 11):
+            assert r.license_class == "permissive" and r.keep
+            assert r.n_permissive >= 1
+        else:
+            assert r.license_class == "none" and r.keep
+            assert r.n_restrictive == 0 and r.n_permissive == 0
+
+
+def test_license_detect_zero_shuffle(spark, sf_dir):
+    from flapi_spark.operators.text import text_license_detect
+
+    plan = (
+        text_license_detect(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection over one scan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_license_gate_stage_parity(spark, sf_dir):
+    from flapi_spark.operators.text import text_license_detect
+    from flapi_spark.pipeline import curate
+
+    report = curate(spark, sf_dir, stages=["license_gate"])
+    kept = {r.doc_id for r in report.keep.collect()}
+    want = {
+        r.doc_id
+        for r in text_license_detect(spark, sf_dir).collect()
+        if r.keep
+    }
+    assert kept == want
+    # the gate actually bites: 2 of every 13 docs carry a
+    # restrictive notice
+    assert report.stages[-1]["n_out"] < report.stages[-1]["n_in"]
