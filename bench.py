@@ -118,6 +118,9 @@ HEADLINE = [
     "contamination_semantic",
     "curation_drop_attribution",
     "text_license_detect",
+    # and the SFT-prep layer (group-limited rank join; bounded explode)
+    "preference_pairs",
+    "dialogue_turns_parse",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -6046,6 +6046,7 @@ QUERIES["pipeline_curation_funnel_semantic"] = (
 # distributed operators with exact oracles.
 from flapi_spark.operators import linkage as LK  # noqa: E402
 from flapi_spark.operators import profile as PF  # noqa: E402
+from flapi_spark.operators import sft as SFT  # noqa: E402
 
 
 def _table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6149,6 +6150,24 @@ def _curation_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flapi_spark.pipeline import curation_drop_attribution
 
     return curation_drop_attribution(spark, sf_dir)
+
+
+def _dialogue_turns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sft.dialogue_turns_parse: role-tagged transcript parsing +
+    alternation validation over deterministic injected dialogue
+    markup — the SFT loader contract as a distributed operator."""
+    from flapi_spark.operators.sft import dialogue_turns_parse
+
+    return dialogue_turns_parse(spark, sf_dir)
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sft.preference_pairs: per-source (chosen, rejected) pairs by
+    composite quality rank — the DPO data shape from the corpus's own
+    quality signal; one source-grain shuffle."""
+    from flapi_spark.operators.sft import preference_pairs
+
+    return preference_pairs(spark, sf_dir)
 
 
 def _text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6258,6 +6277,16 @@ QUERIES.update(
             _text_license_detect,
             _license_detect_sql(),
         ),
+        "dialogue_turns_parse": (
+            _dialogue_turns_parse,
+            SFT.dialogue_parse_oracle_sql(),
+        ),
+        "preference_pairs": (
+            _preference_pairs,
+            SFT.preference_pairs_oracle_sql(
+                QUERIES["text_quality_score"][1]
+            ),
+        ),
     }
 )
 
@@ -6281,6 +6310,7 @@ _CHECK_FIRST = [
     "table_profile_orders", "fd_candidate_keys", "fd_violations",
     "contamination_semantic", "source_reputation",
     "curation_drop_attribution", "text_license_detect",
+    "dialogue_turns_parse", "preference_pairs",
     # NEW round-10 entries (first driver look)
     "embedding_kmeans_refine", "embedding_kmeans_eval",
     "hybrid_search_rrf", "retrieval_mmr_diversify",
@@ -6288,7 +6318,7 @@ _CHECK_FIRST = [
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
     "dedup_components_incremental", "bm25_search_indexed",
     "hybrid_search_indexed", "bm25_search_expanded",
-    "curriculum_order", "retrieval_mmr_hybrid",
+    "curriculum_order",
     "text_html_extract", "pipeline_curation_funnel_html",
     "text_url_filter",
     # round-10d additions (first driver look): cluster-grain curation,
@@ -6301,19 +6331,20 @@ _CHECK_FIRST = [
     "l_diversity_orders", "cluster_card_indexed",
     "pipeline_curation_funnel_semantic",
     "quality_classifier_score", "quality_classifier_eval",
-    "corpus_report",
     "pipeline_curation_funnel_gated", "text_boilerplate_share",
     "mixture_token_plan",
-    # Rotated out for the four 10e observability/compliance entries:
-    # quality_classifier_train (rows-only — the driver check is
-    # weaker than its in-repo golden tests), pipeline_token_funnel
-    # and pipeline_curated_report (compositions whose every stage
-    # predicate is an in-window oracle body, and whose siblings
-    # pipeline_curation_funnel_gated/_semantic stay in-window), and
-    # mixture_sample_keepset (its verdict composes mixture_token_plan
-    # — in-window — with the md5 rank ordering corpus_shard_assign
-    # drove green in r9). All four re-confirmed by this session's
-    # full contract drive.
+    # Rotated out for the six 10e entries (observability, compliance,
+    # SFT prep): quality_classifier_train (rows-only — the driver
+    # check is weaker than its in-repo golden tests),
+    # pipeline_token_funnel and pipeline_curated_report (compositions
+    # whose every stage predicate is an in-window oracle body, with
+    # siblings pipeline_curation_funnel_gated/_semantic in-window),
+    # mixture_sample_keepset (composes in-window mixture_token_plan
+    # with the md5 rank corpus_shard_assign drove green in r9),
+    # retrieval_mmr_hybrid (composes in-window hybrid_search_rrf +
+    # retrieval_mmr_diversify), and corpus_report (a rollup of
+    # gopher/langid/token-count bodies, all driver-green). All six
+    # re-confirmed by this session's full contract drive.
     # The remaining r5-latest cohort (customer_activity_full_outer,
     # forecast_seasonal_naive, funnel_time_to_convert,
     # ols_quantity_on_price, paginate_orders, paginate_orders_keyset,
