@@ -244,3 +244,53 @@ def preference_pairs_oracle_sql(quality_sql: str, k: int = 5) -> str:
         f" AND a.rt <= {k} AND b.rb <= {k}"
         " AND a.quality_score > b.quality_score"
     )
+
+
+def dialogue_verdicts_rowwise(transcripts: DataFrame) -> DataFrame:
+    """Per-ROW dialogue verdicts over (doc_id, transcript): the same
+    output contract as parse_dialogue computed entirely with array
+    intrinsics — no explode, no aggregation, no shuffle — so it runs
+    UNCHANGED on a streaming DataFrame in append mode (the in-flight
+    SFT ingest guard shape; see streaming.dialogue_guard_stream).
+    Bit-parity with the explode/rollup path is pinned in tests.
+
+    Unlike parse_dialogue (whose rollup naturally drops marker-free
+    documents), marker-free rows are KEPT here with n_turns = 0 and
+    well_formed = false — a guard must flag them, not lose them."""
+    roles = F.regexp_extract_all(
+        F.col("transcript"), F.lit(DIALOGUE_MARKER_RE), 1
+    )
+    contents = F.slice(
+        F.split(F.col("transcript"), DIALOGUE_SPLIT_RE), 2, F.size(roles)
+    )
+    n_user = F.aggregate(
+        F.zip_with(
+            roles,
+            contents,
+            lambda r, c: F.when(r == "user", F.length(c)).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_asst = F.aggregate(
+        F.zip_with(
+            roles,
+            contents,
+            lambda r, c: F.when(r == "assistant", F.length(c)).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    expected = F.transform(
+        roles,
+        lambda _r, i: F.when(i % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return transcripts.select(
+        "doc_id",
+        F.size(roles).cast("long").alias("n_turns"),
+        n_user.alias("n_user_chars"),
+        n_asst.alias("n_assistant_chars"),
+        ((F.size(roles) > 0) & (roles == expected)).alias("well_formed"),
+    )

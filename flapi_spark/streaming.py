@@ -1419,3 +1419,19 @@ def topic_mix_stream(
             F.col("share") - F.coalesce("ref_share", F.lit(0.0)), 6
         ).alias("share_delta"),
     )
+
+
+def dialogue_guard_stream(transcripts_stream: DataFrame) -> DataFrame:
+    """SFT ingest guard (round 10e): per-transcript structure
+    verdicts computed in flight — turn count, per-role content sizes,
+    user-first strict-alternation well-formedness — so malformed
+    transcripts are flagged BEFORE they land in the SFT store.
+
+    Entirely STATELESS: the verdict is a per-row array-intrinsic
+    projection (sft.dialogue_verdicts_rowwise — no aggregation, no
+    watermark, no shuffle; zero-Exchange plan asserted in tests), so
+    it runs in append mode at any ingest rate and equals the batch
+    parser row-for-row (bit-parity pinned)."""
+    from flapi_spark.operators.sft import dialogue_verdicts_rowwise
+
+    return dialogue_verdicts_rowwise(transcripts_stream)

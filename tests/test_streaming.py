@@ -1886,3 +1886,72 @@ def test_topic_mix_stream_equals_batch(spark, sf_dir, tmp_path_factory):
             abs(r.share - r.ref_share - r.share_delta) < 1e-5
             for r in rows
         )
+
+
+def test_dialogue_guard_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Round 10e: the stateless SFT ingest guard over an append
+    2-file landing equals the rowwise batch verdicts row-for-row,
+    the rowwise verdicts are bit-parity with the explode/rollup
+    parser, and the guard plan is zero-Exchange."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.sft import (
+        _marked_dialogue, dialogue_turns_parse, dialogue_verdicts_rowwise,
+    )
+    from flapi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(90)
+    transcripts = docs.select(
+        "doc_id", _marked_dialogue().alias("transcript")
+    )
+
+    # rowwise == explode/rollup parser on the injected corpus (it has
+    # no marker-free docs, so the frames align one-to-one)
+    rw = {tuple(r) for r in dialogue_verdicts_rowwise(transcripts).collect()}
+    batch = {
+        tuple(r)
+        for r in dialogue_turns_parse(spark, sf_dir)
+        .join(docs.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    assert rw == batch and rw
+
+    # marker-free rows are FLAGGED, not lost
+    empty = spark.createDataFrame(
+        [(99, "no markers here")], "doc_id LONG, transcript STRING"
+    )
+    flagged = dialogue_verdicts_rowwise(empty).collect()
+    assert len(flagged) == 1
+    assert flagged[0].n_turns == 0 and not flagged[0].well_formed
+
+    # stream == batch over a 2-file availableNow landing
+    d = tmp_path_factory.mktemp("dialogue_landing")
+    halves = transcripts.randomSplit([0.5, 0.5], seed=7)
+    for i, part in enumerate(halves):
+        staging = str(d / f"_stage_{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = _glob.glob(staging + "/part-*.parquet")[0]
+        shutil.copy(src, str(d / f"batch_{i}.parquet"))
+        shutil.rmtree(staging)
+    name = _qname()
+    stream = (
+        spark.readStream.schema("doc_id LONG, transcript STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ST.run_stream_to_memory(
+        ST.dialogue_guard_stream(stream), name, output_mode="append"
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    assert got == rw
+
+    # stateless: no Exchange anywhere in the guard's batch-twin plan
+    plan = (
+        dialogue_verdicts_rowwise(transcripts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
