@@ -534,7 +534,9 @@ def cosine_col(a: str, b: str) -> F.Column:
 N_DIMS = 64
 
 
-def _unpacked_embeddings(emb: DataFrame, suffix: str) -> DataFrame:
+def _unpacked_embeddings(
+    emb: DataFrame, suffix: str, repartition: bool = True
+) -> DataFrame:
     """(vec_<suffix>, norm_<suffix>, 64 double columns).
 
     PERF: Spark's higher-order array functions (aggregate/zip_with in
@@ -551,10 +553,14 @@ def _unpacked_embeddings(emb: DataFrame, suffix: str) -> DataFrame:
     ]
     # embeddings.parquet is a single row-group → one input split; the
     # pairwise join streams this side, so spread it or the whole O(n²)
-    # compare runs on one core
-    df = emb.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    ).select(F.col("vec_id").alias(f"vec_{suffix}"), *cols)
+    # compare runs on one core. Callers about to BROADCAST the result
+    # pass repartition=False — shuffling rows that are immediately
+    # collected to the driver is pure wasted I/O (round-10e review fix)
+    if repartition:
+        emb = emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
+    df = emb.select(F.col("vec_id").alias(f"vec_{suffix}"), *cols)
     sq = F.lit(0.0)
     for i in range(N_DIMS):
         sq = sq + F.col(f"e{i}{suffix}") * F.col(f"e{i}{suffix}")

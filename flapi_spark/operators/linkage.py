@@ -329,20 +329,27 @@ def _er_ctes() -> str:
     return er_records_sql() + "," + er_block_keys_sql() + "," + er_matched_pairs_sql()
 
 
-def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: the verified match-pair stream."""
-    return er_matched_pairs(er_records(spark, sf_dir)).select(
+def er_blocked_pairs(
+    spark: SparkSession, sf_dir: str, zip_mod: int = ER_ZIP_MOD
+) -> DataFrame:
+    """Registry entry: the verified match-pair stream. `zip_mod` is
+    the blocking-discriminator cardinality — the production scale
+    knob (grow it with the corpus; the fixed default is exact-oracle
+    plumbing)."""
+    return er_matched_pairs(er_records(spark, sf_dir, zip_mod)).select(
         "rec_a", "rec_b", "name_a", "name_b", "lev", "same_entity"
     )
 
 
-def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_block_stats(
+    spark: SparkSession, sf_dir: str, zip_mod: int = ER_ZIP_MOD
+) -> DataFrame:
     """Blocking audit — the dial you read BEFORE the candidate join
     at scale: per key kind, block count, total key rows, the largest
     block, and the implied candidate-pair workload sum(s*(s-1)/2).
     A max_block that grows super-linearly with corpus size means the
     key function is degenerating and the join will skew."""
-    keys = er_block_keys(er_records(spark, sf_dir))
+    keys = er_block_keys(er_records(spark, sf_dir, zip_mod))
     sizes = keys.groupBy("kind", "k").agg(F.count("*").alias("s"))
     return (
         sizes.groupBy("kind")
@@ -356,13 +363,15 @@ def er_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_clusters(
+    spark: SparkSession, sf_dir: str, zip_mod: int = ER_ZIP_MOD
+) -> DataFrame:
     """(rec_id, entity_id): transitive closure over the match pairs
     via the O(log n) large-star/small-star infrastructure. Clustering
     recovers what the pairwise threshold misses: a deletion copy and
     a transposition copy of the same entity can be 3 edits apart
     (unmatched directly) yet both within 2 of the base record."""
-    pairs = er_matched_pairs(er_records(spark, sf_dir)).select(
+    pairs = er_matched_pairs(er_records(spark, sf_dir, zip_mod)).select(
         F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
     )
     return label_components(pairs).select(
@@ -371,12 +380,14 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_golden_record(
+    spark: SparkSession, sf_dir: str, zip_mod: int = ER_ZIP_MOD
+) -> DataFrame:
     """One golden row per entity: survivor = highest-trust source
     (crm > web > app > legacy), ties to the lowest rec_id; singleton
     records are their own entity. n_members / n_sources ride the same
     single window partition — one shuffle on entity_id total."""
-    recs = er_records(spark, sf_dir)
+    recs = er_records(spark, sf_dir, zip_mod)
     pairs = er_matched_pairs(recs).select(
         F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
     )

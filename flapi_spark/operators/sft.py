@@ -256,13 +256,13 @@ def dialogue_verdicts_rowwise(transcripts: DataFrame) -> DataFrame:
 
     Unlike parse_dialogue (whose rollup naturally drops marker-free
     documents), marker-free rows are KEPT here with n_turns = 0 and
-    well_formed = false — a guard must flag them, not lose them."""
-    roles = F.regexp_extract_all(
-        F.col("transcript"), F.lit(DIALOGUE_MARKER_RE), 1
-    )
-    contents = F.slice(
-        F.split(F.col("transcript"), DIALOGUE_SPLIT_RE), 2, F.size(roles)
-    )
+    well_formed = false — a guard must flag them, not lose them.
+    NULL transcripts coalesce to '' first for the same reason: under
+    ANSI semantics size(NULL) is NULL and a NULL well_formed slips
+    through both sides of a quarantine filter unflagged."""
+    t = F.coalesce(F.col("transcript"), F.lit(""))
+    roles = F.regexp_extract_all(t, F.lit(DIALOGUE_MARKER_RE), 1)
+    contents = F.slice(F.split(t, DIALOGUE_SPLIT_RE), 2, F.size(roles))
     n_user = F.aggregate(
         F.zip_with(
             roles,

@@ -1732,10 +1732,11 @@ def contamination_semantic(
 
     Scale shape (the 100 TB story): benchmark suites are TINY
     relative to the corpus (thousands of rows), so the benchmark
-    side BROADCASTS — the corpus streams through one
-    BroadcastNestedLoopJoin with zero corpus shuffle for the join,
-    and the per-vector max folds map-side in the (vec_id) partial
-    aggregate before the one id-grain shuffle. Cosines run as the
+    side BROADCASTS without any pre-shuffle — the JOIN itself moves
+    no corpus rows (BroadcastNestedLoopJoin); the corpus's only
+    exchanges are the deliberate spread of its single-row-group
+    input and the id-grain shuffle of the per-vector max, which
+    folds map-side in the partial aggregate first. Cosines run as the
     whole-stage-codegen multiply-add chain (_unpacked_embeddings),
     not interpreted array folds. Cost is O(n·b) compares — inherent
     to exact max-similarity — spread over every core; for a
@@ -1754,8 +1755,12 @@ def contamination_semantic(
     corpus = _unpacked_embeddings(
         emb.where(F.pmod(F.col("vec_id"), F.lit(bench_mod)) != 0), "a"
     )
+    # no repartition on the broadcast side: shuffling rows that are
+    # immediately collected to the driver is wasted I/O
     bench = _unpacked_embeddings(
-        emb.where(F.pmod(F.col("vec_id"), F.lit(bench_mod)) == 0), "b"
+        emb.where(F.pmod(F.col("vec_id"), F.lit(bench_mod)) == 0),
+        "b",
+        repartition=False,
     )
     scored = corpus.join(F.broadcast(bench)).select(
         F.col("vec_a").alias("vec_id"), _pair_cosine().alias("cosine")

@@ -447,7 +447,7 @@ def _license_gate(
 
 def _source_gate(
     spark: SparkSession, sf_dir: str, keep: DataFrame,
-    min_pass_pct: int = 70,
+    min_pass_pct: int | None = None,
 ) -> DataFrame:
     """Source-reputation gate (round 10e): drop every document from a
     source whose corpus-wide Gopher pass rate falls below
@@ -457,9 +457,15 @@ def _source_gate(
     is a property of the source, not of the current keep-set) but
     per-document independent — no survivor hazard. The reputable
     source list is domain-cardinality tiny and BROADCASTS; the
-    keep-set never shuffles for this stage."""
-    from flapi_spark.operators.text import source_reputation
+    keep-set never shuffles for this stage. `min_pass_pct` defaults
+    to the operator's own SOURCE_REPUTATION_PCT so stage and
+    operator can never silently diverge."""
+    from flapi_spark.operators.text import (
+        SOURCE_REPUTATION_PCT, source_reputation,
+    )
 
+    if min_pass_pct is None:
+        min_pass_pct = SOURCE_REPUTATION_PCT
     good = (
         source_reputation(spark, sf_dir, min_pass_pct=min_pass_pct)
         .where("reputable")
@@ -482,8 +488,24 @@ def _semantic_decontam(
     BENCHMARK_MOD == 0) are also dropped: they ARE the held-out eval
     data. Verdicts are corpus-wide but per-document independent — no
     survivor hazard."""
-    from flapi_spark.operators.similarity import contamination_semantic
+    from flapi_spark.operators.similarity import (
+        BENCHMARK_MOD, contamination_semantic,
+    )
 
+    # an empty benchmark yields an empty verdict frame, which would
+    # read as "everything contaminated" and silently empty the
+    # keep-set — fail loudly instead (one tiny filtered count)
+    n_bench = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.pmod(F.col("vec_id"), F.lit(BENCHMARK_MOD)) == 0)
+        .count()
+    )
+    if n_bench == 0:
+        raise ValueError(
+            "semantic_decontam: the benchmark set (vec_id %"
+            f" {BENCHMARK_MOD} == 0) is empty for this corpus —"
+            " no decontamination verdicts can be computed"
+        )
     survivors = (
         contamination_semantic(spark, sf_dir, threshold=threshold)
         .where(~F.col("contaminated"))
@@ -588,6 +610,34 @@ class CurationReport:
         )
 
 
+def _parse_stage_spec(
+    stages: list | None, caller: str
+) -> list[tuple[str, dict]]:
+    """The ONE config-shaped stage-list parser (shared by curate and
+    curation_drop_attribution): names run with defaults, dict entries
+    pass params through; malformed entries fail with the caller's
+    name in the message."""
+    spec = []
+    for s in stages if stages is not None else DEFAULT_STAGES:
+        if isinstance(s, str):
+            name, params = s, {}
+        else:
+            params = dict(s)
+            if "stage" not in params:
+                raise ValueError(
+                    f"{caller}: dict-shaped stage {s!r} is missing the"
+                    " 'stage' key"
+                )
+            name = params.pop("stage")
+        if name not in STAGES:
+            raise ValueError(
+                f"{caller}: unknown stage {name!r}"
+                f" (available: {sorted(STAGES)})"
+            )
+        spec.append((name, params))
+    return spec
+
+
 def curate_from_config(
     spark: SparkSession, sf_dir: str, config_path: str
 ) -> CurationReport:
@@ -653,24 +703,7 @@ def curate(
     Returns a CurationReport; report.keep is the surviving doc_id
     DataFrame, report.stages the per-stage attrition (+ wall
     seconds), report.funnel_df the deterministic funnel."""
-    spec = []
-    for s in stages if stages is not None else DEFAULT_STAGES:
-        if isinstance(s, str):
-            name, params = s, {}
-        else:
-            params = dict(s)
-            if "stage" not in params:
-                raise ValueError(
-                    f"curate: dict-shaped stage {s!r} is missing the"
-                    " 'stage' key"
-                )
-            name = params.pop("stage")
-        if name not in STAGES:
-            raise ValueError(
-                f"curate: unknown stage {name!r}"
-                f" (available: {sorted(STAGES)})"
-            )
-        spec.append((name, params))
+    spec = _parse_stage_spec(stages, caller="curate")
 
     keep = load_table(spark, sf_dir, "documents").select("doc_id")
     n_prev = keep.count()
@@ -745,19 +778,7 @@ def curation_drop_attribution(
     and the final attribution is one map-side-combined groupBy at
     (stage, source) cardinality. Exact DuckDB oracle chains the
     stage predicates as keep-set CTEs and takes per-stage EXCEPTs."""
-    spec = []
-    for s in stages if stages is not None else DEFAULT_STAGES:
-        if isinstance(s, str):
-            name, params = s, {}
-        else:
-            params = dict(s)
-            name = params.pop("stage")
-        if name not in STAGES:
-            raise ValueError(
-                f"curation_drop_attribution: unknown stage {name!r}"
-                f" (available: {sorted(STAGES)})"
-            )
-        spec.append((name, params))
+    spec = _parse_stage_spec(stages, caller="curation_drop_attribution")
 
     keep = load_table(spark, sf_dir, "documents").select("doc_id")
     tagged = []

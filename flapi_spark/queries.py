@@ -6211,11 +6211,9 @@ def _license_detect_sql() -> str:
     )
 
 
-_COS_AB = (
-    "(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
-    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))))"
-)
+# the one cosine oracle fragment (defined once near the top of the
+# file), instantiated for the a/b aliases this entry uses
+_COS_AB = _COS.format(a="a", b="b")
 
 
 def _drop_attribution_sql() -> str:

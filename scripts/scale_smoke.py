@@ -245,47 +245,29 @@ def _er_zip_mod(spark, sf_dir) -> int:
 
 
 def _er_pairs_scaled_zip(spark, sf_dir):
-    from flapi_spark.operators.linkage import er_matched_pairs, er_records
+    """The REAL registry operator under the scaled discriminator —
+    not a lighter re-implementation (round-10e review fix)."""
+    from flapi_spark.operators.linkage import er_blocked_pairs
 
-    return er_matched_pairs(
-        er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
+    return er_blocked_pairs(
+        spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir)
     )
 
 
 def _er_block_stats_scaled_zip(spark, sf_dir):
-    from flapi_spark.operators.linkage import er_block_keys, er_records
+    from flapi_spark.operators.linkage import er_block_stats
 
-    keys = er_block_keys(
-        er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
-    )
-    sizes = keys.groupBy("kind", "k").agg(F.count("*").alias("s"))
-    return sizes.groupBy("kind").agg(
-        F.max("s").alias("max_block"),
-        F.sum(F.expr("(s * (s - 1)) div 2")).alias("n_candidate_pairs"),
-    )
+    return er_block_stats(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
 
 
 def _er_golden_scaled_zip(spark, sf_dir):
-    """The full chain (block -> match -> cluster -> merge) under the
-    scaled discriminator: the O(log n) labeler rounds plus one
-    entity-grain window on top of the candidate join."""
-    from flapi_spark.operators.dedup import label_components
-    from flapi_spark.operators.linkage import er_matched_pairs, er_records
-    from pyspark.sql import Window
+    """The full shipped chain (block -> match -> cluster -> merge,
+    incl. source-trust survivorship and the member/source window
+    aggregates) under the scaled discriminator."""
+    from flapi_spark.operators.linkage import er_golden_record
 
-    recs = er_records(spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir))
-    pairs = er_matched_pairs(recs).select(
-        F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
-    )
-    comp = label_components(pairs).select(
-        F.col("doc_id").alias("rec_id"), F.col("component_id").alias("eid")
-    )
-    tagged = recs.join(comp, "rec_id", "left").withColumn(
-        "entity_id", F.coalesce("eid", "rec_id")
-    )
-    w = Window.partitionBy("entity_id").orderBy("rec_id")
-    return tagged.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    return er_golden_record(
+        spark, sf_dir, zip_mod=_er_zip_mod(spark, sf_dir)
     )
 
 

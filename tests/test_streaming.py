@@ -1902,7 +1902,11 @@ def test_dialogue_guard_stream_equals_batch(spark, sf_dir, tmp_path_factory):
     )
     from flapi_spark.session import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(90)
+    # deterministic sample: an unordered limit() is re-evaluated per
+    # action and may pick different rows each time (review fix)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 90
+    )
     transcripts = docs.select(
         "doc_id", _marked_dialogue().alias("transcript")
     )
