@@ -121,6 +121,11 @@ HEADLINE = [
     # and the SFT-prep layer (group-limited rank join; bounded explode)
     "preference_pairs",
     "dialogue_turns_parse",
+    # round 10f: incremental delta curation — the steady-state ingest
+    # batch over the persisted index triple (first run pays the base
+    # bootstrap; min-of-runs reports the per-batch probe cost)
+    "pipeline_delta_funnel",
+    "dedup_delta_probe_pairs",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

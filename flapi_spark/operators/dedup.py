@@ -1852,6 +1852,132 @@ def append_band_index_portable(
     band_rows_portable_for(new_docs).write.insertInto(table)
 
 
+def write_exact_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str = "dedup_exact_index",
+    buckets: int = 16,
+) -> None:
+    """Persist the exact-dup fingerprint index (doc_id, fingerprint =
+    md5 of the normalized text) as a warehouse table bucketed on
+    fingerprint — the probe key. The third leg of the delta-curation
+    index set (round 10f): a delta batch's exact-dedup stage is a
+    fingerprint semi-join against this table instead of a corpus-wide
+    re-hash, so steady-state ingest cost is O(delta). Bucketing
+    pre-co-locates the index on the join key: the (delta-sized) probe
+    side shuffles to the bucket layout, the index side never does."""
+    (
+        docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .saveAsTable(table)
+    )
+
+
+def append_exact_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "dedup_exact_index",
+) -> None:
+    """Per-batch exact-index maintenance: insertInto preserves the
+    fingerprint bucket spec (same contract as append_band_index)."""
+    new_docs.select(
+        "doc_id", F.md5(norm_text()).alias("fingerprint")
+    ).write.insertInto(table)
+
+
+def probe_band_index_portable(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index_portable",
+    shingle_store: str = "neardup_shingle_store_portable",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delta probe of the PORTABLE band index (round 10f): the
+    engine-portable sibling of incremental_pairs_indexed, for batch
+    delta curation (pipeline_delta.curate_delta). The new docs' raw-
+    signature band rows (delta-sized) probe the bucketed index for
+    candidates — the index side reads without an exchange — plus a
+    delta-sized new×new arm so intra-batch duplicate pairs surface
+    even before append_band_index_portable runs. Verification is the
+    shared exact-Jaccard arm over the persisted shingle store
+    (index-side sets) unioned with the batch docs' delta-computed
+    sets, so the output is bit-identical to dedup_minhash_portable's
+    pairs restricted to pairs touching the batch: every row is
+    oracle-checkable against the same SQL chain.
+
+    Per-batch work is O(delta): no corpus scan, no corpus re-hash
+    anywhere in the plan (plan-asserted in tests). The candidate set
+    is cached only for the duration of the call (eager localCheckpoint
+    severs lineage; finally-unpersist releases it — the
+    incremental_pairs_indexed cache-lifecycle contract)."""
+    result, cands = _probe_band_index_portable_plan(
+        spark, new_docs, table, shingle_store, threshold
+    )
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        cands.unpersist()
+
+
+def _probe_band_index_portable_plan(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "neardup_band_index_portable",
+    shingle_store: str = "neardup_shingle_store_portable",
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy plan for probe_band_index_portable: returns (result,
+    persisted candidate set). The CALLER owns the cache lifecycle —
+    plan tests inspect the un-checkpointed query here (the
+    _incremental_pairs_indexed_plan contract)."""
+    new_bands = band_rows_portable_for(new_docs)
+    index = spark.table(table)
+    keys = _portable_band_keys()
+
+    def _cand(a_df: DataFrame, b_df: DataFrame) -> DataFrame:
+        a, b = a_df.alias("a"), b_df.alias("b")
+        on = reduce(
+            lambda acc, k: acc & (F.col(f"a.{k}") == F.col(f"b.{k}")),
+            keys[1:],
+            F.col("a.band_id") == F.col("b.band_id"),
+        ) & (F.col("a.doc_id") != F.col("b.doc_id"))
+        return a.join(b, on).select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+
+    cands = (
+        _cand(new_bands, index)
+        .unionByName(_cand(new_bands, new_bands))
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    new_sets = (
+        hashed_shingles_from(new_docs, tok_hash_sql=MD5_TOK_HASH)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    # index-side sets candidate-bounded from the bucketed store;
+    # batch docs may not be in the store yet (probe-before-append),
+    # so their sets are computed delta-sized and unioned in — the
+    # anti-join avoids duplicate doc_id rows after an append (both
+    # copies carry identical sets, so precedence cannot matter)
+    store_sets = (
+        spark.table(shingle_store)
+        .join(cand_docs, "doc_id", "left_semi")
+        .join(new_docs.select("doc_id"), "doc_id", "left_anti")
+    )
+    sets = store_sets.unionByName(new_sets)
+    return _verify_jaccard_sets(sets, cands, threshold), cands
+
+
 def pairs_from_band_index(
     spark: SparkSession,
     docs: DataFrame | None = None,

@@ -1,0 +1,374 @@
+"""Incremental (delta) curation — round 10f.
+
+`curate()` (flapi_spark.pipeline) is the BATCH curation chain: it
+re-computes every corpus-wide verdict from scratch. At 100 TB nobody
+re-curates the corpus when a day's crawl lands — the accepted corpus
+is frozen behind persisted indexes and only the DELTA is processed:
+
+- per-doc gates (quality, langid, decontam) run on the delta alone —
+  the doc_id bound is pushed into the parquet scan, so the batch cost
+  is O(delta) rows read, not O(corpus);
+- exact dedup probes a persisted fingerprint index
+  (dedup.write_exact_index) — a bucketed semi-join, no corpus re-hash;
+- near dedup probes the persisted PORTABLE band index + shingle store
+  (dedup.probe_band_index_portable) — new×index candidates read the
+  bucketed index without an exchange, verification never scans the
+  corpus.
+
+Survivor policy (documented, delta-consistent): the ACCEPTED CORPUS
+ALWAYS WINS — a delta doc that duplicates any indexed doc is dropped;
+within a delta batch the min-doc_id member of each duplicate
+cluster/fingerprint survives (the perceptual lanes'
+_drop_cluster_non_exemplars exemplar policy). This differs from batch
+curate()'s quality-ranked keep_best on purpose: an ingest path must
+never evict an already-accepted corpus doc, so "best" is decided once
+at batch-curation time and the delta path only ever defends the
+index. `curate_base` applies the SAME min-id policy so a base+delta
+split is a single coherent world: every verdict either engine-side or
+oracle-side is reproducible from doc_ids and md5 alone, keeping the
+whole delta funnel exactly DuckDB-checkable.
+
+Reference parity: the reference has no incremental curation — this is
+brief-driven LLM-data-pipeline surface (SURVEY §2.3), the batch
+sibling of the streaming ingest guards (streaming.py, multimodal.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from time import perf_counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flapi_spark.pipeline import CurationReport, _drop_cluster_non_exemplars
+from flapi_spark.session import load_table
+
+
+@dataclass(frozen=True)
+class DeltaIndexes:
+    """The persisted index triple a delta batch probes: the portable
+    band index + shingle store (near-dup) and the exact fingerprint
+    index. All three are bucketed warehouse tables written from the
+    ACCEPTED corpus by bootstrap_delta_indexes."""
+
+    band_table: str = "neardup_band_index_portable"
+    shingle_store: str = "neardup_shingle_store_portable"
+    exact_table: str = "dedup_exact_index"
+
+
+def bootstrap_delta_indexes(
+    spark: SparkSession,
+    sf_dir: str,
+    accepted: DataFrame,
+    indexes: DeltaIndexes = DeltaIndexes(),
+    buckets: int = 16,
+) -> None:
+    """Write the delta-curation index triple from the accepted
+    keep-set (a doc_id DataFrame, e.g. curate_base(...).keep): the
+    one-time bootstrap after batch curation; thereafter every ingest
+    batch probes + appends, never rebuilds."""
+    from flapi_spark.operators.dedup import (
+        write_band_index_portable,
+        write_exact_index,
+        write_shingle_store_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").join(
+        accepted.select("doc_id"), "doc_id", "left_semi"
+    )
+    write_band_index_portable(spark, docs, indexes.band_table, buckets)
+    write_shingle_store_portable(spark, docs, indexes.shingle_store, buckets)
+    write_exact_index(spark, docs, indexes.exact_table, buckets)
+
+
+def _delta_docs(spark: SparkSession, sf_dir: str, since: int) -> DataFrame:
+    """The delta slice, with the bound pushed into the parquet scan
+    (PushedFilters: IsNotNull, GreaterThanOrEqual — plan-asserted)."""
+    return load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= F.lit(int(since))
+    )
+
+
+def _base_docs(spark: SparkSession, sf_dir: str, until: int) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < F.lit(int(until))
+    )
+
+
+# --- span-scoped stage builders (shared by curate_base and the delta
+# --- per-doc gates: the operator output is filtered on the SAME
+# --- doc_id bound, which Catalyst pushes through the projection into
+# --- the scan — correctness is unchanged (per-doc verdicts don't
+# --- depend on other rows) and the stage reads only its span) -------
+
+
+def _span_quality(
+    spark: SparkSession, sf_dir: str, keep: DataFrame, cond: F.Column
+) -> DataFrame:
+    from flapi_spark.operators.text import text_gopher_filters
+
+    gate = text_gopher_filters(spark, sf_dir).where(cond).where("keep")
+    return keep.join(gate.select("doc_id"), "doc_id", "left_semi")
+
+
+def _span_langid(
+    spark: SparkSession, sf_dir: str, keep: DataFrame, cond: F.Column
+) -> DataFrame:
+    from flapi_spark.operators.text import text_langid
+
+    gate = (
+        text_langid(spark, sf_dir)
+        .where(cond)
+        .where(F.col("predicted_lang") != "unknown")
+    )
+    return keep.join(gate.select("doc_id"), "doc_id", "left_semi")
+
+
+def _span_decontam(
+    spark: SparkSession, sf_dir: str, keep: DataFrame, cond: F.Column
+) -> DataFrame:
+    """Drop span docs sharing n-grams with the benchmark eval set.
+    The eval side is the EXTERNAL benchmark (fixed doc_id % 50 == 0
+    sample here) — deliberately era-independent: a benchmark doesn't
+    grow with the corpus, so base and delta decontaminate against the
+    same set. The span bound on train_doc pushes through the
+    aggregation to the train-side scan."""
+    from flapi_spark.operators.text import contamination_ngram_overlap
+
+    cont = contamination_ngram_overlap(spark, sf_dir).where(cond)
+    return keep.join(
+        cont.select(F.col("train_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def _inline_portable_pairs(
+    spark: SparkSession, docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """dedup_minhash_portable's verified pair stream over an arbitrary
+    docs frame (band collision + exact-Jaccard verify are pairwise
+    properties, so pairs over a doc_id span equal the full-corpus
+    pairs restricted to that span — the identity the delta oracle
+    leans on)."""
+    from flapi_spark.operators.dedup import (
+        _portable_band_keys,
+        _verify_jaccard_md5,
+        band_rows_portable_for,
+    )
+
+    bands = band_rows_portable_for(docs)
+    keys = _portable_band_keys()
+    ca = bands.select(F.col("doc_id").alias("doc_a"), *keys)
+    cb = bands.select(F.col("doc_id").alias("doc_b"), *keys)
+    cands = (
+        ca.join(cb, keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard_md5(docs, cands, threshold)
+
+
+DELTA_STAGES = ["quality", "langid", "exact_dedup", "near_dedup", "decontam"]
+
+
+def _select_stages(stages: list[str] | None, caller: str) -> list[str]:
+    picked = list(stages) if stages is not None else list(DELTA_STAGES)
+    unknown = [s for s in picked if s not in DELTA_STAGES]
+    if unknown:
+        raise ValueError(
+            f"{caller}: unknown stage(s) {unknown!r}"
+            f" (available: {DELTA_STAGES})"
+        )
+    return picked
+
+
+def curate_base(
+    spark: SparkSession,
+    sf_dir: str,
+    until_doc_id: int,
+    stages: list[str] | None = None,
+    checkpoint: bool = True,
+) -> CurationReport:
+    """Batch-curate the BASE corpus (doc_id < until_doc_id) with the
+    delta-consistent stage chain: quality → langid → exact dedup
+    (min-id survivor) → near dedup (min-id exemplar over the portable
+    pair graph) → decontam. This is the T0 batch whose accepted set
+    seeds bootstrap_delta_indexes; its survivor policy matches
+    curate_delta's so the base+delta world is one coherent corpus
+    (module docstring). Every stage verdict is engine-portable
+    (md5-only), so the whole report is exactly DuckDB-checkable."""
+    until = int(until_doc_id)
+    span = F.col("doc_id") < F.lit(until)
+    docs = _base_docs(spark, sf_dir, until)
+    keep = docs.select("doc_id")
+    report = CurationReport(keep=keep)
+    n_prev = keep.count()
+
+    def _run(name: str, fn) -> None:
+        nonlocal keep, n_prev
+        t0 = perf_counter()
+        keep = fn(keep)
+        if checkpoint:
+            keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        report.stages.append(
+            {
+                "stage": name,
+                "n_in": n_prev,
+                "n_out": n,
+                "sec": round(perf_counter() - t0, 3),
+            }
+        )
+        if n > n_prev:
+            raise RuntimeError(
+                f"curate_base: stage {name!r} widened the keep-set"
+                f" ({n_prev} -> {n})"
+            )
+        n_prev = n
+
+    from flapi_spark.operators.text import norm_text
+
+    def _exact(keep: DataFrame) -> DataFrame:
+        fps = docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        surv = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+        return keep.join(surv.select("doc_id"), "doc_id", "left_semi")
+
+    def _near(keep: DataFrame) -> DataFrame:
+        pairs = _inline_portable_pairs(spark, docs)
+        return _drop_cluster_non_exemplars(keep, pairs)
+
+    impls = {
+        "quality": lambda k: _span_quality(spark, sf_dir, k, span),
+        "langid": lambda k: _span_langid(spark, sf_dir, k, span),
+        "exact_dedup": _exact,
+        "near_dedup": _near,
+        "decontam": lambda k: _span_decontam(
+            spark, sf_dir, k, F.col("train_doc") < F.lit(until)
+        ),
+    }
+    for name in _select_stages(stages, "curate_base"):
+        _run(name, impls[name])
+    report.keep = keep
+    return report
+
+
+def curate_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    since_doc_id: int,
+    indexes: DeltaIndexes = DeltaIndexes(),
+    stages: list[str] | None = None,
+    threshold: float = 0.5,
+    checkpoint: bool = True,
+    maintain_indexes: bool = False,
+) -> CurationReport:
+    """Curate ONLY the delta (doc_id >= since_doc_id) against the
+    persisted index triple — the steady-state ingest batch:
+
+    1. quality / langid: per-doc gates, delta-bounded scans.
+    2. exact_dedup: drop delta docs whose fingerprint is already in
+       the exact index (accepted corpus wins); within the delta the
+       min-doc_id holder of each fingerprint survives.
+    3. near_dedup: probe_band_index_portable pairs. Pairs with an
+       indexed doc (doc_a < since — index ids are all below the
+       threshold) drop the delta side; delta×delta pairs cluster via
+       connected components with the min-id exemplar policy.
+    4. decontam: n-gram overlap vs the external benchmark set,
+       delta-bounded on the train side.
+
+    With maintain_indexes=True the ACCEPTED delta docs are appended
+    to all three indexes after the last stage (insertInto preserves
+    each table's bucket spec), so the next batch probes a corpus that
+    includes this one — the batch sibling of the streaming
+    fingerprint maintainers. Per-batch cost is O(delta) throughout:
+    the corpus appears only through bucketed index reads."""
+    since = int(since_doc_id)
+    span = F.col("doc_id") >= F.lit(since)
+    docs = _delta_docs(spark, sf_dir, since)
+    keep = docs.select("doc_id")
+    report = CurationReport(keep=keep)
+    n_prev = keep.count()
+
+    def _run(name: str, fn) -> None:
+        nonlocal keep, n_prev
+        t0 = perf_counter()
+        keep = fn(keep)
+        if checkpoint:
+            keep = keep.localCheckpoint(eager=True)
+        n = keep.count()
+        report.stages.append(
+            {
+                "stage": name,
+                "n_in": n_prev,
+                "n_out": n,
+                "sec": round(perf_counter() - t0, 3),
+            }
+        )
+        if n > n_prev:
+            raise RuntimeError(
+                f"curate_delta: stage {name!r} widened the keep-set"
+                f" ({n_prev} -> {n})"
+            )
+        n_prev = n
+
+    from flapi_spark.operators.text import norm_text
+
+    def _exact(keep: DataFrame) -> DataFrame:
+        fps = docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        corpus_dup = fps.join(
+            spark.table(indexes.exact_table).select("fingerprint"),
+            "fingerprint",
+            "left_semi",
+        ).select("doc_id")
+        surv = fps.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+        return keep.join(surv.select("doc_id"), "doc_id", "left_semi").join(
+            corpus_dup, "doc_id", "left_anti"
+        )
+
+    def _near(keep: DataFrame) -> DataFrame:
+        from flapi_spark.operators.dedup import probe_band_index_portable
+
+        pairs = probe_band_index_portable(
+            spark,
+            docs,
+            indexes.band_table,
+            indexes.shingle_store,
+            threshold,
+        )
+        corpus_drop = (
+            pairs.where(F.col("doc_a") < since)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        dd = pairs.where(F.col("doc_a") >= since)
+        keep = _drop_cluster_non_exemplars(keep, dd)
+        return keep.join(corpus_drop, "doc_id", "left_anti")
+
+    impls = {
+        "quality": lambda k: _span_quality(spark, sf_dir, k, span),
+        "langid": lambda k: _span_langid(spark, sf_dir, k, span),
+        "exact_dedup": _exact,
+        "near_dedup": _near,
+        "decontam": lambda k: _span_decontam(
+            spark, sf_dir, k, F.col("train_doc") >= F.lit(since)
+        ),
+    }
+    for name in _select_stages(stages, "curate_delta"):
+        _run(name, impls[name])
+    report.keep = keep
+
+    if maintain_indexes:
+        from flapi_spark.operators.dedup import (
+            append_band_index_portable,
+            append_exact_index,
+            append_shingle_store_portable,
+        )
+
+        accepted = docs.join(report.keep, "doc_id", "left_semi")
+        append_band_index_portable(spark, accepted, indexes.band_table)
+        append_shingle_store_portable(spark, accepted, indexes.shingle_store)
+        append_exact_index(spark, accepted, indexes.exact_table)
+    return report

@@ -6289,6 +6289,209 @@ QUERIES.update(
 )
 
 
+# --- round 10f: incremental (delta) curation against persisted indexes -----
+
+_DELTA_WORLD_BUILT: dict[str, tuple[int, object]] = {}
+
+
+def _delta_world(spark: SparkSession, sf_dir: str):
+    """Bootstrap the delta-curation world once per (session, sf):
+    split the corpus at T = (max_doc_id + 1) * 4 DIV 5 (integer-exact
+    in both engines), batch-curate the base span with
+    pipeline_delta.curate_base, and persist the index triple from its
+    accepted set. Returns (since_doc_id, DeltaIndexes). The one
+    scalar action (max doc_id) is bounded; everything else is the
+    production bootstrap a real T0 batch would run."""
+    import os
+    import shutil
+
+    from flapi_spark.pipeline_delta import (
+        DeltaIndexes,
+        bootstrap_delta_indexes,
+        curate_base,
+    )
+    from flapi_spark.session import load_table
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    key = f"{spark.sparkContext.applicationId}:{suffix}"
+    if key in _DELTA_WORLD_BUILT:
+        return _DELTA_WORLD_BUILT[key]
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id").alias("m"))
+        .first()[0]
+    )
+    since = (int(mx) + 1) * 4 // 5
+    idx = DeltaIndexes(
+        band_table=f"delta_bands_{suffix}",
+        shingle_store=f"delta_shingles_{suffix}",
+        exact_table=f"delta_exact_{suffix}",
+    )
+    # a stale warehouse dir from an earlier session blocks saveAsTable
+    # — drop both layers before writing (pattern: _portable_index_pairs)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wpath = warehouse.removeprefix("file:")
+    for t in (idx.band_table, idx.shingle_store, idx.exact_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wpath, t), ignore_errors=True)
+    base = curate_base(spark, sf_dir, since)
+    bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+    _DELTA_WORLD_BUILT[key] = (since, idx)
+    return since, idx
+
+
+def _pipeline_delta_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state ingest batch: curate ONLY the delta span
+    against the persisted index triple (pipeline_delta.curate_delta).
+    min-of-runs on the bench reports the probe; the first call pays
+    the one-time base bootstrap, exactly as production would."""
+    from flapi_spark.pipeline_delta import curate_delta
+
+    since, idx = _delta_world(spark, sf_dir)
+    return curate_delta(spark, sf_dir, since, idx).funnel_df
+
+
+def _dedup_delta_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw delta near-dup pair stream served from the persisted
+    base-accepted band index + shingle store: new×index (bucketed,
+    exchange-free on the index side) plus new×new, shared exact-
+    Jaccard verify — bit-identical to dedup_minhash_portable's pairs
+    restricted to pairs touching the delta with the base side
+    accepted."""
+    from flapi_spark.operators.dedup import probe_band_index_portable
+    from flapi_spark.session import load_table
+
+    since, idx = _delta_world(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= F.lit(since)
+    )
+    return probe_band_index_portable(
+        spark, docs, idx.band_table, idx.shingle_store
+    )
+
+
+_DELTA_THR = "(SELECT t FROM thr)"
+
+
+def _delta_ctes() -> list[str]:
+    """The shared CTE prefix for the delta-curation oracles: the base
+    keep chain b0..b5 (curate_base replay — min-id survivor policy
+    end-to-end) and the delta keep chain d0..d5 (curate_delta replay:
+    accepted-corpus-wins + within-delta min-id). Pairwise identities
+    make every index probe SQL-expressible: band collision and
+    Jaccard verify depend only on the two docs, so 'pairs over a
+    span' == 'full-corpus pairs restricted to that span', and 'probe
+    of the accepted index' == 'full pairs with the base side
+    restricted to b5'."""
+    g = QUERIES["text_gopher_filters"][1]
+    l = QUERIES["text_langid"][1]
+    c = QUERIES["contamination_ngram_overlap"][1]
+    thr = _DELTA_THR
+    return [
+        "thr AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS t FROM documents)",
+        "mp AS (SELECT doc_a, doc_b, jaccard FROM ("
+        + _minhash_portable_sql() + ") z)",
+        f"gq AS (SELECT doc_id FROM ({g}) g WHERE keep)",
+        f"lq AS (SELECT doc_id FROM ({l}) l"
+        " WHERE predicted_lang <> 'unknown')",
+        f"fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)",
+        f"cont AS (SELECT DISTINCT train_doc FROM ({c}) c0)",
+        # --- base chain (curate_base replay) ---
+        f"b0 AS (SELECT doc_id FROM documents WHERE doc_id < {thr})",
+        "b1 AS (SELECT doc_id FROM b0"
+        " WHERE doc_id IN (SELECT doc_id FROM gq))",
+        "b2 AS (SELECT doc_id FROM b1"
+        " WHERE doc_id IN (SELECT doc_id FROM lq))",
+        "b3 AS (SELECT doc_id FROM b2 WHERE doc_id IN"
+        f" (SELECT min(doc_id) FROM fps WHERE doc_id < {thr} GROUP BY fp))",
+        "bedges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
+        f" WHERE doc_b < {thr}"
+        f" UNION SELECT doc_b, doc_a FROM mp WHERE doc_b < {thr})",
+        "breach(u, v) AS (SELECT u, v FROM bedges"
+        " UNION SELECT r.u, e.v FROM breach r JOIN bedges e ON r.v = e.u)",
+        "bnx AS (SELECT u AS doc_id FROM breach GROUP BY u"
+        " HAVING least(u, min(v)) <> u)",
+        "b4 AS (SELECT doc_id FROM b3"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM bnx))",
+        "b5 AS (SELECT doc_id FROM b4 WHERE doc_id NOT IN"
+        f" (SELECT train_doc FROM cont WHERE train_doc < {thr}))",
+        # --- delta chain (curate_delta replay) ---
+        f"d0 AS (SELECT doc_id FROM documents WHERE doc_id >= {thr})",
+        "d1 AS (SELECT doc_id FROM d0"
+        " WHERE doc_id IN (SELECT doc_id FROM gq))",
+        "d2 AS (SELECT doc_id FROM d1"
+        " WHERE doc_id IN (SELECT doc_id FROM lq))",
+        "bfp AS (SELECT DISTINCT fp FROM fps"
+        " WHERE doc_id IN (SELECT doc_id FROM b5))",
+        "d3 AS (SELECT doc_id FROM d2 WHERE doc_id IN"
+        f" (SELECT min(doc_id) FROM fps WHERE doc_id >= {thr} GROUP BY fp)"
+        " AND doc_id NOT IN (SELECT doc_id FROM fps"
+        "  WHERE fp IN (SELECT fp FROM bfp)))",
+        f"cdrop AS (SELECT DISTINCT doc_b AS doc_id FROM mp"
+        f" WHERE doc_b >= {thr} AND doc_a IN (SELECT doc_id FROM b5))",
+        "dedges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
+        f" WHERE doc_a >= {thr}"
+        f" UNION SELECT doc_b, doc_a FROM mp WHERE doc_a >= {thr})",
+        "dreach(u, v) AS (SELECT u, v FROM dedges"
+        " UNION SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u)",
+        "dnx AS (SELECT u AS doc_id FROM dreach GROUP BY u"
+        " HAVING least(u, min(v)) <> u)",
+        "d4 AS (SELECT doc_id FROM d3"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)"
+        " AND doc_id NOT IN (SELECT doc_id FROM dnx))",
+        "d5 AS (SELECT doc_id FROM d4 WHERE doc_id NOT IN"
+        f" (SELECT train_doc FROM cont WHERE train_doc >= {thr}))",
+    ]
+
+
+def _delta_funnel_sql() -> str:
+    """The delta funnel oracle: per-stage counts over the d0..d5 keep
+    chain, one m{i} CTE per level (computed once — the
+    _curation_funnel_chain_sql lesson)."""
+    stages = ["quality", "langid", "exact_dedup", "near_dedup", "decontam"]
+    ctes = _delta_ctes() + [
+        f"m{i} AS (SELECT CAST((SELECT count(*) FROM d{i}) AS BIGINT) AS c)"
+        for i in range(len(stages) + 1)
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage,"
+        f" '{name}' AS stage_name,"
+        f" m{i - 1}.c AS n_in, m{i}.c AS n_out,"
+        f" m{i - 1}.c - m{i}.c AS n_dropped"
+        f" FROM m{i - 1}, m{i}"
+        for i, name in enumerate(stages, 1)
+    )
+    return "WITH RECURSIVE " + ", ".join(ctes) + " " + rows
+
+
+def _delta_probe_pairs_sql() -> str:
+    """The probe pair stream oracle: full portable pairs restricted to
+    pairs touching the delta whose base side (if any) is accepted —
+    exactly what probing the b5-built index yields."""
+    thr = _DELTA_THR
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(_delta_ctes())
+        + " SELECT doc_a, doc_b, jaccard FROM mp"
+        + f" WHERE doc_b >= {thr}"
+        + f" AND (doc_a >= {thr} OR doc_a IN (SELECT doc_id FROM b5))"
+    )
+
+
+QUERIES.update(
+    {
+        "pipeline_delta_funnel": (
+            _pipeline_delta_funnel,
+            _delta_funnel_sql(),
+        ),
+        "dedup_delta_probe_pairs": (
+            _dedup_delta_probe_pairs,
+            _delta_probe_pairs_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6301,6 +6504,9 @@ QUERIES.update(
 # were each re-confirmed by this round's FULL in-session contract
 # drives (all-entry drive_contract runs, FAILS: [] every time).
 _CHECK_FIRST = [
+    # NEW round-10f entries (first driver look): incremental delta
+    # curation against the persisted index triple
+    "pipeline_delta_funnel", "dedup_delta_probe_pairs",
     # NEW round-10e entries (first driver look): the entity-resolution
     # lane + the profiling/constraint layer + curation observability
     "er_blocked_pairs", "er_block_stats", "er_clusters",
@@ -6327,10 +6533,17 @@ _CHECK_FIRST = [
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
     "l_diversity_orders", "cluster_card_indexed",
-    "pipeline_curation_funnel_semantic",
     "quality_classifier_score", "quality_classifier_eval",
-    "pipeline_curation_funnel_gated", "text_boilerplate_share",
+    "text_boilerplate_share",
     "mixture_token_plan",
+    # Rotated out for the two 10f entries: pipeline_curation_funnel_gated
+    # and pipeline_curation_funnel_semantic — funnel COMPOSITIONS whose
+    # every stage predicate is an in-window oracle body (html/gopher/
+    # classifier_score/langid/dedup survivors/semdedup/outlier/decontam)
+    # and whose chained-CTE funnel machinery stays driver-covered by
+    # the in-window siblings pipeline_curation_funnel_html and the new
+    # pipeline_delta_funnel. Both re-confirmed bit-exact by this
+    # session's in-session contract drives (FAILS: []).
     # Rotated out for the six 10e entries (observability, compliance,
     # SFT prep): quality_classifier_train (rows-only — the driver
     # check is weaker than its in-repo golden tests),

@@ -1,0 +1,232 @@
+"""Incremental (delta) curation — round 10f.
+
+Property coverage beyond the driver's exact-oracle check on
+pipeline_delta_funnel / dedup_delta_probe_pairs:
+- probe pairs == full portable pairs restricted to the delta with the
+  base side accepted (the pairwise identity the oracle leans on);
+- single-stage base+delta composition == one batch run over the full
+  corpus (exact dedup: min-id survivors compose exactly);
+- index maintenance round-trip (append, then the next batch sees this
+  one);
+- plan shape: delta bound pushed into the parquet scan, index side of
+  the probe bucketed with zero exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flapi_spark.pipeline_delta import (
+    DELTA_STAGES,
+    DeltaIndexes,
+    _inline_portable_pairs,
+    bootstrap_delta_indexes,
+    curate_base,
+    curate_delta,
+)
+from flapi_spark.session import load_table
+
+SINCE = 400  # testdata documents: doc_id 0..499 at sf0.001
+
+
+def _rm(spark, *tables):
+    from flapi_spark.writes import _rm_table
+
+    for t in tables:
+        _rm_table(spark, t)
+
+
+@pytest.fixture(scope="module")
+def world(spark, sf_dir):
+    """One bootstrapped base world shared by the module's tests:
+    base-curate doc_id < 400, persist the index triple from the
+    accepted set."""
+    idx = DeltaIndexes(
+        band_table="t_delta_bands",
+        shingle_store="t_delta_shingles",
+        exact_table="t_delta_exact",
+    )
+    _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+    base = curate_base(spark, sf_dir, SINCE)
+    bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+    yield base, idx
+    _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+
+
+def test_base_funnel_monotone_and_stage_names(world):
+    base, _ = world
+    names = [s["stage"] for s in base.stages]
+    assert names == DELTA_STAGES
+    ns = [base.stages[0]["n_in"]] + [s["n_out"] for s in base.stages]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] == SINCE  # every base doc enters stage 1
+    assert base.keep.count() == ns[-1] > 0
+
+
+def test_delta_funnel_monotone_and_span(spark, sf_dir, world):
+    _, idx = world
+    rep = curate_delta(spark, sf_dir, SINCE, idx)
+    ns = [rep.stages[0]["n_in"]] + [s["n_out"] for s in rep.stages]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] == 100  # the delta span
+    ids = [r.doc_id for r in rep.keep.collect()]
+    assert ids and min(ids) >= SINCE
+
+
+def test_probe_pairs_equal_restricted_full_pairs(spark, sf_dir, world):
+    """The probe of the base-accepted index == the full-corpus
+    portable pair stream restricted to pairs touching the delta whose
+    base side is accepted (band collision and Jaccard verify are
+    pairwise, so the restriction is exact, not approximate)."""
+    from flapi_spark.operators.dedup import probe_band_index_portable
+
+    base, idx = world
+    delta = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= SINCE
+    )
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in probe_band_index_portable(
+            spark, delta, idx.band_table, idx.shingle_store
+        ).collect()
+    }
+    accepted = {r.doc_id for r in base.keep.collect()}
+    full = _inline_portable_pairs(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    expect = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in full.collect()
+        if r.doc_b >= SINCE and (r.doc_a >= SINCE or r.doc_a in accepted)
+    }
+    assert got == expect and got
+
+
+def test_exact_dedup_composes_with_batch(spark, sf_dir):
+    """Single-stage composition: base exact-survivors ∪ delta accepted
+    (vs an index of the base survivors) == min-id exact survivors over
+    the FULL corpus — the delta path loses nothing and double-keeps
+    nothing."""
+    idx = DeltaIndexes(
+        band_table="t_delta_bands_x",
+        shingle_store="t_delta_shingles_x",
+        exact_table="t_delta_exact_x",
+    )
+    _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+    try:
+        base = curate_base(spark, sf_dir, SINCE, stages=["exact_dedup"])
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        delta = curate_delta(
+            spark, sf_dir, SINCE, idx, stages=["exact_dedup"]
+        )
+        composed = {r.doc_id for r in base.keep.collect()} | {
+            r.doc_id for r in delta.keep.collect()
+        }
+        from flapi_spark.operators.text import norm_text
+
+        full = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm_text()).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        expect = {r.doc_id for r in full.collect()}
+        assert composed == expect
+    finally:
+        _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+
+
+def test_maintain_indexes_roundtrip(spark, sf_dir):
+    """maintain_indexes=True appends the ACCEPTED delta docs to all
+    three indexes: the exact index gains exactly their fingerprints,
+    and a follow-up probe of a copied accepted doc hits the appended
+    band rows."""
+    idx = DeltaIndexes(
+        band_table="t_delta_bands_m",
+        shingle_store="t_delta_shingles_m",
+        exact_table="t_delta_exact_m",
+    )
+    _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+    try:
+        base = curate_base(spark, sf_dir, SINCE)
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        n_exact_before = spark.table(idx.exact_table).count()
+        rep = curate_delta(
+            spark, sf_dir, SINCE, idx, maintain_indexes=True
+        )
+        n_accepted = rep.keep.count()
+        assert (
+            spark.table(idx.exact_table).count()
+            == n_exact_before + n_accepted
+        )
+        # next batch: an exact copy of an accepted delta doc (new id)
+        from flapi_spark.operators.dedup import probe_band_index_portable
+
+        some = rep.keep.limit(1).collect()[0].doc_id
+        copy = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") == some)
+            .withColumn("doc_id", F.lit(10_000).cast("long"))
+        )
+        hits = probe_band_index_portable(
+            spark, copy, idx.band_table, idx.shingle_store
+        ).collect()
+        assert any(
+            r.doc_a == some and r.doc_b == 10_000 and r.jaccard == 1.0
+            for r in hits
+        )
+    finally:
+        _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
+
+
+def test_delta_bound_pushed_to_scan(spark, sf_dir):
+    """The per-doc gates read ONLY the delta span: the doc_id bound
+    reaches the parquet scan as a pushed filter (O(delta) stage cost
+    at 100 TB, not O(corpus))."""
+    from flapi_spark.operators.text import text_gopher_filters
+
+    gate = text_gopher_filters(spark, sf_dir).where(
+        F.col("doc_id") >= F.lit(SINCE)
+    )
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(doc_id,400)" in plan
+
+
+def test_probe_plan_index_side_bucketed(spark, sf_dir, world):
+    """The probe's candidate join reads the band index as a bucketed
+    scan (zero index-side exchange), even with broadcast disabled."""
+    from flapi_spark.operators.dedup import (
+        _probe_band_index_portable_plan,
+    )
+
+    _, idx = world
+    delta = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= SINCE
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lazy, cands = _probe_band_index_portable_plan(
+            spark, delta, idx.band_table, idx.shingle_store
+        )
+        try:
+            plan = lazy._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            # no full documents scan: every documents.parquet read
+            # carries the delta bound (the index/store table scans are
+            # the only other doc_id sources and are candidate-bounded)
+            doc_scans = [
+                ln for ln in plan.splitlines()
+                if "documents.parquet" in ln and "PushedFilters" in ln
+            ]
+            assert doc_scans
+            for ln in doc_scans:
+                assert "GreaterThanOrEqual(doc_id,400)" in ln, ln
+        finally:
+            cands.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_unknown_stage_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown stage"):
+        curate_base(spark, sf_dir, SINCE, stages=["nope"])
