@@ -126,6 +126,9 @@ HEADLINE = [
     # bootstrap; min-of-runs reports the per-batch probe cost)
     "pipeline_delta_funnel",
     "dedup_delta_probe_pairs",
+    # round 10f: governance quartet completion + gate calibration
+    "t_closeness_orders",
+    "classifier_calibration_bins",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

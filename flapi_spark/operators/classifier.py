@@ -211,6 +211,58 @@ def quality_classifier_eval(
     )
 
 
+def classifier_calibration_bins(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en",
+    n_buckets: int = NB_BUCKETS, bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of the NB quality gate: sigmoid-map the
+    log-odds score to a confidence, bin into `bins` fixed-width
+    buckets, and compare each bucket's mean confidence to its
+    empirical positive rate — the calibration check (Guo et al. 2017,
+    ECE's per-bin form) a pipeline runs before treating gate scores
+    as probabilities (an over-confident gate silently biases every
+    downstream keep_frac cut). ECE = Σ n_docs/N * calib_gap over the
+    returned rows.
+
+    Exactness: confidences round to 6 before binning and sum as
+    DECIMAL(18,6) (order-independent); rates divide exact integers.
+    One narrow aggregate over the scored stream — adds nothing to the
+    score plan's shuffle count. Exact oracle."""
+    scored = _nb_scored(spark, sf_dir, target_lang, n_buckets)
+    conf = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+    )
+    b = F.least(
+        F.floor(conf * bins).cast("long"), F.lit(bins - 1)
+    )
+    per = (
+        scored.select(
+            b.alias("bin"),
+            conf.cast("decimal(18,6)").alias("conf"),
+            F.col("label").cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("conf").alias("sconf"),
+            F.sum("y").alias("pos"),
+        )
+    )
+    avg_conf = F.round(
+        F.col("sconf").cast("double") / F.col("n_docs"), 6
+    )
+    frac_pos = F.round(
+        F.col("pos").cast("double") / F.col("n_docs"), 6
+    )
+    return per.select(
+        "bin",
+        "n_docs",
+        avg_conf.alias("avg_confidence"),
+        frac_pos.alias("frac_positive"),
+        F.round(F.abs(avg_conf - frac_pos), 6).alias("calib_gap"),
+    )
+
+
 def _lr_features(
     spark: SparkSession, sf_dir: str, target_lang: str, n_buckets: int
 ) -> DataFrame:

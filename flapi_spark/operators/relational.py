@@ -3523,6 +3523,73 @@ def k_anonymity_orders(
     )
 
 
+_MKT_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+def t_closeness_orders(
+    spark: SparkSession, sf_dir: str, t: float = 0.2
+) -> DataFrame:
+    """t-closeness over the k_anonymity_orders quasi-identifier
+    classes with the customer's market segment as the sensitive
+    attribute (Li/Li/Venkatasubramanian 2007): a class leaks even when
+    l-diverse if its sensitive-value DISTRIBUTION differs from the
+    global one (skew attack — 90% one segment in a class vs 20%
+    globally updates the attacker's prior). For a categorical
+    attribute the Earth Mover's Distance with unit ground distance is
+    the total variation distance: emd = 0.5 * Σ|p_class - p_global|.
+    Completes the governance quartet: k-anonymity (row linkage),
+    l-diversity (attribute count), t-closeness (attribute
+    distribution), dp_event_counts (released aggregates).
+
+    Determinism: the five known segments pivot into FIXED conditional
+    sums, so the Σ is a left-associated five-term expression chain in
+    declared segment order — no aggregation-order float drift; shares
+    divide exact integers. One grouped aggregate + one broadcast
+    single-row global. Exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rows = orders.join(cust, "o_custkey").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "c_mktsegment",
+    )
+
+    def _seg_counts(prefix: str) -> list:
+        return [
+            F.sum(
+                F.when(F.col("c_mktsegment") == s, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"{prefix}{i}")
+            for i, s in enumerate(_MKT_SEGMENTS)
+        ]
+
+    cls = rows.groupBy(
+        "o_orderpriority", "o_orderstatus", "o_year"
+    ).agg(F.count(F.lit(1)).alias("class_size"), *_seg_counts("n"))
+    glob = rows.agg(F.count(F.lit(1)).alias("total"), *_seg_counts("g"))
+    emd = None
+    for i in range(len(_MKT_SEGMENTS)):
+        term = F.abs(
+            F.col(f"n{i}").cast("double") / F.col("class_size")
+            - F.col(f"g{i}").cast("double") / F.col("total")
+        )
+        emd = term if emd is None else emd + term
+    return cls.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_year",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.round(F.lit(0.5) * emd, 6).alias("emd_to_global"),
+        (F.round(F.lit(0.5) * emd, 6) > t).alias("violates_t"),
+    )
+
+
 def tables_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One verified probe over EVERY source table: per-table row
     counts (the smoke query a deployment health check runs — it

@@ -6492,6 +6492,80 @@ QUERIES.update(
 )
 
 
+# --- round 10f: governance quartet completion + gate calibration -----------
+
+
+def _t_closeness_sql(t: float = 0.2) -> str:
+    """Exact replay of relational.t_closeness_orders: same fixed
+    segment pivot, same left-associated five-term EMD chain."""
+    from flapi_spark.operators.relational import _MKT_SEGMENTS
+
+    n_cols = ", ".join(
+        f"SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS n{i}"
+        for i, s in enumerate(_MKT_SEGMENTS)
+    )
+    g_cols = ", ".join(
+        f"SUM(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS g{i}"
+        for i, s in enumerate(_MKT_SEGMENTS)
+    )
+    emd = " + ".join(
+        f"abs(CAST(n{i} AS DOUBLE) / class_size"
+        f" - CAST(g{i} AS DOUBLE) / total)"
+        for i in range(len(_MKT_SEGMENTS))
+    )
+    return (
+        "WITH rows_ AS (SELECT o_orderpriority, o_orderstatus,"
+        "  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,"
+        "  c_mktsegment"
+        "  FROM orders JOIN customer ON c_custkey = o_custkey),"
+        f" cls AS (SELECT o_orderpriority, o_orderstatus, o_year,"
+        f"  count(*) AS class_size, {n_cols}"
+        "  FROM rows_ GROUP BY 1, 2, 3),"
+        f" gtot AS (SELECT count(*) AS total, {g_cols} FROM rows_)"
+        " SELECT o_orderpriority, o_orderstatus, o_year,"
+        "  CAST(class_size AS BIGINT) AS class_size,"
+        f"  round(0.5 * ({emd}), 6) AS emd_to_global,"
+        f"  round(0.5 * ({emd}), 6) > {t!r} AS violates_t"
+        " FROM cls CROSS JOIN gtot"
+    )
+
+
+def _calibration_bins_sql(bins: int = 10) -> str:
+    """Exact replay of classifier.classifier_calibration_bins over the
+    shared NB score chain: sigmoid rounded to 6 before binning,
+    DECIMAL(18,6) confidence sums, integer-exact rates."""
+    return (
+        "WITH s AS (" + _nb_score_sql() + "),"
+        " c AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS conf,"
+        "  CAST(label AS BIGINT) AS y FROM s),"
+        f" pb AS (SELECT CAST(least(floor(conf * {bins}), {bins - 1})"
+        "   AS BIGINT) AS bin,"
+        "  CAST(conf AS DECIMAL(18,6)) AS conf, y FROM c),"
+        " agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  SUM(conf) AS sconf, SUM(y) AS pos FROM pb GROUP BY 1)"
+        " SELECT bin, n_docs,"
+        "  round(CAST(sconf AS DOUBLE) / n_docs, 6) AS avg_confidence,"
+        "  round(CAST(pos AS DOUBLE) / n_docs, 6) AS frac_positive,"
+        "  round(abs(round(CAST(sconf AS DOUBLE) / n_docs, 6)"
+        "   - round(CAST(pos AS DOUBLE) / n_docs, 6)), 6) AS calib_gap"
+        " FROM agg"
+    )
+
+
+QUERIES.update(
+    {
+        "t_closeness_orders": (
+            R.t_closeness_orders,
+            _t_closeness_sql(),
+        ),
+        "classifier_calibration_bins": (
+            CL.classifier_calibration_bins,
+            _calibration_bins_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6532,10 +6606,20 @@ _CHECK_FIRST = [
     "lpa_communities", "lpa_indexed",
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
-    "l_diversity_orders", "cluster_card_indexed",
-    "quality_classifier_score", "quality_classifier_eval",
+    "l_diversity_orders",
+    "quality_classifier_score",
     "text_boilerplate_share",
     "mixture_token_plan",
+    # NEW round-10f entries (first driver look): governance quartet
+    # completion + gate calibration
+    "t_closeness_orders", "classifier_calibration_bins",
+    # Rotated out for these two: quality_classifier_eval (a label×keep
+    # rollup of the SAME _nb_scored chain that in-window
+    # quality_classifier_score and classifier_calibration_bins both
+    # exercise end-to-end) and cluster_card_indexed (indexed twin of
+    # in-window cluster_topic_card — twin equality additionally pinned
+    # by tests). Both re-confirmed bit-exact by this session's
+    # contract drives (FAILS: []).
     # Rotated out for the two 10f entries: pipeline_curation_funnel_gated
     # and pipeline_curation_funnel_semantic — funnel COMPOSITIONS whose
     # every stage predicate is an in-window oracle body (html/gopher/

@@ -1,0 +1,61 @@
+"""Round 10f property tests: t-closeness (governance quartet) and
+classifier calibration bins (reliability diagram). Exact-oracle
+verification is the driver's job; these pin the semantic invariants."""
+
+from flapi_spark.operators.classifier import classifier_calibration_bins
+from flapi_spark.operators.relational import (
+    k_anonymity_orders,
+    t_closeness_orders,
+)
+
+
+def test_t_closeness_bounds_and_flag(spark, sf_dir):
+    rows = t_closeness_orders(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # total variation distance is bounded by [0, 1]
+        assert 0.0 <= r.emd_to_global <= 1.0
+        assert r.violates_t == (r.emd_to_global > 0.2)
+
+
+def test_t_closeness_classes_match_k_anonymity(spark, sf_dir):
+    """Same quasi-identifier partitioning as k_anonymity_orders: the
+    class keys and sizes agree (one governance surface, four
+    metrics)."""
+    tc = {
+        (r.o_orderpriority, r.o_orderstatus, r.o_year): r.class_size
+        for r in t_closeness_orders(spark, sf_dir).collect()
+    }
+    ka = {
+        (r.o_orderpriority, r.o_orderstatus, r.o_year): r.class_size
+        for r in k_anonymity_orders(spark, sf_dir).collect()
+    }
+    assert tc == ka
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    rows = classifier_calibration_bins(spark, sf_dir).collect()
+    assert rows
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        # mean confidence of a bin stays inside the bin (rounding
+        # slack 1e-6); bin 9 additionally holds conf == 1.0
+        lo, hi = r.bin / 10, (r.bin + 1) / 10
+        assert lo - 1e-6 <= r.avg_confidence <= (
+            1.0 if r.bin == 9 else hi
+        ) + 1e-6
+        assert 0.0 <= r.frac_positive <= 1.0
+        assert abs(
+            r.calib_gap - round(abs(r.avg_confidence - r.frac_positive), 6)
+        ) < 1e-9
+
+
+def test_calibration_ece_bounded(spark, sf_dir):
+    rows = classifier_calibration_bins(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    ece = sum(r.n_docs * r.calib_gap for r in rows) / total
+    assert 0.0 <= ece <= 1.0
