@@ -126,9 +126,11 @@ HEADLINE = [
     # bootstrap; min-of-runs reports the per-batch probe cost)
     "pipeline_delta_funnel",
     "dedup_delta_probe_pairs",
-    # round 10f: governance quartet completion + gate calibration
+    # round 10f: governance quartet completion + gate calibration +
+    # TextRank keywords over the shared integer-PageRank machinery
     "t_closeness_orders",
     "classifier_calibration_bins",
+    "keyword_textrank",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

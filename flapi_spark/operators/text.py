@@ -2665,3 +2665,84 @@ def text_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cls.alias("license_class"),
         (cls != F.lit("restrictive")).alias("keep"),
     )
+
+
+def keyword_textrank(
+    spark: SparkSession, sf_dir: str, topk: int = 20
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus
+    keywords ranked by PageRank centrality over the word
+    co-occurrence graph — nodes are content words (length ≥ 3,
+    alphabetic, non-stopword: the POS filter re-expressed as a
+    deterministic surface filter), edges connect words adjacent in
+    the FILTERED sequence (the classic window-2 co-occurrence).
+    The iteration is the shared fixed-point integer PageRank
+    (operators/graph.pagerank_fixed_point) over 60-bit portable md5
+    token ids, so the chained-CTE DuckDB oracle replays it
+    bit-for-bit; the top-k cut is a deterministic
+    (pr desc, token asc) total order.
+
+    Scale shape: edge building is one explode + distinct (linear in
+    corpus tokens); each PageRank round is one join + one groupBy on
+    the token graph — vocabulary-sized, orders of magnitude smaller
+    than the corpus. Top-k is orderBy+limit (TakeOrderedAndProject),
+    never a global window; rank re-derives over the k survivors."""
+    from pyspark.sql import Window
+
+    from flapi_spark.operators.graph import pagerank_fixed_point
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.filter(
+        _tokens(),
+        lambda x: (F.length(x) >= 3)
+        & x.rlike("^[a-z]+$")
+        & ~x.isin(*STOPWORDS),
+    )
+    ft = docs.select(content.alias("t"))
+    adj = (
+        ft.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " named_struct('a', try_element_at(t, i),"
+                    " 'b', try_element_at(t, i + 1)))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .where(F.col("a") != F.col("b"))
+    )
+    # 60-bit portable md5 token id (no modulus: collision chance is
+    # negligible at vocabulary scale and any collision would be
+    # deterministic AND mirrored in the oracle)
+    ha = F.expr("cast(conv(substr(md5(a), 1, 15), 16, 10) as bigint)")
+    hb = F.expr("cast(conv(substr(md5(b), 1, 15), 16, 10) as bigint)")
+    pairs = adj.select(
+        F.least(ha, hb).alias("doc_a"), F.greatest(ha, hb).alias("doc_b")
+    ).distinct()
+    pr = pagerank_fixed_point(pairs)
+    tokmap = (
+        ft.select(F.explode("t").alias("tok"))
+        .distinct()
+        .select(
+            F.expr(
+                "cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+            "tok",
+        )
+        .groupBy("h")
+        .agg(F.min("tok").alias("token"))
+    )
+    top = (
+        pr.join(tokmap, pr.doc_id == tokmap.h)
+        .select("token", "pr_scaled")
+        .orderBy(F.desc("pr_scaled"), F.asc("token"))
+        .limit(topk)
+    )
+    w = Window.orderBy(F.desc("pr_scaled"), F.asc("token"))
+    return top.select(
+        "token",
+        "pr_scaled",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

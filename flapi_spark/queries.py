@@ -6566,6 +6566,55 @@ QUERIES.update(
 )
 
 
+def _keyword_textrank_sql(topk: int = 20) -> str:
+    """Exact replay of text.keyword_textrank: same content-word
+    filter, same window-2 adjacency (positional multi-unnest), same
+    60-bit md5 token ids, the SHARED chained-CTE integer-PageRank
+    builder, same (pr desc, token asc) top-k order."""
+    stop = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    flt = (
+        f"list_filter({_TOKS}, x -> length(x) >= 3"
+        f" AND regexp_matches(x, '^[a-z]+$') AND x NOT IN ({stop}))"
+    )
+
+    def h(c: str) -> str:
+        return f"CAST(concat('0x', substr(md5({c}), 1, 15)) AS BIGINT)"
+
+    pair_chain = (
+        f"WITH ftk AS (SELECT {flt} AS t FROM documents),"
+        " adj AS (SELECT unnest(t[1:len(t)-1]) AS a,"
+        "  unnest(t[2:len(t)]) AS b FROM ftk WHERE len(t) >= 2)"
+        f" SELECT DISTINCT least({h('a')}, {h('b')}) AS doc_a,"
+        f"  greatest({h('a')}, {h('b')}) AS doc_b"
+        " FROM adj WHERE a <> b"
+    )
+    pr_sql = _pagerank_sql(
+        pairs_sql="SELECT doc_a, doc_b FROM (" + pair_chain + ") z"
+    )
+    return (
+        f"WITH ftk2 AS (SELECT {flt} AS t FROM documents),"
+        " tks AS (SELECT DISTINCT unnest(t) AS tok FROM ftk2),"
+        f" tm AS (SELECT {h('tok')} AS h2, min(tok) AS token"
+        "  FROM tks GROUP BY 1)"
+        " SELECT token, pr_scaled, rank FROM ("
+        "  SELECT tm.token, p.pr_scaled,"
+        "   CAST(row_number() OVER (ORDER BY p.pr_scaled DESC,"
+        "    tm.token ASC) AS BIGINT) AS rank"
+        "  FROM (" + pr_sql + ") p JOIN tm ON tm.h2 = p.doc_id) q"
+        f" WHERE rank <= {topk}"
+    )
+
+
+QUERIES.update(
+    {
+        "keyword_textrank": (
+            T.keyword_textrank,
+            _keyword_textrank_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6584,7 +6633,7 @@ _CHECK_FIRST = [
     # NEW round-10e entries (first driver look): the entity-resolution
     # lane + the profiling/constraint layer + curation observability
     "er_blocked_pairs", "er_block_stats", "er_clusters",
-    "er_golden_record", "er_eval", "er_pairs_indexed",
+    "er_golden_record", "er_eval",
     "table_profile_orders", "fd_candidate_keys", "fd_violations",
     "contamination_semantic", "source_reputation",
     "curation_drop_attribution", "text_license_detect",
@@ -6611,15 +6660,16 @@ _CHECK_FIRST = [
     "text_boilerplate_share",
     "mixture_token_plan",
     # NEW round-10f entries (first driver look): governance quartet
-    # completion + gate calibration
+    # completion + gate calibration + TextRank keywords
     "t_closeness_orders", "classifier_calibration_bins",
-    # Rotated out for these two: quality_classifier_eval (a label×keep
+    "keyword_textrank",
+    # Rotated out for these three: quality_classifier_eval (a label×keep
     # rollup of the SAME _nb_scored chain that in-window
     # quality_classifier_score and classifier_calibration_bins both
-    # exercise end-to-end) and cluster_card_indexed (indexed twin of
-    # in-window cluster_topic_card — twin equality additionally pinned
-    # by tests). Both re-confirmed bit-exact by this session's
-    # contract drives (FAILS: []).
+    # exercise end-to-end), cluster_card_indexed and er_pairs_indexed
+    # (indexed twins of in-window cluster_topic_card / er_blocked_pairs
+    # — twin equality additionally pinned by tests). All re-confirmed
+    # bit-exact by this session's contract drives (FAILS: []).
     # Rotated out for the two 10f entries: pipeline_curation_funnel_gated
     # and pipeline_curation_funnel_semantic — funnel COMPOSITIONS whose
     # every stage predicate is an in-window oracle body (html/gopher/

@@ -59,3 +59,27 @@ def test_calibration_ece_bounded(spark, sf_dir):
     total = sum(r.n_docs for r in rows)
     ece = sum(r.n_docs * r.calib_gap for r in rows) / total
     assert 0.0 <= ece <= 1.0
+
+
+def test_keyword_textrank_shape_and_filter(spark, sf_dir):
+    from flapi_spark.operators.text import STOPWORDS, keyword_textrank
+
+    rows = keyword_textrank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    prs = [r.pr_scaled for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    import re
+
+    for r in rows:
+        assert len(r.token) >= 3
+        assert re.fullmatch(r"[a-z]+", r.token)
+        assert r.token not in STOPWORDS
+
+
+def test_keyword_textrank_deterministic(spark, sf_dir):
+    from flapi_spark.operators.text import keyword_textrank
+
+    a = [tuple(r) for r in keyword_textrank(spark, sf_dir).collect()]
+    b = [tuple(r) for r in keyword_textrank(spark, sf_dir).collect()]
+    assert a == b
