@@ -131,6 +131,7 @@ HEADLINE = [
     "t_closeness_orders",
     "classifier_calibration_bins",
     "keyword_textrank",
+    "bootstrap_ci_order_value",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

@@ -3523,6 +3523,89 @@ def k_anonymity_orders(
     )
 
 
+def bootstrap_ci_order_value(
+    spark: SparkSession, sf_dir: str, n_boot: int = 200, m: int = 1000
+) -> DataFrame:
+    """Deterministic m-out-of-n bootstrap confidence interval for the
+    mean order value (Efron 1979; m-out-of-n: Bickel et al. 1997) —
+    the uncertainty quantification a report layer attaches to point
+    estimates. Everything that is random in a textbook bootstrap is
+    replayable here: resample draws are portable md5 hashes of
+    (replicate, draw) coordinates mapped onto an exact global row
+    numbering of the orders (scale.global_rank — never a single-task
+    window), so any engine reproduces the same B resample means and
+    the same percentile interval (order statistics at the exact
+    0.025/0.975 positions with integer index arithmetic).
+
+    Scale shape: the resample frame is B*m rows (bounded by
+    configuration, not data) equi-joined to the ranked corpus; per-
+    replicate means are DECIMAL-exact; the final order-statistic
+    window sees exactly B rows. Exact oracle."""
+    from pyspark.sql import Window
+
+    from flapi_spark.operators.scale import global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    ranked = global_rank(orders, ["o_orderkey"], rank_col="pos")
+    n = orders.count()  # one bounded scalar (the modulus)
+    sel = (
+        spark.range(1, n_boot + 1)
+        .toDF("b")
+        .select(
+            "b", F.explode(F.expr(f"sequence(1, {m})")).alias("i")
+        )
+        .select(
+            "b",
+            (
+                F.lit(1)
+                + F.expr(
+                    "cast(conv(substr(md5(concat(cast(b as string), '_',"
+                    " cast(i as string))), 1, 15), 16, 10) as bigint)"
+                )
+                % F.lit(n)
+            ).alias("pos"),
+        )
+    )
+    means = (
+        sel.join(ranked.select("pos", "v"), "pos")
+        .groupBy("b")
+        .agg(F.sum("v").alias("s"))
+        .select("b", (F.col("s").cast("double") / m).alias("mean_b"))
+    )
+    # exact percentile positions: 1-based order statistics at
+    # floor(q * (B - 1)) + 1 with integer arithmetic
+    k_lo = (25 * (n_boot - 1)) // 1000 + 1
+    k_hi = (975 * (n_boot - 1)) // 1000 + 1
+    w = Window.orderBy("mean_b", "b")  # exactly B rows
+    ci = (
+        means.select("mean_b", F.row_number().over(w).alias("r"))
+        .agg(
+            F.max(F.when(F.col("r") == k_lo, F.col("mean_b"))).alias(
+                "ci_lo"
+            ),
+            F.max(F.when(F.col("r") == k_hi, F.col("mean_b"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    full = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.lit(m).cast("long").alias("m"),
+        F.lit(n_boot).cast("long").alias("n_boot"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
 _MKT_SEGMENTS = (
     "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
 )

@@ -6615,6 +6615,53 @@ QUERIES.update(
 )
 
 
+def _bootstrap_ci_sql(n_boot: int = 200, m: int = 1000) -> str:
+    """Exact replay of relational.bootstrap_ci_order_value: same md5
+    (replicate, draw) resample coordinates, same 1-based global row
+    numbering, DECIMAL replicate sums, same integer order-statistic
+    positions."""
+    k_lo = (25 * (n_boot - 1)) // 1000 + 1
+    k_hi = (975 * (n_boot - 1)) // 1000 + 1
+    return (
+        "WITH o AS (SELECT o_orderkey,"
+        "  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),"
+        " ranked AS (SELECT v, CAST(row_number() OVER ("
+        "  ORDER BY o_orderkey) AS BIGINT) AS pos FROM o),"
+        " nn AS (SELECT count(*) AS n FROM o),"
+        f" sel AS (SELECT b, 1 + (CAST(concat('0x', substr(md5(concat("
+        "   CAST(b AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 15))"
+        "   AS BIGINT) % (SELECT n FROM nn)) AS pos"
+        f"  FROM (SELECT unnest(range(1, {n_boot + 1})) AS b)"
+        f"  CROSS JOIN (SELECT unnest(range(1, {m + 1})) AS i)),"
+        " means AS (SELECT b,"
+        f"  CAST(SUM(r.v) AS DOUBLE) / {m} AS mean_b"
+        "  FROM sel JOIN ranked r ON r.pos = sel.pos GROUP BY b),"
+        " ranked_means AS (SELECT mean_b, row_number() OVER ("
+        "  ORDER BY mean_b, b) AS r FROM means),"
+        f" ci AS (SELECT MAX(CASE WHEN r = {k_lo} THEN mean_b END)"
+        "   AS ci_lo,"
+        f"  MAX(CASE WHEN r = {k_hi} THEN mean_b END) AS ci_hi"
+        "  FROM ranked_means),"
+        " full_ AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(SUM(v) AS DOUBLE) / count(*) AS mean_value FROM o)"
+        f" SELECT n, CAST({m} AS BIGINT) AS m,"
+        f" CAST({n_boot} AS BIGINT) AS n_boot,"
+        " round(mean_value, 6) AS mean_value,"
+        " round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi"
+        " FROM full_ CROSS JOIN ci"
+    )
+
+
+QUERIES.update(
+    {
+        "bootstrap_ci_order_value": (
+            R.bootstrap_ci_order_value,
+            _bootstrap_ci_sql(),
+        ),
+    }
+)
+
+
 # --- driver-check ordering -------------------------------------------------
 # The correctness driver verifies registry entries in insertion order
 # and stops after the first 50, so each round rotates the least-verified
@@ -6652,7 +6699,7 @@ _CHECK_FIRST = [
     # per-source KL drift, LPA communities inline + index-served
     "cluster_topic_card", "cluster_balanced_keepset",
     "embedding_outlier_prune", "source_token_kl",
-    "lpa_communities", "lpa_indexed",
+    "lpa_communities",
     "dp_event_counts", "text_unicode_sanitize",
     "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
     "l_diversity_orders",
@@ -6660,16 +6707,18 @@ _CHECK_FIRST = [
     "text_boilerplate_share",
     "mixture_token_plan",
     # NEW round-10f entries (first driver look): governance quartet
-    # completion + gate calibration + TextRank keywords
+    # completion + gate calibration + TextRank keywords + the
+    # deterministic bootstrap CI
     "t_closeness_orders", "classifier_calibration_bins",
-    "keyword_textrank",
-    # Rotated out for these three: quality_classifier_eval (a label×keep
+    "keyword_textrank", "bootstrap_ci_order_value",
+    # Rotated out for these four: quality_classifier_eval (a label×keep
     # rollup of the SAME _nb_scored chain that in-window
     # quality_classifier_score and classifier_calibration_bins both
-    # exercise end-to-end), cluster_card_indexed and er_pairs_indexed
-    # (indexed twins of in-window cluster_topic_card / er_blocked_pairs
-    # — twin equality additionally pinned by tests). All re-confirmed
-    # bit-exact by this session's contract drives (FAILS: []).
+    # exercise end-to-end), cluster_card_indexed, er_pairs_indexed and
+    # lpa_indexed (indexed twins of in-window cluster_topic_card /
+    # er_blocked_pairs / lpa_communities — twin equality additionally
+    # pinned by tests). All re-confirmed bit-exact by this session's
+    # contract drives, including one FULL all-entry drive (FAILS: []).
     # Rotated out for the two 10f entries: pipeline_curation_funnel_gated
     # and pipeline_curation_funnel_semantic — funnel COMPOSITIONS whose
     # every stage predicate is an in-window oracle body (html/gopher/

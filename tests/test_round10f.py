@@ -83,3 +83,27 @@ def test_keyword_textrank_deterministic(spark, sf_dir):
     a = [tuple(r) for r in keyword_textrank(spark, sf_dir).collect()]
     b = [tuple(r) for r in keyword_textrank(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    from flapi_spark.operators.relational import bootstrap_ci_order_value
+
+    a = bootstrap_ci_order_value(spark, sf_dir).collect()[0]
+    assert a.ci_lo <= a.ci_hi
+    # the percentile interval of resample means brackets the full mean
+    # on this data (m >= n draws per replicate)
+    assert a.ci_lo <= a.mean_value <= a.ci_hi
+    b = bootstrap_ci_order_value(spark, sf_dir).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_bootstrap_ci_narrows_with_more_draws(spark, sf_dir):
+    """Basic bootstrap sanity: quadrupling m shrinks the interval
+    (standard error of a mean scales ~1/sqrt(m))."""
+    from flapi_spark.operators.relational import bootstrap_ci_order_value
+
+    wide = bootstrap_ci_order_value(spark, sf_dir, n_boot=64, m=250)
+    tight = bootstrap_ci_order_value(spark, sf_dir, n_boot=64, m=1000)
+    w = wide.collect()[0]
+    t = tight.collect()[0]
+    assert (t.ci_hi - t.ci_lo) < (w.ci_hi - w.ci_lo)
