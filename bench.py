@@ -126,6 +126,7 @@ HEADLINE = [
     # bootstrap; min-of-runs reports the per-batch probe cost)
     "pipeline_delta_funnel",
     "dedup_delta_probe_pairs",
+    "pipeline_delta_funnel_full",
     # round 10f: governance quartet completion + gate calibration +
     # TextRank keywords over the shared integer-PageRank machinery
     "t_closeness_orders",

@@ -47,14 +47,20 @@ from flapi_spark.session import load_table
 
 @dataclass(frozen=True)
 class DeltaIndexes:
-    """The persisted index triple a delta batch probes: the portable
-    band index + shingle store (near-dup) and the exact fingerprint
-    index. All three are bucketed warehouse tables written from the
-    ACCEPTED corpus by bootstrap_delta_indexes."""
+    """The persisted indexes a delta batch probes: the portable band
+    index + shingle store (text near-dup), the exact fingerprint
+    index, and optional per-modality perceptual fingerprint indexes
+    (one table per modality/hash function — the write_phash_index
+    contract). All bucketed warehouse tables written from the
+    ACCEPTED corpus by bootstrap_delta_indexes; a perceptual stage
+    requires its table to be named."""
 
     band_table: str = "neardup_band_index_portable"
     shingle_store: str = "neardup_shingle_store_portable"
     exact_table: str = "dedup_exact_index"
+    image_table: str | None = None
+    audio_table: str | None = None
+    video_table: str | None = None
 
 
 def bootstrap_delta_indexes(
@@ -64,10 +70,13 @@ def bootstrap_delta_indexes(
     indexes: DeltaIndexes = DeltaIndexes(),
     buckets: int = 16,
 ) -> None:
-    """Write the delta-curation index triple from the accepted
-    keep-set (a doc_id DataFrame, e.g. curate_base(...).keep): the
-    one-time bootstrap after batch curation; thereafter every ingest
-    batch probes + appends, never rebuilds."""
+    """Write the delta-curation indexes from the accepted keep-set (a
+    doc_id DataFrame, e.g. curate_base(...).keep): the one-time
+    bootstrap after batch curation; thereafter every ingest batch
+    probes + appends, never rebuilds. Perceptual fingerprint indexes
+    are written only for the modalities whose tables are named in
+    `indexes` (each from the accepted slice of that modality's
+    synthesized corpus — in production, the media actually accepted)."""
     from flapi_spark.operators.dedup import (
         write_band_index_portable,
         write_exact_index,
@@ -80,6 +89,29 @@ def bootstrap_delta_indexes(
     write_band_index_portable(spark, docs, indexes.band_table, buckets)
     write_shingle_store_portable(spark, docs, indexes.shingle_store, buckets)
     write_exact_index(spark, docs, indexes.exact_table, buckets)
+    if any((indexes.image_table, indexes.audio_table, indexes.video_table)):
+        from flapi_spark.multimodal import (
+            _audio_fps,
+            _image_fps,
+            _video_fps,
+            synthesize_audio_corpus,
+            synthesize_image_corpus,
+            synthesize_video_corpus,
+            write_phash_index,
+        )
+
+        keep_ids = accepted.select("doc_id")
+        for table, synth, fps_of in (
+            (indexes.image_table, synthesize_image_corpus, _image_fps),
+            (indexes.audio_table, synthesize_audio_corpus, _audio_fps),
+            (indexes.video_table, synthesize_video_corpus, _video_fps),
+        ):
+            if table is None:
+                continue
+            media = synth(spark, sf_dir).join(
+                keep_ids, "doc_id", "left_semi"
+            )
+            write_phash_index(spark, fps_of(media), table, buckets)
 
 
 def _delta_docs(spark: SparkSession, sf_dir: str, since: int) -> DataFrame:
@@ -144,6 +176,117 @@ def _span_decontam(
     )
 
 
+def _span_gate(
+    op, spark: SparkSession, sf_dir: str, keep: DataFrame, cond: F.Column
+) -> DataFrame:
+    """Generic per-doc gate with the span bound pushed into the scan:
+    shared by the url/html/license stages (gopher/langid keep their
+    named wrappers for the docstring contracts)."""
+    gate = op(spark, sf_dir).where(cond).where("keep")
+    return keep.join(gate.select("doc_id"), "doc_id", "left_semi")
+
+
+_MM_LANES = {
+    "image_near_dedup": ("synthesize_image_corpus", "_image_fps"),
+    "audio_near_dedup": ("synthesize_audio_corpus", "_audio_fps"),
+    "video_near_dedup": ("synthesize_video_corpus", "_video_fps"),
+}
+
+
+def _mm_lane(stage: str):
+    import flapi_spark.multimodal as M
+
+    synth_name, fps_name = _MM_LANES[stage]
+    return getattr(M, synth_name), getattr(M, fps_name)
+
+
+def _mm_delta_pairs(fps: DataFrame, stage: str, max_hamming: int) -> DataFrame:
+    """Within-batch perceptual pairs at the DOC grain: the banded
+    Hamming self-join over the batch fingerprints; video composite
+    frame keys roll up by any-frame-match (the mm_video_phash_pairs
+    semantics)."""
+    from flapi_spark.multimodal import VID_FRAME_KEY_SPAN
+    from flapi_spark.operators.dedup import _simhash_pairs
+
+    raw = _simhash_pairs(fps, max_hamming, n_bands=8)
+    if stage != "video_near_dedup":
+        return raw.select("doc_a", "doc_b")
+    span = VID_FRAME_KEY_SPAN
+    return (
+        raw.select(
+            F.expr(f"doc_a div {span}").alias("da"),
+            F.expr(f"doc_b div {span}").alias("db"),
+        )
+        .where(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _mm_delta_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    since: int,
+    stage: str,
+    table: str,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Perceptual delta near-dedup (image/audio/video): hash ONLY the
+    batch's media (in production the media frame IS the arriving
+    batch; the synthesized corpora stand in here, filtered to the
+    delta span), probe the persisted per-modality fingerprint index
+    for accepted-corpus hits (corpus wins — any match drops the delta
+    doc), and cluster within-batch pairs with the min-id exemplar
+    policy. The probe is the stateless guard core
+    (multimodal.fingerprint_guard_stream) run as a batch join: one
+    (band_id, bv) equi-join against the bucketed index, verify inline
+    from the carried fingerprints."""
+    from flapi_spark.multimodal import (
+        VID_FRAME_KEY_SPAN,
+        fingerprint_guard_stream,
+    )
+
+    synth, fps_of = _mm_lane(stage)
+    media = synth(spark, sf_dir).where(F.col("doc_id") >= F.lit(since))
+    # decode/hash once: the banded self-join + the index probe both
+    # consume the fingerprints (the mm lanes' Python-decode rule)
+    fps = fps_of(media).localCheckpoint(eager=True)
+    hits = fingerprint_guard_stream(fps, spark.table(table), max_hamming)
+    doc_col = (
+        F.expr(f"doc_id div {VID_FRAME_KEY_SPAN}")
+        if stage == "video_near_dedup"
+        else F.col("doc_id")
+    )
+    corpus_drop = hits.select(doc_col.alias("doc_id")).distinct()
+    keep = _drop_cluster_non_exemplars(
+        keep, _mm_delta_pairs(fps, stage, max_hamming)
+    )
+    return keep.join(corpus_drop, "doc_id", "left_anti")
+
+
+def _mm_base_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame,
+    until: int,
+    stage: str,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Perceptual base near-dedup: within-span pairs only (no index
+    yet at T0), min-id exemplar — the batch pipeline's perceptual
+    stage semantics restricted to the base span."""
+    synth, fps_of = _mm_lane(stage)
+    media = synth(spark, sf_dir).where(F.col("doc_id") < F.lit(until))
+    fps = fps_of(media).localCheckpoint(eager=True)
+    return _drop_cluster_non_exemplars(
+        keep, _mm_delta_pairs(fps, stage, max_hamming)
+    )
+
+
 def _inline_portable_pairs(
     spark: SparkSession, docs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
@@ -173,14 +316,24 @@ def _inline_portable_pairs(
 
 DELTA_STAGES = ["quality", "langid", "exact_dedup", "near_dedup", "decontam"]
 
+# every stage the base/delta chains know, in canonical chain order;
+# DELTA_STAGES above is the DEFAULT subset (the batch pipeline's
+# default chain), kept for callers that don't configure gates
+KNOWN_STAGES = [
+    "url_filter", "html_extract", "license_gate",
+    "quality", "langid", "exact_dedup", "near_dedup",
+    "image_near_dedup", "audio_near_dedup", "video_near_dedup",
+    "decontam",
+]
+
 
 def _select_stages(stages: list[str] | None, caller: str) -> list[str]:
     picked = list(stages) if stages is not None else list(DELTA_STAGES)
-    unknown = [s for s in picked if s not in DELTA_STAGES]
+    unknown = [s for s in picked if s not in KNOWN_STAGES]
     if unknown:
         raise ValueError(
             f"{caller}: unknown stage(s) {unknown!r}"
-            f" (available: {DELTA_STAGES})"
+            f" (available: {KNOWN_STAGES})"
         )
     return picked
 
@@ -240,11 +393,35 @@ def curate_base(
         pairs = _inline_portable_pairs(spark, docs)
         return _drop_cluster_non_exemplars(keep, pairs)
 
+    from flapi_spark.operators.text import (
+        text_html_extract,
+        text_license_detect,
+        text_url_filter,
+    )
+
     impls = {
+        "url_filter": lambda k: _span_gate(
+            text_url_filter, spark, sf_dir, k, span
+        ),
+        "html_extract": lambda k: _span_gate(
+            text_html_extract, spark, sf_dir, k, span
+        ),
+        "license_gate": lambda k: _span_gate(
+            text_license_detect, spark, sf_dir, k, span
+        ),
         "quality": lambda k: _span_quality(spark, sf_dir, k, span),
         "langid": lambda k: _span_langid(spark, sf_dir, k, span),
         "exact_dedup": _exact,
         "near_dedup": _near,
+        "image_near_dedup": lambda k: _mm_base_stage(
+            spark, sf_dir, k, until, "image_near_dedup"
+        ),
+        "audio_near_dedup": lambda k: _mm_base_stage(
+            spark, sf_dir, k, until, "audio_near_dedup"
+        ),
+        "video_near_dedup": lambda k: _mm_base_stage(
+            spark, sf_dir, k, until, "video_near_dedup"
+        ),
         "decontam": lambda k: _span_decontam(
             spark, sf_dir, k, F.col("train_doc") < F.lit(until)
         ),
@@ -347,7 +524,33 @@ def curate_delta(
         keep = _drop_cluster_non_exemplars(keep, dd)
         return keep.join(corpus_drop, "doc_id", "left_anti")
 
+    from flapi_spark.operators.text import (
+        text_html_extract,
+        text_license_detect,
+        text_url_filter,
+    )
+
+    def _mm(stage: str, table: str | None):
+        if table is None:
+            raise ValueError(
+                f"curate_delta: stage {stage!r} requires its fingerprint"
+                " index table to be named in DeltaIndexes (one table"
+                " per modality — the write_phash_index contract)"
+            )
+        return lambda k: _mm_delta_stage(
+            spark, sf_dir, k, since, stage, table
+        )
+
     impls = {
+        "url_filter": lambda k: _span_gate(
+            text_url_filter, spark, sf_dir, k, span
+        ),
+        "html_extract": lambda k: _span_gate(
+            text_html_extract, spark, sf_dir, k, span
+        ),
+        "license_gate": lambda k: _span_gate(
+            text_license_detect, spark, sf_dir, k, span
+        ),
         "quality": lambda k: _span_quality(spark, sf_dir, k, span),
         "langid": lambda k: _span_langid(spark, sf_dir, k, span),
         "exact_dedup": _exact,
@@ -357,7 +560,15 @@ def curate_delta(
         ),
     }
     for name in _select_stages(stages, "curate_delta"):
-        _run(name, impls[name])
+        if name in _MM_LANES:
+            table = {
+                "image_near_dedup": indexes.image_table,
+                "audio_near_dedup": indexes.audio_table,
+                "video_near_dedup": indexes.video_table,
+            }[name]
+            _run(name, _mm(name, table))
+        else:
+            _run(name, impls[name])
     report.keep = keep
 
     if maintain_indexes:

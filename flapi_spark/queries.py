@@ -6351,6 +6351,24 @@ def _pipeline_delta_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_delta(spark, sf_dir, since, idx).funnel_df
 
 
+def _pipeline_delta_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta batch with the crawl-side gates deployed (url → html
+    → license fronting the default chain) — the ingest shape a crawl
+    pipeline actually runs against the SAME persisted T0 indexes (the
+    base world stays the default 5-stage curation: extending today's
+    ingest chain must not require re-curating yesterday's corpus)."""
+    from flapi_spark.pipeline_delta import curate_delta
+
+    since, idx = _delta_world(spark, sf_dir)
+    return curate_delta(
+        spark, sf_dir, since, idx,
+        stages=[
+            "url_filter", "html_extract", "license_gate",
+            "quality", "langid", "exact_dedup", "near_dedup", "decontam",
+        ],
+    ).funnel_df
+
+
 def _dedup_delta_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw delta near-dup pair stream served from the persisted
     base-accepted band index + shingle store: new×index (bucketed,
@@ -6415,18 +6433,10 @@ def _delta_ctes() -> list[str]:
         " WHERE doc_id NOT IN (SELECT doc_id FROM bnx))",
         "b5 AS (SELECT doc_id FROM b4 WHERE doc_id NOT IN"
         f" (SELECT train_doc FROM cont WHERE train_doc < {thr}))",
-        # --- delta chain (curate_delta replay) ---
-        f"d0 AS (SELECT doc_id FROM documents WHERE doc_id >= {thr})",
-        "d1 AS (SELECT doc_id FROM d0"
-        " WHERE doc_id IN (SELECT doc_id FROM gq))",
-        "d2 AS (SELECT doc_id FROM d1"
-        " WHERE doc_id IN (SELECT doc_id FROM lq))",
+        # --- delta-chain helper CTEs (the d{i} keep chain itself is
+        # --- generated per stage list by _delta_funnel_sql) ---
         "bfp AS (SELECT DISTINCT fp FROM fps"
         " WHERE doc_id IN (SELECT doc_id FROM b5))",
-        "d3 AS (SELECT doc_id FROM d2 WHERE doc_id IN"
-        f" (SELECT min(doc_id) FROM fps WHERE doc_id >= {thr} GROUP BY fp)"
-        " AND doc_id NOT IN (SELECT doc_id FROM fps"
-        "  WHERE fp IN (SELECT fp FROM bfp)))",
         f"cdrop AS (SELECT DISTINCT doc_b AS doc_id FROM mp"
         f" WHERE doc_b >= {thr} AND doc_a IN (SELECT doc_id FROM b5))",
         "dedges AS (SELECT doc_a AS u, doc_b AS v FROM mp"
@@ -6436,20 +6446,56 @@ def _delta_ctes() -> list[str]:
         " UNION SELECT r.u, e.v FROM dreach r JOIN dedges e ON r.v = e.u)",
         "dnx AS (SELECT u AS doc_id FROM dreach GROUP BY u"
         " HAVING least(u, min(v)) <> u)",
-        "d4 AS (SELECT doc_id FROM d3"
-        " WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)"
-        " AND doc_id NOT IN (SELECT doc_id FROM dnx))",
-        "d5 AS (SELECT doc_id FROM d4 WHERE doc_id NOT IN"
-        f" (SELECT train_doc FROM cont WHERE train_doc >= {thr}))",
     ]
 
 
-def _delta_funnel_sql() -> str:
-    """The delta funnel oracle: per-stage counts over the d0..d5 keep
+def _delta_stage_preds(with_gates: bool) -> list[tuple[str, str]]:
+    """(stage_name, keep predicate) for the delta chain, in
+    curate_delta's canonical order. `with_gates` fronts the three
+    crawl-side per-doc gates (url/html/license) — the _full entry."""
+    thr = _DELTA_THR
+    stages: list[tuple[str, str]] = []
+    if with_gates:
+        u = QUERIES["text_url_filter"][1]
+        lic = QUERIES["text_license_detect"][1]
+        stages += [
+            ("url_filter",
+             f"doc_id IN (SELECT doc_id FROM ({u}) u WHERE keep)"),
+            ("html_extract",
+             "doc_id IN (SELECT doc_id FROM"
+             f" ({_html_extract_sql()}) h WHERE keep)"),
+            ("license_gate",
+             f"doc_id IN (SELECT doc_id FROM ({lic}) lc WHERE keep)"),
+        ]
+    stages += [
+        ("quality", "doc_id IN (SELECT doc_id FROM gq)"),
+        ("langid", "doc_id IN (SELECT doc_id FROM lq)"),
+        ("exact_dedup",
+         "doc_id IN (SELECT min(doc_id) FROM fps"
+         f" WHERE doc_id >= {thr} GROUP BY fp)"
+         " AND doc_id NOT IN (SELECT doc_id FROM fps"
+         " WHERE fp IN (SELECT fp FROM bfp))"),
+        ("near_dedup",
+         "doc_id NOT IN (SELECT doc_id FROM cdrop)"
+         " AND doc_id NOT IN (SELECT doc_id FROM dnx)"),
+        ("decontam",
+         "doc_id NOT IN (SELECT train_doc FROM cont"
+         f" WHERE train_doc >= {thr})"),
+    ]
+    return stages
+
+
+def _delta_funnel_sql(with_gates: bool = False) -> str:
+    """The delta funnel oracle: per-stage counts over the d{i} keep
     chain, one m{i} CTE per level (computed once — the
     _curation_funnel_chain_sql lesson)."""
-    stages = ["quality", "langid", "exact_dedup", "near_dedup", "decontam"]
+    stages = _delta_stage_preds(with_gates)
     ctes = _delta_ctes() + [
+        f"d0 AS (SELECT doc_id FROM documents WHERE doc_id >= {_DELTA_THR})"
+    ] + [
+        f"d{i} AS (SELECT doc_id FROM d{i - 1} WHERE {pred})"
+        for i, (_name, pred) in enumerate(stages, 1)
+    ] + [
         f"m{i} AS (SELECT CAST((SELECT count(*) FROM d{i}) AS BIGINT) AS c)"
         for i in range(len(stages) + 1)
     ]
@@ -6459,7 +6505,7 @@ def _delta_funnel_sql() -> str:
         f" m{i - 1}.c AS n_in, m{i}.c AS n_out,"
         f" m{i - 1}.c - m{i}.c AS n_dropped"
         f" FROM m{i - 1}, m{i}"
-        for i, name in enumerate(stages, 1)
+        for i, (name, _pred) in enumerate(stages, 1)
     )
     return "WITH RECURSIVE " + ", ".join(ctes) + " " + rows
 
@@ -6487,6 +6533,10 @@ QUERIES.update(
         "dedup_delta_probe_pairs": (
             _dedup_delta_probe_pairs,
             _delta_probe_pairs_sql(),
+        ),
+        "pipeline_delta_funnel_full": (
+            _pipeline_delta_funnel_full,
+            _delta_funnel_sql(with_gates=True),
         ),
     }
 )
@@ -6675,8 +6725,10 @@ QUERIES.update(
 # drives (all-entry drive_contract runs, FAILS: [] every time).
 _CHECK_FIRST = [
     # NEW round-10f entries (first driver look): incremental delta
-    # curation against the persisted index triple
+    # curation against the persisted index triple, plus the gated
+    # ingest chain (url/html/license fronting the delta batch)
     "pipeline_delta_funnel", "dedup_delta_probe_pairs",
+    "pipeline_delta_funnel_full",
     # NEW round-10e entries (first driver look): the entity-resolution
     # lane + the profiling/constraint layer + curation observability
     "er_blocked_pairs", "er_block_stats", "er_clusters",
@@ -6693,7 +6745,7 @@ _CHECK_FIRST = [
     "dedup_components_incremental", "bm25_search_indexed",
     "hybrid_search_indexed", "bm25_search_expanded",
     "curriculum_order",
-    "text_html_extract", "pipeline_curation_funnel_html",
+    "text_html_extract",
     "text_url_filter",
     # round-10d additions (first driver look): cluster-grain curation,
     # per-source KL drift, LPA communities inline + index-served
@@ -6711,6 +6763,12 @@ _CHECK_FIRST = [
     # deterministic bootstrap CI
     "t_closeness_orders", "classifier_calibration_bins",
     "keyword_textrank", "bootstrap_ci_order_value",
+    # Rotated out for pipeline_delta_funnel_full:
+    # pipeline_curation_funnel_html — a funnel composition whose gate
+    # body (text_html_extract) stays in-window and whose chained-CTE
+    # machinery is now driver-covered by THREE in-window funnels
+    # (delta, delta_full — which deploys the same html predicate —
+    # and the batch default). Re-confirmed bit-exact in-session.
     # Rotated out for these four: quality_classifier_eval (a label×keep
     # rollup of the SAME _nb_scored chain that in-window
     # quality_classifier_score and classifier_calibration_bins both

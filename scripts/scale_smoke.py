@@ -93,7 +93,18 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # construction).
        "er_pairs_scaled_zip", "er_block_stats_scaled_zip",
        "er_golden_scaled_zip", "profile_documents",
-       "source_reputation", "contamination_fixed_benchmark"]
+       "source_reputation", "contamination_fixed_benchmark",
+       # round-10f: the delta-curation ingest batch. The bootstrap is
+       # the one-time linear base build; the fixed-size batch op is
+       # the steady-state cost and must stay ~FLAT as the base corpus
+       # grows (the O(delta) ingest claim). The decontam stage rides
+       # the fixed-benchmark contract (see contamination_fixed_
+       # benchmark) so the smoked chain is the four corpus-facing
+       # stages. TextRank keywords + bootstrap CI are vocabulary-/
+       # configuration-bounded after one linear scan.
+       "delta_world_bootstrap", "curate_delta_fixed_batch",
+       "keyword_textrank", "bootstrap_ci_order_value",
+       "t_closeness_orders"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
@@ -292,7 +303,74 @@ def _contamination_fixed_benchmark(spark, sf_dir):
     return contamination_semantic(spark, sf_dir, bench_mod=max(37, n // 135))
 
 
+_DELTA_BUILT: dict[str, tuple] = {}
+
+
+def _ensure_delta_world(spark, sf_dir):
+    """Bootstrap the delta-curation world for a smoke dir once: a
+    FIXED 500-doc delta at the corpus tail, base = everything below,
+    index triple from the base accepted set. Base near-dedup is
+    skipped in the bootstrap chain (its inline pair build is already
+    smoked as dedup_minhash_portable; the probe's corpus-independence
+    doesn't depend on which base docs were accepted)."""
+    from flapi_spark.pipeline_delta import (
+        DeltaIndexes, bootstrap_delta_indexes, curate_base,
+    )
+    from flapi_spark.writes import _rm_table
+
+    if sf_dir not in _DELTA_BUILT:
+        import hashlib
+
+        suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        idx = DeltaIndexes(
+            band_table=f"smoke_dbands_{suffix}",
+            shingle_store=f"smoke_dshing_{suffix}",
+            exact_table=f"smoke_dexact_{suffix}",
+        )
+        for t in (idx.band_table, idx.shingle_store, idx.exact_table):
+            _rm_table(spark, t)
+        mx = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .agg(F.max("doc_id")).first()[0]
+        )
+        since = int(mx) + 1 - 500
+        base = curate_base(
+            spark, sf_dir, since,
+            stages=["quality", "langid", "exact_dedup"],
+        )
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        _DELTA_BUILT[sf_dir] = (since, idx)
+    return _DELTA_BUILT[sf_dir]
+
+
+def _delta_world_bootstrap(spark, sf_dir):
+    """Round 10f: the one-time base curation + index-triple build —
+    linear in the base corpus; timed separately from the batch."""
+    _DELTA_BUILT.pop(sf_dir, None)
+    _since, idx = _ensure_delta_world(spark, sf_dir)
+    return spark.table(idx.exact_table)
+
+
+def _curate_delta_fixed_batch(spark, sf_dir):
+    """Round 10f: the steady-state ingest batch — a FIXED 500-doc
+    delta curated against the persisted index triple. Run
+    delta_world_bootstrap FIRST so each factor's cell measures the
+    batch, not the one-time build. Expected ~FLAT as the base corpus
+    grows: per-doc gates are delta-bounded scans, dedup probes are
+    bucketed index reads."""
+    from flapi_spark.pipeline_delta import curate_delta
+
+    since, idx = _ensure_delta_world(spark, sf_dir)
+    rep = curate_delta(
+        spark, sf_dir, since, idx,
+        stages=["quality", "langid", "exact_dedup", "near_dedup"],
+    )
+    return rep.keep
+
+
 EXTRA_OPS = {
+    "delta_world_bootstrap": _delta_world_bootstrap,
+    "curate_delta_fixed_batch": _curate_delta_fixed_batch,
     "er_pairs_scaled_zip": _er_pairs_scaled_zip,
     "er_block_stats_scaled_zip": _er_block_stats_scaled_zip,
     "er_golden_scaled_zip": _er_golden_scaled_zip,

@@ -230,3 +230,106 @@ def test_probe_plan_index_side_bucketed(spark, sf_dir, world):
 def test_unknown_stage_rejected(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown stage"):
         curate_base(spark, sf_dir, SINCE, stages=["nope"])
+
+
+def test_image_delta_stage_matches_full_pair_graph(spark, sf_dir):
+    """The perceptual delta stage == the full-corpus image pair graph
+    restricted to the delta: drop a delta doc iff it pairs with an
+    accepted (indexed) base doc, else keep the min-id exemplar of its
+    within-delta cluster (band collision + Hamming verify are
+    pairwise, so the restriction is exact)."""
+    from flapi_spark.multimodal import mm_phash_pairs
+
+    idx = DeltaIndexes(
+        band_table="t_dimg_b",
+        shingle_store="t_dimg_s",
+        exact_table="t_dimg_e",
+        image_table="t_dimg_i",
+    )
+    _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table,
+        idx.image_table)
+    try:
+        base_keep = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < SINCE)
+            .select("doc_id")
+        )
+        bootstrap_delta_indexes(spark, sf_dir, base_keep, idx)
+        rep = curate_delta(
+            spark, sf_dir, SINCE, idx, stages=["image_near_dedup"]
+        )
+        got = {r.doc_id for r in rep.keep.collect()}
+
+        pairs = [
+            (r.doc_a, r.doc_b)
+            for r in mm_phash_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        ]
+        delta_ids = set(range(SINCE, 500))
+        corpus_dropped = {
+            b for a, b in pairs if a < SINCE and b >= SINCE
+        }
+        # within-delta components, min-id exemplar
+        import itertools
+
+        parent = {d: d for d in delta_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            if a >= SINCE and b >= SINCE:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        non_exemplar = {
+            d for d in delta_ids
+            if any(
+                (a == d or b == d)
+                for a, b in pairs
+                if a >= SINCE and b >= SINCE
+            )
+            and find(d) != d
+        }
+        expect = delta_ids - corpus_dropped - non_exemplar
+        assert got == expect
+    finally:
+        _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table,
+            idx.image_table)
+
+
+def test_delta_gate_stages_match_batch_gates(spark, sf_dir, world):
+    """url/html/license delta gates == the batch operators' verdicts
+    restricted to the delta span (per-doc gates; the span bound is a
+    scan optimization, never a semantic change)."""
+    from flapi_spark.operators.text import (
+        text_html_extract,
+        text_license_detect,
+        text_url_filter,
+    )
+
+    _, idx = world
+    rep = curate_delta(
+        spark, sf_dir, SINCE, idx,
+        stages=["url_filter", "html_extract", "license_gate"],
+    )
+    got = {r.doc_id for r in rep.keep.collect()}
+    expect = set(range(SINCE, 500))
+    for op in (text_url_filter, text_html_extract, text_license_detect):
+        expect &= {
+            r.doc_id
+            for r in op(spark, sf_dir).where("keep").collect()
+        }
+    assert got == expect
+
+
+def test_mm_stage_requires_named_index(spark, sf_dir, world):
+    _, idx = world  # image_table is None in the module world
+    with pytest.raises(ValueError, match="fingerprint index table"):
+        curate_delta(
+            spark, sf_dir, SINCE, idx, stages=["image_near_dedup"]
+        )
