@@ -133,6 +133,7 @@ HEADLINE = [
     "classifier_calibration_bins",
     "keyword_textrank",
     "bootstrap_ci_order_value",
+    "randomization_test_order_value",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

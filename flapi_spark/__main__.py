@@ -252,24 +252,12 @@ def _cmd_bundle_info(args) -> int:
     return 0
 
 
-def _cmd_curate(args) -> int:
-    """Run a YAML curation pipeline end-to-end and print the
-    attrition funnel (round 10): the CLI surface for
-    flapi_spark.pipeline.curate_from_config — a data-curation run is
-    an operational action exactly like `run`, so it gets a verb, not
-    just a library call. `--json` emits one JSON object per stage
-    (machine-readable, incl. wall seconds); default is an aligned
-    TSV funnel."""
+def _print_funnel(rep, as_json: bool) -> None:
+    """Shared funnel printer for the curate verbs: one JSON object
+    per stage with --json, an aligned TSV otherwise."""
     import json as _json
 
-    from flapi_spark.pipeline import curate_from_config
-    from flapi_spark.session import get_spark
-
-    spark = get_spark(app_name="flapi_spark_curate")
-    if args.log_level != "debug":
-        spark.sparkContext.setLogLevel("ERROR")
-    rep = curate_from_config(spark, args.data, args.pipeline)
-    if args.json:
+    if as_json:
         for i, s in enumerate(rep.stages, 1):
             print(_json.dumps({
                 "stage": i, "name": s["stage"], "n_in": s["n_in"],
@@ -283,6 +271,63 @@ def _cmd_curate(args) -> int:
                 f"{i}\t{s['stage']}\t{s['n_in']}\t{s['n_out']}"
                 f"\t{s['n_in'] - s['n_out']}\t{s['sec']}"
             )
+
+
+def _cmd_curate_delta(args) -> int:
+    """Run the incremental ingest batch (round 10f): curate ONLY
+    doc_id >= --since against the persisted index set
+    (flapi_spark.pipeline_delta.curate_delta). With --bootstrap the
+    T0 world is built first — curate_base over doc_id < --since and
+    the indexes from its accepted set — so a cold deployment is one
+    command; steady state omits it and probes the existing tables.
+    --maintain appends the accepted batch to the indexes (the next
+    batch sees this one)."""
+    from flapi_spark.pipeline_delta import (
+        DeltaIndexes, bootstrap_delta_indexes, curate_base, curate_delta,
+    )
+    from flapi_spark.session import get_spark
+
+    spark = get_spark(app_name="flapi_spark_curate_delta")
+    if args.log_level != "debug":
+        spark.sparkContext.setLogLevel("ERROR")
+    idx = DeltaIndexes(
+        band_table=args.band_table,
+        shingle_store=args.shingle_store,
+        exact_table=args.exact_table,
+        image_table=args.image_table,
+        audio_table=args.audio_table,
+        video_table=args.video_table,
+    )
+    stages = args.stages.split(",") if args.stages else None
+    if args.bootstrap:
+        base = curate_base(spark, args.data, args.since, stages=stages)
+        bootstrap_delta_indexes(spark, args.data, base.keep, idx)
+    rep = curate_delta(
+        spark, args.data, args.since, idx, stages=stages,
+        maintain_indexes=args.maintain,
+    )
+    _print_funnel(rep, args.json)
+    if args.output:
+        rep.keep.write.mode("overwrite").parquet(args.output)
+    return 0
+
+
+def _cmd_curate(args) -> int:
+    """Run a YAML curation pipeline end-to-end and print the
+    attrition funnel (round 10): the CLI surface for
+    flapi_spark.pipeline.curate_from_config — a data-curation run is
+    an operational action exactly like `run`, so it gets a verb, not
+    just a library call. `--json` emits one JSON object per stage
+    (machine-readable, incl. wall seconds); default is an aligned
+    TSV funnel."""
+    from flapi_spark.pipeline import curate_from_config
+    from flapi_spark.session import get_spark
+
+    spark = get_spark(app_name="flapi_spark_curate")
+    if args.log_level != "debug":
+        spark.sparkContext.setLogLevel("ERROR")
+    rep = curate_from_config(spark, args.data, args.pipeline)
+    _print_funnel(rep, args.json)
     if args.output:
         # id-grain keep-set; partitioning left to the session default
         # (a 100 TB keep-set is still billions of rows — never
@@ -416,6 +461,41 @@ def main(argv: list[str] | None = None) -> int:
     cup.add_argument("--n-shards", type=int, default=8)
     cup.add_argument("--shard-seed", default="epoch0")
     cup.set_defaults(fn=_cmd_curate)
+    cdp = sub.add_parser("curate-delta")
+    cdp.add_argument(
+        "--data", required=True, help="table dir (parquet per table)"
+    )
+    cdp.add_argument(
+        "--since", type=int, required=True,
+        help="delta span start: curate doc_id >= SINCE only",
+    )
+    cdp.add_argument(
+        "--stages", default=None,
+        help="comma-separated stage subset (default: the 5-stage chain)",
+    )
+    cdp.add_argument(
+        "--bootstrap", action="store_true",
+        help="build the T0 world first (curate_base over doc_id <"
+             " SINCE, indexes from its accepted set)",
+    )
+    cdp.add_argument(
+        "--maintain", action="store_true",
+        help="append the accepted batch to the indexes",
+    )
+    cdp.add_argument("--band-table", default="neardup_band_index_portable")
+    cdp.add_argument(
+        "--shingle-store", default="neardup_shingle_store_portable"
+    )
+    cdp.add_argument("--exact-table", default="dedup_exact_index")
+    cdp.add_argument("--image-table", default=None)
+    cdp.add_argument("--audio-table", default=None)
+    cdp.add_argument("--video-table", default=None)
+    cdp.add_argument(
+        "-o", "--output", default=None,
+        help="write the surviving delta doc_id keep-set as parquet",
+    )
+    cdp.add_argument("--json", action="store_true")
+    cdp.set_defaults(fn=_cmd_curate_delta)
 
     args = ap.parse_args(argv)
     if args.cmd == "bundle-info":

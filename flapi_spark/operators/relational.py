@@ -3606,6 +3606,99 @@ def bootstrap_ci_order_value(
     )
 
 
+def randomization_test_order_value(
+    spark: SparkSession, sf_dir: str, n_perm: int = 200,
+    seg_a: str = "AUTOMOBILE", seg_b: str = "BUILDING",
+) -> DataFrame:
+    """Deterministic randomization test (Fisher 1935 shape; the
+    relabeling Monte-Carlo variant) for the difference in mean order
+    value between two customer segments — the non-parametric sibling
+    of welch_ttest_segments: no normality assumption, the null
+    distribution comes from the data itself. Every "random" relabel
+    is a portable md5 coin over (permutation, order key), so the null
+    distribution, the exceedance count, and the p-value
+    (1 + #{|diff_p| ≥ |observed|}) / (P + 1) are engine-reproducible
+    and exactly DuckDB-checkable.
+
+    Scale shape: one explode to P coins per row (P
+    configuration-bounded), one (perm, side) grouped aggregate with
+    map-side combine; per-permutation means are DECIMAL-exact and the
+    final exceedance sum compares identically-derived doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rows = (
+        orders.join(cust, "o_custkey")
+        .where(F.col("c_mktsegment").isin(seg_a, seg_b))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            (F.col("c_mktsegment") == seg_a).alias("in_a"),
+        )
+    )
+    sizes = rows.agg(
+        F.sum(F.col("in_a").cast("long")).alias("na"),
+        F.count(F.lit(1)).alias("nt"),
+    ).first()
+    na, nt = int(sizes.na), int(sizes.nt)  # two bounded scalars
+    mean = lambda s, c: s.cast("double") / c  # noqa: E731
+    obs = rows.agg(
+        (
+            mean(F.sum(F.when(F.col("in_a"), F.col("v"))),
+                 F.sum(F.col("in_a").cast("long")))
+            - mean(F.sum(F.when(~F.col("in_a"), F.col("v"))),
+                   F.sum((~F.col("in_a")).cast("long")))
+        ).alias("obs_diff")
+    )
+    coin = (
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(p as string), '_',"
+            " cast(o_orderkey as string))), 1, 15), 16, 10) as bigint)"
+        )
+        % F.lit(nt)
+        < F.lit(na)
+    )
+    perms = (
+        rows.select(
+            "o_orderkey", "v",
+            F.explode(F.expr(f"sequence(1, {n_perm})")).alias("p"),
+        )
+        .select("p", "v", coin.alias("side_a"))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("side_a"), F.col("v"))).alias("sa"),
+            F.sum(F.col("side_a").cast("long")).alias("ca"),
+            F.sum(F.when(~F.col("side_a"), F.col("v"))).alias("sb"),
+            F.sum((~F.col("side_a")).cast("long")).alias("cb"),
+        )
+        .select(
+            (mean(F.col("sa"), F.col("ca"))
+             - mean(F.col("sb"), F.col("cb"))).alias("diff_p")
+        )
+    )
+    null_dist = perms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.abs(F.col("diff_p")) >= F.abs(F.col("obs_diff")))
+            .cast("long")
+        ).alias("n_ge")
+    )
+    return (
+        obs.crossJoin(F.broadcast(null_dist))
+        .select(
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nt - na).cast("long").alias("n_b"),
+            F.lit(n_perm).cast("long").alias("n_perm"),
+            F.round("obs_diff", 6).alias("obs_diff"),
+            F.col("n_ge").cast("long").alias("n_exceed"),
+            F.round(
+                (F.lit(1) + F.col("n_ge")).cast("double") / (n_perm + 1),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
 _MKT_SEGMENTS = (
     "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
 )

@@ -6702,11 +6702,59 @@ def _bootstrap_ci_sql(n_boot: int = 200, m: int = 1000) -> str:
     )
 
 
+def _randomization_test_sql(
+    n_perm: int = 200, seg_a: str = "AUTOMOBILE", seg_b: str = "BUILDING"
+) -> str:
+    """Exact replay of relational.randomization_test_order_value:
+    same md5 (permutation, order key) coins, DECIMAL per-side sums,
+    identical double means and exceedance compare."""
+    m_a = (
+        "CAST(SUM(CASE WHEN {c} THEN v END) AS DOUBLE)"
+        " / SUM(CASE WHEN {c} THEN 1 ELSE 0 END)"
+    )
+    diff = (
+        m_a.format(c="{side}") + " - " + m_a.format(c="NOT {side}")
+    )
+    return (
+        "WITH rows_ AS (SELECT o_orderkey,"
+        "  CAST(o_totalprice AS DECIMAL(18,2)) AS v,"
+        f"  c_mktsegment = '{seg_a}' AS in_a"
+        "  FROM orders JOIN customer ON c_custkey = o_custkey"
+        f"  WHERE c_mktsegment IN ('{seg_a}', '{seg_b}')),"
+        " sz AS (SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS na, CAST(count(*) AS BIGINT) AS nt FROM rows_),"
+        f" obs AS (SELECT {diff.format(side='in_a')} AS obs_diff"
+        "  FROM rows_),"
+        " coins AS (SELECT p, v,"
+        "  (CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR),"
+        "   '_', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+        "   % (SELECT nt FROM sz)) < (SELECT na FROM sz) AS side_a"
+        "  FROM rows_ CROSS JOIN"
+        f"  (SELECT unnest(range(1, {n_perm + 1})) AS p)),"
+        f" perms AS (SELECT p, {diff.format(side='side_a')} AS diff_p"
+        "  FROM coins GROUP BY p),"
+        " ex AS (SELECT CAST(SUM(CASE WHEN abs(diff_p) >="
+        "  abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END)"
+        "  AS BIGINT) AS n_ge FROM perms)"
+        " SELECT (SELECT na FROM sz) AS n_a,"
+        " (SELECT nt - na FROM sz) AS n_b,"
+        f" CAST({n_perm} AS BIGINT) AS n_perm,"
+        " round((SELECT obs_diff FROM obs), 6) AS obs_diff,"
+        " n_ge AS n_exceed,"
+        f" round(CAST(1 + n_ge AS DOUBLE) / {n_perm + 1}, 6) AS p_value"
+        " FROM ex"
+    )
+
+
 QUERIES.update(
     {
         "bootstrap_ci_order_value": (
             R.bootstrap_ci_order_value,
             _bootstrap_ci_sql(),
+        ),
+        "randomization_test_order_value": (
+            R.randomization_test_order_value,
+            _randomization_test_sql(),
         ),
     }
 )
@@ -6742,7 +6790,7 @@ _CHECK_FIRST = [
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
-    "dedup_components_incremental", "bm25_search_indexed",
+    "dedup_components_incremental",
     "hybrid_search_indexed", "bm25_search_expanded",
     "curriculum_order",
     "text_html_extract",
@@ -6763,6 +6811,13 @@ _CHECK_FIRST = [
     # deterministic bootstrap CI
     "t_closeness_orders", "classifier_calibration_bins",
     "keyword_textrank", "bootstrap_ci_order_value",
+    "randomization_test_order_value",
+    # Rotated out for randomization_test_order_value:
+    # bm25_search_indexed — indexed twin of the driver-green
+    # bm25_search (postings-index equality pinned by tests; the
+    # in-window hybrid_search_indexed exercises the same persisted
+    # postings + IVF probe path end-to-end). Re-confirmed bit-exact
+    # in-session.
     # Rotated out for pipeline_delta_funnel_full:
     # pipeline_curation_funnel_html — a funnel composition whose gate
     # body (text_html_extract) stays in-window and whose chained-CTE

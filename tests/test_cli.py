@@ -477,3 +477,51 @@ def test_curate_verb_materializes_shards(spark, sf_dir, tmp_path, capsys):
     assert written.count() == n_final
     assert {r.shard for r in written.select("shard").distinct().collect()} \
         == {0, 1, 2}
+
+
+def test_curate_delta_verb_bootstrap_then_batch(
+    spark, sf_dir, tmp_path, capsys
+):
+    """Round 10f: `flapi_spark curate-delta --bootstrap` builds the T0
+    world and curates the delta span in one command; the keep-set
+    parquet matches the funnel's final count and holds only delta
+    ids; funnel matches curate_delta's library result."""
+    from flapi_spark.pipeline_delta import (
+        DeltaIndexes, bootstrap_delta_indexes, curate_base, curate_delta,
+    )
+    from flapi_spark.writes import _rm_table
+
+    tables = ("cli_dband", "cli_dshingle", "cli_dexact")
+    for t in tables:
+        _rm_table(spark, t)
+    out = str(tmp_path / "delta_keep.parquet")
+    try:
+        assert main([
+            "curate-delta", "--data", sf_dir, "--since", "400",
+            "--bootstrap",
+            "--band-table", "cli_dband",
+            "--shingle-store", "cli_dshingle",
+            "--exact-table", "cli_dexact",
+            "-o", out,
+        ]) == 0
+        tsv = capsys.readouterr().out.strip().splitlines()
+        rows = [line.split("\t") for line in tsv[1:]]
+        assert [r[1] for r in rows] == [
+            "quality", "langid", "exact_dedup", "near_dedup", "decontam",
+        ]
+        got = spark.read.parquet(out)
+        ids = [r.doc_id for r in got.collect()]
+        assert len(ids) == int(rows[-1][3])
+        assert ids and min(ids) >= 400
+        # funnel parity with the library call against the same tables
+        idx = DeltaIndexes(
+            band_table="cli_dband", shingle_store="cli_dshingle",
+            exact_table="cli_dexact",
+        )
+        rep = curate_delta(spark, sf_dir, 400, idx)
+        assert [(s["n_in"], s["n_out"]) for s in rep.stages] == [
+            (int(r[2]), int(r[3])) for r in rows
+        ]
+    finally:
+        for t in tables:
+            _rm_table(spark, t)

@@ -107,3 +107,21 @@ def test_bootstrap_ci_narrows_with_more_draws(spark, sf_dir):
     w = wide.collect()[0]
     t = tight.collect()[0]
     assert (t.ci_hi - t.ci_lo) < (w.ci_hi - w.ci_lo)
+
+
+def test_randomization_test_properties(spark, sf_dir):
+    from flapi_spark.operators.relational import (
+        randomization_test_order_value,
+    )
+
+    r = randomization_test_order_value(spark, sf_dir, n_perm=99).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.n_exceed <= 99
+    # add-one p-value bounds
+    assert 1 / 100 <= r.p_value <= 1.0
+    # same-segment null: relabeling within ONE segment vs itself gives
+    # obs_diff == 0 and every permutation exceeds it
+    same = randomization_test_order_value(
+        spark, sf_dir, n_perm=19, seg_a="AUTOMOBILE", seg_b="AUTOMOBILE"
+    ).collect()[0]
+    assert same.n_b == 0 or same.p_value >= 0.95 or same.obs_diff == 0.0
