@@ -134,6 +134,7 @@ HEADLINE = [
     "keyword_textrank",
     "bootstrap_ci_order_value",
     "randomization_test_order_value",
+    "mann_whitney_order_value",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

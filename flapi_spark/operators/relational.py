@@ -3606,6 +3606,75 @@ def bootstrap_ci_order_value(
     )
 
 
+def mann_whitney_order_value(
+    spark: SparkSession, sf_dir: str,
+    seg_a: str = "AUTOMOBILE", seg_b: str = "BUILDING",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for order value between two
+    customer segments — the rank-based two-sample test completing the
+    inference trio (Welch parametric, randomization Monte-Carlo,
+    Mann-Whitney rank): robust to outliers and any monotone transform
+    of the values.
+
+    Exactness: ranks stay INTEGER throughout — tied values get the
+    average rank carried as 2·rank = 2·cum_before + count + 1 (always
+    integral), summed as BIGINTs, so U is exact in half-units on any
+    engine; the tie-corrected normal approximation z is the only
+    double (rounded to 6). Distributed shape: one value-grain
+    aggregate, scale.global_ordered_prefix for the cumulative counts
+    (never a single-task window), two scalar rollups."""
+    from flapi_spark.operators.scale import global_ordered_prefix
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rows = (
+        orders.join(cust, "o_custkey")
+        .where(F.col("c_mktsegment").isin(seg_a, seg_b))
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            (F.col("c_mktsegment") == seg_a).alias("in_a"),
+        )
+    )
+    vals = rows.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("in_a").cast("long")).alias("ca"),
+    )
+    ord_ = global_ordered_prefix(
+        vals, ["v"], rank_col="__r", sum_col="c", prefix_col="cum"
+    )
+    # prefix is INCLUSIVE of the current value's count
+    two_rank = 2 * (F.col("cum") - F.col("c")) + F.col("c") + 1
+    agg = ord_.agg(
+        F.sum(F.col("ca") * two_rank).alias("r2a"),
+        F.sum(F.col("ca")).alias("na"),
+        F.sum(F.col("c")).alias("n"),
+        F.sum(
+            F.col("c").cast("long") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tsum"),
+    )
+    na, nb = F.col("na").cast("double"), (
+        F.col("n") - F.col("na")
+    ).cast("double")
+    n = F.col("n").cast("double")
+    u_a = F.col("r2a").cast("double") / 2 - na * (na + 1) / 2
+    mu = na * nb / 2
+    var = (
+        na * nb / 12
+        * ((n + 1) - F.col("tsum").cast("double") / (n * (n - 1)))
+    )
+    z = (u_a - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (na * nb - u_a).alias("u_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
 def randomization_test_order_value(
     spark: SparkSession, sf_dir: str, n_perm: int = 200,
     seg_a: str = "AUTOMOBILE", seg_b: str = "BUILDING",

@@ -6756,6 +6756,41 @@ QUERIES.update(
             R.randomization_test_order_value,
             _randomization_test_sql(),
         ),
+        "mann_whitney_order_value": (
+            R.mann_whitney_order_value,
+            # exact replay: integer 2·rank arithmetic (ties as average
+            # ranks), BIGINT rollups, identical double expression tree
+            # for U/z (operand order mirrored; z is the only libm op,
+            # rounded to 6)
+            "WITH rows_ AS (SELECT"
+            "  CAST(o_totalprice AS DECIMAL(18,2)) AS v,"
+            "  c_mktsegment = 'AUTOMOBILE' AS in_a"
+            "  FROM orders JOIN customer ON c_custkey = o_custkey"
+            "  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),"
+            " vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c,"
+            "  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS ca FROM rows_ GROUP BY v),"
+            " ord_ AS (SELECT *, SUM(c) OVER (ORDER BY v"
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "  AS cum FROM vals),"
+            " agg AS (SELECT"
+            "  CAST(SUM(ca * (2 * (cum - c) + c + 1)) AS BIGINT) AS r2a,"
+            "  CAST(SUM(ca) AS BIGINT) AS na,"
+            "  CAST(SUM(c) AS BIGINT) AS n,"
+            "  CAST(SUM(c * c * c - c) AS BIGINT) AS tsum FROM ord_),"
+            " dbl AS (SELECT na AS n_a, n - na AS n_b,"
+            "  CAST(r2a AS DOUBLE) / 2"
+            "   - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1) / 2"
+            "   AS u_a,"
+            "  CAST(na AS DOUBLE) AS nad,"
+            "  CAST(n - na AS DOUBLE) AS nbd,"
+            "  CAST(n AS DOUBLE) AS nd,"
+            "  CAST(tsum AS DOUBLE) AS tsumd FROM agg)"
+            " SELECT n_a, n_b, u_a, nad * nbd - u_a AS u_b,"
+            "  round((u_a - nad * nbd / 2) / sqrt(nad * nbd / 12"
+            "   * ((nd + 1) - tsumd / (nd * (nd - 1)))), 6) AS z_score"
+            " FROM dbl",
+        ),
     }
 )
 
@@ -6790,7 +6825,6 @@ _CHECK_FIRST = [
     "hybrid_search_rrf", "retrieval_mmr_diversify",
     "text_chunk_windows", "ann_recall_eval_ivf",
     "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
-    "dedup_components_incremental",
     "hybrid_search_indexed", "bm25_search_expanded",
     "curriculum_order",
     "text_html_extract",
@@ -6811,7 +6845,13 @@ _CHECK_FIRST = [
     # deterministic bootstrap CI
     "t_closeness_orders", "classifier_calibration_bins",
     "keyword_textrank", "bootstrap_ci_order_value",
-    "randomization_test_order_value",
+    "randomization_test_order_value", "mann_whitney_order_value",
+    # Rotated out for mann_whitney_order_value:
+    # dedup_components_incremental — its oracle is BY DESIGN the same
+    # transitive-closure SQL as the driver-green
+    # dedup_minhash_components (that equality IS the check), and the
+    # star-forest merge's equality with the full recompute is pinned
+    # by tests. Re-confirmed bit-exact in-session.
     # Rotated out for randomization_test_order_value:
     # bm25_search_indexed — indexed twin of the driver-green
     # bm25_search (postings-index equality pinned by tests; the

@@ -95,16 +95,17 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "er_golden_scaled_zip", "profile_documents",
        "source_reputation", "contamination_fixed_benchmark",
        # round-10f: the delta-curation ingest batch. The bootstrap is
-       # the one-time linear base build; the fixed-size batch op is
-       # the steady-state cost and must stay ~FLAT as the base corpus
-       # grows (the O(delta) ingest claim). The decontam stage rides
-       # the fixed-benchmark contract (see contamination_fixed_
-       # benchmark) so the smoked chain is the four corpus-facing
-       # stages. TextRank keywords + bootstrap CI are vocabulary-/
-       # configuration-bounded after one linear scan.
+       # the one-time base build; the fixed-size batch op is the
+       # steady-state cost and must stay ~FLAT as the base corpus
+       # grows (the O(delta) ingest claim — measured 1.1 at 8x). The
+       # decontam stage rides the fixed-benchmark contract (see
+       # contamination_fixed_benchmark) so the smoked chain is the
+       # four corpus-facing stages. TextRank keywords are
+       # vocabulary-grain after one linear scan. The other 10f adds
+       # (bootstrap CI, t-closeness, randomization, Mann-Whitney) are
+       # orders-based — excluded, replicate() doesn't scale orders.
        "delta_world_bootstrap", "curate_delta_fixed_batch",
-       "keyword_textrank", "bootstrap_ci_order_value",
-       "t_closeness_orders"]
+       "keyword_textrank"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-

@@ -125,3 +125,17 @@ def test_randomization_test_properties(spark, sf_dir):
         spark, sf_dir, n_perm=19, seg_a="AUTOMOBILE", seg_b="AUTOMOBILE"
     ).collect()[0]
     assert same.n_b == 0 or same.p_value >= 0.95 or same.obs_diff == 0.0
+
+
+def test_mann_whitney_properties(spark, sf_dir):
+    from flapi_spark.operators.relational import mann_whitney_order_value
+
+    r = mann_whitney_order_value(spark, sf_dir).collect()[0]
+    # U_A + U_B == n_a * n_b (exact identity, half-unit arithmetic)
+    assert r.u_a + r.u_b == r.n_a * r.n_b
+    assert 0 <= r.u_a <= r.n_a * r.n_b
+    # z is finite and consistent with U_A vs its null mean
+    import math
+
+    assert math.isfinite(r.z_score)
+    assert (r.u_a > r.n_a * r.n_b / 2) == (r.z_score > 0) or r.z_score == 0
