@@ -135,6 +135,7 @@ HEADLINE = [
     "bootstrap_ci_order_value",
     "randomization_test_order_value",
     "mann_whitney_order_value",
+    "ann_truncation_eval",
 ]
 
 # Like-for-like marker (r7 ADVICE): cross-round totals are only

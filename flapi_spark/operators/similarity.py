@@ -516,6 +516,72 @@ def ann_recall_eval(
     )
 
 
+def ann_truncation_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 5,
+) -> DataFrame:
+    """Matryoshka/truncation retrieval eval (Kusupati et al. 2022
+    shape): recall@k of brute-force cosine over the FIRST d embedding
+    components against the full-dimension ground truth, for each
+    truncation d — the measurement behind serving truncated vectors
+    (d=16 at recall 0.9 means 4× less index memory and bandwidth for
+    one point of recall; without this eval the truncation knob is a
+    guess). Same harness shape as ann_recall_eval; the truncated arm
+    slices the arrays JVM-side before the identical cosine fold.
+
+    Scale shape: one broadcast-query brute pass per configured d
+    (dims is configuration-bounded) + a per-query aggregate over ≤ k
+    rows. Exact oracle (list-slice cosine replicated per dimension)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = ann_bruteforce_topk(spark, sf_dir, n_queries, k).select(
+        "qid", F.col("cid").alias("bcid")
+    )
+    out = None
+    for d in dims:
+        q = emb.where(F.col("vec_id") <= n_queries).select(
+            F.col("vec_id").alias("qid"),
+            F.slice("embedding", 1, d).alias("eq"),
+        )
+        c = emb.where(F.col("vec_id") > n_queries).select(
+            F.col("vec_id").alias("cid"),
+            F.slice("embedding", 1, d).alias("ec"),
+        )
+        scored = F.broadcast(q).join(c).select(
+            "qid", "cid", cosine_col("eq", "ec").alias("cosine")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cosine"), F.asc("cid")
+        )
+        topk = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", F.col("cid").alias("tcid"))
+        )
+        hits = full.join(
+            topk,
+            (full.qid == topk.qid) & (F.col("bcid") == F.col("tcid")),
+            "left",
+        ).select(
+            full.qid.alias("qid"),
+            F.col("tcid").isNotNull().cast("int").alias("hit"),
+        )
+        rec = hits.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(
+                F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        ).select(
+            F.lit(d).cast("long").alias("trunc_dim"),
+            "qid", "n_true", "n_hits", "recall",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
 def embedding_pca_power(
     spark: SparkSession, sf_dir: str, iters: int = 5
 ) -> DataFrame:

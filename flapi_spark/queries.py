@@ -6746,6 +6746,56 @@ def _randomization_test_sql(
     )
 
 
+def _ann_truncation_eval_sql(
+    k: int = 10, dims: tuple[int, ...] = (8, 16, 32), n_queries: int = 5
+) -> str:
+    """Exact replay of similarity.ann_truncation_eval: list-slice
+    cosine per truncation, identical (cosine desc, cid asc) rank,
+    same recall join as ann_recall_eval, UNION ALL over dims."""
+
+    def cos(d: int) -> str:
+        ea = f"(a.embedding[1:{d}])::DOUBLE[]"
+        eb = f"(b.embedding[1:{d}])::DOUBLE[]"
+        return (
+            f"(list_dot_product({ea}, {eb})"
+            f" / (sqrt(list_dot_product({ea}, {ea}))"
+            f" * sqrt(list_dot_product({eb}, {eb}))))"
+        )
+
+    brute = (
+        "SELECT qid, cid FROM ("
+        " SELECT a.vec_id AS qid, b.vec_id AS cid,"
+        "  row_number() OVER (PARTITION BY a.vec_id"
+        f"  ORDER BY {_COS.format(a='a', b='b')} DESC, b.vec_id ASC)"
+        "  AS rnk"
+        f" FROM embeddings a JOIN embeddings b ON a.vec_id <= {n_queries}"
+        f"  AND b.vec_id > {n_queries}) t WHERE rnk <= {k}"
+    )
+    arms = []
+    for d in dims:
+        arms.append(
+            f"SELECT CAST({d} AS BIGINT) AS trunc_dim, qid, n_true,"
+            " n_hits, recall FROM ("
+            " SELECT br.qid AS qid,"
+            "  CAST(count(*) AS BIGINT) AS n_true,"
+            "  CAST(SUM(CASE WHEN tr.tcid IS NOT NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_hits,"
+            "  round(CAST(SUM(CASE WHEN tr.tcid IS NOT NULL THEN 1"
+            "   ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall"
+            f" FROM ({brute}) br LEFT JOIN ("
+            "  SELECT qid, cid AS tcid FROM ("
+            "   SELECT a.vec_id AS qid, b.vec_id AS cid,"
+            "    row_number() OVER (PARTITION BY a.vec_id"
+            f"    ORDER BY {cos(d)} DESC, b.vec_id ASC) AS rnk"
+            "   FROM embeddings a JOIN embeddings b"
+            f"   ON a.vec_id <= {n_queries} AND b.vec_id > {n_queries})"
+            f"  t WHERE rnk <= {k}) tr"
+            " ON tr.qid = br.qid AND tr.tcid = br.cid"
+            " GROUP BY br.qid) g"
+        )
+    return " UNION ALL ".join(arms)
+
+
 QUERIES.update(
     {
         "bootstrap_ci_order_value": (
@@ -6755,6 +6805,10 @@ QUERIES.update(
         "randomization_test_order_value": (
             R.randomization_test_order_value,
             _randomization_test_sql(),
+        ),
+        "ann_truncation_eval": (
+            S.ann_truncation_eval,
+            _ann_truncation_eval_sql(),
         ),
         "mann_whitney_order_value": (
             R.mann_whitney_order_value,
@@ -6814,7 +6868,7 @@ _CHECK_FIRST = [
     "pipeline_delta_funnel_full",
     # NEW round-10e entries (first driver look): the entity-resolution
     # lane + the profiling/constraint layer + curation observability
-    "er_blocked_pairs", "er_block_stats", "er_clusters",
+    "er_blocked_pairs", "er_clusters",
     "er_golden_record", "er_eval",
     "table_profile_orders", "fd_candidate_keys", "fd_violations",
     "contamination_semantic", "source_reputation",
@@ -6846,6 +6900,11 @@ _CHECK_FIRST = [
     "t_closeness_orders", "classifier_calibration_bins",
     "keyword_textrank", "bootstrap_ci_order_value",
     "randomization_test_order_value", "mann_whitney_order_value",
+    "ann_truncation_eval",
+    # Rotated out for ann_truncation_eval: er_block_stats — an
+    # audit rollup (GROUP BY over the block keys) of the SAME
+    # blocking CTE the in-window er_blocked_pairs exercises
+    # end-to-end. Re-confirmed bit-exact in-session.
     # Rotated out for mann_whitney_order_value:
     # dedup_components_incremental — its oracle is BY DESIGN the same
     # transitive-closure SQL as the driver-green

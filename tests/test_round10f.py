@@ -139,3 +139,28 @@ def test_mann_whitney_properties(spark, sf_dir):
 
     assert math.isfinite(r.z_score)
     assert (r.u_a > r.n_a * r.n_b / 2) == (r.z_score > 0) or r.z_score == 0
+
+
+def test_ann_truncation_full_dim_is_perfect(spark, sf_dir):
+    """Truncating to the FULL dimension is the identity: recall@k
+    against the ground truth is exactly 1.0 for every query."""
+    from flapi_spark.operators.similarity import ann_truncation_eval
+
+    rows = ann_truncation_eval(spark, sf_dir, dims=(64,)).collect()
+    assert rows
+    for r in rows:
+        assert r.trunc_dim == 64
+        assert r.n_true == 10 and r.n_hits == 10 and r.recall == 1.0
+
+
+def test_ann_truncation_bounds_and_grain(spark, sf_dir):
+    from flapi_spark.operators.similarity import ann_truncation_eval
+
+    rows = ann_truncation_eval(spark, sf_dir).collect()
+    qids = {r.qid for r in rows}
+    dims = {r.trunc_dim for r in rows}
+    assert dims == {8, 16, 32}
+    assert len(rows) == len(qids) * 3
+    for r in rows:
+        assert r.n_true == 10 and 0 <= r.n_hits <= 10
+        assert 0.0 <= r.recall <= 1.0
