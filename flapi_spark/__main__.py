@@ -280,8 +280,14 @@ def _cmd_curate_delta(args) -> int:
     T0 world is built first — curate_base over doc_id < --since and
     the indexes from its accepted set — so a cold deployment is one
     command; steady state omits it and probes the existing tables.
+    --stages applies ONLY to the ingest (delta) chain; the T0 base
+    curation keeps the default 5-stage chain unless --base-stages is
+    given (ADVICE r10: a gated ingest bootstrap must not silently
+    re-base the accepted corpus on the delta's stage list — the
+    documented convention is queries._pipeline_delta_funnel_full's).
     --maintain appends the accepted batch to the indexes (the next
-    batch sees this one)."""
+    batch sees this one); --marker-dir makes a retried batch an O(1)
+    no-op (otherwise idempotence is per-table anti-joins)."""
     from flapi_spark.pipeline_delta import (
         DeltaIndexes, bootstrap_delta_indexes, curate_base, curate_delta,
     )
@@ -300,11 +306,14 @@ def _cmd_curate_delta(args) -> int:
     )
     stages = args.stages.split(",") if args.stages else None
     if args.bootstrap:
-        base = curate_base(spark, args.data, args.since, stages=stages)
+        base_stages = (
+            args.base_stages.split(",") if args.base_stages else None
+        )
+        base = curate_base(spark, args.data, args.since, stages=base_stages)
         bootstrap_delta_indexes(spark, args.data, base.keep, idx)
     rep = curate_delta(
         spark, args.data, args.since, idx, stages=stages,
-        maintain_indexes=args.maintain,
+        maintain_indexes=args.maintain, marker_dir=args.marker_dir,
     )
     _print_funnel(rep, args.json)
     if args.output:
@@ -471,7 +480,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     cdp.add_argument(
         "--stages", default=None,
-        help="comma-separated stage subset (default: the 5-stage chain)",
+        help="comma-separated stage subset for the INGEST (delta)"
+             " chain only (default: the 5-stage chain)",
+    )
+    cdp.add_argument(
+        "--base-stages", default=None,
+        help="stage subset for the --bootstrap T0 base curation"
+             " (default: the 5-stage chain, NOT --stages)",
     )
     cdp.add_argument(
         "--bootstrap", action="store_true",
@@ -481,6 +496,11 @@ def main(argv: list[str] | None = None) -> int:
     cdp.add_argument(
         "--maintain", action="store_true",
         help="append the accepted batch to the indexes",
+    )
+    cdp.add_argument(
+        "--marker-dir", default=None,
+        help="with --maintain: _SUCCESS-marker dir keyed on --since"
+             " so a retried batch is an O(1) no-op",
     )
     cdp.add_argument("--band-table", default="neardup_band_index_portable")
     cdp.add_argument(

@@ -60,6 +60,12 @@ NB_BUCKETS = 256
 # quick; the plan shape is bucket-count-independent.
 LR_BUCKETS = 64
 
+# gradient quantum: per-term gradients fold as exact integers of 1e-12
+# resolution (round half-away-from-zero, Spark BigDecimal HALF_UP), so
+# the per-bucket gradient is a plain order-independent distributed SUM —
+# the same discipline as similarity.KMEANS_QUANT
+LR_QUANT = 10**12
+
 
 def _bucket(col, n_buckets: int) -> F.Column:
     """Engine-portable token→bucket hash: fold the first 15 hex chars
@@ -284,6 +290,40 @@ def _lr_features(
     )
 
 
+def _grad_frame(docfeats: DataFrame, r) -> DataFrame:
+    """One iteration's (bucket, g) gradient frame: per-term gradients
+    (p - y)·x quantized to round(g·1e12) DECIMAL(38,0) integers, then a
+    plain distributed SUM per bucket — map-side partial aggregation,
+    bounded state per task regardless of docs-per-bucket (the
+    collect_list fold this replaces held the whole bucket in one row).
+    The bias gradient rides the SAME aggregate as bucket -1 (its
+    feature is the constant 1, so g = r) — ONE action and ONE shuffle
+    per iteration. `r` is the residual column expression over a
+    docfeats row."""
+    quant = F.lit(float(LR_QUANT))
+    return (
+        docfeats.select("doc_id", r.alias("r"), F.explode("fs").alias("f"))
+        .select(
+            F.col("f.bucket").alias("bucket"),
+            F.round(F.col("r") * F.col("f.x") * quant, 0)
+            .cast("decimal(38,0)")
+            .alias("qg"),
+        )
+        .unionByName(
+            docfeats.select(
+                F.lit(-1).alias("bucket"),
+                F.round(r * quant, 0).cast("decimal(38,0)").alias("qg"),
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("qg").alias("qs"))
+        .select(
+            "bucket",
+            (F.col("qs").cast("string").cast("double") / quant).alias("g"),
+        )
+    )
+
+
 def train_logreg(
     feats: DataFrame, n_buckets: int, iters: int = 12, lr: float = 20.0,
     lr_bias: float = 2.0,
@@ -292,16 +332,33 @@ def train_logreg(
     feature table. Returns (weights[n_buckets], bias).
 
     Distribution contract: `feats` collapses ONCE into a per-doc
-    sparse feature row (bucket-sorted array, persisted); after that
+    sparse feature row (bucket-sorted array, persisted — bounded by
+    the bucket count B per doc, never by corpus size); after that
     each iteration is ONE job with ONE bucket-grain shuffle — the
     margin is a per-row JVM fold against the broadcast weight-map
-    literal (no join, no doc-grain shuffle), the gradient a
-    bucket-grain sorted fold with the bias gradient riding the same
-    aggregate as bucket -1; only the B+1-float gradient vector
-    reaches the driver per iteration (bounded scalar collect).
-    Sorted folds make every float sum partitioning-independent, so
-    the learned weights are deterministic and the pure-Python golden
-    twin can replay them (tests/test_classifier.py)."""
+    literal (no join, no doc-grain shuffle), the gradient a plain
+    distributed SUM of per-term quantized integers with the bias
+    gradient riding the same aggregate as bucket -1; only the
+    B+1-float gradient vector reaches the driver per iteration
+    (bounded scalar collect).
+
+    Gradient arithmetic (round 11, VERDICT r10 item 2): each term
+    g = (p - y)·x quantizes to round(g·1e12) as DECIMAL(38,0) and the
+    per-bucket gradient is SUM of those exact integers — the same
+    order-independent discipline as `similarity.KMEANS_QUANT`
+    (Lloyd centroid sums). This replaces the earlier
+    sort_array(collect_list(struct(doc_id, g))) + fold, whose
+    per-bucket row held one struct per (doc × feature-hit): at 100 TB
+    a common-token bucket's array would be gigabytes → executor OOM.
+    An integer SUM partially aggregates map-side, so per-iteration
+    shuffle state is one partial per (bucket, task) regardless of
+    docs-per-bucket (plan-asserted: tests/test_classifier.py).
+    DECIMAL(38,0) cannot overflow below ~1e26 terms/bucket (|g| < 1,
+    so each quantized term is < 1e12); the decimal→double dequantize
+    routes through VARCHAR for the single correct rounding (>2^53
+    trap). Determinism is preserved — exact integer sums commute — so
+    the pure-Python golden twin replays the identical arithmetic
+    (tests/test_classifier.py)."""
     w = [0.0] * n_buckets
     bias = 0.0
     # one row per doc with its bucket-SORTED sparse feature vector:
@@ -337,39 +394,7 @@ def train_logreg(
                 / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
                 - F.col("y")
             )
-            # gradient per bucket: fold (p - y) * x in doc_id order;
-            # the bias gradient rides the SAME aggregate as bucket -1
-            # (its feature is the constant 1, so g = r) — ONE action
-            # and ONE shuffle per iteration
-            grad_rows = (
-                docfeats.select(
-                    "doc_id", r.alias("r"), F.explode("fs").alias("f")
-                )
-                .select(
-                    F.col("f.bucket").alias("bucket"), "doc_id",
-                    (F.col("r") * F.col("f.x")).alias("g"),
-                )
-                .unionByName(
-                    docfeats.select(
-                        F.lit(-1).alias("bucket"), "doc_id",
-                        r.alias("g"),
-                    )
-                )
-                .groupBy("bucket")
-                .agg(
-                    F.sort_array(
-                        F.collect_list(F.struct("doc_id", "g"))
-                    ).alias("gs")
-                )
-                .select(
-                    "bucket",
-                    F.expr(
-                        "aggregate(gs, CAST(0.0 AS DOUBLE),"
-                        " (acc, s) -> acc + s.g)"
-                    ).alias("g"),
-                )
-                .collect()
-            )
+            grad_rows = _grad_frame(docfeats, r).collect()
             for row in grad_rows:
                 if row["bucket"] == -1:
                     # the bias takes its own (smaller) step: its
@@ -391,7 +416,8 @@ def quality_classifier_train(
 ) -> DataFrame:
     """Distributed full-batch logistic regression for the domain gate
     (GPT-3 WebText-classifier shape): hashed-unigram features, fixed
-    iteration count, deterministic sorted-fold arithmetic. Returns
+    iteration count, deterministic quantized-integer-sum gradients
+    (see train_logreg — order-independent, bounded state). Returns
     the learned model as rows — (bucket, weight) for each feature
     plus the bias as bucket = -1 — rounded to 6 decimals. Rows-only
     entry (iterative float training is not SQL-expressible); pinned

@@ -1101,6 +1101,7 @@ def dedup_keep_best_survivors(
 def semdedup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
     cells_mod: int = 25, refine_iters: int = 0,
+    within: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1117,7 +1118,13 @@ def semdedup_clusters(
     (vec_id, cell_id). The within-cluster self-join is equi-keyed on
     cell_id. Output: one row per vector with its cluster and keep/drop
     verdict (exact DuckDB oracle replays assignment, pairing, and
-    verdict bit-for-bit at the refine_iters=0 registry default)."""
+    verdict bit-for-bit at the refine_iters=0 registry default).
+
+    `within` (round 11 — pipeline survivor_scope="keepset"): a
+    (vec_id) frame restricting the PAIRWISE verdicts to those vectors
+    — cell assignment (and the returned row set) stays corpus-wide and
+    corpus-stable, but only within-`within` pairs can drop a vector,
+    so the lowest surviving id per dup pair is the exemplar."""
     from flapi_spark.operators.similarity import (
         cosine_col, ivf_assign, ivf_centroids, kmeans_refine,
     )
@@ -1131,6 +1138,10 @@ def semdedup_clusters(
         centroids = ivf_centroids(emb, mod=cells_mod)
     assign = ivf_assign(emb, centroids, nprobe=1)
     tagged = emb.join(assign, "vec_id")
+    if within is not None:
+        tagged = tagged.join(
+            within.select("vec_id"), "vec_id", "left_semi"
+        )
     a = tagged.select(
         F.col("cell_id").alias("ca"),
         F.col("vec_id").alias("va"),
@@ -1975,7 +1986,12 @@ def _probe_band_index_portable_plan(
         .join(new_docs.select("doc_id"), "doc_id", "left_anti")
     )
     sets = store_sets.unionByName(new_sets)
-    return _verify_jaccard_sets(sets, cands, threshold), cands
+    # distinct: defense-in-depth against duplicate store doc_id rows
+    # (e.g. an at-least-once maintenance crash window fanning the
+    # verify join out) — dup rows carry identical sets, so identical
+    # pair rows collapse here; delta-bounded, so the extra shuffle is
+    # batch-sized (ADVICE r10)
+    return _verify_jaccard_sets(sets, cands, threshold).distinct(), cands
 
 
 def pairs_from_band_index(

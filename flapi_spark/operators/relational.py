@@ -3689,6 +3689,15 @@ def randomization_test_order_value(
     (1 + #{|diff_p| ≥ |observed|}) / (P + 1) are engine-reproducible
     and exactly DuckDB-checkable.
 
+    Relabeling approximation: each row's side is an independent
+    Bernoulli(na/nt) md5 coin, NOT a draw of fixed group sizes — the
+    binomial-relabel variant of the permutation test (group sizes
+    vary slightly per permutation; asymptotically equivalent, and
+    what keeps the relabel a stateless per-row projection at scale).
+    A degenerate permutation whose coin leaves one side EMPTY has a
+    NULL mean difference and is counted as an exceedance
+    (conservative; see the n_ge aggregate).
+
     Scale shape: one explode to P coins per row (P
     configuration-bounded), one (perm, side) grouped aggregate with
     map-side combine; per-permutation means are DECIMAL-exact and the
@@ -3746,10 +3755,16 @@ def randomization_test_order_value(
              - mean(F.col("sb"), F.col("cb"))).alias("diff_p")
         )
     )
+    # a degenerate permutation (one side empty -> NULL mean) counts
+    # as an exceedance: conservative — dropping it would shrink the
+    # numerator while n_perm + 1 stays in the denominator, biasing p
+    # downward on small inputs (ADVICE r10)
     null_dist = perms.crossJoin(F.broadcast(obs)).agg(
         F.sum(
-            (F.abs(F.col("diff_p")) >= F.abs(F.col("obs_diff")))
-            .cast("long")
+            F.coalesce(
+                F.abs(F.col("diff_p")) >= F.abs(F.col("obs_diff")),
+                F.lit(True),
+            ).cast("long")
         ).alias("n_ge")
     )
     return (

@@ -139,7 +139,8 @@ def _langid(
 
 
 def _exact_dedup(
-    spark: SparkSession, sf_dir: str, keep: DataFrame
+    spark: SparkSession, sf_dir: str, keep: DataFrame,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """One survivor per md5 fingerprint (corpus-wide survivor choice,
     intersected with the current keep-set — the demo's semantics).
@@ -147,9 +148,25 @@ def _exact_dedup(
     CORPUS-WIDE SURVIVOR HAZARD (shared by every dedup stage — see
     curate()): if an EARLIER stage already dropped a group's chosen
     survivor, the other group members are still dropped here, so the
-    whole fingerprint group can vanish from the curated output."""
+    whole fingerprint group can vanish from the curated output.
+    survivor_scope="keepset" (round 11, VERDICT r10 item 5) elects
+    the survivor among the CURRENT keep-set's members instead — same
+    min-doc_id policy, restricted grouping — so a group whose
+    corpus-wide survivor an earlier stage dropped keeps its best
+    surviving member."""
     from flapi_spark.operators.dedup import dedup_exact_survivors
 
+    if survivor_scope == "keepset":
+        from flapi_spark.operators.text import norm_text
+
+        fp = (
+            load_table(spark, sf_dir, "documents")
+            .join(keep, "doc_id", "left_semi")
+            .select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        )
+        surv = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+        return keep.join(surv.select("doc_id"), "doc_id", "left_semi")
+    _check_scope(survivor_scope)
     return keep.join(
         dedup_exact_survivors(spark, sf_dir).select("doc_id"),
         "doc_id",
@@ -164,6 +181,7 @@ def _near_dedup(
     pairs: DataFrame | None = None,
     band_table: str | None = None,
     shingle_store: str | None = None,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """Quality-aware exemplar per near-dup cluster. Pair source, in
     precedence order: explicit `pairs`; the persisted portable index
@@ -173,15 +191,28 @@ def _near_dedup(
     CORPUS-WIDE SURVIVOR HAZARD (see curate()): the exemplar is
     chosen over the FULL corpus, then intersected with the current
     keep-set — a cluster whose exemplar an earlier stage dropped
-    loses all its members."""
+    loses all its members. survivor_scope="keepset" restricts the
+    pair graph to edges with BOTH ends in the current keep-set before
+    clustering, so exemplars (same max-tokens/min-id policy) are
+    elected among survivors and every surviving cluster retains one
+    member."""
     from flapi_spark.operators.dedup import (
-        dedup_keep_best_survivors, pairs_from_band_index,
+        dedup_keep_best_survivors, dedup_minhash_portable,
+        pairs_from_band_index,
     )
 
     if pairs is None and band_table is not None:
         pairs = pairs_from_band_index(
             spark, None, band_table, shingle_store=shingle_store
         ).select("doc_a", "doc_b")
+    if survivor_scope == "keepset":
+        if pairs is None:
+            pairs = dedup_minhash_portable(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        pairs = _pairs_within(pairs, keep)
+    else:
+        _check_scope(survivor_scope)
     return keep.join(
         dedup_keep_best_survivors(spark, sf_dir, pairs=pairs)
         .where("keep")
@@ -206,7 +237,32 @@ def _decontam(
     )
 
 
-def _drop_cluster_non_exemplars(keep: DataFrame, pairs: DataFrame) -> DataFrame:
+def _check_scope(survivor_scope: str) -> None:
+    if survivor_scope not in ("corpus", "keepset"):
+        raise ValueError(
+            f"survivor_scope must be 'corpus' or 'keepset',"
+            f" got {survivor_scope!r}"
+        )
+
+
+def _pairs_within(pairs: DataFrame, keep: DataFrame) -> DataFrame:
+    """Restrict a (doc_a, doc_b) pair stream to edges with both ends
+    in the keep-set — the keepset survivor scope's graph."""
+    return (
+        pairs.join(
+            keep.select(F.col("doc_id").alias("doc_a")), "doc_a",
+            "left_semi",
+        )
+        .join(
+            keep.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "left_semi",
+        )
+    )
+
+
+def _drop_cluster_non_exemplars(
+    keep: DataFrame, pairs: DataFrame, survivor_scope: str = "corpus"
+) -> DataFrame:
     """Shared exemplar policy for the perceptual-lane dedup stages:
     connected components over the pair stream, keep the min-doc_id
     exemplar per cluster, docs outside any cluster untouched.
@@ -214,9 +270,15 @@ def _drop_cluster_non_exemplars(keep: DataFrame, pairs: DataFrame) -> DataFrame:
     CORPUS-WIDE SURVIVOR HAZARD (see curate()): clusters and
     exemplars are computed over the full corpus — if an earlier stage
     dropped a cluster's exemplar, the intersection removes the whole
-    cluster."""
+    cluster. survivor_scope="keepset" clusters only the edges with
+    both ends still kept, so the min-id SURVIVING member is the
+    exemplar."""
     from flapi_spark.operators.dedup import label_components
 
+    if survivor_scope == "keepset":
+        pairs = _pairs_within(pairs, keep)
+    else:
+        _check_scope(survivor_scope)
     comps = label_components(pairs.select("doc_a", "doc_b"))
     dropped = comps.where(
         F.col("doc_id") != F.col("component_id")
@@ -229,6 +291,7 @@ def _image_near_dedup(
     sf_dir: str,
     keep: DataFrame,
     max_hamming: int = 10,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """IMAGE near-dup clusters (round 9): dHash pairs from the
     multimodal lane (mm_phash_pairs) through the shared exemplar
@@ -236,7 +299,8 @@ def _image_near_dedup(
     from flapi_spark.multimodal import mm_phash_pairs
 
     return _drop_cluster_non_exemplars(
-        keep, mm_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
+        keep, mm_phash_pairs(spark, sf_dir, max_hamming=max_hamming),
+        survivor_scope,
     )
 
 
@@ -245,6 +309,7 @@ def _audio_near_dedup(
     sf_dir: str,
     keep: DataFrame,
     max_hamming: int = 10,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """AUDIO near-dup clusters (round 9): envelope-hash pairs through
     the shared exemplar policy — the audio sibling of
@@ -252,7 +317,9 @@ def _audio_near_dedup(
     from flapi_spark.multimodal import mm_audio_fingerprint_pairs
 
     return _drop_cluster_non_exemplars(
-        keep, mm_audio_fingerprint_pairs(spark, sf_dir, max_hamming=max_hamming)
+        keep,
+        mm_audio_fingerprint_pairs(spark, sf_dir, max_hamming=max_hamming),
+        survivor_scope,
     )
 
 
@@ -261,6 +328,7 @@ def _video_near_dedup(
     sf_dir: str,
     keep: DataFrame,
     max_hamming: int = 10,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """VIDEO near-dup clusters (round 10, closing the modality set in
     the pipeline: VERDICT r9 item 3): any-frame-match doc pairs from
@@ -270,7 +338,8 @@ def _video_near_dedup(
     from flapi_spark.multimodal import mm_video_phash_pairs
 
     return _drop_cluster_non_exemplars(
-        keep, mm_video_phash_pairs(spark, sf_dir, max_hamming=max_hamming)
+        keep, mm_video_phash_pairs(spark, sf_dir, max_hamming=max_hamming),
+        survivor_scope,
     )
 
 
@@ -281,6 +350,7 @@ def _semantic_dedup(
     threshold: float = 0.4,
     cells_mod: int = 25,
     refine_iters: int = 0,
+    survivor_scope: str = "corpus",
 ) -> DataFrame:
     """SEMANTIC (embedding-space) dedup (round 10c, closing the last
     modality absent from the pipeline): SemDeDup cluster-then-prune
@@ -292,13 +362,21 @@ def _semantic_dedup(
     CORPUS-WIDE SURVIVOR HAZARD (see curate()): verdicts are computed
     over the full embedding corpus — if an earlier stage dropped a
     cluster's lowest-id survivor, the intersection removes the whole
-    cluster."""
+    cluster. survivor_scope="keepset" restricts the within-cell
+    pairwise verdicts to vectors still in the keep-set (cell
+    assignment stays corpus-stable), so the lowest SURVIVING id wins
+    each dup pair."""
     from flapi_spark.operators.dedup import semdedup_clusters
 
+    within = None
+    if survivor_scope == "keepset":
+        within = keep.select(F.col("doc_id").alias("vec_id"))
+    else:
+        _check_scope(survivor_scope)
     survivors = (
         semdedup_clusters(
             spark, sf_dir, threshold=threshold, cells_mod=cells_mod,
-            refine_iters=refine_iters,
+            refine_iters=refine_iters, within=within,
         )
         .where("keep")
         .select(F.col("vec_id").alias("doc_id"))
@@ -557,6 +635,13 @@ DEFAULT_STAGES = [
     "quality", "langid", "exact_dedup", "near_dedup", "decontam",
 ]
 
+# stages that elect a survivor/exemplar — the ones curate()'s
+# survivor_scope threads into
+_DEDUP_STAGES = {
+    "exact_dedup", "near_dedup", "image_near_dedup",
+    "audio_near_dedup", "video_near_dedup", "semantic_dedup",
+}
+
 _FUNNEL_SCHEMA = (
     "stage BIGINT, stage_name STRING, n_in BIGINT, n_out BIGINT,"
     " n_dropped BIGINT"
@@ -662,7 +747,10 @@ def curate_from_config(
             f"pipeline config {config_path}: requires a non-empty"
             " 'stages' list"
         )
-    return curate(spark, sf_dir, stages=stages)
+    return curate(
+        spark, sf_dir, stages=stages,
+        survivor_scope=doc.get("survivor-scope", "corpus"),
+    )
 
 
 def curate(
@@ -671,6 +759,7 @@ def curate(
     stages: list | None = None,
     checkpoint: bool = True,
     token_counts: bool = False,
+    survivor_scope: str = "corpus",
 ) -> CurationReport:
     """Run the curation chain over `documents` at `sf_dir`.
 
@@ -693,7 +782,15 @@ def curate(
     disappears from the curated output rather than electing a new
     exemplar among the survivors. Order dedup stages before lossy
     gates (or accept the stricter drop) if that matters for your
-    corpus.
+    corpus — or opt into survivor_scope="keepset" (round 11, VERDICT
+    r10 item 5): every dedup stage then recomputes its exemplar among
+    the CURRENT keep-set's members (same quality/min-id policy,
+    restricted graph/grouping), so surviving clusters always retain
+    one member. The default stays "corpus" — the stable
+    corpus-level survivor choice the persisted production indexes
+    (and the pinned funnel oracles) compute. A per-stage
+    {"stage": ..., "survivor_scope": ...} dict overrides the
+    pipeline-level value.
 
     `token_counts=True` additionally measures TOKEN attrition per
     stage (one extra sum over the keep-set joined to a persisted
@@ -703,7 +800,18 @@ def curate(
     Returns a CurationReport; report.keep is the surviving doc_id
     DataFrame, report.stages the per-stage attrition (+ wall
     seconds), report.funnel_df the deterministic funnel."""
+    _check_scope(survivor_scope)
     spec = _parse_stage_spec(stages, caller="curate")
+    if survivor_scope != "corpus":
+        spec = [
+            (
+                name,
+                {"survivor_scope": survivor_scope, **params}
+                if name in _DEDUP_STAGES
+                else params,
+            )
+            for name, params in spec
+        ]
 
     keep = load_table(spark, sf_dir, "documents").select("doc_id")
     n_prev = keep.count()

@@ -352,7 +352,16 @@ def curate_base(
     seeds bootstrap_delta_indexes; its survivor policy matches
     curate_delta's so the base+delta world is one coherent corpus
     (module docstring). Every stage verdict is engine-portable
-    (md5-only), so the whole report is exactly DuckDB-checkable."""
+    (md5-only), so the whole report is exactly DuckDB-checkable.
+
+    WHOLE-GROUP-LOSS HAZARD (ADVICE r10; deliberate, oracle-mirrored):
+    both dedup stages elect the min-doc_id survivor over the FULL
+    span regardless of earlier-stage verdicts — if a group's min-id
+    member was already dropped by quality/langid, the entire group is
+    deleted. This keeps the survivor a stable span-level property
+    (the persisted indexes assume it); batch pipeline.curate() offers
+    the keep-set-restricted alternative (survivor_scope="keepset")
+    when retention matters more than stability."""
     until = int(until_doc_id)
     span = F.col("doc_id") < F.lit(until)
     docs = _base_docs(spark, sf_dir, until)
@@ -441,6 +450,7 @@ def curate_delta(
     threshold: float = 0.5,
     checkpoint: bool = True,
     maintain_indexes: bool = False,
+    marker_dir: str | None = None,
 ) -> CurationReport:
     """Curate ONLY the delta (doc_id >= since_doc_id) against the
     persisted index triple — the steady-state ingest batch:
@@ -456,12 +466,30 @@ def curate_delta(
     4. decontam: n-gram overlap vs the external benchmark set,
        delta-bounded on the train side.
 
+    WHOLE-GROUP-LOSS HAZARD (ADVICE r10; deliberate, oracle-mirrored):
+    see curate_base — both dedup stages pick survivors over the full
+    span/index regardless of earlier-stage verdicts, so a group whose
+    chosen survivor an earlier gate dropped vanishes entirely.
+
     With maintain_indexes=True the ACCEPTED delta docs are appended
     to all three indexes after the last stage (insertInto preserves
     each table's bucket spec), so the next batch probes a corpus that
     includes this one — the batch sibling of the streaming
     fingerprint maintainers. Per-batch cost is O(delta) throughout:
-    the corpus appears only through bucketed index reads."""
+    the corpus appears only through bucketed index reads.
+
+    Maintenance is REPLAY-SAFE (round 11, VERDICT r10 item 3): a
+    re-run of a crashed/retried ingest batch is a no-op on the
+    indexes. With `marker_dir` set, the streaming maintainers'
+    _SUCCESS-marker contract applies keyed on `since_doc_id` — an O(1)
+    skip, with the same documented window (a crash AFTER some appends
+    but BEFORE the marker duplicates at most one batch; the probe
+    dedups candidate pairs, so correctness holds and only index bytes
+    inflate). Without `marker_dir` the appends anti-join the batch
+    against each table's existing doc_ids — always exactly-once per
+    table (even mid-batch crashes replay cleanly) at the cost of one
+    index doc_id-column scan per table per batch; prefer `marker_dir`
+    where ingest cost must stay strictly O(delta)."""
     since = int(since_doc_id)
     span = F.col("doc_id") >= F.lit(since)
     docs = _delta_docs(spark, sf_dir, since)
@@ -572,14 +600,54 @@ def curate_delta(
     report.keep = keep
 
     if maintain_indexes:
-        from flapi_spark.operators.dedup import (
-            append_band_index_portable,
-            append_exact_index,
-            append_shingle_store_portable,
-        )
-
         accepted = docs.join(report.keep, "doc_id", "left_semi")
-        append_band_index_portable(spark, accepted, indexes.band_table)
-        append_shingle_store_portable(spark, accepted, indexes.shingle_store)
-        append_exact_index(spark, accepted, indexes.exact_table)
+        _maintain_indexes_replay_safe(
+            spark, accepted, indexes, since, marker_dir
+        )
     return report
+
+
+def _maintain_indexes_replay_safe(
+    spark: SparkSession,
+    accepted: DataFrame,
+    indexes: DeltaIndexes,
+    since: int,
+    marker_dir: str | None,
+) -> None:
+    """Idempotent append of the accepted batch to the index triple
+    (see curate_delta docstring for the two modes). The marker is
+    keyed on the batch's `since` watermark — the identity of an
+    ingest batch in this lane — mirroring replay_maintainer's
+    batch_id=N/_SUCCESS layout so operators can inspect either lane
+    the same way."""
+    import os
+
+    from flapi_spark.operators.dedup import (
+        append_band_index_portable,
+        append_exact_index,
+        append_shingle_store_portable,
+    )
+
+    if marker_dir is not None:
+        dst = os.path.join(marker_dir, f"since={since}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # replayed batch — already folded into the indexes
+    appends = (
+        (indexes.band_table, append_band_index_portable),
+        (indexes.shingle_store, append_shingle_store_portable),
+        (indexes.exact_table, append_exact_index),
+    )
+    for table, append in appends:
+        batch = accepted
+        if marker_dir is None:
+            # exactly-once per TABLE: only docs the table has never
+            # seen append, so even a crash between the three appends
+            # replays cleanly
+            batch = accepted.join(
+                spark.table(table).select("doc_id"), "doc_id", "left_anti"
+            )
+        append(spark, batch, table)
+    if marker_dir is not None:
+        os.makedirs(dst, exist_ok=True)
+        with open(os.path.join(dst, "_SUCCESS"), "w"):
+            pass

@@ -6733,8 +6733,8 @@ def _randomization_test_sql(
         f"  (SELECT unnest(range(1, {n_perm + 1})) AS p)),"
         f" perms AS (SELECT p, {diff.format(side='side_a')} AS diff_p"
         "  FROM coins GROUP BY p),"
-        " ex AS (SELECT CAST(SUM(CASE WHEN abs(diff_p) >="
-        "  abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END)"
+        " ex AS (SELECT CAST(SUM(CASE WHEN coalesce(abs(diff_p) >="
+        "  abs((SELECT obs_diff FROM obs)), TRUE) THEN 1 ELSE 0 END)"
         "  AS BIGINT) AS n_ge FROM perms)"
         " SELECT (SELECT na FROM sz) AS n_a,"
         " (SELECT nt - na FROM sz) AS n_b,"
@@ -6854,115 +6854,41 @@ QUERIES.update(
 # and stops after the first 50, so each round rotates the least-verified
 # entries to the front.
 #
-# ROUND-10 ROTATION: the 26 never-driven round-10/10b/10c entries
-# front the window (every new entry gets its first driver look), then
-# the stalest r5 cohort fills to 50 (VERDICT r9 item 1). Entries that
-# rotated out mid-round — the whole r6 cohort plus five r5 entries —
-# were each re-confirmed by this round's FULL in-session contract
-# drives (all-entry drive_contract runs, FAILS: [] every time).
+# STANDING ROTATION POLICY (from r11 on, honored mechanically): the
+# window = all entries with NO driver verdict yet (newest first), then
+# fill the remaining slots with the entries whose LATEST driver verdict
+# is oldest (ties broken alphabetically). New-entry growth must leave
+# slots for rotation — if a round adds more than ~16 entries, the
+# verification debt compounds; prefer hardening to widening.
+#
+# ROUND-11 WINDOW (VERDICT r10 item 1 — hardening round, no new
+# entries): the 16 never-driven entries front the window, then the 30
+# r5-latest entries, then the 4 alphabetically-first r6-latest entries.
 _CHECK_FIRST = [
-    # NEW round-10f entries (first driver look): incremental delta
-    # curation against the persisted index triple, plus the gated
-    # ingest chain (url/html/license fronting the delta batch)
-    "pipeline_delta_funnel", "dedup_delta_probe_pairs",
-    "pipeline_delta_funnel_full",
-    # NEW round-10e entries (first driver look): the entity-resolution
-    # lane + the profiling/constraint layer + curation observability
-    "er_blocked_pairs", "er_clusters",
-    "er_golden_record", "er_eval",
-    "table_profile_orders", "fd_candidate_keys", "fd_violations",
-    "contamination_semantic", "source_reputation",
-    "curation_drop_attribution", "text_license_detect",
-    "dialogue_turns_parse", "preference_pairs",
-    # NEW round-10 entries (first driver look)
-    "embedding_kmeans_refine", "embedding_kmeans_eval",
-    "hybrid_search_rrf", "retrieval_mmr_diversify",
-    "text_chunk_windows", "ann_recall_eval_ivf",
-    "scrub_duplicated_spans", "retrieval_eval_rankmetrics",
-    "hybrid_search_indexed", "bm25_search_expanded",
-    "curriculum_order",
-    "text_html_extract",
-    "text_url_filter",
-    # round-10d additions (first driver look): cluster-grain curation,
-    # per-source KL drift, LPA communities inline + index-served
-    "cluster_topic_card", "cluster_balanced_keepset",
-    "embedding_outlier_prune", "source_token_kl",
-    "lpa_communities",
-    "dp_event_counts", "text_unicode_sanitize",
-    "ann_filtered_topk", "ivf_cell_report", "lpa_modularity",
-    "l_diversity_orders",
-    "quality_classifier_score",
-    "text_boilerplate_share",
-    "mixture_token_plan",
-    # NEW round-10f entries (first driver look): governance quartet
-    # completion + gate calibration + TextRank keywords + the
-    # deterministic bootstrap CI
-    "t_closeness_orders", "classifier_calibration_bins",
-    "keyword_textrank", "bootstrap_ci_order_value",
-    "randomization_test_order_value", "mann_whitney_order_value",
-    "ann_truncation_eval",
-    # Rotated out for ann_truncation_eval: er_block_stats — an
-    # audit rollup (GROUP BY over the block keys) of the SAME
-    # blocking CTE the in-window er_blocked_pairs exercises
-    # end-to-end. Re-confirmed bit-exact in-session.
-    # Rotated out for mann_whitney_order_value:
-    # dedup_components_incremental — its oracle is BY DESIGN the same
-    # transitive-closure SQL as the driver-green
-    # dedup_minhash_components (that equality IS the check), and the
-    # star-forest merge's equality with the full recompute is pinned
-    # by tests. Re-confirmed bit-exact in-session.
-    # Rotated out for randomization_test_order_value:
-    # bm25_search_indexed — indexed twin of the driver-green
-    # bm25_search (postings-index equality pinned by tests; the
-    # in-window hybrid_search_indexed exercises the same persisted
-    # postings + IVF probe path end-to-end). Re-confirmed bit-exact
-    # in-session.
-    # Rotated out for pipeline_delta_funnel_full:
-    # pipeline_curation_funnel_html — a funnel composition whose gate
-    # body (text_html_extract) stays in-window and whose chained-CTE
-    # machinery is now driver-covered by THREE in-window funnels
-    # (delta, delta_full — which deploys the same html predicate —
-    # and the batch default). Re-confirmed bit-exact in-session.
-    # Rotated out for these four: quality_classifier_eval (a label×keep
-    # rollup of the SAME _nb_scored chain that in-window
-    # quality_classifier_score and classifier_calibration_bins both
-    # exercise end-to-end), cluster_card_indexed, er_pairs_indexed and
-    # lpa_indexed (indexed twins of in-window cluster_topic_card /
-    # er_blocked_pairs / lpa_communities — twin equality additionally
-    # pinned by tests). All re-confirmed bit-exact by this session's
-    # contract drives, including one FULL all-entry drive (FAILS: []).
-    # Rotated out for the two 10f entries: pipeline_curation_funnel_gated
-    # and pipeline_curation_funnel_semantic — funnel COMPOSITIONS whose
-    # every stage predicate is an in-window oracle body (html/gopher/
-    # classifier_score/langid/dedup survivors/semdedup/outlier/decontam)
-    # and whose chained-CTE funnel machinery stays driver-covered by
-    # the in-window siblings pipeline_curation_funnel_html and the new
-    # pipeline_delta_funnel. Both re-confirmed bit-exact by this
-    # session's in-session contract drives (FAILS: []).
-    # Rotated out for the six 10e entries (observability, compliance,
-    # SFT prep): quality_classifier_train (rows-only — the driver
-    # check is weaker than its in-repo golden tests),
-    # pipeline_token_funnel and pipeline_curated_report (compositions
-    # whose every stage predicate is an in-window oracle body, with
-    # siblings pipeline_curation_funnel_gated/_semantic in-window),
-    # mixture_sample_keepset (composes in-window mixture_token_plan
-    # with the md5 rank corpus_shard_assign drove green in r9),
-    # retrieval_mmr_hybrid (composes in-window hybrid_search_rrf +
-    # retrieval_mmr_diversify), and corpus_report (a rollup of
-    # gopher/langid/token-count bodies, all driver-green). All six
-    # re-confirmed by this session's full contract drive.
-    # The remaining r5-latest cohort (customer_activity_full_outer,
-    # forecast_seasonal_naive, funnel_time_to_convert,
-    # ols_quantity_on_price, paginate_orders, paginate_orders_keyset,
-    # part_type_share, tpl_customers_all, tpl_customers_by_segment)
-    # rotates out for the nine 10e entries: never-driven entries take
-    # window priority, and every rotated-out entry was re-confirmed
-    # bit-exact by this session's FULL all-entry contract drive
-    # (scripts/drive_contract.py, FAILS: []). They front the r11
-    # window next.
-    # Earlier rotations (r5/r6 cohorts -> 10c/10d entries) were each
-    # likewise re-confirmed by full in-session drives; rows-only r6
-    # entries keep their golden-test coverage.
+    # 16 never-driven (registered in r10, outside that round's window):
+    "bm25_search_indexed", "cluster_card_indexed", "corpus_report",
+    "dedup_components_incremental", "er_block_stats", "er_pairs_indexed",
+    "lpa_indexed", "mixture_sample_keepset", "pipeline_curated_report",
+    "pipeline_curation_funnel_gated", "pipeline_curation_funnel_html",
+    "pipeline_curation_funnel_semantic", "pipeline_token_funnel",
+    "quality_classifier_eval", "quality_classifier_train",
+    "retrieval_mmr_hybrid",
+    # 30 r5-latest (stalest driver verdicts in the registry):
+    "customer_activity_full_outer", "forecast_seasonal_naive",
+    "funnel_time_to_convert", "gini_customer_revenue",
+    "hhi_market_concentration", "kaplan_meier_order_gaps", "lorenz_deciles",
+    "market_basket_brand_pairs", "ols_quantity_on_price", "paginate_orders",
+    "paginate_orders_keyset", "part_type_share", "percentile_order_values",
+    "q14_promo_revenue_share", "q16_part_supplier_counts",
+    "q17_small_qty_revenue", "q19_bracket_revenue", "q2_min_price_parts",
+    "q8_market_share", "q9_profit_by_nation_year", "session_path_trigrams",
+    "shape_redact_customers", "src_duckdb_query", "tax_burden_by_brand",
+    "text_readability_flesch", "tpl_customers_all",
+    "tpl_customers_by_segment", "user_overlap_exact", "user_overlap_hll",
+    "welch_ttest_segments",
+    # 4 oldest r6-latest (alphabetical prefix of the 41-entry r6 cohort;
+    # the remaining 37 front the r12 window under the standing policy):
+    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk", "ann_recall_eval",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window

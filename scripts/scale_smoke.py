@@ -47,8 +47,9 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        "dedup_substring_spans", "vocab_oov_rate", "text_ttr_diversity",
        "corpus_shard_assign", "ann_pq_adc_topk", "counter_rate_events",
        "gram_novelty_rate",
-       # round-3d second batch (documents/events-based; orders-based
-       # ops are excluded — replicate() doesn't scale the orders table)
+       # round-3d second batch (documents/events-based; round 11:
+       # replicate() now scales orders too — see the stats family at
+       # the end of this list)
        "chi2_lang_source", "funnel_time_to_convert",
        "user_overlap_exact", "sample_weighted_quality",
        # round-4: distributed global-rank pattern (events-based) and
@@ -101,11 +102,27 @@ OPS = ["dedup_exact", "dedup_minhash_lsh", "text_quality_score",
        # decontam stage rides the fixed-benchmark contract (see
        # contamination_fixed_benchmark) so the smoked chain is the
        # four corpus-facing stages. TextRank keywords are
-       # vocabulary-grain after one linear scan. The other 10f adds
-       # (bootstrap CI, t-closeness, randomization, Mann-Whitney) are
-       # orders-based — excluded, replicate() doesn't scale orders.
+       # vocabulary-grain after one linear scan. The 10f stats adds
+       # (bootstrap CI, t-closeness, randomization, Mann-Whitney)
+       # appear at the end of this list (round 11: orders replicate).
        "delta_world_bootstrap", "curate_delta_fixed_batch",
-       "keyword_textrank"]
+       "keyword_textrank",
+       # round-11 (VERDICT r10 item 4): the orders-based stats family
+       # gets measured scale points — replicate() now scales orders
+       # too (o_orderkey offset; o_custkey kept, so the customer join
+       # fans linearly). Each is a linear scan + bounded-grain
+       # aggregate by construction (bootstrap B and randomization P
+       # are configuration-bounded explode factors; Mann-Whitney is a
+       # value-grain sort prefix; t-closeness a class-grain rollup) —
+       # these rows turn that claim into measured cells.
+       "mann_whitney_order_value", "bootstrap_ci_order_value",
+       "t_closeness_orders", "randomization_test_order_value",
+       "welch_ttest_segments",
+       # round-11 (VERDICT r10 item 2): LR training now folds
+       # gradients as quantized-integer SUMs (map-side partials, no
+       # per-bucket collect_list) — this cell measures that the
+       # per-iteration cost is linear in docs with bounded state
+       "classifier_train_short"]
 # SPARK_GRAFT_SMOKE_FACTORS widens the grid (round 10: "1,8,24" gives
 # the perceptual lanes a sf2.4-rep point, matching the REP_FACTOR=24
 # convention in baseline_multi_sf.py — the mm_* corpora are doc_id-
@@ -334,7 +351,21 @@ def _ensure_delta_world(spark, sf_dir):
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .agg(F.max("doc_id")).first()[0]
         )
-        since = int(mx) + 1 - 500
+        # clamp the batch so the BASE span is never empty (ADVICE r10:
+        # on a 500-doc corpus a fixed 500-doc delta curated the whole
+        # corpus against empty indexes — the factor-1 cell measured
+        # the bootstrap path, not the probe path, skewing the flat
+        # ratio). At the default sf0.1 grid n >= 5000, so the batch
+        # stays the fixed 500 docs everywhere it is compared.
+        n = int(mx) + 1
+        batch = min(500, max(1, n // 5))
+        if batch < 500:
+            print(
+                f"delta world at {sf_dir}: corpus n={n} < 2500 ->"
+                f" clamped batch to {batch} docs (base must be"
+                " non-empty to measure the probe path)"
+            )
+        since = n - batch
         base = curate_base(
             spark, sf_dir, since,
             stages=["quality", "langid", "exact_dedup"],
@@ -369,7 +400,20 @@ def _curate_delta_fixed_batch(spark, sf_dir):
     return rep.keep
 
 
+def _classifier_train_short(spark, sf_dir):
+    """Round 11: distributed LR training with the quantized-integer
+    gradient sums (VERDICT r10 item 2 — replaced the corpus-grain
+    collect_list fold). iters=3 keeps the smoke cheap; the
+    per-iteration shape is what scales: one explode + one
+    partially-aggregated bucket-grain SUM, shuffle state B+1 partials
+    per task regardless of docs-per-bucket."""
+    from flapi_spark.operators.classifier import quality_classifier_train
+
+    return quality_classifier_train(spark, sf_dir, iters=3)
+
+
 EXTRA_OPS = {
+    "classifier_train_short": _classifier_train_short,
     "delta_world_bootstrap": _delta_world_bootstrap,
     "curate_delta_fixed_batch": _curate_delta_fixed_batch,
     "er_pairs_scaled_zip": _er_pairs_scaled_zip,
@@ -418,6 +462,10 @@ def main() -> None:
         replicate(spark, "embeddings", f, "vec_id", d)
         replicate(spark, "events", f, "event_id", d)
         replicate(spark, "customer", f, "c_custkey", d)
+        # orders replicate by o_orderkey offset; o_custkey is NOT
+        # remapped, so each original customer fans to `factor`x the
+        # orders — linear input growth for the orders-based stats ops
+        replicate(spark, "orders", f, "o_orderkey", d)
         dirs[f] = d
 
     for op in ops:

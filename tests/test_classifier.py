@@ -45,11 +45,29 @@ def test_rank_gate_size_and_enrichment(spark, sf_dir):
     assert gate > base
 
 
+def _q(v):
+    """round(v·1e12) half-away-from-zero as an exact int — the twin of
+    Spark's round(double, 0) (BigDecimal HALF_UP over the shortest
+    round-trip repr, which Python's repr() also produces)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flapi_spark.operators.classifier import LR_QUANT
+
+    return int(
+        Decimal(repr(v * float(LR_QUANT))).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _twin_logreg(pdf, n_buckets, iters, lr, lr_bias):
     """Pure-Python replay of train_logreg's arithmetic: same bucket-
-    sorted margin folds, doc-sorted gradient folds, same op order in
-    the update — only exp() may differ by an ulp (JVM Math.exp vs
-    libm), hence the 1e-9 tolerance at the comparison site."""
+    sorted margin folds, same quantized-integer gradient sums (exact,
+    so summation order is irrelevant), same op order in the update —
+    only exp() may differ by an ulp (JVM Math.exp vs libm), hence the
+    1e-9 tolerance at the comparison site."""
+    from flapi_spark.operators.classifier import LR_QUANT
+
     w = [0.0] * n_buckets
     bias = 0.0
     docs = sorted(set(pdf["doc_id"]))
@@ -67,17 +85,53 @@ def _twin_logreg(pdf, n_buckets, iters, lr, lr_bias):
             p = 1.0 / (1.0 + math.exp(-(m + bias)))
             resid[d] = p - by_doc[d][0][2]
         grads = {}
-        for d in docs:  # doc_id order == the sorted-fold order
+        for d in docs:  # exact integer sums — any order works
             for b, x, _y in by_doc[d]:
-                grads.setdefault(int(b), 0.0)
-                grads[int(b)] += resid[d] * x
-        gbias = 0.0
+                grads.setdefault(int(b), 0)
+                grads[int(b)] += _q(resid[d] * x)
+        gbias = 0
         for d in docs:
-            gbias += resid[d]
-        for b, g in grads.items():
-            w[b] -= lr * (g / n_docs)
-        bias -= lr_bias * (gbias / n_docs)
+            gbias += _q(resid[d])
+        for b, qs in grads.items():
+            w[b] -= lr * ((float(qs) / float(LR_QUANT)) / n_docs)
+        bias -= lr_bias * ((float(gbias) / float(LR_QUANT)) / n_docs)
     return w, bias
+
+
+def test_grad_frame_plan_bounded_state(spark):
+    """VERDICT r10 item 2: per-iteration gradient state must not grow
+    with docs-per-bucket. The gradient aggregate is a plain
+    partial-aggregating SUM of quantized DECIMAL(38,0) integers — no
+    collect_list holding one struct per (doc × feature-hit) in a
+    single bucket's row. Feeds _grad_frame a synthetic docfeats frame
+    (so the per-doc collect_list of the real feature builder cannot
+    mask a regression) and asserts plan shape + exact values."""
+    from pyspark.sql import functions as F
+
+    from flapi_spark.operators.classifier import LR_QUANT, _grad_frame
+
+    docfeats = spark.createDataFrame(
+        [(i, float(i % 2), [{"bucket": i % 3, "x": 0.25}]) for i in range(12)],
+        "doc_id BIGINT, y DOUBLE, fs ARRAY<STRUCT<bucket: INT, x: DOUBLE>>",
+    )
+    gf = _grad_frame(docfeats, F.lit(0.5) - F.col("y"))
+    plan = gf._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
+    # partial + final HashAggregate: map-side combine bounds shuffle
+    # state to one partial per (bucket, task)
+    assert plan.count("HashAggregate") >= 2
+    # exact values: residual is +0.5 for y=0 docs, -0.5 for y=1 docs;
+    # each bucket sees 2 docs of each label -> feature gradient sums
+    # to 0; the bias gradient (bucket -1) also cancels over 6/6 labels
+    got = {r["bucket"]: r["g"] for r in gf.collect()}
+    assert got == {-1: 0.0, 0: 0.0, 1: 0.0, 2: 0.0}
+    # and a non-cancelling residual: g = sum(round(r*x*1e12))/1e12
+    gf2 = _grad_frame(docfeats, F.lit(0.1))
+    got2 = {r["bucket"]: r["g"] for r in gf2.collect()}
+    per_term = round(0.1 * 0.25 * LR_QUANT)
+    assert got2[0] == 4 * per_term / LR_QUANT
+    assert got2[-1] == 12 * round(0.1 * LR_QUANT) / LR_QUANT
 
 
 def test_train_golden_twin(spark, sf_dir):

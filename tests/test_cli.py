@@ -525,3 +525,43 @@ def test_curate_delta_verb_bootstrap_then_batch(
     finally:
         for t in tables:
             _rm_table(spark, t)
+
+
+def test_curate_delta_stages_do_not_rebase_bootstrap(
+    spark, sf_dir, tmp_path, capsys
+):
+    """ADVICE r10: with --bootstrap, --stages gates ONLY the ingest
+    chain — the T0 base curation stays on the default 5-stage chain
+    (the funnel_full convention) unless --base-stages says otherwise."""
+    from flapi_spark.pipeline_delta import curate_base
+    from flapi_spark.writes import _rm_table
+
+    tables = ("cli_dband2", "cli_dshingle2", "cli_dexact2")
+    args = [
+        "curate-delta", "--data", sf_dir, "--since", "400",
+        "--bootstrap", "--stages", "quality",
+        "--band-table", tables[0],
+        "--shingle-store", tables[1],
+        "--exact-table", tables[2],
+    ]
+    try:
+        for t in tables:
+            _rm_table(spark, t)
+        assert main(args) == 0
+        capsys.readouterr()
+        # T0 world == DEFAULT 5-stage base curation, not quality-only
+        base_default = curate_base(spark, sf_dir, 400).keep.count()
+        assert spark.table(tables[2]).count() == base_default
+        # --base-stages overrides the base chain explicitly
+        for t in tables:
+            _rm_table(spark, t)
+        assert main(args + ["--base-stages", "quality"]) == 0
+        capsys.readouterr()
+        base_quality = curate_base(
+            spark, sf_dir, 400, stages=["quality"]
+        ).keep.count()
+        assert base_quality > base_default  # fewer gates keep more
+        assert spark.table(tables[2]).count() == base_quality
+    finally:
+        for t in tables:
+            _rm_table(spark, t)

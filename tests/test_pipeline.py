@@ -474,3 +474,100 @@ def test_materialize_training_corpus(spark, sf_dir, tmp_path):
         for r in w3.select("doc_id", "shard", "position").collect()
     }
     assert any(a3[d] != assign[d] for d in kept)
+
+
+# --- survivor_scope="keepset" (round 11, VERDICT r10 item 5) ---------------
+
+
+def test_survivor_scope_keepset_retains_neardup_cluster(spark, sf_dir):
+    """A near-dup cluster whose corpus-wide exemplar an earlier stage
+    dropped: corpus scope deletes the WHOLE cluster; keepset scope
+    re-elects exemplar(s) among the surviving members (≥1 — possibly
+    one per sub-component if the exemplar was a cut vertex)."""
+    from flapi_spark.operators.dedup import dedup_keep_best_survivors
+    from flapi_spark.pipeline import _near_dedup
+    from flapi_spark.session import load_table
+
+    kb = dedup_keep_best_survivors(spark, sf_dir)
+    comp = (
+        kb.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.max(F.when(F.col("keep"), F.col("doc_id"))).alias("ex"),
+        )
+        .where("n >= 2")
+        .orderBy("component_id")
+        .first()
+    )
+    assert comp is not None, "testdata must contain a near-dup cluster"
+    members = set(comp.ids)
+    # "earlier stage" drops the corpus-wide exemplar
+    keep0 = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") != comp.ex)
+    )
+    corpus_ids = {
+        r.doc_id for r in _near_dedup(spark, sf_dir, keep0).collect()
+    }
+    keepset_ids = {
+        r.doc_id
+        for r in _near_dedup(
+            spark, sf_dir, keep0, survivor_scope="keepset"
+        ).collect()
+    }
+    assert not members & corpus_ids          # whole cluster lost (hazard)
+    survivors = members & keepset_ids
+    assert survivors                          # ≥1 member re-elected
+    assert len(survivors) < len(members)      # still deduped
+    # keepset scope can only ADD survivors relative to corpus scope
+    assert corpus_ids <= keepset_ids
+
+
+def test_survivor_scope_keepset_perceptual_policy(spark):
+    """The shared exemplar policy with a synthetic pair graph: corpus
+    scope drops every non-exemplar of the FULL-graph component even
+    when the exemplar itself is gone; keepset scope re-elects among
+    surviving members."""
+    from flapi_spark.pipeline import _drop_cluster_non_exemplars
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a LONG, doc_b LONG"
+    )
+    keep = spark.createDataFrame([(2,), (3,), (9,)], "doc_id LONG")
+    corpus = {
+        r.doc_id for r in _drop_cluster_non_exemplars(keep, pairs).collect()
+    }
+    keepset = {
+        r.doc_id
+        for r in _drop_cluster_non_exemplars(
+            keep, pairs, survivor_scope="keepset"
+        ).collect()
+    }
+    assert corpus == {9}        # exemplar 1 was already gone: 2,3 lost
+    assert keepset == {2, 9}    # 2 re-elected among survivors
+
+
+def test_survivor_scope_default_parity_and_keepset_superset(spark, sf_dir):
+    """curate() default == explicit survivor_scope='corpus' (keep-set
+    AND funnel bit-identical — the pinned oracle world is unchanged);
+    keepset scope never keeps fewer docs at any stage."""
+    stages = ["quality", "langid", "exact_dedup", "near_dedup"]
+    a = curate(spark, sf_dir, stages=stages)
+    b = curate(spark, sf_dir, stages=stages, survivor_scope="corpus")
+    ka = {r.doc_id for r in a.keep.collect()}
+    assert ka == {r.doc_id for r in b.keep.collect()}
+    assert [(s["stage"], s["n_in"], s["n_out"]) for s in a.stages] == [
+        (s["stage"], s["n_in"], s["n_out"]) for s in b.stages
+    ]
+    c = curate(spark, sf_dir, stages=stages, survivor_scope="keepset")
+    kc = {r.doc_id for r in c.keep.collect()}
+    assert ka <= kc
+    for sa, sc in zip(a.stages, c.stages):
+        assert sc["n_out"] >= sa["n_out"]
+
+
+def test_survivor_scope_rejects_unknown(spark, sf_dir):
+    with pytest.raises(ValueError, match="survivor_scope"):
+        curate(spark, sf_dir, stages=["quality"], survivor_scope="x")

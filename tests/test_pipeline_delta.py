@@ -178,6 +178,65 @@ def test_maintain_indexes_roundtrip(spark, sf_dir):
         _rm(spark, idx.band_table, idx.shingle_store, idx.exact_table)
 
 
+@pytest.mark.parametrize("mode", ["antijoin", "marker"])
+def test_maintain_indexes_replay_noop(spark, sf_dir, tmp_path, mode):
+    """VERDICT r10 item 3: a retried ingest batch is a NO-OP on the
+    index triple in both replay modes — the default per-table
+    anti-join and the _SUCCESS-marker (marker_dir keyed on `since`).
+    Index row counts AND a follow-up probe's pair rows must be
+    unchanged after re-running the same batch."""
+    from flapi_spark.operators.dedup import probe_band_index_portable
+
+    idx = DeltaIndexes(
+        band_table=f"t_delta_bands_rp_{mode}",
+        shingle_store=f"t_delta_shingles_rp_{mode}",
+        exact_table=f"t_delta_exact_rp_{mode}",
+    )
+    tables = (idx.band_table, idx.shingle_store, idx.exact_table)
+    _rm(spark, *tables)
+    try:
+        base = curate_base(spark, sf_dir, SINCE)
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        mdir = str(tmp_path / "markers") if mode == "marker" else None
+        rep = curate_delta(
+            spark, sf_dir, SINCE, idx,
+            maintain_indexes=True, marker_dir=mdir,
+        )
+        some = rep.keep.limit(1).collect()[0].doc_id
+        copy = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") == some)
+            .withColumn("doc_id", F.lit(10_000).cast("long"))
+        )
+
+        def _probe():
+            return sorted(
+                (r.doc_a, r.doc_b, r.jaccard)
+                for r in probe_band_index_portable(
+                    spark, copy, idx.band_table, idx.shingle_store
+                ).collect()
+            )
+
+        counts1 = {t: spark.table(t).count() for t in tables}
+        pairs1 = _probe()
+        assert pairs1  # the copied accepted doc must hit the index
+        # the retry: same batch, same since watermark
+        curate_delta(
+            spark, sf_dir, SINCE, idx,
+            maintain_indexes=True, marker_dir=mdir,
+        )
+        assert {t: spark.table(t).count() for t in tables} == counts1
+        assert _probe() == pairs1
+        if mode == "marker":
+            import os
+
+            assert os.path.exists(
+                os.path.join(mdir, f"since={SINCE}", "_SUCCESS")
+            )
+    finally:
+        _rm(spark, *tables)
+
+
 def test_delta_bound_pushed_to_scan(spark, sf_dir):
     """The per-doc gates read ONLY the delta span: the doc_id bound
     reaches the parquet scan as a pushed filter (O(delta) stage cost
