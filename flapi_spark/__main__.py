@@ -289,9 +289,23 @@ def _cmd_curate_delta(args) -> int:
     batch sees this one); --marker-dir makes a retried batch an O(1)
     no-op (otherwise idempotence is per-table anti-joins)."""
     from flapi_spark.pipeline_delta import (
-        DeltaIndexes, bootstrap_delta_indexes, curate_base, curate_delta,
+        DeltaIndexes, bootstrap_delta_indexes, clear_lane_markers,
+        curate_base, curate_delta,
     )
     from flapi_spark.session import get_spark
+
+    # flags that silently do nothing are operator traps (round-11
+    # review): fail fast on inconsistent combinations
+    if args.base_stages and not args.bootstrap:
+        raise SystemExit(
+            "curate-delta: --base-stages only applies with --bootstrap"
+            " (steady-state ingest never re-curates the base)"
+        )
+    if args.marker_dir and not args.maintain:
+        raise SystemExit(
+            "curate-delta: --marker-dir only applies with --maintain"
+            " (there is no index maintenance to make replay-safe)"
+        )
 
     spark = get_spark(app_name="flapi_spark_curate_delta")
     if args.log_level != "debug":
@@ -311,6 +325,10 @@ def _cmd_curate_delta(args) -> int:
         )
         base = curate_base(spark, args.data, args.since, stages=base_stages)
         bootstrap_delta_indexes(spark, args.data, base.keep, idx)
+        if args.marker_dir:
+            # the rebuild erased any appended batches: stale markers
+            # would skip re-appending them forever (round-11 review)
+            clear_lane_markers(args.marker_dir, idx)
     rep = curate_delta(
         spark, args.data, args.since, idx, stages=stages,
         maintain_indexes=args.maintain, marker_dir=args.marker_dir,

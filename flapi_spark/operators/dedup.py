@@ -72,9 +72,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduplicated corpus: one doc per fingerprint (min doc_id)."""
+def dedup_exact_survivors(
+    spark: SparkSession, sf_dir: str, within: DataFrame | None = None
+) -> DataFrame:
+    """The deduplicated corpus: one doc per fingerprint (min doc_id).
+    `within` (round 11 — pipeline survivor_scope="keepset") restricts
+    the election to a (doc_id) frame: same min-id policy, grouped over
+    only those docs. ONE fingerprint definition for every consumer —
+    the corpus entry, the keepset stage, and write_exact_index."""
     docs = load_table(spark, sf_dir, "documents")
+    if within is not None:
+        docs = docs.join(within.select("doc_id"), "doc_id", "left_semi")
     fp = docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     return keep.select("doc_id", "fingerprint")

@@ -157,15 +157,12 @@ def _exact_dedup(
     from flapi_spark.operators.dedup import dedup_exact_survivors
 
     if survivor_scope == "keepset":
-        from flapi_spark.operators.text import norm_text
-
-        fp = (
-            load_table(spark, sf_dir, "documents")
-            .join(keep, "doc_id", "left_semi")
-            .select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        return keep.join(
+            dedup_exact_survivors(spark, sf_dir, within=keep)
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
         )
-        surv = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-        return keep.join(surv.select("doc_id"), "doc_id", "left_semi")
     _check_scope(survivor_scope)
     return keep.join(
         dedup_exact_survivors(spark, sf_dir).select("doc_id"),

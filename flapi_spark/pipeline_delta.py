@@ -523,8 +523,18 @@ def curate_delta(
 
     def _exact(keep: DataFrame) -> DataFrame:
         fps = docs.select("doc_id", F.md5(norm_text()).alias("fingerprint"))
+        # the index side is bounded to the BASE span (doc_id < since):
+        # after maintain_indexes appends this batch, a RETRY of the
+        # same batch would otherwise find its own fingerprints in the
+        # index and drop the entire batch as "already accepted" —
+        # the near arm has the same guard via doc_a < since (round-11
+        # review fix). On a fresh index the bound is a no-op (every
+        # indexed id is below the watermark by construction), so the
+        # oracle keep-chain is unchanged.
         corpus_dup = fps.join(
-            spark.table(indexes.exact_table).select("fingerprint"),
+            spark.table(indexes.exact_table)
+            .where(F.col("doc_id") < F.lit(since))
+            .select("fingerprint"),
             "fingerprint",
             "left_semi",
         ).select("doc_id")
@@ -607,6 +617,34 @@ def curate_delta(
     return report
 
 
+def _marker_lane(indexes: DeltaIndexes) -> str:
+    """One marker namespace per index triple (= per lane), so a shared
+    marker_dir can never skip a different lane's maintenance."""
+    import re
+
+    return re.sub(
+        r"[^A-Za-z0-9_.-]", "_",
+        f"{indexes.band_table}__{indexes.shingle_store}"
+        f"__{indexes.exact_table}",
+    )
+
+
+def clear_lane_markers(
+    marker_dir: str, indexes: DeltaIndexes = DeltaIndexes()
+) -> None:
+    """Drop every replay marker for this lane — REQUIRED after
+    rebuilding the lane's indexes (bootstrap_delta_indexes overwrites
+    them, erasing any appended batches; a stale since-keyed marker
+    would then skip re-appending those batches forever). The CLI's
+    --bootstrap calls this automatically."""
+    import os
+    import shutil
+
+    lane_dir = os.path.join(marker_dir, _marker_lane(indexes))
+    if os.path.isdir(lane_dir):
+        shutil.rmtree(lane_dir)
+
+
 def _maintain_indexes_replay_safe(
     spark: SparkSession,
     accepted: DataFrame,
@@ -616,10 +654,14 @@ def _maintain_indexes_replay_safe(
 ) -> None:
     """Idempotent append of the accepted batch to the index triple
     (see curate_delta docstring for the two modes). The marker is
-    keyed on the batch's `since` watermark — the identity of an
-    ingest batch in this lane — mirroring replay_maintainer's
-    batch_id=N/_SUCCESS layout so operators can inspect either lane
-    the same way."""
+    keyed on the batch's `since` watermark AND the index table names
+    (one lane = one DeltaIndexes triple) — a shared marker_dir can
+    never skip a DIFFERENT lane's maintenance — mirroring
+    replay_maintainer's batch_id=N/_SUCCESS layout so operators can
+    inspect either lane the same way. Markers are scoped to ONE
+    bootstrapped world: rebuilding the indexes (bootstrap) must clear
+    the marker dir, or stale markers would skip re-appending batches
+    the overwrite erased (the CLI does this for --bootstrap)."""
     import os
 
     from flapi_spark.operators.dedup import (
@@ -629,7 +671,7 @@ def _maintain_indexes_replay_safe(
     )
 
     if marker_dir is not None:
-        dst = os.path.join(marker_dir, f"since={since}")
+        dst = os.path.join(marker_dir, _marker_lane(indexes), f"since={since}")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             return  # replayed batch — already folded into the indexes
     appends = (

@@ -565,3 +565,15 @@ def test_curate_delta_stages_do_not_rebase_bootstrap(
     finally:
         for t in tables:
             _rm_table(spark, t)
+
+
+def test_curate_delta_flag_validation():
+    """Flags that silently do nothing are operator traps: --base-stages
+    without --bootstrap and --marker-dir without --maintain fail fast."""
+    import pytest
+
+    base = ["curate-delta", "--data", "/x", "--since", "1"]
+    with pytest.raises(SystemExit, match="base-stages"):
+        main(base + ["--base-stages", "quality"])
+    with pytest.raises(SystemExit, match="marker-dir"):
+        main(base + ["--marker-dir", "/tmp/m"])

@@ -221,17 +221,30 @@ def test_maintain_indexes_replay_noop(spark, sf_dir, tmp_path, mode):
         pairs1 = _probe()
         assert pairs1  # the copied accepted doc must hit the index
         # the retry: same batch, same since watermark
-        curate_delta(
+        rep2 = curate_delta(
             spark, sf_dir, SINCE, idx,
             maintain_indexes=True, marker_dir=mdir,
         )
         assert {t: spark.table(t).count() for t in tables} == counts1
         assert _probe() == pairs1
+        # the retry's KEEP-SET must equal the first run's: the exact
+        # stage bounds its index probe to doc_id < since, so the
+        # batch's own appended fingerprints never count it as
+        # "already accepted" (round-11 review fix — without the bound
+        # the retry dropped the whole batch and could overwrite the
+        # accepted output with an empty keep-set)
+        assert {r.doc_id for r in rep2.keep.collect()} == {
+            r.doc_id for r in rep.keep.collect()
+        }
         if mode == "marker":
             import os
 
+            from flapi_spark.pipeline_delta import _marker_lane
+
             assert os.path.exists(
-                os.path.join(mdir, f"since={SINCE}", "_SUCCESS")
+                os.path.join(
+                    mdir, _marker_lane(idx), f"since={SINCE}", "_SUCCESS"
+                )
             )
     finally:
         _rm(spark, *tables)
@@ -392,3 +405,75 @@ def test_mm_stage_requires_named_index(spark, sf_dir, world):
         curate_delta(
             spark, sf_dir, SINCE, idx, stages=["image_near_dedup"]
         )
+
+
+def test_marker_lane_isolation_and_clear(tmp_path):
+    """Markers are namespaced per index triple (a shared marker_dir
+    cannot skip another lane's maintenance) and clear_lane_markers
+    removes exactly one lane's markers (the --bootstrap contract)."""
+    import os
+
+    from flapi_spark.pipeline_delta import _marker_lane, clear_lane_markers
+
+    a = DeltaIndexes(band_table="laneA_b", shingle_store="laneA_s",
+                     exact_table="laneA_e")
+    b = DeltaIndexes(band_table="laneB_b", shingle_store="laneB_s",
+                     exact_table="laneB_e")
+    assert _marker_lane(a) != _marker_lane(b)
+    mdir = str(tmp_path)
+    for idx in (a, b):
+        d = os.path.join(mdir, _marker_lane(idx), "since=100")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    clear_lane_markers(mdir, a)
+    assert not os.path.exists(os.path.join(mdir, _marker_lane(a)))
+    assert os.path.exists(
+        os.path.join(mdir, _marker_lane(b), "since=100", "_SUCCESS")
+    )
+
+
+def test_rebootstrap_with_stale_markers_needs_clear(spark, sf_dir, tmp_path):
+    """Round-11 review: bootstrap OVERWRITES the index triple, erasing
+    appended batches — a stale since-keyed marker would then skip
+    re-appending them forever. clear_lane_markers (which the CLI's
+    --bootstrap invokes) restores maintenance."""
+    import os
+
+    from flapi_spark.pipeline_delta import _marker_lane, clear_lane_markers
+
+    idx = DeltaIndexes(
+        band_table="t_delta_bands_rb",
+        shingle_store="t_delta_shingles_rb",
+        exact_table="t_delta_exact_rb",
+    )
+    tables = (idx.band_table, idx.shingle_store, idx.exact_table)
+    mdir = str(tmp_path / "markers")
+    _rm(spark, *tables)
+    try:
+        base = curate_base(spark, sf_dir, SINCE)
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        n_base = spark.table(idx.exact_table).count()
+        rep = curate_delta(
+            spark, sf_dir, SINCE, idx,
+            maintain_indexes=True, marker_dir=mdir,
+        )
+        n_batch = rep.keep.count()
+        assert spark.table(idx.exact_table).count() == n_base + n_batch
+        # crash-retry: re-bootstrap erases the appends; the stale
+        # marker alone would skip maintenance (the hazard)
+        bootstrap_delta_indexes(spark, sf_dir, base.keep, idx)
+        curate_delta(
+            spark, sf_dir, SINCE, idx,
+            maintain_indexes=True, marker_dir=mdir,
+        )
+        assert spark.table(idx.exact_table).count() == n_base  # skipped!
+        # the remedy: clear this lane's markers, then maintain works
+        clear_lane_markers(mdir, idx)
+        assert not os.path.exists(os.path.join(mdir, _marker_lane(idx)))
+        curate_delta(
+            spark, sf_dir, SINCE, idx,
+            maintain_indexes=True, marker_dir=mdir,
+        )
+        assert spark.table(idx.exact_table).count() == n_base + n_batch
+    finally:
+        _rm(spark, *tables)
