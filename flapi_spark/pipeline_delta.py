@@ -244,7 +244,15 @@ def _mm_delta_stage(
     policy. The probe is the stateless guard core
     (multimodal.fingerprint_guard_stream) run as a batch join: one
     (band_id, bv) equi-join against the bucketed index, verify inline
-    from the carried fingerprints."""
+    from the carried fingerprints.
+
+    The index side is bounded to BASE-span keys (the retry guard the
+    exact stage carries, round 11): the batch delta lane never appends
+    to phash indexes itself, but the STREAMING maintainers
+    (multimodal phash maintainer) may share the table — without the
+    bound, a batch retried after a concurrent maintainer folded it in
+    would drop against its own fingerprints. Video fingerprints key
+    frames as doc_id·SPAN + frame, so its bound scales by SPAN."""
     from flapi_spark.multimodal import (
         VID_FRAME_KEY_SPAN,
         fingerprint_guard_stream,
@@ -255,7 +263,13 @@ def _mm_delta_stage(
     # decode/hash once: the banded self-join + the index probe both
     # consume the fingerprints (the mm lanes' Python-decode rule)
     fps = fps_of(media).localCheckpoint(eager=True)
-    hits = fingerprint_guard_stream(fps, spark.table(table), max_hamming)
+    bound = (
+        since * VID_FRAME_KEY_SPAN
+        if stage == "video_near_dedup"
+        else since
+    )
+    index = spark.table(table).where(F.col("doc_id") < F.lit(bound))
+    hits = fingerprint_guard_stream(fps, index, max_hamming)
     doc_col = (
         F.expr(f"doc_id div {VID_FRAME_KEY_SPAN}")
         if stage == "video_near_dedup"
