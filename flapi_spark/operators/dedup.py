@@ -792,11 +792,15 @@ def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
     Output: (doc_id, component_id) for every node that appears in a
     pair; singletons are not emitted (they need no dedup decision).
     """
+    # Materialize the pair stream ONCE before deriving nodes and edges
+    # from it: callers hand in expensive lineages (band-index probes,
+    # Jaccard verifies, levenshtein candidate joins), and two separate
+    # checkpoints would re-run that upstream twice.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select("doc_b"))
         .distinct()
-        .localCheckpoint()
     )
     # canonical hi→lo orientation, deduped — star operations below
     # preserve this invariant, which keeps the convergence comparison

@@ -1629,6 +1629,7 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank(base, ["o_custkey", "o_orderkey"], "rc"),
         ["dn", "o_orderkey"],
         "rd",
+        checkpoint_input=True,  # inner rank's machinery runs once
     )
     norm = ranked.select(
         "o_orderkey",
@@ -1734,9 +1735,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.withColumn(
         "__negf", -F.col("n_orders")
     ).withColumn("__negm", -F.col("monetary"))
-    ranked = global_rank(ranked, ["recency_days", "o_custkey"], "__rr")
-    ranked = global_rank(ranked, ["__negf", "o_custkey"], "__rf")
-    ranked = global_rank(ranked, ["__negm", "o_custkey"], "__rm")
+    # chained ranks: each stage's input is the previous stage's
+    # frozen-bin output — checkpoint each so the 3rd rank does not
+    # re-run the 1st and 2nd's machinery four more times
+    ranked = global_rank(
+        ranked, ["recency_days", "o_custkey"], "__rr", checkpoint_input=True
+    )
+    ranked = global_rank(
+        ranked, ["__negf", "o_custkey"], "__rf", checkpoint_input=True
+    )
+    ranked = global_rank(
+        ranked, ["__negm", "o_custkey"], "__rm", checkpoint_input=True
+    )
     scored = ranked.select(
         "o_custkey",
         "recency_days",
@@ -2620,7 +2630,9 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    ranked = global_rank(per_cust, ["cents", "o_custkey"], "i")
+    ranked = global_rank(
+        per_cust, ["cents", "o_custkey"], "i", checkpoint_input=True
+    )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
@@ -2760,7 +2772,9 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = pc.count()
-    dec = global_rank(pc, ["cents", "o_custkey"], "__r").withColumn(
+    dec = global_rank(
+        pc, ["cents", "o_custkey"], "__r", checkpoint_input=True
+    ).withColumn(
         "decile", ntile_band(F.col("__r"), F.lit(n), 10)
     )
     per = dec.groupBy("decile").agg(
@@ -2990,6 +3004,9 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("units")
     )
+    # partkey-grain rollup read by the total collect AND the four
+    # frozen-bin passes — materialize once
+    per_part = per_part.localCheckpoint(eager=True)
     total = per_part.agg(F.sum("units")).collect()[0][0] or 0
     t = global_ordered_prefix(
         per_part.withColumn("__neg", -F.col("units")),
@@ -3642,7 +3659,8 @@ def mann_whitney_order_value(
         F.sum(F.col("in_a").cast("long")).alias("ca"),
     )
     ord_ = global_ordered_prefix(
-        vals, ["v"], rank_col="__r", sum_col="c", prefix_col="cum"
+        vals, ["v"], rank_col="__r", sum_col="c", prefix_col="cum",
+        checkpoint_input=True,  # value-grain rollup behind a join
     )
     # prefix is INCLUSIVE of the current value's count
     two_rank = 2 * (F.col("cum") - F.col("c")) + F.col("c") + 1

@@ -184,6 +184,7 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "__rank",
     num_partitions: int | None = None,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Exact global 1-based row numbering by `order_cols` WITHOUT a
     single-task global sort.
@@ -202,7 +203,8 @@ def global_rank(
     Output = `df` + `rank_col`, identical to the single-task window.
     """
     return global_ordered_prefix(
-        df, order_cols, rank_col=rank_col, num_partitions=num_partitions
+        df, order_cols, rank_col=rank_col, num_partitions=num_partitions,
+        checkpoint_input=checkpoint_input,
     )
 
 
@@ -213,6 +215,7 @@ def global_ordered_prefix(
     sum_col: str | None = None,
     prefix_col: str = "__prefix",
     num_partitions: int | None = None,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """global_rank plus (optionally) an exact global running SUM of
     `sum_col` in `order_cols` order — the distributed twin of
@@ -224,10 +227,22 @@ def global_ordered_prefix(
 
     `sum_col` must be integral or double (the repo-wide exact-cents
     convention): a DECIMAL sum would silently lose its scale through
-    the LONG/DOUBLE offset schema, so it is rejected up front."""
+    the LONG/DOUBLE offset schema, so it is rejected up front.
+
+    `checkpoint_input=True` materializes `df` ONCE before the
+    machinery's four passes (count, boundary sample, per-bin counts,
+    final output — each otherwise re-runs the input lineage, pruned).
+    Opt in when the input is a NARROW pre-aggregated frame that is
+    expensive to recompute and cheap to store (value-grain /
+    customer-grain rollups behind a join); leave off for wide
+    corpus-grain frames, where one full-width materialization costs
+    more than three column-pruned recomputes (measured both ways —
+    see the band-candidate note in dedup.py)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
     if sum_col is not None:
         t = dict(df.dtypes).get(sum_col, "")
         if t.startswith("decimal"):

@@ -2405,7 +2405,11 @@ def curriculum_order(
         "doc_id",
         (-F.col("quality_score")).alias("neg_score"),
     )
-    ranked = global_rank(q, ["neg_score", "doc_id"], rank_col="quality_rank")
+    ranked = global_rank(
+        q, ["neg_score", "doc_id"], rank_col="quality_rank",
+        checkpoint_input=True,  # doc-grain but behind the full
+        # quality-score chain — score once, not once per pass
+    )
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
     b = (
         ranked.crossJoin(F.broadcast(n))
@@ -2419,7 +2423,8 @@ def curriculum_order(
         )
     )
     pos = global_rank(
-        b, ["bucket", "__shuffle", "doc_id"], rank_col="position"
+        b, ["bucket", "__shuffle", "doc_id"], rank_col="position",
+        checkpoint_input=True,  # first rank's machinery runs once
     )
     return pos.select(
         "doc_id",
