@@ -140,6 +140,28 @@ def test_global_ordered_prefix_matches_window_cumsum(spark, sf_dir):
     assert joined.where("e.cum != g.cum").count() == 0
 
 
+def test_global_ordered_prefix_checkpoint_input_parity(spark, sf_dir):
+    """checkpoint_input=True is a pure materialization knob — ranks
+    and prefix sums must be bit-identical to the lazy path (the
+    frozen-bin boundaries come from the same seeded sample either
+    way)."""
+    from flapi_spark.operators.scale import global_ordered_prefix
+    from flapi_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    kw = dict(rank_col="r", sum_col="cents", prefix_col="cum")
+    lazy = global_ordered_prefix(o, ["cents", "o_orderkey"], **kw)
+    ckpt = global_ordered_prefix(
+        o, ["cents", "o_orderkey"], checkpoint_input=True, **kw
+    )
+    joined = lazy.alias("a").join(ckpt.alias("b"), "o_orderkey")
+    assert joined.where("a.r != b.r OR a.cum != b.cum").count() == 0
+    assert ckpt.count() == o.count()
+
+
 def test_global_rank_empty_and_tiny_inputs(spark):
     from flapi_spark.operators.scale import global_rank
 
