@@ -759,7 +759,9 @@ def dedup_connected_components(
     return label_components(pairs, max_iterations)
 
 
-def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+def label_components(
+    pairs: DataFrame, max_iterations: int = 30, checkpoint_pairs: bool = True
+) -> DataFrame:
     """Connected components over an arbitrary (doc_a, doc_b) pair
     stream — compose with any candidate generator (Jaccard, MinHash,
     SimHash, embedding LSH). Labels every node with its component's
@@ -795,8 +797,13 @@ def label_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
     # Materialize the pair stream ONCE before deriving nodes and edges
     # from it: callers hand in expensive lineages (band-index probes,
     # Jaccard verifies, levenshtein candidate joins), and two separate
-    # checkpoints would re-run that upstream twice.
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    # checkpoints would re-run that upstream twice. A caller whose
+    # pairs are ALREADY materialized (e.g. a filter over an eagerly
+    # checkpointed stream) opts out with checkpoint_pairs=False to
+    # avoid a pure data copy.
+    pairs = pairs.select("doc_a", "doc_b")
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select("doc_b"))

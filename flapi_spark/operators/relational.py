@@ -1731,16 +1731,17 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
+    # materialize the customer rollup ONCE — the count action and the
+    # first rank's four frozen-bin passes all read the same blocks
+    per_cust = per_cust.localCheckpoint(eager=True)
     n = per_cust.count()
     ranked = per_cust.withColumn(
         "__negf", -F.col("n_orders")
     ).withColumn("__negm", -F.col("monetary"))
-    # chained ranks: each stage's input is the previous stage's
-    # frozen-bin output — checkpoint each so the 3rd rank does not
-    # re-run the 1st and 2nd's machinery four more times
-    ranked = global_rank(
-        ranked, ["recency_days", "o_custkey"], "__rr", checkpoint_input=True
-    )
+    # chained ranks: the 2nd/3rd stage's input embeds the previous
+    # stage's frozen-bin machinery — checkpoint those so the 3rd rank
+    # does not re-run the 1st and 2nd's machinery four more times
+    ranked = global_rank(ranked, ["recency_days", "o_custkey"], "__rr")
     ranked = global_rank(
         ranked, ["__negf", "o_custkey"], "__rf", checkpoint_input=True
     )
@@ -2771,10 +2772,11 @@ def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
+    # materialize the rollup ONCE — the count and the four frozen-bin
+    # passes all read the same blocks
+    pc = pc.localCheckpoint(eager=True)
     n = pc.count()
-    dec = global_rank(
-        pc, ["cents", "o_custkey"], "__r", checkpoint_input=True
-    ).withColumn(
+    dec = global_rank(pc, ["cents", "o_custkey"], "__r").withColumn(
         "decile", ntile_band(F.col("__r"), F.lit(n), 10)
     )
     per = dec.groupBy("decile").agg(

@@ -241,8 +241,6 @@ def global_ordered_prefix(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    if checkpoint_input:
-        df = df.localCheckpoint(eager=True)
     if sum_col is not None:
         t = dict(df.dtypes).get(sum_col, "")
         if t.startswith("decimal"):
@@ -251,6 +249,10 @@ def global_ordered_prefix(
                 " cast to BIGINT integer cents (or DOUBLE) first —"
                 " decimal offsets would lose scale"
             )
+    # validate BEFORE materializing: the rejection path must not pay
+    # (or leak) a full checkpoint of the input
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=True)
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")

@@ -2401,16 +2401,15 @@ def curriculum_order(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # materialize the scored frame ONCE — the full quality-score chain
+    # runs a single time; the count agg and the first rank's four
+    # frozen-bin passes all read the same blocks
     q = text_quality_score(spark, sf_dir).select(
         "doc_id",
         (-F.col("quality_score")).alias("neg_score"),
-    )
-    ranked = global_rank(
-        q, ["neg_score", "doc_id"], rank_col="quality_rank",
-        checkpoint_input=True,  # doc-grain but behind the full
-        # quality-score chain — score once, not once per pass
-    )
-    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint(eager=True)
+    ranked = global_rank(q, ["neg_score", "doc_id"], rank_col="quality_rank")
+    n = q.agg(F.count(F.lit(1)).alias("n"))
     b = (
         ranked.crossJoin(F.broadcast(n))
         .select(

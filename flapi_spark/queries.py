@@ -1422,7 +1422,9 @@ def _dedup_components_incremental(
         .localCheckpoint(eager=True)
     )
     both_old = (F.col("doc_a") < split) & (F.col("doc_b") < split)
-    labels = D.label_components(pairs.where(both_old))
+    # pairs is already eagerly checkpointed above; the filter reads
+    # materialized blocks, so skip label_components' own checkpoint
+    labels = D.label_components(pairs.where(both_old), checkpoint_pairs=False)
     return D.incremental_components(labels, pairs.where(~both_old))
 
 
