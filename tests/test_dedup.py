@@ -212,6 +212,53 @@ def test_label_components_empty_and_reversed_pairs(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 6, 7: 6}
 
 
+def test_label_components_random_graph_equals_union_find(spark):
+    """Seeded random multigraph (cycles, stars, cross-links, dups,
+    reversed edges) vs a pure-Python union-find with min-id roots —
+    the ground truth for arbitrary topology, not just paths. Also
+    pins checkpoint_pairs=False to the identical labeling (it is a
+    materialization knob, not a semantic one)."""
+    import random
+
+    from flapi_spark.operators.dedup import label_components
+
+    rng = random.Random(1137)
+    nodes = rng.sample(range(1, 100_000), 400)
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(600)
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller root so labels are component minima
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.component_id
+        for r in label_components(pairs).collect()
+    }
+    assert got == expected
+    got_nockpt = {
+        r.doc_id: r.component_id
+        for r in label_components(
+            pairs.localCheckpoint(), checkpoint_pairs=False
+        ).collect()
+    }
+    assert got_nockpt == expected
+
+
 def test_minhash_components_cover_their_pairs(spark, sf_dir):
     """Scale-path clustering: components over the MinHash pair stream
     place both endpoints of every candidate pair in one component."""
