@@ -130,9 +130,12 @@ def _nb_scored(
     - `keep` is the production gate: the top `keep_frac` of the
       corpus by score (CCNet head/middle cut, FineWeb-Edu threshold
       sweep) with a deterministic (score desc, doc_id asc) tiebreak.
-      Expressed here as one global row_number window — at 100 TB
-      swap in the distributed rank (operators/scale.py global-rank
-      prefix bins) for the same boundary.
+      Ranked via scale.global_rank (frozen-bin distributed ranking —
+      never a single-task window; round 11 closed the documented
+      "swap in at 100 TB" deferral) over the negated score, the same
+      shape curriculum_order uses; the cut boundary
+      ceil(n · keep_frac) is one Python double multiply — bit-equal
+      to the old window's per-row expression (IEEE-754 both sides).
 
     `toks`/`stats` let write_classifier_stats pass in its persisted
     copies instead of re-deriving the token explode + bucket stats.
@@ -176,16 +179,27 @@ def _nb_scored(
         (F.round(fold + F.col("bias"), 6) > 0).alias("pred"),
         (F.col("lang") == target_lang).alias("label"),
     )
-    from pyspark.sql import Window
+    import math
 
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    n_w = Window.partitionBy()
-    return scored.select(
-        "doc_id", "n_tokens", "score", "pred", "label",
-        (
-            F.row_number().over(w)
-            <= F.ceil(F.count(F.lit(1)).over(n_w) * F.lit(keep_frac))
-        ).alias("keep"),
+    from flapi_spark.operators.scale import global_rank
+
+    # distributed rank cut: materialize the scored frame once (the
+    # count action and the frozen-bin passes read the same blocks),
+    # rank ascending by (-score, doc_id) — Spark's double comparator
+    # orders ±0.0 identically under negation, so the order matches
+    # the old (score desc, doc_id asc) window exactly
+    scored = scored.localCheckpoint(eager=True)
+    cut = math.ceil(scored.count() * keep_frac)
+    return (
+        global_rank(
+            scored.withColumn("__neg", -F.col("score")),
+            ["__neg", "doc_id"],
+            "__rk",
+        )
+        .select(
+            "doc_id", "n_tokens", "score", "pred", "label",
+            (F.col("__rk") <= F.lit(cut)).alias("keep"),
+        )
     )
 
 
