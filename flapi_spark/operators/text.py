@@ -2302,32 +2302,62 @@ def mixture_sample_keepset(
     exactly the one that would overflow it.
 
     Deterministic: the md5-rank order (tiebreak doc_id) and exact
-    integer cumulative sums replicate cross-engine. Scale shape: one
-    per-source ordered cumulative window — sources are few, so at
-    100 TB a single source's partition is huge; swap in the
-    frozen-bin distributed prefix sum (operators/scale.py
-    global_ordered_prefix) per source for the same boundary, exactly
-    as the classifier rank cut documents. Exact DuckDB oracle."""
+    integer cumulative sums replicate cross-engine. Scale shape
+    (round 11 closed the documented per-source-window deferral): ONE
+    global frozen-bin prefix sum (scale.global_ordered_prefix) in
+    (source, md5, doc_id) order, minus each source's preceding-source
+    offset — the offset frame is SOURCE-grain (bounded: one row per
+    source), so its tiny cumulative window never sees doc-grain data,
+    and no partition anywhere holds a whole source. Exact DuckDB
+    oracle (per-source window semantics are identical by
+    construction: global prefix − preceding-source totals)."""
     from pyspark.sql import Window
+
+    from flapi_spark.operators.scale import global_ordered_prefix
 
     docs = load_table(spark, sf_dir, "documents")
     plan = mixture_token_plan(
         spark, sf_dir, weights_ppm=weights_ppm, budget_ppm=budget_ppm
     ).select("source", "allocated_tokens")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # materialize the tokenized frame ONCE — the prefix machinery's
+    # four passes AND the per-source offset rollup read the same
+    # blocks (doc-grain but narrow, behind the tokenizer)
     toks = docs.select(
-        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_toks")
-    ).withColumn("cum_tokens", F.sum("n_toks").over(w).cast("long"))
-    return toks.join(plan, "source").select(
         "doc_id",
         "source",
-        "n_toks",
-        "cum_tokens",
-        (F.col("cum_tokens") <= F.col("allocated_tokens")).alias("keep"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    ).localCheckpoint(eager=True)
+    pre = global_ordered_prefix(
+        toks, ["source", "__h", "doc_id"], rank_col="__r",
+        sum_col="n_toks", prefix_col="__gcum",
+    )
+    # preceding-source token offsets: source-grain, bounded rows —
+    # the only ordered window here runs over one row per source
+    wsrc = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        toks.groupBy("source")
+        .agg(F.sum("n_toks").alias("__tot"))
+        .select(
+            "source",
+            F.coalesce(F.sum("__tot").over(wsrc), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        pre.join(F.broadcast(offs), "source")
+        .withColumn(
+            "cum_tokens", (F.col("__gcum") - F.col("__off")).cast("long")
+        )
+        .join(plan, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.col("allocated_tokens")).alias("keep"),
+        )
     )
 
 
