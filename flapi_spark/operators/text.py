@@ -437,42 +437,64 @@ def domain_mixture_sample(
     partitionings and cluster sizes (the data-mixture step of corpus
     assembly, cf. The Pile / Gopher mixture tables).
 
-    Scale shape: per-source counts are a tiny aggregate broadcast back;
-    selection is one window sort per source partition. For corpora
-    where single sources outgrow a partition's sort budget, the
-    hash-threshold variant (keep bucket < k_s/n_s · 2^32 on the same
-    md5) trades exact counts for a shuffle-free scan; the exact-rank
-    form is kept here because counts are part of the contract."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale shape (round 11 closed the per-source-window deferral):
+    per-source counts are a tiny aggregate broadcast back; the
+    per-source pick rank is ONE global frozen-bin rank in
+    (source, md5, doc_id) order minus each source's preceding-source
+    row offset — exact counts stay part of the contract (unlike the
+    hash-threshold variant, which trades them for a scan) and no
+    partition ever holds a whole source."""
     from itertools import chain
 
     from pyspark.sql import Window
 
+    from flapi_spark.operators.scale import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
     weights = weights or MIXTURE_WEIGHTS
     wmap = F.create_map(*[F.lit(x) for x in chain.from_iterable(weights.items())])
-    counts = (
+    # materialize the filtered projection ONCE — the counts rollup
+    # and the frozen-bin passes read the same blocks
+    base = (
         docs.where(F.col("source").isin(*weights))
-        .groupBy("source")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        base.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("wt", wmap[F.col("source")])
     )
     scale = counts.agg(
         F.min(F.col("n").cast("double") / F.col("wt")).alias("scale")
     )
-    k = counts.crossJoin(F.broadcast(scale)).select(
-        "source",
-        F.floor(F.col("scale") * F.col("wt")).cast("long").alias("k"),
+    wsrc = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    k = (
+        counts.crossJoin(F.broadcast(scale))
+        .select(
+            "source",
+            F.floor(F.col("scale") * F.col("wt")).cast("long").alias("k"),
+            F.coalesce(F.sum("n").over(wsrc), F.lit(0)).alias("__off"),
+        )
     )
-    ranked = docs.where(F.col("source").isin(*weights)).select(
-        "doc_id", "source", F.row_number().over(w).alias("pick_rank")
+    ranked = (
+        global_rank(base, ["source", "__h", "doc_id"], "__gr")
+        .join(F.broadcast(k), "source")
+        .withColumn("pick_rank", F.col("__gr") - F.col("__off"))
     )
     return (
-        ranked.join(F.broadcast(k), "source")
-        .where(F.col("pick_rank") <= F.col("k"))
-        .select("doc_id", "source", F.col("pick_rank").cast("long").alias("pick_rank"))
+        ranked.where(F.col("pick_rank") <= F.col("k"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
     )
 
 
@@ -771,17 +793,43 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing key for that mixture decision.
 
     Built on text_bigram_lm_score's engine-portable scores; the
-    tercile cut is ntile(3) over the deterministic (avg_nll, doc_id)
-    order, which the DuckDB oracle replays exactly. Scale shape: adds
-    one per-language window over doc-grain rows (one row per doc) on
-    top of the LM's linear passes."""
+    tercile cut is exact ANSI ntile(3) over the deterministic
+    (avg_nll, doc_id) order, which the DuckDB oracle replays exactly.
+    Scale shape (round 11 closed the per-language-window deferral):
+    ONE global frozen-bin rank in (lang, avg_nll, doc_id) order minus
+    each language's preceding-language row offset gives the per-lang
+    rank, and scale.ntile_band maps it to the identical tercile — the
+    only ordered window left runs over one row per language, so no
+    partition ever holds a whole language's documents."""
     from pyspark.sql import Window
+
+    from flapi_spark.operators.scale import global_rank, ntile_band
 
     lm = text_bigram_lm_score(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = lm.join(docs, "doc_id")
-    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
-    b = j.withColumn("tercile", F.ntile(3).over(w))
+    # materialize the scored join ONCE — the per-lang counts and the
+    # frozen-bin passes read the same blocks
+    j = lm.join(docs, "doc_id").select(
+        "doc_id", "lang", "avg_nll"
+    ).localCheckpoint(eager=True)
+    wl = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        j.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "lang",
+            "__n",
+            F.coalesce(F.sum("__n").over(wl), F.lit(0)).alias("__off"),
+        )
+    )
+    b = (
+        global_rank(j, ["lang", "avg_nll", "doc_id"], "__gr")
+        .join(F.broadcast(offs), "lang")
+        .withColumn(
+            "tercile",
+            ntile_band(F.col("__gr") - F.col("__off"), F.col("__n"), 3),
+        )
+    )
     return b.select(
         "doc_id",
         "lang",
