@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flapi_spark.operators.text import _tokens
-from flapi_spark.session import load_table
+from flapi_spark.session import load_table, spread
 
 # NB gate bucket count. Production would use 2^18+; 256 keeps the
 # sf0.01 oracle cheap while exercising real collisions (vocab ≈ 200).
@@ -77,9 +77,18 @@ def _bucket(col, n_buckets: int) -> F.Column:
     )
 
 
-def _doc_token_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+def _doc_token_buckets(
+    docs: DataFrame, n_buckets: int, sf_dir: str | None = None
+) -> DataFrame:
     """(doc_id, lang, tok, bucket) token stream — the shared input of
-    the bucket stats, the scorer, and the persisted-model build."""
+    the bucket stats, the scorer, and the persisted-model build.
+    `sf_dir` is accepted for signature stability; a spread() exchange
+    here measured SLOWER at sf0.1 (score 2.45 s -> 3.55 s): the NB
+    consumers are single pipelined aggregates over the explode, so
+    the extra stage boundary costs more than the one-core hashing —
+    unlike the LR trainer's build (see _lr_features), which feeds a
+    persisted two-shuffle chain."""
+    del sf_dir  # measured: exchange not worth it on this path
     return docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("tok")
     ).withColumn("bucket", _bucket("tok", n_buckets))
@@ -144,7 +153,7 @@ def _nb_scored(
     silently NULLing every score into a doc_id-ordered half-cut."""
     docs = load_table(spark, sf_dir, "documents")
     if toks is None:
-        toks = _doc_token_buckets(docs, n_buckets)
+        toks = _doc_token_buckets(docs, n_buckets, sf_dir=sf_dir)
     if stats is None:
         stats = _nb_bucket_stats(toks, target_lang, n_buckets)
     # doc-count prior: bias = ln(n_pos_docs / n_neg_docs), exact ints
@@ -289,12 +298,21 @@ def _lr_features(
     """(doc_id, bucket, x, y): L1-normalized hashed-unigram counts
     (x = tf/n_tokens — fastText's mean-of-bucket-embeddings analogue)
     and the binary domain label."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # spread the single-split scan BEFORE the per-token md5 work —
+    # tokenize once into an array, exchange the narrow (id, y, array)
+    # rows, THEN explode+hash on all cores (round 11: the unspread
+    # build ran the whole explode+md5 chain on ONE core, 4.3 s of the
+    # trainer's 6.2 s fixed cost at sf0.1; the exchange also acts as
+    # the CollapseProject barrier so _tokens() evaluates once per doc)
+    docs = spread(load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("lang") == target_lang).cast("double").alias("y"),
-        F.size(_tokens()).alias("n_toks"),
-        F.explode(_tokens()).alias("tok"),
+        _tokens().alias("t"),
+    ), sf_dir=sf_dir)
+    toks = docs.select(
+        "doc_id", "y",
+        F.size("t").alias("n_toks"),
+        F.explode("t").alias("tok"),
     ).withColumn("bucket", _bucket("tok", n_buckets))
     return toks.groupBy("doc_id", "y", "n_toks", "bucket").agg(
         F.count(F.lit(1)).alias("tf")
@@ -527,7 +545,7 @@ def write_classifier_stats(
     # (token-class counts, the calibration scoring pass, the
     # persisted weights) — persist both so the build is one explode
     # scan + one stats aggregate, not three of each
-    toks = _doc_token_buckets(docs, n_buckets).persist()
+    toks = _doc_token_buckets(docs, n_buckets, sf_dir=sf_dir).persist()
     stats = None
     try:
         stats = _nb_bucket_stats(toks, target_lang, n_buckets).persist()

@@ -991,10 +991,6 @@ def dedup_minhash_portable(
     scale shape (linear shuffles, candidate-bounded verify)."""
     docs = load_table(spark, sf_dir, "documents")
     hashed = hashed_shingles_from(docs, tok_hash_sql=MD5_TOK_HASH)
-    # the band self-join recomputes the signature chain on both
-    # aliases — deliberate: measured cheaper than materializing at
-    # bench scale, and the hash-once path is the persisted index
-    # (see dedup_minhash_lsh's docstring, round 8)
     sigs = minhash_signatures_from_hashed(hashed)
     r = NUM_PERM // BANDS
     bands = F.array(*[
@@ -1004,10 +1000,20 @@ def dedup_minhash_portable(
         )
         for band in range(BANDS)
     ])
+    # Band rows are materialized ONCE (eager localCheckpoint) before
+    # the self-join. Round 8 measured recompute-on-both-aliases faster
+    # for the xxhash64 chain, but the md5 token hash is ~3× costlier —
+    # re-measured round 11: recompute 4.3 s vs materialize 2.7 s at
+    # sf0.1 (identical pairs). The checkpointed rows are id-grain
+    # proxies (doc_id + BANDS×r BIGINTs per doc, never text), so the
+    # store stays metadata-sized at 100 TB while the corpus is scanned
+    # and hashed exactly once. Same lifecycle note as
+    # dedup_minhash_lsh's candidate checkpoint: construction runs the
+    # signature job eagerly; blocks are GC-managed.
     ex = sigs.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", "b.band_id",
         *[F.col(f"b.b{j}").alias(f"b{j}") for j in range(r)],
-    )
+    ).localCheckpoint(eager=True)
     keys = ["band_id"] + [f"b{j}" for j in range(r)]
     ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
     cb = ex.select(F.col("doc_id").alias("doc_b"), *keys)

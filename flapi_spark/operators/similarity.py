@@ -1255,6 +1255,14 @@ def _mmr_greedy(pool: DataFrame, k: int, lam: float) -> DataFrame:
                 "qid", "cid", F.lit(step).alias("step"),
                 F.col("score").alias("mmr_score"),
             )
+            # one row per query — materialize each step's pick so the
+            # unrolled recurrence stays a union of k FLAT frames.
+            # Lazily composed, step k re-embedded steps 2..k-1's whole
+            # join trees inside its own (the final plan measured
+            # ~620 KB formatted; Catalyst planning dominated the
+            # query's 5 s wall). Same discipline as the iterative
+            # graph ops: truncate lineage at each sequential step.
+            .localCheckpoint(eager=True)
         )
         sel = sel.unionAll(pick)
     return sel.select(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flapi_spark.session import load_table
+from flapi_spark.session import load_table, spread
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -2780,7 +2780,12 @@ def keyword_textrank(
         & x.rlike("^[a-z]+$")
         & ~x.isin(*STOPWORDS),
     )
-    ft = docs.select(content.alias("t"))
+    # spread the single-split scan before the per-edge md5 hashing
+    # (see session.spread — no-op when the scan already has >= cores
+    # splits); doc_id rides along only as the spread key
+    ft = spread(
+        docs.select("doc_id", content.alias("t")), sf_dir=sf_dir
+    ).select("t")
     adj = (
         ft.where(F.size("t") >= 2)
         .select(

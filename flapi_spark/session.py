@@ -89,6 +89,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def _scan_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one testdata table (file or directory)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
+def spread(df, key: str = "doc_id", sf_dir: str | None = None,
+           table: str = "documents"):
+    """Hash-repartition a scan across the cluster when it arrives in
+    fewer splits than cores — the single-row-group parquet trap: a
+    tiny-bytes corpus lands as ONE input split, serializing every
+    compute-dense per-token stage (md5 hashing, explodes) onto one
+    core (guide §2.5: repartition immediately after a skewed read).
+    The exchange is conditional on the scan's expected split count
+    (table bytes / maxPartitionBytes, a pure file-metadata check — a
+    .rdd.getNumPartitions() probe measured 0.7-1.2 s of plan-convert
+    overhead PER QUERY), so at production scale — where the scan
+    already yields >= cores splits — NO corpus-wide shuffle is
+    added; it only fires when the shuffle is small by construction
+    (the whole input fits in fewer splits than cores). Without
+    `sf_dir` the split count cannot be estimated and the exchange is
+    applied unconditionally (callers on the tiny-corpus path).
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if sf_dir is not None:
+        try:
+            max_split = int(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                ).rstrip("b")
+            )
+        except ValueError:  # size suffix form ("1g") — default is fine
+            max_split = 128 * 1024 * 1024
+        if _scan_bytes(sf_dir, table) >= n * max_split:
+            return df
+    return df.repartition(n, key)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
     """Register each parquet table as a temp view named after the table."""
     for name in tables:
