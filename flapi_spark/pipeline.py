@@ -720,6 +720,51 @@ def _parse_stage_spec(
     return spec
 
 
+def _stage_verdicts(
+    spark: SparkSession, sf_dir: str, spec: list, full: DataFrame
+) -> list | None:
+    """Build every stage's corpus-wide keep-verdict CONCURRENTLY
+    (guide §2.6: overlap independent jobs so short stages back-fill
+    the executors under the long pole — the near-dup chain).
+
+    Correctness: with corpus-scope survivors every stage is
+    `keep ⋈ verdict(corpus)` (semi for gates, anti folded into the
+    stage for decontam/exemplar drops), so the chained keep-set is an
+    intersection of keep-independent verdict sets — applying each
+    stage to the FULL id set and intersecting sequentially is exactly
+    the sequential chain (set intersection is associative and the
+    funnel counts still fold in chain order). Verdicts that DO depend
+    on the incoming keep-set (survivor_scope="keepset") disable the
+    overlap — the caller falls back to the sequential chain.
+
+    Each verdict materializes via eager localCheckpoint on its own
+    thread: id-grain rows only, so the checkpoint store stays
+    metadata-sized at 100 TB while the heavy corpus passes (hashing,
+    signatures, classifier scans) run concurrently instead of
+    back-to-back. Returns [(verdict_df, build_sec), ...] in stage
+    order, or None when any stage opts out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if any(
+        params.get("survivor_scope", "corpus") != "corpus"
+        for _name, params in spec
+    ):
+        return None
+
+    def build(item):
+        name, params = item
+        t0 = perf_counter()
+        v = STAGES[name](spark, sf_dir, full, **params).localCheckpoint(
+            eager=True
+        )
+        return v, round(perf_counter() - t0, 3)
+
+    # 4 in flight: enough to fill the long pole's tail, not so many
+    # that verdict jobs fight each other for executor slots
+    with ThreadPoolExecutor(max_workers=min(4, max(len(spec), 1))) as pool:
+        return list(pool.map(build, spec))
+
+
 def curate_from_config(
     spark: SparkSession, sf_dir: str, config_path: str
 ) -> CurationReport:
@@ -824,10 +869,20 @@ def curate(
         )
         tok_prev = _token_sum(tokmap, keep)
     report = CurationReport(keep=keep)
+    verdicts = (
+        _stage_verdicts(spark, sf_dir, spec, keep)
+        if checkpoint and survivor_scope == "corpus"
+        else None
+    )
     try:
-        for name, params in spec:
+        for i, (name, params) in enumerate(spec):
             t0 = perf_counter()
-            keep = STAGES[name](spark, sf_dir, keep, **params)
+            if verdicts is not None:
+                v, build_sec = verdicts[i]
+                keep = keep.join(v, "doc_id", "left_semi")
+            else:
+                build_sec = 0.0
+                keep = STAGES[name](spark, sf_dir, keep, **params)
             if checkpoint:
                 keep = keep.localCheckpoint(eager=True)
             n = keep.count()
@@ -835,7 +890,12 @@ def curate(
                 "stage": name,
                 "n_in": n_prev,
                 "n_out": n,
-                "sec": round(perf_counter() - t0, 3),
+                # overlapped mode: the stage's verdict built on its
+                # own thread — report its build wall (the honest
+                # cost), not the near-zero id-grain intersect
+                "sec": round(
+                    max(perf_counter() - t0, build_sec), 3
+                ),
             }
             if token_counts:
                 tok = _token_sum(tokmap, keep)
@@ -886,9 +946,18 @@ def curation_drop_attribution(
     spec = _parse_stage_spec(stages, caller="curation_drop_attribution")
 
     keep = load_table(spark, sf_dir, "documents").select("doc_id")
+    # same §2.6 overlap as curate(): stage verdicts are corpus-wide
+    # and keep-independent here (this surface has no keepset scope),
+    # so they build concurrently and the chain is id-grain joins
+    verdicts = (
+        _stage_verdicts(spark, sf_dir, spec, keep) if checkpoint else None
+    )
     tagged = []
     for i, (name, params) in enumerate(spec, 1):
-        new = STAGES[name](spark, sf_dir, keep, **params)
+        if verdicts is not None:
+            new = keep.join(verdicts[i - 1][0], "doc_id", "left_semi")
+        else:
+            new = STAGES[name](spark, sf_dir, keep, **params)
         if checkpoint:
             new = new.localCheckpoint(eager=True)
         tagged.append(
