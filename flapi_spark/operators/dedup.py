@@ -1948,8 +1948,14 @@ def probe_band_index_portable(
     is cached only for the duration of the call (eager localCheckpoint
     severs lineage; finally-unpersist releases it — the
     incremental_pairs_indexed cache-lifecycle contract)."""
+    # the delta band rows feed THREE arms (new×index, both sides of
+    # new×new) — materialize them once (round 11; id-grain proxy rows,
+    # the delta is hashed for bands exactly once instead of 3×). The
+    # lazy _plan twin stays un-checkpointed for the plan tests.
+    new_bands = band_rows_portable_for(new_docs).localCheckpoint(eager=True)
     result, cands = _probe_band_index_portable_plan(
-        spark, new_docs, table, shingle_store, threshold
+        spark, new_docs, table, shingle_store, threshold,
+        new_bands=new_bands,
     )
     try:
         return result.localCheckpoint(eager=True)
@@ -1963,12 +1969,16 @@ def _probe_band_index_portable_plan(
     table: str = "neardup_band_index_portable",
     shingle_store: str = "neardup_shingle_store_portable",
     threshold: float = 0.5,
+    new_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lazy plan for probe_band_index_portable: returns (result,
     persisted candidate set). The CALLER owns the cache lifecycle —
     plan tests inspect the un-checkpointed query here (the
-    _incremental_pairs_indexed_plan contract)."""
-    new_bands = band_rows_portable_for(new_docs)
+    _incremental_pairs_indexed_plan contract). `new_bands` lets the
+    eager wrapper hand in a pre-materialized delta band-row frame
+    (consumed by three join arms; see probe_band_index_portable)."""
+    if new_bands is None:
+        new_bands = band_rows_portable_for(new_docs)
     index = spark.table(table)
     keys = _portable_band_keys()
 

@@ -315,7 +315,10 @@ def _inline_portable_pairs(
         band_rows_portable_for,
     )
 
-    bands = band_rows_portable_for(docs)
+    # materialize the band rows once before the self-join (round 11):
+    # same md5-chain double-compute fix as dedup_minhash_portable —
+    # id-grain proxy rows, the corpus is hashed exactly once
+    bands = band_rows_portable_for(docs).localCheckpoint(eager=True)
     keys = _portable_band_keys()
     ca = bands.select(F.col("doc_id").alias("doc_a"), *keys)
     cb = bands.select(F.col("doc_id").alias("doc_b"), *keys)
@@ -339,6 +342,27 @@ KNOWN_STAGES = [
     "image_near_dedup", "audio_near_dedup", "video_near_dedup",
     "decontam",
 ]
+
+
+def _overlap_verdicts(fns: list, full: DataFrame) -> list:
+    """Build every stage's span-wide keep-verdict CONCURRENTLY (the
+    same guide-§2.6 overlap as pipeline._stage_verdicts): each base/
+    delta stage is `keep ∩ span-wide verdict` (semi/anti joins over
+    verdicts computed from the span or the persisted indexes, never
+    from the incoming keep-set — the module's accepted-corpus-wins /
+    min-id-over-the-full-span policy), so the verdict sets are
+    independent and short gates back-fill executors under the
+    near-dup probe's wall. Returns [(verdict_df, build_sec), ...] in
+    stage order; each verdict is an id-grain eager localCheckpoint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(fn):
+        t0 = perf_counter()
+        v = fn(full).localCheckpoint(eager=True)
+        return v, round(perf_counter() - t0, 3)
+
+    with ThreadPoolExecutor(max_workers=min(4, max(len(fns), 1))) as pool:
+        return list(pool.map(build, fns))
 
 
 def _select_stages(stages: list[str] | None, caller: str) -> list[str]:
@@ -383,7 +407,7 @@ def curate_base(
     report = CurationReport(keep=keep)
     n_prev = keep.count()
 
-    def _run(name: str, fn) -> None:
+    def _run(name: str, fn, build_sec: float = 0.0) -> None:
         nonlocal keep, n_prev
         t0 = perf_counter()
         keep = fn(keep)
@@ -395,7 +419,9 @@ def curate_base(
                 "stage": name,
                 "n_in": n_prev,
                 "n_out": n,
-                "sec": round(perf_counter() - t0, 3),
+                # overlapped mode: report the verdict's own build
+                # wall, not the near-zero id-grain intersect
+                "sec": round(max(perf_counter() - t0, build_sec), 3),
             }
         )
         if n > n_prev:
@@ -449,8 +475,22 @@ def curate_base(
             spark, sf_dir, k, F.col("train_doc") < F.lit(until)
         ),
     }
-    for name in _select_stages(stages, "curate_base"):
-        _run(name, impls[name])
+    names = _select_stages(stages, "curate_base")
+    if checkpoint:
+        # §2.6 overlap: span-wide stage verdicts build concurrently,
+        # the keep-set folds through id-grain semi-joins (see
+        # _overlap_verdicts for the correctness argument)
+        for name, (v, bsec) in zip(
+            names, _overlap_verdicts([impls[n] for n in names], keep)
+        ):
+            _run(
+                name,
+                lambda k, v=v: k.join(v, "doc_id", "left_semi"),
+                build_sec=bsec,
+            )
+    else:
+        for name in names:
+            _run(name, impls[name])
     report.keep = keep
     return report
 
@@ -511,7 +551,7 @@ def curate_delta(
     report = CurationReport(keep=keep)
     n_prev = keep.count()
 
-    def _run(name: str, fn) -> None:
+    def _run(name: str, fn, build_sec: float = 0.0) -> None:
         nonlocal keep, n_prev
         t0 = perf_counter()
         keep = fn(keep)
@@ -523,7 +563,7 @@ def curate_delta(
                 "stage": name,
                 "n_in": n_prev,
                 "n_out": n,
-                "sec": round(perf_counter() - t0, 3),
+                "sec": round(max(perf_counter() - t0, build_sec), 3),
             }
         )
         if n > n_prev:
@@ -611,16 +651,33 @@ def curate_delta(
             spark, sf_dir, k, F.col("train_doc") >= F.lit(since)
         ),
     }
-    for name in _select_stages(stages, "curate_delta"):
+    names = _select_stages(stages, "curate_delta")
+    fns = []
+    for name in names:
         if name in _MM_LANES:
             table = {
                 "image_near_dedup": indexes.image_table,
                 "audio_near_dedup": indexes.audio_table,
                 "video_near_dedup": indexes.video_table,
             }[name]
-            _run(name, _mm(name, table))
+            fns.append(_mm(name, table))
         else:
-            _run(name, impls[name])
+            fns.append(impls[name])
+    if checkpoint:
+        # §2.6 overlap, same shape as curate_base: the probe stages'
+        # verdicts (persisted-index reads) and the per-doc gates all
+        # build concurrently; the fold stays O(delta) id-grain
+        for name, fn, (v, bsec) in zip(
+            names, fns, _overlap_verdicts(fns, keep)
+        ):
+            _run(
+                name,
+                lambda k, v=v: k.join(v, "doc_id", "left_semi"),
+                build_sec=bsec,
+            )
+    else:
+        for name, fn in zip(names, fns):
+            _run(name, fn)
     report.keep = keep
 
     if maintain_indexes:
