@@ -328,24 +328,33 @@ def _grad_frame(docfeats: DataFrame, r) -> DataFrame:
     plain distributed SUM per bucket — map-side partial aggregation,
     bounded state per task regardless of docs-per-bucket (the
     collect_list fold this replaces held the whole bucket in one row).
-    The bias gradient rides the SAME aggregate as bucket -1 (its
-    feature is the constant 1, so g = r) — ONE action and ONE shuffle
-    per iteration. `r` is the residual column expression over a
-    docfeats row."""
+    The bias gradient rides the SAME aggregate as bucket -1: its
+    feature is the constant 1, so its term is prepended to the sparse
+    array as (bucket=-1, x=1.0) and ONE explode covers weights and
+    bias — bit-exact (r·1.0 ≡ r in IEEE) while scanning docfeats once
+    per iteration instead of twice through a union (round 11: the
+    union's second branch re-read the persisted frame and widened the
+    per-iteration plan for no information). ONE action and ONE
+    shuffle per iteration. `r` is the residual column expression over
+    a docfeats row."""
     quant = F.lit(float(LR_QUANT))
+    bias_term = F.array(
+        F.struct(
+            F.lit(-1).cast("bigint").alias("bucket"),
+            F.lit(1.0).alias("x"),
+        )
+    )
     return (
-        docfeats.select("doc_id", r.alias("r"), F.explode("fs").alias("f"))
+        docfeats.select(
+            "doc_id",
+            r.alias("r"),
+            F.explode(F.concat(bias_term, "fs")).alias("f"),
+        )
         .select(
             F.col("f.bucket").alias("bucket"),
             F.round(F.col("r") * F.col("f.x") * quant, 0)
             .cast("decimal(38,0)")
             .alias("qg"),
-        )
-        .unionByName(
-            docfeats.select(
-                F.lit(-1).alias("bucket"),
-                F.round(r * quant, 0).cast("decimal(38,0)").alias("qg"),
-            )
         )
         .groupBy("bucket")
         .agg(F.sum("qg").alias("qs"))

@@ -275,10 +275,17 @@ def er_block_keys_sql() -> str:
 def er_matched_pairs(recs: DataFrame) -> DataFrame:
     """(rec_a, rec_b, name_a, name_b, lev, same_entity): verified
     match pairs. Self-equi-join on the block key (hash shuffle on
-    (kind, k) — never a cross join), distinct on the id pair (a pair
-    sharing both affix keys must not be verified twice), then the
-    length lower bound BEFORE levenshtein. same_entity is the ground
-    truth (records derive from the same customer) used by er_eval."""
+    (kind, k) — never a cross join), the length lower bound BEFORE
+    levenshtein, and the pair-level distinct AFTER the verify
+    (round 11, measured: the distinct used to shuffle every band
+    coincidence — 772 k candidate rows × two name strings at sf0.1,
+    ~4 s of the 5.5 s chain — where post-verify it shuffles only the
+    ~13 k surviving matches; a pair co-blocking under both affix keys
+    is verified at most twice, and levenshtein + lev/same_entity are
+    pure functions of the row, so filter-then-distinct is the same
+    set as distinct-then-filter — the mm_video_phash_pairs ordering).
+    same_entity is the ground truth (records derive from the same
+    customer) used by er_eval."""
     keys = er_block_keys(recs)
     a = keys.alias("a")
     b = keys.alias("b")
@@ -300,13 +307,20 @@ def er_matched_pairs(recs: DataFrame) -> DataFrame:
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= ER_LEV_THRESHOLD
         )
-        .distinct()
     )
-    return cand.withColumn(
-        "lev", F.levenshtein("name_a", "name_b").cast("bigint")
-    ).filter(F.col("lev") <= ER_LEV_THRESHOLD).withColumn(
-        "same_entity",
-        F.expr("rec_a div 10") == F.expr("rec_b div 10"),
+    return (
+        cand.withColumn(
+            "lev",
+            F.levenshtein(
+                "name_a", "name_b", threshold=ER_LEV_THRESHOLD
+            ).cast("bigint"),
+        )
+        .filter(F.col("lev") >= 0)
+        .withColumn(
+            "same_entity",
+            F.expr("rec_a div 10") == F.expr("rec_b div 10"),
+        )
+        .distinct()
     )
 
 
@@ -491,9 +505,9 @@ def er_pairs_from_index(spark: SparkSession, table: str = "er_block_index") -> D
     bucketed table on (kind, k) — both sides pre-co-located, zero
     exchange before the verify — instead of an inline re-derivation
     of records + keys. Output is bit-identical to er_matched_pairs
-    (same distinct + length prefilter + levenshtein arm), so the
-    indexed twin reuses er_blocked_pairs' oracle: the index changes
-    the physical strategy, never the rows."""
+    (same length prefilter + levenshtein arm + post-verify distinct),
+    so the indexed twin reuses er_blocked_pairs' oracle: the index
+    changes the physical strategy, never the rows."""
     keys = spark.table(table)
     a = keys.alias("a")
     b = keys.alias("b")
@@ -515,17 +529,20 @@ def er_pairs_from_index(spark: SparkSession, table: str = "er_block_index") -> D
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= ER_LEV_THRESHOLD
         )
-        .distinct()
     )
     return (
         cand.withColumn(
-            "lev", F.levenshtein("name_a", "name_b").cast("bigint")
+            "lev",
+            F.levenshtein(
+                "name_a", "name_b", threshold=ER_LEV_THRESHOLD
+            ).cast("bigint"),
         )
-        .filter(F.col("lev") <= ER_LEV_THRESHOLD)
+        .filter(F.col("lev") >= 0)
         .withColumn(
             "same_entity",
             F.expr("rec_a div 10") == F.expr("rec_b div 10"),
         )
+        .distinct()
     )
 
 
@@ -555,9 +572,12 @@ def er_guard_probe(new_recs: DataFrame, index: DataFrame) -> DataFrame:
             <= ER_LEV_THRESHOLD
         )
         .withColumn(
-            "lev", F.levenshtein("name", "index_name").cast("bigint")
+            "lev",
+            F.levenshtein(
+                "name", "index_name", threshold=ER_LEV_THRESHOLD
+            ).cast("bigint"),
         )
-        .filter(F.col("lev") <= ER_LEV_THRESHOLD)
+        .filter(F.col("lev") >= 0)
         .select("rec_id", "index_rec_id", "kind", "lev")
     )
 

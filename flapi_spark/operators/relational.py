@@ -1870,9 +1870,15 @@ def fuzzy_part_name_pairs(
             "block",
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("distance"),
+            # banded threshold form: O(max_dist·len) per pair instead
+            # of O(len²), early-abandons above max_dist (returns -1 —
+            # exactly the rows the filter dropped; survivors carry the
+            # identical exact distance)
+            F.levenshtein("name_a", "name_b", threshold=max_dist)
+            .cast("long")
+            .alias("distance"),
         )
-        .where(F.col("distance") <= max_dist)
+        .where(F.col("distance") >= 0)
     )
 
 
