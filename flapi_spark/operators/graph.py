@@ -21,7 +21,7 @@ operators; these extend the training-data pipeline suite the same way
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flapi_spark.operators.dedup import dedup_ngram_jaccard
@@ -260,17 +260,22 @@ def label_propagation(
     DuckDB oracle replays every round bit-for-bit.
 
     Scale shape: per round, one join (edges ⋈ labels on v) + one
-    (node, label) groupBy + one per-node window — the same Pregel
-    message-passing footprint as the integer PageRank, with the window
-    partitioned by node so no partition ever holds more than one
-    node's candidate labels. Lineage truncated every other round."""
+    (node, label) groupBy + one per-node max-struct aggregate — the
+    same Pregel message-passing footprint as the integer PageRank.
+    The mode pick is MAX over struct(n, -label) (lexicographic struct
+    comparison ≡ the (count desc, label asc) total order — label is
+    unique within a node after the count aggregate, so the argmax is
+    the identical row the row_number window picked; round 11,
+    measured: the window re-shuffled AND sorted every (node, label)
+    candidate row per round, where the aggregate partial-aggregates
+    map-side and exchanges only one row per node). Lineage truncated
+    every other round."""
     edges = _undirected_edges(pairs)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("label"))
     for i in range(iterations):
         votes = edges.join(labels, edges.v == labels.node).select(
             "u", "label"
@@ -279,9 +284,18 @@ def label_propagation(
             F.count(F.lit(1)).alias("n")
         )
         labels = (
-            counts.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select(F.col("u").alias("node"), "label")
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("top")
+            )
+            .select(
+                F.col("u").alias("node"),
+                (-F.col("top.neg_label")).alias("label"),
+            )
         )
         if i % 2 == 1 or i == iterations - 1:
             labels = labels.localCheckpoint()
