@@ -57,6 +57,14 @@ def _idct(coef: np.ndarray) -> np.ndarray:
 
 
 class _BitWriter:
+    """Accumulates symbols in a bounded big int and emits bytes in
+    bulk (int.to_bytes) instead of per byte; the 0xFF byte stuffing
+    is applied ONCE at flush via bytes.replace — stuffing is exactly
+    "insert 0x00 after every 0xFF in the entropy-coded segment", so
+    the output is byte-identical to the per-byte form (round 11: the
+    per-call byte loop was ~17% of encode wall; md5-pinned golden
+    tests unchanged)."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
@@ -65,19 +73,24 @@ class _BitWriter:
     def write(self, value: int, length: int) -> None:
         self.acc = (self.acc << length) | (value & ((1 << length) - 1))
         self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 512:
+            rem = self.nbits & 7
+            nbytes = (self.nbits - rem) >> 3
+            self.out += (self.acc >> rem).to_bytes(nbytes, "big")
+            self.acc &= (1 << rem) - 1
+            self.nbits = rem
 
     def flush(self) -> bytes:
+        rem = self.nbits & 7
+        if rem:
+            pad = 8 - rem
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1s per spec
+            self.nbits += pad
         if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
-        return bytes(self.out)
+            self.out += self.acc.to_bytes(self.nbits >> 3, "big")
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out.replace(b"\xff", b"\xff\x00"))
 
 
 class _BitReader:
@@ -151,9 +164,15 @@ class _DecodeTable(dict):
     length so the scan loop can read that many bits in ONE bulk call
     before extending bit-by-bit (canonical codes are prefix-free, so
     no code shorter than min_len exists — probing at min_len first
-    consumes exactly the same bits as the per-bit walk)."""
+    consumes exactly the same bits as the per-bit walk). Tables whose
+    codes all share ONE length (this encoder's fixed 4-bit DC / 8-bit
+    AC tables, and any other single-length source) additionally carry
+    `fixed`: canonical codes at a single length are consecutive from
+    0, so the symbol is a direct byte-string index — no tuple hash
+    per symbol (round 11: the dict probe was ~20% of decode wall)."""
 
     min_len: int = 1
+    fixed: bytes | None = None
 
 
 def _build_decode_table(bits: list[int], vals: bytes) -> _DecodeTable:
@@ -170,12 +189,20 @@ def _build_decode_table(bits: list[int], vals: bytes) -> _DecodeTable:
     table.min_len = next(
         (i + 1 for i in range(16) if bits[i]), 1
     )
+    table.fixed = (
+        vals if sum(1 for b in bits if b) == 1 else None
+    )
     return table
 
 
-def _read_symbol(reader: _BitReader, table: dict) -> int:
-    length = getattr(table, "min_len", 1)
+def _read_symbol(reader: _BitReader, table: _DecodeTable) -> int:
+    length = table.min_len
     code = reader.read_bits(length)
+    fixed = table.fixed
+    if fixed is not None:
+        if code < len(fixed):
+            return fixed[code]
+        raise ValueError("invalid Huffman code in scan")
     while True:
         sym = table.get((length, code))
         if sym is not None:
