@@ -124,6 +124,36 @@ def _nb_bucket_stats(
     )
 
 
+def _nb_bucket_stats_grouped(
+    grouped: DataFrame, target_lang: str, n_buckets: int
+) -> DataFrame:
+    """_nb_bucket_stats over the collapsed (doc_id, lang, bucket, tf)
+    frame: per-bucket/class counts are SUM(tf) instead of COUNT(*)
+    over occurrence rows — the identical integers, one shared hashing
+    pass (see _nb_scored). Same add-1-smoothed single-ln arithmetic."""
+    pos = grouped.where(F.col("lang") == target_lang)
+    neg = grouped.where(F.col("lang") != target_lang)
+    cp = pos.groupBy("bucket").agg(F.sum("tf").alias("cp"))
+    cn = neg.groupBy("bucket").agg(F.sum("tf").alias("cn"))
+    np_ = pos.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("n_p"))
+    nn = neg.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("n_n"))
+    return (
+        cp.join(cn, "bucket", "full")
+        .na.fill({"cp": 0, "cn": 0})
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("cp") + 1) * (F.col("n_n") + F.lit(n_buckets)))
+                .cast("double")
+                / ((F.col("cn") + 1) * (F.col("n_p") + F.lit(n_buckets)))
+                .cast("double")
+            ).alias("lw"),
+        )
+    )
+
+
 def _nb_scored(
     spark: SparkSession, sf_dir: str, target_lang: str, n_buckets: int,
     keep_frac: float = 0.5,
@@ -150,12 +180,36 @@ def _nb_scored(
     copies instead of re-deriving the token explode + bucket stats.
     A corpus where either class is EMPTY (e.g. classifier_gate
     placed after a langid allow-list) raises at execution instead of
-    silently NULLing every score into a doc_id-ordered half-cut."""
+    silently NULLing every score into a doc_id-ordered half-cut.
+
+    Single-hash pass (round 11): the stats aggregate and the per-doc
+    score are two consumers of the same token→md5→bucket stream, and
+    each used to re-run that explode+hash chain from the scan. The
+    chain now collapses ONCE into (doc_id, lang, bucket, tf) —
+    (doc × distinct-bucket) grain, ≤ n_buckets rows per doc,
+    id-grain metadata like the MinHash band checkpoint — which both
+    consumers read. Bit-exactness: the stats are integer SUMs of tf
+    (the same occurrence counts the per-occurrence groupBys formed),
+    and the per-doc fold rebuilds the exact occurrence multiset with
+    array_repeat(lw, tf) before the same sort_array + left fold, so
+    the sorted double sequence — and hence every rounded score — is
+    unchanged (oracle-driven)."""
     docs = load_table(spark, sf_dir, "documents")
     if toks is None:
-        toks = _doc_token_buckets(docs, n_buckets, sf_dir=sf_dir)
+        grouped = (
+            _doc_token_buckets(docs, n_buckets, sf_dir=sf_dir)
+            .groupBy("doc_id", "lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # caller owns toks' lifecycle (persisted) — no second
+        # materialization, just the same grouping on top of it
+        grouped = toks.groupBy("doc_id", "lang", "bucket").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     if stats is None:
-        stats = _nb_bucket_stats(toks, target_lang, n_buckets)
+        stats = _nb_bucket_stats_grouped(grouped, target_lang, n_buckets)
     # doc-count prior: bias = ln(n_pos_docs / n_neg_docs), exact ints
     prior = (
         docs.agg(
@@ -176,9 +230,17 @@ def _nb_scored(
         )
     )
     per_doc = (
-        toks.join(F.broadcast(stats), "bucket")
+        grouped.join(F.broadcast(stats), "bucket")
         .groupBy("doc_id", "lang")
-        .agg(F.sort_array(F.collect_list("lw")).alias("lws"))
+        .agg(
+            F.sort_array(
+                F.flatten(
+                    F.collect_list(
+                        F.expr("array_repeat(lw, cast(tf as int))")
+                    )
+                )
+            ).alias("lws")
+        )
     )
     fold = F.expr("aggregate(lws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
     scored = per_doc.crossJoin(F.broadcast(prior)).select(
