@@ -1044,11 +1044,17 @@ def dedup_minhash_portable(
     keys = ["band_id"] + [f"b{j}" for j in range(r)]
     ca = ex.select(F.col("doc_id").alias("doc_a"), *keys)
     cb = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    # cands is consumed three times by the verify (both legs of the
+    # candidate-doc semi-join source plus the final pair join) — the
+    # deduped pair ids are tiny (collision-bounded), so materialize
+    # them once instead of re-running the band self-join per consumer
+    # (round 11; same lifecycle note as the band rows above)
     cands = (
         ca.join(cb, keys)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return _verify_jaccard_md5(docs, cands, threshold)
 
