@@ -765,6 +765,55 @@ def _stage_verdicts(
         return list(pool.map(build, spec))
 
 
+def fold_verdict_masks(
+    verdicts: list[DataFrame], tokmap: DataFrame | None = None
+) -> tuple[DataFrame, list[tuple[int, int | None]]]:
+    """Fold k stage verdicts into every funnel count with ONE job
+    (round 12, guide §1.2/§2.4): each verdict is span ∩ stage-set
+    (unique ids), so the keep-set after stage i is v_1 ∩ … ∩ v_i and
+    the counts fall out of one mask histogram — tag each verdict's
+    docs with bit 2^i, bit_or per doc, histogram the masks (≤ 2^k
+    rows at the driver), and n_out_i = Σ counts of masks whose low
+    i+1 bits are all set. `tokmap` (doc_id, n_toks) additionally
+    sums token mass per mask for the token funnel. Replaces the
+    sequential per-stage semi-join → localCheckpoint → count chain
+    (2k+1 driver jobs of id-grain work after the verdicts are built)
+    — counts and final keep-set are identical by set algebra.
+
+    Returns (LAZY keep-set DataFrame — its lineage reads only the
+    checkpointed verdicts — and per-stage (n_out, tokens_out) with
+    tokens_out None when no tokmap)."""
+    k = len(verdicts)
+    tagged = verdicts[0].select(
+        "doc_id", F.lit(1).cast("long").alias("bit")
+    )
+    for i in range(1, k):
+        tagged = tagged.unionAll(
+            verdicts[i].select(
+                "doc_id", F.lit(1 << i).cast("long").alias("bit")
+            )
+        )
+    mask = tagged.groupBy("doc_id").agg(F.expr("bit_or(bit)").alias("m"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    counted = mask
+    if tokmap is not None:
+        counted = mask.join(tokmap, "doc_id", "left")
+        aggs.append(F.coalesce(F.sum("n_toks"), F.lit(0)).alias("t"))
+    hist = counted.groupBy("m").agg(*aggs).collect()
+    out = []
+    for i in range(k):
+        pref = (1 << (i + 1)) - 1
+        n = sum(r["n"] for r in hist if r["m"] & pref == pref)
+        t = (
+            sum(int(r["t"]) for r in hist if r["m"] & pref == pref)
+            if tokmap is not None
+            else None
+        )
+        out.append((n, t))
+    keep = mask.where(F.col("m") == F.lit((1 << k) - 1)).select("doc_id")
+    return keep, out
+
+
 def curate_from_config(
     spark: SparkSession, sf_dir: str, config_path: str
 ) -> CurationReport:
@@ -871,47 +920,70 @@ def curate(
     report = CurationReport(keep=keep)
     verdicts = (
         _stage_verdicts(spark, sf_dir, spec, keep)
-        if checkpoint and survivor_scope == "corpus"
+        if checkpoint and survivor_scope == "corpus" and len(spec) <= 62
         else None
     )
     try:
-        for i, (name, params) in enumerate(spec):
-            t0 = perf_counter()
-            if verdicts is not None:
-                v, build_sec = verdicts[i]
-                keep = keep.join(v, "doc_id", "left_semi")
-            else:
-                build_sec = 0.0
-                keep = STAGES[name](spark, sf_dir, keep, **params)
+        if verdicts is not None:
+            # mask-histogram fast path — see fold_verdict_masks
+            keep, outs = fold_verdict_masks(
+                [v for v, _sec in verdicts],
+                tokmap=tokmap if token_counts else None,
+            )
             if checkpoint:
                 keep = keep.localCheckpoint(eager=True)
-            n = keep.count()
-            entry = {
-                "stage": name,
-                "n_in": n_prev,
-                "n_out": n,
-                # overlapped mode: the stage's verdict built on its
-                # own thread — report its build wall (the honest
-                # cost), not the near-zero id-grain intersect
-                "sec": round(
-                    max(perf_counter() - t0, build_sec), 3
-                ),
-            }
-            if token_counts:
-                tok = _token_sum(tokmap, keep)
-                entry["tokens_in"] = tok_prev
-                entry["tokens_out"] = tok
-                tok_prev = tok
-            report.stages.append(entry)
-            if n > n_prev:
-                # explicit raise, not assert: the monotone-attrition
-                # invariant must survive `python -O` (round-10 ADVICE
-                # fix)
-                raise RuntimeError(
-                    f"curate: stage {name!r} widened the keep-set"
-                    f" ({n_prev} -> {n}) — stages must only narrow it"
-                )
-            n_prev = n
+            for (name, _params), (v, build_sec), (n, tok) in zip(
+                spec, verdicts, outs
+            ):
+                entry = {
+                    "stage": name,
+                    "n_in": n_prev,
+                    "n_out": n,
+                    # the stage's verdict built on its own thread —
+                    # report its build wall (the honest cost)
+                    "sec": build_sec,
+                }
+                if token_counts:
+                    entry["tokens_in"] = tok_prev
+                    entry["tokens_out"] = tok
+                    tok_prev = tok
+                report.stages.append(entry)
+                if n > n_prev:
+                    raise RuntimeError(
+                        f"curate: stage {name!r} widened the keep-set"
+                        f" ({n_prev} -> {n}) — stages must only"
+                        " narrow it"
+                    )
+                n_prev = n
+        else:
+            for name, params in spec:
+                t0 = perf_counter()
+                keep = STAGES[name](spark, sf_dir, keep, **params)
+                if checkpoint:
+                    keep = keep.localCheckpoint(eager=True)
+                n = keep.count()
+                entry = {
+                    "stage": name,
+                    "n_in": n_prev,
+                    "n_out": n,
+                    "sec": round(perf_counter() - t0, 3),
+                }
+                if token_counts:
+                    tok = _token_sum(tokmap, keep)
+                    entry["tokens_in"] = tok_prev
+                    entry["tokens_out"] = tok
+                    tok_prev = tok
+                report.stages.append(entry)
+                if n > n_prev:
+                    # explicit raise, not assert: the monotone-
+                    # attrition invariant must survive `python -O`
+                    # (round-10 ADVICE fix)
+                    raise RuntimeError(
+                        f"curate: stage {name!r} widened the keep-set"
+                        f" ({n_prev} -> {n}) — stages must only"
+                        " narrow it"
+                    )
+                n_prev = n
     finally:
         if tokmap is not None:
             tokmap.unpersist()
@@ -950,14 +1022,52 @@ def curation_drop_attribution(
     # and keep-independent here (this surface has no keepset scope),
     # so they build concurrently and the chain is id-grain joins
     verdicts = (
-        _stage_verdicts(spark, sf_dir, spec, keep) if checkpoint else None
+        _stage_verdicts(spark, sf_dir, spec, keep)
+        if checkpoint and len(spec) <= 62
+        else None
     )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    if verdicts is not None:
+        # Mask fast path (round 12, the curate() trick): a doc's
+        # first-drop stage is the LOWEST UNSET BIT of its per-stage
+        # verdict mask (the sequential chain drops a doc at the first
+        # stage whose verdict excludes it), and survivors have every
+        # bit set — so the whole attribution is one bit_or + one
+        # (stage, source)-grain groupBy instead of k anti-joins over
+        # k checkpointed keep-sets. Row-identical by set algebra.
+        k = len(spec)
+        tagged = verdicts[0][0].select(
+            "doc_id", F.lit(1).cast("long").alias("bit")
+        )
+        for i in range(1, k):
+            tagged = tagged.unionAll(
+                verdicts[i][0].select(
+                    "doc_id", F.lit(1 << i).cast("long").alias("bit")
+                )
+            )
+        mask = tagged.groupBy("doc_id").agg(
+            F.expr("bit_or(bit)").alias("m")
+        )
+        # docs in NO verdict are absent from mask: coalesce to 0 so
+        # the lowest unset bit is bit 0 — dropped at stage 1
+        mm = F.coalesce(F.col("m"), F.lit(0).cast("long"))
+        stage_expr = F.lit(k + 1).cast("long")
+        name_expr = F.lit("kept")
+        for i in range(k - 1, -1, -1):
+            unset = mm.bitwiseAND(F.lit(1 << i)) == 0
+            stage_expr = F.when(unset, F.lit(i + 1).cast("long")).otherwise(
+                stage_expr
+            )
+            name_expr = F.when(unset, F.lit(spec[i][0])).otherwise(name_expr)
+        attributed = docs.join(mask, "doc_id", "left").select(
+            "source", stage_expr.alias("stage"), name_expr.alias("stage_name")
+        )
+        return attributed.groupBy("stage", "stage_name", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
     tagged = []
     for i, (name, params) in enumerate(spec, 1):
-        if verdicts is not None:
-            new = keep.join(verdicts[i - 1][0], "doc_id", "left_semi")
-        else:
-            new = STAGES[name](spark, sf_dir, keep, **params)
+        new = STAGES[name](spark, sf_dir, keep, **params)
         if checkpoint:
             new = new.localCheckpoint(eager=True)
         tagged.append(
@@ -975,12 +1085,11 @@ def curation_drop_attribution(
             F.lit("kept").alias("stage_name"),
         )
     )
-    verdicts = tagged[0]
+    union = tagged[0]
     for t in tagged[1:]:
-        verdicts = verdicts.unionByName(t)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        union = union.unionByName(t)
     return (
-        verdicts.join(docs, "doc_id")
+        union.join(docs, "doc_id")
         .groupBy("stage", "stage_name", "source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )

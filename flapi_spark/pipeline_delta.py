@@ -41,7 +41,11 @@ from time import perf_counter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flapi_spark.pipeline import CurationReport, _drop_cluster_non_exemplars
+from flapi_spark.pipeline import (
+    CurationReport,
+    _drop_cluster_non_exemplars,
+    fold_verdict_masks,
+)
 from flapi_spark.session import load_table
 
 
@@ -477,17 +481,22 @@ def curate_base(
     }
     names = _select_stages(stages, "curate_base")
     if checkpoint:
-        # §2.6 overlap: span-wide stage verdicts build concurrently,
-        # the keep-set folds through id-grain semi-joins (see
-        # _overlap_verdicts for the correctness argument)
-        for name, (v, bsec) in zip(
-            names, _overlap_verdicts([impls[n] for n in names], keep)
-        ):
-            _run(
-                name,
-                lambda k, v=v: k.join(v, "doc_id", "left_semi"),
-                build_sec=bsec,
+        # §2.6 overlap: span-wide stage verdicts build concurrently;
+        # the keep-set and every funnel count fold in ONE mask job
+        # (round 12 — see pipeline.fold_verdict_masks)
+        verdicts = _overlap_verdicts([impls[n] for n in names], keep)
+        keep, outs = fold_verdict_masks([v for v, _sec in verdicts])
+        keep = keep.localCheckpoint(eager=True)
+        for name, (_v, bsec), (n, _tok) in zip(names, verdicts, outs):
+            report.stages.append(
+                {"stage": name, "n_in": n_prev, "n_out": n, "sec": bsec}
             )
+            if n > n_prev:
+                raise RuntimeError(
+                    f"curate_base: stage {name!r} widened the keep-set"
+                    f" ({n_prev} -> {n})"
+                )
+            n_prev = n
     else:
         for name in names:
             _run(name, impls[name])
@@ -666,15 +675,21 @@ def curate_delta(
     if checkpoint:
         # §2.6 overlap, same shape as curate_base: the probe stages'
         # verdicts (persisted-index reads) and the per-doc gates all
-        # build concurrently; the fold stays O(delta) id-grain
-        for name, fn, (v, bsec) in zip(
-            names, fns, _overlap_verdicts(fns, keep)
-        ):
-            _run(
-                name,
-                lambda k, v=v: k.join(v, "doc_id", "left_semi"),
-                build_sec=bsec,
+        # build concurrently; the keep-set and every funnel count
+        # fold in ONE O(delta) mask job (pipeline.fold_verdict_masks)
+        verdicts = _overlap_verdicts(fns, keep)
+        keep, outs = fold_verdict_masks([v for v, _sec in verdicts])
+        keep = keep.localCheckpoint(eager=True)
+        for name, (_v, bsec), (n, _tok) in zip(names, verdicts, outs):
+            report.stages.append(
+                {"stage": name, "n_in": n_prev, "n_out": n, "sec": bsec}
             )
+            if n > n_prev:
+                raise RuntimeError(
+                    f"curate_delta: stage {name!r} widened the keep-set"
+                    f" ({n_prev} -> {n})"
+                )
+            n_prev = n
     else:
         for name, fn in zip(names, fns):
             _run(name, fn)
