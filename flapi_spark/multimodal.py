@@ -902,6 +902,74 @@ def _base_video_frames(leader: int, w: int = 16, h: int = 16):
     return frames
 
 
+def _group_spread(spark: SparkSession, sf_dir: str, group: int) -> DataFrame:
+    """doc_id frame hash-repartitioned by near-dup GROUP LEADER
+    (doc_id - doc_id % group): keeps each synthetic cluster's members
+    in one partition so the per-batch synthesis memos below hit
+    (base frames/pixels/samples are shared per leader); groups are a
+    fixed, tiny size, so the keying adds no skew."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism,
+        F.col("doc_id") - F.col("doc_id") % group,
+    )
+
+
+def _video_clip_payload(doc_id: int, cache: dict | None = None) -> bytes:
+    """One doc's MP4 payload (see synthesize_video_corpus for the
+    variant structure). `cache` memoizes the per-leader base frames
+    AND their encoded JPEGs within a batch: the original and the
+    trimmed variant publish byte-identical per-frame JPEGs (frame
+    encodes are independent), so a leader-partitioned batch encodes
+    9 frames per 4-doc group instead of 11 and synthesizes the base
+    pixel chain once instead of 4 times. Pure-function memo — output
+    bytes are identical with or without it."""
+    from flapi_spark.jpeg import jpeg_encode
+
+    leader = doc_id - doc_id % VID_GROUP
+    m = doc_id % VID_GROUP
+    if cache is not None:
+        base = cache.get(leader)
+        if base is None:
+            frames = _base_video_frames(leader)
+            base = (frames, [jpeg_encode(fr) for fr in frames])
+            cache[leader] = base
+        frames, encs = base
+        if m == 0:
+            return mp4_encode(encs, width=16, height=16, codec=b"MJPG")
+        if m == 2:  # trimmed clip: the base's first frames, re-used
+            return mp4_encode(encs[:-1], width=16, height=16, codec=b"MJPG")
+    else:
+        frames = _base_video_frames(leader)
+        if m == 2:
+            frames = frames[:-1]
+    if m == 1:  # uniform brightness shift
+        frames = [
+            [[tuple(v + 8 for v in px) for px in row] for row in fr]
+            for fr in frames
+        ]
+    elif m == 3:  # sparse pixel noise
+        noisy = []
+        for fi, fr in enumerate(frames):
+            nf = []
+            for y, row in enumerate(fr):
+                nr = []
+                for x, px in enumerate(row):
+                    tag = hashlib.sha256(
+                        f"vn:{leader}:{fi}:{y}:{x}".encode()
+                    ).digest()
+                    if tag[0] < 4:
+                        px = (tag[1], tag[2], tag[3])
+                    nr.append(px)
+                nf.append(nr)
+            noisy.append(nf)
+        frames = noisy
+    return mp4_encode(
+        [jpeg_encode(fr) for fr in frames],
+        width=16, height=16, codec=b"MJPG",
+    )
+
+
 def synthesize_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video corpus with KNOWN near-dup structure: every VID_GROUP
     consecutive doc_ids share one 3-frame base clip, published as
@@ -911,49 +979,14 @@ def synthesize_video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise. Cross-cluster best frame-pair Hamming measured ≥ 18,
     within-cluster ≤ 5. Same Arrow-batched lane as the image
     corpus."""
-    from flapi_spark.jpeg import jpeg_encode
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-
-    def _one(doc_id: int) -> bytes:
-        leader = doc_id - doc_id % VID_GROUP
-        frames = _base_video_frames(leader)
-        m = doc_id % VID_GROUP
-        if m == 1:  # uniform brightness shift
-            frames = [
-                [[tuple(v + 8 for v in px) for px in row] for row in fr]
-                for fr in frames
-            ]
-        elif m == 2:  # trimmed clip
-            frames = frames[:-1]
-        elif m == 3:  # sparse pixel noise
-            noisy = []
-            for fi, fr in enumerate(frames):
-                nf = []
-                for y, row in enumerate(fr):
-                    nr = []
-                    for x, px in enumerate(row):
-                        tag = hashlib.sha256(
-                            f"vn:{leader}:{fi}:{y}:{x}".encode()
-                        ).digest()
-                        if tag[0] < 4:
-                            px = (tag[1], tag[2], tag[3])
-                        nr.append(px)
-                    nf.append(nr)
-                noisy.append(nf)
-            frames = noisy
-        return mp4_encode(
-            [jpeg_encode(fr) for fr in frames],
-            width=16, height=16, codec=b"MJPG",
-        )
+    docs = _group_spread(spark, sf_dir, VID_GROUP)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_one(int(d)) for d in pdf["doc_id"]]
+            cache: dict = {}
+            payloads = [
+                _video_clip_payload(int(d), cache) for d in pdf["doc_id"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1028,6 +1061,54 @@ def video_frame_hash_batch(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, schema=FRAME_HASH_SCHEMA)
 
 
+def video_frame_hashes_synth(docs: DataFrame) -> DataFrame:
+    """Fused synthesize→demux→decode→dHash over a doc_id frame
+    (round 12, guide §4.1: the payload never crosses the Python↔JVM
+    boundary). The two-operator composition (synthesize_video_corpus
+    → video_frame_hash_batch) pipelines inside ONE Spark stage but
+    runs TWO Python workers, shipping every MP4 out of the synth
+    worker, through the JVM, and into the hash worker — measured 82 s
+    of task runtime at sf0.1 for 49 s of actual Python compute. Here
+    synthesis and hashing share one worker; a per-batch decode memo
+    additionally collapses byte-identical frames (the trimmed variant
+    re-publishes the base clip's JPEGs). Row-for-row identical to the
+    composition — same per-doc pure functions."""
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict = {}
+            dcache: dict = {}
+            ids, nos, hi, lo = [], [], [], []
+            for d in pdf["doc_id"]:
+                doc_id = int(d)
+                samples = mp4_samples(_video_clip_payload(doc_id, cache))
+                if len(samples) > VID_FRAME_KEY_SPAN:
+                    raise ValueError(
+                        f"video doc {doc_id}: {len(samples)} frames >"
+                        f" composite-key span {VID_FRAME_KEY_SPAN} —"
+                        " clip too long for the packed frame key;"
+                        " pre-split long clips into <="
+                        f"{VID_FRAME_KEY_SPAN}-frame segments"
+                    )
+                for frame_no, sample in enumerate(samples):
+                    h = dcache.get(sample)
+                    if h is None:
+                        h = dhash64(image_luma(sample))
+                        dcache[sample] = h
+                    ids.append(doc_id)
+                    nos.append(frame_no)
+                    hi.append(h >> 32)
+                    lo.append(h & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "frame_no": nos,
+                    "dhash_hi": hi, "dhash_lo": lo,
+                }
+            )
+
+    return docs.mapInPandas(_fused, schema=FRAME_HASH_SCHEMA)
+
+
 def mm_video_phash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 10
 ) -> DataFrame:
@@ -1054,8 +1135,9 @@ def mm_video_phash_pairs(
     pass per alias, measured 2x wall)."""
     from flapi_spark.operators.dedup import hamming_band_rows, hamming_col
 
-    media = synthesize_video_corpus(spark, sf_dir)
-    fps = video_frame_hash_batch(media).localCheckpoint(eager=True)
+    fps = video_frame_hashes_synth(
+        _group_spread(spark, sf_dir, VID_GROUP)
+    ).localCheckpoint(eager=True)
     # composite frame key so the band machinery can tell frames apart;
     # collision-free by the VID_FRAME_KEY_SPAN guard in the hash stage
     keyed = fps.select(
@@ -1212,30 +1294,14 @@ def synthesize_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals are independent (measured envelope-hash Hamming >= 18 vs
     within-cluster <= 4). Same Arrow-batched lane as the image
     corpus."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-
-    def _one(doc_id: int) -> bytes:
-        leader = doc_id - doc_id % AUD_GROUP
-        base = _base_audio_samples(leader)
-        m = doc_id % AUD_GROUP
-        if m == 1:
-            base = [s // 2 for s in base]
-        elif m == 2:
-            base = [max(-32768, min(32767, s * 2)) for s in base]
-        elif m == 3:
-            base = list(base)
-            for i in range(0, len(base), 97):
-                tag = hashlib.sha256(f"n:{leader}:{i}".encode()).digest()
-                base[i] = struct.unpack("<h", tag[:2])[0]
-        return wav_encode(base, sample_rate=8000, channels=1)
+    docs = _group_spread(spark, sf_dir, AUD_GROUP)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_one(int(d)) for d in pdf["doc_id"]]
+            cache: dict = {}
+            payloads = [
+                _audio_clip_payload(int(d), cache) for d in pdf["doc_id"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1246,6 +1312,59 @@ def synthesize_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def _audio_clip_payload(doc_id: int, cache: dict | None = None) -> bytes:
+    """One doc's WAV payload (variant structure: see
+    synthesize_audio_corpus). `cache` memoizes the per-leader base
+    signal within a batch (pure-function memo — identical bytes)."""
+    leader = doc_id - doc_id % AUD_GROUP
+    if cache is not None:
+        base = cache.get(leader)
+        if base is None:
+            base = _base_audio_samples(leader)
+            cache[leader] = base
+    else:
+        base = _base_audio_samples(leader)
+    m = doc_id % AUD_GROUP
+    if m == 1:
+        base = [s // 2 for s in base]
+    elif m == 2:
+        base = [max(-32768, min(32767, s * 2)) for s in base]
+    elif m == 3:
+        base = list(base)
+        for i in range(0, len(base), 97):
+            tag = hashlib.sha256(f"n:{leader}:{i}".encode()).digest()
+            base[i] = struct.unpack("<h", tag[:2])[0]
+    return wav_encode(base, sample_rate=8000, channels=1)
+
+
+def audio_fingerprints_synth(docs: DataFrame) -> DataFrame:
+    """Fused synthesize→decode→envelope-hash over a doc_id frame
+    (round 12; see video_frame_hashes_synth — same §4.1 rationale:
+    the WAV bytes never leave the Python worker). Emits the
+    (doc_id, hi, lo) fingerprint shape the pair join consumes.
+    Row-for-row identical to synthesize_audio_corpus →
+    audio_hash_batch (same per-doc pure functions)."""
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict = {}
+            ids, hi, lo = [], [], []
+            for d in pdf["doc_id"]:
+                doc_id = int(d)
+                samples, _ch, _rate = wav_samples(
+                    _audio_clip_payload(doc_id, cache)
+                )
+                h = audio_envelope_hash(samples)
+                ids.append(doc_id)
+                hi.append(h >> 32)
+                lo.append(h & 0xFFFFFFFF)
+            yield pd.DataFrame({"doc_id": ids, "hi": hi, "lo": lo})
+
+    return docs.mapInPandas(
+        _fused, schema="doc_id BIGINT, hi BIGINT, lo BIGINT"
+    )
 
 
 AUDIO_HASH_SCHEMA = StructType(
@@ -1302,11 +1421,8 @@ def mm_audio_fingerprint_pairs(
     callers pay the hash job; see mm_video_phash_pairs)."""
     from flapi_spark.operators.dedup import _simhash_pairs
 
-    media = synthesize_audio_corpus(spark, sf_dir)
-    fps = audio_hash_batch(media).select(
-        "doc_id",
-        F.col("fp_hi").alias("hi"),
-        F.col("fp_lo").alias("lo"),
+    fps = audio_fingerprints_synth(
+        _group_spread(spark, sf_dir, AUD_GROUP)
     ).localCheckpoint(eager=True)
     return _simhash_pairs(fps, max_hamming, n_bands=8)
 
@@ -1345,47 +1461,17 @@ def synthesize_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dHash Hamming ≈ 32), so within-cluster pairs are the only
     near-dups — exact ground truth for mm_phash_pairs' tests. Same
     Arrow-batched synthesis lane as synthesize_real_media."""
-    from flapi_spark.jpeg import jpeg_encode
-
     # documents.parquet is a single row-group at bench SFs → one input
     # split; without a spread the whole Python encode/decode lane runs
     # on ONE core (measured 28 s → 3 s at sf0.1 on local[32])
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-
-    def _one(doc_id: int) -> tuple[bytes, str]:
-        leader = doc_id - doc_id % IMG_GROUP
-        pixels = _base_image_pixels(leader)
-        m = doc_id % IMG_GROUP
-        if m == 1:  # uniform brightness shift (never clips: base <= 239)
-            pixels = [
-                [tuple(v + 8 for v in px) for px in row] for row in pixels
-            ]
-        elif m == 2:  # lossy re-encode
-            return jpeg_encode(pixels), "image/jpeg"
-        elif m == 3:  # sparse pixel noise (~1.5% of pixels replaced)
-            noisy = []
-            for y, row in enumerate(pixels):
-                out_row = []
-                for x, px in enumerate(row):
-                    tag = hashlib.sha256(
-                        f"noise:{leader}:{y}:{x}".encode()
-                    ).digest()
-                    if tag[0] < 4:  # 4/256 ≈ 1.5%
-                        px = (tag[1], tag[2], tag[3])
-                    out_row.append(px)
-                noisy.append(out_row)
-            pixels = noisy
-        return png_encode(pixels), "image/png"
+    docs = _group_spread(spark, sf_dir, IMG_GROUP)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            cache: dict = {}
             payloads, types = [], []
             for doc_id in pdf["doc_id"]:
-                p, t = _one(int(doc_id))
+                p, t = _image_payload(int(doc_id), cache)
                 payloads.append(p)
                 types.append(t)
             yield pd.DataFrame(
@@ -1398,6 +1484,68 @@ def synthesize_image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def _image_payload(doc_id: int, cache: dict | None = None) -> tuple[bytes, str]:
+    """One doc's (payload, media_type) (variant structure: see
+    synthesize_image_corpus). `cache` memoizes the per-leader base
+    pixels within a batch (pure-function memo — identical bytes)."""
+    from flapi_spark.jpeg import jpeg_encode
+
+    leader = doc_id - doc_id % IMG_GROUP
+    if cache is not None:
+        pixels = cache.get(leader)
+        if pixels is None:
+            pixels = _base_image_pixels(leader)
+            cache[leader] = pixels
+    else:
+        pixels = _base_image_pixels(leader)
+    m = doc_id % IMG_GROUP
+    if m == 1:  # uniform brightness shift (never clips: base <= 239)
+        pixels = [
+            [tuple(v + 8 for v in px) for px in row] for row in pixels
+        ]
+    elif m == 2:  # lossy re-encode
+        return jpeg_encode(pixels), "image/jpeg"
+    elif m == 3:  # sparse pixel noise (~1.5% of pixels replaced)
+        noisy = []
+        for y, row in enumerate(pixels):
+            out_row = []
+            for x, px in enumerate(row):
+                tag = hashlib.sha256(
+                    f"noise:{leader}:{y}:{x}".encode()
+                ).digest()
+                if tag[0] < 4:  # 4/256 ≈ 1.5%
+                    px = (tag[1], tag[2], tag[3])
+                out_row.append(px)
+            noisy.append(out_row)
+        pixels = noisy
+    return png_encode(pixels), "image/png"
+
+
+def image_dhashes_synth(docs: DataFrame) -> DataFrame:
+    """Fused synthesize→decode→dHash over a doc_id frame (round 12;
+    see video_frame_hashes_synth — §4.1: PNG/JPEG bytes never leave
+    the Python worker). Emits the (doc_id, hi, lo) shape the pair
+    join consumes; row-for-row identical to synthesize_image_corpus →
+    image_hash_batch restricted to the dHash columns."""
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cache: dict = {}
+            ids, hi, lo = [], [], []
+            for d in pdf["doc_id"]:
+                doc_id = int(d)
+                payload, _mt = _image_payload(doc_id, cache)
+                h = dhash64(image_luma(payload))
+                ids.append(doc_id)
+                hi.append(h >> 32)
+                lo.append(h & 0xFFFFFFFF)
+            yield pd.DataFrame({"doc_id": ids, "hi": hi, "lo": lo})
+
+    return docs.mapInPandas(
+        _fused, schema="doc_id BIGINT, hi BIGINT, lo BIGINT"
+    )
 
 
 PHASH_BANDS = 8  # 8x8-bit bands: pigeonhole recall for hamming < 8
@@ -1627,11 +1775,8 @@ def mm_phash_pairs(
     forms."""
     from flapi_spark.operators.dedup import _simhash_pairs
 
-    media = synthesize_image_corpus(spark, sf_dir)
-    fps = image_hash_batch(media).select(
-        "doc_id",
-        F.col("dhash_hi").alias("hi"),
-        F.col("dhash_lo").alias("lo"),
+    fps = image_dhashes_synth(
+        _group_spread(spark, sf_dir, IMG_GROUP)
     ).localCheckpoint(eager=True)
     # fingerprints materialized ONCE (GC-managed EAGER checkpoint, the
     # dedup_minhash_lsh convention — construction runs the decode job;
