@@ -467,48 +467,47 @@ def train_logreg(
     # one row per doc with its bucket-SORTED sparse feature vector:
     # built once, so each iteration's margin is a per-row JVM fold
     # (no join, no doc-grain shuffle) and the only shuffle left per
-    # iteration is the bucket-grain gradient aggregate
-    docfeats = (
-        feats.groupBy("doc_id", "y")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("bucket", "x"))
-            ).alias("fs")
+    # iteration is the bucket-grain gradient aggregate.
+    # localCheckpoint, not persist (round 12): the persisted frame
+    # kept its FULL logical lineage, which every iteration's plan
+    # re-analyzed/re-optimized on the driver (~0.17 s/iteration of
+    # the measured 0.43 s); the checkpoint truncates the per-
+    # iteration tree to a LogicalRDD leaf. Rows are doc-grain with a
+    # <= n_buckets-entry sparse array — id-grain metadata, never text.
+    docfeats = feats.groupBy("doc_id", "y").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "x"))).alias("fs")
+    ).localCheckpoint(eager=True)
+    n_docs = docfeats.count()
+    for _ in range(iters):
+        # O(1) weight lookup: an array literal indexed by bucket
+        # (round 12 — element_at on a MAP literal scans all
+        # n_buckets entries per lookup: 64 features x 64-entry scan
+        # per doc per iteration). Same float values, same fold
+        # order, so every margin is bit-identical (golden-twin
+        # pinned).
+        warr = F.array(*[F.lit(v) for v in w])
+        m = F.aggregate(
+            "fs",
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["x"]
+            * F.element_at(warr, (s["bucket"] + 1).cast("int")),
         )
-        .persist()
-    )
-    try:
-        n_docs = docfeats.count()
-        for _ in range(iters):
-            wmap = F.create_map(
-                *[F.lit(v) for b in range(n_buckets) for v in (b, w[b])]
-            )
-            # margin per doc: fold w[bucket]*x in bucket order (each
-            # (doc,bucket) appears once, so the struct sort is total);
-            # same op order as the original join+fold, bit-equal
-            m = F.aggregate(
-                "fs",
-                F.lit(0.0),
-                lambda acc, s: acc
-                + s["x"] * F.element_at(wmap, s["bucket"]),
-            )
-            r = (
-                F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
-                - F.col("y")
-            )
-            grad_rows = _grad_frame(docfeats, r).collect()
-            for row in grad_rows:
-                if row["bucket"] == -1:
-                    # the bias takes its own (smaller) step: its
-                    # gradient is the mean residual — O(1) per doc,
-                    # ~n_tokens× the L1-normalized feature gradients —
-                    # so sharing `lr` makes it oscillate
-                    bias -= lr_bias * (row["g"] / n_docs)
-                else:
-                    w[row["bucket"]] -= lr * (row["g"] / n_docs)
-    finally:
-        docfeats.unpersist()
+        r = (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
+            - F.col("y")
+        )
+        grad_rows = _grad_frame(docfeats, r).collect()
+        for row in grad_rows:
+            if row["bucket"] == -1:
+                # the bias takes its own (smaller) step: its
+                # gradient is the mean residual — O(1) per doc,
+                # ~n_tokens× the L1-normalized feature gradients —
+                # so sharing `lr` makes it oscillate
+                bias -= lr_bias * (row["g"] / n_docs)
+            else:
+                w[row["bucket"]] -= lr * (row["g"] / n_docs)
     return w, bias
 
 
@@ -525,14 +524,12 @@ def quality_classifier_train(
     plus the bias as bucket = -1 — rounded to 6 decimals. Rows-only
     entry (iterative float training is not SQL-expressible); pinned
     by the pure-Python golden twin in tests/test_classifier.py."""
+    # no persist on feats: train_logreg consumes it exactly once (the
+    # docfeats eager checkpoint is the only materialization)
     feats = _lr_features(spark, sf_dir, target_lang, n_buckets)
-    feats.persist()
-    try:
-        w, bias = train_logreg(
-            feats, n_buckets, iters=iters, lr=lr, lr_bias=lr_bias
-        )
-    finally:
-        feats.unpersist()
+    w, bias = train_logreg(
+        feats, n_buckets, iters=iters, lr=lr, lr_bias=lr_bias
+    )
     rows = [(-1, round(bias, 6))] + [
         (b, round(w[b], 6)) for b in range(n_buckets)
     ]
