@@ -924,9 +924,41 @@ def label_components(
         .distinct()
         .localCheckpoint()
     )
-    converged = edges.isEmpty()
-    for _ in range(max_iterations):
-        if converged:
+    # Convergence = the edge set is a STAR FOREST (round 12): a
+    # hi→lo-oriented distinct edge set is a fixpoint of
+    # large-star∘small-star iff every u appears exactly once (one
+    # parent) and no v ever appears as a u (roots are never
+    # children). Forward direction by direct evaluation: on a star
+    # forest {(c_i, r)} large-star re-emits exactly {(c_i, r)} (each
+    # child's closed-neighborhood min is its root; only the root has
+    # larger neighbors) and small-star maps it to itself (the
+    # join-back leg collapses to (r, r) and is filtered; the smins
+    # leg IS the forest). Conversely a duplicated u or a u∩v chain
+    # is rewired by the next round, so a non-forest is never a
+    # fixpoint. Checking the CURRENT edge set directly replaces the
+    # old count + subtract pair with one cheap action over the
+    # checkpointed blocks AND drops the extra no-op round the
+    # equality test needed to observe new == old (an empty edge set
+    # is trivially a forest, covering the old isEmpty fast path).
+    def _is_star_forest(e: DataFrame) -> bool:
+        dup = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+        )
+        chain = e.select("v").join(
+            e.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        return (
+            dup.select(F.lit(1).alias("x"))
+            .unionAll(chain.select(F.lit(1).alias("x")))
+            .isEmpty()
+        )
+
+    converged = False
+    for _ in range(max_iterations + 1):
+        if _is_star_forest(edges):
+            converged = True
             break
         # large-star: every node attaches its strictly-larger
         # neighbors to the minimum of its closed neighborhood
@@ -948,7 +980,7 @@ def label_components(
         # hi→lo oriented (it emits (bigger, closed-min)), so the
         # smaller-neighbor set of u is exactly its v column
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        new_edges = (
+        edges = (
             large.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
@@ -956,11 +988,6 @@ def label_components(
             .distinct()
             .localCheckpoint()  # truncate lineage each round
         )
-        converged = (
-            new_edges.count() == edges.count()
-            and new_edges.subtract(edges).isEmpty()
-        )
-        edges = new_edges
     if not converged:
         raise RuntimeError(
             f"label_components did not converge in {max_iterations} "
