@@ -968,8 +968,11 @@ def label_components(
         lmins = sym.groupBy("u").agg(
             F.min(F.least(F.col("v"), F.col("u"))).alias("m")
         )
+        # shuffle_hash on the node-grain mins side (the graph.py
+        # round-join rationale: checkpointed frames default to SMJ,
+        # which re-sorts the edge stream every round)
         large = (
-            sym.join(lmins, "u")
+            sym.join(lmins.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -981,7 +984,7 @@ def label_components(
         # smaller-neighbor set of u is exactly its v column
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
         edges = (
-            large.join(smins, "u")
+            large.join(smins.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
