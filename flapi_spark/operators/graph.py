@@ -40,7 +40,13 @@ PR_ITERATIONS = 5
 def _undirected_edges(pairs: DataFrame) -> DataFrame:
     """(u, v) edge list with both directions from a (doc_a, doc_b)
     pair stream; localCheckpoint truncates lineage so iterative
-    consumers don't double their plan every round."""
+    consumers don't double their plan every round.
+
+    The input is materialized ONCE before the union with its own
+    swap (round 12): both union branches embed the full pair lineage,
+    so without the checkpoint the candidate chain's expansion joins
+    run twice inside the symmetrize job. Id-grain rows only."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     return (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
