@@ -720,6 +720,23 @@ def _parse_stage_spec(
     return spec
 
 
+# Verdict-build priority for the §2.6 overlap (lower = submitted
+# earlier): the measured long poles — pair-graph dedups, the
+# classifier rank cut, the semantic decontam cosine pass — go first
+# so FIFO gives them cores from t=0; cheap per-doc gates backfill.
+_STAGE_COST_RANK = {
+    "video_near_dedup": 0,
+    "near_dedup": 0,
+    "semantic_decontam": 1,
+    "classifier_gate": 1,
+    "image_near_dedup": 2,
+    "audio_near_dedup": 2,
+    "boilerplate_gate": 3,
+    "decontam": 3,
+    "exact_dedup": 4,
+}
+
+
 def _stage_verdicts(
     spark: SparkSession, sf_dir: str, spec: list, full: DataFrame
 ) -> list | None:
@@ -759,10 +776,22 @@ def _stage_verdicts(
         )
         return v, round(perf_counter() - t0, 3)
 
+    # Heavy stages submit FIRST (round 12): Spark's FIFO scheduler
+    # prioritizes earlier-submitted jobs, so a long-pole verdict
+    # (near-dedup chain, classifier rank cut) submitted last starves
+    # behind the cheap gates and the funnel wall becomes cheap + long
+    # instead of max(long, cheap-backfill). Results return in stage
+    # order regardless.
+    order = sorted(
+        range(len(spec)), key=lambda i: _STAGE_COST_RANK.get(spec[i][0], 5)
+    )
     # 4 in flight: enough to fill the long pole's tail, not so many
     # that verdict jobs fight each other for executor slots
     with ThreadPoolExecutor(max_workers=min(4, max(len(spec), 1))) as pool:
-        return list(pool.map(build, spec))
+        futs = {}
+        for i in order:
+            futs[i] = pool.submit(build, spec[i])
+        return [futs[i].result() for i in range(len(spec))]
 
 
 def fold_verdict_masks(

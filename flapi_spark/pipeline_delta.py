@@ -348,7 +348,9 @@ KNOWN_STAGES = [
 ]
 
 
-def _overlap_verdicts(fns: list, full: DataFrame) -> list:
+def _overlap_verdicts(
+    fns: list, full: DataFrame, names: list[str] | None = None
+) -> list:
     """Build every stage's span-wide keep-verdict CONCURRENTLY (the
     same guide-§2.6 overlap as pipeline._stage_verdicts): each base/
     delta stage is `keep ∩ span-wide verdict` (semi/anti joins over
@@ -357,16 +359,25 @@ def _overlap_verdicts(fns: list, full: DataFrame) -> list:
     min-id-over-the-full-span policy), so the verdict sets are
     independent and short gates back-fill executors under the
     near-dup probe's wall. Returns [(verdict_df, build_sec), ...] in
-    stage order; each verdict is an id-grain eager localCheckpoint."""
+    stage order; each verdict is an id-grain eager localCheckpoint.
+    `names` lets the heavy stages submit first (FIFO priority — see
+    pipeline._STAGE_COST_RANK)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from flapi_spark.pipeline import _STAGE_COST_RANK
 
     def build(fn):
         t0 = perf_counter()
         v = fn(full).localCheckpoint(eager=True)
         return v, round(perf_counter() - t0, 3)
 
+    order = sorted(
+        range(len(fns)),
+        key=lambda i: _STAGE_COST_RANK.get(names[i], 5) if names else 5,
+    )
     with ThreadPoolExecutor(max_workers=min(4, max(len(fns), 1))) as pool:
-        return list(pool.map(build, fns))
+        futs = {i: pool.submit(build, fns[i]) for i in order}
+        return [futs[i].result() for i in range(len(fns))]
 
 
 def _select_stages(stages: list[str] | None, caller: str) -> list[str]:
@@ -484,7 +495,9 @@ def curate_base(
         # §2.6 overlap: span-wide stage verdicts build concurrently;
         # the keep-set and every funnel count fold in ONE mask job
         # (round 12 — see pipeline.fold_verdict_masks)
-        verdicts = _overlap_verdicts([impls[n] for n in names], keep)
+        verdicts = _overlap_verdicts(
+            [impls[n] for n in names], keep, names=names
+        )
         keep, outs = fold_verdict_masks([v for v, _sec in verdicts])
         keep = keep.localCheckpoint(eager=True)
         for name, (_v, bsec), (n, _tok) in zip(names, verdicts, outs):
@@ -677,7 +690,7 @@ def curate_delta(
         # verdicts (persisted-index reads) and the per-doc gates all
         # build concurrently; the keep-set and every funnel count
         # fold in ONE O(delta) mask job (pipeline.fold_verdict_masks)
-        verdicts = _overlap_verdicts(fns, keep)
+        verdicts = _overlap_verdicts(fns, keep, names=names)
         keep, outs = fold_verdict_masks([v for v, _sec in verdicts])
         keep = keep.localCheckpoint(eager=True)
         for name, (_v, bsec), (n, _tok) in zip(names, verdicts, outs):
