@@ -82,13 +82,17 @@ def _doc_token_buckets(
 ) -> DataFrame:
     """(doc_id, lang, tok, bucket) token stream — the shared input of
     the bucket stats, the scorer, and the persisted-model build.
+
     `sf_dir` is accepted for signature stability; a spread() exchange
-    here measured SLOWER at sf0.1 (score 2.45 s -> 3.55 s): the NB
-    consumers are single pipelined aggregates over the explode, so
-    the extra stage boundary costs more than the one-core hashing —
-    unlike the LR trainer's build (see _lr_features), which feeds a
-    persisted two-shuffle chain."""
-    del sf_dir  # measured: exchange not worth it on this path
+    here measured SLOWER at sf0.1 TWICE: round 11 with the pipelined
+    consumers (score 2.45 s -> 3.55 s), and round 12 again after the
+    single-hash grouped checkpoint landed (interleaved in-process
+    pairs: 2.23 s unspread vs 2.48 s spread) — shuffling the raw
+    token arrays costs more than hashing them on the scan's single
+    split at this corpus size, even with a materialization behind
+    it. Unlike the LR trainer's build (see _lr_features), which
+    feeds a persisted two-shuffle chain."""
+    del sf_dir  # measured: exchange not worth it on this path (2x)
     return docs.select(
         "doc_id", "lang", F.explode(_tokens()).alias("tok")
     ).withColumn("bucket", _bucket("tok", n_buckets))
