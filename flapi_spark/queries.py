@@ -6867,30 +6867,38 @@ QUERIES.update(
 # entries): the 16 never-driven entries front the window, then the 30
 # r5-latest entries, then the 4 alphabetically-first r6-latest entries.
 _CHECK_FIRST = [
-    # 16 never-driven (registered in r10, outside that round's window):
-    "bm25_search_indexed", "cluster_card_indexed", "corpus_report",
-    "dedup_components_incremental", "er_block_stats", "er_pairs_indexed",
-    "lpa_indexed", "mixture_sample_keepset", "pipeline_curated_report",
-    "pipeline_curation_funnel_gated", "pipeline_curation_funnel_html",
-    "pipeline_curation_funnel_semantic", "pipeline_token_funnel",
-    "quality_classifier_eval", "quality_classifier_train",
-    "retrieval_mmr_hybrid",
-    # 30 r5-latest (stalest driver verdicts in the registry):
-    "customer_activity_full_outer", "forecast_seasonal_naive",
-    "funnel_time_to_convert", "gini_customer_revenue",
-    "hhi_market_concentration", "kaplan_meier_order_gaps", "lorenz_deciles",
-    "market_basket_brand_pairs", "ols_quantity_on_price", "paginate_orders",
-    "paginate_orders_keyset", "part_type_share", "percentile_order_values",
-    "q14_promo_revenue_share", "q16_part_supplier_counts",
-    "q17_small_qty_revenue", "q19_bracket_revenue", "q2_min_price_parts",
-    "q8_market_share", "q9_profit_by_nation_year", "session_path_trigrams",
-    "shape_redact_customers", "src_duckdb_query", "tax_burden_by_brand",
-    "text_readability_flesch", "tpl_customers_all",
-    "tpl_customers_by_segment", "user_overlap_exact", "user_overlap_hll",
-    "welch_ttest_segments",
-    # 4 oldest r6-latest (alphabetical prefix of the 41-entry r6 cohort;
-    # the remaining 37 front the r12 window under the standing policy):
-    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc_topk", "ann_recall_eval",
+    # r12 window under the standing rotation policy (never-driven
+    # first — none remain after r11 — then stalest-latest-verdict,
+    # ties alphabetical; changed-plan entries qualify ahead of
+    # merely-stale ones, the r5 precedent):
+    # 37 r6-latest — the stalest verdicts in the registry (includes 3
+    # entries whose plans changed this round: dedup_ngram_jaccard,
+    # jaccard_prefix_filter_stats, triangle_count_neardup):
+    "bloom_token_filter", "bm25_search", "bpe_encode_tokens",
+    "bpe_train_merges", "ccnet_perplexity_buckets",
+    "contamination_ngram_overlap", "countmin_token_freq",
+    "dedup_chunk_boilerplate", "dedup_containment_pairs",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_lsh_recall_eval", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "dsir_importance_weights",
+    "embedding_pc_removal_stats", "embedding_pca_power",
+    "jaccard_prefix_filter_stats", "lang_bigram_entropy",
+    "lsh_tuning_curve", "minhash_estimate_error", "mm_real_decoded",
+    "ntile_value_bands", "pack_sequences", "psi_order_value_drift",
+    "quality_gate_funnel", "semdedup_clusters", "source_vocab_overlap",
+    "text_bigram_lm_score", "text_char_entropy", "tfidf_top_terms",
+    "token_coverage_curve", "token_freq_spectrum", "tokens_zipf_fit",
+    "triangle_count_neardup", "windowfns_order_ranks",
+    # 13 round-12 changed-plan entries, stalest verdicts first
+    # (exact-set Jaccard collapse / star-forest convergence / mask
+    # funnels / fused media lanes):
+    "dedup_components_indexed", "dedup_connected_components",
+    "dedup_family_summary",
+    "kcore_neardup_graph", "pagerank_neardup_graph",
+    "mm_audio_fingerprint_pairs", "mm_phash_pairs",
+    "mm_video_phash_pairs", "pipeline_curation_funnel",
+    "curation_drop_attribution", "er_clusters", "er_golden_record",
+    "pipeline_delta_funnel",
 ]
 assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
 assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)  # the driver window
