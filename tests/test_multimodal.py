@@ -1,6 +1,8 @@
 import pytest
 import struct
 
+from pyspark.sql import functions as F
+
 from flapi_spark import multimodal as M
 
 
@@ -762,3 +764,46 @@ class TestFrameKeySpanGuard:
         n = M.VID_FRAME_KEY_SPAN
         p_ok = M.mp4_encode([b"\x00"] * n, width=16, height=16)
         assert len(M.mp4_samples(p_ok)) == n
+
+
+class TestFusedSynthHashParity:
+    """Round 12: the fused synthesize→hash builders must stay
+    row-identical to the two-operator composition they replaced (the
+    guard that the per-batch leader memos and the decode memo remain
+    pure-function optimizations)."""
+
+    def test_video_fused_equals_composition(self, spark, sf_dir):
+        old = M.video_frame_hash_batch(M.synthesize_video_corpus(spark, sf_dir))
+        new = M.video_frame_hashes_synth(
+            M._group_spread(spark, sf_dir, M.VID_GROUP)
+        )
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+    def test_image_fused_equals_composition(self, spark, sf_dir):
+        old = M.image_hash_batch(
+            M.synthesize_image_corpus(spark, sf_dir)
+        ).select(
+            "doc_id",
+            F.col("dhash_hi").alias("hi"),
+            F.col("dhash_lo").alias("lo"),
+        )
+        new = M.image_dhashes_synth(
+            M._group_spread(spark, sf_dir, M.IMG_GROUP)
+        )
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+    def test_audio_fused_equals_composition(self, spark, sf_dir):
+        old = M.audio_hash_batch(
+            M.synthesize_audio_corpus(spark, sf_dir)
+        ).select(
+            "doc_id",
+            F.col("fp_hi").alias("hi"),
+            F.col("fp_lo").alias("lo"),
+        )
+        new = M.audio_fingerprints_synth(
+            M._group_spread(spark, sf_dir, M.AUD_GROUP)
+        )
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0

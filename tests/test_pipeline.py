@@ -571,3 +571,26 @@ def test_survivor_scope_default_parity_and_keepset_superset(spark, sf_dir):
 def test_survivor_scope_rejects_unknown(spark, sf_dir):
     with pytest.raises(ValueError, match="survivor_scope"):
         curate(spark, sf_dir, stages=["quality"], survivor_scope="x")
+
+
+def test_fold_verdict_masks_counts_and_keepset(spark):
+    """Round 12: the one-job mask histogram must reproduce the
+    sequential intersection chain exactly — counts, token sums, and
+    the final keep-set — including duplicate verdict rows (bit_or
+    idempotence) and docs absent from later verdicts."""
+    from flapi_spark.pipeline import fold_verdict_masks
+
+    v1 = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (4,)], "doc_id LONG"
+    )  # duplicate row on purpose
+    v2 = spark.createDataFrame([(2,), (3,), (4,), (9,)], "doc_id LONG")
+    v3 = spark.createDataFrame([(3,), (9,)], "doc_id LONG")
+    tokmap = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40), (9, 90)],
+        "doc_id LONG, n_toks LONG",
+    )
+    keep, outs = fold_verdict_masks([v1, v2, v3], tokmap=tokmap)
+    # sequential chain: {1,2,3,4} -> {2,3,4} -> {3}
+    assert [n for n, _t in outs] == [4, 3, 1]
+    assert [t for _n, t in outs] == [100, 90, 30]
+    assert sorted(r["doc_id"] for r in keep.collect()) == [3]
